@@ -1,0 +1,35 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Memoized SparkSession factory — the Spark analog of the reference's
+  * lazy one-time DuckDB-WASM bootstrap (`/root/reference/src/duckdb.ts:14-39`:
+  * single engine instance, single connection, concurrent callers share one
+  * promise). `getOrCreate()` is already idempotent; we memoize the configured
+  * builder so every caller shares one session.
+  *
+  * Config notes (scale-first):
+  *  - shuffle.partitions defaults to the local core count (32), not 200 —
+  *    on a real cluster this would be set to ~2-3x total cores or left to AQE
+  *    coalescing, which is enabled.
+  *  - AQE on: runtime join-strategy switch + skew-join splitting + partition
+  *    coalescing, the knobs that matter at 100 TB.
+  *  - UTC session time zone: deterministic timestamp semantics vs the oracle.
+  */
+object Session {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  lazy val spark: SparkSession = builder().getOrCreate()
+
+  def builder(master: String = s"local[$cpus]"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+}

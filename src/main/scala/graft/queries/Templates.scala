@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Tables._
+
+/** The six CUR template queries (`/root/reference/src/App.tsx:153-227`,
+  * SURVEY.md §2 Tier B table + A20) re-targeted at the testdata star schema
+  * per the column mapping in FIXTURES.md §3.
+  *
+  * Determinism rules (SURVEY §5, §7.4): wall-clock `CURRENT_DATE - INTERVAL`
+  * predicates become fixed timestamp literals inside the data's date range;
+  * every ORDER BY ends in a unique key; money sums go through DECIMAL(18,2)
+  * so they are exact and order-insensitive (double sums are order-sensitive
+  * and Spark/DuckDB aggregate in different orders).
+  *
+  * Scale notes: each query is scan → filter → partial agg → shuffle on the
+  * group keys → final agg → (small) sort. Filters and column pruning push
+  * into the parquet scan; the shuffled key cardinality (supplier, month) is
+  * tiny relative to input, so the pattern holds at 100 TB.
+  */
+object Templates {
+
+  /** Exact money sum: SUM(CAST(x AS DECIMAL(18,2))) cast back to (18,2). */
+  private def dsum(c: String) =
+    sum(col(c).cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
+  private def dsumOracle(x: String) =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+
+  // -- Template 1: "CUR - Resumo por Conta" (src/App.tsx:154-164) ----------
+  // scan -> filter(date >= fixed) -> groupBy(1 key) -> {count, sum, min, max}
+  // -> orderBy sum desc. Exercises B5/B7/B11/B12/B13/B16/B19.
+  val t1AccountSummary: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(ts("1998-06-01")))
+      .groupBy(col("l_suppkey").as("account_id"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum("l_extendedprice").as("total_cost"),
+        min("l_shipdate").as("first_ship"),
+        max("l_shipdate").as("last_ship"))
+      .orderBy(desc_nulls_last("total_cost"), col("account_id"))
+
+  val t1AccountSummarySql: String =
+    s"""SELECT l_suppkey AS account_id, COUNT(*) AS n_items,
+       |  ${dsumOracle("l_extendedprice")} AS total_cost,
+       |  MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+       |GROUP BY l_suppkey
+       |ORDER BY total_cost DESC NULLS LAST, account_id""".stripMargin
+
+  // -- Template 2: "CUR - Resumo por Serviço" (src/App.tsx:166-176) --------
+  // 3-arm COALESCE projection (B22), <> filter (B6), GROUP BY select-list
+  // alias (B18), ORDER BY agg alias DESC (B19), LIMIT 50 (B21).
+  val t2ServiceSummary: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(ts("1997-01-01")) &&
+        col("l_returnflag") =!= "A")
+      .groupBy(coalesce(
+        nullif(col("l_linestatus"), lit("F")),
+        nullif(col("l_returnflag"), lit("R")),
+        lit("Unknown")).as("service_name"))
+      .agg(count(lit(1)).as("n_items"), dsum("l_extendedprice").as("total_cost"))
+      .orderBy(desc_nulls_last("total_cost"), col("service_name"))
+      .limit(50)
+
+  val t2ServiceSummarySql: String =
+    s"""SELECT COALESCE(NULLIF(l_linestatus, 'F'), NULLIF(l_returnflag, 'R'),
+       |                'Unknown') AS service_name,
+       |  COUNT(*) AS n_items, ${dsumOracle("l_extendedprice")} AS total_cost
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_returnflag <> 'A'
+       |GROUP BY service_name
+       |ORDER BY total_cost DESC NULLS LAST, service_name
+       |LIMIT 50""".stripMargin
+
+  // -- Template 3: "CUR - Resumo por Mês" (src/App.tsx:178-187) ------------
+  // date_trunc('month') group key (B23; cast to DATE on both sides — DuckDB
+  // and Spark agree on TIMESTAMP here but DATE is the reference intent).
+  val t3MonthlySummary: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") =!= "R")
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("mes"))
+      .agg(count(lit(1)).as("n_items"), dsum("l_extendedprice").as("total_cost"))
+      .orderBy(desc("mes"))
+
+  val t3MonthlySummarySql: String =
+    s"""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mes,
+       |  COUNT(*) AS n_items, ${dsumOracle("l_extendedprice")} AS total_cost
+       |FROM lineitem
+       |WHERE l_returnflag <> 'R'
+       |GROUP BY mes
+       |ORDER BY mes DESC""".stripMargin
+
+  // -- Template 4: "CUR - Detalhes por Conta" (src/App.tsx:189-200) --------
+  // = (B5) AND BETWEEN (B8) AND <> (B6/B10), 3 group keys incl. 2 aliases of
+  // expressions (B17/B18), multi-key mixed ORDER BY (B20).
+  val t4AccountDetails: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_linestatus") === "O" &&
+        col("l_shipdate").between(lit(ts("1996-01-01")), lit(ts("1998-12-31"))) &&
+        col("l_returnflag") =!= "R")
+      .groupBy(
+        col("l_suppkey").as("account_id"),
+        coalesce(nullif(col("l_linestatus"), lit("F")), col("l_returnflag"))
+          .as("service_name"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("mes"))
+      .agg(dsum("l_extendedprice").as("cost"))
+      .orderBy(desc("mes"), desc_nulls_last("cost"), col("account_id"),
+        col("service_name"))
+
+  val t4AccountDetailsSql: String =
+    s"""SELECT l_suppkey AS account_id,
+       |  COALESCE(NULLIF(l_linestatus, 'F'), l_returnflag) AS service_name,
+       |  CAST(date_trunc('month', l_shipdate) AS DATE) AS mes,
+       |  ${dsumOracle("l_extendedprice")} AS cost
+       |FROM lineitem
+       |WHERE l_linestatus = 'O'
+       |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+       |  AND l_returnflag <> 'R'
+       |GROUP BY account_id, service_name, mes
+       |ORDER BY mes DESC, cost DESC NULLS LAST, account_id, service_name""".stripMargin
+
+  // -- Template 5: "CUR - Savings Plans" (src/App.tsx:202-213) -------------
+  // IS NOT NULL filter (B9), conditional aggregate SUM(CASE WHEN) (B14),
+  // 2 group keys, ORDER BY mes DESC, account ASC (B20).
+  val t5SavingsPlans: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(ts("1999-01-01")) &&
+        nullif(col("l_linestatus"), lit("F")).isNotNull)
+      .groupBy(
+        date_trunc("month", col("l_shipdate")).cast("date").as("mes"),
+        col("l_suppkey").as("account_id"))
+      .agg(
+        dsum("l_discount").as("total_commitment"),
+        dsum("l_tax").as("effective_cost"),
+        sum(when(col("l_returnflag") === "N", col("l_extendedprice"))
+          .otherwise(lit(0)).cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("covered_cost"))
+      .orderBy(desc("mes"), col("account_id"))
+
+  val t5SavingsPlansSql: String =
+    s"""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mes,
+       |  l_suppkey AS account_id,
+       |  ${dsumOracle("l_discount")} AS total_commitment,
+       |  ${dsumOracle("l_tax")} AS effective_cost,
+       |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_extendedprice
+       |                     ELSE 0 END AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       |    AS covered_cost
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+       |  AND NULLIF(l_linestatus, 'F') IS NOT NULL
+       |GROUP BY mes, account_id
+       |ORDER BY mes DESC, account_id""".stripMargin
+
+  // -- Template 6: "CUR - Reserved Instances" (src/App.tsx:215-226) --------
+  val t6ReservedInstances: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(ts("2000-01-01")) &&
+        nullif(col("l_returnflag"), lit("N")).isNotNull)
+      .groupBy(
+        date_trunc("month", col("l_shipdate")).cast("date").as("mes"),
+        col("l_suppkey").as("account_id"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", col("l_extendedprice"))
+          .otherwise(lit(0)).cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("ri_fee"),
+        sum(when(col("l_returnflag") === "A", col("l_extendedprice"))
+          .otherwise(lit(0)).cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("discounted_usage"),
+        dsum("l_quantity").as("unused_fee"))
+      .orderBy(desc("mes"), col("account_id"))
+
+  val t6ReservedInstancesSql: String =
+    s"""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mes,
+       |  l_suppkey AS account_id,
+       |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice
+       |                     ELSE 0 END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ri_fee,
+       |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_extendedprice
+       |                     ELSE 0 END AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       |    AS discounted_usage,
+       |  ${dsumOracle("l_quantity")} AS unused_fee
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+       |  AND NULLIF(l_returnflag, 'N') IS NOT NULL
+       |GROUP BY mes, account_id
+       |ORDER BY mes DESC, account_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "t1_account_summary" -> t1AccountSummary,
+    "t2_service_summary" -> t2ServiceSummary,
+    "t3_monthly_summary" -> t3MonthlySummary,
+    "t4_account_details" -> t4AccountDetails,
+    "t5_savings_plans" -> t5SavingsPlans,
+    "t6_reserved_instances" -> t6ReservedInstances)
+
+  val oracle: Map[String, String] = Map(
+    "t1_account_summary" -> t1AccountSummarySql,
+    "t2_service_summary" -> t2ServiceSummarySql,
+    "t3_monthly_summary" -> t3MonthlySummarySql,
+    "t4_account_details" -> t4AccountDetailsSql,
+    "t5_savings_plans" -> t5SavingsPlansSql,
+    "t6_reserved_instances" -> t6ReservedInstancesSql)
+}
