@@ -1,23 +1,39 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times every declared query on
+  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line.
+  *
+  * Round-1 fixes (VERDICT.md #4): a warmup query absorbs session/JIT
+  * startup instead of the first timed query; materialization is a real
+  * noop-sink write (`format("noop")`) which executes the FULL physical plan
+  * including the final projection/sort, unlike `.count()` which lets
+  * Catalyst prune work a user would pay for.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = graft.engine.Session.forHarness()
+
+    def run(fn: queries.Tables.Q): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    // Warmup: touch every input table + exercise codegen/shuffle machinery
+    // once, so the first timed query doesn't absorb JVM/JIT startup.
+    SparkEntry.queries.get("t2_service_summary").foreach { fn =>
+      run(fn); run(fn)
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
   * lazy one-time DuckDB-WASM bootstrap (`/root/reference/src/duckdb.ts:14-39`:
   * single engine instance, single connection, concurrent callers share one
   * promise). `getOrCreate()` is already idempotent; we memoize the configured
-  * builder so every caller shares one session.
+  * builder so every caller (Verify, Bench, tests) shares ONE config source —
+  * round 1 shipped divergent ad-hoc sessions (VERDICT.md #3).
   *
   * Config notes (scale-first):
   *  - shuffle.partitions defaults to the local core count (32), not 200 —
@@ -14,14 +15,17 @@ import org.apache.spark.sql.SparkSession
   *    coalescing, which is enabled.
   *  - AQE on: runtime join-strategy switch + skew-join splitting + partition
   *    coalescing, the knobs that matter at 100 TB.
-  *  - UTC session time zone: deterministic timestamp semantics vs the oracle.
+  *  - UTC everywhere: session TZ for SQL semantics AND the JVM default zone
+  *    (java.sql.Timestamp/driver-side formatting are JVM-zone sensitive —
+  *    ADVICE.md r1), so results never depend on the host's zone.
   */
 object Session {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
   lazy val spark: SparkSession = builder().getOrCreate()
 
-  def builder(master: String = s"local[$cpus]"): SparkSession.Builder =
+  def builder(master: String = s"local[$cpus]"): SparkSession.Builder = {
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     SparkSession
       .builder()
       .master(master)
@@ -32,4 +36,14 @@ object Session {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+  }
+
+  /** Driver-harness session: local[$SPARK_GRAFT_CPUS] with WARN logging. */
+  def forHarness(): SparkSession = {
+    val cs = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = builder(s"local[$cs]")
+      .config("spark.sql.shuffle.partitions", cs).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 }

@@ -13,7 +13,9 @@ import Tables._
   * predicates become fixed timestamp literals inside the data's date range;
   * every ORDER BY ends in a unique key; money sums go through DECIMAL(18,2)
   * so they are exact and order-insensitive (double sums are order-sensitive
-  * and Spark/DuckDB aggregate in different orders).
+  * and Spark/DuckDB aggregate in different orders); temporal outputs are
+  * rendered to ISO strings on both sides (Tables canonicalization policy —
+  * round-1 hash-gate lesson, VERDICT.md #1).
   *
   * Scale notes: each query is scan → filter → partial agg → shuffle on the
   * group keys → final agg → (small) sort. Filters and column pruning push
@@ -22,30 +24,25 @@ import Tables._
   */
 object Templates {
 
-  /** Exact money sum: SUM(CAST(x AS DECIMAL(18,2))) cast back to (18,2). */
-  private def dsum(c: String) =
-    sum(col(c).cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
-  private def dsumOracle(x: String) =
-    s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DECIMAL(18,2))"
-
   // -- Template 1: "CUR - Resumo por Conta" (src/App.tsx:154-164) ----------
   // scan -> filter(date >= fixed) -> groupBy(1 key) -> {count, sum, min, max}
   // -> orderBy sum desc. Exercises B5/B7/B11/B12/B13/B16/B19.
   val t1AccountSummary: Q = (s, dir) =>
     t(s, dir, "lineitem")
-      .filter(col("l_shipdate") >= lit(ts("1998-06-01")))
+      .filter(col("l_shipdate") >= ts("1998-06-01"))
       .groupBy(col("l_suppkey").as("account_id"))
       .agg(
         count(lit(1)).as("n_items"),
         dsum("l_extendedprice").as("total_cost"),
-        min("l_shipdate").as("first_ship"),
-        max("l_shipdate").as("last_ship"))
+        dstr(min("l_shipdate")).as("first_ship"),
+        dstr(max("l_shipdate")).as("last_ship"))
       .orderBy(desc_nulls_last("total_cost"), col("account_id"))
 
   val t1AccountSummarySql: String =
     s"""SELECT l_suppkey AS account_id, COUNT(*) AS n_items,
-       |  ${dsumOracle("l_extendedprice")} AS total_cost,
-       |  MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship
+       |  ${oDsum("l_extendedprice")} AS total_cost,
+       |  ${oDay("MIN(l_shipdate)")} AS first_ship,
+       |  ${oDay("MAX(l_shipdate)")} AS last_ship
        |FROM lineitem
        |WHERE l_shipdate >= TIMESTAMP '1998-06-01'
        |GROUP BY l_suppkey
@@ -56,7 +53,7 @@ object Templates {
   // alias (B18), ORDER BY agg alias DESC (B19), LIMIT 50 (B21).
   val t2ServiceSummary: Q = (s, dir) =>
     t(s, dir, "lineitem")
-      .filter(col("l_shipdate") >= lit(ts("1997-01-01")) &&
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
         col("l_returnflag") =!= "A")
       .groupBy(coalesce(
         nullif(col("l_linestatus"), lit("F")),
@@ -69,7 +66,7 @@ object Templates {
   val t2ServiceSummarySql: String =
     s"""SELECT COALESCE(NULLIF(l_linestatus, 'F'), NULLIF(l_returnflag, 'R'),
        |                'Unknown') AS service_name,
-       |  COUNT(*) AS n_items, ${dsumOracle("l_extendedprice")} AS total_cost
+       |  COUNT(*) AS n_items, ${oDsum("l_extendedprice")} AS total_cost
        |FROM lineitem
        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_returnflag <> 'A'
        |GROUP BY service_name
@@ -77,18 +74,17 @@ object Templates {
        |LIMIT 50""".stripMargin
 
   // -- Template 3: "CUR - Resumo por Mês" (src/App.tsx:178-187) ------------
-  // date_trunc('month') group key (B23; cast to DATE on both sides — DuckDB
-  // and Spark agree on TIMESTAMP here but DATE is the reference intent).
+  // date_trunc('month') group key (B23) — rendered 'yyyy-MM-dd' both sides.
   val t3MonthlySummary: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .filter(col("l_returnflag") =!= "R")
-      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("mes"))
+      .groupBy(monthStr(col("l_shipdate")).as("mes"))
       .agg(count(lit(1)).as("n_items"), dsum("l_extendedprice").as("total_cost"))
       .orderBy(desc("mes"))
 
   val t3MonthlySummarySql: String =
-    s"""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mes,
-       |  COUNT(*) AS n_items, ${dsumOracle("l_extendedprice")} AS total_cost
+    s"""SELECT ${oMonth("l_shipdate")} AS mes,
+       |  COUNT(*) AS n_items, ${oDsum("l_extendedprice")} AS total_cost
        |FROM lineitem
        |WHERE l_returnflag <> 'R'
        |GROUP BY mes
@@ -100,13 +96,13 @@ object Templates {
   val t4AccountDetails: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .filter(col("l_linestatus") === "O" &&
-        col("l_shipdate").between(lit(ts("1996-01-01")), lit(ts("1998-12-31"))) &&
+        col("l_shipdate").between(ts("1996-01-01"), ts("1998-12-31")) &&
         col("l_returnflag") =!= "R")
       .groupBy(
         col("l_suppkey").as("account_id"),
         coalesce(nullif(col("l_linestatus"), lit("F")), col("l_returnflag"))
           .as("service_name"),
-        date_trunc("month", col("l_shipdate")).cast("date").as("mes"))
+        monthStr(col("l_shipdate")).as("mes"))
       .agg(dsum("l_extendedprice").as("cost"))
       .orderBy(desc("mes"), desc_nulls_last("cost"), col("account_id"),
         col("service_name"))
@@ -114,8 +110,8 @@ object Templates {
   val t4AccountDetailsSql: String =
     s"""SELECT l_suppkey AS account_id,
        |  COALESCE(NULLIF(l_linestatus, 'F'), l_returnflag) AS service_name,
-       |  CAST(date_trunc('month', l_shipdate) AS DATE) AS mes,
-       |  ${dsumOracle("l_extendedprice")} AS cost
+       |  ${oMonth("l_shipdate")} AS mes,
+       |  ${oDsum("l_extendedprice")} AS cost
        |FROM lineitem
        |WHERE l_linestatus = 'O'
        |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
@@ -128,26 +124,24 @@ object Templates {
   // 2 group keys, ORDER BY mes DESC, account ASC (B20).
   val t5SavingsPlans: Q = (s, dir) =>
     t(s, dir, "lineitem")
-      .filter(col("l_shipdate") >= lit(ts("1999-01-01")) &&
+      .filter(col("l_shipdate") >= ts("1999-01-01") &&
         nullif(col("l_linestatus"), lit("F")).isNotNull)
       .groupBy(
-        date_trunc("month", col("l_shipdate")).cast("date").as("mes"),
+        monthStr(col("l_shipdate")).as("mes"),
         col("l_suppkey").as("account_id"))
       .agg(
         dsum("l_discount").as("total_commitment"),
         dsum("l_tax").as("effective_cost"),
-        sum(when(col("l_returnflag") === "N", col("l_extendedprice"))
-          .otherwise(lit(0)).cast(DecimalType(18, 2)))
-          .cast(DecimalType(18, 2)).as("covered_cost"))
+        dsumOf(when(col("l_returnflag") === "N", col("l_extendedprice"))
+          .otherwise(lit(0))).as("covered_cost"))
       .orderBy(desc("mes"), col("account_id"))
 
   val t5SavingsPlansSql: String =
-    s"""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mes,
+    s"""SELECT ${oMonth("l_shipdate")} AS mes,
        |  l_suppkey AS account_id,
-       |  ${dsumOracle("l_discount")} AS total_commitment,
-       |  ${dsumOracle("l_tax")} AS effective_cost,
-       |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_extendedprice
-       |                     ELSE 0 END AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       |  ${oDsum("l_discount")} AS total_commitment,
+       |  ${oDsum("l_tax")} AS effective_cost,
+       |  ${oDsum("CASE WHEN l_returnflag = 'N' THEN l_extendedprice ELSE 0 END")}
        |    AS covered_cost
        |FROM lineitem
        |WHERE l_shipdate >= TIMESTAMP '1999-01-01'
@@ -158,30 +152,26 @@ object Templates {
   // -- Template 6: "CUR - Reserved Instances" (src/App.tsx:215-226) --------
   val t6ReservedInstances: Q = (s, dir) =>
     t(s, dir, "lineitem")
-      .filter(col("l_shipdate") >= lit(ts("2000-01-01")) &&
+      .filter(col("l_shipdate") >= ts("2000-01-01") &&
         nullif(col("l_returnflag"), lit("N")).isNotNull)
       .groupBy(
-        date_trunc("month", col("l_shipdate")).cast("date").as("mes"),
+        monthStr(col("l_shipdate")).as("mes"),
         col("l_suppkey").as("account_id"))
       .agg(
-        sum(when(col("l_returnflag") === "R", col("l_extendedprice"))
-          .otherwise(lit(0)).cast(DecimalType(18, 2)))
-          .cast(DecimalType(18, 2)).as("ri_fee"),
-        sum(when(col("l_returnflag") === "A", col("l_extendedprice"))
-          .otherwise(lit(0)).cast(DecimalType(18, 2)))
-          .cast(DecimalType(18, 2)).as("discounted_usage"),
+        dsumOf(when(col("l_returnflag") === "R", col("l_extendedprice"))
+          .otherwise(lit(0))).as("ri_fee"),
+        dsumOf(when(col("l_returnflag") === "A", col("l_extendedprice"))
+          .otherwise(lit(0))).as("discounted_usage"),
         dsum("l_quantity").as("unused_fee"))
       .orderBy(desc("mes"), col("account_id"))
 
   val t6ReservedInstancesSql: String =
-    s"""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mes,
+    s"""SELECT ${oMonth("l_shipdate")} AS mes,
        |  l_suppkey AS account_id,
-       |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice
-       |                     ELSE 0 END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ri_fee,
-       |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_extendedprice
-       |                     ELSE 0 END AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       |  ${oDsum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END")} AS ri_fee,
+       |  ${oDsum("CASE WHEN l_returnflag = 'A' THEN l_extendedprice ELSE 0 END")}
        |    AS discounted_usage,
-       |  ${dsumOracle("l_quantity")} AS unused_fee
+       |  ${oDsum("l_quantity")} AS unused_fee
        |FROM lineitem
        |WHERE l_shipdate >= TIMESTAMP '2000-01-01'
        |  AND NULLIF(l_returnflag, 'N') IS NOT NULL
