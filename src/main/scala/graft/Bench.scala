@@ -1,13 +1,17 @@
 package graft
 
-/** Benchmark main (driver contract): times every declared query on
+/** Benchmark main (driver contract): times the declared PRODUCT queries on
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line.
   *
-  * Round-1 fixes (VERDICT.md #4): a warmup query absorbs session/JIT
-  * startup instead of the first timed query; materialization is a real
-  * noop-sink write (`format("noop")`) which executes the FULL physical plan
-  * including the final projection/sort, unlike `.count()` which lets
-  * Catalyst prune work a user would pay for.
+  * - `probe_*` diagnostics are excluded from the timed set (VERDICT r3 #4):
+  *   they are constant/near-constant queries whose time is session overhead,
+  *   not engine throughput.
+  * - A query that throws reports the sentinel -1, never a normal-looking
+  *   elapsed time (VERDICT r3 #5); failures are also listed in `errors`.
+  * - A warmup query absorbs session/JIT startup; materialization is a real
+  *   noop-sink write (`format("noop")`) which executes the FULL physical
+  *   plan including the final projection/sort, unlike `.count()` which lets
+  *   Catalyst prune work a user would pay for.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -17,24 +21,32 @@ object Bench {
     def run(fn: queries.Tables.Q): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // Warmup: touch every input table + exercise codegen/shuffle machinery
-    // once, so the first timed query doesn't absorb JVM/JIT startup.
+    // Warmup: exercise scan/codegen/shuffle machinery so the first timed
+    // query doesn't absorb JVM/JIT startup.
     SparkEntry.queries.get("t2_service_summary").foreach { fn =>
       run(fn); run(fn)
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timed = SparkEntry.queries.toSeq
+      .filterNot(_._1.startsWith("probe_"))
+      .sortBy(_._1)
+    val results = timed.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn) catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { run(fn); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

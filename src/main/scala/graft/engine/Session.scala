@@ -38,11 +38,10 @@ object Session {
       .config("spark.ui.enabled", "false")
   }
 
-  /** Driver-harness session: local[$SPARK_GRAFT_CPUS] with WARN logging. */
+  /** Driver-harness session: local[$SPARK_GRAFT_CPUS] with WARN logging.
+    * Single CPU default lives in `cpus` (VERDICT r3 #6). */
   def forHarness(): SparkSession = {
-    val cs = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val s = builder(s"local[$cs]")
-      .config("spark.sql.shuffle.partitions", cs).getOrCreate()
+    val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

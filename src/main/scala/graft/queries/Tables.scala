@@ -9,15 +9,20 @@ import org.apache.spark.sql.functions._
   * be deterministic (fixed literals, unique-key ORDER BY, NULLS LAST — see
   * SURVEY.md §5/§7.4) so the driver's DuckDB hash-compare is stable.
   *
-  * Canonicalization policy (learned from round 1, VERDICT.md "What's wrong"
-  * #1): the driver's hash canonicalizes DATE/TIMESTAMP values differently on
-  * the Spark-parquet side vs the DuckDB-oracle side even when the values are
-  * bit-identical, so NO declared query outputs a temporal column. Every
-  * temporal result is rendered to an ISO-8601 string on BOTH sides
-  * (`date_format` ↔ `strftime`) — which also matches the reference UI's own
-  * rendering rule (Date → ISO string, /root/reference/src/arrow.ts:6).
-  * Money/measure sums go through DECIMAL so they are exact and
-  * order-insensitive at any parallelism.
+  * Canonicalization policy (probe-refined over rounds 1-3):
+  *  - Temporal: plain TIMESTAMP outputs fail the driver's schema gate
+  *    (Spark writes instant-semantics parquet, isAdjustedToUTC=true, which
+  *    DuckDB reads as TIMESTAMPTZ vs the oracle's naive TIMESTAMP) — probe
+  *    evidence: probe_ts red, probe_date/probe_ts_ntz green. Policy: output
+  *    DATE, TIMESTAMP_NTZ, or an ISO-8601 string (`date_format` ↔
+  *    `strftime`), never plain TIMESTAMP. The string form also matches the
+  *    reference UI's rendering rule (/root/reference/src/arrow.ts:6).
+  *  - Money: sum exactly as DECIMAL (order-insensitive at any parallelism),
+  *    then cast the final result to DOUBLE on BOTH sides. Rounds 1-3 showed
+  *    DECIMAL outputs hash-red on multi-row results even when values compare
+  *    equal (trailing-zero / Decimal-vs-float rendering in the driver's
+  *    canonicalization — VERDICT r3 hypothesis a); DOUBLE is probe-proven
+  *    green, and a single cast of an exact decimal sum is deterministic.
   */
 object Tables {
   /** The queries registry value type: (session, testdata dir) => result. */
@@ -61,15 +66,19 @@ object Tables {
   def oMonth(x: String): String =
     s"strftime(date_trunc('month', $x), '%Y-%m-%d')"
 
-  /** Exact money sum: SUM(CAST(x AS DECIMAL(18,2))) cast back to (18,2).
-    * Inputs are 2-decimal money; the widened sum is cast back only for a
-    * stable output type vs the oracle. Values here stay far below 10^16 at
-    * sf0.1 (ADVICE r1: at real 100 TB keep the widened DECIMAL(28,2)). */
+  /** Exact-then-double money sum: SUM(CAST(x AS DECIMAL(18,2))) cast to
+    * DOUBLE. The internal sum is exact decimal, so it is order-insensitive
+    * at any parallelism (double sums are not); the one final cast is a
+    * single rounding of an exact value, hence deterministic and identical
+    * in Spark and DuckDB (both round-to-nearest). DOUBLE output because the
+    * driver's hash canonicalization rejects multi-row DECIMAL results
+    * (Tables policy note above). Values stay far below 10^16 at sf0.1
+    * (ADVICE r1: at real 100 TB widen the internal sum to DECIMAL(28,2)). */
   def dsum(c: String): Column = dsumOf(col(c))
   def dsumOf(c: Column): Column = {
-    import org.apache.spark.sql.types.DecimalType
-    sum(c.cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
   }
   def oDsum(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+    s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 }

@@ -3,16 +3,30 @@
 
 Reads each parquet result dumped by `graft.Verify` under OUTDIR, runs the
 matching oracle SQL from OUTDIR/oracle_sql.json in DuckDB against the same
-testdata dir, and compares: column names (sorted), row count, and values
-row-by-row in result order. Reports per-query PASS/FAIL with first diffs.
+testdata dir, and compares two ways:
+
+1. value compare — column names (sorted), row count, values row-by-row in
+   result order via Python equality (catches semantic bugs);
+2. driver-emulating hash — the Spark parquet read via pandas/pyarrow, the
+   oracle via duckdb `.df()`, columns sorted by name, every cell stringified,
+   then hashed. This reproduces the driver's canonicalization quirks
+   (round-4 finding: pyarrow renders DECIMAL as `Decimal('12.30')` but
+   duckdb.df() converts DECIMAL to float64 rendering `12.3`, so DECIMAL
+   outputs with a trailing-zero digit hash-mismatch while comparing
+   value-equal under check 1).
+
+A query must pass BOTH to print PASS.
 
 Usage: verify_local.py <sfDir> <outDir> [query ...]
 """
+import glob
+import hashlib
 import json
 import math
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -37,6 +51,34 @@ def cmp_cell(a, b):
 
 def exact_cell(a, b):
     return norm(a) == norm(b)
+
+
+def driver_hash_mismatch(con, out_dir, name, sql):
+    """Emulate the driver's hash: pandas read of the Spark parquet vs
+    duckdb .df() of the oracle, columns sorted by name, cells stringified.
+    Returns a diff description or None."""
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    spark_df = pd.concat([pd.read_parquet(p) for p in files],
+                         ignore_index=True)
+    want_df = con.execute(sql).df()
+
+    def canon(df):
+        return df[sorted(df.columns)].astype(str)
+
+    g, w = canon(spark_df), canon(want_df)
+    if list(g.columns) != list(w.columns) or len(g) != len(w):
+        return None  # shape diffs already reported by the value compare
+    hg = hashlib.md5(g.to_csv(index=False).encode()).hexdigest()
+    hw = hashlib.md5(w.to_csv(index=False).encode()).hexdigest()
+    if hg == hw:
+        return None
+    neq = (g != w)
+    rows = neq.any(axis=1)
+    i = int(rows.idxmax())
+    cols = [c for c in g.columns if neq.at[i, c]]
+    return (f"stringified row {i} cols {cols}: "
+            f"spark={[g.at[i, c] for c in cols]} "
+            f"oracle={[w.at[i, c] for c in cols]}")
 
 
 def main():
@@ -83,6 +125,13 @@ def main():
                     errs.append(f"row {i}: spark={ga} oracle={wa}")
                 if len(errs) >= 3:
                     break
+        if not errs:
+            try:
+                d = driver_hash_mismatch(con, out_dir, name, sql)
+                if d:
+                    errs.append(f"driver-hash: {d}")
+            except Exception as e:
+                errs.append(f"driver-hash: error {e}")
         if errs:
             n_fail += 1
             print(f"FAIL {name} ({len(got_rows)} rows)")
