@@ -1,0 +1,44 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** The engine's SQL execution surface — the Spark analog of the reference's
+  * single delegation point (`/root/reference/src/duckdb.ts:46-59`: `query`,
+  * `exec`, `send` wrapping one DuckDB connection). Spark's `spark.sql` plays
+  * the role of `conn.query`; the temp-view catalog plays the virtual FS of
+  * registered files.
+  *
+  * Scale note: these run arbitrary user SQL through Catalyst — pushdown,
+  * pruning, AQE all apply. Nothing here materializes on the driver except
+  * `stream`, which pulls one partition at a time (the analog of the
+  * reference's Arrow record-batch iterator, used only for export).
+  */
+object Engine {
+
+  /** A6: materializing query — one statement, full result. Lazy DataFrame;
+    * the caller decides how to materialize (collect page / iterator). */
+  def sql(spark: SparkSession, statement: String): DataFrame =
+    spark.sql(statement)
+
+  /** A7: fire-and-forget exec (DDL) — run, discard result. Spark DDL
+    * statements execute eagerly inside `spark.sql`. */
+  def exec(spark: SparkSession, statement: String): Unit = {
+    spark.sql(statement)
+    ()
+  }
+
+  /** A8: streaming query — per-partition iterator to the driver (the analog
+    * of `conn.send`'s record-batch stream). */
+  def stream(df: DataFrame): Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala
+  }
+
+  /** B30: run a multi-statement script split by the A12 lexer; DDL executes
+    * for side effects, and the LAST statement's result is returned (None for
+    * an empty/DDL-only script). */
+  def runScript(spark: SparkSession, script: String): Option[DataFrame] =
+    Sql.splitStatements(script).foldLeft(Option.empty[DataFrame]) {
+      (_, stmt) => Some(spark.sql(stmt))
+    }
+}

@@ -35,6 +35,11 @@ object Session {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // events.ts is TIMESTAMP(NANOS), which Spark's parquet reader rejects
+      // outright; read it as BIGINT nanos instead and convert at use sites
+      // (Tables.eventTs). DuckDB reads the same column as a naive ns
+      // timestamp, so oracle SQL uses it directly.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
   }
 

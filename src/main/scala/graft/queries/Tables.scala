@@ -60,6 +60,12 @@ object Tables {
   /** Month bucket of a timestamp as 'yyyy-MM-dd' (first of month). */
   def monthStr(c: Column): Column = dstr(date_trunc("month", c))
 
+  /** `events.ts` read back as a timestamp: the column is TIMESTAMP(NANOS)
+    * in the parquet, which Spark only reads as BIGINT nanos (Session's
+    * nanosAsLong). Integer-divide to micros — same truncation DuckDB's
+    * `date_trunc('microsecond'…)` would apply — then build a timestamp. */
+  def eventTs(c: Column): Column = timestamp_micros((c / 1000L).cast("long"))
+
   // --- temporal canonicalization: DuckDB oracle side ----------------------
   def oDay(x: String): String = s"strftime($x, '%Y-%m-%d')"
   def oSec(x: String): String = s"strftime($x, '%Y-%m-%d %H:%M:%S')"

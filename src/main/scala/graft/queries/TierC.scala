@@ -1,0 +1,435 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.engine.Engine
+import Tables._
+
+/** Tier C — the delegated SQL surface (SURVEY.md §2 Tier C). The reference
+  * passes arbitrary SQL verbatim to DuckDB (`/root/reference/src/duckdb.ts:
+  * 46-49`); our analog surface is Spark SQL + the DataFrame API. Each query
+  * here is a named, deterministic, oracle-checked witness of one category:
+  * joins, windows, set ops, grouping sets/rollup/cube, distinct aggregates,
+  * FILTER clauses, subqueries, CTEs, JSON functions, higher-order array
+  * functions, interval arithmetic.
+  *
+  * Determinism rules as in Templates: fixed literals, unique-key ORDER BY,
+  * money summed exactly in DECIMAL and cast to DOUBLE only at the output
+  * edge (never a multi-operand reduction over raw doubles — those are
+  * order-sensitive and diverge across engines). Computed integer outputs
+  * (row_number, size, json ints) are cast to BIGINT on both sides because
+  * Spark yields INT where DuckDB yields BIGINT/HUGEINT.
+  *
+  * Scale notes are per-query; the common pattern — pushed scan → partial
+  * agg → small shuffle — holds at 100 TB because group-key cardinality
+  * (supplier × month, mktsegment, event_type) grows far slower than input.
+  */
+object TierC {
+
+  /** Exact decimal sum (NO double cast — for intermediate aggregates that
+    * are summed or compared again downstream; cast to double at the edge). */
+  private def decSum(c: String): Column =
+    sum(col(c).cast(DecimalType(18, 2)))
+  private def oDecSum(x: String): String =
+    s"SUM(CAST($x AS DECIMAL(18,2)))"
+
+  // --- Joins ---------------------------------------------------------------
+
+  /** Inner 3-way join: the big fact table joins orders on the shuffle key
+    * and the tiny customer dim via an explicit broadcast — at 100 TB
+    * lineitem⋈orders is a co-partitioned sort-merge/shuffled-hash join on
+    * l_orderkey while customer (~small) ships to every executor, avoiding a
+    * second full shuffle. */
+  val joinInner: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_items"), dsum("l_extendedprice").as("revenue"))
+      .orderBy(col("c_mktsegment"))
+
+  val joinInnerSql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_items,
+       |  ${oDsum("l_extendedprice")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  /** Left outer join against a pre-aggregated subquery: aggregate lineitem
+    * per order FIRST (map-side-combinable, shrinks the join input by the
+    * lines-per-order factor), then left-join — the at-scale shape for
+    * "orders with/without recent shipments". Inner sums stay exact DECIMAL;
+    * only the final output casts to DOUBLE. */
+  val joinLeft: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1998-06-01"))
+      .groupBy(col("l_orderkey"))
+      .agg(decSum("l_extendedprice").as("sub_cost"))
+    t(s, dir, "orders")
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(col("l_orderkey")).as("n_matched"),
+        sum(coalesce(col("sub_cost"), lit(0))).cast(DoubleType)
+          .as("shipped_value"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val joinLeftSql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  COUNT(l_orderkey) AS n_matched,
+       |  CAST(SUM(COALESCE(sub_cost, 0)) AS DOUBLE) AS shipped_value
+       |FROM orders
+       |LEFT JOIN (
+       |  SELECT l_orderkey, ${oDecSum("l_extendedprice")} AS sub_cost
+       |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+       |  GROUP BY l_orderkey
+       |) ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-semi join (EXISTS): customers having at least one big order. */
+  val joinSemi: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no big order. */
+  val joinAnti: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- Window functions ----------------------------------------------------
+
+  private def monthlySupplier(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "lineitem")
+      .groupBy(monthStr(col("l_shipdate")).as("mes"),
+        col("l_suppkey").as("account_id"))
+      .agg(decSum("l_extendedprice").as("cost_dec"))
+
+  /** Top-3 suppliers per month via row_number — the aggregate shrinks the
+    * data before the window, so the window partitions (one month each) are
+    * tiny regardless of input scale. */
+  val windowTopk: Q = (s, dir) =>
+    monthlySupplier(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("mes"))
+          .orderBy(col("cost_dec").desc, col("account_id"))).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("mes"), col("account_id"),
+        col("cost_dec").cast(DoubleType).as("cost"), col("rn"))
+      .orderBy(desc("mes"), col("rn"))
+
+  val windowTopkSql: String =
+    s"""SELECT mes, account_id, CAST(cost_dec AS DOUBLE) AS cost, rn FROM (
+       |  SELECT mes, account_id, cost_dec,
+       |    ROW_NUMBER() OVER (PARTITION BY mes
+       |                       ORDER BY cost_dec DESC, account_id) AS rn
+       |  FROM (
+       |    SELECT ${oMonth("l_shipdate")} AS mes, l_suppkey AS account_id,
+       |      ${oDecSum("l_extendedprice")} AS cost_dec
+       |    FROM lineitem GROUP BY mes, account_id))
+       |WHERE rn <= 3
+       |ORDER BY mes DESC, rn""".stripMargin
+
+  /** lag() month-over-month delta. Subtraction happens in exact DECIMAL;
+    * cast to DOUBLE only on output. */
+  val windowLag: Q = (s, dir) => {
+    val m = t(s, dir, "lineitem")
+      .groupBy(monthStr(col("l_shipdate")).as("mes"))
+      .agg(decSum("l_extendedprice").as("total_dec"))
+    val w = Window.orderBy(col("mes"))
+    m.withColumn("prev_dec", lag(col("total_dec"), 1).over(w))
+      .select(col("mes"),
+        col("total_dec").cast(DoubleType).as("total"),
+        col("prev_dec").cast(DoubleType).as("prev"),
+        (col("total_dec") - col("prev_dec")).cast(DoubleType).as("delta"))
+      .orderBy(col("mes"))
+  }
+
+  val windowLagSql: String =
+    s"""SELECT mes, CAST(total_dec AS DOUBLE) AS total,
+       |  CAST(prev_dec AS DOUBLE) AS prev,
+       |  CAST(total_dec - prev_dec AS DOUBLE) AS delta
+       |FROM (
+       |  SELECT mes, total_dec,
+       |    LAG(total_dec, 1) OVER (ORDER BY mes) AS prev_dec
+       |  FROM (
+       |    SELECT ${oMonth("l_shipdate")} AS mes,
+       |      ${oDecSum("l_extendedprice")} AS total_dec
+       |    FROM lineitem GROUP BY mes))
+       |ORDER BY mes""".stripMargin
+
+  /** ROWS frames: running total (UNBOUNDED PRECEDING) + moving 3-month
+    * minimum of the item count. Exact types inside both frames. */
+  val windowFrame: Q = (s, dir) => {
+    val m = t(s, dir, "lineitem")
+      .groupBy(monthStr(col("l_shipdate")).as("mes"))
+      .agg(count(lit(1)).as("n_items"),
+        decSum("l_extendedprice").as("total_dec"))
+    val wRun = Window.orderBy(col("mes"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wMov = Window.orderBy(col("mes")).rowsBetween(-2, 0)
+    m.select(col("mes"), col("n_items"),
+      sum(col("total_dec")).over(wRun).cast(DoubleType).as("running_total"),
+      min(col("n_items")).over(wMov).as("min3_items"))
+      .orderBy(col("mes"))
+  }
+
+  val windowFrameSql: String =
+    s"""SELECT mes, n_items,
+       |  CAST(SUM(total_dec) OVER (ORDER BY mes
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    AS running_total,
+       |  MIN(n_items) OVER (ORDER BY mes
+       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS min3_items
+       |FROM (
+       |  SELECT ${oMonth("l_shipdate")} AS mes, COUNT(*) AS n_items,
+       |    ${oDecSum("l_extendedprice")} AS total_dec
+       |  FROM lineitem GROUP BY mes)
+       |ORDER BY mes""".stripMargin
+
+  // --- Grouping extensions -------------------------------------------------
+
+  /** ROLLUP over two dims; NULL grouping keys rendered 'ALL' so the output
+    * is string-typed and unambiguous (the data has no real NULLs here). */
+  val rollup: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum("l_extendedprice").as("revenue"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("revenue"))
+      .orderBy(col("flag"), col("status"))
+
+  val rollupSql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       |  COALESCE(l_linestatus, 'ALL') AS status,
+       |  COUNT(*) AS n, ${oDsum("l_extendedprice")} AS revenue
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY flag, status""".stripMargin
+
+  /** CUBE over two dims (adds the by-status-only slice ROLLUP lacks). */
+  val cube_ : Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("n"))
+      .orderBy(col("flag"), col("status"))
+
+  val cubeSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      |  COALESCE(l_linestatus, 'ALL') AS status, COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
+  // --- Aggregate extensions ------------------------------------------------
+
+  /** DISTINCT aggregates — two distinct counts + a plain count in one agg
+    * (Spark plans an expand + two-phase agg; scales as a shuffle on the
+    * group key × distinct column). */
+  val aggDistinct: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val aggDistinctSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+      |  COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** FILTER (WHERE …) aggregate clause — SQL-standard syntax both engines
+    * support; Spark compiles it to If() inside the aggregate, so it stays
+    * one scan + one agg, no self-join. */
+  val aggFilter: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("COUNT(*) FILTER (WHERE l_returnflag = 'R')").as("n_returned"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) " +
+          "FILTER (WHERE l_quantity > 25) AS DOUBLE)").as("big_qty_revenue"))
+      .orderBy(col("l_linestatus"))
+
+  val aggFilterSql: String =
+    """SELECT l_linestatus, COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |       FILTER (WHERE l_quantity > 25) AS DOUBLE) AS big_qty_revenue
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // --- Nested / JSON / scalar breadth -------------------------------------
+
+  /** Higher-order array functions over documents.text: split → transform →
+    * aggregate, all inside codegen, no explode blow-up. Integer arithmetic
+    * only, so exact on both engines. */
+  val higherOrder: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_words"),
+        expr("aggregate(transform(split(text, ' '), x -> length(x)), 0, " +
+          "(acc, x) -> acc + x)").cast(LongType).as("total_len"))
+      .orderBy(col("doc_id"))
+      .limit(100)
+
+  val higherOrderSql: String =
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(list_sum(list_transform(string_split(text, ' '),
+      |       x -> length(x))) AS BIGINT) AS total_len
+      |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin
+
+  /** JSON extraction from the events.props string column (get_json_object ↔
+    * json_extract_string). DuckDB SUM(BIGINT) widens to HUGEINT, so the
+    * oracle casts back to BIGINT. */
+  val jsonExtract: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_k"))
+      .orderBy(col("event_type"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |       AS BIGINT) AS sum_k,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** INTERVAL date arithmetic on a FIXED literal (B25's semantics without
+    * wall-clock nondeterminism — SURVEY §7.4). */
+  val interval: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >=
+        expr("TIMESTAMP '1998-09-01' - INTERVAL '30' DAY"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum("l_extendedprice").as("revenue"))
+      .orderBy(col("l_returnflag"))
+
+  val intervalSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${oDsum("l_extendedprice")} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1998-09-01' - INTERVAL '30' DAY
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Event-time aggregation over the nanosecond-precision events table:
+    * exercises the nanos-as-long read path (Session config + Tables.eventTs)
+    * with an hour bucket, where the micros truncation is invisible. */
+  val eventHourly: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(tstr(date_trunc("hour", eventTs(col("ts")))).as("hora"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum("value").as("total_value"))
+      .orderBy(col("hora"), col("event_type"))
+
+  val eventHourlySql: String =
+    s"""SELECT ${oSec("date_trunc('hour', ts)")} AS hora, event_type,
+       |  COUNT(*) AS n, ${oDsum("value")} AS total_value
+       |FROM events
+       |GROUP BY hora, event_type
+       |ORDER BY hora, event_type""".stripMargin
+
+  /** B9 semantics witness: NULLIF(...) IS NOT NULL kept literally on the
+    * Spark side too (unlike t5/t6, which use the pushdown-friendly `=!=`) —
+    * this query exists to pin the null-check semantics themselves. */
+  val isNotNull: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(nullif(col("l_linestatus"), lit("F")).isNotNull)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val isNotNullSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+      |WHERE NULLIF(l_linestatus, 'F') IS NOT NULL
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --- Declared without an oracle (driver records rows-only) ---------------
+
+  /** B24 CURRENT_DATE — wall-clock, so no hash oracle; testdata dates are
+    * all in the past, making rows>0 stable. */
+  val currentDate: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= current_date())
+      .agg(count(lit(1)).as("n"))
+
+  /** Approx HLL distinct — algorithms differ across engines by design, so
+    * no hash oracle (SURVEY §7.3); declared to witness the capability. */
+  val approxDistinct: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  // --- Registry ------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "c_join_inner" -> joinInner,
+    "c_join_left" -> joinLeft,
+    "c_join_semi" -> joinSemi,
+    "c_join_anti" -> joinAnti,
+    "c_window_topk" -> windowTopk,
+    "c_window_lag" -> windowLag,
+    "c_window_frame" -> windowFrame,
+    "c_rollup" -> rollup,
+    "c_cube" -> cube_,
+    "c_agg_distinct" -> aggDistinct,
+    "c_agg_filter" -> aggFilter,
+    "c_higher_order" -> higherOrder,
+    "c_json_extract" -> jsonExtract,
+    "c_event_hourly" -> eventHourly,
+    "c_interval" -> interval,
+    "c_is_not_null" -> isNotNull,
+    "c_current_date" -> currentDate,
+    "c_approx_distinct" -> approxDistinct)
+
+  val oracle: Map[String, String] = Map(
+    "c_join_inner" -> joinInnerSql,
+    "c_join_left" -> joinLeftSql,
+    "c_join_semi" -> joinSemiSql,
+    "c_join_anti" -> joinAntiSql,
+    "c_window_topk" -> windowTopkSql,
+    "c_window_lag" -> windowLagSql,
+    "c_window_frame" -> windowFrameSql,
+    "c_rollup" -> rollupSql,
+    "c_cube" -> cubeSql,
+    "c_agg_distinct" -> aggDistinctSql,
+    "c_agg_filter" -> aggFilterSql,
+    "c_higher_order" -> higherOrderSql,
+    "c_json_extract" -> jsonExtractSql,
+    "c_event_hourly" -> eventHourlySql,
+    "c_interval" -> intervalSql,
+    "c_is_not_null" -> isNotNullSql)
+    // c_current_date / c_approx_distinct: deliberately no oracle (rows-only)
+}

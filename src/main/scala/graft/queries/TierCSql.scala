@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.Engine
+import Tables._
+
+/** Tier C queries routed through the ENGINE's SQL path — `Engine.sql` /
+  * `Engine.runScript` over the registered temp-view catalog — rather than
+  * the DataFrame API. This is the direct analog of the reference's only
+  * execution surface, `conn.query(sql)` (`/root/reference/src/duckdb.ts:
+  * 46-54`): the SQL text reaches Catalyst verbatim, exactly as the
+  * reference hands the editor text to DuckDB. Where the dialects agree the
+  * SAME text is used on both sides; divergences (path-as-table syntax,
+  * identifier quoting, strftime↔date_format) get a per-side text, which is
+  * itself the point of those queries.
+  */
+object TierCSql {
+
+  /** Route one statement through the engine's delegation point (A6) with
+    * the testdata catalog registered (un-deadens Tables.views). */
+  private def q(sqlText: String): Q =
+    (s, dir) => Engine.sql(views(s, dir), sqlText)
+
+  private def script(scriptText: String): Q =
+    (s, dir) => Engine.runScript(views(s, dir), scriptText)
+      .getOrElse(sys.error("script produced no result"))
+
+  /** Shared-dialect money macro (valid in both Spark SQL and DuckDB). */
+  private def msum(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  // B2: named full-scan projection + deterministic ORDER BY + LIMIT.
+  // Identical text both engines.
+  val sqlSelect: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber
+      |LIMIT 20""".stripMargin
+
+  // B3: scan by file-path literal. Spark spells it parquet.`path`; the
+  // oracle reads the same rows through its registered view.
+  val pathQ: Q = (s, dir) =>
+    s.sql(
+      s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+         |FROM parquet.`$dir/lineitem.parquet`
+         |ORDER BY l_orderkey, l_linenumber
+         |LIMIT 20""".stripMargin)
+
+  // CTE (WITH): monthly revenue off a CTE, filtered and ordered.
+  def cteSpark: String =
+    s"""WITH monthly AS (
+       |  SELECT date_format(date_trunc('MONTH', l_shipdate), 'yyyy-MM-dd')
+       |           AS mes,
+       |         ${msum("l_extendedprice")} AS total
+       |  FROM lineitem GROUP BY 1)
+       |SELECT mes, total FROM monthly WHERE total > 1000000
+       |ORDER BY mes""".stripMargin
+
+  def cteOracle: String =
+    s"""WITH monthly AS (
+       |  SELECT ${oMonth("l_shipdate")} AS mes,
+       |         ${msum("l_extendedprice")} AS total
+       |  FROM lineitem GROUP BY 1)
+       |SELECT mes, total FROM monthly WHERE total > 1000000
+       |ORDER BY mes""".stripMargin
+
+  // Scalar subquery. MAX is exact, and 0.95 * max is a single IEEE double
+  // multiply with identical operands on both engines — deterministic
+  // (unlike SUM/AVG reductions over doubles, which are order-sensitive).
+  val scalarSubq: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice >= (SELECT MAX(o_totalprice) FROM orders) * 0.95
+      |ORDER BY o_orderkey""".stripMargin
+
+  // IN subquery.
+  val inSubq: String =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem
+      |                    WHERE l_returnflag = 'R' AND l_quantity >= 49)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // Correlated EXISTS with an inequality on the correlated column.
+  val existsSubq: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_totalprice > c_acctbal * 100)
+      |ORDER BY c_custkey""".stripMargin
+
+  // Set ops (identical text; both engines default UNION/INTERSECT/EXCEPT
+  // to DISTINCT semantics, spelled explicitly anyway).
+  val setopUnion: String =
+    """SELECT DISTINCT 'returned' AS tag, l_suppkey AS k FROM lineitem
+      |WHERE l_returnflag = 'R'
+      |UNION ALL
+      |SELECT DISTINCT 'open' AS tag, l_suppkey AS k FROM lineitem
+      |WHERE l_linestatus = 'O'
+      |ORDER BY tag, k""".stripMargin
+
+  val setopIntersect: String =
+    """SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+      |INTERSECT
+      |SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 49
+      |ORDER BY k""".stripMargin
+
+  val setopExcept: String =
+    """SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+      |EXCEPT
+      |SELECT l_suppkey AS k FROM lineitem
+      |WHERE l_quantity = 50 AND l_returnflag = 'A'
+      |ORDER BY k""".stripMargin
+
+  // GROUPING SETS with an explicit empty set.
+  val groupingSets: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       |  COALESCE(l_linestatus, 'ALL') AS status,
+       |  COUNT(*) AS n, ${msum("l_extendedprice")} AS revenue
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+       |                        (l_returnflag), ())
+       |ORDER BY flag, status""".stripMargin
+
+  // A7 + B29 + B30 + A12 in one path: a two-statement script (DDL view +
+  // query over it) split by the engine's lexer and executed in order. The
+  // oracle is the equivalent single SELECT.
+  val viewScript: String =
+    s"""CREATE OR REPLACE TEMPORARY VIEW big_orders AS
+       |  SELECT * FROM orders WHERE o_totalprice > 300000;
+       |SELECT o_orderpriority, COUNT(*) AS n,
+       |  ${msum("o_totalprice")} AS total
+       |FROM big_orders
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority;""".stripMargin
+
+  val viewScriptOracle: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  ${msum("o_totalprice")} AS total
+       |FROM orders WHERE o_totalprice > 300000
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  // B27/B28: doubled-quote string literal + quoted identifier with a space
+  // (backticks in Spark, double quotes in DuckDB — the A10 dialect delta).
+  val quotingSpark: String =
+    "SELECT 'it''s' AS v1, CAST(42 AS BIGINT) AS `weird name`"
+  val quotingOracle: String =
+    "SELECT 'it''s' AS v1, CAST(42 AS BIGINT) AS \"weird name\""
+
+  val queries: Map[String, Q] = Map(
+    "c_sql_select" -> q(sqlSelect),
+    "c_sql_path" -> pathQ,
+    "c_sql_cte" -> q(cteSpark),
+    "c_sql_scalar_subq" -> q(scalarSubq),
+    "c_sql_in_subq" -> q(inSubq),
+    "c_sql_exists_subq" -> q(existsSubq),
+    "c_setop_union" -> q(setopUnion),
+    "c_setop_intersect" -> q(setopIntersect),
+    "c_setop_except" -> q(setopExcept),
+    "c_sql_grouping_sets" -> q(groupingSets),
+    "c_sql_view_script" -> script(viewScript),
+    "c_sql_quoting" -> q(quotingSpark))
+
+  val oracle: Map[String, String] = Map(
+    "c_sql_select" -> sqlSelect,
+    "c_sql_path" -> sqlSelect, // same rows via the oracle's view
+    "c_sql_cte" -> cteOracle,
+    "c_sql_scalar_subq" -> scalarSubq,
+    "c_sql_in_subq" -> inSubq,
+    "c_sql_exists_subq" -> existsSubq,
+    "c_setop_union" -> setopUnion,
+    "c_setop_intersect" -> setopIntersect,
+    "c_setop_except" -> setopExcept,
+    "c_sql_grouping_sets" -> groupingSets,
+    "c_sql_view_script" -> viewScriptOracle,
+    "c_sql_quoting" -> quotingOracle)
+}
