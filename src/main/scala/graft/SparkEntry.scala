@@ -19,10 +19,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Templates.queries ++ Probes.queries ++ TierC.queries ++ TierCSql.queries
+    Templates.queries ++ Probes.queries ++ TierC.queries ++
+      TierCSql.queries ++ Dedup.queries ++ Similarity.queries ++
+      TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Templates.oracle ++ Probes.oracle ++ TierC.oracle ++ TierCSql.oracle
+    Templates.oracle ++ Probes.oracle ++ TierC.oracle ++
+      TierCSql.oracle ++ Dedup.oracle ++ Similarity.oracle ++
+      TextOps.oracle
 }

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import Tables._
+
+/** Deduplication operators over `documents` — the LLM-training-pipeline
+  * family (BASELINE.json north_star): exact, n-gram Jaccard, MinHash LSH,
+  * SimHash. Every hash is md5-derived because md5 is bit-identical in Spark
+  * and DuckDB, which makes the whole pipeline oracle-checkable end to end.
+  *
+  * 100 TB design notes (the patterns, not just the sf0.01 numbers):
+  *  - exact dedup shuffles 16-byte content hashes, never full documents;
+  *  - n-gram Jaccard builds an inverted index (shuffle on shingle) and only
+  *    pairs documents sharing a shingle — never an all-pairs cross join. At
+  *    scale, add a document-frequency cap on shingles (drop shingles
+  *    appearing in >K docs) to bound the per-shingle pair fan-out; omitted
+  *    here only to keep the oracle SQL byte-equivalent.
+  *  - MinHash LSH reduces each doc to a 16-value signature, then buckets by
+  *    4-row band keys: candidate generation is a shuffle on (band, key),
+  *    O(sum of bucket sizes squared), not O(N^2).
+  *  - SimHash is map-side computable per document (one small agg here for
+  *    clarity); near-dup lookup then bands the 32-bit fingerprint.
+  */
+object Dedup {
+
+  /** Word-trigram shingles of `text`, as a column expression (docs with
+    * fewer than 3 words contribute no shingles on either side). */
+  private val shinglesExpr =
+    """transform(sequence(1, size(ws) - 2),
+      |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+      |                 element_at(ws, i + 2)))""".stripMargin
+
+  /** (doc_id, shingle) distinct pairs — the inverted-index input. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+      .distinct()
+
+  private val oShingles =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |       FROM w)""".stripMargin
+
+  // --- Exact dedup ---------------------------------------------------------
+
+  /** Exact dedup statistics via content hash: documents collapse on
+    * md5(text), so the shuffle key is 16 bytes regardless of document size.
+    * (The sf0.01 corpus plants near-dups, not byte-identical dups, so
+    * n_dup_docs is 0 here — the mechanism is what's under test.) */
+  val exact: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_docs"))
+
+  val exactSql: String =
+    """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
+      |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+      |FROM documents""".stripMargin
+
+  // --- n-gram Jaccard near-dup --------------------------------------------
+
+  /** Exact trigram-Jaccard near-dup pairs via inverted index: explode
+    * shingles, self-join on the shingle (shuffle key), count common
+    * shingles per pair, Jaccard = common / (|A| + |B| - common). Only the
+    * final division is floating point — one op over exact integers, so
+    * deterministic across engines. */
+  val ngramJaccard: Q = (s, dir) => {
+    val sh = shingles(s, dir)
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val a = sh.toDF("d1", "sh")
+    val b = sh.toDF("d2", "sh2")
+    val common = a
+      .join(b, col("sh") === col("sh2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(n.toDF("d1", "n1"), "d1")
+      .join(n.toDF("d2", "n2"), "d2")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("common"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH $oShingles,
+       |n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY d1, d2)
+       |SELECT d1, d2, common,
+       |  CAST(common AS DOUBLE) / (na.ns + nb.ns - common) AS jaccard
+       |FROM pairs JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2
+       |WHERE CAST(common AS DOUBLE) / (na.ns + nb.ns - common) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
+  // --- MinHash LSH candidate pairs ----------------------------------------
+
+  // 16 permutation hashes h_i(x) = (A[i]*x + B[i]) mod p over a 28-bit
+  // md5-derived shingle key; 4 bands of 4 rows. All integer arithmetic —
+  // exact on both engines.
+  private val A = "array(7,11,13,17,19,23,29,31,37,41,43,47,53,59,61,67)"
+  private val B = "array(3,5,101,211,307,401,503,601,701,809,907,1009," +
+    "1103,1201,1301,1409)"
+  private val P = 2147483647L
+
+  /** MinHash-LSH near-dup candidates: signature → banded bucket keys →
+    * pairs sharing any band. The only shuffles are groupBy(doc, seed) on
+    * signatures and the band-key self-join — never all pairs. */
+  val minhashLsh: Q = (s, dir) => {
+    val sh = shingles(s, dir)
+      .withColumn("x",
+        conv(substring(md5(col("sh")), 1, 7), 16, 10).cast(LongType))
+    val hashed = sh
+      .select(col("doc_id"), col("x"),
+        explode(expr("sequence(0, 15)")).as("i"))
+      .withColumn("h",
+        expr(s"(element_at($A, i + 1) * x + element_at($B, i + 1)) % $P"))
+    val sig = hashed.groupBy(col("doc_id"), col("i")).agg(min("h").as("mh"))
+    val bands = sig
+      .withColumn("band", expr("CAST(i / 4 AS INT)"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(i, mh)))," +
+          " s -> CAST(s.mh AS STRING)), ',')").as("key"))
+    val l = bands.toDF("d1", "band", "key")
+    val r = bands.toDF("d2", "band2", "key2")
+    l.join(r, col("band") === col("band2") && col("key") === col("key2") &&
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val minhashLshSql: String = {
+    val a = "list_value(7,11,13,17,19,23,29,31,37,41,43,47,53,59,61,67)"
+    val b = "list_value(3,5,101,211,307,401,503,601,701,809,907,1009," +
+      "1103,1201,1301,1409)"
+    s"""WITH $oShingles,
+       |hx AS (SELECT doc_id,
+       |         CAST(('0x' || substr(md5(sh), 1, 7)) AS BIGINT) AS x
+       |       FROM sh),
+       |hh AS (SELECT doc_id, i,
+       |         ($a[CAST(i + 1 AS INT)] * x + $b[CAST(i + 1 AS INT)]) % $P
+       |           AS h
+       |       FROM hx, (SELECT unnest(range(0, 16)) AS i)),
+       |sig AS (SELECT doc_id, i, MIN(h) AS mh FROM hh GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+       |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
+       |          FROM sig GROUP BY doc_id, CAST(i // 4 AS INT))
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  // --- SimHash -------------------------------------------------------------
+
+  /** 32-bit SimHash fingerprints over distinct words: per bit, sum +1/-1 by
+    * the word-hash bit, then assemble the fingerprint. (Formulated as
+    * explode + two aggs for clarity; the same computation is expressible
+    * map-side per document with higher-order functions, making it
+    * shuffle-free at scale.) */
+  val simhash: Q = (s, dir) => {
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+      .withColumn("x",
+        conv(substring(md5(col("word")), 1, 8), 16, 10).cast(LongType))
+    words
+      .select(col("doc_id"), col("x"),
+        explode(expr("sequence(0, 31)")).as("b"))
+      .withColumn("contrib",
+        expr("IF((shiftright(x, b) & 1) = 1, 1, -1)"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("sc"))
+      .withColumn("bit", expr("IF(sc > 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT))"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(bit, b)")).cast(LongType).as("simhash"))
+      .orderBy(col("doc_id"))
+      .limit(200)
+  }
+
+  val simhashSql: String =
+    """WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+      |           FROM documents),
+      |hx AS (SELECT doc_id,
+      |         CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS x
+      |       FROM w),
+      |bits AS (SELECT doc_id, b,
+      |           SUM(CASE WHEN ((x >> CAST(b AS INT)) & 1) = 1
+      |               THEN 1 ELSE -1 END) AS sc
+      |         FROM hx, (SELECT unnest(range(0, 32)) AS b)
+      |         GROUP BY doc_id, b)
+      |SELECT doc_id,
+      |  CAST(SUM((CASE WHEN sc > 0 THEN CAST(1 AS BIGINT) ELSE 0 END)
+      |       << CAST(b AS INT)) AS BIGINT) AS simhash
+      |FROM bits GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "p_dedup_exact" -> exact,
+    "p_dedup_ngram" -> ngramJaccard,
+    "p_dedup_minhash" -> minhashLsh,
+    "p_dedup_simhash" -> simhash)
+
+  val oracle: Map[String, String] = Map(
+    "p_dedup_exact" -> exactSql,
+    "p_dedup_ngram" -> ngramJaccardSql,
+    "p_dedup_minhash" -> minhashLshSql,
+    "p_dedup_simhash" -> simhashSql)
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Similarity search over `embeddings.embedding` (array<float>, 64-dim).
+  *
+  * Float discipline for oracle parity: every reduction over floats is a
+  * SEQUENTIAL left fold in array order (`aggregate` in Spark, `list_reduce`
+  * in DuckDB) after an exact float→double widening, so both engines perform
+  * the identical IEEE operation sequence and the results are bit-equal.
+  * Never a SQL SUM over exploded floats — aggregation order is unspecified.
+  *
+  * 100 TB design: brute force is the exact baseline — broadcast the query
+  * vector, one scan, per-partition top-k (TakeOrderedAndProject), no
+  * shuffle of the embedding column. The LSH variant is the scale path:
+  * random-hyperplane sign bits → bucket id computed MAP-SIDE per vector;
+  * candidate retrieval touches only the query's bucket (partition/bucket
+  * the table by bucket id at rest to make that a pruned scan). Recall is
+  * tuned by bits/tables; multi-probe (flip one bit) is the standard
+  * extension, omitted from the checked query for brevity.
+  */
+object Similarity {
+
+  /** Sequential dot product of two double-cast float arrays. */
+  private def dotExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b,
+       |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |  CAST(0 AS DOUBLE), (acc, p) -> acc + p)""".stripMargin
+
+  private def normExpr(a: String): String =
+    s"SQRT(${dotExpr(a, a)})"
+
+  // --- Brute-force exact top-k --------------------------------------------
+
+  /** Exact cosine top-10 neighbors of vec_id 0. */
+  val bruteForce: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cosine",
+        expr(dotExpr("embedding", "q_emb")) /
+          (expr(normExpr("embedding")) * expr(normExpr("q_emb"))))
+      .select(col("vec_id"), col("label"), col("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(10)
+  }
+
+  private def oDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+       |  (x, y) -> x + y)""".stripMargin
+
+  private def oNorm(a: String): String = s"SQRT(${oDot(a, a)})"
+
+  val bruteForceSql: String =
+    s"""SELECT e.vec_id, e.label,
+       |  ${oDot("e.embedding", "q.q_emb")} /
+       |    (${oNorm("e.embedding")} * ${oNorm("q.q_emb")}) AS cosine
+       |FROM embeddings e,
+       |  (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |WHERE e.vec_id <> 0
+       |ORDER BY cosine DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+
+  // --- Random-hyperplane LSH bucketed ANN ---------------------------------
+
+  // 8 hyperplanes with md5-derived integer weights in [-3, 3]: w(j, d) =
+  // (md5("j_d")[0:4] as int) % 7 - 3. md5 keeps the planes identical (and
+  // decorrelated) on both engines; at scale the 8×64 weight matrix would be
+  // precomputed and broadcast instead of rehashed per row.
+  private val bitsExpr =
+    """transform(sequence(0, 7), j ->
+      |  CASE WHEN aggregate(zip_with(embedding, sequence(0, 63),
+      |    (x, d) -> CAST(x AS DOUBLE) *
+      |      CAST((CAST(conv(substring(md5(concat(CAST(j AS STRING), '_',
+      |        CAST(d AS STRING))), 1, 4), 16, 10) AS BIGINT) % 7) - 3
+      |        AS DOUBLE)),
+      |    CAST(0 AS DOUBLE), (acc, p) -> acc + p) > 0
+      |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+
+  private val bucketExpr =
+    s"""aggregate(zip_with($bitsExpr, sequence(0, 7),
+       |  (b, j) -> shiftleft(b, j)), CAST(0 AS BIGINT), (acc, x) -> acc + x)
+       |""".stripMargin
+
+  /** ANN via hyperplane-LSH bucket: candidates share vec 0's bucket; exact
+    * cosine ranks within the bucket. */
+  val lshBucket: Q = (s, dir) => {
+    val bucketed = t(s, dir, "embeddings")
+      .withColumn("bucket", expr(bucketExpr))
+    val qb = bucketed.filter(col("vec_id") === 0)
+      .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb"))
+    bucketed.join(broadcast(qb), col("bucket") === col("q_bucket"))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cosine",
+        expr(dotExpr("embedding", "q_emb")) /
+          (expr(normExpr("embedding")) * expr(normExpr("q_emb"))))
+      .select(col("vec_id"), col("label"), col("bucket"), col("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(5)
+  }
+
+  private val oBits =
+    """list_transform(range(0, 8), j ->
+      |  CASE WHEN list_reduce(list_transform(range(0, 64), d ->
+      |    CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) *
+      |      CAST((CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' ||
+      |        CAST(d AS VARCHAR)), 1, 4)) AS BIGINT) % 7) - 3 AS DOUBLE)),
+      |    (x, y) -> x + y) > 0
+      |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+
+  val lshBucketSql: String =
+    s"""WITH bk AS (
+       |  SELECT vec_id, label, embedding,
+       |    CAST(list_reduce(list_transform(range(0, 8), j ->
+       |      ($oBits)[CAST(j + 1 AS INT)] << CAST(j AS INT)),
+       |      (x, y) -> x + y) AS BIGINT) AS bucket
+       |  FROM embeddings)
+       |SELECT e.vec_id, e.label, e.bucket,
+       |  ${oDot("e.embedding", "q.embedding")} /
+       |    (${oNorm("e.embedding")} * ${oNorm("q.embedding")}) AS cosine
+       |FROM bk e JOIN (SELECT * FROM bk WHERE vec_id = 0) q
+       |  ON e.bucket = q.bucket
+       |WHERE e.vec_id <> 0
+       |ORDER BY cosine DESC, e.vec_id
+       |LIMIT 5""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "p_sim_bruteforce" -> bruteForce,
+    "p_sim_lsh" -> lshBucket)
+
+  val oracle: Map[String, String] = Map(
+    "p_sim_bruteforce" -> bruteForceSql,
+    "p_sim_lsh" -> lshBucketSql)
+}

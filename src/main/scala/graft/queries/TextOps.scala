@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import Tables._
+
+/** Text-analysis operators over `documents` — the LLM-pipeline text family:
+  * term frequency, token counting, quality scoring, language-ID heuristic,
+  * content fingerprinting. All integer/string computations (plus single
+  * float divisions of exact integers), so oracle parity is exact.
+  *
+  * The synthetic corpus is a small shared vocabulary with a `lang` label
+  * that is NOT reflected in the text, so the language-ID query demonstrates
+  * the mechanism (stopword-hit scoring + deterministic argmax) and its
+  * cross-engine parity, not classification accuracy.
+  *
+  * Scale: TF is the classic map-side-combined word count; everything else
+  * is per-document map work followed by a small aggregation or a top-k —
+  * no join, no wide shuffle.
+  */
+object TextOps {
+
+  // --- Term frequency ------------------------------------------------------
+
+  val tf: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("word"))
+      .limit(50)
+
+  val tfSql: String =
+    """SELECT word, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin
+
+  // --- Token counting ------------------------------------------------------
+
+  // Whitespace tokens + a BPE-ish regex tokenizer (letter runs, digit runs,
+  // single punctuation marks) — the standard pre-tokenization shape.
+  private val tokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  val tokens: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_ws_tokens"),
+        size(expr(s"regexp_extract_all(text, '$tokenPattern', 0)"))
+          .cast(LongType).as("n_re_tokens"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+      .limit(200)
+
+  val tokensSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$tokenPattern')) AS BIGINT)
+       |    AS n_re_tokens,
+       |  n_chars
+       |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+
+  // --- Quality scoring -----------------------------------------------------
+
+  // Length/stopword/word-shape heuristics; ratios are single divisions of
+  // exact integers (deterministic). `ok` is the pass/fail quality gate.
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString(", ")
+
+  val quality: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("ws")).cast(LongType).as("n_words"),
+        (col("n_chars").cast("double") / size(col("ws")))
+          .as("mean_word_len"),
+        (size(expr(s"array_intersect(ws, array(${sqlList(stopwords)}))"))
+          .cast("double") / size(col("ws"))).as("stopword_ratio"))
+      .withColumn("ok",
+        col("n_words") >= 10 && col("mean_word_len") < 12)
+      .orderBy(col("doc_id"))
+      .limit(200)
+
+  val qualitySql: String =
+    s"""SELECT doc_id, n_chars,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |  CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))
+       |    AS mean_word_len,
+       |  CAST(len(list_intersect(string_split(text, ' '),
+       |       [${sqlList(stopwords)}])) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS stopword_ratio,
+       |  (CAST(len(string_split(text, ' ')) AS BIGINT) >= 10 AND
+       |   CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) < 12)
+       |    AS ok
+       |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+
+  // --- Language-ID heuristic ----------------------------------------------
+
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  /** Stopword-hit language scores + deterministic argmax (ties resolve in
+    * declaration order), reported as a (truth, predicted) confusion count. */
+  val langid: Q = (s, dir) => {
+    val scored = langStops.foldLeft(
+      t(s, dir, "documents").withColumn("ws", split(col("text"), " "))) {
+      case (df, (l, sw)) =>
+        df.withColumn(s"s_$l",
+          size(expr(s"array_intersect(ws, array(${sqlList(sw)}))")))
+    }
+    val maxExpr = langStops.map { case (l, _) => s"s_$l" }
+      .reduceLeft((x, y) => s"GREATEST($x, $y)")
+    val predExpr = langStops.map { case (l, _) =>
+      s"WHEN s_$l = $maxExpr THEN '$l'"
+    }.mkString("CASE ", " ", " END")
+    scored
+      .withColumn("predicted", expr(predExpr))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val langidSql: String = {
+    val scores = langStops.map { case (l, sw) =>
+      s"len(list_intersect(string_split(text, ' '), [${sqlList(sw)}])) AS s_$l"
+    }.mkString(",\n  ")
+    val maxExpr = langStops.map { case (l, _) => s"s_$l" }
+      .reduceLeft((x, y) => s"GREATEST($x, $y)")
+    val predExpr = langStops.map { case (l, _) =>
+      s"WHEN s_$l = $maxExpr THEN '$l'"
+    }.mkString("CASE ", " ", " END")
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |  $scores
+       |  FROM documents)
+       |SELECT lang, $predExpr AS predicted, COUNT(*) AS n
+       |FROM scored GROUP BY lang, predicted ORDER BY lang, predicted"""
+      .stripMargin
+  }
+
+  // --- Content fingerprinting ---------------------------------------------
+
+  /** Document fingerprints: full-content md5 plus a min-3 shingle sketch
+    * (the 3 lexicographically smallest distinct word-trigrams, hashed) — a
+    * winnowing-style content-defined sketch that survives small edits. */
+  val fingerprint: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        md5(lower(col("text"))).as("fp"),
+        md5(expr(
+          """array_join(slice(array_sort(array_distinct(
+            |  transform(sequence(1, size(ws) - 2),
+            |    i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+            |                   element_at(ws, i + 2))))), 1, 3), '|')"""
+            .stripMargin)).as("sketch"))
+      .orderBy(col("doc_id"))
+      .limit(200)
+
+  val fingerprintSql: String =
+    """SELECT doc_id, md5(lower(text)) AS fp,
+      |  md5(array_to_string(list_slice(list_sort(list_distinct(
+      |    list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |      i -> string_split(text, ' ')[i] || ' ' ||
+      |           string_split(text, ' ')[i+1] || ' ' ||
+      |           string_split(text, ' ')[i+2]))), 1, 3), '|')) AS sketch
+      |FROM documents
+      |WHERE len(string_split(text, ' ')) >= 3
+      |ORDER BY doc_id LIMIT 200""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "p_text_tf" -> tf,
+    "p_text_tokens" -> tokens,
+    "p_text_quality" -> quality,
+    "p_text_langid" -> langid,
+    "p_text_fingerprint" -> fingerprint)
+
+  val oracle: Map[String, String] = Map(
+    "p_text_tf" -> tfSql,
+    "p_text_tokens" -> tokensSql,
+    "p_text_quality" -> qualitySql,
+    "p_text_langid" -> langidSql,
+    "p_text_fingerprint" -> fingerprintSql)
+}
