@@ -1,0 +1,120 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Import/catalog layer — A1-A4 and A9 (`/root/reference/src/fileImport.ts`,
+  * `src/duckdb.ts:41-44`, `src/App.tsx:316-327`).
+  *
+  * The reference copies every file's bytes into the engine's virtual FS
+  * (`registerFileBuffer`), which is why its README warns against large
+  * folders. Spark needs no copy: registration is a lazy `spark.read` plus a
+  * temp view, and the first query streams from disk in parallel — strictly
+  * better at scale, same observable surface (path-addressable tables + an
+  * optional union view over all parquet files).
+  *
+  * Format routing (A1/A4 + SURVEY §7.4.2-3):
+  *  - `.parquet` → self-describing;
+  *  - `.csv` → header + schema inference (DuckDB auto-detects both);
+  *  - `.ndjson` → Spark's default line-delimited JSON reader;
+  *  - `.json` → `multiLine=true` (a top-level JSON array, which DuckDB
+  *    auto-detects but Spark must be told about).
+  */
+object Catalog {
+
+  /** A1/A2's metadata record (`fileImport.ts:1-5`). */
+  final case class ImportedFile(path: String, size: Long)
+
+  private val SupportedExts = Seq(".parquet", ".csv", ".json", ".ndjson")
+
+  /** A1: supported-format filter (case-insensitive extension). */
+  def isSupportedFilePath(path: String): Boolean = {
+    val lower = path.toLowerCase
+    SupportedExts.exists(lower.endsWith)
+  }
+
+  /** A2: recursive directory scan — relative paths, sorted for determinism
+    * (the reference preserves directory-iteration order, which is
+    * filesystem-dependent; sorting is the reproducible choice). */
+  def collectFiles(root: Path): Seq[ImportedFile] = {
+    val stream = Files.walk(root)
+    try
+      stream.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => root.relativize(p).toString)
+        .filter(isSupportedFilePath)
+        .toSeq.sorted
+        .map(rel => ImportedFile(rel, Files.size(root.resolve(rel))))
+    finally stream.close()
+  }
+
+  /** A3: flat file-list fallback (paths already known). */
+  def collectFromList(paths: Seq[String]): Seq[ImportedFile] =
+    paths.filter(isSupportedFilePath)
+      .map(p => ImportedFile(p, Files.size(Paths.get(p))))
+
+  /** Temp-view name for a relative path: the reference keeps the raw path as
+    * the table name (path-addressable); Spark view names can't contain
+    * `/`/`.`, so sanitize deterministically. */
+  def viewNameFor(path: String): String = {
+    val base = path.replaceAll("[^A-Za-z0-9_]", "_")
+    if (base.headOption.exists(c => c.isDigit)) s"t_$base" else base
+  }
+
+  /** Read one file with extension-based format routing. */
+  def read(spark: SparkSession, absolute: Path): DataFrame = {
+    val p = absolute.toString
+    val lower = p.toLowerCase
+    if (lower.endsWith(".parquet")) spark.read.parquet(p)
+    else if (lower.endsWith(".csv"))
+      // escape="\"" = RFC-4180 doubled-quote escapes (Spark's default
+      // escape is backslash; DuckDB auto-detects — SURVEY §7.4.2)
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .option("escape", "\"").csv(p)
+    else if (lower.endsWith(".ndjson")) spark.read.json(p)
+    else if (lower.endsWith(".json"))
+      spark.read.option("multiLine", "true").json(p)
+    else throw new IllegalArgumentException(s"unsupported format: $p")
+  }
+
+  /** A4: register one file as a temp view; returns the view name. No byte
+    * copy — the scan stays lazy and distributed. */
+  def registerFile(spark: SparkSession, root: Path, file: ImportedFile): String = {
+    val name = viewNameFor(file.path)
+    read(spark, root.resolve(file.path)).createOrReplaceTempView(name)
+    name
+  }
+
+  /** A9: union view over all imported parquet files (`src/App.tsx:316-327`).
+    * DuckDB's `read_parquet([...])` unifies schemas by name; Spark needs
+    * `mergeSchema` for the same union-by-name semantics (SURVEY §7.4.4). */
+  def createOrReplaceParquetView(
+      spark: SparkSession, root: Path, imported: Seq[ImportedFile],
+      tableName: String): Option[String] = {
+    val paths = imported.map(_.path)
+      .filter(_.toLowerCase.endsWith(".parquet"))
+      .map(root.resolve(_).toString)
+    if (paths.isEmpty) None
+    else {
+      val name = Sql.sqlIdentifier(tableName)
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        .createOrReplaceTempView(tableName)
+      Some(name)
+    }
+  }
+
+  /** Import a folder end to end (A2 + A4 + optional A9), returning the
+    * per-file view names — the Spark analog of `importFiles`
+    * (`src/App.tsx:329-354`) without the sequential byte copy. */
+  def importFolder(
+      spark: SparkSession, root: Path,
+      unionViewName: Option[String] = None): (Seq[ImportedFile], Seq[String]) = {
+    val files = collectFiles(root)
+    val views = files.map(registerFile(spark, root, _))
+    unionViewName.foreach(createOrReplaceParquetView(spark, root, files, _))
+    (files, views)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.engine
+
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Result presentation — A13 (display limiter), A14 (cell formatter),
+  * A19 (metadata line); reference `/root/reference/src/arrow.ts:3-45`,
+  * `src/App.tsx:435-439`.
+  *
+  * Every cell renders to a String with the reference's rules: null → "",
+  * integers/decimals → plain decimal string, temporals → ISO-8601 UTC with
+  * milliseconds (JS `Date.toISOString` shape), nested values → JSON, else
+  * `toString`.
+  */
+object Render {
+
+  /** The display page: column names, stringified rows, true total. */
+  final case class DisplayTable(
+      columns: Seq[String], rows: Seq[Seq[String]], totalRows: Long) {
+    def shown: Int = rows.size
+  }
+
+  /** The reference's display cap (`src/App.tsx:435`). */
+  val DisplayLimit = 200
+
+  private val IsoMillis =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXX")
+      .withZone(ZoneOffset.UTC)
+
+  private def iso(i: Instant): String = IsoMillis.format(i)
+
+  /** A14: cell formatter (`src/arrow.ts:3-15`). The JS side sees temporals
+    * as `Date` and renders `toISOString()`; the matching JVM renderings are
+    * pinned to UTC with forced milliseconds. */
+  def formatCell(value: Any): String = value match {
+    case null => ""
+    case t: java.sql.Timestamp => iso(t.toInstant)
+    case d: java.sql.Date => iso(d.toLocalDate.atStartOfDay(ZoneOffset.UTC).toInstant)
+    case d: LocalDate => iso(d.atStartOfDay(ZoneOffset.UTC).toInstant)
+    case dt: LocalDateTime => iso(dt.toInstant(ZoneOffset.UTC))
+    case i: Instant => iso(i)
+    case b: Array[Byte] => json(b)
+    case s: collection.Seq[_] => json(s)
+    case m: collection.Map[_, _] => json(m)
+    case r: Row => json(r)
+    case other => other.toString
+  }
+
+  /** Minimal JSON rendering for nested values (`JSON.stringify` analog). */
+  private def json(value: Any): String = value match {
+    case null => "null"
+    case s: String => "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    case b: Array[Byte] => json(b.map(x => (x & 0xff).toString).mkString("[", ",", "]"))
+    case s: collection.Seq[_] => s.map(json).mkString("[", ",", "]")
+    case m: collection.Map[_, _] =>
+      m.map { case (k, v) => json(String.valueOf(k)) + ":" + json(v) }
+        .mkString("{", ",", "}")
+    case r: Row =>
+      r.schema.fieldNames.zip(r.toSeq)
+        .map { case (k, v) => json(k) + ":" + json(v) }
+        .mkString("{", ",", "}")
+    case t: java.sql.Timestamp => json(iso(t.toInstant))
+    case d: java.sql.Date =>
+      json(iso(d.toLocalDate.atStartOfDay(ZoneOffset.UTC).toInstant))
+    case n: (java.lang.Number) => n.toString
+    case b: java.lang.Boolean => b.toString
+    case other => json(other.toString)
+  }
+
+  /** A13: at most `limit` rendered rows + the true total (`src/arrow.ts:
+    * 28-45`, `src/App.tsx:435-439`). One extra count job — same contract as
+    * the reference, which materializes the full Arrow table but shows 200. */
+  def tableToRows(df: DataFrame, limit: Int = DisplayLimit): DisplayTable = {
+    val total = df.count()
+    val rows = df.limit(limit).collect().toSeq
+      .map(r => r.toSeq.map(formatCell))
+    DisplayTable(df.columns.toSeq, rows, total)
+  }
+
+  /** A19: the result metadata line (`src/App.tsx:436-439`). */
+  def infoLine(t: DisplayTable): String =
+    s"Linhas: ${t.totalRows} (mostrando ${t.shown}) · Colunas: ${t.columns.size}"
+}

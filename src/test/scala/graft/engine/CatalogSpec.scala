@@ -1,0 +1,92 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A1-A4/A9 import + format routing over the FIXTURES.md §4 micro-fixtures
+  * (/root/reference/src/fileImport.ts, src/App.tsx:316-327). */
+class CatalogSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  private val fixtures = Paths.get("src/test/resources/minifix")
+
+  test("A1: extension filter, case-insensitive") {
+    assert(Catalog.isSupportedFilePath("a/b.PARQUET"))
+    assert(Catalog.isSupportedFilePath("x.csv"))
+    assert(Catalog.isSupportedFilePath("x.json"))
+    assert(Catalog.isSupportedFilePath("x.ndjson"))
+    assert(!Catalog.isSupportedFilePath("x.txt"))
+    assert(!Catalog.isSupportedFilePath("parquet")) // extension, not name
+  }
+
+  test("A2: recursive scan collects supported files with relative paths") {
+    val tmp = Files.createTempDirectory("cat")
+    Files.createDirectories(tmp.resolve("sub"))
+    Files.copy(fixtures.resolve("mini.csv"), tmp.resolve("mini.csv"))
+    Files.copy(fixtures.resolve("mini.ndjson"), tmp.resolve("sub/nested.ndjson"))
+    Files.copy(fixtures.resolve("skip.txt"), tmp.resolve("skip.txt"))
+    val files = Catalog.collectFiles(tmp)
+    assert(files.map(_.path) == Seq("mini.csv", "sub/nested.ndjson"))
+    assert(files.forall(_.size > 0))
+  }
+
+  test("A4: csv routing infers header and types") {
+    val df = Catalog.read(spark, fixtures.resolve("mini.csv"))
+    assert(df.columns.toSeq == Seq("id", "name", "amount"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("name") == "a, \"quoted\"")
+    assert(rows(1).isNullAt(1)) // empty cell -> NULL
+    assert(rows(0).getAs[Double]("amount") == 10.5)
+  }
+
+  test("A4: .ndjson is line-delimited; .json needs multiLine (SURVEY 7.4.3)") {
+    val nd = Catalog.read(spark, fixtures.resolve("mini.ndjson"))
+    val js = Catalog.read(spark, fixtures.resolve("mini.json"))
+    assert(nd.count() == 3 && js.count() == 3)
+    // same logical rows through both routes
+    assert(nd.select("id", "name").orderBy("id").collect().toSeq ==
+      js.select("id", "name").orderBy("id").collect().toSeq)
+    // missing key -> NULL; nested object survives
+    assert(nd.filter("id = 2").collect()(0).isNullAt(
+      nd.columns.indexOf("name")))
+    assert(nd.filter("id = 1").selectExpr("nested.k").collect()(0).getLong(0) == 1)
+  }
+
+  test("A4: registration exposes a queryable temp view (no byte copy)") {
+    val tmp = Files.createTempDirectory("reg")
+    Files.copy(fixtures.resolve("mini.csv"), tmp.resolve("mini.csv"))
+    val files = Catalog.collectFiles(tmp)
+    val Seq(view) = Catalog.importFolder(spark, tmp)._2
+    assert(view == "mini_csv")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $view")
+      .collect()(0).getLong(0) == 3)
+  }
+
+  test("A9: parquet union view merges schemas by name (B29, SURVEY 7.4.4)") {
+    val tmp = Files.createTempDirectory("union")
+    import spark.implicits._
+    Seq((1L, "x")).toDF("id", "name")
+      .write.parquet(tmp.resolve("union_a.parquet").toString)
+    Seq((2L, "y", 9.5)).toDF("id", "name", "extra")
+      .write.parquet(tmp.resolve("union_b.parquet").toString)
+    val files = Catalog.collectFiles(tmp)
+    val created = Catalog.createOrReplaceParquetView(
+      spark, tmp, files, "united")
+    assert(created.contains("united"))
+    val df = spark.table("united").orderBy("id")
+    assert(df.columns.toSeq.sorted == Seq("extra", "id", "name"))
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(df.columns.indexOf("extra"))) // a-side: NULL
+    assert(rows(1).getAs[Double]("extra") == 9.5)
+  }
+
+  test("A9: no parquet files -> no view") {
+    val tmp = Files.createTempDirectory("noparquet")
+    Files.copy(fixtures.resolve("mini.csv"), tmp.resolve("mini.csv"))
+    assert(Catalog.createOrReplaceParquetView(
+      spark, tmp, Catalog.collectFiles(tmp), "nope").isEmpty)
+  }
+}

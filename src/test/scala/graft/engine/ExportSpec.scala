@@ -1,0 +1,75 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A15 RFC-4180 escaping + A16 streaming export
+  * (/root/reference/src/arrow.ts:17-26,47-88). */
+class ExportSpec extends AnyFunSuite {
+
+  test("A15: quoting only when needed; internal quotes doubled") {
+    assert(Export.csvEscape("plain") == "plain")
+    assert(Export.csvEscape("a,b") == "\"a,b\"")
+    assert(Export.csvEscape("say \"hi\"") == "\"say \"\"hi\"\"\"")
+    assert(Export.csvEscape("line\nbreak") == "\"line\nbreak\"")
+    assert(Export.csvLine(Seq("a", "b,c")) == "a,\"b,c\"\r\n")
+  }
+
+  // Minimal RFC-4180 parser for the round-trip check.
+  private def parseCsv(s: String): Seq[Seq[String]] = {
+    val rows = Seq.newBuilder[Seq[String]]
+    val row = Seq.newBuilder[String]
+    val cell = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < s.length && s.charAt(i + 1) == '"') {
+          cell.append('"'); i += 1
+        } else if (c == '"') inQ = false
+        else cell.append(c)
+      } else c match {
+        case '"' => inQ = true
+        case ',' => row += cell.result(); cell.clear()
+        case '\r' if i + 1 < s.length && s.charAt(i + 1) == '\n' =>
+          row += cell.result(); cell.clear()
+          rows += row.result(); row.clear()
+          i += 1
+        case other => cell.append(other)
+      }
+      i += 1
+    }
+    rows.result()
+  }
+
+  test("A15 property: escape/parse round-trips arbitrary cells") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab,\"\n\r x"
+    (1 to 200).foreach { _ =>
+      val cells = Seq.fill(rnd.nextInt(4) + 1)(
+        Seq.fill(rnd.nextInt(8))(alphabet(rnd.nextInt(alphabet.length)))
+          .mkString)
+      assert(parseCsv(Export.csvLine(cells)) == Seq(cells))
+    }
+  }
+
+  test("A16: streaming export — header, formatting, flush parts, totals") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, "a,b"), (2L, null: String), (3L, "it\"s"))
+      .toDF("id", "s").orderBy("id")
+    val out = Export.toCsvParts(df)
+    assert(out.rows == 3 && out.columns == 2)
+    assert(out.parts.mkString ==
+      "id,s\r\n1,\"a,b\"\r\n2,\r\n3,\"it\"\"s\"\r\n")
+
+    // tiny flushChars forces multiple parts; content must be unchanged
+    val parts = Export.toCsvParts(df, flushChars = 8).parts
+    assert(parts.size > 1)
+    assert(parts.mkString == out.parts.mkString)
+
+    // headerless export of an empty result: zero parts, zero rows
+    val empty = Export.toCsvParts(df.filter($"id" < 0), header = false)
+    assert(empty.rows == 0 && empty.parts.isEmpty)
+  }
+}

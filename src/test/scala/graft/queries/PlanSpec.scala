@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the scale-sensitive properties VERDICT r3
+  * called out: parquet pushdown of template filters (incl. the t5/t6 `=!=`
+  * rewrite) and broadcast of the small join side. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // formatted mode prints PushedFilters un-truncated
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("t5/t6: the <> filters push down to the parquet scan as NotEq") {
+    val p5 = planOf(Templates.t5SavingsPlans(spark, dir))
+    assert(p5.contains("PushedFilters"))
+    assert(p5.contains("Not(EqualTo(l_linestatus,F))"),
+      s"t5 should push Not(EqualTo(l_linestatus,F)):\n$p5")
+    val p6 = planOf(Templates.t6ReservedInstances(spark, dir))
+    assert(p6.contains("Not(EqualTo(l_returnflag,N))"))
+  }
+
+  test("t1: date range filter pushes down") {
+    val p = planOf(Templates.t1AccountSummary(spark, dir))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("c_join_inner: customer dim joins via broadcast") {
+    val p = planOf(TierC.joinInner(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("templates read only the referenced columns (pruning)") {
+    val p = planOf(Templates.t3MonthlySummary(spark, dir))
+    // ReadSchema should mention the 3 used columns and not the rest
+    assert(p.contains("l_shipdate") && p.contains("l_extendedprice"))
+    assert(!p.contains("l_partkey"), "t3 must not read l_partkey")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = planOf(TierCSql.queries("c_sql_select")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
