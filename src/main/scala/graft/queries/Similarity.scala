@@ -71,17 +71,29 @@ object Similarity {
 
   // 8 hyperplanes with md5-derived integer weights in [-3, 3]: w(j, d) =
   // (md5("j_d")[0:4] as int) % 7 - 3. md5 keeps the planes identical (and
-  // decorrelated) on both engines; at scale the 8×64 weight matrix would be
-  // precomputed and broadcast instead of rehashed per row.
+  // decorrelated) on both engines. The Spark side precomputes the constant
+  // 8×64 matrix at plan time and inlines it as a literal — the broadcast-
+  // the-weights shape a real cluster needs (the oracle re-derives the same
+  // values with SQL md5, which is fine at oracle scale).
+  private[queries] def weight(j: Int, d: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${j}_$d".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    ((java.lang.Long.parseLong(hex.take(4), 16) % 7) - 3).toInt
+  }
+
+  private val weightMatrix: String =
+    (0 until 8).map { j =>
+      (0 until 64).map(d => weight(j, d)).mkString("array(", ", ", ")")
+    }.mkString("array(", ", ", ")")
+
   private val bitsExpr =
-    """transform(sequence(0, 7), j ->
-      |  CASE WHEN aggregate(zip_with(embedding, sequence(0, 63),
-      |    (x, d) -> CAST(x AS DOUBLE) *
-      |      CAST((CAST(conv(substring(md5(concat(CAST(j AS STRING), '_',
-      |        CAST(d AS STRING))), 1, 4), 16, 10) AS BIGINT) % 7) - 3
-      |        AS DOUBLE)),
-      |    CAST(0 AS DOUBLE), (acc, p) -> acc + p) > 0
-      |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    s"""transform(sequence(0, 7), j ->
+       |  CASE WHEN aggregate(zip_with(embedding,
+       |    element_at($weightMatrix, j + 1),
+       |    (x, w) -> CAST(x AS DOUBLE) * CAST(w AS DOUBLE)),
+       |    CAST(0 AS DOUBLE), (acc, p) -> acc + p) > 0
+       |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
 
   private val bucketExpr =
     s"""aggregate(zip_with($bitsExpr, sequence(0, 7),

@@ -42,15 +42,19 @@ object TextOps {
   // single punctuation marks) — the standard pre-tokenization shape.
   private val tokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+  // In the limited queries below, the top-k on the unique doc_id runs
+  // BEFORE the per-row feature projection: row-wise functions commute with
+  // orderBy+limit on a key, and computing features for only the kept rows
+  // is the shape that matters when the feature is expensive.
   val tokens: Q = (s, dir) =>
     t(s, dir, "documents")
+      .orderBy(col("doc_id")).limit(200)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_ws_tokens"),
         size(expr(s"regexp_extract_all(text, '$tokenPattern', 0)"))
           .cast(LongType).as("n_re_tokens"),
         col("n_chars"))
       .orderBy(col("doc_id"))
-      .limit(200)
 
   val tokensSql: String =
     s"""SELECT doc_id,
@@ -70,6 +74,7 @@ object TextOps {
 
   val quality: Q = (s, dir) =>
     t(s, dir, "documents")
+      .orderBy(col("doc_id")).limit(200)
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), col("n_chars"),
         size(col("ws")).cast(LongType).as("n_words"),
@@ -80,7 +85,6 @@ object TextOps {
       .withColumn("ok",
         col("n_words") >= 10 && col("mean_word_len") < 12)
       .orderBy(col("doc_id"))
-      .limit(200)
 
   val qualitySql: String =
     s"""SELECT doc_id, n_chars,
@@ -151,6 +155,7 @@ object TextOps {
     t(s, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
+      .orderBy(col("doc_id")).limit(200)
       .select(col("doc_id"),
         md5(lower(col("text"))).as("fp"),
         md5(expr(
@@ -160,7 +165,6 @@ object TextOps {
             |                   element_at(ws, i + 2))))), 1, 3), '|')"""
             .stripMargin)).as("sketch"))
       .orderBy(col("doc_id"))
-      .limit(200)
 
   val fingerprintSql: String =
     """SELECT doc_id, md5(lower(text)) AS fp,

@@ -156,7 +156,11 @@ object TierC {
        |ORDER BY mes DESC, rn""".stripMargin
 
   /** lag() month-over-month delta. Subtraction happens in exact DECIMAL;
-    * cast to DOUBLE only on output. */
+    * cast to DOUBLE only on output. The unpartitioned window runs in ONE
+    * task by construction — safe here because it sits on top of the
+    * monthly aggregate (dozens of rows at any input scale), never on raw
+    * data; an unpartitioned window over a fact table would be a
+    * scale-killer. */
   val windowLag: Q = (s, dir) => {
     val m = t(s, dir, "lineitem")
       .groupBy(monthStr(col("l_shipdate")).as("mes"))
@@ -294,12 +298,12 @@ object TierC {
     * only, so exact on both engines. */
   val higherOrder: Q = (s, dir) =>
     t(s, dir, "documents")
+      .orderBy(col("doc_id")).limit(100) // top-k BEFORE the per-row work
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_words"),
         expr("aggregate(transform(split(text, ' '), x -> length(x)), 0, " +
           "(acc, x) -> acc + x)").cast(LongType).as("total_len"))
       .orderBy(col("doc_id"))
-      .limit(100)
 
   val higherOrderSql: String =
     """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
