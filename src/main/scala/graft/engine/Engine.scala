@@ -34,6 +34,13 @@ object Engine {
     df.toLocalIterator().asScala
   }
 
+  /** EXPLAIN surface (Tier C): the plan text a user would get from
+    * `EXPLAIN <mode>` — engine-specific by nature, so exposed as an API
+    * (and asserted on in PlanSpec) rather than an oracle-checked query. */
+  def explain(df: DataFrame, mode: String = "formatted"): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
   /** B30: run a multi-statement script split by the A12 lexer; DDL executes
     * for side effects, and the LAST statement's result is returned (None for
     * an empty/DDL-only script). */

@@ -311,6 +311,34 @@ object TierC {
       |       x -> length(x))) AS BIGINT) AS total_len
       |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin
 
+  /** Nested-type construction + access + generator: struct field access,
+    * map extraction, posexplode over a constructed array (Catalyst
+    * Generator). DuckDB's map extraction yields a single-element list,
+    * hence the `[1]` on the oracle side only. */
+  val nestedTypes: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 3)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        struct(col("l_returnflag").as("f")).as("st"),
+        map(lit("s"), col("l_linestatus")).as("mp"),
+        posexplode(array(col("l_quantity"), col("l_discount"), col("l_tax"))))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("pos").cast(LongType).as("pos"), col("col").as("val"),
+        col("st.f").as("flag"),
+        element_at(col("mp"), "s").as("status"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("pos"))
+
+  val nestedTypesSql: String =
+    """SELECT l_orderkey, l_linenumber, i - 1 AS pos,
+      |  arr[CAST(i AS INT)] AS val, st.f AS flag, mp['s'][1] AS status
+      |FROM (SELECT l_orderkey, l_linenumber,
+      |        [l_quantity, l_discount, l_tax] AS arr,
+      |        {'f': l_returnflag} AS st,
+      |        MAP(['s'], [l_linestatus]) AS mp
+      |      FROM lineitem WHERE l_orderkey <= 3),
+      |     (SELECT unnest(range(1, 4)) AS i)
+      |ORDER BY l_orderkey, l_linenumber, pos""".stripMargin
+
   /** JSON extraction from the events.props string column (get_json_object ↔
     * json_extract_string). DuckDB SUM(BIGINT) widens to HUGEINT, so the
     * oracle casts back to BIGINT. */
@@ -411,6 +439,7 @@ object TierC {
     "c_agg_distinct" -> aggDistinct,
     "c_agg_filter" -> aggFilter,
     "c_higher_order" -> higherOrder,
+    "c_nested_types" -> nestedTypes,
     "c_json_extract" -> jsonExtract,
     "c_event_hourly" -> eventHourly,
     "c_interval" -> interval,
@@ -431,6 +460,7 @@ object TierC {
     "c_agg_distinct" -> aggDistinctSql,
     "c_agg_filter" -> aggFilterSql,
     "c_higher_order" -> higherOrderSql,
+    "c_nested_types" -> nestedTypesSql,
     "c_json_extract" -> jsonExtractSql,
     "c_event_hourly" -> eventHourlySql,
     "c_interval" -> intervalSql,

@@ -140,6 +140,33 @@ object TierCSql {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  // Scalar-function breadth: string (upper/substr/concat/LIKE/regexp),
+  // math (ceil/floor/abs — transcendentals excluded: libm last-ulp
+  // divergence across engines), conditional (greatest/least), date parts.
+  // Identical text both engines; ceil/floor wrapped in CAST because Spark
+  // returns BIGINT where DuckDB keeps DOUBLE.
+  val scalarFuncs: String =
+    """SELECT l_orderkey, l_linenumber, upper(l_returnflag) AS u,
+      |  substr(l_returnflag || l_linestatus, 1, 2) AS s2,
+      |  l_returnflag LIKE 'R%' AS is_r,
+      |  regexp_replace(l_linestatus, 'O', 'X') AS rr,
+      |  CAST(ceil(l_extendedprice) AS DOUBLE) AS ce,
+      |  CAST(floor(l_tax * 100) AS DOUBLE) AS fl,
+      |  abs(l_discount - 0.05) AS ab,
+      |  greatest(l_quantity, CAST(10.0 AS DOUBLE)) AS g,
+      |  least(l_quantity, CAST(10.0 AS DOUBLE)) AS l,
+      |  CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS y,
+      |  CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS mo
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin
+
+  // Recursive CTE (Spark 4 WITH RECURSIVE ↔ DuckDB) — identical text.
+  val recursiveCte: String =
+    """WITH RECURSIVE n AS (
+      |  SELECT CAST(1 AS BIGINT) AS x
+      |  UNION ALL
+      |  SELECT x + 1 FROM n WHERE x < 10)
+      |SELECT x FROM n ORDER BY x""".stripMargin
+
   // B27/B28: doubled-quote string literal + quoted identifier with a space
   // (backticks in Spark, double quotes in DuckDB — the A10 dialect delta).
   val quotingSpark: String =
@@ -159,6 +186,8 @@ object TierCSql {
     "c_setop_except" -> q(setopExcept),
     "c_sql_grouping_sets" -> q(groupingSets),
     "c_sql_view_script" -> script(viewScript),
+    "c_scalar_funcs" -> q(scalarFuncs),
+    "c_recursive_cte" -> q(recursiveCte),
     "c_sql_quoting" -> q(quotingSpark))
 
   val oracle: Map[String, String] = Map(
@@ -173,5 +202,7 @@ object TierCSql {
     "c_setop_except" -> setopExcept,
     "c_sql_grouping_sets" -> groupingSets,
     "c_sql_view_script" -> viewScriptOracle,
+    "c_scalar_funcs" -> scalarFuncs,
+    "c_recursive_cte" -> recursiveCte,
     "c_sql_quoting" -> quotingOracle)
 }

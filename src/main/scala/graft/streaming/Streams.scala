@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` shape — the beyond-reference
+  * extension (SURVEY §7.5): the reference is batch-only (its one async
+  * iterator is result pagination, `/root/reference/src/arrow.ts:60`), but a
+  * training-data pipeline ingests event streams, so the engine ships
+  * stream-native versions of its aggregations.
+  *
+  * Everything here takes a DataFrame/Dataset and works identically whether
+  * the source is `readStream` (kafka/files at scale) or a batch table —
+  * transformations are source-agnostic; only the sink call differs. The
+  * batch twin of `hourlyCounts` is the oracle-checked `c_event_hourly`.
+  *
+  * Scale notes: watermarks bound state (2h of hour-buckets × event types);
+  * session state is per-user and evicted on timeout, so state size tracks
+  * ACTIVE keys, not history. Shuffle partitioning on the group keys is the
+  * same as the batch aggregations.
+  */
+object Streams {
+
+  /** Watermarked tumbling-window counts per event type: the streaming twin
+    * of `c_event_hourly`. Late events beyond 2h are dropped (state bound);
+    * output in Append mode emits only finalized windows. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hora"), col("event_type"), col("n"))
+
+  /** Built-in gap-based session windows per user (Spark's session_window
+    * + watermark — preferred over custom state when gap semantics fit). */
+  def sessionCounts(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String)
+  final case class UserTotal(user_id: Long, n_events: Long, n_errors: Long)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user totals —
+    * the KeyValueGroupedDataset escape hatch for semantics the built-in
+    * windows can't express. In production add
+    * `GroupStateTimeout.ProcessingTimeTimeout` + `setTimeoutDuration` so
+    * abandoned keys evict (bounding state); NoTimeout here keeps the
+    * micro-batch loop quiescent between inputs, which test harnesses
+    * (`processAllAvailable`) rely on. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0L))
+          val evs = batch.toSeq
+          val next = UserTotal(userId,
+            prev.n_events + evs.size,
+            prev.n_errors + evs.count(_.event_type == "error"))
+          state.update(next)
+          next
+      }
+  }
+
+  /** Start `hourlyCounts` end to end from a file source to a memory/console
+    * sink — the readStream → transform → writeStream shape. The schema
+    * argument is required by streaming file sources (no inference). */
+  def fileStreamHourly(
+      spark: org.apache.spark.sql.SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    hourlyCounts(spark.readStream.schema(schema).parquet(sourceDir))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+}

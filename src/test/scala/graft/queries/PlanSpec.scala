@@ -12,8 +12,7 @@ class PlanSpec extends AnyFunSuite {
 
   // formatted mode prints PushedFilters un-truncated
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    graft.engine.Engine.explain(df)
 
   test("t5/t6: the <> filters push down to the parquet scan as NotEq") {
     val p5 = planOf(Templates.t5SavingsPlans(spark, dir))

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming operators driven through MemoryStream — watermarked windows,
+  * session windows, custom keyed state. */
+class StreamsSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("hourlyCounts: windowed counts finalize after the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "event_type")
+    val q = Streams.hourlyCounts(df).writeStream
+      .outputMode("append").format("memory").queryName("hourly").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:05:00"), "click"),
+        (ts("2024-01-01 10:55:00"), "click"),
+        (ts("2024-01-01 10:10:00"), "error"))
+      q.processAllAvailable()
+      // advance event time far enough to close the 10:00 window (2h wm)
+      in.addData((ts("2024-01-01 13:30:00"), "click"))
+      q.processAllAvailable()
+      val out = spark.table("hourly")
+        .selectExpr("CAST(hora AS STRING)", "event_type", "n")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(out == Set(
+        ("2024-01-01 10:00:00", "click", 2L),
+        ("2024-01-01 10:00:00", "error", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionCounts: gap-based sessions split per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "user_id")
+    val q = Streams.sessionCounts(df, gap = "5 minutes").writeStream
+      .outputMode("append").format("memory").queryName("sessions").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 7L),
+        (ts("2024-01-01 10:03:00"), 7L), // same session (gap 5m)
+        (ts("2024-01-01 10:20:00"), 7L), // new session
+        (ts("2024-01-01 10:00:00"), 8L))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 14:00:00"), 9L)) // close everything
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .selectExpr("CAST(session_start AS STRING)", "user_id", "n_events")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(out == Set(
+        ("2024-01-01 10:00:00", 7L, 2L),
+        ("2024-01-01 10:20:00", 7L, 1L),
+        ("2024-01-01 10:00:00", 8L, 1L)))
+    } finally q.stop()
+  }
+
+  test("runningUserTotals: keyed state accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.Event]
+    val q = Streams.runningUserTotals(in.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("totals").start()
+    try {
+      in.addData(
+        Streams.Event(1L, ts("2024-01-01 10:00:00"), "click"),
+        Streams.Event(1L, ts("2024-01-01 10:01:00"), "error"))
+      q.processAllAvailable()
+      in.addData(Streams.Event(1L, ts("2024-01-01 10:02:00"), "click"))
+      q.processAllAvailable()
+      val last = spark.table("totals")
+        .filter($"user_id" === 1L).orderBy($"n_events".desc)
+        .as[Streams.UserTotal].head()
+      assert(last == Streams.UserTotal(1L, 3L, 1L))
+    } finally q.stop()
+  }
+}
