@@ -142,11 +142,51 @@ object Similarity {
        |ORDER BY cosine DESC, e.vec_id
        |LIMIT 5""".stripMargin
 
+  // --- Embedding-cosine near-dup pairs (bucketed, never all-pairs) --------
+
+  /** Near-duplicate detection by embedding cosine: candidate pairs come
+    * ONLY from shared LSH buckets (a self-join on the bucket id — the
+    * shuffle key), then exact cosine filters. The corpus has no planted
+    * embedding dups (max pairwise cosine ≈ 0.51), so the threshold is a
+    * demonstration value; the SHAPE is the 100 TB one: O(sum of squared
+    * bucket sizes), not O(N²). */
+  val embeddingNearDup: Q = (s, dir) => {
+    val bucketed = t(s, dir, "embeddings")
+      .withColumn("bucket", expr(bucketExpr))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val a = bucketed.toDF("d1", "e1", "bucket")
+    val b = bucketed.toDF("d2", "e2", "bucket2")
+    a.join(b, col("bucket") === col("bucket2") && col("d1") < col("d2"))
+      .withColumn("cosine",
+        expr(dotExpr("e1", "e2")) /
+          (expr(normExpr("e1")) * expr(normExpr("e2"))))
+      .filter(col("cosine") >= 0.35)
+      .select(col("d1"), col("d2"), col("cosine"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val embeddingNearDupSql: String =
+    s"""WITH bk AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_reduce(list_transform(range(0, 8), j ->
+       |      ($oBits)[CAST(j + 1 AS INT)] << CAST(j AS INT)),
+       |      (x, y) -> x + y) AS BIGINT) AS bucket
+       |  FROM embeddings)
+       |SELECT a.vec_id AS d1, b.vec_id AS d2,
+       |  ${oDot("a.embedding", "b.embedding")} /
+       |    (${oNorm("a.embedding")} * ${oNorm("b.embedding")}) AS cosine
+       |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${oDot("a.embedding", "b.embedding")} /
+       |    (${oNorm("a.embedding")} * ${oNorm("b.embedding")}) >= 0.35
+       |ORDER BY d1, d2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p_sim_bruteforce" -> bruteForce,
-    "p_sim_lsh" -> lshBucket)
+    "p_sim_lsh" -> lshBucket,
+    "p_dedup_embedding" -> embeddingNearDup)
 
   val oracle: Map[String, String] = Map(
     "p_sim_bruteforce" -> bruteForceSql,
-    "p_sim_lsh" -> lshBucketSql)
+    "p_sim_lsh" -> lshBucketSql,
+    "p_dedup_embedding" -> embeddingNearDupSql)
 }
