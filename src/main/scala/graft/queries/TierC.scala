@@ -216,6 +216,47 @@ object TierC {
        |  FROM lineitem GROUP BY mes)
        |ORDER BY mes""".stripMargin
 
+  /** Batch sessionization over events — the relational twin of
+    * streaming.Streams.sessionCounts: gap-based session ids via
+    * lag + running sum, all in exact integer MICROSECONDS (epoch
+    * arithmetic on integers, so oracle parity is exact; outputting the
+    * start as bigint micros also sidesteps temporal canonicalization).
+    * Ties on ts_us are harmless: equal timestamps give diff 0 on either
+    * lag order, so session assignment is order-insensitive. Scale: both
+    * windows partition by user_id — state is per-user and the shuffle is
+    * one hash partition by user, the same key the streaming twin uses. */
+  val sessionize: Q = (s, dir) => {
+    val gapUs = 21600000000L // 6 hours
+    val e = t(s, dir, "events")
+      .select(col("user_id"), expr("CAST(ts div 1000 AS BIGINT)").as("ts_us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("is_new",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("is_new")).over(run).cast(LongType))
+      .groupBy(col("user_id"), col("sid").as("session_id"))
+      .agg(min(col("ts_us")).as("start_us"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  val sessionizeSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+      |m AS (SELECT user_id, ts_us,
+      |        CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+      |                 ORDER BY ts_us) > 21600000000 THEN 1 ELSE 0 END
+      |          AS is_new
+      |      FROM e),
+      |s AS (SELECT user_id, ts_us,
+      |        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS BIGINT) AS sid
+      |      FROM m)
+      |SELECT user_id, sid AS session_id, MIN(ts_us) AS start_us,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
   // --- Grouping extensions -------------------------------------------------
 
   /** ROLLUP over two dims; NULL grouping keys rendered 'ALL' so the output
@@ -442,6 +483,7 @@ object TierC {
     "c_nested_types" -> nestedTypes,
     "c_json_extract" -> jsonExtract,
     "c_event_hourly" -> eventHourly,
+    "c_sessionize" -> sessionize,
     "c_interval" -> interval,
     "c_is_not_null" -> isNotNull,
     "c_current_date" -> currentDate,
@@ -463,6 +505,7 @@ object TierC {
     "c_nested_types" -> nestedTypesSql,
     "c_json_extract" -> jsonExtractSql,
     "c_event_hourly" -> eventHourlySql,
+    "c_sessionize" -> sessionizeSql,
     "c_interval" -> intervalSql,
     "c_is_not_null" -> isNotNullSql)
     // c_current_date / c_approx_distinct: deliberately no oracle (rows-only)

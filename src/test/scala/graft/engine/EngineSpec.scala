@@ -1,0 +1,40 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A6/A7/A8 + B30: the SQL execution surface
+  * (/root/reference/src/duckdb.ts:46-59 analog). */
+class EngineSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  test("A6: sql returns a lazy DataFrame for a single statement") {
+    val df = Engine.sql(spark, "SELECT 41 + 1 AS v")
+    assert(df.collect()(0).getInt(0) == 42)
+  }
+
+  test("A7: exec runs DDL eagerly; the view is immediately queryable") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_v AS SELECT 7 AS x")
+    assert(spark.table("engine_spec_v").collect()(0).getInt(0) == 7)
+  }
+
+  test("A8: stream iterates rows without materializing the full result") {
+    val it = Engine.stream(spark.range(1000).toDF("id"))
+    assert(it.take(3).map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("B30: runScript executes statements in order, returns the last") {
+    val out = Engine.runScript(spark,
+      """CREATE OR REPLACE TEMPORARY VIEW engine_spec_s AS SELECT 5 AS x;
+        |SELECT x * 2 AS y FROM engine_spec_s;""".stripMargin)
+    assert(out.get.collect()(0).getInt(0) == 10)
+    // whitespace-only statements are dropped; nothing runs
+    assert(Engine.runScript(spark, "  ; ;  ").isEmpty)
+  }
+
+  test("EXPLAIN surface renders a physical plan") {
+    val txt = Engine.explain(Engine.sql(spark, "SELECT 1 AS one"))
+    assert(txt.contains("== Physical Plan =="))
+  }
+}
