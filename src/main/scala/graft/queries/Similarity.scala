@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -180,13 +181,83 @@ object Similarity {
        |    (${oNorm("a.embedding")} * ${oNorm("b.embedding")}) >= 0.35
        |ORDER BY d1, d2""".stripMargin
 
+  // --- IVF-flat ANN (coarse quantizer + probed partitions) ----------------
+
+  /** IVF-flat: assign every vector to its nearest of 16 fixed centroids
+    * (here: the first 16 vectors — at scale a quantizer trained offline),
+    * then answer a query by probing only the nprobe=2 centroids nearest to
+    * it. This is the OTHER standard ANN scale path next to LSH: partition
+    * the table by centroid id at rest and a query reads 2/16 of the data
+    * (partition pruning), trading recall for scan fraction. Assignment is
+    * a broadcast of 16 centroids against one scan — never a wide shuffle;
+    * ties break deterministically by (cosine desc, centroid id). */
+  val ivfFlat: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    def cosTo(e: String, c: String) =
+      expr(dotExpr(e, c)) / (expr(normExpr(e)) * expr(normExpr(c)))
+    val byCos = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("ccos"), col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosTo("embedding", "cent"))
+      .withColumn("rn", row_number().over(byCos))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
+    val probes = emb.filter(col("vec_id") === 0).crossJoin(broadcast(cents))
+      .withColumn("ccos", cosTo("embedding", "cent"))
+      .orderBy(desc("ccos"), col("cent_id")).limit(2)
+      .select(col("cent_id").as("probe_cent"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    assigned
+      .join(broadcast(probes), col("cent_id") === col("probe_cent"))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", cosTo("embedding", "q_emb"))
+      .select(col("vec_id"), col("label"), col("cent_id"), col("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(5)
+  }
+
+  val ivfFlatSql: String = {
+    def oCos(e: String, c: String) =
+      s"${oDot(e, c)} / (${oNorm(e)} * ${oNorm(c)})"
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+       |  WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, cent_id FROM (
+       |    SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${oCos("e.embedding", "c.cent")} DESC, c.cent_id)
+       |        AS rn
+       |    FROM embeddings e, cents c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT c.cent_id AS probe_cent
+       |  FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) q, cents c
+       |  ORDER BY ${oCos("q.embedding", "c.cent")} DESC, c.cent_id
+       |  LIMIT 2)
+       |SELECT a.vec_id, a.label, a.cent_id,
+       |  ${oCos("a.embedding", "q.q_emb")} AS cosine
+       |FROM assigned a
+       |JOIN probes p ON a.cent_id = p.probe_cent,
+       |  (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |WHERE a.vec_id <> 0
+       |ORDER BY cosine DESC, a.vec_id
+       |LIMIT 5""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "p_sim_bruteforce" -> bruteForce,
     "p_sim_lsh" -> lshBucket,
+    "p_sim_ivf" -> ivfFlat,
     "p_dedup_embedding" -> embeddingNearDup)
 
   val oracle: Map[String, String] = Map(
     "p_sim_bruteforce" -> bruteForceSql,
     "p_sim_lsh" -> lshBucketSql,
+    "p_sim_ivf" -> ivfFlatSql,
     "p_dedup_embedding" -> embeddingNearDupSql)
 }

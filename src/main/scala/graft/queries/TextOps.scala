@@ -177,17 +177,54 @@ object TextOps {
       |WHERE len(string_split(text, ' ')) >= 3
       |ORDER BY doc_id LIMIT 200""".stripMargin
 
+  // --- End-to-end pipeline composition ------------------------------------
+
+  /** The composed training-data pipeline in one query: quality gate →
+    * exact dedup on normalized content (min-doc_id survivor) → per-lang
+    * corpus stats. Each stage is the operator verified individually above;
+    * this witnesses the composition (filter pushes into the scan, dedup
+    * shuffles 16-byte hashes, stats aggregate the survivors). */
+  val pipelineE2e: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 10 &&
+        (col("n_chars").cast("double") / size(col("ws"))) < 12)
+      .groupBy(md5(lower(col("text"))).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("lang")).as("lang"),
+        min(size(col("ws"))).cast(LongType).as("n_words"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"))
+      .orderBy(col("lang"))
+
+  val pipelineE2eSql: String =
+    """WITH ok AS (
+      |  SELECT doc_id, lang, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 10
+      |    AND CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) < 12),
+      |dedup AS (
+      |  SELECT md5(lower(text)) AS fp, MIN(doc_id) AS doc_id,
+      |    MIN(lang) AS lang, MIN(n_words) AS n_words
+      |  FROM ok GROUP BY fp)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_words) AS BIGINT) AS total_words
+      |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p_text_tf" -> tf,
     "p_text_tokens" -> tokens,
     "p_text_quality" -> quality,
     "p_text_langid" -> langid,
-    "p_text_fingerprint" -> fingerprint)
+    "p_text_fingerprint" -> fingerprint,
+    "p_pipeline_e2e" -> pipelineE2e)
 
   val oracle: Map[String, String] = Map(
     "p_text_tf" -> tfSql,
     "p_text_tokens" -> tokensSql,
     "p_text_quality" -> qualitySql,
     "p_text_langid" -> langidSql,
-    "p_text_fingerprint" -> fingerprintSql)
+    "p_text_fingerprint" -> fingerprintSql,
+    "p_pipeline_e2e" -> pipelineE2eSql)
 }
