@@ -58,7 +58,11 @@ object Export {
   }
 
   /** The distributed export: executors write in parallel, header per part
-    * file, RFC-4180 quoting — the only correct shape at 100 TB. */
+    * file, RFC-4180 quoting — the only correct shape at 100 TB.
+    * escape="\"" because Spark's writer defaults to BACKSLASH escapes,
+    * which is not RFC-4180 (`"say \"hi\""` instead of `"say ""hi"""`) —
+    * caught by the ExportSpec round-trip. */
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.option("header", "true").mode("overwrite").csv(path)
+    df.write.option("header", "true").option("escape", "\"")
+      .mode("overwrite").csv(path)
 }

@@ -47,13 +47,16 @@ object TierCSql {
          |ORDER BY l_orderkey, l_linenumber
          |LIMIT 20""".stripMargin)
 
-  // CTE (WITH): monthly revenue off a CTE, filtered and ordered.
+  // CTE (WITH): monthly revenue off a CTE, filtered and ordered. The Spark
+  // side groups by the SELECT-LIST ALIAS `mes` (B18 —
+  // spark.sql.groupByAliases, default on), matching DuckDB's alias
+  // resolution.
   def cteSpark: String =
     s"""WITH monthly AS (
        |  SELECT date_format(date_trunc('MONTH', l_shipdate), 'yyyy-MM-dd')
        |           AS mes,
        |         ${msum("l_extendedprice")} AS total
-       |  FROM lineitem GROUP BY 1)
+       |  FROM lineitem GROUP BY mes)
        |SELECT mes, total FROM monthly WHERE total > 1000000
        |ORDER BY mes""".stripMargin
 
@@ -152,6 +155,7 @@ object TierCSql {
       |  regexp_replace(l_linestatus, 'O', 'X') AS rr,
       |  CAST(ceil(l_extendedprice) AS DOUBLE) AS ce,
       |  CAST(floor(l_tax * 100) AS DOUBLE) AS fl,
+      |  round(l_extendedprice, 1) AS r1,
       |  abs(l_discount - 0.05) AS ab,
       |  greatest(l_quantity, CAST(10.0 AS DOUBLE)) AS g,
       |  least(l_quantity, CAST(10.0 AS DOUBLE)) AS l,

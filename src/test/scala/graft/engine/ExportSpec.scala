@@ -72,4 +72,19 @@ class ExportSpec extends AnyFunSuite {
     val empty = Export.toCsvParts(df.filter($"id" < 0), header = false)
     assert(empty.rows == 0 && empty.parts.isEmpty)
   }
+
+  test("A16 at scale: distributed writeCsv round-trips through the catalog") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, "a,b"), (2L, "say \"hi\""), (3L, "plain"))
+      .toDF("id", "s")
+    val dir = java.nio.file.Files.createTempDirectory("csvout")
+      .resolve("out.csv")
+    Export.writeCsv(df, dir.toString)
+    val back = Catalog.read(spark, dir) // same RFC-4180 reader options
+    // inferSchema narrows small ids to INT — compare through strings
+    assert(back.orderBy("id").collect()
+      .map(r => (r.get(0).toString, r.getString(1))).toSeq ==
+      Seq(("1", "a,b"), ("2", "say \"hi\""), ("3", "plain")))
+  }
 }
