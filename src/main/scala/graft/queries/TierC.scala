@@ -367,7 +367,10 @@ object TierC {
         col("pos").cast(LongType).as("pos"), col("col").as("val"),
         col("st.f").as("flag"),
         element_at(col("mp"), "s").as("status"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("pos"))
+      // (l_orderkey, l_linenumber) is not unique — order by every column
+      // so any residual tie is an identical row
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("pos"),
+        col("val"), col("flag"), col("status"))
 
   val nestedTypesSql: String =
     """SELECT l_orderkey, l_linenumber, i - 1 AS pos,
@@ -378,7 +381,7 @@ object TierC {
       |        MAP(['s'], [l_linestatus]) AS mp
       |      FROM lineitem WHERE l_orderkey <= 3),
       |     (SELECT unnest(range(1, 4)) AS i)
-      |ORDER BY l_orderkey, l_linenumber, pos""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, pos, val, flag, status""".stripMargin
 
   /** JSON extraction from the events.props string column (get_json_object ↔
     * json_extract_string). DuckDB SUM(BIGINT) widens to HUGEINT, so the

@@ -31,11 +31,14 @@ object TierCSql {
     s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
   // B2: named full-scan projection + deterministic ORDER BY + LIMIT.
-  // Identical text both engines.
+  // Identical text both engines. (l_orderkey, l_linenumber) is NOT unique
+  // in the testdata, so the ORDER BY covers every output column — any
+  // remaining tie is a fully identical row and the LIMIT boundary becomes
+  // order-insensitive.
   val sqlSelect: String =
     """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
       |FROM lineitem
-      |ORDER BY l_orderkey, l_linenumber
+      |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_returnflag
       |LIMIT 20""".stripMargin
 
   // B3: scan by file-path literal. Spark spells it parquet.`path`; the
@@ -44,7 +47,7 @@ object TierCSql {
     s.sql(
       s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
          |FROM parquet.`$dir/lineitem.parquet`
-         |ORDER BY l_orderkey, l_linenumber
+         |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_returnflag
          |LIMIT 20""".stripMargin)
 
   // CTE (WITH): monthly revenue off a CTE, filtered and ordered. The Spark
@@ -161,7 +164,10 @@ object TierCSql {
       |  least(l_quantity, CAST(10.0 AS DOUBLE)) AS l,
       |  CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS y,
       |  CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS mo
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, ce, y, mo, ab, g, l, fl, u, s2,
+      |         rr, is_r, r1
+      |LIMIT 100""".stripMargin
 
   // Recursive CTE (Spark 4 WITH RECURSIVE ↔ DuckDB) — identical text.
   val recursiveCte: String =
