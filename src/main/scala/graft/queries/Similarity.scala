@@ -36,16 +36,18 @@ object Similarity {
 
   // --- Brute-force exact top-k --------------------------------------------
 
-  /** Exact cosine top-10 neighbors of vec_id 0. */
+  /** Exact cosine top-10 neighbors of vec_id 0. The cosine is the native
+    * codegen expression `graft.functions.CosineSimilarity` — bit-identical
+    * to the SQL fold formulation by construction (same IEEE op sequence),
+    * registered so the SQL path can call `cosine_sim(a, b)` too. */
   val bruteForce: Q = (s, dir) => {
+    graft.functions.CosineSimilarity.register(s)
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0)
-      .withColumn("cosine",
-        expr(dotExpr("embedding", "q_emb")) /
-          (expr(normExpr("embedding")) * expr(normExpr("q_emb"))))
+      .withColumn("cosine", expr("cosine_sim(embedding, q_emb)"))
       .select(col("vec_id"), col("label"), col("cosine"))
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(10)
@@ -152,15 +154,14 @@ object Similarity {
     * demonstration value; the SHAPE is the 100 TB one: O(sum of squared
     * bucket sizes), not O(N²). */
   val embeddingNearDup: Q = (s, dir) => {
+    graft.functions.CosineSimilarity.register(s)
     val bucketed = t(s, dir, "embeddings")
       .withColumn("bucket", expr(bucketExpr))
       .select(col("vec_id"), col("embedding"), col("bucket"))
     val a = bucketed.toDF("d1", "e1", "bucket")
     val b = bucketed.toDF("d2", "e2", "bucket2")
     a.join(b, col("bucket") === col("bucket2") && col("d1") < col("d2"))
-      .withColumn("cosine",
-        expr(dotExpr("e1", "e2")) /
-          (expr(normExpr("e1")) * expr(normExpr("e2"))))
+      .withColumn("cosine", expr("cosine_sim(e1, e2)"))
       .filter(col("cosine") >= 0.35)
       .select(col("d1"), col("d2"), col("cosine"))
       .orderBy(col("d1"), col("d2"))
