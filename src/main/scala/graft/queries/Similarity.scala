@@ -106,15 +106,14 @@ object Similarity {
   /** ANN via hyperplane-LSH bucket: candidates share vec 0's bucket; exact
     * cosine ranks within the bucket. */
   val lshBucket: Q = (s, dir) => {
+    graft.functions.CosineSimilarity.register(s)
     val bucketed = t(s, dir, "embeddings")
       .withColumn("bucket", expr(bucketExpr))
     val qb = bucketed.filter(col("vec_id") === 0)
       .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb"))
     bucketed.join(broadcast(qb), col("bucket") === col("q_bucket"))
       .filter(col("vec_id") =!= 0)
-      .withColumn("cosine",
-        expr(dotExpr("embedding", "q_emb")) /
-          (expr(normExpr("embedding")) * expr(normExpr("q_emb"))))
+      .withColumn("cosine", expr("cosine_sim(embedding, q_emb)"))
       .select(col("vec_id"), col("label"), col("bucket"), col("cosine"))
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(5)
@@ -193,11 +192,11 @@ object Similarity {
     * a broadcast of 16 centroids against one scan — never a wide shuffle;
     * ties break deterministically by (cosine desc, centroid id). */
   val ivfFlat: Q = (s, dir) => {
+    graft.functions.CosineSimilarity.register(s)
     val emb = t(s, dir, "embeddings")
     val cents = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    def cosTo(e: String, c: String) =
-      expr(dotExpr(e, c)) / (expr(normExpr(e)) * expr(normExpr(c)))
+    def cosTo(e: String, c: String) = expr(s"cosine_sim($e, $c)")
     val byCos = Window.partitionBy(col("vec_id"))
       .orderBy(desc("ccos"), col("cent_id"))
     val assigned = emb.crossJoin(broadcast(cents))
