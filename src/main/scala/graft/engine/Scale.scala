@@ -1,0 +1,38 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale techniques that need explicit opt-in: bucketing for co-located
+  * joins and salting for skewed aggregations. (Pushdown, AQE partition
+  * coalescing and skew-join splitting are already on by default in
+  * `Session`; these two are the layout/rewrite decisions Spark cannot make
+  * for you.)
+  */
+object Scale {
+
+  /** Persist a DataFrame as a parquet table bucketed (and sorted) by the
+    * join key. Two tables bucketed by the same key into the same bucket
+    * count join with NO shuffle exchange on either side — at 100 TB this
+    * converts every fact⋈fact join on the bucket key from a full-data
+    * shuffle into local merges (asserted shuffle-free in ScaleSpec). */
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Two-stage salted aggregation for skewed group keys: stage 1 groups on
+    * (key, salt) — splitting a hot key across `nSalts` reducers — stage 2
+    * merges the partials per key. The salt derives from stable row content
+    * (hash of all columns), keeping the result deterministic. Correct for
+    * decomposable aggregates (count/sum/min/max — partial+merge). */
+  def saltedSum(
+      df: DataFrame, key: Column, value: Column, nSalts: Int): DataFrame = {
+    val salt = pmod(hash(df.columns.map(col).toSeq: _*), lit(nSalts))
+    df.groupBy(key.as("k"), salt.as("_salt"))
+      .agg(sum(value).as("_partial"))
+      .groupBy(col("k"))
+      .agg(sum(col("_partial")).as("total"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located joins (no shuffle) + salted skew aggregation. */
+class ScaleSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed tables join with no shuffle exchange") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    Scale.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    Scale.writeBucketed(o, "o_bucketed", "o_orderkey", 8)
+
+    // disable auto-broadcast so the planner has to pick the join the
+    // bucketing exists for (fact⋈fact at scale is never broadcastable)
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = Engine.explain(joined)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      // and it still computes the right thing
+      assert(joined.count() ==
+        li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
+  test("salted aggregation matches the direct group-by") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val salted = Scale.saltedSum(
+        li, col("l_returnflag"), col("l_quantity"), nSalts = 7)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = li.groupBy("l_returnflag").agg(sum("l_quantity"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted.keySet == direct.keySet)
+    // double sums differ only by association order; compare to tolerance
+    salted.foreach { case (k, v) =>
+      assert(math.abs(v - direct(k)) <= 1e-9 * math.max(1.0, math.abs(v)))
+    }
+  }
+}
