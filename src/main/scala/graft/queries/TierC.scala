@@ -257,6 +257,68 @@ object TierC {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** The rank-function family over the monthly aggregate: rank/dense_rank
+    * (tie-tolerant by definition), ntile, lead, and first_value with a
+    * full-frame window. Every window ORDER BY ends in the unique `mes` so
+    * ties cannot leak nondeterminism into lead/first_value. */
+  val windowRanks: Q = (s, dir) => {
+    val m = t(s, dir, "lineitem")
+      .groupBy(monthStr(col("l_shipdate")).as("mes"))
+      .agg(count(lit(1)).as("n"))
+    val byNDesc = Window.orderBy(desc("n"), col("mes"))
+    val byMes = Window.orderBy(col("mes"))
+    m.select(col("mes"), col("n"),
+        rank().over(byNDesc).cast(LongType).as("rnk"),
+        dense_rank().over(byNDesc).cast(LongType).as("drnk"),
+        ntile(4).over(byMes).cast(LongType).as("quartile"),
+        lead(col("n"), 1).over(byMes).as("next_n"),
+        first_value(col("mes")).over(
+          byNDesc.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).as("busiest"))
+      .orderBy(col("mes"))
+  }
+
+  val windowRanksSql: String =
+    s"""WITH m AS (SELECT ${oMonth("l_shipdate")} AS mes, COUNT(*) AS n
+       |           FROM lineitem GROUP BY mes)
+       |SELECT mes, n,
+       |  CAST(RANK() OVER (ORDER BY n DESC, mes) AS BIGINT) AS rnk,
+       |  CAST(DENSE_RANK() OVER (ORDER BY n DESC, mes) AS BIGINT) AS drnk,
+       |  CAST(NTILE(4) OVER (ORDER BY mes) AS BIGINT) AS quartile,
+       |  LEAD(n, 1) OVER (ORDER BY mes) AS next_n,
+       |  FIRST_VALUE(mes) OVER (ORDER BY n DESC, mes
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |    AS busiest
+       |FROM m ORDER BY mes""".stripMargin
+
+  /** Exact continuous percentiles (Spark `percentile` ↔ DuckDB
+    * `quantile_cont`, both linear interpolation). l_quantity is
+    * integer-valued, so quartile interpolation lands on exact binary
+    * fractions and parity is exact; the HASH-FREE approx variant is
+    * `c_approx_quantile` (engines use different sketches by design). */
+  val percentile_ : Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("med"),
+        expr("percentile(l_quantity, 0.25)").as("q1"),
+        expr("percentile(l_quantity, 0.75)").as("q3"))
+      .orderBy(col("l_returnflag"))
+
+  val percentileSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS med,
+      |  quantile_cont(l_quantity, 0.25) AS q1,
+      |  quantile_cont(l_quantity, 0.75) AS q3
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Approximate quantile (rows-only: sketch algorithms differ between
+    * engines by design, like c_approx_distinct). */
+  val approxQuantile: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("med"))
+      .orderBy(col("l_returnflag"))
+
   // --- Grouping extensions -------------------------------------------------
 
   /** ROLLUP over two dims; NULL grouping keys rendered 'ALL' so the output
@@ -478,6 +540,9 @@ object TierC {
     "c_window_topk" -> windowTopk,
     "c_window_lag" -> windowLag,
     "c_window_frame" -> windowFrame,
+    "c_window_ranks" -> windowRanks,
+    "c_percentile" -> percentile_,
+    "c_approx_quantile" -> approxQuantile,
     "c_rollup" -> rollup,
     "c_cube" -> cube_,
     "c_agg_distinct" -> aggDistinct,
@@ -500,6 +565,9 @@ object TierC {
     "c_window_topk" -> windowTopkSql,
     "c_window_lag" -> windowLagSql,
     "c_window_frame" -> windowFrameSql,
+    "c_window_ranks" -> windowRanksSql,
+    "c_percentile" -> percentileSql,
+    // c_approx_quantile: no oracle (rows-only), like c_approx_distinct
     "c_rollup" -> rollupSql,
     "c_cube" -> cubeSql,
     "c_agg_distinct" -> aggDistinctSql,
