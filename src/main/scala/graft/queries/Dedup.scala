@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
 
 import Tables._
 
@@ -33,13 +34,19 @@ object Dedup {
       |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
       |                 element_at(ws, i + 2)))""".stripMargin
 
-  /** (doc_id, shingle) distinct pairs — the inverted-index input. */
+  /** (doc_id, shingle) distinct pairs — the inverted-index input. Cached:
+    * ngram-Jaccard consumes it three times (pair generation + two per-doc
+    * counts) and minhash once more; without the cache Spark recomputes the
+    * scan→split→explode→distinct subtree per consumer. At 100 TB the analog
+    * is materializing the inverted index once (checkpoint / intermediate
+    * parquet) before candidate generation. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   private val oShingles =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -67,18 +74,29 @@ object Dedup {
 
   // --- n-gram Jaccard near-dup --------------------------------------------
 
-  /** Exact trigram-Jaccard near-dup pairs via inverted index: explode
-    * shingles, self-join on the shingle (shuffle key), count common
-    * shingles per pair, Jaccard = common / (|A| + |B| - common). Only the
-    * final division is floating point — one op over exact integers, so
-    * deterministic across engines. */
+  /** Exact trigram-Jaccard near-dup pairs via inverted index: group the
+    * index by shingle (ONE shuffle of the index — a self-join would shuffle
+    * it twice), emit every ordered doc pair within a posting list with a
+    * higher-order transform (map-side, no join), count common shingles per
+    * pair, Jaccard = common / (|A| + |B| - common). Only the final division
+    * is floating point — one op over exact integers, so deterministic
+    * across engines. Posting lists are sorted, so d1 < d2 by construction.
+    * At scale, cap posting-list length (drop shingles in >K docs) to bound
+    * the quadratic fan-out; omitted here to keep the oracle byte-equal. */
   val ngramJaccard: Q = (s, dir) => {
     val sh = shingles(s, dir)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    val a = sh.toDF("d1", "sh")
-    val b = sh.toDF("d2", "sh2")
-    val common = a
-      .join(b, col("sh") === col("sh2") && col("d1") < col("d2"))
+    val pairs = sh
+      .groupBy(col("sh"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |            d -> named_struct('d1', a, 'd2', d))))""".stripMargin))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    val common = pairs
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("common"))
     common
@@ -109,32 +127,36 @@ object Dedup {
   // 16 permutation hashes h_i(x) = (A[i]*x + B[i]) mod p over a 28-bit
   // md5-derived shingle key; 4 bands of 4 rows. All integer arithmetic —
   // exact on both engines.
-  private val A = "array(7,11,13,17,19,23,29,31,37,41,43,47,53,59,61,67)"
-  private val B = "array(3,5,101,211,307,401,503,601,701,809,907,1009," +
-    "1103,1201,1301,1409)"
+  private val As = Array(7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47,
+    53, 59, 61, 67)
+  private val Bs = Array(3L, 5L, 101L, 211L, 307L, 401L, 503L, 601L, 701L,
+    809L, 907L, 1009L, 1103L, 1201L, 1301L, 1409L)
   private val P = 2147483647L
 
   /** MinHash-LSH near-dup candidates: signature → banded bucket keys →
-    * pairs sharing any band. The only shuffles are groupBy(doc, seed) on
-    * signatures and the band-key self-join — never all pairs. */
+    * pairs sharing any band. The 16-value signature is computed as 16
+    * parallel `min` aggregates in ONE groupBy(doc_id) — never exploding the
+    * index 16× into (doc, shingle, seed) rows (the partial aggregate
+    * combines map-side, so the doc_id shuffle carries 16 longs per doc).
+    * The only shuffles are that signature aggregation and the band-key
+    * self-join on (band, key) — never all pairs. */
   val minhashLsh: Q = (s, dir) => {
     val sh = shingles(s, dir)
       .withColumn("x",
         conv(substring(md5(col("sh")), 1, 7), 16, 10).cast(LongType))
-    val hashed = sh
-      .select(col("doc_id"), col("x"),
-        explode(expr("sequence(0, 15)")).as("i"))
-      .withColumn("h",
-        expr(s"(element_at($A, i + 1) * x + element_at($B, i + 1)) % $P"))
-    val sig = hashed.groupBy(col("doc_id"), col("i")).agg(min("h").as("mh"))
-    val bands = sig
-      .withColumn("band", expr("CAST(i / 4 AS INT)"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(expr(
-        "array_join(transform(array_sort(collect_list(struct(i, mh)))," +
-          " s -> CAST(s.mh AS STRING)), ',')").as("key"))
-    val l = bands.toDF("d1", "band", "key")
-    val r = bands.toDF("d2", "band2", "key2")
+    val sig = sh
+      .groupBy(col("doc_id"))
+      .agg(min(expr(s"(${As(0)} * x + ${Bs(0)}) % $P")).as("mh0"),
+        (1 until 16).map(i =>
+          min(expr(s"(${As(i)} * x + ${Bs(i)}) % $P")).as(s"mh$i")): _*)
+    val bandKeys = (0 until 4).map(b =>
+      concat_ws(",", (0 until 4).map(r => col(s"mh${4 * b + r}")): _*))
+    val withKeys = sig.select(col("doc_id") +:
+      (0 until 4).map(b => bandKeys(b).as(s"k$b")): _*)
+    val unpivoted = withKeys.select(col("doc_id"),
+      expr("stack(4, 0, k0, 1, k1, 2, k2, 3, k3)").as(Seq("band", "key")))
+    val l = unpivoted.toDF("d1", "band", "key")
+    val r = unpivoted.toDF("d2", "band2", "key2")
     l.join(r, col("band") === col("band2") && col("key") === col("key2") &&
         col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
@@ -166,26 +188,28 @@ object Dedup {
   // --- SimHash -------------------------------------------------------------
 
   /** 32-bit SimHash fingerprints over distinct words: per bit, sum +1/-1 by
-    * the word-hash bit, then assemble the fingerprint. (Formulated as
-    * explode + two aggs for clarity; the same computation is expressible
-    * map-side per document with higher-order functions, making it
-    * shuffle-free at scale.) */
+    * the word-hash bit, then assemble the fingerprint. The 32 bit-sums are
+    * 32 parallel conditional-sum aggregates in ONE groupBy(doc_id) — never
+    * exploding (doc, word) 32× into per-bit rows. Partial aggregation
+    * combines map-side, so the shuffle carries 32 longs per doc; at 100 TB
+    * the same shape holds (and the word-distinct shuffle keys on
+    * (doc_id, word), never full documents). */
   val simhash: Q = (s, dir) => {
     val words = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .distinct()
       .withColumn("x",
         conv(substring(md5(col("word")), 1, 8), 16, 10).cast(LongType))
-    words
-      .select(col("doc_id"), col("x"),
-        explode(expr("sequence(0, 31)")).as("b"))
-      .withColumn("contrib",
-        expr("IF((shiftright(x, b) & 1) = 1, 1, -1)"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("contrib")).as("sc"))
-      .withColumn("bit", expr("IF(sc > 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT))"))
+    val sums = words
       .groupBy(col("doc_id"))
-      .agg(sum(expr("shiftleft(bit, b)")).cast(LongType).as("simhash"))
+      .agg(sum(expr("IF((shiftright(x, 0) & 1) = 1, 1, -1)")).as("sc0"),
+        (1 until 32).map(b =>
+          sum(expr(s"IF((shiftright(x, $b) & 1) = 1, 1, -1)")).as(s"sc$b")): _*)
+    val fingerprint = (0 until 32)
+      .map(b => expr(s"IF(sc$b > 0, CAST(${1L << b} AS BIGINT), CAST(0 AS BIGINT))"))
+      .reduce(_ + _)
+    sums
+      .select(col("doc_id"), fingerprint.cast(LongType).as("simhash"))
       .orderBy(col("doc_id"))
       .limit(200)
   }
