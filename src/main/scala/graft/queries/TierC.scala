@@ -122,6 +122,94 @@ object TierC {
       |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
       |ORDER BY c_custkey""".stripMargin
 
+  /** As-of join: each purchase event matched to the MOST RECENT prior (or
+    * simultaneous) click by the same user. Spark has no ASOF JOIN operator
+    * (DuckDB does — the oracle uses it), so this is the scalable union +
+    * running-`last()` formulation: tag both sides, union, and take
+    * `last(click_ts, ignoreNulls)` over (user, time) with side 0 (click)
+    * ordered before side 1 (purchase) at equal timestamps so `>=`
+    * semantics match. ONE shuffle on user_id + a per-partition sort —
+    * never a per-row subquery or a range self-join; at 100 TB this is the
+    * standard log-enrichment shape (skewed users handled by AQE).
+    * Timestamps compared and emitted at microsecond precision on both
+    * sides (events.ts is nanos in the parquet; DuckDB truncates to micros
+    * on read, Spark via `ts div 1000`). */
+  val joinAsof: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(ts div 1000 AS BIGINT)").as("us"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), lit(1).as("side"),
+        col("event_id"), lit(null).cast(LongType).as("c_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), lit(0).as("side"),
+        lit(null).cast(LongType).as("event_id"), col("us").as("c_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("click_us", last(col("c_us"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("us").as("purchase_us"), col("click_us"))
+      .orderBy(col("event_id"))
+      .limit(2000)
+  }
+
+  val joinAsofSql: String =
+    """SELECT p.event_id, CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+      |  CAST(epoch_us(c.ts) AS BIGINT) AS click_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN
+      |  (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id LIMIT 2000""".stripMargin
+
+  /** Pure inequality (theta/band) join: events bucketed into value bands
+    * from a 3-row literal dim. No equi-key exists, so Spark plans a
+    * BroadcastNestedLoopJoin — the ONLY scale-safe shape for a non-equi
+    * join, and safe exactly because the build side is constant-size; the
+    * probe side streams without a shuffle. */
+  val joinTheta: Q = (s, dir) => {
+    val bands = s.createDataFrame(Seq(
+      ("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1e18)))
+      .toDF("name", "lo", "hi")
+    t(s, dir, "events")
+      .join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("name"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("users"))
+      .orderBy(col("name"))
+  }
+
+  val joinThetaSql: String =
+    """WITH bands AS (SELECT * FROM (VALUES ('low', 0.0, 10.0),
+      |  ('mid', 10.0, 100.0), ('high', 100.0, 1e18)) AS v(name, lo, hi))
+      |SELECT name, COUNT(*) AS n,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+      |FROM events JOIN bands ON value >= lo AND value < hi
+      |GROUP BY name ORDER BY name""".stripMargin
+
+  /** Equi + range join: lineitem rows shipped within 60 days of their
+    * order's date. The equi key (orderkey) drives a co-partitioned
+    * sort-merge/shuffled-hash join at scale; the BETWEEN band is evaluated
+    * as a join residual on co-located rows — never a cross product. */
+  val joinRange: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_early"))
+      .orderBy(col("o_orderpriority"))
+
+  val joinRangeSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_early
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      | AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 60 DAY
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // --- Window functions ----------------------------------------------------
 
   private def monthlySupplier(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -537,6 +625,9 @@ object TierC {
     "c_join_left" -> joinLeft,
     "c_join_semi" -> joinSemi,
     "c_join_anti" -> joinAnti,
+    "c_join_asof" -> joinAsof,
+    "c_join_theta" -> joinTheta,
+    "c_join_range" -> joinRange,
     "c_window_topk" -> windowTopk,
     "c_window_lag" -> windowLag,
     "c_window_frame" -> windowFrame,
@@ -562,6 +653,9 @@ object TierC {
     "c_join_left" -> joinLeftSql,
     "c_join_semi" -> joinSemiSql,
     "c_join_anti" -> joinAntiSql,
+    "c_join_asof" -> joinAsofSql,
+    "c_join_theta" -> joinThetaSql,
+    "c_join_range" -> joinRangeSql,
     "c_window_topk" -> windowTopkSql,
     "c_window_lag" -> windowLagSql,
     "c_window_frame" -> windowFrameSql,
