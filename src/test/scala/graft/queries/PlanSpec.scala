@@ -44,4 +44,32 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf(TierCSql.queries("c_sql_select")(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("c_join_theta: non-equi join broadcasts the constant band dim") {
+    val p = planOf(TierC.joinTheta(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("c_join_asof: one window pass, no join operator in the plan") {
+    val p = planOf(TierC.joinAsof(spark, dir))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+  }
+
+  test("c_join_range: band predicate is a residual on the equi join") {
+    val p = planOf(TierC.joinRange(spark, dir))
+    assert(p.contains("Join") || p.contains("join"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"equi+range must not degrade to a nested loop:\n$p")
+  }
+
+  test("sum_sq UDAF: typed Dataset-side aggregation matches SQL-side") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(1L, 2L, 3L, 4L))
+    val typed = ds.select(graft.functions.SumSq.toColumn).head()
+    assert(typed === 30L)
+    val viaQuery = TierC.udafSumsq(spark, dir)
+    val row = viaQuery.filter($"l_returnflag" === "R").head()
+    assert(row.getAs[Long]("ssq") > 0L)
+  }
 }
