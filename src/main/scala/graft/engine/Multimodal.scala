@@ -82,4 +82,25 @@ object Multimodal {
     df.withColumn("frames",
       expr(s"transform(sequence(0, $n - 1), i -> " +
         s"substring($binaryCol, CAST(i * greatest(length($binaryCol) div $n, 1) AS INT) + 1, 16))"))
+
+  /** Feature-extraction stub: a `dim`-float embedding per payload, derived
+    * deterministically from content hashes (values in [-1, 1]). A real
+    * model replaces the expression with a batched encoder behind the same
+    * column contract: `array<float>` named `embedding`, ready for the
+    * `p_sim_*` ANN path (Similarity.scala) unchanged. Pure codegen'd SQL
+    * expressions — no UDF, no per-row JVM boundary — so it runs inside
+    * whole-stage codegen and scales map-side with zero shuffles. */
+  def withStubEmbedding(
+      df: DataFrame, binaryCol: String, dim: Int): DataFrame =
+    df.withColumn("embedding",
+      expr(s"""transform(sequence(0, $dim - 1), i ->
+        |  CAST((CAST(CONV(SUBSTRING(md5(concat(base64($binaryCol), CAST(i AS STRING))), 1, 7), 16, 10) AS DOUBLE)
+        |        / 134217728.0 - 1.0) AS FLOAT))""".stripMargin))
+
+  /** Resize stub: clamps the payload to `maxBytes` (real impl: decode →
+    * scale → re-encode inside the same per-partition decoder discipline as
+    * `withDecodedMeta`). Keeps the binary column contract. */
+  def resizeStub(df: DataFrame, binaryCol: String, maxBytes: Int): DataFrame =
+    df.withColumn(binaryCol,
+      expr(s"substring($binaryCol, 1, $maxBytes)"))
 }
