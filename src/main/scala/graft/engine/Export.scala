@@ -65,4 +65,15 @@ object Export {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.option("header", "true").option("escape", "\"")
       .mode("overwrite").csv(path)
+
+  /** Distributed NDJSON export (the `COPY TO (FORMAT json)` analog of the
+    * delegated writer surface) — one JSON object per line, readable back by
+    * `Catalog`'s `.ndjson` route. */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Distributed parquet export (`COPY TO (FORMAT parquet)` analog) —
+    * self-describing schema, the right interchange format at scale. */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
 }

@@ -87,4 +87,19 @@ class ExportSpec extends AnyFunSuite {
       .map(r => (r.get(0).toString, r.getString(1))).toSeq ==
       Seq(("1", "a,b"), ("2", "say \"hi\""), ("3", "plain")))
   }
+
+  test("writeJson / writeParquet round-trip (COPY TO analogs)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, "a\"b"), (2L, "x")).toDF("id", "s")
+    val base = java.nio.file.Files.createTempDirectory("expout")
+    Export.writeJson(df, base.resolve("out.ndjson").toString)
+    Export.writeParquet(df, base.resolve("out.parquet").toString)
+    val j = Catalog.read(spark, base.resolve("out.ndjson"))
+    val p = Catalog.read(spark, base.resolve("out.parquet"))
+    for (back <- Seq(j, p))
+      assert(back.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a\"b"), (2L, "x")))
+  }
 }
