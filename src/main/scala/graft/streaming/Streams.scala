@@ -44,6 +44,16 @@ object Streams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup — the stream twin of `p_dedup_exact`: drop
+    * repeats of a content key, with the watermark bounding the dedup state
+    * to the late-arrival horizon (unbounded-history dedup is a state leak
+    * at 100 TB; `dropDuplicatesWithinWatermark` expires keys once they
+    * cannot collide with admissible late data anymore). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)
   final case class UserTotal(user_id: Long, n_events: Long, n_errors: Long)
 

@@ -13,6 +13,27 @@ class StreamsSpec extends AnyFunSuite {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("dedupStream: repeats of a content key are dropped, state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "content")
+    val q = Streams.dedupStream(df, Seq("content")).writeStream
+      .outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), "doc-a"),
+        (ts("2024-01-01 10:01:00"), "doc-a"), // dup within watermark
+        (ts("2024-01-01 10:02:00"), "doc-b"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:03:00"), "doc-a")) // still a dup
+      q.processAllAvailable()
+      val out = spark.table("dedup").select("content")
+        .collect().map(_.getString(0)).toSeq
+      assert(out.sorted == Seq("doc-a", "doc-b"))
+    } finally q.stop()
+  }
+
   test("hourlyCounts: windowed counts finalize after the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
