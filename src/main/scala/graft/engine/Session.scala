@@ -30,6 +30,9 @@ object Session {
       .builder()
       .master(master)
       .appName("graft")
+      // engine-level Catalyst rules (e.g. the NULLIF pushdown rewrite) ride
+      // the public extension point so they apply to ALL user SQL
+      .withExtensions(graft.plans.NullifPushdown.install)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
