@@ -230,6 +230,48 @@ object TierC {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** PIVOT: status columns from row values. Explicit value list ("F","O")
+    * so the plan is a single two-phase aggregate — Spark's pivot WITHOUT
+    * the list first runs a distinct scan to discover values, an extra pass
+    * worth avoiding at 100 TB when the domain is known. */
+  val pivot_ : Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(decSum("l_quantity").cast(DoubleType))
+      .orderBy(col("l_returnflag"))
+
+  val pivotSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+      |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+      |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** UNPIVOT (melt): wide aggregate → (key, measure, value) long form via
+    * Dataset.unpivot — a Generator-backed map-side expansion, no shuffle
+    * beyond the aggregate's own. */
+  val unpivot_ : Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(dsum("l_quantity").as("sum_qty"),
+        dsum("l_extendedprice").as("sum_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  val unpivotSql: String =
+    s"""WITH a AS (SELECT l_returnflag,
+       |  ${oDsum("l_quantity")} AS sum_qty,
+       |  ${oDsum("l_extendedprice")} AS sum_price
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+       |UNION ALL
+       |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value
+       |FROM a
+       |ORDER BY l_returnflag, measure""".stripMargin
+
   // --- Window functions ----------------------------------------------------
 
   private def monthlySupplier(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -649,6 +691,8 @@ object TierC {
     "c_join_theta" -> joinTheta,
     "c_join_range" -> joinRange,
     "c_udaf_sumsq" -> udafSumsq,
+    "c_pivot" -> pivot_,
+    "c_unpivot" -> unpivot_,
     "c_window_topk" -> windowTopk,
     "c_window_lag" -> windowLag,
     "c_window_frame" -> windowFrame,
@@ -678,6 +722,8 @@ object TierC {
     "c_join_theta" -> joinThetaSql,
     "c_join_range" -> joinRangeSql,
     "c_udaf_sumsq" -> udafSumsqSql,
+    "c_pivot" -> pivotSql,
+    "c_unpivot" -> unpivotSql,
     "c_window_topk" -> windowTopkSql,
     "c_window_lag" -> windowLagSql,
     "c_window_frame" -> windowFrameSql,
