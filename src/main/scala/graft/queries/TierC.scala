@@ -135,19 +135,22 @@ object TierC {
     * sides (events.ts is nanos in the parquet; DuckDB truncates to micros
     * on read, Spark via `ts div 1000`). */
   val joinAsof: Q = (s, dir) => {
-    val ev = t(s, dir, "events")
-      .select(col("event_id"), col("user_id"),
-        expr("CAST(ts div 1000 AS BIGINT)").as("us"), col("event_type"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("us"), lit(1).as("side"),
-        col("event_id"), lit(null).cast(LongType).as("c_us"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("us"), lit(0).as("side"),
-        lit(null).cast(LongType).as("event_id"), col("us").as("c_us"))
+    // ONE scan with a conditional projection, not a union of two filtered
+    // scans — the IN filter pushes down and the side/carry columns are
+    // map-side expressions (PlanSpec asserts the single scan).
+    val tagged = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"),
+        expr("CAST(ts div 1000 AS BIGINT)").as("us"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
+        when(col("event_type") === "purchase", col("event_id"))
+          .as("event_id"),
+        when(col("event_type") === "click",
+          expr("CAST(ts div 1000 AS BIGINT)")).as("c_us"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    purchases.unionByName(clicks)
+    tagged
       .withColumn("click_us", last(col("c_us"), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("event_id"), col("us").as("purchase_us"), col("click_us"))

@@ -50,10 +50,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("c_join_asof: one window pass, no join operator in the plan") {
+  test("c_join_asof: one window pass, one scan, no join operator") {
     val p = planOf(TierC.joinAsof(spark, dir))
     assert(p.contains("Window"), p)
     assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    // simple mode prints each node once (formatted repeats them in details)
+    val tree = graft.engine.Engine.explain(TierC.joinAsof(spark, dir), "simple")
+    val scans = "Scan parquet".r.findAllIn(tree).size
+    assert(scans == 1, s"as-of must read events once, saw $scans scans:\n$tree")
+  }
+
+  test("c_pivot: explicit value list keeps it to one scan + one aggregate") {
+    val tree = graft.engine.Engine.explain(TierC.pivot_(spark, dir), "simple")
+    val scans = "Scan parquet".r.findAllIn(tree).size
+    assert(scans == 1, s"pivot must not add a distinct-discovery scan:\n$tree")
   }
 
   test("c_join_range: band predicate is a residual on the equi join") {
