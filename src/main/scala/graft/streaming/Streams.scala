@@ -54,6 +54,14 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static join: enrich a stream with a batch dimension table.
+    * Spark re-plans the static side per micro-batch; with a small dim the
+    * planner broadcasts it, so the stream side never shuffles — the
+    * standard streaming-enrichment shape (the streaming twin of
+    * `c_join_inner`'s broadcast dim). */
+  def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)
   final case class UserTotal(user_id: Long, n_events: Long, n_errors: Long)
 

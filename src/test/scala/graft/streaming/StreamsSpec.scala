@@ -34,6 +34,24 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("enriched: stream-static join carries dim columns, left-preserves") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("user_id", "event_type")
+    val q = Streams.enriched(df, dim, "user_id").writeStream
+      .outputMode("append").format("memory").queryName("enriched").start()
+    try {
+      in.addData((1L, "click"), (3L, "view"))
+      q.processAllAvailable()
+      val out = spark.table("enriched")
+        .select("user_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(out == Set((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("hourlyCounts: windowed counts finalize after the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
