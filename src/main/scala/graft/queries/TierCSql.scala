@@ -184,6 +184,31 @@ object TierCSql {
   val quotingOracle: String =
     "SELECT 'it''s' AS v1, CAST(42 AS BIGINT) AS \"weird name\""
 
+  // GROUPING() disambiguates rolled-up NULLs from genuine NULL keys —
+  // the COALESCE('ALL') idiom alone is ambiguous. Identical text both
+  // engines (both return 0/1 per key).
+  val groupingFn: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      |  COALESCE(l_linestatus, 'ALL') AS status,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
+  // LATERAL correlated subquery: top-2 orders per customer — the
+  // greatest-n-per-group shape as the user would type it. Identical text
+  // both engines; o_totalprice is a stored DOUBLE (no arithmetic), so it
+  // hash-matches without canonicalization.
+  val lateralTopn: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |WHERE c.c_custkey <= 20
+      |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "c_sql_select" -> q(sqlSelect),
     "c_sql_path" -> pathQ,
@@ -198,7 +223,9 @@ object TierCSql {
     "c_sql_view_script" -> script(viewScript),
     "c_scalar_funcs" -> q(scalarFuncs),
     "c_recursive_cte" -> q(recursiveCte),
-    "c_sql_quoting" -> q(quotingSpark))
+    "c_sql_quoting" -> q(quotingSpark),
+    "c_grouping_fn" -> q(groupingFn),
+    "c_lateral_topn" -> q(lateralTopn))
 
   val oracle: Map[String, String] = Map(
     "c_sql_select" -> sqlSelect,
@@ -214,5 +241,7 @@ object TierCSql {
     "c_sql_view_script" -> viewScriptOracle,
     "c_scalar_funcs" -> scalarFuncs,
     "c_recursive_cte" -> recursiveCte,
-    "c_sql_quoting" -> quotingOracle)
+    "c_sql_quoting" -> quotingOracle,
+    "c_grouping_fn" -> groupingFn,
+    "c_lateral_topn" -> lateralTopn)
 }
