@@ -48,4 +48,19 @@ object Engine {
     Sql.splitStatements(script).foldLeft(Option.empty[DataFrame]) {
       (_, stmt) => Some(spark.sql(stmt))
     }
+
+  /** Error surface: the reference catches engine failures and shows
+    * `err.message` (`/root/reference/src/App.tsx:382-383,441-444`). The
+    * analog contract here: analysis/parse errors (the errors a SQL author
+    * causes) come back as Left(message) instead of a stack trace. Runtime
+    * task failures still surface on materialization — at scale those are
+    * infrastructure events, not statement authoring errors. */
+  def tryQuery(spark: SparkSession, statement: String): Either[String, DataFrame] =
+    try Right(spark.sql(statement))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        Left(e.getMessage)
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        Left(e.getMessage)
+    }
 }

@@ -37,4 +37,13 @@ class EngineSpec extends AnyFunSuite {
     val txt = Engine.explain(Engine.sql(spark, "SELECT 1 AS one"))
     assert(txt.contains("== Physical Plan =="))
   }
+
+  test("tryQuery: authoring errors come back as messages, not throws") {
+    assert(Engine.tryQuery(spark, "SELECT 1 AS ok").isRight)
+    val parse = Engine.tryQuery(spark, "SELEC 1")
+    assert(parse.isLeft && parse.swap.exists(_.nonEmpty))
+    val analysis = Engine.tryQuery(spark, "SELECT * FROM no_such_table_xyz")
+    assert(analysis.isLeft &&
+      analysis.swap.exists(_.contains("no_such_table_xyz")))
+  }
 }
