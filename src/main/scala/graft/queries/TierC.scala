@@ -233,6 +233,34 @@ object TierC {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** GROUPING SETS via re-aggregation (the "partial rollup" scale rewrite):
+    * Spark's native GROUPING SETS expands every input row once per
+    * grouping set (3× map CPU on the full fact table — see
+    * `c_sql_grouping_sets` for the operator witness). Here the finest
+    * level is aggregated ONCE (6 rows), persisted, and the coarser levels
+    * re-aggregate that tiny intermediate — valid because COUNT/SUM are
+    * decomposable and the decimal sums re-aggregate exactly. Same output,
+    * same oracle, one scan instead of a 3× Expand. */
+  val groupingReagg: Q = (s, dir) => {
+    val base = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), decSum("l_extendedprice").as("rev"))
+      .persist()
+    val lvl2 = base.select(col("l_returnflag").as("flag"),
+      col("l_linestatus").as("status"), col("n"), col("rev"))
+    val lvl1 = base.groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
+      .select(col("l_returnflag").as("flag"), lit("ALL").as("status"),
+        col("n"), col("rev"))
+    val lvl0 = base.agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
+      .select(lit("ALL").as("flag"), lit("ALL").as("status"),
+        col("n"), col("rev"))
+    lvl2.unionByName(lvl1).unionByName(lvl0)
+      .select(col("flag"), col("status"), col("n"),
+        col("rev").cast(DoubleType).as("revenue"))
+      .orderBy(col("flag"), col("status"))
+  }
+
   /** PIVOT: status columns from row values. Explicit value list ("F","O")
     * so the plan is a single two-phase aggregate — Spark's pivot WITHOUT
     * the list first runs a distinct scan to discover values, an extra pass
@@ -696,6 +724,7 @@ object TierC {
     "c_udaf_sumsq" -> udafSumsq,
     "c_pivot" -> pivot_,
     "c_unpivot" -> unpivot_,
+    "c_grouping_reagg" -> groupingReagg,
     "c_window_topk" -> windowTopk,
     "c_window_lag" -> windowLag,
     "c_window_frame" -> windowFrame,
@@ -727,6 +756,7 @@ object TierC {
     "c_udaf_sumsq" -> udafSumsqSql,
     "c_pivot" -> pivotSql,
     "c_unpivot" -> unpivotSql,
+    "c_grouping_reagg" -> TierCSql.groupingSets,
     "c_window_topk" -> windowTopkSql,
     "c_window_lag" -> windowLagSql,
     "c_window_frame" -> windowFrameSql,
