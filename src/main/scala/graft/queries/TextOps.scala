@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -177,6 +178,69 @@ object TextOps {
       |WHERE len(string_split(text, ' ')) >= 3
       |ORDER BY doc_id LIMIT 200""".stripMargin
 
+  /** (doc_id, source, shingle) distinct triples — corpus-analysis twin of
+    * Dedup's inverted index, carrying the source for cross-corpus ops. */
+  private def shingleSrc(s: SparkSession, dir: String) =
+    t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          """transform(sequence(1, size(ws) - 2),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+            |                 element_at(ws, i + 2)))""".stripMargin)).as("sh"))
+      .distinct()
+
+  private val oShingleSrc =
+    """w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+      |      FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, source,
+      |         unnest(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |       FROM w WHERE len(ws) >= 3)""".stripMargin
+
+  /** Boilerplate detection: shingles appearing in many distinct documents
+    * are templated/repeated passages (headers, license text, nav chrome) —
+    * the standard pre-dedup cleaning signal. One shuffle on the shingle;
+    * at 100 TB this doubles as the document-frequency cap input the
+    * near-dup operators need. */
+  val boilerplate: Q = (s, dir) =>
+    shingleSrc(s, dir)
+      .groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 4)
+      .orderBy(desc("df"), col("sh"))
+      .limit(10)
+
+  val boilerplateSql: String =
+    s"""WITH $oShingleSrc
+       |SELECT sh, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 4
+       |ORDER BY df DESC, sh LIMIT 10""".stripMargin
+
+  /** Cross-corpus contamination: shingle-set overlap between two sources
+    * (the train/eval leakage check). Single pass: one shuffle on the
+    * shingle with per-source membership flags, then a global roll-up —
+    * never materializing two corpora subqueries separately. */
+  val contamination: Q = (s, dir) =>
+    shingleSrc(s, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), col("sh")).distinct()
+      .groupBy(col("sh"))
+      .agg(max(when(col("source") === "src0", 1).otherwise(0)).as("in_a"),
+        max(when(col("source") === "src1", 1).otherwise(0)).as("in_b"))
+      .agg(sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
+        sum(col("in_a") * col("in_b")).as("n_shared"))
+
+  val contaminationSql: String =
+    s"""WITH $oShingleSrc,
+       |a AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+       |b AS (SELECT DISTINCT sh FROM sh WHERE source = 'src1')
+       |SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+       |  CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+       |  CAST((SELECT COUNT(*) FROM a JOIN b USING (sh)) AS BIGINT)
+       |    AS n_shared""".stripMargin
+
   // --- End-to-end pipeline composition ------------------------------------
 
   /** The composed training-data pipeline in one query: quality gate →
@@ -218,6 +282,8 @@ object TextOps {
     "p_text_quality" -> quality,
     "p_text_langid" -> langid,
     "p_text_fingerprint" -> fingerprint,
+    "p_text_boilerplate" -> boilerplate,
+    "p_text_contamination" -> contamination,
     "p_pipeline_e2e" -> pipelineE2e)
 
   val oracle: Map[String, String] = Map(
@@ -226,5 +292,7 @@ object TextOps {
     "p_text_quality" -> qualitySql,
     "p_text_langid" -> langidSql,
     "p_text_fingerprint" -> fingerprintSql,
+    "p_text_boilerplate" -> boilerplateSql,
+    "p_text_contamination" -> contaminationSql,
     "p_pipeline_e2e" -> pipelineE2eSql)
 }

@@ -261,6 +261,24 @@ object TierC {
       .orderBy(col("flag"), col("status"))
   }
 
+  /** Fixed-width histogram by floor-division bucketing (no width_bucket in
+    * the oracle dialect; FLOOR(x / w) is deterministic on both engines).
+    * min/max per bucket are single stored values — no float accumulation —
+    * so they hash-match without canonicalization. One two-phase aggregate;
+    * bucket count is bounded by the value range, not the input size. */
+  val histogram: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(expr("CAST(FLOOR(value / 20) AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).cast(DoubleType).as("lo"),
+        max(col("value")).cast(DoubleType).as("hi"))
+      .orderBy(col("bucket"))
+
+  val histogramSql: String =
+    """SELECT CAST(FLOOR(value / 20) AS BIGINT) AS bucket, COUNT(*) AS n,
+      |  CAST(MIN(value) AS DOUBLE) AS lo, CAST(MAX(value) AS DOUBLE) AS hi
+      |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** PIVOT: status columns from row values. Explicit value list ("F","O")
     * so the plan is a single two-phase aggregate — Spark's pivot WITHOUT
     * the list first runs a distinct scan to discover values, an extra pass
@@ -725,6 +743,7 @@ object TierC {
     "c_pivot" -> pivot_,
     "c_unpivot" -> unpivot_,
     "c_grouping_reagg" -> groupingReagg,
+    "c_histogram" -> histogram,
     "c_window_topk" -> windowTopk,
     "c_window_lag" -> windowLag,
     "c_window_frame" -> windowFrame,
@@ -757,6 +776,7 @@ object TierC {
     "c_pivot" -> pivotSql,
     "c_unpivot" -> unpivotSql,
     "c_grouping_reagg" -> TierCSql.groupingSets,
+    "c_histogram" -> histogramSql,
     "c_window_topk" -> windowTopkSql,
     "c_window_lag" -> windowLagSql,
     "c_window_frame" -> windowFrameSql,
