@@ -230,15 +230,69 @@ object Dedup {
       |       << CAST(b AS INT)) AS BIGINT) AS simhash
       |FROM bits GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin
 
+  // --- Near-dup clusters (connected components over candidate pairs) -----
+
+  /** Shared recursive label-propagation SQL (runs on both engines): from a
+    * symmetric edge list, push the minimum reachable id up to `maxHops`
+    * hops and take each node's minimum — for components of diameter ≤
+    * maxHops this IS the connected-component id. Bounded UNION ALL because
+    * Spark 4 rejects distinct-UNION recursion; the bound also caps the
+    * blow-up on dense components, the same reason production dedup runs
+    * fixed label-propagation rounds rather than full transitive closure. */
+  private def clusterSql(edges: String, maxHops: Int): String =
+    s"""WITH RECURSIVE
+       |sym AS (SELECT d1 AS a, d2 AS b FROM $edges
+       |        UNION ALL SELECT d2, d1 FROM $edges),
+       |nodes AS (SELECT DISTINCT a AS d FROM sym),
+       |reach(d, r, lvl) AS (
+       |  SELECT d, d, 0 FROM nodes
+       |  UNION ALL
+       |  SELECT s.b, r.r, r.lvl + 1 FROM reach r JOIN sym s ON s.a = r.d
+       |  WHERE r.lvl < $maxHops)
+       |SELECT d AS doc_id, MIN(r) AS cluster_id FROM reach
+       |GROUP BY d ORDER BY doc_id""".stripMargin
+
+  /** Near-dup clusters: the ngram-Jaccard candidate pairs (the operator
+    * verified by p_dedup_ngram) become an edge list; recursive label
+    * propagation groups them into components. Survivor selection is then
+    * `cluster_id` itself (the minimum doc id). The edge list is tiny
+    * relative to the corpus (only near-dup pairs), so the iteration runs
+    * on the residue, never the full table. */
+  val clusters: Q = (s, dir) => {
+    ngramJaccard(s, dir).select(col("d1"), col("d2"))
+      .createOrReplaceTempView("dedup_edges")
+    s.sql(clusterSql("dedup_edges", 4))
+  }
+
+  val clustersSql: String = {
+    val edges =
+      s"""$oShingles,
+         |n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY d1, d2),
+         |dedup_edges AS (
+         |  SELECT d1, d2 FROM pairs JOIN n na ON na.doc_id = d1
+         |  JOIN n nb ON nb.doc_id = d2
+         |  WHERE CAST(common AS DOUBLE) / (na.ns + nb.ns - common) >= 0.5)"""
+        .stripMargin
+    clusterSql("dedup_edges", 4)
+      .replaceFirst("WITH RECURSIVE\n",
+        s"WITH RECURSIVE\n$edges,\n")
+  }
+
   val queries: Map[String, Q] = Map(
     "p_dedup_exact" -> exact,
     "p_dedup_ngram" -> ngramJaccard,
     "p_dedup_minhash" -> minhashLsh,
-    "p_dedup_simhash" -> simhash)
+    "p_dedup_simhash" -> simhash,
+    "p_dedup_clusters" -> clusters)
 
   val oracle: Map[String, String] = Map(
     "p_dedup_exact" -> exactSql,
     "p_dedup_ngram" -> ngramJaccardSql,
     "p_dedup_minhash" -> minhashLshSql,
-    "p_dedup_simhash" -> simhashSql)
+    "p_dedup_simhash" -> simhashSql,
+    "p_dedup_clusters" -> clustersSql)
 }
