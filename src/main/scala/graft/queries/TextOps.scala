@@ -241,6 +241,27 @@ object TextOps {
        |  CAST((SELECT COUNT(*) FROM a JOIN b USING (sh)) AS BIGINT)
        |    AS n_shared""".stripMargin
 
+  /** Deterministic hash-based train/test split: membership derives from
+    * md5(doc_id) alone, so it is reproducible run-to-run, engine-to-engine,
+    * and stable under repartitioning — the property random()-based splits
+    * lack. Map-side expression; scales with zero extra shuffles. */
+  val splitHash: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy(when(
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4)," +
+          " 16, 10) AS BIGINT) % 100") < 90, "train").otherwise("test")
+        .as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("split"))
+
+  val splitHashSql: String =
+    """SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+      |    1, 4)) AS BIGINT) % 100 < 90 THEN 'train' ELSE 'test' END
+      |    AS split,
+      |  COUNT(*) AS n_docs, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      |FROM documents GROUP BY split ORDER BY split""".stripMargin
+
   // --- End-to-end pipeline composition ------------------------------------
 
   /** The composed training-data pipeline in one query: quality gate →
@@ -284,6 +305,7 @@ object TextOps {
     "p_text_fingerprint" -> fingerprint,
     "p_text_boilerplate" -> boilerplate,
     "p_text_contamination" -> contamination,
+    "p_split_hash" -> splitHash,
     "p_pipeline_e2e" -> pipelineE2e)
 
   val oracle: Map[String, String] = Map(
@@ -294,5 +316,6 @@ object TextOps {
     "p_text_fingerprint" -> fingerprintSql,
     "p_text_boilerplate" -> boilerplateSql,
     "p_text_contamination" -> contaminationSql,
+    "p_split_hash" -> splitHashSql,
     "p_pipeline_e2e" -> pipelineE2eSql)
 }
