@@ -20,13 +20,17 @@ import Tables._
 object Media {
 
   val mediaMeta: Q = (s, dir) => {
+    // top-k BEFORE the decode: the sort key (doc_id) is independent of the
+    // decoded fields, so the expensive per-row decode runs on 500 rows,
+    // not the corpus (the features-after-limit discipline, as in TextOps).
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .orderBy(col("doc_id"))
+      .limit(500)
     Multimodal.withDecodedMeta(docs, "media")
       .select(col("doc_id"), col("meta.format").as("format"),
         col("meta.n_bytes").as("n_bytes"))
       .orderBy(col("doc_id"))
-      .limit(500)
   }
 
   val mediaMetaSql: String =
