@@ -261,6 +261,32 @@ object TierC {
       .orderBy(col("flag"), col("status"))
   }
 
+  /** RANGE frame (value-based window bounds, vs the ROWS frames in
+    * c_window_frame): for each supplier's item count, the sum of counts
+    * within 10 BELOW it. RANGE includes ALL value-peers in the frame, so
+    * the result is deterministic under order-by ties — the property ROWS
+    * frames lack on non-unique keys. Window runs over the ~|suppliers|
+    * aggregate, not raw rows (the same pre-aggregation discipline as
+    * c_window_topk; unpartitioned is safe ONLY because of that). */
+  val windowRange: Q = (s, dir) => {
+    val n = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n")).rangeBetween(-10, 0)
+    n.select(col("l_suppkey"), col("n"),
+        sum(col("n")).over(w).as("band_sum"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  val windowRangeSql: String =
+    """SELECT l_suppkey, n,
+      |  CAST(SUM(n) OVER (ORDER BY n
+      |    RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS band_sum
+      |FROM (SELECT l_suppkey, COUNT(*) AS n FROM lineitem
+      |      GROUP BY l_suppkey)
+      |ORDER BY l_suppkey""".stripMargin
+
   /** Fixed-width histogram by floor-division bucketing (no width_bucket in
     * the oracle dialect; FLOOR(x / w) is deterministic on both engines).
     * min/max per bucket are single stored values — no float accumulation —
@@ -744,6 +770,7 @@ object TierC {
     "c_unpivot" -> unpivot_,
     "c_grouping_reagg" -> groupingReagg,
     "c_histogram" -> histogram,
+    "c_window_range" -> windowRange,
     "c_window_topk" -> windowTopk,
     "c_window_lag" -> windowLag,
     "c_window_frame" -> windowFrame,
@@ -777,6 +804,7 @@ object TierC {
     "c_unpivot" -> unpivotSql,
     "c_grouping_reagg" -> TierCSql.groupingSets,
     "c_histogram" -> histogramSql,
+    "c_window_range" -> windowRangeSql,
     "c_window_topk" -> windowTopkSql,
     "c_window_lag" -> windowLagSql,
     "c_window_frame" -> windowFrameSql,
