@@ -60,7 +60,12 @@ object Bench {
         }
       }
       val a = sample()
-      val best = if (a < 0) a else { val b = sample(); if (b < 0) a else math.min(a, b) }
+      // re-sample only when the first reading is slow enough to matter:
+      // a sub-0.5s reading is already near the per-query floor, and
+      // skipping its second run keeps total bench wall time bounded
+      val best =
+        if (a < 0 || a < 0.5) a
+        else { val b = sample(); if (b < 0) a else math.min(a, b) }
       (name, best, best >= 0)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
