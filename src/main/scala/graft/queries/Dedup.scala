@@ -194,7 +194,9 @@ object Dedup {
     * combines map-side, so the shuffle carries 32 longs per doc; at 100 TB
     * the same shape holds (and the word-distinct shuffle keys on
     * (doc_id, word), never full documents). */
-  val simhash: Q = (s, dir) => {
+  /** (doc_id, simhash) fingerprints — shared by the fingerprint dump and
+    * the banded candidate-pair query. */
+  private def simhashFp(s: SparkSession, dir: String): DataFrame = {
     val words = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .distinct()
@@ -208,10 +210,38 @@ object Dedup {
     val fingerprint = (0 until 32)
       .map(b => expr(s"IF(sc$b > 0, CAST(${1L << b} AS BIGINT), CAST(0 AS BIGINT))"))
       .reduce(_ + _)
-    sums
-      .select(col("doc_id"), fingerprint.cast(LongType).as("simhash"))
-      .orderBy(col("doc_id"))
-      .limit(200)
+    sums.select(col("doc_id"), fingerprint.cast(LongType).as("simhash"))
+  }
+
+  val simhash: Q = (s, dir) =>
+    simhashFp(s, dir).orderBy(col("doc_id")).limit(200)
+
+  /** SimHash near-dup candidates, the full production shape: band the
+    * 32-bit fingerprint into two 16-bit keys, DROP overfull buckets (the
+    * bucket-size cap that bounds the quadratic fan-out — this corpus's
+    * tiny vocabulary makes fingerprints cluster heavily, exactly the
+    * boilerplate pathology the cap exists for), pair within surviving
+    * buckets, then verify by exact hamming distance ≤ 1. */
+  val simhashPairs: Q = (s, dir) => {
+    val bands = simhashFp(s, dir)
+      .select(col("doc_id"), col("simhash"),
+        expr("stack(2, 0, simhash & 65535, 1," +
+          " shiftright(simhash, 16) & 65535)").as(Seq("band", "key")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val small = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2 && col("c") <= 20)
+      .select(col("band"), col("key"))
+    val a = bands.toDF("d1", "h1", "band", "key")
+    val b = bands.toDF("d2", "h2", "band2", "key2")
+    a.join(small, Seq("band", "key"))
+      .join(b, col("band") === col("band2") && col("key") === col("key2") &&
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        expr("CAST(bit_count(h1 ^ h2) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 1)
+      .orderBy(col("d1"), col("d2"))
   }
 
   val simhashSql: String =
@@ -229,6 +259,41 @@ object Dedup {
       |  CAST(SUM((CASE WHEN sc > 0 THEN CAST(1 AS BIGINT) ELSE 0 END)
       |       << CAST(b AS INT)) AS BIGINT) AS simhash
       |FROM bits GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin
+
+  private val oSimhashFp =
+    """w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+      |           FROM documents),
+      |hx AS (SELECT doc_id,
+      |         CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS x
+      |       FROM w),
+      |bits AS (SELECT doc_id, b,
+      |           SUM(CASE WHEN ((x >> CAST(b AS INT)) & 1) = 1
+      |               THEN 1 ELSE -1 END) AS sc
+      |         FROM hx, (SELECT unnest(range(0, 32)) AS b)
+      |         GROUP BY doc_id, b),
+      |fp AS (SELECT doc_id,
+      |  CAST(SUM((CASE WHEN sc > 0 THEN CAST(1 AS BIGINT) ELSE 0 END)
+      |       << CAST(b AS INT)) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  val simhashPairsSql: String =
+    s"""WITH $oSimhashFp,
+       |bands AS (
+       |  SELECT doc_id, simhash, 0 AS band, simhash & 65535 AS key FROM fp
+       |  UNION ALL
+       |  SELECT doc_id, simhash, 1, (simhash >> 16) & 65535 FROM fp),
+       |small AS (
+       |  SELECT band, key FROM bands GROUP BY band, key
+       |  HAVING COUNT(*) BETWEEN 2 AND 20),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |    a.simhash AS h1, b.simhash AS h2
+       |  FROM bands a JOIN small s ON a.band = s.band AND a.key = s.key
+       |  JOIN bands b ON b.band = s.band AND b.key = s.key
+       |    AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(h1, h2)) <= 1
+       |ORDER BY d1, d2""".stripMargin
 
   // --- Near-dup clusters (connected components over candidate pairs) -----
 
@@ -293,6 +358,7 @@ object Dedup {
     "p_dedup_ngram" -> ngramJaccard,
     "p_dedup_minhash" -> minhashLsh,
     "p_dedup_simhash" -> simhash,
+    "p_dedup_simhash_pairs" -> simhashPairs,
     "p_dedup_clusters" -> clusters)
 
   val oracle: Map[String, String] = Map(
@@ -300,5 +366,6 @@ object Dedup {
     "p_dedup_ngram" -> ngramJaccardSql,
     "p_dedup_minhash" -> minhashLshSql,
     "p_dedup_simhash" -> simhashSql,
+    "p_dedup_simhash_pairs" -> simhashPairsSql,
     "p_dedup_clusters" -> clustersSql)
 }
