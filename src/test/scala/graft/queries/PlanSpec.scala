@@ -73,6 +73,23 @@ class PlanSpec extends AnyFunSuite {
       s"equi+range must not degrade to a nested loop:\n$p")
   }
 
+  test("fleet-wide: no declared query plans a CartesianProduct") {
+    // Cross joins against broadcast one-row/constant frames plan as
+    // BroadcastNestedLoopJoin (bounded build side — fine); an actual
+    // CartesianProduct in any declared query is an O(N^2) scale bug.
+    val offenders = graft.SparkEntry.queries.toSeq
+      .filterNot(_._1.startsWith("probe_"))
+      .flatMap { case (name, fn) =>
+        val plan =
+          try graft.engine.Engine.explain(fn(spark, dir), "simple")
+          catch { case e: Throwable => s"PLANNING FAILED: ${e.getMessage}" }
+        if (plan.contains("CartesianProduct") || plan.startsWith("PLANNING"))
+          Some(name -> plan.linesIterator.take(3).mkString(" | "))
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("sum_sq UDAF: typed Dataset-side aggregation matches SQL-side") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(1L, 2L, 3L, 4L))
