@@ -261,6 +261,46 @@ object TierC {
       .orderBy(col("flag"), col("status"))
   }
 
+  /** DISTINCT ON (the DuckDB idiom for first-row-per-group): Spark has no
+    * DISTINCT ON, so the engine expresses it as row_number over the same
+    * (partition, order) and keeps rank 1 — the canonical translation a
+    * reference user switching engines needs. One shuffle on the group key;
+    * the window never sees unaggregated skew beyond each key's rows. */
+  val distinctOn: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val distinctOnSql: String =
+    """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+      |FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""
+      .stripMargin
+
+  /** Ordered string aggregation: DuckDB `string_agg(... ORDER BY ...)` ↔
+    * Spark `array_join(array_sort(collect_list(...)))`. collect_list order
+    * is partition-dependent, so the EXPLICIT sort is what makes the result
+    * deterministic at any parallelism — never rely on arrival order. */
+  val stringAgg: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+        .as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val stringAggSql: String =
+    """SELECT l_returnflag,
+      |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+      |    AS statuses,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      .stripMargin
+
   /** RANGE frame (value-based window bounds, vs the ROWS frames in
     * c_window_frame): for each supplier's item count, the sum of counts
     * within 10 BELOW it. RANGE includes ALL value-peers in the frame, so
@@ -771,6 +811,8 @@ object TierC {
     "c_grouping_reagg" -> groupingReagg,
     "c_histogram" -> histogram,
     "c_window_range" -> windowRange,
+    "c_distinct_on" -> distinctOn,
+    "c_string_agg" -> stringAgg,
     "c_window_topk" -> windowTopk,
     "c_window_lag" -> windowLag,
     "c_window_frame" -> windowFrame,
@@ -805,6 +847,8 @@ object TierC {
     "c_grouping_reagg" -> TierCSql.groupingSets,
     "c_histogram" -> histogramSql,
     "c_window_range" -> windowRangeSql,
+    "c_distinct_on" -> distinctOnSql,
+    "c_string_agg" -> stringAggSql,
     "c_window_topk" -> windowTopkSql,
     "c_window_lag" -> windowLagSql,
     "c_window_frame" -> windowFrameSql,
