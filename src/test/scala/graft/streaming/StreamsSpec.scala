@@ -13,6 +13,32 @@ class StreamsSpec extends AnyFunSuite {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("fileStreamHourly: readStream from a parquet dir end to end") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-src")
+    val batch = Seq(
+      (ts("2024-01-01 10:05:00"), "click"),
+      (ts("2024-01-01 10:20:00"), "click"),
+      // sentinel far ahead so the 10:00 window finalizes past the 2h wm
+      (ts("2024-01-01 13:30:00"), "view")
+    ).toDF("ts", "event_type")
+    batch.write.mode("overwrite").parquet(dir.toString)
+    val q = Streams.fileStreamHourly(
+      spark, dir.toString, batch.schema, "file_hourly")
+    try {
+      q.processAllAvailable()
+      // append-mode emits only watermark-closed windows; write a second
+      // file to advance the watermark past the first window
+      Seq((ts("2024-01-01 16:00:00"), "view")).toDF("ts", "event_type")
+        .write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      val out = spark.table("file_hourly")
+        .selectExpr("CAST(hora AS STRING)", "event_type", "n").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(out.contains(("2024-01-01 10:00:00", "click", 2L)), out)
+    } finally q.stop()
+  }
+
   test("dedupStream: repeats of a content key are dropped, state bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
