@@ -249,15 +249,53 @@ object Similarity {
        |LIMIT 5""".stripMargin
   }
 
+  // --- Embedding quantization (int8-style storage compression) -----------
+
+  /** Per-vector symmetric quantization to the int8-ish range [-63, 63]:
+    * scale = max |x| (an order-insensitive exact reduction), quantized
+    * value = FLOOR(x / scale * 63) — floor, not round, because the two
+    * engines disagree on .5 tie-breaking but agree exactly on floor. The
+    * query emits the scale and the integer checksum of the quantized
+    * vector. At 100 TB this is the 4× storage shrink applied before ANN
+    * indexing; map-side only, zero shuffles. */
+  val quantize: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .withColumn("scale",
+        expr("""aggregate(embedding, CAST(0 AS DOUBLE),
+          |  (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))""".stripMargin))
+      .filter(col("scale") > 0)
+      .select(col("vec_id"), col("scale"),
+        expr("""CAST(aggregate(embedding, CAST(0 AS DOUBLE),
+          |  (acc, x) -> acc + FLOOR(CAST(x AS DOUBLE) / scale * 63))
+          |  AS BIGINT)""".stripMargin).as("qsum"))
+      .orderBy(col("vec_id"))
+      .limit(500)
+
+  val quantizeSql: String =
+    """WITH s AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+      |      (a, b) -> greatest(a, b)) AS scale
+      |  FROM embeddings)
+      |SELECT e.vec_id, s.scale,
+      |  CAST(list_reduce(list_transform(e.embedding,
+      |    x -> FLOOR(CAST(x AS DOUBLE) / s.scale * 63)), (a, b) -> a + b)
+      |    AS BIGINT) AS qsum
+      |FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+      |WHERE s.scale > 0
+      |ORDER BY e.vec_id LIMIT 500""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p_sim_bruteforce" -> bruteForce,
     "p_sim_lsh" -> lshBucket,
     "p_sim_ivf" -> ivfFlat,
-    "p_dedup_embedding" -> embeddingNearDup)
+    "p_dedup_embedding" -> embeddingNearDup,
+    "p_embed_quantize" -> quantize)
 
   val oracle: Map[String, String] = Map(
     "p_sim_bruteforce" -> bruteForceSql,
     "p_sim_lsh" -> lshBucketSql,
     "p_sim_ivf" -> ivfFlatSql,
-    "p_dedup_embedding" -> embeddingNearDupSql)
+    "p_dedup_embedding" -> embeddingNearDupSql,
+    "p_embed_quantize" -> quantizeSql)
 }
