@@ -54,6 +54,25 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: purchases matched to clicks by the same
+    * user within the preceding hour — the streaming twin of the batch
+    * as-of join (c_join_asof). BOTH sides need watermarks plus a time-band
+    * join condition: together they bound the buffered state to the band
+    * (without them a stream-stream join must buffer forever). State size
+    * tracks (active users × 1h of events), not history. */
+  def purchasesWithRecentClicks(
+      purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+    val c = clicks
+      .withColumnRenamed("user_id", "c_user_id")
+      .withColumnRenamed("ts", "c_ts")
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("ts"))
+  }
+
   /** Stream-static join: enrich a stream with a batch dimension table.
     * Spark re-plans the static side per micro-batch; with a small dim the
     * planner broadcasts it, so the stream side never shuffles — the

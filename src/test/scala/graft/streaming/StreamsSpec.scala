@@ -60,6 +60,31 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the time band only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Timestamp)]
+    val cIn = MemoryStream[(Long, Timestamp)]
+    val q = Streams.purchasesWithRecentClicks(
+        pIn.toDF().toDF("user_id", "ts"), cIn.toDF().toDF("user_id", "ts"))
+      .selectExpr("user_id", "CAST(ts AS STRING) AS pts",
+        "CAST(c_ts AS STRING) AS cts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin").start()
+    try {
+      cIn.addData(
+        (1L, ts("2024-01-01 10:00:00")), // in band for 10:30 purchase
+        (1L, ts("2024-01-01 08:00:00")), // too old
+        (2L, ts("2024-01-01 10:15:00"))) // other user
+      pIn.addData((1L, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      val out = spark.table("ssjoin").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(out == Set(
+        (1L, "2024-01-01 10:30:00", "2024-01-01 10:00:00")), out)
+    } finally q.stop()
+  }
+
   test("enriched: stream-static join carries dim columns, left-preserves") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
