@@ -32,6 +32,19 @@ object Scale {
       df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Persist parquet range-sorted by a column: `repartitionByRange` gives
+    * each output file a disjoint key range and `sortWithinPartitions`
+    * orders rows inside, so every row group's min/max stats are TIGHT and
+    * a filter on the sort key skips whole files and row groups (the
+    * stats-tightening layout for high-cardinality range-filter keys —
+    * completes the triad with `writePartitioned` for low-cardinality
+    * equality keys and `writeBucketed` for join keys). */
+  def writeSorted(
+      df: DataFrame, path: String, sortCol: String, files: Int): Unit =
+    df.repartitionByRange(files, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Two-stage salted aggregation for skewed group keys: stage 1 groups on
     * (key, salt) — splitting a hot key across `nSalts` reducers — stage 2
     * merges the partials per key. The salt derives from stable row content

@@ -52,6 +52,26 @@ class ScaleSpec extends AnyFunSuite {
       ev.filter(col("event_type") === "click").count())
   }
 
+  test("range-sorted layout: disjoint per-file key ranges, data intact") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("value"))
+    val out = java.nio.file.Files.createTempDirectory("sorted").toString
+    Scale.writeSorted(ev, out, "event_id", 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() == ev.count())
+    // per-file min/max must not overlap: that disjointness is exactly what
+    // makes the parquet stats effective for range filters
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(fmin("event_id").as("lo"), fmax("event_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, ranges.toSeq)
+      case _ =>
+    }
+  }
+
   test("salted aggregation matches the direct group-by") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val salted = Scale.saltedSum(
