@@ -1,0 +1,76 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Capstone integration test: the reference's full user journey driven
+  * through the library end to end — import a mixed folder, build the union
+  * view, run the statement at the cursor from a multi-statement script,
+  * page/render the result, search and sort the page, export to CSV. Each
+  * step is the operator verified individually by its own spec; this proves
+  * they COMPOSE the way the app composes them
+  * (`/root/reference/src/App.tsx`: import 329-354, view 316-327, run
+  * 424-446, page 435-502, export 504-531). */
+class WorkbenchSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  test("import → union view → script → page → search/sort → export") {
+    import spark.implicits._
+    // a folder with two parquet FILES (differing columns → mergeSchema),
+    // a csv, and an ndjson — every supported format. The reference imports
+    // plain files, so flatten Spark's directory-shaped output to one file.
+    import scala.jdk.CollectionConverters._
+    def writeParquetFile(df: org.apache.spark.sql.DataFrame,
+        target: java.nio.file.Path): Unit = {
+      val tmp = Files.createTempDirectory("pqfile")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, target)
+    }
+    val root = Files.createTempDirectory("workbench")
+    writeParquetFile(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name"),
+      root.resolve("part1.parquet"))
+    writeParquetFile(Seq((3L, "gamma", 9.5)).toDF("id", "name", "score"),
+      root.resolve("part2.parquet"))
+    Files.write(root.resolve("dim.csv"),
+      "code,label\n7,\"with,comma\"\n".getBytes)
+    Files.write(root.resolve("tags.ndjson"),
+      "{\"tag\":\"x\"}\n{\"tag\":\"y\"}\n".getBytes)
+
+    // A2+A4+A9: import with union view
+    val (files, views) = Catalog.importFolder(spark, root, Some("all_rows"))
+    assert(files.map(_.path).toSet ==
+      Set("part1.parquet", "part2.parquet", "dim.csv", "tags.ndjson"))
+    assert(views.size == 4)
+
+    // A12+A6: run the statement under the cursor from a script
+    val script =
+      """CREATE OR REPLACE TEMPORARY VIEW big AS
+        |  SELECT id, name, score FROM all_rows;
+        |SELECT id, name, score FROM big ORDER BY id""".stripMargin
+    Engine.runScript(spark, script.split(";")(0) + ";") // DDL first
+    val stmt = Sql.statementAtPosition(script, script.length - 1)
+    val df = Engine.sql(spark, stmt)
+
+    // A13/A14/A19: page + info line
+    val page = Render.tableToRows(df, limit = 2)
+    assert(page.totalRows == 3 && page.shown == 2)
+    assert(page.rows.head == Seq("1", "alpha", "")) // null score → ""
+    assert(Render.infoLine(page).contains("3"))
+
+    // A17/A18: search then sort on the full page
+    val full = Render.tableToRows(df, limit = 200)
+    val hits = Page.searchRows(full, "GAMMA") // case-insensitive
+    assert(hits.rows.map(_.head) == Seq("3"))
+    val byNameDesc = Page.sortRows(full, col = 1, ascending = false)
+    assert(byNameDesc.rows.map(_(1)) == Seq("gamma", "beta", "alpha"))
+
+    // A15/A16: streaming CSV export of the result
+    val csv = Export.toCsvParts(df)
+    assert(csv.rows == 3 && csv.columns == 3)
+    assert(csv.parts.mkString.startsWith("id,name,score\r\n"))
+  }
+}
