@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
-import org.apache.spark.storage.StorageLevel
 
 import Tables._
 
@@ -15,17 +14,31 @@ import Tables._
   * 100 TB design notes (the patterns, not just the sf0.01 numbers):
   *  - exact dedup shuffles 16-byte content hashes, never full documents;
   *  - n-gram Jaccard builds an inverted index (shuffle on shingle) and only
-  *    pairs documents sharing a shingle — never an all-pairs cross join. At
-  *    scale, add a document-frequency cap on shingles (drop shingles
-  *    appearing in >K docs) to bound the per-shingle pair fan-out; omitted
-  *    here only to keep the oracle SQL byte-equivalent.
+  *    pairs documents sharing a shingle — never an all-pairs cross join —
+  *    with a document-frequency cap `DfCap` on shingles, so one boilerplate
+  *    shingle can never explode a posting list into a quadratic fan-out.
   *  - MinHash LSH reduces each doc to a 16-value signature, then buckets by
   *    4-row band keys: candidate generation is a shuffle on (band, key),
-  *    O(sum of bucket sizes squared), not O(N^2).
+  *    O(sum of bucket sizes squared), not O(N^2) — with the same `DfCap`
+  *    guard on bucket sizes.
   *  - SimHash is map-side computable per document (one small agg here for
   *    clarity); near-dup lookup then bands the 32-bit fingerprint.
   */
 object Dedup {
+
+  /** Document-frequency cap: shingles appearing in more than this many
+    * documents (and LSH buckets larger than this) generate NO candidate
+    * pairs. This is what bounds the quadratic per-key fan-out at 100 TB —
+    * a boilerplate shingle ("all rights reserved …") in K docs would emit
+    * K²/2 pairs from a single task. Near-dup semantics survive the cap:
+    * genuinely similar pairs share many shingles, so dropping the
+    * over-common ones loses only pairs whose sole overlap is boilerplate.
+    * In production the cap's input statistic is exactly what
+    * `p_text_boilerplate` (TextOps.boilerplate) computes — the shingle
+    * document-frequency table. The cap is plain relational algebra
+    * (HAVING COUNT(*) <= K), so the oracle applies the identical rule and
+    * results stay byte-equal. */
+  val DfCap = 50
 
   /** Word-trigram shingles of `text`, as a column expression (docs with
     * fewer than 3 words contribute no shingles on either side). */
@@ -34,19 +47,21 @@ object Dedup {
       |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
       |                 element_at(ws, i + 2)))""".stripMargin
 
-  /** (doc_id, shingle) distinct pairs — the inverted-index input. Cached:
-    * ngram-Jaccard consumes it three times (pair generation + two per-doc
-    * counts) and minhash once more; without the cache Spark recomputes the
-    * scan→split→explode→distinct subtree per consumer. At 100 TB the analog
-    * is materializing the inverted index once (checkpoint / intermediate
-    * parquet) before candidate generation. */
+  /** (doc_id, shingle) distinct pairs — the inverted-index input. Cached
+    * and MEMOIZED per (session, dir): ngram-Jaccard consumes it three times
+    * (pair generation + two per-doc counts), minhash once more, and a
+    * Verify/Bench session executes each query up to 3 times — memoization
+    * keeps that at ONE persisted copy instead of one per invocation
+    * (ADVICE r5). At 100 TB the analog is materializing the inverted index
+    * once (checkpoint / intermediate parquet) before candidate generation. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    memoPersist(s, dir, "dedup_shingles") {
+      t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+        .distinct()
+    }
 
   private val oShingles =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -81,15 +96,26 @@ object Dedup {
     * pair, Jaccard = common / (|A| + |B| - common). Only the final division
     * is floating point — one op over exact integers, so deterministic
     * across engines. Posting lists are sorted, so d1 < d2 by construction.
-    * At scale, cap posting-list length (drop shingles in >K docs) to bound
-    * the quadratic fan-out; omitted here to keep the oracle byte-equal. */
+    * Posting lists longer than `DfCap` are DROPPED before pair emission
+    * (the boilerplate-shingle guard; see DfCap) — the per-doc shingle
+    * counts in the Jaccard denominator stay uncapped, so only candidate
+    * GENERATION is bounded, not the similarity definition. The oracle
+    * applies the identical HAVING cap, so results stay byte-equal. */
   val ngramJaccard: Q = (s, dir) => {
     val sh = shingles(s, dir)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    // The cap is applied BEFORE collect_list (count-aggregate + semi-join),
+    // so no aggregation buffer ever materializes an over-cap posting list —
+    // filtering on size(ds) AFTER collecting would still OOM the one task
+    // holding the boilerplate shingle. count's partial aggregate combines
+    // map-side, so the extra pass shuffles only (sh, partial count) rows.
+    val okSh = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= DfCap)
+      .select(col("sh"))
     val pairs = sh
+      .join(okSh, Seq("sh"), "left_semi")
       .groupBy(col("sh"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
       .select(explode(expr(
         """flatten(transform(ds, (a, i) ->
           |  transform(slice(ds, i + 2, size(ds)),
@@ -109,13 +135,22 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** The oracle's twin of the capped pair generation: same DfCap, same
+    * relational rule (HAVING on shingle document frequency), so both
+    * engines emit identical candidate pairs. */
+  private val oCappedPairs: String =
+    s"""oksh AS (SELECT sh FROM sh GROUP BY sh
+       |         HAVING COUNT(*) BETWEEN 2 AND $DfCap),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM sh a JOIN oksh k ON a.sh = k.sh
+       |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY d1, d2)""".stripMargin
+
   val ngramJaccardSql: String =
     s"""WITH $oShingles,
        |n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
-       |pairs AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY d1, d2)
+       |$oCappedPairs
        |SELECT d1, d2, common,
        |  CAST(common AS DOUBLE) / (na.ns + nb.ns - common) AS jaccard
        |FROM pairs JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2
@@ -139,7 +174,11 @@ object Dedup {
     * index 16× into (doc, shingle, seed) rows (the partial aggregate
     * combines map-side, so the doc_id shuffle carries 16 longs per doc).
     * The only shuffles are that signature aggregation and the band-key
-    * self-join on (band, key) — never all pairs. */
+    * self-join on (band, key) — never all pairs. Buckets larger than
+    * `DfCap` are dropped before the self-join (same guard and same
+    * both-dialect HAVING rule as the ngram posting-list cap; the
+    * self-join is quadratic in bucket size, so one boilerplate-heavy
+    * bucket would otherwise own the job's tail). */
   val minhashLsh: Q = (s, dir) => {
     val sh = shingles(s, dir)
       .withColumn("x",
@@ -155,9 +194,14 @@ object Dedup {
       (0 until 4).map(b => bandKeys(b).as(s"k$b")): _*)
     val unpivoted = withKeys.select(col("doc_id"),
       expr("stack(4, 0, k0, 1, k1, 2, k2, 3, k3)").as(Seq("band", "key")))
+    val small = unpivoted.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2 && col("c") <= DfCap)
+      .select(col("band"), col("key"))
     val l = unpivoted.toDF("d1", "band", "key")
     val r = unpivoted.toDF("d2", "band2", "key2")
-    l.join(r, col("band") === col("band2") && col("key") === col("key2") &&
+    l.join(small, Seq("band", "key"))
+      .join(r, col("band") === col("band2") && col("key") === col("key2") &&
         col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
       .orderBy(col("d1"), col("d2"))
@@ -178,9 +222,12 @@ object Dedup {
        |sig AS (SELECT doc_id, i, MIN(h) AS mh FROM hh GROUP BY doc_id, i),
        |bands AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
        |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
-       |          FROM sig GROUP BY doc_id, CAST(i // 4 AS INT))
+       |          FROM sig GROUP BY doc_id, CAST(i // 4 AS INT)),
+       |small AS (SELECT band, key FROM bands GROUP BY band, key
+       |          HAVING COUNT(*) BETWEEN 2 AND $DfCap)
        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |FROM bands a JOIN bands b
+       |FROM bands a JOIN small s ON a.band = s.band AND a.key = s.key
+       |JOIN bands b
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |ORDER BY d1, d2""".stripMargin
   }
@@ -223,11 +270,12 @@ object Dedup {
     * boilerplate pathology the cap exists for), pair within surviving
     * buckets, then verify by exact hamming distance ≤ 1. */
   val simhashPairs: Q = (s, dir) => {
-    val bands = simhashFp(s, dir)
-      .select(col("doc_id"), col("simhash"),
-        expr("stack(2, 0, simhash & 65535, 1," +
-          " shiftright(simhash, 16) & 65535)").as(Seq("band", "key")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = memoPersist(s, dir, "simhash_bands") {
+      simhashFp(s, dir)
+        .select(col("doc_id"), col("simhash"),
+          expr("stack(2, 0, simhash & 65535, 1," +
+            " shiftright(simhash, 16) & 65535)").as(Seq("band", "key")))
+    }
     val small = bands.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2 && col("c") <= 20)
@@ -323,6 +371,8 @@ object Dedup {
     * `cluster_id` itself (the minimum doc id). The edge list is tiny
     * relative to the corpus (only near-dup pairs), so the iteration runs
     * on the residue, never the full table. */
+  private val edgeViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   val clusters: Q = (s, dir) => {
     // Materialize the edge residue BEFORE iterating: the recursion
     // references the edge list once per hop, and an unmaterialized view
@@ -331,18 +381,21 @@ object Dedup {
     // the candidate-generation job and the label-propagation rounds.
     val edges = ngramJaccard(s, dir).select(col("d1"), col("d2"))
       .localCheckpoint() // eager: the lineage is cut to a materialized leaf
-    edges.createOrReplaceTempView("dedup_edges")
-    s.sql(clusterSql("dedup_edges", 4))
+    // Per-invocation view name (ADVICE r5): a fixed name would clobber a
+    // same-named user view and race under concurrent queries on one
+    // session. spark.sql analyzes eagerly, so the view can be dropped as
+    // soon as the DataFrame exists.
+    val view = s"dedup_edges_${edgeViewSeq.incrementAndGet()}"
+    edges.createOrReplaceTempView(view)
+    try s.sql(clusterSql(view, 4))
+    finally s.catalog.dropTempView(view)
   }
 
   val clustersSql: String = {
     val edges =
       s"""$oShingles,
          |n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY d1, d2),
+         |$oCappedPairs,
          |dedup_edges AS (
          |  SELECT d1, d2 FROM pairs JOIN n na ON na.doc_id = d1
          |  JOIN n nb ON nb.doc_id = d2

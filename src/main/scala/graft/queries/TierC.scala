@@ -242,10 +242,13 @@ object TierC {
     * decomposable and the decimal sums re-aggregate exactly. Same output,
     * same oracle, one scan instead of a 3× Expand. */
   val groupingReagg: Q = (s, dir) => {
-    val base = t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), decSum("l_extendedprice").as("rev"))
-      .persist()
+    // memoized persist (ADVICE r5): one cached copy per (session, dir),
+    // not one per invocation
+    val base = memoPersist(s, dir, "reagg_base") {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), decSum("l_extendedprice").as("rev"))
+    }
     val lvl2 = base.select(col("l_returnflag").as("flag"),
       col("l_linestatus").as("status"), col("n"), col("rev"))
     val lvl1 = base.groupBy(col("l_returnflag"))
