@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -188,33 +187,59 @@ object Similarity {
     * then answer a query by probing only the nprobe=2 centroids nearest to
     * it. This is the OTHER standard ANN scale path next to LSH: partition
     * the table by centroid id at rest and a query reads 2/16 of the data
-    * (partition pruning), trading recall for scan fraction. Assignment is
-    * a broadcast of 16 centroids against one scan — never a wide shuffle;
-    * ties break deterministically by (cosine desc, centroid id). */
+    * (partition pruning), trading recall for scan fraction.
+    *
+    * Assignment is MAP-SIDE: the codebook (a trained artifact at 100 TB;
+    * here the 16 leading vectors, fetched to the driver — 16×64 floats) is
+    * inlined into the assignment expression, so nearest-centroid is an
+    * argmax over 16 codegen'd cosines with ZERO joins, windows, or
+    * shuffles. This replaces a crossJoin(16)+row_number formulation that
+    * re-shuffled the whole embeddings table on vec_id just to pick the min
+    * of 16 broadcast values (VERDICT r5 #3); the only remaining shuffle-
+    * like step is the final top-k (TakeOrderedAndProject). Probe selection
+    * (nprobe=2 nearest the query) is driver-side planning over the same
+    * 16-entry codebook. Ties break by (cosine desc, centroid id) on both
+    * sides: `array_position` finds the FIRST occurrence of the max, and
+    * the codebook array is ordered by centroid id. */
   val ivfFlat: Q = (s, dir) => {
     graft.functions.CosineSimilarity.register(s)
     val emb = t(s, dir, "embeddings")
-    val cents = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    def cosTo(e: String, c: String) = expr(s"cosine_sim($e, $c)")
-    val byCos = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("ccos"), col("cent_id"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosTo("embedding", "cent"))
-      .withColumn("rn", row_number().over(byCos))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
-    val probes = emb.filter(col("vec_id") === 0).crossJoin(broadcast(cents))
-      .withColumn("ccos", cosTo("embedding", "cent"))
-      .orderBy(desc("ccos"), col("cent_id")).limit(2)
-      .select(col("cent_id").as("probe_cent"))
-    val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").as("q_emb"))
-    assigned
-      .join(broadcast(probes), col("cent_id") === col("probe_cent"))
-      .filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(q))
-      .withColumn("cosine", cosTo("embedding", "q_emb"))
+    // Codebook fetch: 16 rows (the coarse quantizer). At scale this is
+    // loading a trained model artifact, not a data-dependent collect.
+    val cents: Seq[(Long, Array[Float])] = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    // Float.toString round-trips exactly, so the literal arrays carry the
+    // bit-identical vectors; ConstantFolding collapses them to one Literal.
+    def centLit(c: Array[Float]): String =
+      c.map(v => s"CAST('$v' AS FLOAT)").mkString("array(", ", ", ")")
+    val centsLit = cents.map(c => centLit(c._2)).mkString("array(", ", ", ")")
+    val idsLit = cents.map(c => s"CAST(${c._1} AS BIGINT)")
+      .mkString("array(", ", ", ")")
+    // Driver twin of cosine_sim's one-pass fold — the same IEEE operation
+    // sequence, so probe selection agrees bit-for-bit with the oracle's.
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na2 = 0.0; var nb2 = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na2 += x * x; nb2 += y * y; i += 1
+      }
+      dot / (math.sqrt(na2) * math.sqrt(nb2))
+    }
+    val q = cents.find(_._1 == 0L).get._2
+    val probeIds = cents.map { case (id, c) => (id, cos(q, c)) }
+      .sortBy { case (id, c) => (-c, id) }.take(2).map(_._1)
+    emb
+      .withColumn("cos_arr", expr(
+        s"""transform(sequence(0, ${cents.size - 1}),
+           |  j -> cosine_sim(embedding, element_at($centsLit, j + 1)))"""
+          .stripMargin))
+      .withColumn("cent_id", expr(
+        s"element_at($idsLit, " +
+          "CAST(array_position(cos_arr, array_max(cos_arr)) AS INT))"))
+      .filter(col("cent_id").isin(probeIds: _*) && col("vec_id") =!= 0)
+      .withColumn("cosine", expr(s"cosine_sim(embedding, ${centLit(q)})"))
       .select(col("vec_id"), col("label"), col("cent_id"), col("cosine"))
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(5)

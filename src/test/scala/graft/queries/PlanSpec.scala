@@ -90,6 +90,21 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("p_sim_ivf: centroid assignment is map-side — no shuffle, no window") {
+    // The codebook is inlined into the assignment expression, so the whole
+    // query is scan → project → filter → top-k: any Exchange or Window
+    // before the probe filter means assignment regressed to a shuffle
+    // (VERDICT r5 #3 — the crossJoin+row_number shape this replaced).
+    val tree = graft.engine.Engine.explain(
+      Similarity.ivfFlat(spark, dir), "simple")
+    assert(!tree.contains("Window"), s"ivf assignment must not window:\n$tree")
+    assert(!tree.contains("Exchange"),
+      s"ivf assignment must not shuffle:\n$tree")
+    assert(tree.contains("TakeOrderedAndProject"), tree)
+    val scans = "Scan parquet".r.findAllIn(tree).size
+    assert(scans == 1, s"ivf must scan embeddings once, saw $scans:\n$tree")
+  }
+
   test("sum_sq UDAF: typed Dataset-side aggregation matches SQL-side") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(1L, 2L, 3L, 4L))
