@@ -105,6 +105,16 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"ivf must scan embeddings once, saw $scans:\n$tree")
   }
 
+  test("c_window_range_bucketed: no window operator — equi join on bucket") {
+    // The scalable twin must not fall back to the single-task
+    // unpartitioned window it replaces; the range predicate rides an
+    // equi join keyed on the bucket id.
+    val tree = graft.engine.Engine.explain(
+      TierC.windowRangeBucketed(spark, dir), "simple")
+    assert(!tree.contains("Window"), s"bucketed twin must not window:\n$tree")
+    assert(tree.contains("Join"), tree)
+  }
+
   test("sum_sq UDAF: typed Dataset-side aggregation matches SQL-side") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(1L, 2L, 3L, 4L))
