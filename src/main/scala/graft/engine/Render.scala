@@ -33,7 +33,9 @@ object Render {
 
   /** A14: cell formatter (`src/arrow.ts:3-15`). The JS side sees temporals
     * as `Date` and renders `toISOString()`; the matching JVM renderings are
-    * pinned to UTC with forced milliseconds. */
+    * pinned to UTC with forced milliseconds. Doubles and floats render as
+    * JS `String(value)` (see jsNumber) — notably `42.0` prints `42`, not
+    * the JVM's `42.0`. */
   def formatCell(value: Any): String = value match {
     case null => ""
     case t: java.sql.Timestamp => iso(t.toInstant)
@@ -41,11 +43,51 @@ object Render {
     case d: LocalDate => iso(d.atStartOfDay(ZoneOffset.UTC).toInstant)
     case dt: LocalDateTime => iso(dt.toInstant(ZoneOffset.UTC))
     case i: Instant => iso(i)
+    case d: java.lang.Double => jsNumber(d.doubleValue)
+    case f: java.lang.Float => jsNumber(f.doubleValue)
     case b: Array[Byte] => json(b)
     case s: collection.Seq[_] => json(s)
     case m: collection.Map[_, _] => json(m)
     case r: Row => json(r)
     case other => other.toString
+  }
+
+  /** JS `String(number)` for a double (`/root/reference/src/arrow.ts:14`
+    * renders every cell through `String(value)`, and Arrow JS hands float
+    * columns to JS as float64 — a FLOAT cell is the WIDENED float, so
+    * `0.1f` renders `0.10000000149011612`, which `jsNumber(f.toDouble)`
+    * reproduces). Rules mirrored from ECMA-262 Number::toString: integral
+    * values below 1e21 print with no decimal point (`String(42.0)` is
+    * `"42"`); `-0` prints `"0"`; fixed notation within [1e-6, 1e21),
+    * exponent notation outside, spelled `1e+21` / `1.5e-7`. Digit
+    * selection agrees because both Java's `Double.toString` and JS print
+    * a shortest decimal that round-trips the double. */
+  private[engine] def jsNumber(d: Double): String = {
+    if (d.isNaN) "NaN"
+    else if (d == Double.PositiveInfinity) "Infinity"
+    else if (d == Double.NegativeInfinity) "-Infinity"
+    else if (d == 0.0) "0" // also -0.0: JS String(-0) === "0"
+    else {
+      val a = math.abs(d)
+      val s =
+        if (a == math.rint(a) && a < 1e21)
+          java.math.BigDecimal.valueOf(a).toBigInteger.toString
+        else {
+          val bd = new java.math.BigDecimal(java.lang.Double.toString(a))
+            .stripTrailingZeros
+          if (a >= 1e-6 && a < 1e21) bd.toPlainString
+          else { // JS exponent form: d[.ddd]e±x
+            val digits = bd.unscaledValue.toString
+            val exp = digits.length - 1 - bd.scale
+            val mant =
+              if (digits.length == 1) digits
+              else s"${digits.head}.${digits.tail}"
+            val sign = if (exp >= 0) "+" else "-"
+            s"${mant}e$sign${math.abs(exp)}"
+          }
+        }
+      if (d < 0) "-" + s else s
+    }
   }
 
   /** Minimal JSON rendering for nested values (`JSON.stringify` analog). */
@@ -72,6 +114,12 @@ object Render {
     case t: java.sql.Timestamp => json(iso(t.toInstant))
     case d: java.sql.Date =>
       json(iso(d.toLocalDate.atStartOfDay(ZoneOffset.UTC).toInstant))
+    // JSON.stringify: finite numbers render like String(value);
+    // NaN/Infinity become null
+    case d: java.lang.Double =>
+      if (d.isNaN || d.isInfinite) "null" else jsNumber(d.doubleValue)
+    case f: java.lang.Float =>
+      if (f.isNaN || f.isInfinite) "null" else jsNumber(f.doubleValue)
     case n: (java.lang.Number) => n.toString
     case b: java.lang.Boolean => b.toString
     case other => json(other.toString)

@@ -20,6 +20,28 @@ class RenderSpec extends AnyFunSuite {
     assert(Render.formatCell("s") == "s")
   }
 
+  test("A14: doubles/floats render as JS String(value)") {
+    // integral doubles lose the '.0' (String(42.0) === "42")
+    assert(Render.formatCell(42.0d) == "42")
+    assert(Render.formatCell(-7.0d) == "-7")
+    assert(Render.formatCell(1.5d) == "1.5")
+    assert(Render.formatCell(-0.0d) == "0") // String(-0) === "0"
+    // JS fixed-notation range is wider than Java's (Java switches to
+    // E-notation at 1e7; JS at 1e21)
+    assert(Render.formatCell(12345678.9d) == "12345678.9")
+    assert(Render.formatCell(1e20) == "100000000000000000000")
+    // JS exponent spelling outside [1e-6, 1e21)
+    assert(Render.formatCell(1e21) == "1e+21")
+    assert(Render.formatCell(1.5e-7) == "1.5e-7")
+    assert(Render.formatCell(0.000001d) == "0.000001")
+    // floats arrive in JS as the widened double
+    assert(Render.formatCell(0.1f) == "0.10000000149011612")
+    assert(Render.formatCell(2.5f) == "2.5")
+    assert(Render.formatCell(Double.NaN) == "NaN")
+    // JSON.stringify inside nested values: 42.0 -> 42, NaN -> null
+    assert(Render.formatCell(Seq(42.0d, Double.NaN)) == "[42,null]")
+  }
+
   test("A14: temporals render ISO-8601 UTC with milliseconds (JS shape)") {
     assert(Render.formatCell(java.sql.Timestamp.valueOf("1997-03-15 12:34:56"))
       == "1997-03-15T12:34:56.000Z") // JVM zone pinned UTC in build.sbt
