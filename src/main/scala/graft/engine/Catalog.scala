@@ -80,6 +80,41 @@ object Catalog {
     else throw new IllegalArgumentException(s"unsupported format: $p")
   }
 
+  /** B3 for every supported format: DuckDB (and so the reference's default
+    * SQL — `/root/reference/src/App.tsx:16-17`, README examples) accepts a
+    * quoted file path as a table: `SELECT * FROM 'dir/file.csv'`. Spark
+    * has that syntax only as `format.`path`` and can't attach reader
+    * options to it, so rewrite each FROM/JOIN-position single-quoted path
+    * literal with a supported extension to a registered temp view: an
+    * already-registered view (same `viewNameFor` sanitization as import)
+    * is referenced directly; an unregistered path that exists on disk is
+    * registered lazily through the extension router `read` (still zero
+    * byte-copy — the view is a lazy scan). Paths that resolve to nothing
+    * are left in place (Spark's analyzer reports them) and returned so
+    * `Engine.tryQuery` can surface a targeted hint. */
+  private val PathLiteral = """(?i)\b(FROM|JOIN)(\s+)'([^']+)'""".r
+
+  def rewritePathTables(
+      spark: SparkSession, statement: String): (String, Seq[String]) = {
+    val missing = Seq.newBuilder[String]
+    val out = PathLiteral.replaceAllIn(statement, m => {
+      val path = m.group(3)
+      val keep = scala.util.matching.Regex.quoteReplacement(m.matched)
+      if (!isSupportedFilePath(path)) keep
+      else {
+        val view = viewNameFor(path)
+        val registered = spark.catalog.tableExists(view)
+        val p = Paths.get(path)
+        if (registered || Files.exists(p)) {
+          if (!registered) read(spark, p).createOrReplaceTempView(view)
+          scala.util.matching.Regex.quoteReplacement(
+            m.group(1) + m.group(2) + Sql.sqlIdentifier(view))
+        } else { missing += path; keep }
+      }
+    })
+    (out, missing.result())
+  }
+
   /** A4: register one file as a temp view; returns the view name. No byte
     * copy — the scan stays lazy and distributed. */
   def registerFile(spark: SparkSession, root: Path, file: ImportedFile): String = {

@@ -16,14 +16,18 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 object Engine {
 
   /** A6: materializing query — one statement, full result. Lazy DataFrame;
-    * the caller decides how to materialize (collect page / iterator). */
+    * the caller decides how to materialize (collect page / iterator).
+    * Quoted path literals in FROM/JOIN position are rewritten to
+    * registered views first (Catalog.rewritePathTables) so the
+    * reference's `FROM 'file.csv'` dialect works for every supported
+    * format, not just parquet's native path syntax. */
   def sql(spark: SparkSession, statement: String): DataFrame =
-    spark.sql(statement)
+    spark.sql(Catalog.rewritePathTables(spark, statement)._1)
 
   /** A7: fire-and-forget exec (DDL) — run, discard result. Spark DDL
     * statements execute eagerly inside `spark.sql`. */
   def exec(spark: SparkSession, statement: String): Unit = {
-    spark.sql(statement)
+    sql(spark, statement)
     ()
   }
 
@@ -46,7 +50,7 @@ object Engine {
     * an empty/DDL-only script). */
   def runScript(spark: SparkSession, script: String): Option[DataFrame] =
     Sql.splitStatements(script).foldLeft(Option.empty[DataFrame]) {
-      (_, stmt) => Some(spark.sql(stmt))
+      (_, stmt) => Some(sql(spark, stmt))
     }
 
   /** Error surface: the reference catches engine failures and shows
@@ -54,13 +58,19 @@ object Engine {
     * analog contract here: analysis/parse errors (the errors a SQL author
     * causes) come back as Left(message) instead of a stack trace. Runtime
     * task failures still surface on materialization — at scale those are
-    * infrastructure events, not statement authoring errors. */
-  def tryQuery(spark: SparkSession, statement: String): Either[String, DataFrame] =
-    try Right(spark.sql(statement))
+    * infrastructure events, not statement authoring errors. A quoted path
+    * table that resolves to no file gets a targeted hint ahead of the
+    * analyzer's message. (ParseException needs no separate case: it
+    * extends AnalysisException.) */
+  def tryQuery(spark: SparkSession, statement: String): Either[String, DataFrame] = {
+    val (rewritten, missing) = Catalog.rewritePathTables(spark, statement)
+    try Right(spark.sql(rewritten))
     catch {
       case e: org.apache.spark.sql.AnalysisException =>
-        Left(e.getMessage)
-      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
-        Left(e.getMessage)
+        val hint =
+          if (missing.isEmpty) ""
+          else s"no such file for path table(s): ${missing.mkString(", ")}\n"
+        Left(hint + e.getMessage)
     }
+  }
 }

@@ -35,19 +35,24 @@ object NullifPushdown extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // Every case guards on a.deterministic: the rewrite evaluates `a`
+      // twice (IsNotNull(a) AND a <> v), which diverges for e.g. rand() —
+      // and the rule also matches hand-written CASE shapes, not just
+      // NullIf expansions (ADVICE r5).
       // post-ReplaceExpressions shape: CASE WHEN a = v THEN NULL ELSE a END
       case IsNotNull(If(EqualTo(a, v: Literal), Literal(null, _), elseB))
-          if v.value != null && elseB.semanticEquals(a) =>
+          if v.value != null && elseB.semanticEquals(a) && a.deterministic =>
         rewrite(a, v)
       // pre-replacement shape, in case the rule runs before ReplaceExpressions
-      case IsNotNull(NullIf(a, v: Literal, _)) if v.value != null =>
+      case IsNotNull(NullIf(a, v: Literal, _))
+          if v.value != null && a.deterministic =>
         rewrite(a, v)
       // after SimplifyConditionals/NullPropagation, which run before user
       // rules: CASE WHEN a = v THEN false ELSE isnotnull(a) END
       case If(EqualTo(a, v: Literal),
             Literal(false, org.apache.spark.sql.types.BooleanType),
             IsNotNull(elseA))
-          if v.value != null && elseA.semanticEquals(a) =>
+          if v.value != null && elseA.semanticEquals(a) && a.deterministic =>
         rewrite(a, v)
     }
 

@@ -38,6 +38,27 @@ class EngineSpec extends AnyFunSuite {
     assert(txt.contains("== Physical Plan =="))
   }
 
+  test("B3: quoted csv path in FROM position queries like the reference") {
+    // the reference's default SQL shape: SELECT * FROM 'file.csv' LIMIT n
+    val dir = java.nio.file.Files.createTempDirectory("engine_spec_csv")
+    val f = dir.resolve("cities.csv")
+    java.nio.file.Files.writeString(f, "city,pop\nlisbon,500000\nporto,250000\n")
+    val df = Engine.sql(spark, s"SELECT * FROM '$f' ORDER BY pop DESC LIMIT 1")
+    val row = df.collect()(0)
+    assert(row.getString(0) == "lisbon" && row.getInt(1) == 500000)
+    // registered once: second reference hits the same view, and string
+    // literals NOT in FROM/JOIN position are untouched
+    val df2 = Engine.sql(spark,
+      s"SELECT pop FROM '$f' WHERE city = 'porto'")
+    assert(df2.collect()(0).getInt(0) == 250000)
+  }
+
+  test("B3: missing path table yields a targeted hint, not a stack trace") {
+    val out = Engine.tryQuery(spark, "SELECT * FROM '/no/such/dir/x.csv'")
+    assert(out.isLeft &&
+      out.swap.exists(_.contains("no such file for path table")))
+  }
+
   test("tryQuery: authoring errors come back as messages, not throws") {
     assert(Engine.tryQuery(spark, "SELECT 1 AS ok").isRight)
     val parse = Engine.tryQuery(spark, "SELEC 1")
