@@ -63,22 +63,32 @@ object Bench {
       // re-sample only when the first reading is slow enough to matter:
       // a sub-0.5s reading is already near the per-query floor, and
       // skipping its second run keeps total bench wall time bounded
-      val best =
-        if (a < 0 || a < 0.5) a
-        else { val b = sample(); if (b < 0) a else math.min(a, b) }
-      (name, best, best >= 0)
+      val (best, nSamples) =
+        if (a < 0 || a < 0.5) (a, 1)
+        else { val b = sample(); (if (b < 0) a else math.min(a, b), 2) }
+      (name, best, best >= 0, nSamples)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val samples = results.map { case (k, _, _, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _) => v }.sum
     // Subtotal over the six t*-templates — the only queries that existed
     // when BENCH_r01 recorded the operative baseline, kept comparable as
-    // the inventory grows.
+    // the inventory grows. NOTE: r01–r04 timed single runs; since r5 the
+    // aggregate is min over up to 2 samples (see `samples` for the actual
+    // per-query count), which rejects this host's one-off scheduler/GC
+    // spikes but makes cross-round totals slightly flattering vs r01–r04.
     val templatesTotal = results
-      .collect { case (k, v, true) if k.startsWith("t") => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"templates_total":$templatesTotal,"n_queries":${results.size},"runs_per_query":2,"agg":"min","sf":"$sfDir"}""")
+      .collect { case (k, v, true, _) if k.startsWith("t") => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"templates_total":$templatesTotal,"n_queries":${results.size},"samples":$samples,"max_runs_per_query":2,"agg":"min","sf":"$sfDir"}""")
+    // Repeat the headline numbers on a short trailing line: the harness
+    // records a bounded TAIL of stdout, and the full line above can lose
+    // its leading `"value"` field to front-truncation as the per-query
+    // map grows (BENCH_r05 did). The last line always survives intact.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","templates_total":$templatesTotal,"n_queries":${results.size},"n_errors":${results.count(!_._3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
