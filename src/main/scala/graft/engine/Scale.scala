@@ -58,4 +58,23 @@ object Scale {
       .groupBy(col("k"))
       .agg(sum(col("_partial")).as("total"))
   }
+
+  /** Input-split sizing for wide-row scans (the Multimodal guidance as a
+    * utility): `spark.sql.files.maxPartitionBytes` defaults to 128 MB of
+    * FILE bytes per task, but a task's in-memory footprint is
+    * split bytes × the decode expansion (a compressed image/audio blob
+    * can inflate 5-20× when decoded). Set the split so that
+    * split × expansion ≈ the memory budget per task. Returns the applied
+    * byte count; pass expansionFactor 1.0 for plain relational scans. */
+  def sizeScanPartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      taskMemoryBudgetBytes: Long, expansionFactor: Double): Long = {
+    require(expansionFactor >= 1.0 && taskMemoryBudgetBytes > 0,
+      "expansion >= 1 and a positive budget")
+    // floor at 4 MB: below that, per-task scheduling overhead dominates
+    val bytes = math.max(4L << 20,
+      (taskMemoryBudgetBytes / expansionFactor).toLong)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", bytes.toString)
+    bytes
+  }
 }

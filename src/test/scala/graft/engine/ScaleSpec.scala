@@ -85,4 +85,16 @@ class ScaleSpec extends AnyFunSuite {
       assert(math.abs(v - direct(k)) <= 1e-9 * math.max(1.0, math.abs(v)))
     }
   }
+
+  test("scan-partition sizing divides the task budget by decode expansion") {
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      // 1 GB task budget, 8x decode expansion -> 128 MB splits
+      assert(Scale.sizeScanPartitions(spark, 1L << 30, 8.0) == (1L << 27))
+      assert(spark.conf.get("spark.sql.files.maxPartitionBytes")
+        == (1L << 27).toString)
+      // floor: a tiny budget still yields workable 4 MB splits
+      assert(Scale.sizeScanPartitions(spark, 1L << 20, 16.0) == (4L << 20))
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+  }
 }
