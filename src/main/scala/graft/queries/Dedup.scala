@@ -372,15 +372,20 @@ object Dedup {
     * relative to the corpus (only near-dup pairs), so the iteration runs
     * on the residue, never the full table. */
   private val edgeViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val edgeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
 
   val clusters: Q = (s, dir) => {
     // Materialize the edge residue BEFORE iterating: the recursion
     // references the edge list once per hop, and an unmaterialized view
     // would recompute the full shingle self-join each time (measured 10s →
-    // ~2s at sf0.1). At 100 TB the residue is written to storage between
-    // the candidate-generation job and the label-propagation rounds.
-    val edges = ngramJaccard(s, dir).select(col("d1"), col("d2"))
-      .localCheckpoint() // eager: the lineage is cut to a materialized leaf
+    // ~2s at sf0.1). Memoized per (session, dir) like the shingle index —
+    // at 100 TB the residue is WRITTEN TO STORAGE between the
+    // candidate-generation job and the label-propagation rounds, and
+    // re-running propagation must not re-run candidate generation.
+    val edges = edgeMemo.getOrElseUpdate((s, dir),
+      ngramJaccard(s, dir).select(col("d1"), col("d2"))
+        .localCheckpoint()) // eager: lineage cut to a materialized leaf
     // Per-invocation view name (ADVICE r5): a fixed name would clobber a
     // same-named user view and race under concurrent queries on one
     // session. spark.sql analyzes eagerly, so the view can be dropped as
