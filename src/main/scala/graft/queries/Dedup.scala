@@ -192,8 +192,14 @@ object Dedup {
       concat_ws(",", (0 until 4).map(r => col(s"mh${4 * b + r}")): _*))
     val withKeys = sig.select(col("doc_id") +:
       (0 until 4).map(b => bandKeys(b).as(s"k$b")): _*)
-    val unpivoted = withKeys.select(col("doc_id"),
-      expr("stack(4, 0, k0, 1, k1, 2, k2, 3, k3)").as(Seq("band", "key")))
+    // Memoized like simhash's bands: the (doc, band, key) relation is
+    // consumed three times (bucket-size filter + both join sides), and
+    // without the cache each consumer re-runs the whole
+    // shingle→hash→16-min signature pipeline.
+    val unpivoted = memoPersist(s, dir, "minhash_bands") {
+      withKeys.select(col("doc_id"),
+        expr("stack(4, 0, k0, 1, k1, 2, k2, 3, k3)").as(Seq("band", "key")))
+    }
     val small = unpivoted.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2 && col("c") <= DfCap)
