@@ -64,6 +64,32 @@ object Catalog {
     if (base.headOption.exists(c => c.isDigit)) s"t_$base" else base
   }
 
+  private val viewOwner =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val pathView =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+
+  /** Collision-safe view name for a path in this session: the sanitized
+    * name, unless a DIFFERENT path already claimed it (distinct raw paths
+    * can sanitize identically — `x-y.csv` vs `x_y.csv` — and the second
+    * registration would silently serve the first file's data). The loser
+    * gets a short path-hash suffix; the reference never collides because
+    * its table name IS the raw path, so this restores that injectivity. */
+  def claimViewName(spark: SparkSession, path: String): String =
+    pathView.getOrElseUpdate((spark, path), {
+      val base = viewNameFor(path)
+      val name = viewOwner.get((spark, base)) match {
+        case Some(owner) if owner != path => s"${base}_${md5hex(path).take(6)}"
+        case _ => base
+      }
+      viewOwner.putIfAbsent((spark, name), path)
+      name
+    })
+
   /** Read one file with extension-based format routing. */
   def read(spark: SparkSession, absolute: Path): DataFrame = {
     val p = absolute.toString
@@ -102,7 +128,7 @@ object Catalog {
       val keep = scala.util.matching.Regex.quoteReplacement(m.matched)
       if (!isSupportedFilePath(path)) keep
       else {
-        val view = viewNameFor(path)
+        val view = claimViewName(spark, path)
         val registered = spark.catalog.tableExists(view)
         val p = Paths.get(path)
         if (registered || Files.exists(p)) {
@@ -115,10 +141,10 @@ object Catalog {
     (out, missing.result())
   }
 
-  /** A4: register one file as a temp view; returns the view name. No byte
-    * copy — the scan stays lazy and distributed. */
+  /** A4: register one file as a temp view; returns the (collision-safe)
+    * view name. No byte copy — the scan stays lazy and distributed. */
   def registerFile(spark: SparkSession, root: Path, file: ImportedFile): String = {
-    val name = viewNameFor(file.path)
+    val name = claimViewName(spark, file.path)
     read(spark, root.resolve(file.path)).createOrReplaceTempView(name)
     name
   }

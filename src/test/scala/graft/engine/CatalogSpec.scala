@@ -64,6 +64,23 @@ class CatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 3)
   }
 
+  test("A4: colliding sanitized names stay distinct (path injectivity)") {
+    // distinct raw paths can sanitize to the same view name; the second
+    // claim must NOT silently serve the first file's data (the reference
+    // can't collide — its table name IS the raw path)
+    val tmp = Files.createTempDirectory("collide")
+    Files.writeString(tmp.resolve("x-y.csv"), "v\n1\n")
+    Files.writeString(tmp.resolve("x_y.csv"), "v\n2\n")
+    val (_, views) = Catalog.importFolder(spark, tmp)
+    assert(views.size == 2 && views.distinct.size == 2)
+    val got = views.map(v =>
+      spark.sql(s"SELECT v FROM $v").collect()(0).getInt(0)).sorted
+    assert(got == Seq(1, 2))
+    // claims are stable: re-claiming the same path returns the same name
+    assert(Catalog.claimViewName(spark, "x-y.csv") ==
+      Catalog.claimViewName(spark, "x-y.csv"))
+  }
+
   test("A9: parquet union view merges schemas by name (B29, SURVEY 7.4.4)") {
     val tmp = Files.createTempDirectory("union")
     import spark.implicits._
