@@ -100,6 +100,37 @@ object TextOps {
        |    AS ok
        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
 
+  // --- Repetition ratio (Gopher-style quality rule) ------------------------
+
+  /** Duplicate-word fraction per document: 1 − |distinct words| / |words| —
+    * the classic repetition filter for web-scraped training data (a page
+    * whose text is mostly the same words repeated is boilerplate/spam, not
+    * prose). Map-side only: the word split and the distinct count are
+    * per-row array ops, no explode and no shuffle before the final top-k.
+    * Exact integer counts; the single float division is deterministic, so
+    * the oracle hash-matches. doc_id breaks rank ties. */
+  val repetition: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        size(col("ws")).cast(LongType).as("n_words"),
+        size(array_distinct(col("ws"))).cast(LongType).as("n_distinct"))
+      .withColumn("rep_ratio",
+        (col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+      .orderBy(desc("rep_ratio"), col("doc_id"))
+      .limit(200)
+
+  val repetitionSql: String =
+    """SELECT doc_id,
+      |  CAST(len(ws) AS BIGINT) AS n_words,
+      |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+      |  CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws)
+      |    AS rep_ratio
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |WHERE len(ws) > 0
+      |ORDER BY rep_ratio DESC, doc_id LIMIT 200""".stripMargin
+
   // --- Language-ID heuristic ----------------------------------------------
 
   private val langStops: Seq[(String, Seq[String])] = Seq(
@@ -301,6 +332,7 @@ object TextOps {
     "p_text_tf" -> tf,
     "p_text_tokens" -> tokens,
     "p_text_quality" -> quality,
+    "p_text_repetition" -> repetition,
     "p_text_langid" -> langid,
     "p_text_fingerprint" -> fingerprint,
     "p_text_boilerplate" -> boilerplate,
@@ -312,6 +344,7 @@ object TextOps {
     "p_text_tf" -> tfSql,
     "p_text_tokens" -> tokensSql,
     "p_text_quality" -> qualitySql,
+    "p_text_repetition" -> repetitionSql,
     "p_text_langid" -> langidSql,
     "p_text_fingerprint" -> fingerprintSql,
     "p_text_boilerplate" -> boilerplateSql,
