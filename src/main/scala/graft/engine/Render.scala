@@ -60,8 +60,8 @@ object Render {
     * values below 1e21 print with no decimal point (`String(42.0)` is
     * `"42"`); `-0` prints `"0"`; fixed notation within [1e-6, 1e21),
     * exponent notation outside, spelled `1e+21` / `1.5e-7`. Digit
-    * selection agrees because both Java's `Double.toString` and JS print
-    * a shortest decimal that round-trips the double. */
+    * selection matches because `shortestRepr` below picks the minimal
+    * round-tripping decimal, as JS does. */
   private[engine] def jsNumber(d: Double): String = {
     if (d.isNaN) "NaN"
     else if (d == Double.PositiveInfinity) "Infinity"
@@ -71,9 +71,9 @@ object Render {
       val a = math.abs(d)
       val s =
         if (a == math.rint(a) && a < 1e21)
-          java.math.BigDecimal.valueOf(a).toBigInteger.toString
+          new java.math.BigDecimal(shortestRepr(a)).toBigInteger.toString
         else {
-          val bd = new java.math.BigDecimal(java.lang.Double.toString(a))
+          val bd = new java.math.BigDecimal(shortestRepr(a))
             .stripTrailingZeros
           if (a >= 1e-6 && a < 1e21) bd.toPlainString
           else { // JS exponent form: d[.ddd]e±x
@@ -88,6 +88,23 @@ object Render {
         }
       if (d < 0) "-" + s else s
     }
+  }
+
+  /** Shortest decimal that round-trips to `a` exactly — the digit
+    * selection JS `String(value)` uses. This JVM's `Double.toString` is
+    * not always minimal (JDK-4511638, fixed only in JDK 19: e.g.
+    * `1e23.toString` is `"9.999999999999999E22"`), so probe 1..17
+    * significant digits and take the first representation that parses
+    * back to the same double. */
+  private def shortestRepr(a: Double): String = {
+    var p = 0
+    while (p < 17) {
+      val s = String.format(java.util.Locale.ROOT, s"%.${p}e",
+        java.lang.Double.valueOf(a))
+      if (java.lang.Double.parseDouble(s) == a) return s
+      p += 1
+    }
+    java.lang.Double.toString(a)
   }
 
   /** Minimal JSON rendering for nested values (`JSON.stringify` analog). */

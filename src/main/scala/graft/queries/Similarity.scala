@@ -210,6 +210,17 @@ object Similarity {
       .select(col("vec_id"), col("embedding")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+    // Degenerate inputs (no codebook rows / no query vector) yield the
+    // empty result the previous join formulation produced, instead of
+    // failing at plan-construction time.
+    if (cents.isEmpty || !cents.exists(_._1 == 0L))
+      emb.select(col("vec_id"), col("label"),
+        lit(0L).as("cent_id"), lit(0.0).as("cosine")).filter(lit(false))
+    else ivfProbed(emb, cents)
+  }
+
+  private def ivfProbed(
+      emb: DataFrame, cents: Seq[(Long, Array[Float])]): DataFrame = {
     // Float.toString round-trips exactly, so the literal arrays carry the
     // bit-identical vectors; ConstantFolding collapses them to one Literal.
     def centLit(c: Array[Float]): String =
@@ -228,8 +239,15 @@ object Similarity {
       dot / (math.sqrt(na2) * math.sqrt(nb2))
     }
     val q = cents.find(_._1 == 0L).get._2
+    // cosine DESC, id ASC — via java.lang.Double.compare so a NaN cosine
+    // (zero-norm centroid) sorts FIRST, matching both engines' ORDER BY
+    // DESC semantics (Scala tuple sortBy on the negated value would sort
+    // NaN last and silently pick different probes than the oracle).
     val probeIds = cents.map { case (id, c) => (id, cos(q, c)) }
-      .sortBy { case (id, c) => (-c, id) }.take(2).map(_._1)
+      .sortWith { case ((id1, c1), (id2, c2)) =>
+        val cmp = java.lang.Double.compare(c2, c1)
+        if (cmp != 0) cmp < 0 else id1 < id2
+      }.take(2).map(_._1)
     emb
       .withColumn("cos_arr", expr(
         s"""transform(sequence(0, ${cents.size - 1}),

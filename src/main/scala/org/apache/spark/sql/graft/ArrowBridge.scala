@@ -20,8 +20,13 @@ object ArrowBridge {
     * to timestamp columns). */
   def arrowSchema(df: DataFrame): Schema = {
     val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    // must mirror what toArrowBatchRdd reads from the session conf, or the
+    // stream header (Utf8/Binary) would disagree with the encoded batches
+    // (LargeUtf8/LargeBinary) under useLargeVarTypes=true
+    val large = df.sparkSession.conf
+      .get("spark.sql.execution.arrow.useLargeVarTypes", "false").toBoolean
     ArrowUtils.toArrowSchema(df.schema, tz,
-      errorOnDuplicatedFieldNames = true, largeVarTypes = false)
+      errorOnDuplicatedFieldNames = true, largeVarTypes = large)
   }
 
   /** Fully-framed Arrow IPC record-batch messages, one chunk per

@@ -53,6 +53,21 @@ class EngineSpec extends AnyFunSuite {
     assert(df2.collect()(0).getInt(0) == 250000)
   }
 
+  test("B3: FROM inside TRIM/EXTRACT is an operand, not a table position") {
+    val dir = java.nio.file.Files.createTempDirectory("engine_spec_trim")
+    val f = dir.resolve("ops.csv")
+    java.nio.file.Files.writeString(f, "a\n1\n")
+    // TRIM's FROM-operand is a real existing path — it must stay a string,
+    // not get rewritten to a table reference
+    val v = Engine.sql(spark, s"SELECT trim(BOTH '/' FROM '$f') AS v")
+      .collect()(0).getString(0)
+    assert(v == f.toString.dropWhile(_ == '/'))
+    // and path literals inside comments are ignored by the rewrite
+    val c = Engine.sql(spark, s"SELECT 7 AS x -- FROM '$f'\n")
+      .collect()(0).getInt(0)
+    assert(c == 7)
+  }
+
   test("B3: missing path table yields a targeted hint, not a stack trace") {
     val out = Engine.tryQuery(spark, "SELECT * FROM '/no/such/dir/x.csv'")
     assert(out.isLeft &&

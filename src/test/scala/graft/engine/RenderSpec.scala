@@ -33,6 +33,9 @@ class RenderSpec extends AnyFunSuite {
     // JS exponent spelling outside [1e-6, 1e21)
     assert(Render.formatCell(1e21) == "1e+21")
     assert(Render.formatCell(1.5e-7) == "1.5e-7")
+    // JDK 17 Double.toString is non-minimal here ("9.999999999999999E22");
+    // JS String(1e23) === "1e+23" — shortestRepr restores parity
+    assert(Render.formatCell(1e23) == "1e+23")
     assert(Render.formatCell(0.000001d) == "0.000001")
     // floats arrive in JS as the widened double
     assert(Render.formatCell(0.1f) == "0.10000000149011612")
