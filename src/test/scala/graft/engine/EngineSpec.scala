@@ -66,6 +66,13 @@ class EngineSpec extends AnyFunSuite {
     val c = Engine.sql(spark, s"SELECT 7 AS x -- FROM '$f'\n")
       .collect()(0).getInt(0)
     assert(c == 7)
+    // a literal select-list does NOT suppress a real path table, and the
+    // path works from inside a subquery
+    val s1 = Engine.sql(spark, s"SELECT 'k' AS k FROM '$f'").collect()
+    assert(s1.length == 1 && s1(0).getString(0) == "k")
+    val s2 = Engine.sql(spark,
+      s"SELECT n FROM (SELECT COUNT(*) AS n FROM '$f')").collect()
+    assert(s2(0).getLong(0) == 1L)
   }
 
   test("B3: missing path table yields a targeted hint, not a stack trace") {
