@@ -210,10 +210,10 @@ object Similarity {
       .select(col("vec_id"), col("embedding")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    // Degenerate inputs (no codebook rows / no query vector) yield the
-    // empty result the previous join formulation produced, instead of
-    // failing at plan-construction time.
-    if (cents.isEmpty || !cents.exists(_._1 == 0L))
+    // Degenerate input (no query vector — implies no codebook when the
+    // table is empty) yields the empty result the previous join
+    // formulation produced, instead of failing at plan-construction time.
+    if (!cents.exists(_._1 == 0L))
       emb.select(col("vec_id"), col("label"),
         lit(0L).as("cent_id"), lit(0.0).as("cosine")).filter(lit(false))
     else ivfProbed(emb, cents)

@@ -20,13 +20,17 @@ object ArrowBridge {
     * to timestamp columns). */
   def arrowSchema(df: DataFrame): Schema = {
     val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-    // must mirror what toArrowBatchRdd reads from the session conf, or the
-    // stream header (Utf8/Binary) would disagree with the encoded batches
-    // (LargeUtf8/LargeBinary) under useLargeVarTypes=true
+    // must mirror what toArrowBatchRdd reads from the session conf, or
+    // the stream header would disagree with the executor-encoded batches:
+    // useLargeVarTypes switches Utf8/Binary to the Large variants, and
+    // errorOnDuplicatedFieldNames is derived from the pandas
+    // struct-handling mode ("legacy" errors on duplicate struct fields)
     val large = df.sparkSession.conf
       .get("spark.sql.execution.arrow.useLargeVarTypes", "false").toBoolean
+    val errOnDup = df.sparkSession.conf
+      .get("spark.sql.execution.pandas.structHandlingMode", "legacy") == "legacy"
     ArrowUtils.toArrowSchema(df.schema, tz,
-      errorOnDuplicatedFieldNames = true, largeVarTypes = large)
+      errorOnDuplicatedFieldNames = errOnDup, largeVarTypes = large)
   }
 
   /** Fully-framed Arrow IPC record-batch messages, one chunk per
