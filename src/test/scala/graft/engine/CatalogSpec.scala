@@ -81,6 +81,31 @@ class CatalogSpec extends AnyFunSuite {
       Catalog.claimViewName(spark, "x-y.csv"))
   }
 
+  test("B3: rewritePathTables touches only genuine table positions") {
+    val tmp = Files.createTempDirectory("rewrite")
+    val f = tmp.resolve("data.csv")
+    Files.writeString(f, "a\n1\n")
+    def rw(sql: String): (String, Seq[String]) =
+      Catalog.rewritePathTables(spark, sql)
+    // table position rewrites to the claimed view
+    val view = Catalog.claimViewName(spark, f.toString)
+    assert(rw(s"SELECT * FROM '$f'")._1 == s"SELECT * FROM $view")
+    // WHERE-clause literal, TRIM operand, comments, quoted 'from': untouched
+    for (sql <- Seq(
+      s"SELECT * FROM t WHERE c = '$f'",
+      s"SELECT trim(BOTH 'x' FROM '$f') FROM t",
+      s"SELECT 1 -- FROM '$f'",
+      s"SELECT 'from' '$f'"))
+      assert(rw(sql)._1 == sql, sql)
+    // missing path is reported, not rewritten
+    val (same, miss) = rw("SELECT * FROM '/no/such/p.csv'")
+    assert(same == "SELECT * FROM '/no/such/p.csv'" &&
+      miss == Seq("/no/such/p.csv"))
+    // doubled-quote identifier escapes don't desync the scan
+    val tricky = s"""SELECT "sa""y" FROM '$f'"""
+    assert(rw(tricky)._1 == s"""SELECT "sa""y" FROM $view""")
+  }
+
   test("A9: parquet union view merges schemas by name (B29, SURVEY 7.4.4)") {
     val tmp = Files.createTempDirectory("union")
     import spark.implicits._
