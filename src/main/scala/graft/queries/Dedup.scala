@@ -417,13 +417,54 @@ object Dedup {
         s"WITH RECURSIVE\n$edges,\n")
   }
 
+  // --- Survivor selection (the dedup pipeline's OUTPUT) -------------------
+
+  /** The kept corpus after near-dup clustering: every document whose
+    * cluster label IS its own id (the canonical min-id survivor rule) —
+    * unclustered documents trivially survive as their own singleton. This
+    * is the operator a training pipeline actually materializes: the
+    * cluster query's labels become a keep/drop decision in one map-side
+    * comparison, and the corpus-sized work is a single broadcast-able
+    * join of doc ids against the tiny near-dup residue (here the labels
+    * cover all docs, but only residue members can be dropped). */
+  val survivors: Q = (s, dir) => {
+    val labels = clusters(s, dir) // (doc_id, cluster_id)
+    t(s, dir, "documents")
+      .join(labels, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_id").isNotNull &&
+          col("cluster_id") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(when(col("cluster_id").isNull ||
+          col("cluster_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_kept"))
+  }
+
+  val survivorsSql: String =
+    // clustersSql's final SELECT becomes a `labels` CTE (appended to the
+    // recursive WITH list) and the outer query scores keep/drop per doc.
+    clustersSql.replaceFirst(
+      "SELECT d AS doc_id, MIN\\(r\\) AS cluster_id FROM reach\n" +
+        "GROUP BY d ORDER BY doc_id",
+      ", labels AS (SELECT d AS doc_id, MIN(r) AS cluster_id FROM reach" +
+        " GROUP BY d)\n" +
+        "SELECT COUNT(*) AS n_docs,\n" +
+        "  CAST(SUM(CASE WHEN l.cluster_id IS NOT NULL AND" +
+        " l.cluster_id <> d.doc_id THEN 1 ELSE 0 END) AS BIGINT)" +
+        " AS n_dropped,\n" +
+        "  CAST(SUM(CASE WHEN l.cluster_id IS NULL OR" +
+        " l.cluster_id = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)" +
+        " AS n_kept\n" +
+        "FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id")
+
   val queries: Map[String, Q] = Map(
     "p_dedup_exact" -> exact,
     "p_dedup_ngram" -> ngramJaccard,
     "p_dedup_minhash" -> minhashLsh,
     "p_dedup_simhash" -> simhash,
     "p_dedup_simhash_pairs" -> simhashPairs,
-    "p_dedup_clusters" -> clusters)
+    "p_dedup_clusters" -> clusters,
+    "p_dedup_survivors" -> survivors)
 
   val oracle: Map[String, String] = Map(
     "p_dedup_exact" -> exactSql,
@@ -431,5 +472,6 @@ object Dedup {
     "p_dedup_minhash" -> minhashLshSql,
     "p_dedup_simhash" -> simhashSql,
     "p_dedup_simhash_pairs" -> simhashPairsSql,
-    "p_dedup_clusters" -> clustersSql)
+    "p_dedup_clusters" -> clustersSql,
+    "p_dedup_survivors" -> survivorsSql)
 }

@@ -72,5 +72,16 @@ class WorkbenchSpec extends AnyFunSuite {
     val csv = Export.toCsvParts(df)
     assert(csv.rows == 3 && csv.columns == 3)
     assert(csv.parts.mkString.startsWith("id,name,score\r\n"))
+
+    // B3: the reference's default-SQL shape — query a file by quoted path
+    // (the csv imported above, addressed by absolute path)
+    val byPath = Engine.sql(spark,
+      s"SELECT label FROM '${root.resolve("dim.csv")}' WHERE code = 7")
+    assert(byPath.collect()(0).getString(0) == "with,comma")
+
+    // Arrow interchange: the journey's result exports as an IPC stream
+    val arrow = new java.io.ByteArrayOutputStream()
+    Export.toArrowStream(df, arrow)
+    assert(arrow.size() > 0)
   }
 }
