@@ -28,7 +28,11 @@ object Catalog {
   /** A1/A2's metadata record (`fileImport.ts:1-5`). */
   final case class ImportedFile(path: String, size: Long)
 
-  private val SupportedExts = Seq(".parquet", ".csv", ".json", ".ndjson")
+  // .orc is a beyond-reference extension (the reference imports only the
+  // first four); Spark reads/writes ORC natively, so the engine accepts
+  // it through the same routing.
+  private val SupportedExts = Seq(".parquet", ".csv", ".json", ".ndjson",
+    ".orc")
 
   /** A1: supported-format filter (case-insensitive extension). */
   def isSupportedFilePath(path: String): Boolean = {
@@ -110,6 +114,7 @@ object Catalog {
     else if (lower.endsWith(".ndjson")) spark.read.json(p)
     else if (lower.endsWith(".json"))
       spark.read.option("multiLine", "true").json(p)
+    else if (lower.endsWith(".orc")) spark.read.orc(p)
     else throw new IllegalArgumentException(s"unsupported format: $p")
   }
 

@@ -77,6 +77,11 @@ object Export {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Distributed ORC export (beyond-reference: Spark-native columnar
+    * alternative, readable back through `Catalog`'s `.orc` route). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Arrow IPC stream export — the reference's native result surface (its
     * queries return Arrow Tables, `/root/reference/src/duckdb.ts:46-49`),
     * so a caller migrating from it can consume bit-compatible Arrow.

@@ -16,6 +16,7 @@ class CatalogSpec extends AnyFunSuite {
     assert(Catalog.isSupportedFilePath("x.csv"))
     assert(Catalog.isSupportedFilePath("x.json"))
     assert(Catalog.isSupportedFilePath("x.ndjson"))
+    assert(Catalog.isSupportedFilePath("x.orc")) // beyond-reference format
     assert(!Catalog.isSupportedFilePath("x.txt"))
     assert(!Catalog.isSupportedFilePath("parquet")) // extension, not name
   }

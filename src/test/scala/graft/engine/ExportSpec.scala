@@ -88,16 +88,18 @@ class ExportSpec extends AnyFunSuite {
       Seq(("1", "a,b"), ("2", "say \"hi\""), ("3", "plain")))
   }
 
-  test("writeJson / writeParquet round-trip (COPY TO analogs)") {
+  test("writeJson / writeParquet / writeOrc round-trip (COPY TO analogs)") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
     val df = Seq((1L, "a\"b"), (2L, "x")).toDF("id", "s")
     val base = java.nio.file.Files.createTempDirectory("expout")
     Export.writeJson(df, base.resolve("out.ndjson").toString)
     Export.writeParquet(df, base.resolve("out.parquet").toString)
+    Export.writeOrc(df, base.resolve("out.orc").toString)
     val j = Catalog.read(spark, base.resolve("out.ndjson"))
     val p = Catalog.read(spark, base.resolve("out.parquet"))
-    for (back <- Seq(j, p))
+    val o = Catalog.read(spark, base.resolve("out.orc"))
+    for (back <- Seq(j, p, o))
       assert(back.orderBy("id").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq ==
         Seq((1L, "a\"b"), (2L, "x")))
