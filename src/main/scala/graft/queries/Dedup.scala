@@ -179,15 +179,22 @@ object Dedup {
     * both-dialect HAVING rule as the ngram posting-list cap; the
     * self-join is quadratic in bucket size, so one boilerplate-heavy
     * bucket would otherwise own the job's tail). */
+  /** (doc_id, mh0..mh15) MinHash signatures — memoized: feeds both the
+    * banded candidate generation and the signature-based Jaccard
+    * estimator. */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame =
+    memoPersist(s, dir, "minhash_sig") {
+      shingles(s, dir)
+        .withColumn("x",
+          conv(substring(md5(col("sh")), 1, 7), 16, 10).cast(LongType))
+        .groupBy(col("doc_id"))
+        .agg(min(expr(s"(${As(0)} * x + ${Bs(0)}) % $P")).as("mh0"),
+          (1 until 16).map(i =>
+            min(expr(s"(${As(i)} * x + ${Bs(i)}) % $P")).as(s"mh$i")): _*)
+    }
+
   val minhashLsh: Q = (s, dir) => {
-    val sh = shingles(s, dir)
-      .withColumn("x",
-        conv(substring(md5(col("sh")), 1, 7), 16, 10).cast(LongType))
-    val sig = sh
-      .groupBy(col("doc_id"))
-      .agg(min(expr(s"(${As(0)} * x + ${Bs(0)}) % $P")).as("mh0"),
-        (1 until 16).map(i =>
-          min(expr(s"(${As(i)} * x + ${Bs(i)}) % $P")).as(s"mh$i")): _*)
+    val sig = minhashSig(s, dir)
     val bandKeys = (0 until 4).map(b =>
       concat_ws(",", (0 until 4).map(r => col(s"mh${4 * b + r}")): _*))
     val withKeys = sig.select(col("doc_id") +:
@@ -213,11 +220,13 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  val minhashLshSql: String = {
+  /** Shared oracle CTE chain: shingles → 28-bit keys → 16 permutation
+    * hashes → signature → 4-row band keys → capped buckets. */
+  private val oMinhashCtes: String = {
     val a = "list_value(7,11,13,17,19,23,29,31,37,41,43,47,53,59,61,67)"
     val b = "list_value(3,5,101,211,307,401,503,601,701,809,907,1009," +
       "1103,1201,1301,1409)"
-    s"""WITH $oShingles,
+    s"""$oShingles,
        |hx AS (SELECT doc_id,
        |         CAST(('0x' || substr(md5(sh), 1, 7)) AS BIGINT) AS x
        |       FROM sh),
@@ -230,13 +239,59 @@ object Dedup {
        |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
        |          FROM sig GROUP BY doc_id, CAST(i // 4 AS INT)),
        |small AS (SELECT band, key FROM bands GROUP BY band, key
-       |          HAVING COUNT(*) BETWEEN 2 AND $DfCap)
+       |          HAVING COUNT(*) BETWEEN 2 AND $DfCap)""".stripMargin
+  }
+
+  val minhashLshSql: String =
+    s"""WITH $oMinhashCtes
        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |FROM bands a JOIN small s ON a.band = s.band AND a.key = s.key
        |JOIN bands b
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |ORDER BY d1, d2""".stripMargin
+
+  // --- MinHash Jaccard estimation ------------------------------------------
+
+  /** The estimation half of MinHash (banding above is only the retrieval
+    * half): for each capped candidate pair, estimated Jaccard = fraction
+    * of the 16 signature components that agree. Signatures are 16-long
+    * fixed-width rows, so the pair join ships 128 bytes per side and the
+    * comparison is 16 codegen'd equality sums — exact integers, one final
+    * division, hash-stable across engines. At 100 TB this is the cheap
+    * filter between candidate generation and (expensive) exact
+    * verification: pairs below the estimate threshold never touch the
+    * documents again. */
+  val minhashEstimate: Q = (s, dir) => {
+    val pairs = minhashLsh(s, dir).select(col("d1"), col("d2"))
+    val sig = minhashSig(s, dir)
+    val a = sig.toDF("d1" +: (0 until 16).map(i => s"a$i"): _*)
+    val b = sig.toDF("d2" +: (0 until 16).map(i => s"b$i"): _*)
+    val nMatch = (0 until 16)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs.join(a, "d1").join(b, "d2")
+      .select(col("d1"), col("d2"), nMatch.as("n_match"))
+      .withColumn("jaccard_est", col("n_match").cast("double") / 16)
+      .orderBy(col("d1"), col("d2"))
   }
+
+  val minhashEstimateSql: String =
+    s"""WITH $oMinhashCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN small s ON a.band = s.band AND a.key = s.key
+       |  JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT c.d1, c.d2,
+       |    CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_match
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.d1
+       |  JOIN sig sb ON sb.doc_id = c.d2 AND sb.i = sa.i
+       |  GROUP BY c.d1, c.d2)
+       |SELECT d1, d2, n_match, CAST(n_match AS DOUBLE) / 16 AS jaccard_est
+       |FROM est ORDER BY d1, d2""".stripMargin
 
   // --- SimHash -------------------------------------------------------------
 
@@ -461,6 +516,7 @@ object Dedup {
     "p_dedup_exact" -> exact,
     "p_dedup_ngram" -> ngramJaccard,
     "p_dedup_minhash" -> minhashLsh,
+    "p_dedup_minhash_est" -> minhashEstimate,
     "p_dedup_simhash" -> simhash,
     "p_dedup_simhash_pairs" -> simhashPairs,
     "p_dedup_clusters" -> clusters,
@@ -470,6 +526,7 @@ object Dedup {
     "p_dedup_exact" -> exactSql,
     "p_dedup_ngram" -> ngramJaccardSql,
     "p_dedup_minhash" -> minhashLshSql,
+    "p_dedup_minhash_est" -> minhashEstimateSql,
     "p_dedup_simhash" -> simhashSql,
     "p_dedup_simhash_pairs" -> simhashPairsSql,
     "p_dedup_clusters" -> clustersSql,
