@@ -242,12 +242,18 @@ object Dedup {
        |          HAVING COUNT(*) BETWEEN 2 AND $DfCap)""".stripMargin
   }
 
+  /** The candidate-pair SELECT, shared verbatim by the banding query and
+    * the estimator's `cand` CTE so the two can never desynchronize. */
+  private val oMinhashPairSelect: String =
+    """SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |FROM bands a JOIN small s ON a.band = s.band AND a.key = s.key
+      |JOIN bands b
+      |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+      .stripMargin
+
   val minhashLshSql: String =
     s"""WITH $oMinhashCtes
-       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |FROM bands a JOIN small s ON a.band = s.band AND a.key = s.key
-       |JOIN bands b
-       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |$oMinhashPairSelect
        |ORDER BY d1, d2""".stripMargin
 
   // --- MinHash Jaccard estimation ------------------------------------------
@@ -278,10 +284,7 @@ object Dedup {
   val minhashEstimateSql: String =
     s"""WITH $oMinhashCtes,
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN small s ON a.band = s.band AND a.key = s.key
-       |  JOIN bands b
-       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |$oMinhashPairSelect),
        |est AS (
        |  SELECT c.d1, c.d2,
        |    CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
@@ -480,8 +483,9 @@ object Dedup {
     * is the operator a training pipeline actually materializes: the
     * cluster query's labels become a keep/drop decision in one map-side
     * comparison, and the corpus-sized work is a single broadcast-able
-    * join of doc ids against the tiny near-dup residue (here the labels
-    * cover all docs, but only residue members can be dropped). */
+    * LEFT join of doc ids against the tiny near-dup residue — the labels
+    * cover ONLY residue members (docs that appear in a near-dup edge),
+    * so the null branch is what keeps the untouched majority. */
   val survivors: Q = (s, dir) => {
     val labels = clusters(s, dir) // (doc_id, cluster_id)
     t(s, dir, "documents")
@@ -495,10 +499,10 @@ object Dedup {
           .as("n_kept"))
   }
 
-  val survivorsSql: String =
+  val survivorsSql: String = {
     // clustersSql's final SELECT becomes a `labels` CTE (appended to the
     // recursive WITH list) and the outer query scores keep/drop per doc.
-    clustersSql.replaceFirst(
+    val out = clustersSql.replaceFirst(
       "SELECT d AS doc_id, MIN\\(r\\) AS cluster_id FROM reach\n" +
         "GROUP BY d ORDER BY doc_id",
       ", labels AS (SELECT d AS doc_id, MIN(r) AS cluster_id FROM reach" +
@@ -511,6 +515,11 @@ object Dedup {
         " l.cluster_id = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)" +
         " AS n_kept\n" +
         "FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id")
+    // a silent no-op replace would leave survivorsSql == clustersSql
+    // (wrong columns) with no local failure — fail at load instead
+    require(out != clustersSql, "survivorsSql patch did not apply")
+    out
+  }
 
   val queries: Map[String, Q] = Map(
     "p_dedup_exact" -> exact,

@@ -38,7 +38,7 @@ object Media {
   }
 
   val mediaMetaSql: String =
-    """WITH b AS (SELECT doc_id, CAST(text AS BLOB) AS blob FROM documents
+    """WITH b AS (SELECT doc_id, encode(text) AS blob FROM documents
       |           ORDER BY doc_id LIMIT 500),
       |s AS (SELECT doc_id, blob,
       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
