@@ -20,7 +20,7 @@ import Tables._
   * candidate retrieval touches only the query's bucket (partition/bucket
   * the table by bucket id at rest to make that a pruned scan). Recall is
   * tuned by bits/tables; multi-probe (flip one bit) is the standard
-  * extension, omitted from the checked query for brevity.
+  * recall extension and ships as its own checked query (`lshMultiProbe`).
   */
 object Similarity {
 
@@ -118,6 +118,30 @@ object Similarity {
       .limit(5)
   }
 
+  /** Multi-probe LSH: probe the query's bucket AND its 8 one-bit-flip
+    * neighbors (xor with each power of two; xor 0 is the exact bucket).
+    * The standard recall knob for hyperplane LSH — a near neighbor that
+    * lands one sign-bit away is recovered at the cost of probing 9/256
+    * of the buckets instead of 1/256, still a pruned scan when the table
+    * is partitioned by bucket id at rest. Probe ids derive from the
+    * query row map-side; candidates join on bucket id exactly as the
+    * single-probe query does. */
+  val lshMultiProbe: Q = (s, dir) => {
+    graft.functions.CosineSimilarity.register(s)
+    val bucketed = t(s, dir, "embeddings")
+      .withColumn("bucket", expr(bucketExpr))
+    val probes = bucketed.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"),
+        explode(expr("transform(array(0, 1, 2, 4, 8, 16, 32, 64, 128)," +
+          " p -> bucket ^ CAST(p AS BIGINT))")).as("probe"))
+    bucketed.join(broadcast(probes), col("bucket") === col("probe"))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cosine", expr("cosine_sim(embedding, q_emb)"))
+      .select(col("vec_id"), col("label"), col("bucket"), col("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(10)
+  }
+
   private val oBits =
     """list_transform(range(0, 8), j ->
       |  CASE WHEN list_reduce(list_transform(range(0, 64), d ->
@@ -142,6 +166,26 @@ object Similarity {
        |WHERE e.vec_id <> 0
        |ORDER BY cosine DESC, e.vec_id
        |LIMIT 5""".stripMargin
+
+  val lshMultiProbeSql: String =
+    s"""WITH bk AS (
+       |  SELECT vec_id, label, embedding,
+       |    CAST(list_reduce(list_transform(range(0, 8), j ->
+       |      ($oBits)[CAST(j + 1 AS INT)] << CAST(j AS INT)),
+       |      (x, y) -> x + y) AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT q.embedding AS q_emb,
+       |    xor(q.bucket, CAST(p AS BIGINT)) AS probe
+       |  FROM (SELECT * FROM bk WHERE vec_id = 0) q,
+       |    (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS p))
+       |SELECT e.vec_id, e.label, e.bucket,
+       |  ${oDot("e.embedding", "p.q_emb")} /
+       |    (${oNorm("e.embedding")} * ${oNorm("p.q_emb")}) AS cosine
+       |FROM bk e JOIN probes p ON e.bucket = p.probe
+       |WHERE e.vec_id <> 0
+       |ORDER BY cosine DESC, e.vec_id
+       |LIMIT 10""".stripMargin
 
   // --- Embedding-cosine near-dup pairs (bucketed, never all-pairs) --------
 
@@ -331,6 +375,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "p_sim_bruteforce" -> bruteForce,
     "p_sim_lsh" -> lshBucket,
+    "p_sim_lsh_multiprobe" -> lshMultiProbe,
     "p_sim_ivf" -> ivfFlat,
     "p_dedup_embedding" -> embeddingNearDup,
     "p_embed_quantize" -> quantize)
@@ -338,6 +383,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "p_sim_bruteforce" -> bruteForceSql,
     "p_sim_lsh" -> lshBucketSql,
+    "p_sim_lsh_multiprobe" -> lshMultiProbeSql,
     "p_sim_ivf" -> ivfFlatSql,
     "p_dedup_embedding" -> embeddingNearDupSql,
     "p_embed_quantize" -> quantizeSql)
