@@ -525,6 +525,54 @@ object TierC {
     * lag order, so session assignment is order-insensitive. Scale: both
     * windows partition by user_id — state is per-user and the shuffle is
     * one hash partition by user, the same key the streaming twin uses. */
+  /** Funnel analysis (view → click → purchase): the classic sequential-
+    * conversion query. Stage timestamps chain as conditional MINs over
+    * the SAME user partition — t1 = first view, t2 = first click at or
+    * after t1, t3 = first purchase at or after t2 — so the whole funnel
+    * is ONE shuffle on user_id with three window passes over it, never a
+    * per-stage self-join of the events table. All-integer microsecond
+    * comparisons; the summary is four exact counts. */
+  val funnel: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(ts div 1000 AS BIGINT)").as("us"))
+    val w = Window.partitionBy(col("user_id"))
+    val staged = e
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("us") >= col("t1"),
+          col("us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("us") >= col("t2"),
+          col("us"))).over(w))
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+      .distinct()
+    staged.agg(count(lit(1)).as("n_users"),
+      sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_view_click"),
+      sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_full_funnel"))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |             CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+      |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+      |         OVER (PARTITION BY user_id) AS t1 FROM e),
+      |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us >= t1
+      |         THEN us END) OVER (PARTITION BY user_id) AS t2 FROM w1),
+      |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us >= t2
+      |         THEN us END) OVER (PARTITION BY user_id) AS t3 FROM w2),
+      |u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM w3)
+      |SELECT COUNT(*) AS n_users,
+      |  CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_view,
+      |  CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_view_click,
+      |  CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_full_funnel
+      |FROM u""".stripMargin
+
   val sessionize: Q = (s, dir) => {
     val gapUs = 21600000000L // 6 hours
     val e = t(s, dir, "events")
@@ -864,6 +912,7 @@ object TierC {
     "c_json_extract" -> jsonExtract,
     "c_event_hourly" -> eventHourly,
     "c_sessionize" -> sessionize,
+    "c_funnel" -> funnel,
     "c_interval" -> interval,
     "c_is_not_null" -> isNotNull,
     "c_current_date" -> currentDate,
@@ -901,6 +950,7 @@ object TierC {
     "c_json_extract" -> jsonExtractSql,
     "c_event_hourly" -> eventHourlySql,
     "c_sessionize" -> sessionizeSql,
+    "c_funnel" -> funnelSql,
     "c_interval" -> intervalSql,
     "c_is_not_null" -> isNotNullSql)
     // c_current_date / c_approx_distinct: deliberately no oracle (rows-only)
