@@ -525,6 +525,46 @@ object TierC {
     * lag order, so session assignment is order-insensitive. Scale: both
     * windows partition by user_id — state is per-user and the shuffle is
     * one hash partition by user, the same key the streaming twin uses. */
+  /** Cohort retention: users bucketed by the ISO week of their first
+    * `signup` event; for each (cohort week, activity week) pair, how
+    * many of the cohort's users had ANY event in that week. The shape
+    * is the canonical retention triangle computed with NO self-join of
+    * the events table: one per-user aggregate for the cohort month, one
+    * distinct (user, month) activity projection, and a join keyed on
+    * user_id — group-key cardinality (months × months) is tiny at any
+    * input scale. */
+  val retention: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        eventTs(col("ts")).as("t"))
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(dstr(date_trunc("week", min(col("t")))).as("cohort_week"))
+    val activity = e
+      .select(col("user_id"), dstr(date_trunc("week", col("t"))).as("act_week"))
+      .distinct()
+    cohort.join(activity, "user_id")
+      .filter(col("act_week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"), col("act_week"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("act_week"))
+  }
+
+  private def oWeek(x: String): String =
+    s"strftime(date_trunc('week', $x), '%Y-%m-%d')"
+
+  val retentionSql: String =
+    s"""WITH cohort AS (
+       |  SELECT user_id, ${oWeek("MIN(ts)")} AS cohort_week
+       |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+       |activity AS (
+       |  SELECT DISTINCT user_id, ${oWeek("ts")} AS act_week FROM events)
+       |SELECT c.cohort_week, a.act_week, COUNT(*) AS n_users
+       |FROM cohort c JOIN activity a ON c.user_id = a.user_id
+       |WHERE a.act_week >= c.cohort_week
+       |GROUP BY c.cohort_week, a.act_week
+       |ORDER BY c.cohort_week, a.act_week""".stripMargin
+
   /** Funnel analysis (view → click → purchase): the classic sequential-
     * conversion query. Stage timestamps chain as conditional MINs over
     * the SAME user partition — t1 = first view, t2 = first click at or
@@ -913,6 +953,7 @@ object TierC {
     "c_event_hourly" -> eventHourly,
     "c_sessionize" -> sessionize,
     "c_funnel" -> funnel,
+    "c_retention" -> retention,
     "c_interval" -> interval,
     "c_is_not_null" -> isNotNull,
     "c_current_date" -> currentDate,
@@ -951,6 +992,7 @@ object TierC {
     "c_event_hourly" -> eventHourlySql,
     "c_sessionize" -> sessionizeSql,
     "c_funnel" -> funnelSql,
+    "c_retention" -> retentionSql,
     "c_interval" -> intervalSql,
     "c_is_not_null" -> isNotNullSql)
     // c_current_date / c_approx_distinct: deliberately no oracle (rows-only)
