@@ -115,6 +115,17 @@ class PlanSpec extends AnyFunSuite {
     assert(tree.contains("Join"), tree)
   }
 
+  test("c_funnel: one events scan, windows share one user_id partition") {
+    val tree = graft.engine.Engine.explain(TierC.funnel(spark, dir), "simple")
+    val scans = "Scan parquet".r.findAllIn(tree).size
+    assert(scans == 1, s"funnel must scan events once, saw $scans:\n$tree")
+    // the three chained stage windows must reuse ONE user_id exchange,
+    // not shuffle per stage
+    val userShuffles = "hashpartitioning\\(user_id".r.findAllIn(tree).size
+    assert(userShuffles <= 1,
+      s"funnel must not shuffle per stage ($userShuffles user_id exchanges):\n$tree")
+  }
+
   test("sum_sq UDAF: typed Dataset-side aggregation matches SQL-side") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(1L, 2L, 3L, 4L))
