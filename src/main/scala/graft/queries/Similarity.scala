@@ -372,13 +372,87 @@ object Similarity {
       |WHERE s.scale > 0
       |ORDER BY e.vec_id LIMIT 500""".stripMargin
 
+  // --- Product quantization (PQ codes) ------------------------------------
+
+  /** Product quantization: the 64-dim vector splits into 8 subvectors of
+    * 8 dims; each subvector is coded as the index of its nearest codebook
+    * entry in that subspace (codebook: the 16 leading vectors' subvectors
+    * — a trained artifact at scale, same driver-side fetch-and-inline
+    * discipline as the IVF codebook). The 8 four-bit codes pack into one
+    * BIGINT — 64 dims × 4 bytes become 4 bytes, the compression step
+    * between int8 quantization and a full ANN index. Assignment is a
+    * map-side argmin over 16 codegen'd L2 distances per subspace: zero
+    * joins, zero shuffles before the output ordering. Distances are
+    * sequential folds over exact float→double widenings, so the oracle's
+    * identical fold agrees bit-for-bit and ties break to the lowest
+    * codebook index on both sides. */
+  val pqCodes: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val cents: Seq[Array[Float]] = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect().toSeq
+      .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
+    if (cents.isEmpty)
+      emb.select(col("vec_id"), lit(0L).as("pq_code")).filter(lit(false))
+    else {
+      // codebook for subspace j: array of 16 arrays of 8 doubles
+      def cbLit(j: Int): String =
+        cents.map { c =>
+          c.slice(j * 8, j * 8 + 8).map(_.toDouble)
+            .mkString("array(", ", ", ")")
+        }.mkString("array(", ", ", ")")
+      def codeExpr(j: Int): String =
+        s"""(array_position(dist$j, array_min(dist$j)) - 1)"""
+      def distExpr(j: Int): String =
+        s"""transform(sequence(0, ${cents.size - 1}), k ->
+           |  aggregate(zip_with(slice(embedding, ${j * 8 + 1}, 8),
+           |    element_at(${cbLit(j)}, k + 1),
+           |    (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+           |    CAST(0 AS DOUBLE), (acc, p) -> acc + p))""".stripMargin
+      val withDists = (0 until 8).foldLeft(emb) { (df, j) =>
+        df.withColumn(s"dist$j", expr(distExpr(j)))
+      }
+      val packed = (0 until 8)
+        .map(j => s"shiftleft(${codeExpr(j)}, ${4 * j})")
+        .mkString(" + ")
+      withDists
+        .withColumn("pq_code", expr(s"CAST($packed AS BIGINT)"))
+        .select(col("vec_id"), col("pq_code"))
+        .orderBy(col("vec_id"))
+        .limit(500)
+    }
+  }
+
+  val pqCodesSql: String =
+    """WITH cents AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, embedding AS cent
+      |  FROM embeddings WHERE vec_id < 16),
+      |d AS (
+      |  SELECT e.vec_id, j.j, c.k,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(0, 8), i ->
+      |        (CAST(e.embedding[CAST(j.j * 8 + i + 1 AS INT)] AS DOUBLE) -
+      |         CAST(c.cent[CAST(j.j * 8 + i + 1 AS INT)] AS DOUBLE)) *
+      |        (CAST(e.embedding[CAST(j.j * 8 + i + 1 AS INT)] AS DOUBLE) -
+      |         CAST(c.cent[CAST(j.j * 8 + i + 1 AS INT)] AS DOUBLE)))),
+      |      (a, x) -> a + x) AS dist
+      |  FROM embeddings e, (SELECT unnest(range(0, 8)) AS j) j, cents c),
+      |codes AS (
+      |  SELECT vec_id, j, k FROM (
+      |    SELECT vec_id, j, k,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, k) AS rn
+      |    FROM d) WHERE rn = 1)
+      |SELECT vec_id,
+      |  CAST(SUM(k << CAST(4 * j AS INT)) AS BIGINT) AS pq_code
+      |FROM codes GROUP BY vec_id ORDER BY vec_id LIMIT 500""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p_sim_bruteforce" -> bruteForce,
     "p_sim_lsh" -> lshBucket,
     "p_sim_lsh_multiprobe" -> lshMultiProbe,
     "p_sim_ivf" -> ivfFlat,
     "p_dedup_embedding" -> embeddingNearDup,
-    "p_embed_quantize" -> quantize)
+    "p_embed_quantize" -> quantize,
+    "p_embed_pq" -> pqCodes)
 
   val oracle: Map[String, String] = Map(
     "p_sim_bruteforce" -> bruteForceSql,
@@ -386,5 +460,6 @@ object Similarity {
     "p_sim_lsh_multiprobe" -> lshMultiProbeSql,
     "p_sim_ivf" -> ivfFlatSql,
     "p_dedup_embedding" -> embeddingNearDupSql,
-    "p_embed_quantize" -> quantizeSql)
+    "p_embed_quantize" -> quantizeSql,
+    "p_embed_pq" -> pqCodesSql)
 }
