@@ -66,6 +66,14 @@ object Tables {
     * `date_trunc('microsecond'…)` would apply — then build a timestamp. */
   def eventTs(c: Column): Column = timestamp_micros((c / 1000L).cast("long"))
 
+  /** The `ts` column as exact epoch MICROS (bigint) — the integer twin
+    * of eventTs for queries that compare/emit raw micros (as-of join,
+    * sessionize, funnel); matches the oracle's `epoch_us(ts)`. Refers to
+    * `ts` by name: SQL `div` is the only exact integer division here
+    * (nano epochs exceed 2^53, so any double-based division corrupts
+    * low bits). */
+  def eventUs: Column = expr("CAST(ts div 1000 AS BIGINT)")
+
   // --- temporal canonicalization: DuckDB oracle side ----------------------
   def oDay(x: String): String = s"strftime($x, '%Y-%m-%d')"
   def oSec(x: String): String = s"strftime($x, '%Y-%m-%d %H:%M:%S')"

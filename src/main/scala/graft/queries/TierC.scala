@@ -141,12 +141,12 @@ object TierC {
     val tagged = t(s, dir, "events")
       .filter(col("event_type").isin("purchase", "click"))
       .select(col("user_id"),
-        expr("CAST(ts div 1000 AS BIGINT)").as("us"),
+        eventUs.as("us"),
         when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
         when(col("event_type") === "purchase", col("event_id"))
           .as("event_id"),
         when(col("event_type") === "click",
-          expr("CAST(ts div 1000 AS BIGINT)")).as("c_us"))
+          eventUs).as("c_us"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -516,22 +516,13 @@ object TierC {
        |  FROM lineitem GROUP BY mes)
        |ORDER BY mes""".stripMargin
 
-  /** Batch sessionization over events — the relational twin of
-    * streaming.Streams.sessionCounts: gap-based session ids via
-    * lag + running sum, all in exact integer MICROSECONDS (epoch
-    * arithmetic on integers, so oracle parity is exact; outputting the
-    * start as bigint micros also sidesteps temporal canonicalization).
-    * Ties on ts_us are harmless: equal timestamps give diff 0 on either
-    * lag order, so session assignment is order-insensitive. Scale: both
-    * windows partition by user_id — state is per-user and the shuffle is
-    * one hash partition by user, the same key the streaming twin uses. */
   /** Cohort retention: users bucketed by the ISO week of their first
     * `signup` event; for each (cohort week, activity week) pair, how
     * many of the cohort's users had ANY event in that week. The shape
     * is the canonical retention triangle computed with NO self-join of
-    * the events table: one per-user aggregate for the cohort month, one
-    * distinct (user, month) activity projection, and a join keyed on
-    * user_id — group-key cardinality (months × months) is tiny at any
+    * the events table: one per-user aggregate for the cohort week, one
+    * distinct (user, week) activity projection, and a join keyed on
+    * user_id — group-key cardinality (weeks × weeks) is tiny at any
     * input scale. */
   val retention: Q = (s, dir) => {
     val e = t(s, dir, "events")
@@ -574,8 +565,7 @@ object TierC {
     * comparisons; the summary is four exact counts. */
   val funnel: Q = (s, dir) => {
     val e = t(s, dir, "events")
-      .select(col("user_id"), col("event_type"),
-        expr("CAST(ts div 1000 AS BIGINT)").as("us"))
+      .select(col("user_id"), col("event_type"), eventUs.as("us"))
     val w = Window.partitionBy(col("user_id"))
     val staged = e
       .withColumn("t1",
@@ -613,10 +603,19 @@ object TierC {
       |    AS n_full_funnel
       |FROM u""".stripMargin
 
+  /** Batch sessionization over events — the relational twin of
+    * streaming.Streams.sessionCounts: gap-based session ids via
+    * lag + running sum, all in exact integer MICROSECONDS (epoch
+    * arithmetic on integers, so oracle parity is exact; outputting the
+    * start as bigint micros also sidesteps temporal canonicalization).
+    * Ties on ts_us are harmless: equal timestamps give diff 0 on either
+    * lag order, so session assignment is order-insensitive. Scale: both
+    * windows partition by user_id — state is per-user and the shuffle is
+    * one hash partition by user, the same key the streaming twin uses. */
   val sessionize: Q = (s, dir) => {
     val gapUs = 21600000000L // 6 hours
     val e = t(s, dir, "events")
-      .select(col("user_id"), expr("CAST(ts div 1000 AS BIGINT)").as("ts_us"))
+      .select(col("user_id"), eventUs.as("ts_us"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     e.withColumn("is_new",
