@@ -288,6 +288,33 @@ object TierC {
     * Spark `array_join(array_sort(collect_list(...)))`. collect_list order
     * is partition-dependent, so the EXPLICIT sort is what makes the result
     * deterministic at any parallelism — never rely on arrival order. */
+  /** Two-stage SALTED aggregation as a checked operator (the skew
+    * mitigation `Scale.saltedSum` provides as a utility): stage 1 groups
+    * on (key, salt) so a hot key splits across `nSalts` reducers, stage 2
+    * merges the partials per key. Declared-query-checkable BECAUSE the
+    * inner sums are exact DECIMAL — decimal addition is associative, so
+    * re-associating by salt cannot change the result and the oracle is
+    * the PLAIN group-by (a double-summed salting would differ by float
+    * association order — the reason saltedSum's spec compares with a
+    * tolerance while this query hash-matches exactly). The salt derives
+    * from stable row content, so the split is deterministic too. */
+  val saltedAgg: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val salt = pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(13))
+    li.groupBy(col("l_returnflag"), salt.as("_salt"))
+      .agg(decSum("l_extendedprice").as("partial"), count(lit(1)).as("n"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("partial")).cast(DoubleType).as("revenue"),
+        sum(col("n")).as("n_items"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val saltedAggSql: String =
+    s"""SELECT l_returnflag, ${oDsum("l_extendedprice")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      .stripMargin
+
   val stringAgg: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -936,6 +963,7 @@ object TierC {
     "c_window_range_bucketed" -> windowRangeBucketed,
     "c_distinct_on" -> distinctOn,
     "c_string_agg" -> stringAgg,
+    "c_salted_agg" -> saltedAgg,
     "c_window_topk" -> windowTopk,
     "c_window_lag" -> windowLag,
     "c_window_frame" -> windowFrame,
@@ -975,6 +1003,7 @@ object TierC {
     "c_window_range_bucketed" -> windowRangeSql, // same semantics, same oracle
     "c_distinct_on" -> distinctOnSql,
     "c_string_agg" -> stringAggSql,
+    "c_salted_agg" -> saltedAggSql,
     "c_window_topk" -> windowTopkSql,
     "c_window_lag" -> windowLagSql,
     "c_window_frame" -> windowFrameSql,
