@@ -54,21 +54,30 @@ object Dedup {
     * keeps that at ONE persisted copy instead of one per invocation
     * (ADVICE r5). At 100 TB the analog is materializing the inverted index
     * once (checkpoint / intermediate parquet) before candidate generation. */
+  /** The shingling pipeline over any (doc_id, text) frame — shared by the
+    * corpus index below and the cap-fixture corpus, so the fixture
+    * exercises the production code path, not a re-implementation. */
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs.withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+      .distinct()
+
   private def shingles(s: SparkSession, dir: String): DataFrame =
     memoPersist(s, dir, "dedup_shingles") {
-      t(s, dir, "documents")
-        .withColumn("ws", split(col("text"), " "))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
-        .distinct()
+      shinglesOf(t(s, dir, "documents"))
     }
 
-  private val oShingles =
-    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         unnest(list_transform(range(1, len(ws) - 1),
-      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-      |       FROM w)""".stripMargin
+  /** Oracle shingling over any (doc_id, text) relation — `documents` for
+    * the corpus queries, the planted fixture for the cap query. */
+  private def oShinglesFrom(table: String): String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $table),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(ws) - 1),
+       |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+       |       FROM w)""".stripMargin
+
+  private val oShingles = oShinglesFrom("documents")
 
   // --- Exact dedup ---------------------------------------------------------
 
@@ -101,19 +110,21 @@ object Dedup {
     * counts in the Jaccard denominator stay uncapped, so only candidate
     * GENERATION is bounded, not the similarity definition. The oracle
     * applies the identical HAVING cap, so results stay byte-equal. */
-  val ngramJaccard: Q = (s, dir) => {
-    val sh = shingles(s, dir)
-    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    // The cap is applied BEFORE collect_list (count-aggregate + semi-join),
-    // so no aggregation buffer ever materializes an over-cap posting list —
-    // filtering on size(ds) AFTER collecting would still OOM the one task
-    // holding the boilerplate shingle. count's partial aggregate combines
-    // map-side, so the extra pass shuffles only (sh, partial count) rows.
+  /** Capped candidate pairs with common-shingle counts from a (doc_id, sh)
+    * inverted index — THE code path under the DfCap guard, shared by
+    * ngramJaccard and the cap-fixture query (p_dedup_cap_fixture) so the
+    * capped branch's cross-engine parity is exercised by data, not only
+    * argued. The cap is applied BEFORE collect_list (count-aggregate +
+    * semi-join), so no aggregation buffer ever materializes an over-cap
+    * posting list — filtering on size(ds) AFTER collecting would still OOM
+    * the one task holding the boilerplate shingle. count's partial
+    * aggregate combines map-side, so the extra pass shuffles only
+    * (sh, partial count) rows. */
+  private def cappedCommon(sh: DataFrame): DataFrame = {
     val okSh = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= DfCap)
       .select(col("sh"))
-    val pairs = sh
-      .join(okSh, Seq("sh"), "left_semi")
+    sh.join(okSh, Seq("sh"), "left_semi")
       .groupBy(col("sh"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .select(explode(expr(
@@ -122,10 +133,14 @@ object Dedup {
           |            d -> named_struct('d1', a, 'd2', d))))""".stripMargin))
         .as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-    val common = pairs
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("common"))
-    common
+  }
+
+  val ngramJaccard: Q = (s, dir) => {
+    val sh = shingles(s, dir)
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    cappedCommon(sh)
       .join(n.toDF("d1", "n1"), "d1")
       .join(n.toDF("d2", "n2"), "d2")
       .withColumn("jaccard",
@@ -193,20 +208,25 @@ object Dedup {
             min(expr(s"(${As(i)} * x + ${Bs(i)}) % $P")).as(s"mh$i")): _*)
     }
 
-  val minhashLsh: Q = (s, dir) => {
+  /** (doc_id, band, key) LSH band relation — memoized like simhash's
+    * bands: consumed three times by the candidate query (bucket-size
+    * filter + both join sides) and again by the cap-stats diagnostic, and
+    * without the cache each consumer re-runs the whole
+    * shingle→hash→16-min signature pipeline. */
+  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSig(s, dir)
     val bandKeys = (0 until 4).map(b =>
       concat_ws(",", (0 until 4).map(r => col(s"mh${4 * b + r}")): _*))
     val withKeys = sig.select(col("doc_id") +:
       (0 until 4).map(b => bandKeys(b).as(s"k$b")): _*)
-    // Memoized like simhash's bands: the (doc, band, key) relation is
-    // consumed three times (bucket-size filter + both join sides), and
-    // without the cache each consumer re-runs the whole
-    // shingle→hash→16-min signature pipeline.
-    val unpivoted = memoPersist(s, dir, "minhash_bands") {
+    memoPersist(s, dir, "minhash_bands") {
       withKeys.select(col("doc_id"),
         expr("stack(4, 0, k0, 1, k1, 2, k2, 3, k3)").as(Seq("band", "key")))
     }
+  }
+
+  val minhashLsh: Q = (s, dir) => {
+    val unpivoted = minhashBands(s, dir)
     val small = unpivoted.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2 && col("c") <= DfCap)
@@ -488,8 +508,12 @@ object Dedup {
     * so the null branch is what keeps the untouched majority. */
   val survivors: Q = (s, dir) => {
     val labels = clusters(s, dir) // (doc_id, cluster_id)
+    // Explicit broadcast (VERDICT r6 #2): the residue is tiny by
+    // construction, but a mis-estimated size at 100× must not demote this
+    // to a sort-merge join that shuffles the whole corpus. PlanSpec gates
+    // the BroadcastHashJoin.
     t(s, dir, "documents")
-      .join(labels, Seq("doc_id"), "left")
+      .join(broadcast(labels), Seq("doc_id"), "left")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("cluster_id").isNotNull &&
           col("cluster_id") =!= col("doc_id"), 1L).otherwise(0L))
@@ -521,6 +545,82 @@ object Dedup {
     out
   }
 
+  // --- DfCap guard: data-exercised fixture + diagnostics ------------------
+
+  /** Planted corpus that makes the DfCap branch FIRE (VERDICT r6 #1: at
+    * the test scale factors the real corpus's max shingle df is ~25, so
+    * the capped branch of the green runs was design-verified but never
+    * data-exercised). Construction: doc ids come from `documents` (the
+    * testdata stays the input source); the text plants one shingle at
+    * df = DfCap+1 ("edge over cap" in all 51 docs — MUST be dropped) and
+    * four at df = DfCap exactly (the pad0/boundary trigrams in the first
+    * 50 — MUST be kept, the BETWEEN bound is inclusive). Expected output:
+    * C(50,2)=1225 pairs, every common = 4. An off-by-one on EITHER
+    * engine's cap bound breaks the hash: lower bound 49 → 0 rows; upper
+    * bound 51 → common=5 plus 50 extra pairs via doc 50. */
+  private def capFixtureDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(DfCap + 1)
+      .withColumn("text", expr(
+        s"""CASE WHEN doc_id < $DfCap
+           |  THEN concat('edge over cap pad0 boundary at cap u',
+           |              CAST(doc_id AS STRING))
+           |  ELSE concat('edge over cap u', CAST(doc_id AS STRING)) END"""
+          .stripMargin))
+
+  val capFixture: Q = (s, dir) =>
+    cappedCommon(shinglesOf(capFixtureDocs(s, dir)))
+      .orderBy(col("d1"), col("d2"))
+
+  val capFixtureSql: String =
+    s"""WITH fixture AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id < $DfCap
+       |      THEN 'edge over cap pad0 boundary at cap u'
+       |           || CAST(doc_id AS VARCHAR)
+       |      ELSE 'edge over cap u' || CAST(doc_id AS VARCHAR) END AS text
+       |  FROM (SELECT doc_id FROM documents ORDER BY doc_id
+       |        LIMIT ${DfCap + 1})),
+       |${oShinglesFrom("fixture")},
+       |$oCappedPairs
+       |SELECT d1, d2, common FROM pairs ORDER BY d1, d2""".stripMargin
+
+  /** Cap diagnostics — the numbers a 100 TB dedup operator actually
+    * watches (VERDICT r6 next-steps #7): how many shingles / LSH buckets
+    * the DfCap guard dropped and the worst observed fan-out. Two tiny
+    * full aggregates over already-memoized relations; the one-row ×
+    * one-row combine is a broadcast join of single rows. */
+  val capStats: Q = (s, dir) => {
+    val shStats = shingles(s, dir)
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > DfCap, 1L).otherwise(0L))
+          .as("n_shingles_dropped"),
+        max(col("df")).as("max_shingle_df"))
+    val bStats = minhashBands(s, dir)
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("c") > DfCap, 1L).otherwise(0L))
+          .as("n_buckets_dropped"),
+        max(col("c")).as("max_bucket"))
+    shStats.crossJoin(broadcast(bStats))
+  }
+
+  val capStatsSql: String =
+    s"""WITH $oMinhashCtes,
+       |sdf AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+       |bc AS (SELECT band, key, COUNT(*) AS c FROM bands
+       |       GROUP BY band, key)
+       |SELECT
+       |  (SELECT COUNT(*) FROM sdf) AS n_shingles,
+       |  (SELECT CAST(COALESCE(SUM(CASE WHEN df > $DfCap THEN 1 ELSE 0
+       |     END), 0) AS BIGINT) FROM sdf) AS n_shingles_dropped,
+       |  (SELECT MAX(df) FROM sdf) AS max_shingle_df,
+       |  (SELECT COUNT(*) FROM bc) AS n_buckets,
+       |  (SELECT CAST(COALESCE(SUM(CASE WHEN c > $DfCap THEN 1 ELSE 0
+       |     END), 0) AS BIGINT) FROM bc) AS n_buckets_dropped,
+       |  (SELECT MAX(c) FROM bc) AS max_bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p_dedup_exact" -> exact,
     "p_dedup_ngram" -> ngramJaccard,
@@ -529,7 +629,9 @@ object Dedup {
     "p_dedup_simhash" -> simhash,
     "p_dedup_simhash_pairs" -> simhashPairs,
     "p_dedup_clusters" -> clusters,
-    "p_dedup_survivors" -> survivors)
+    "p_dedup_survivors" -> survivors,
+    "p_dedup_cap_fixture" -> capFixture,
+    "p_dedup_cap_stats" -> capStats)
 
   val oracle: Map[String, String] = Map(
     "p_dedup_exact" -> exactSql,
@@ -539,5 +641,7 @@ object Dedup {
     "p_dedup_simhash" -> simhashSql,
     "p_dedup_simhash_pairs" -> simhashPairsSql,
     "p_dedup_clusters" -> clustersSql,
-    "p_dedup_survivors" -> survivorsSql)
+    "p_dedup_survivors" -> survivorsSql,
+    "p_dedup_cap_fixture" -> capFixtureSql,
+    "p_dedup_cap_stats" -> capStatsSql)
 }

@@ -6,55 +6,125 @@ import graft.engine.Multimodal
 import Tables._
 
 /** Multimodal-column query surface: drives the binary decode path
-  * (Multimodal.withDecodedMeta — mapPartitions, decoder initialized once
-  * per partition) end to end as an oracle-checked declared query. The
-  * testdata has no media table, so document text stands in as the opaque
-  * payload (CAST(text AS BINARY)). ALL FOUR stub-decoded fields are
-  * oracle-checked: format sniffing and byte length directly, and the
-  * stub's width/height via the oracle recomputing the identical
-  * polynomial byte checksum (fold of a*31+byte masked to 24 bits) over
-  * the blob's hex expansion — so the whole mapPartitions decode path,
-  * not just its cheap fields, is hash-gated.
+  * (Multimodal.withDecodedMeta — mapPartitions, HeaderDecoder initialized
+  * once per partition) end to end as an oracle-checked declared query.
   *
-  * Scale: the decode is per-partition map work with zero shuffles; the
-  * binary column rides next to its metadata, so queries not touching it
-  * never read those parquet pages.
+  * The testdata ships no media table, so the query MATERIALIZES real image
+  * containers deterministically from the `documents` table: each doc gets a
+  * spec-correct PNG / JPEG(JFIF) / GIF header (by doc_id % 4; the remainder
+  * stays a raw payload) with width/height encoded in the proper header
+  * fields — big-endian IHDR for PNG, a variable-length APP0 segment then a
+  * SOF0 frame header for JPEG (so the decoder's marker WALK, not a fixed
+  * offset, is exercised), little-endian logical screen descriptor for GIF —
+  * followed by the document text as the payload body.
+  *
+  * The oracle builds byte-identical blobs in DuckDB and then PARSES THE
+  * BYTES BACK (hex-substring arithmetic, including reading the APP0 length
+  * field to locate the JPEG SOF segment) — so the hash gate checks real
+  * cross-engine byte-level header parsing, not a formula replay: if either
+  * side's endianness, offset, or marker arithmetic drifted, the hash breaks.
+  *
+  * Scale: header construction and decode are per-partition map work with
+  * zero shuffles; the binary column rides next to its metadata, so queries
+  * not touching it never read those parquet pages.
   */
 object Media {
 
+  /** Spec-correct container headers around the text payload, by doc_id%4.
+    * Pure codegen'd SQL (hex/unhex/lpad) — no UDF in the build step. */
+  private val mediaExpr: String = """
+    CASE CAST(pmod(doc_id, 4) AS INT)
+      WHEN 0 THEN concat(unhex(concat(
+          '89504E470D0A1A0A0000000D49484452',
+          lpad(hex(pmod(doc_id, 1920) + 1), 8, '0'),
+          lpad(hex(pmod(doc_id, 1080) + 1), 8, '0'),
+          '0806000000')), cast(text AS BINARY))
+      WHEN 1 THEN concat(unhex(concat(
+          'FFD8FFE0', lpad(hex(7 + pmod(doc_id, 8)), 4, '0'), '4A46494600',
+          repeat('00', CAST(pmod(doc_id, 8) AS INT)),
+          'FFC00011', '08',
+          lpad(hex(pmod(doc_id, 1080) + 1), 4, '0'),
+          lpad(hex(pmod(doc_id, 1920) + 1), 4, '0'),
+          '03012200021101031101')), cast(text AS BINARY))
+      WHEN 2 THEN concat(unhex(concat(
+          '474946383961',
+          substr(lpad(hex(pmod(doc_id, 1920) + 1), 4, '0'), 3, 2),
+          substr(lpad(hex(pmod(doc_id, 1920) + 1), 4, '0'), 1, 2),
+          substr(lpad(hex(pmod(doc_id, 1080) + 1), 4, '0'), 3, 2),
+          substr(lpad(hex(pmod(doc_id, 1080) + 1), 4, '0'), 1, 2),
+          '00')), cast(text AS BINARY))
+      ELSE cast(text AS BINARY)
+    END"""
+
   val mediaMeta: Q = (s, dir) => {
-    // top-k BEFORE the decode: the sort key (doc_id) is independent of the
-    // decoded fields, so the expensive per-row decode runs on 500 rows,
-    // not the corpus (the features-after-limit discipline, as in TextOps).
+    // top-k BEFORE the build+decode: the sort key (doc_id) is independent
+    // of the decoded fields, so the per-row work runs on 500 rows, not the
+    // corpus (the features-after-limit discipline, as in TextOps).
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .select(col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
       .limit(500)
+      .withColumn("media", expr(mediaExpr))
+      .select("doc_id", "media")
     Multimodal.withDecodedMeta(docs, "media")
       .select(col("doc_id"), col("meta.format").as("format"),
-        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"),
         col("meta.n_bytes").as("n_bytes"))
       .orderBy(col("doc_id"))
   }
 
   val mediaMetaSql: String =
-    """WITH b AS (SELECT doc_id, encode(text) AS blob FROM documents
+    """WITH b AS (SELECT doc_id, encode(text) AS body FROM documents
       |           ORDER BY doc_id LIMIT 500),
-      |s AS (SELECT doc_id, blob,
-      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |          list_transform(range(0, octet_length(blob)),
-      |            i -> CAST(('0x' || substr(hex(blob),
-      |                   CAST(i * 2 + 1 AS INT), 2)) AS BIGINT))),
-      |          (a, x) -> (a * 31 + x) & 16777215) AS csum
-      |      FROM b)
+      |m AS (SELECT doc_id,
+      |  CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN unhex('89504E470D0A1A0A0000000D49484452'
+      |      || lpad(hex(doc_id % 1920 + 1), 8, '0')
+      |      || lpad(hex(doc_id % 1080 + 1), 8, '0') || '0806000000') || body
+      |    WHEN 1 THEN unhex('FFD8FFE0' || lpad(hex(7 + doc_id % 8), 4, '0')
+      |      || '4A46494600' || repeat('00', CAST(doc_id % 8 AS INT))
+      |      || 'FFC00011' || '08' || lpad(hex(doc_id % 1080 + 1), 4, '0')
+      |      || lpad(hex(doc_id % 1920 + 1), 4, '0')
+      |      || '03012200021101031101') || body
+      |    WHEN 2 THEN unhex('474946383961'
+      |      || substr(lpad(hex(doc_id % 1920 + 1), 4, '0'), 3, 2)
+      |      || substr(lpad(hex(doc_id % 1920 + 1), 4, '0'), 1, 2)
+      |      || substr(lpad(hex(doc_id % 1080 + 1), 4, '0'), 3, 2)
+      |      || substr(lpad(hex(doc_id % 1080 + 1), 4, '0'), 1, 2)
+      |      || '00') || body
+      |    ELSE body
+      |  END AS media
+      |  FROM b),
+      |h AS (SELECT doc_id, media, hex(media) AS hx FROM m)
       |SELECT doc_id,
-      |  CASE WHEN starts_with(upper(hex(blob)), '89504E47') THEN 'png'
-      |       WHEN starts_with(upper(hex(blob)), 'FFD8') THEN 'jpeg'
+      |  CASE WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'png'
+      |       WHEN starts_with(hx, 'FFD8') THEN 'jpeg'
+      |       WHEN starts_with(hx, '4749463837') OR starts_with(hx, '4749463839')
+      |         THEN 'gif'
       |       ELSE 'bin' END AS format,
-      |  CAST(csum % 1920 + 1 AS INT) AS width,
-      |  CAST(csum // 1920 % 1080 + 1 AS INT) AS height,
-      |  CAST(octet_length(blob) AS BIGINT) AS n_bytes
-      |FROM s ORDER BY doc_id""".stripMargin
+      |  CASE WHEN starts_with(hx, '89504E470D0A1A0A')
+      |         THEN CAST(('0x' || substr(hx, 33, 8)) AS BIGINT)
+      |       WHEN starts_with(hx, 'FFD8')
+      |         THEN CAST(('0x' || substr(hx,
+      |           (4 + CAST(('0x' || substr(hx, 9, 4)) AS BIGINT) + 7) * 2 + 1,
+      |           4)) AS BIGINT)
+      |       WHEN starts_with(hx, '4749463837') OR starts_with(hx, '4749463839')
+      |         THEN CAST(('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))
+      |           AS BIGINT)
+      |       ELSE 0 END AS width,
+      |  CASE WHEN starts_with(hx, '89504E470D0A1A0A')
+      |         THEN CAST(('0x' || substr(hx, 41, 8)) AS BIGINT)
+      |       WHEN starts_with(hx, 'FFD8')
+      |         THEN CAST(('0x' || substr(hx,
+      |           (4 + CAST(('0x' || substr(hx, 9, 4)) AS BIGINT) + 5) * 2 + 1,
+      |           4)) AS BIGINT)
+      |       WHEN starts_with(hx, '4749463837') OR starts_with(hx, '4749463839')
+      |         THEN CAST(('0x' || substr(hx, 19, 2) || substr(hx, 17, 2))
+      |           AS BIGINT)
+      |       ELSE 0 END AS height,
+      |  CAST(octet_length(media) AS BIGINT) AS n_bytes
+      |FROM h ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map("p_media_meta" -> mediaMeta)
   val oracle: Map[String, String] = Map("p_media_meta" -> mediaMetaSql)

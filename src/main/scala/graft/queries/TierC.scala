@@ -630,6 +630,55 @@ object TierC {
       |    AS n_full_funnel
       |FROM u""".stripMargin
 
+  /** Time-bounded funnel — the form real funnels take: each stage must
+    * fire within a horizon of the prior stage (view → click within 7
+    * days → purchase within 7 days of the click), not merely after it.
+    * Identical plan shape to `funnel` (ONE user_id shuffle, three chained
+    * window passes — PlanSpec gates both); the horizon is one extra
+    * integer bound per stage over exact microsecond epochs. */
+  val funnelWindow: Q = (s, dir) => {
+    val horizonUs = 604800000000L // 7 days in microseconds
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), eventUs.as("us"))
+    val w = Window.partitionBy(col("user_id"))
+    val staged = e
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("us") >= col("t1") &&
+          col("us") <= col("t1") + horizonUs, col("us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("us") >= col("t2") &&
+          col("us") <= col("t2") + horizonUs, col("us"))).over(w))
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+      .distinct()
+    staged.agg(count(lit(1)).as("n_users"),
+      sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_view_click"),
+      sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_full_funnel"))
+  }
+
+  val funnelWindowSql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |             CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+      |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+      |         OVER (PARTITION BY user_id) AS t1 FROM e),
+      |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us >= t1
+      |         AND us <= t1 + 604800000000
+      |         THEN us END) OVER (PARTITION BY user_id) AS t2 FROM w1),
+      |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us >= t2
+      |         AND us <= t2 + 604800000000
+      |         THEN us END) OVER (PARTITION BY user_id) AS t3 FROM w2),
+      |u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM w3)
+      |SELECT COUNT(*) AS n_users,
+      |  CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_view,
+      |  CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_view_click,
+      |  CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_full_funnel
+      |FROM u""".stripMargin
+
   /** Batch sessionization over events — the relational twin of
     * streaming.Streams.sessionCounts: gap-based session ids via
     * lag + running sum, all in exact integer MICROSECONDS (epoch
@@ -1012,6 +1061,7 @@ object TierC {
     "c_event_hourly" -> eventHourly,
     "c_sessionize" -> sessionize,
     "c_funnel" -> funnel,
+    "c_funnel_window" -> funnelWindow,
     "c_retention" -> retention,
     "c_interval" -> interval,
     "c_is_not_null" -> isNotNull,
@@ -1054,6 +1104,7 @@ object TierC {
     "c_kmv_distinct" -> kmvDistinctSql,
     "c_sessionize" -> sessionizeSql,
     "c_funnel" -> funnelSql,
+    "c_funnel_window" -> funnelWindowSql,
     "c_retention" -> retentionSql,
     "c_interval" -> intervalSql,
     "c_is_not_null" -> isNotNullSql)

@@ -2,33 +2,86 @@ package graft.engine
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Multimodal binary-column plumbing (stubbed decode — codecs absent in
-  * this environment; the schema/partition/batch shape is the real one). */
+/** Multimodal binary-column plumbing. Metadata decode is REAL header
+  * parsing (PNG IHDR / JPEG SOF marker walk / GIF screen descriptor);
+  * pixel-level steps (embedding, frames, resize) remain stubs — codecs
+  * are absent in this environment but dims don't need one. */
 class MultimodalSpec extends AnyFunSuite {
 
   private lazy val spark = graft.TestSpark.spark
 
+  private def hx(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(p => Integer.parseInt(p, 16).toByte).toArray
+
+  /** Spec-correct minimal containers. */
+  private def png(w: Int, h: Int): Array[Byte] =
+    hx(f"89504E470D0A1A0A 0000000D 49484452 $w%08X $h%08X 0806000000")
+  private def jpegJfif(w: Int, h: Int): Array[Byte] =
+    hx(f"FFD8 FFE00010 4A46494600 0101 0000010001 0000" + // APP0, 16 bytes
+      f" FFFE0004 CAFE" +                                  // COM segment
+      f" FFC00011 08 $h%04X $w%04X 03012200021101031101") // SOF0
+  private def gif(w: Int, h: Int): Array[Byte] = {
+    def le(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+    hx(s"474946383961 ${le(w)} ${le(h)} 00")
+  }
+
+  private def decode(bytes: Array[Byte]) =
+    Multimodal.HeaderDecoder.decode(bytes)
+
+  test("PNG: width/height parsed big-endian from IHDR") {
+    assert(decode(png(1920, 1080)) ==
+      Multimodal.MediaMeta("png", 1920, 1080, 29L))
+    assert(decode(png(1, 1)).width == 1)
+  }
+
+  test("JPEG: marker walk skips APP0+COM segments to SOF0") {
+    val b = jpegJfif(640, 480)
+    assert(decode(b) == Multimodal.MediaMeta("jpeg", 640, 480, b.length.toLong))
+  }
+
+  test("JPEG: fill bytes and standalone markers don't derail the walk") {
+    // SOI, fill byte before APP0, RST standalone, then SOF0
+    val b = hx("FFD8 FF FFE00004 0000 FFD0 FFC00011 08 0040 0080" +
+      " 03012200021101031101")
+    assert(decode(b).width == 0x80 && decode(b).height == 0x40)
+  }
+
+  test("GIF: little-endian logical screen descriptor") {
+    val b = gif(320, 200)
+    assert(decode(b) == Multimodal.MediaMeta("gif", 320, 200, b.length.toLong))
+  }
+
+  test("corrupt/truncated payloads never throw") {
+    assert(decode(png(9, 9).take(12)).format == "bin") // truncated PNG
+    val j = decode(hx("FFD8") ++ "garbage".getBytes)   // SOI then junk
+    assert(j.format == "jpeg" && j.width == 0 && j.height == 0)
+    assert(decode("plain text".getBytes) ==
+      Multimodal.MediaMeta("bin", 0, 0, 10L))
+    assert(decode(Array.empty[Byte]).format == "bin")
+  }
+
   private def mediaDf = {
     import spark.implicits._
-    Seq(
-      (1L, Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2, 3)),
-      (2L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 9)),
-      (3L, Array[Byte](0, 1, 2, 3, 4, 5, 6, 7))
-    ).toDF("id", "media").repartition(2)
+    Seq((1L, png(100, 50)), (2L, jpegJfif(640, 480)), (3L, gif(320, 200)),
+      (4L, Array[Byte](0, 1, 2, 3, 4, 5, 6, 7)))
+      .toDF("id", "media").repartition(2)
   }
 
   test("decode adds a typed meta struct, preserves other columns") {
     val out = Multimodal.withDecodedMeta(mediaDf, "media")
     assert(out.columns.toSeq == Seq("id", "media", "meta"))
-    val byId = out.selectExpr("id", "meta.format", "meta.n_bytes")
-      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+    val byId = out.selectExpr("id", "meta.format", "meta.width", "meta.height")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
       .toMap
-    assert(byId(1L) == (("png", 7L)))
-    assert(byId(2L) == (("jpeg", 5L)))
-    assert(byId(3L) == (("bin", 8L)))
+    assert(byId(1L) == (("png", 100, 50)))
+    assert(byId(2L) == (("jpeg", 640, 480)))
+    assert(byId(3L) == (("gif", 320, 200)))
+    assert(byId(4L) == (("bin", 0, 0)))
   }
 
-  test("decode is deterministic across runs (stub discipline)") {
+  test("decode is deterministic across runs") {
     val a = Multimodal.withDecodedMeta(mediaDf, "media")
       .selectExpr("id", "meta").orderBy("id").collect().toSeq
     val b = Multimodal.withDecodedMeta(mediaDf, "media")

@@ -126,6 +126,27 @@ class PlanSpec extends AnyFunSuite {
       s"funnel must not shuffle per stage ($userShuffles user_id exchanges):\n$tree")
   }
 
+  test("p_dedup_survivors: label residue broadcasts, corpus unshuffled") {
+    // The corpus-sized LEFT join must build on the tiny label residue
+    // (VERDICT r6 #2): a mis-estimated residue at 100× must not demote
+    // this to a sort-merge join that shuffles every document.
+    val tree = graft.engine.Engine.explain(Dedup.survivors(spark, dir), "simple")
+    assert(tree.contains("BroadcastHashJoin"), tree)
+    val smjLeft = tree.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("LeftOuter"))
+    assert(!smjLeft, s"survivors must not sort-merge the corpus:\n$tree")
+  }
+
+  test("c_funnel_window: same one-scan one-shuffle shape as c_funnel") {
+    val tree = graft.engine.Engine.explain(
+      TierC.funnelWindow(spark, dir), "simple")
+    val scans = "Scan parquet".r.findAllIn(tree).size
+    assert(scans == 1, s"bounded funnel must scan events once:\n$tree")
+    val userShuffles = "hashpartitioning\\(user_id".r.findAllIn(tree).size
+    assert(userShuffles <= 1,
+      s"bounded funnel must not shuffle per stage:\n$tree")
+  }
+
   test("sum_sq UDAF: typed Dataset-side aggregation matches SQL-side") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(1L, 2L, 3L, 4L))
