@@ -72,35 +72,40 @@ object Similarity {
   // --- Random-hyperplane LSH bucketed ANN ---------------------------------
 
   // 8 hyperplanes with md5-derived integer weights in [-3, 3]: w(j, d) =
-  // (md5("j_d")[0:4] as int) % 7 - 3. md5 keeps the planes identical (and
-  // decorrelated) on both engines. The Spark side precomputes the constant
-  // 8×64 matrix at plan time and inlines it as a literal — the broadcast-
-  // the-weights shape a real cluster needs (the oracle re-derives the same
-  // values with SQL md5, which is fine at oracle scale).
-  private[queries] def weight(j: Int, d: Int): Int = {
+  // (md5(prefix + "j_d")[0:4] as int) % 7 - 3. md5 keeps the planes
+  // identical (and decorrelated) on both engines; a non-empty `prefix`
+  // seeds an INDEPENDENT table (the OR-construction below). The Spark
+  // side precomputes each constant 8×64 matrix at plan time and inlines
+  // it as a literal — the broadcast-the-weights shape a real cluster
+  // needs (the oracle re-derives the same values with SQL md5, which is
+  // fine at oracle scale).
+  private[queries] def weight(prefix: String, j: Int, d: Int): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"${j}_$d".getBytes("UTF-8"))
+    val hex = md.digest(s"$prefix${j}_$d".getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString
     ((java.lang.Long.parseLong(hex.take(4), 16) % 7) - 3).toInt
   }
 
-  private val weightMatrix: String =
+  private def weightMatrixP(prefix: String): String =
     (0 until 8).map { j =>
-      (0 until 64).map(d => weight(j, d)).mkString("array(", ", ", ")")
+      (0 until 64).map(d => weight(prefix, j, d)).mkString("array(", ", ", ")")
     }.mkString("array(", ", ", ")")
 
-  private val bitsExpr =
+  private def bitsExprP(prefix: String): String =
     s"""transform(sequence(0, 7), j ->
        |  CASE WHEN aggregate(zip_with(embedding,
-       |    element_at($weightMatrix, j + 1),
+       |    element_at(${weightMatrixP(prefix)}, j + 1),
        |    (x, w) -> CAST(x AS DOUBLE) * CAST(w AS DOUBLE)),
        |    CAST(0 AS DOUBLE), (acc, p) -> acc + p) > 0
        |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
 
-  private val bucketExpr =
-    s"""aggregate(zip_with($bitsExpr, sequence(0, 7),
+  private def bucketExprP(prefix: String): String =
+    s"""aggregate(zip_with(${bitsExprP(prefix)}, sequence(0, 7),
        |  (b, j) -> shiftleft(b, j)), CAST(0 AS BIGINT), (acc, x) -> acc + x)
        |""".stripMargin
+
+  private val bucketExpr = bucketExprP("")
+  private val bucketExpr2 = bucketExprP("t1_")
 
   /** ANN via hyperplane-LSH bucket: candidates share vec 0's bucket; exact
     * cosine ranks within the bucket. */
@@ -142,14 +147,47 @@ object Similarity {
       .limit(10)
   }
 
-  private val oBits =
-    """list_transform(range(0, 8), j ->
-      |  CASE WHEN list_reduce(list_transform(range(0, 64), d ->
-      |    CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) *
-      |      CAST((CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' ||
-      |        CAST(d AS VARCHAR)), 1, 4)) AS BIGINT) % 7) - 3 AS DOUBLE)),
-      |    (x, y) -> x + y) > 0
-      |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+  private def oBitsP(prefix: String): String =
+    s"""list_transform(range(0, 8), j ->
+       |  CASE WHEN list_reduce(list_transform(range(0, 64), d ->
+       |    CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) *
+       |      CAST((CAST(('0x' || substr(md5('$prefix' ||
+       |        CAST(j AS VARCHAR) || '_' ||
+       |        CAST(d AS VARCHAR)), 1, 4)) AS BIGINT) % 7) - 3 AS DOUBLE)),
+       |    (x, y) -> x + y) > 0
+       |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+
+  private val oBits = oBitsP("")
+
+  /** OR-construction LSH: TWO independent 8-plane tables (the second's
+    * hyperplanes seed from a distinct md5 prefix), candidates = the UNION
+    * of each table's bucket match, deduped, then exact-cosine ranked. The
+    * standard recall amplifier orthogonal to multi-probe: a true neighbor
+    * is missed only if it lands in the wrong bucket of BOTH tables
+    * (miss² instead of miss). Shape at 100 TB: each table's candidate
+    * fetch is the same pruned single-bucket scan as `lshBucket` (store
+    * both bucket ids as columns, partition by either), the union is a
+    * union of two small candidate sets, and the dedup keys on vec_id —
+    * never a second pass over the corpus. */
+  val lshOrTables: Q = (s, dir) => {
+    graft.functions.CosineSimilarity.register(s)
+    val bk = t(s, dir, "embeddings")
+      .withColumn("b0", expr(bucketExpr))
+      .withColumn("b1", expr(bucketExpr2))
+    val q = bk.filter(col("vec_id") === 0)
+    val q0 = q.select(col("b0").as("qb0"), col("embedding").as("q_emb"))
+    val q1 = q.select(col("b1").as("qb1"), col("embedding").as("q_emb"))
+    val c0 = bk.join(broadcast(q0), col("b0") === col("qb0"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("q_emb"))
+    val c1 = bk.join(broadcast(q1), col("b1") === col("qb1"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("q_emb"))
+    c0.unionByName(c1).dropDuplicates("vec_id")
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cosine", expr("cosine_sim(embedding, q_emb)"))
+      .select(col("vec_id"), col("label"), col("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(10)
+  }
 
   val lshBucketSql: String =
     s"""WITH bk AS (
@@ -186,6 +224,29 @@ object Similarity {
        |WHERE e.vec_id <> 0
        |ORDER BY cosine DESC, e.vec_id
        |LIMIT 10""".stripMargin
+
+  val lshOrTablesSql: String = {
+    def bucketOf(bits: String): String =
+      s"""CAST(list_reduce(list_transform(range(0, 8), j ->
+         |  ($bits)[CAST(j + 1 AS INT)] << CAST(j AS INT)),
+         |  (x, y) -> x + y) AS BIGINT)""".stripMargin
+    s"""WITH bk AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${bucketOf(oBitsP(""))} AS b0,
+       |    ${bucketOf(oBitsP("t1_"))} AS b1
+       |  FROM embeddings),
+       |q AS (SELECT * FROM bk WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT DISTINCT e.vec_id, e.label, e.embedding
+       |  FROM bk e, q WHERE e.b0 = q.b0 OR e.b1 = q.b1)
+       |SELECT c.vec_id, c.label,
+       |  ${oDot("c.embedding", "q.embedding")} /
+       |    (${oNorm("c.embedding")} * ${oNorm("q.embedding")}) AS cosine
+       |FROM cand c, q
+       |WHERE c.vec_id <> 0
+       |ORDER BY cosine DESC, c.vec_id
+       |LIMIT 10""".stripMargin
+  }
 
   // --- Embedding-cosine near-dup pairs (bucketed, never all-pairs) --------
 
@@ -449,6 +510,7 @@ object Similarity {
     "p_sim_bruteforce" -> bruteForce,
     "p_sim_lsh" -> lshBucket,
     "p_sim_lsh_multiprobe" -> lshMultiProbe,
+    "p_sim_lsh_or" -> lshOrTables,
     "p_sim_ivf" -> ivfFlat,
     "p_dedup_embedding" -> embeddingNearDup,
     "p_embed_quantize" -> quantize,
@@ -458,6 +520,7 @@ object Similarity {
     "p_sim_bruteforce" -> bruteForceSql,
     "p_sim_lsh" -> lshBucketSql,
     "p_sim_lsh_multiprobe" -> lshMultiProbeSql,
+    "p_sim_lsh_or" -> lshOrTablesSql,
     "p_sim_ivf" -> ivfFlatSql,
     "p_dedup_embedding" -> embeddingNearDupSql,
     "p_embed_quantize" -> quantizeSql,

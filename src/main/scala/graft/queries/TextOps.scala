@@ -340,6 +340,84 @@ object TextOps {
       |  COUNT(*) AS n_docs, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
       |FROM documents GROUP BY split ORDER BY split""".stripMargin
 
+  // --- Sequence packing (context-window sharding) --------------------------
+
+  /** Sequence packing: assign each document the fixed-size context-window
+    * bin (4096 tokens) in which its first token lands when the corpus is
+    * concatenated in a deterministic order — the standard pretraining
+    * shard layout (documents split across window boundaries; `bin` is
+    * where the doc STARTS). The running token total is a per-lang window
+    * (PARTITION BY lang ORDER BY doc_id), so state is per-partition and
+    * the shuffle is one hash partition by lang — at 100 TB the partition
+    * key would be the shard/source the packer writes, never a global
+    * unpartitioned window. All-integer arithmetic; hash-exact. */
+  val packSequences: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin", expr("CAST((cum - tok) DIV 4096 AS BIGINT)"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  val packSequencesSql: String =
+    """WITH d AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, doc_id, tok,
+      |    SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT lang, CAST((cum - tok) // 4096 AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+
+  // --- Corpus mixing (per-lang deterministic downsampling) -----------------
+
+  /** Corpus mixing: rebalance the training mix by keeping a per-language
+    * fraction of documents, selected by the same reproducible md5(doc_id)
+    * hash as `p_split_hash` — so the kept set is stable run-to-run,
+    * engine-to-engine, and under repartitioning, and composes with the
+    * train/test split (a doc's split and its mix decision derive from
+    * different hash digits... same digits here, deliberately: a doc
+    * sampled out is sampled out of BOTH splits). Map-side expression +
+    * one small aggregate; the rates are the knob a data-mixture pipeline
+    * sweeps. */
+  private val mixRates: Seq[(String, Int)] =
+    Seq("en" -> 90, "de" -> 50, "es" -> 25, "fr" -> 10)
+
+  val corpusMix: Q = (s, dir) => {
+    val rateExpr = mixRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", " ELSE 100 END")
+    t(s, dir, "documents")
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4)," +
+          " 16, 10) AS BIGINT) % 100"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr(s"h < $rateExpr"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val corpusMixSql: String = {
+    val rateExpr = mixRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", " ELSE 100 END")
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN CAST(('0x' ||
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+       |    < $rateExpr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // --- End-to-end pipeline composition ------------------------------------
 
   /** The composed training-data pipeline in one query: quality gate →
@@ -386,6 +464,8 @@ object TextOps {
     "p_text_tfidf" -> tfidf,
     "p_text_contamination" -> contamination,
     "p_split_hash" -> splitHash,
+    "p_pack_sequences" -> packSequences,
+    "p_corpus_mix" -> corpusMix,
     "p_pipeline_e2e" -> pipelineE2e)
 
   val oracle: Map[String, String] = Map(
@@ -399,5 +479,7 @@ object TextOps {
     "p_text_tfidf" -> tfidfSql,
     "p_text_contamination" -> contaminationSql,
     "p_split_hash" -> splitHashSql,
+    "p_pack_sequences" -> packSequencesSql,
+    "p_corpus_mix" -> corpusMixSql,
     "p_pipeline_e2e" -> pipelineE2eSql)
 }
