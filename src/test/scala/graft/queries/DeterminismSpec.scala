@@ -21,7 +21,11 @@ class DeterminismSpec extends AnyFunSuite {
   // which defeats the comparison): money sums (t1), sequential float
   // folds (quantize, brute-force cosine), and the bucketed range join.
   private val names = Seq("t1_account_summary", "p_embed_quantize",
-    "p_sim_bruteforce", "c_window_range_bucketed")
+    "p_sim_bruteforce", "c_window_range_bucketed",
+    // r7 additions: tfidf's divide-then-multiply over shuffled joins, and
+    // the packing query's per-lang running sums (window state must not
+    // depend on input split boundaries)
+    "p_text_tfidf", "p_pack_sequences")
 
   test("outputs are identical across partitioning regimes") {
     val keys = Seq("spark.sql.shuffle.partitions",
