@@ -83,7 +83,20 @@ object Bench {
     // spikes but makes cross-round totals slightly flattering vs r01–r04.
     val templatesTotal = results
       .collect { case (k, v, true, _) if k.startsWith("t") => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"templates_total":$templatesTotal,"n_queries":${results.size},"samples":$samples,"max_runs_per_query":2,"agg":"min","sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"templates_total":$templatesTotal,"n_queries":${results.size},"samples":$samples,"max_runs_per_query":2,"agg":"min","sf":"$sfDir"}"""
+    println(fullJson)
+    // Persist the complete per-query map to a file (VERDICT r5/r6/r7): the
+    // harness tail-truncates stdout, so the printed map has been lost three
+    // rounds running. The file survives regardless of stdout limits and is
+    // what BenchHistorySpec's regression gate reads next round.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json"))
+      java.nio.file.Files.write(out,
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] bench_full write failed: ${e.getMessage}")
+    }
     // Repeat the headline numbers on a short trailing line: the harness
     // records a bounded TAIL of stdout, and the full line above can lose
     // its leading `"value"` field to front-truncation as the per-query

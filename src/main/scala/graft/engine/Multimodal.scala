@@ -51,9 +51,15 @@ object Multimodal {
     *  - GIF: "GIF87a"/"GIF89a" then the logical screen descriptor —
     *    width/height little-endian u16 at offsets 6/8 (GIF89a spec §18).
     *
-    * Anything else (or a truncated/corrupt stream) decodes as
-    * ("bin", 0, 0, length) — never throws: a 100 TB corpus always has
-    * malformed blobs and a decoder that kills the task on one is wrong. */
+    * Malformed-input policy (uniform across formats, ADVICE r7): `format`
+    * reflects the RECOGNIZED LEADING SIGNATURE (PNG 8-byte magic, JPEG
+    * SOI, GIF87a/GIF89a), and width=height=0 signals an unparseable
+    * header — a truncated PNG is ("png",0,0,n), a JPEG whose walk hits
+    * SOS or a non-marker byte before any SOF is ("jpeg",0,0,n), a GIF cut
+    * mid screen-descriptor is ("gif",0,0,n). Only a stream with no
+    * recognized signature is ("bin",0,0,n). Never throws: a 100 TB corpus
+    * always has malformed blobs and a decoder that kills the task on one
+    * is wrong. */
   object HeaderDecoder extends Decoder {
     private val PngSig =
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
@@ -66,11 +72,12 @@ object Multimodal {
         (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
       def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
 
-      if (bytes.length >= 24 &&
-          PngSig.indices.forall(i => u8(i) == PngSig(i)) &&
-          u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R')
-        MediaMeta("png", be32(16), be32(20), n)
-      else if (bytes.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8) {
+      if (bytes.length >= 8 && PngSig.indices.forall(i => u8(i) == PngSig(i))) {
+        if (bytes.length >= 24 &&
+            u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R')
+          MediaMeta("png", be32(16), be32(20), n)
+        else MediaMeta("png", 0, 0, n) // signature recognized, IHDR unparseable
+      } else if (bytes.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8) {
         var i = 2
         var w = 0; var h = 0
         var done = false
@@ -91,11 +98,12 @@ object Multimodal {
           }
         }
         MediaMeta("jpeg", w, h, n)
-      } else if (bytes.length >= 10 &&
+      } else if (bytes.length >= 6 &&
           u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
-          (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
-        MediaMeta("gif", le16(6), le16(8), n)
-      else MediaMeta("bin", 0, 0, n)
+          (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a') {
+        if (bytes.length >= 10) MediaMeta("gif", le16(6), le16(8), n)
+        else MediaMeta("gif", 0, 0, n) // cut mid logical-screen-descriptor
+      } else MediaMeta("bin", 0, 0, n)
     }
   }
 

@@ -11,18 +11,24 @@ import Tables._
   *
   * The testdata ships no media table, so the query MATERIALIZES real image
   * containers deterministically from the `documents` table: each doc gets a
-  * spec-correct PNG / JPEG(JFIF) / GIF header (by doc_id % 4; the remainder
-  * stays a raw payload) with width/height encoded in the proper header
-  * fields — big-endian IHDR for PNG, a variable-length APP0 segment then a
-  * SOF0 frame header for JPEG (so the decoder's marker WALK, not a fixed
-  * offset, is exercised), little-endian logical screen descriptor for GIF —
-  * followed by the document text as the payload body.
+  * spec-correct PNG / JPEG(JFIF) / GIF header (by doc_id % 8) with
+  * width/height encoded in the proper header fields — big-endian IHDR for
+  * PNG, a variable-length APP0 segment then a SOF0 frame header for JPEG
+  * (so the decoder's marker WALK, not a fixed offset, is exercised),
+  * little-endian logical screen descriptor for GIF — followed by the
+  * document text as the payload body. Classes 4–7 are MALFORMED on purpose
+  * (VERDICT r7 #2), exercising every corrupt-stream branch with hashed
+  * data: a JPEG whose walk hits SOS before any SOF (4), a PNG truncated
+  * before its IHDR completes (5), a GIF cut mid screen-descriptor (6), and
+  * a bare SOI followed by non-marker bytes (7) — each must decode to the
+  * documented (signature-format, 0, 0, n) fallback on BOTH engines.
   *
   * The oracle builds byte-identical blobs in DuckDB and then PARSES THE
   * BYTES BACK (hex-substring arithmetic, including reading the APP0 length
-  * field to locate the JPEG SOF segment) — so the hash gate checks real
-  * cross-engine byte-level header parsing, not a formula replay: if either
-  * side's endianness, offset, or marker arithmetic drifted, the hash breaks.
+  * field to locate the next JPEG marker and checking whether it is SOF0 or
+  * SOS) — so the hash gate checks real cross-engine byte-level header
+  * parsing, not a formula replay: if either side's endianness, offset,
+  * marker arithmetic, or corrupt-input fallback drifted, the hash breaks.
   *
   * Scale: header construction and decode are per-partition map work with
   * zero shuffles; the binary column rides next to its metadata, so queries
@@ -30,10 +36,11 @@ import Tables._
   */
 object Media {
 
-  /** Spec-correct container headers around the text payload, by doc_id%4.
+  /** Container headers around the text payload, by doc_id%8 — classes 0–2
+    * spec-correct, 3 raw, 4–7 deliberately malformed (see object doc).
     * Pure codegen'd SQL (hex/unhex/lpad) — no UDF in the build step. */
   private val mediaExpr: String = """
-    CASE CAST(pmod(doc_id, 4) AS INT)
+    CASE CAST(pmod(doc_id, 8) AS INT)
       WHEN 0 THEN concat(unhex(concat(
           '89504E470D0A1A0A0000000D49484452',
           lpad(hex(pmod(doc_id, 1920) + 1), 8, '0'),
@@ -53,6 +60,14 @@ object Media {
           substr(lpad(hex(pmod(doc_id, 1080) + 1), 4, '0'), 3, 2),
           substr(lpad(hex(pmod(doc_id, 1080) + 1), 4, '0'), 1, 2),
           '00')), cast(text AS BINARY))
+      WHEN 4 THEN concat(unhex(concat(
+          'FFD8FFE0', lpad(hex(7 + pmod(doc_id, 8)), 4, '0'), '4A46494600',
+          repeat('00', CAST(pmod(doc_id, 8) AS INT)),
+          'FFDA')), cast(text AS BINARY))
+      WHEN 5 THEN unhex('89504E470D0A1A0A0000000D4948')
+      WHEN 6 THEN unhex(concat('474946383961',
+          substr(lpad(hex(pmod(doc_id, 1920) + 1), 4, '0'), 3, 2)))
+      WHEN 7 THEN concat(unhex('FFD8'), cast(text AS BINARY))
       ELSE cast(text AS BINARY)
     END"""
 
@@ -78,7 +93,7 @@ object Media {
     """WITH b AS (SELECT doc_id, encode(text) AS body FROM documents
       |           ORDER BY doc_id LIMIT 500),
       |m AS (SELECT doc_id,
-      |  CASE CAST(doc_id % 4 AS INT)
+      |  CASE CAST(doc_id % 8 AS INT)
       |    WHEN 0 THEN unhex('89504E470D0A1A0A0000000D49484452'
       |      || lpad(hex(doc_id % 1920 + 1), 8, '0')
       |      || lpad(hex(doc_id % 1080 + 1), 8, '0') || '0806000000') || body
@@ -93,38 +108,57 @@ object Media {
       |      || substr(lpad(hex(doc_id % 1080 + 1), 4, '0'), 3, 2)
       |      || substr(lpad(hex(doc_id % 1080 + 1), 4, '0'), 1, 2)
       |      || '00') || body
+      |    WHEN 4 THEN unhex('FFD8FFE0' || lpad(hex(7 + doc_id % 8), 4, '0')
+      |      || '4A46494600' || repeat('00', CAST(doc_id % 8 AS INT))
+      |      || 'FFDA') || body
+      |    WHEN 5 THEN unhex('89504E470D0A1A0A0000000D4948')
+      |    WHEN 6 THEN unhex('474946383961'
+      |      || substr(lpad(hex(doc_id % 1920 + 1), 4, '0'), 3, 2))
+      |    WHEN 7 THEN unhex('FFD8') || body
       |    ELSE body
       |  END AS media
       |  FROM b),
-      |h AS (SELECT doc_id, media, hex(media) AS hx FROM m)
+      |h AS (SELECT doc_id, media, hex(media) AS hx,
+      |        CAST(octet_length(media) AS BIGINT) AS n FROM m),
+      |j AS (SELECT *,
+      |  CASE WHEN starts_with(hx, 'FFD8') AND substr(hx, 5, 4) = 'FFE0'
+      |       THEN 4 + CAST(('0x' || substr(hx, 9, 4)) AS BIGINT)
+      |       ELSE -1 END AS nm_off
+      |  FROM h)
       |SELECT doc_id,
       |  CASE WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'png'
       |       WHEN starts_with(hx, 'FFD8') THEN 'jpeg'
-      |       WHEN starts_with(hx, '4749463837') OR starts_with(hx, '4749463839')
-      |         THEN 'gif'
+      |       WHEN starts_with(hx, '474946383761')
+      |         OR starts_with(hx, '474946383961') THEN 'gif'
       |       ELSE 'bin' END AS format,
       |  CASE WHEN starts_with(hx, '89504E470D0A1A0A')
-      |         THEN CAST(('0x' || substr(hx, 33, 8)) AS BIGINT)
+      |         THEN CASE WHEN n >= 24 AND substr(hx, 25, 8) = '49484452'
+      |           THEN CAST(('0x' || substr(hx, 33, 8)) AS BIGINT) ELSE 0 END
       |       WHEN starts_with(hx, 'FFD8')
-      |         THEN CAST(('0x' || substr(hx,
-      |           (4 + CAST(('0x' || substr(hx, 9, 4)) AS BIGINT) + 7) * 2 + 1,
-      |           4)) AS BIGINT)
-      |       WHEN starts_with(hx, '4749463837') OR starts_with(hx, '4749463839')
+      |         THEN CASE WHEN nm_off >= 0
+      |             AND substr(hx, nm_off * 2 + 1, 4) = 'FFC0'
+      |           THEN CAST(('0x' || substr(hx, (nm_off + 7) * 2 + 1, 4))
+      |             AS BIGINT) ELSE 0 END
+      |       WHEN (starts_with(hx, '474946383761')
+      |           OR starts_with(hx, '474946383961')) AND n >= 10
       |         THEN CAST(('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))
       |           AS BIGINT)
       |       ELSE 0 END AS width,
       |  CASE WHEN starts_with(hx, '89504E470D0A1A0A')
-      |         THEN CAST(('0x' || substr(hx, 41, 8)) AS BIGINT)
+      |         THEN CASE WHEN n >= 24 AND substr(hx, 25, 8) = '49484452'
+      |           THEN CAST(('0x' || substr(hx, 41, 8)) AS BIGINT) ELSE 0 END
       |       WHEN starts_with(hx, 'FFD8')
-      |         THEN CAST(('0x' || substr(hx,
-      |           (4 + CAST(('0x' || substr(hx, 9, 4)) AS BIGINT) + 5) * 2 + 1,
-      |           4)) AS BIGINT)
-      |       WHEN starts_with(hx, '4749463837') OR starts_with(hx, '4749463839')
+      |         THEN CASE WHEN nm_off >= 0
+      |             AND substr(hx, nm_off * 2 + 1, 4) = 'FFC0'
+      |           THEN CAST(('0x' || substr(hx, (nm_off + 5) * 2 + 1, 4))
+      |             AS BIGINT) ELSE 0 END
+      |       WHEN (starts_with(hx, '474946383761')
+      |           OR starts_with(hx, '474946383961')) AND n >= 10
       |         THEN CAST(('0x' || substr(hx, 19, 2) || substr(hx, 17, 2))
       |           AS BIGINT)
       |       ELSE 0 END AS height,
-      |  CAST(octet_length(media) AS BIGINT) AS n_bytes
-      |FROM h ORDER BY doc_id""".stripMargin
+      |  n AS n_bytes
+      |FROM j ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map("p_media_meta" -> mediaMeta)
   val oracle: Map[String, String] = Map("p_media_meta" -> mediaMetaSql)

@@ -384,14 +384,15 @@ object TextOps {
   // --- Corpus mixing (per-lang deterministic downsampling) -----------------
 
   /** Corpus mixing: rebalance the training mix by keeping a per-language
-    * fraction of documents, selected by the same reproducible md5(doc_id)
-    * hash as `p_split_hash` — so the kept set is stable run-to-run,
-    * engine-to-engine, and under repartitioning, and composes with the
-    * train/test split (a doc's split and its mix decision derive from
-    * different hash digits... same digits here, deliberately: a doc
-    * sampled out is sampled out of BOTH splits). Map-side expression +
-    * one small aggregate; the rates are the knob a data-mixture pipeline
-    * sweeps. */
+    * fraction of documents, selected by a reproducible md5(doc_id) hash —
+    * so the kept set is stable run-to-run, engine-to-engine, and under
+    * repartitioning. The mix decision reads hex digits 5–8 of the digest
+    * while `p_split_hash` reads digits 1–4: DISJOINT digits, so keep is
+    * independent of the train/test assignment and the two decisions
+    * compose (a downsampled language still retains ~10% test docs rather
+    * than having its test split sampled out wholesale — ADVICE r7).
+    * Map-side expression + one small aggregate; the rates are the knob a
+    * data-mixture pipeline sweeps. */
   private val mixRates: Seq[(String, Int)] =
     Seq("en" -> 90, "de" -> 50, "es" -> 25, "fr" -> 10)
 
@@ -400,7 +401,7 @@ object TextOps {
       .mkString("CASE lang ", " ", " ELSE 100 END")
     t(s, dir, "documents")
       .withColumn("h",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4)," +
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 5, 4)," +
           " 16, 10) AS BIGINT) % 100"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -413,7 +414,7 @@ object TextOps {
       .mkString("CASE lang ", " ", " ELSE 100 END")
     s"""SELECT lang, COUNT(*) AS n_docs,
        |  CAST(SUM(CASE WHEN CAST(('0x' ||
-       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 5, 4)) AS BIGINT) % 100
        |    < $rateExpr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   }

@@ -52,13 +52,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decode(b) == Multimodal.MediaMeta("gif", 320, 200, b.length.toLong))
   }
 
-  test("corrupt/truncated payloads never throw") {
-    assert(decode(png(9, 9).take(12)).format == "bin") // truncated PNG
-    val j = decode(hx("FFD8") ++ "garbage".getBytes)   // SOI then junk
+  test("corrupt/truncated payloads never throw; format = signature, dims 0") {
+    // policy (ADVICE r7): format reflects the recognized leading signature,
+    // width=height=0 signals an unparseable header — uniform across formats
+    val p = decode(png(9, 9).take(12)) // PNG sig, truncated before IHDR
+    assert(p.format == "png" && p.width == 0 && p.height == 0)
+    val j = decode(hx("FFD8") ++ "garbage".getBytes) // SOI then junk
     assert(j.format == "jpeg" && j.width == 0 && j.height == 0)
+    val s = decode(hx("FFD8 FFE00010 4A46494600 0101 0000010001 0000 FFDA") ++
+      "entropy".getBytes) // SOS reached before any SOF
+    assert(s.format == "jpeg" && s.width == 0 && s.height == 0)
+    val g = decode(gif(320, 200).take(7)) // cut mid screen-descriptor
+    assert(g.format == "gif" && g.width == 0 && g.height == 0)
     assert(decode("plain text".getBytes) ==
       Multimodal.MediaMeta("bin", 0, 0, 10L))
     assert(decode(Array.empty[Byte]).format == "bin")
+    assert(decode(png(9, 9).take(4)).format == "bin") // sig itself truncated
   }
 
   private def mediaDf = {
