@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -246,6 +247,136 @@ object Similarity {
        |WHERE c.vec_id <> 0
        |ORDER BY cosine DESC, c.vec_id
        |LIMIT 10""".stripMargin
+  }
+
+  // --- ANN recall measurement (recall@10 vs exact ground truth) -----------
+
+  /** Recall@10 of the three LSH retrieval variants — single-bucket
+    * (`lshBucket`), multi-probe (`lshMultiProbe`), and OR-construction
+    * (`lshOrTables`) — measured against exact brute-force ground truth
+    * over the fixed query set `vec_id < 20`. This is the number that
+    * justifies an ANN operator's existence (VERDICT r8 #1): recall is the
+    * quality axis the bits/probes/tables knobs trade against scan
+    * fraction, and until it is measured the variants are shapes, not
+    * operators.
+    *
+    * Construction (all-integer counting, so the result is exact and
+    * hash-checkable): one (corpus × 20 queries) pass computes every
+    * cosine MAP-SIDE (the 20 query rows broadcast — at 100 TB this is
+    * the standard "evaluate on a sampled query set" harness: ground
+    * truth from one exact scan, candidates replayed from the same pass);
+    * ground truth = top-10 per query by (cosine DESC, vec_id); each
+    * variant's retrieved set = top-10 within its own candidate filter
+    * over the SAME pairs (bucket equality / one-bit-flip probes / union
+    * of two tables); recall = |retrieved ∩ truth| / |truth| as one
+    * integer-set-intersection count per variant. Cosines are sequential
+    * folds (bit-equal cross-engine), so both engines rank identically
+    * and the hash matches. Candidate supersets guarantee
+    * recall(multiprobe) ≥ recall(lsh) and recall(or) ≥ recall(lsh) —
+    * RecallSpec asserts the measured inequality. */
+  val recallAt10: Q = (s, dir) => {
+    graft.functions.CosineSimilarity.register(s)
+    import s.implicits._
+    val bk = t(s, dir, "embeddings")
+      .withColumn("b0", expr(bucketExpr))
+      .withColumn("b1", expr(bucketExpr2))
+      .select(col("vec_id"), col("embedding"), col("b0"), col("b1"))
+    val q = bk.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("b0").as("qb0"), col("b1").as("qb1"))
+    val pairs = memoPersist(s, dir, "sim_recall_pairs") {
+      bk.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine", expr("cosine_sim(embedding, q_emb)"))
+        .select(col("qid"), col("vec_id"), col("b0"), col("b1"),
+          col("qb0"), col("qb1"), col("cosine"))
+    }
+    val wTruth = Window.partitionBy(col("qid"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    val truth = pairs.withColumn("rn", row_number().over(wTruth))
+      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+    // one-bit-flip probe set (xor 0 = the exact bucket), as in lshMultiProbe
+    val probes = Seq(0L, 1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L)
+    val cand = pairs
+      .withColumn("variant", explode(array(
+        lit("lsh"), lit("multiprobe"), lit("or_tables"))))
+      .filter(
+        (col("variant") === "lsh" && col("b0") === col("qb0")) ||
+        (col("variant") === "multiprobe" &&
+          expr("b0 ^ qb0").isin(probes: _*)) ||
+        (col("variant") === "or_tables" &&
+          (col("b0") === col("qb0") || col("b1") === col("qb1"))))
+    val wVar = Window.partitionBy(col("variant"), col("qid"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    val retr = cand.withColumn("rn", row_number().over(wVar))
+      .filter(col("rn") <= 10)
+      .select(col("variant"), col("qid"), col("vec_id"))
+    val hits = retr.join(truth, Seq("qid", "vec_id"))
+      .groupBy(col("variant")).agg(count(lit(1)).as("hits"))
+    val tot = truth.agg(count(lit(1)).as("n_truth"))
+    val variants = Seq("lsh", "multiprobe", "or_tables").toDF("variant")
+    variants.join(hits, Seq("variant"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("variant"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"),
+        col("n_truth"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_truth").cast("double")).as("recall_at_10"))
+      .orderBy(col("variant"))
+  }
+
+  val recallAt10Sql: String = {
+    def bucketOf(bits: String): String =
+      s"""CAST(list_reduce(list_transform(range(0, 8), j ->
+         |  ($bits)[CAST(j + 1 AS INT)] << CAST(j AS INT)),
+         |  (x, y) -> x + y) AS BIGINT)""".stripMargin
+    s"""WITH bk AS (
+       |  SELECT vec_id, embedding,
+       |    ${bucketOf(oBitsP(""))} AS b0,
+       |    ${bucketOf(oBitsP("t1_"))} AS b1
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS q_emb, b0 AS qb0, b1 AS qb1
+       |      FROM bk WHERE vec_id < 20),
+       |pairs AS (
+       |  SELECT e.vec_id, q.qid, e.b0, e.b1, q.qb0, q.qb1,
+       |    ${oDot("e.embedding", "q.q_emb")} /
+       |      (${oNorm("e.embedding")} * ${oNorm("q.q_emb")}) AS cosine
+       |  FROM bk e, q WHERE e.vec_id <> q.qid),
+       |truth AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY cosine DESC, vec_id) AS rn
+       |    FROM pairs) WHERE rn <= 10),
+       |cand AS (
+       |  SELECT v.variant, p.qid, p.vec_id, p.cosine
+       |  FROM pairs p
+       |  CROSS JOIN (SELECT unnest(['lsh', 'multiprobe', 'or_tables'])
+       |    AS variant) v
+       |  WHERE (v.variant = 'lsh' AND p.b0 = p.qb0)
+       |     OR (v.variant = 'multiprobe'
+       |         AND xor(p.b0, p.qb0) IN (0, 1, 2, 4, 8, 16, 32, 64, 128))
+       |     OR (v.variant = 'or_tables'
+       |         AND (p.b0 = p.qb0 OR p.b1 = p.qb1))),
+       |retr AS (
+       |  SELECT variant, qid, vec_id FROM (
+       |    SELECT variant, qid, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY variant, qid
+       |        ORDER BY cosine DESC, vec_id) AS rn
+       |    FROM cand) WHERE rn <= 10),
+       |hits AS (
+       |  SELECT r.variant, COUNT(*) AS n_hits
+       |  FROM retr r JOIN truth t ON r.qid = t.qid AND r.vec_id = t.vec_id
+       |  GROUP BY r.variant),
+       |tot AS (SELECT COUNT(*) AS n_truth FROM truth)
+       |SELECT v.variant, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  tot.n_truth,
+       |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(tot.n_truth AS DOUBLE)
+       |    AS recall_at_10
+       |FROM (SELECT unnest(['lsh', 'multiprobe', 'or_tables']) AS variant) v
+       |LEFT JOIN hits h ON h.variant = v.variant
+       |CROSS JOIN tot
+       |ORDER BY v.variant""".stripMargin
   }
 
   // --- Embedding-cosine near-dup pairs (bucketed, never all-pairs) --------
@@ -512,6 +643,7 @@ object Similarity {
     "p_sim_lsh_multiprobe" -> lshMultiProbe,
     "p_sim_lsh_or" -> lshOrTables,
     "p_sim_ivf" -> ivfFlat,
+    "p_sim_recall" -> recallAt10,
     "p_dedup_embedding" -> embeddingNearDup,
     "p_embed_quantize" -> quantize,
     "p_embed_pq" -> pqCodes)
@@ -522,6 +654,7 @@ object Similarity {
     "p_sim_lsh_multiprobe" -> lshMultiProbeSql,
     "p_sim_lsh_or" -> lshOrTablesSql,
     "p_sim_ivf" -> ivfFlatSql,
+    "p_sim_recall" -> recallAt10Sql,
     "p_dedup_embedding" -> embeddingNearDupSql,
     "p_embed_quantize" -> quantizeSql,
     "p_embed_pq" -> pqCodesSql)

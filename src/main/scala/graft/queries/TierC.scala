@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -590,19 +590,31 @@ object TierC {
     * is ONE shuffle on user_id with three window passes over it, never a
     * per-stage self-join of the events table. All-integer microsecond
     * comparisons; the summary is four exact counts. */
-  val funnel: Q = (s, dir) => {
+  /** Shared funnel staging (r8 VERDICT #2/"what's wrong" #2: the bounded
+    * and unbounded funnels duplicated ~25 lines that could drift): stage
+    * t(n) = first qualifying event at or after t(n-1), optionally also
+    * within `horizonUs` of it. `None` = the unbounded funnel; `Some(h)` =
+    * the time-bounded form. The no-horizon branch adds no predicate at
+    * all, so the unbounded plan is byte-identical to the pre-refactor
+    * one. */
+  private def funnelStaged(s: SparkSession, dir: String,
+      horizonUs: Option[Long]): DataFrame = {
     val e = t(s, dir, "events")
       .select(col("user_id"), col("event_type"), eventUs.as("us"))
     val w = Window.partitionBy(col("user_id"))
+    def stage(evt: String, prev: Option[String]): Column = {
+      val base = prev match {
+        case None => col("event_type") === evt
+        case Some(p) =>
+          val after = col("event_type") === evt && col("us") >= col(p)
+          horizonUs.fold(after)(h => after && col("us") <= col(p) + h)
+      }
+      min(when(base, col("us"))).over(w)
+    }
     val staged = e
-      .withColumn("t1",
-        min(when(col("event_type") === "view", col("us"))).over(w))
-      .withColumn("t2",
-        min(when(col("event_type") === "click" && col("us") >= col("t1"),
-          col("us"))).over(w))
-      .withColumn("t3",
-        min(when(col("event_type") === "purchase" && col("us") >= col("t2"),
-          col("us"))).over(w))
+      .withColumn("t1", stage("view", None))
+      .withColumn("t2", stage("click", Some("t1")))
+      .withColumn("t3", stage("purchase", Some("t2")))
       .select(col("user_id"), col("t1"), col("t2"), col("t3"))
       .distinct()
     staged.agg(count(lit(1)).as("n_users"),
@@ -611,24 +623,35 @@ object TierC {
       sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_full_funnel"))
   }
 
-  val funnelSql: String =
-    """WITH e AS (SELECT user_id, event_type,
-      |             CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
-      |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
-      |         OVER (PARTITION BY user_id) AS t1 FROM e),
-      |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us >= t1
-      |         THEN us END) OVER (PARTITION BY user_id) AS t2 FROM w1),
-      |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us >= t2
-      |         THEN us END) OVER (PARTITION BY user_id) AS t3 FROM w2),
-      |u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM w3)
-      |SELECT COUNT(*) AS n_users,
-      |  CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_view,
-      |  CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_view_click,
-      |  CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_full_funnel
-      |FROM u""".stripMargin
+  /** Oracle twin of `funnelStaged`, parameterized the same way so the two
+    * dialects cannot drift independently of each other. */
+  private def funnelStagedSql(horizonUs: Option[Long]): String = {
+    def bound(prev: String): String =
+      horizonUs.fold("")(h => s" AND us <= $prev + $h")
+    s"""WITH e AS (SELECT user_id, event_type,
+       |             CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+       |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+       |         OVER (PARTITION BY user_id) AS t1 FROM e),
+       |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us >= t1
+       |         ${bound("t1")} THEN us END)
+       |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+       |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us >= t2
+       |         ${bound("t2")} THEN us END)
+       |         OVER (PARTITION BY user_id) AS t3 FROM w2),
+       |u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM w3)
+       |SELECT COUNT(*) AS n_users,
+       |  CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_view,
+       |  CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_view_click,
+       |  CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_full_funnel
+       |FROM u""".stripMargin
+  }
+
+  val funnel: Q = (s, dir) => funnelStaged(s, dir, None)
+
+  val funnelSql: String = funnelStagedSql(None)
 
   /** Time-bounded funnel — the form real funnels take: each stage must
     * fire within a horizon of the prior stage (view → click within 7
@@ -636,48 +659,10 @@ object TierC {
     * Identical plan shape to `funnel` (ONE user_id shuffle, three chained
     * window passes — PlanSpec gates both); the horizon is one extra
     * integer bound per stage over exact microsecond epochs. */
-  val funnelWindow: Q = (s, dir) => {
-    val horizonUs = 604800000000L // 7 days in microseconds
-    val e = t(s, dir, "events")
-      .select(col("user_id"), col("event_type"), eventUs.as("us"))
-    val w = Window.partitionBy(col("user_id"))
-    val staged = e
-      .withColumn("t1",
-        min(when(col("event_type") === "view", col("us"))).over(w))
-      .withColumn("t2",
-        min(when(col("event_type") === "click" && col("us") >= col("t1") &&
-          col("us") <= col("t1") + horizonUs, col("us"))).over(w))
-      .withColumn("t3",
-        min(when(col("event_type") === "purchase" && col("us") >= col("t2") &&
-          col("us") <= col("t2") + horizonUs, col("us"))).over(w))
-      .select(col("user_id"), col("t1"), col("t2"), col("t3"))
-      .distinct()
-    staged.agg(count(lit(1)).as("n_users"),
-      sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_view"),
-      sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_view_click"),
-      sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_full_funnel"))
-  }
+  val funnelWindow: Q = (s, dir) =>
+    funnelStaged(s, dir, Some(604800000000L)) // 7 days in microseconds
 
-  val funnelWindowSql: String =
-    """WITH e AS (SELECT user_id, event_type,
-      |             CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
-      |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
-      |         OVER (PARTITION BY user_id) AS t1 FROM e),
-      |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us >= t1
-      |         AND us <= t1 + 604800000000
-      |         THEN us END) OVER (PARTITION BY user_id) AS t2 FROM w1),
-      |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us >= t2
-      |         AND us <= t2 + 604800000000
-      |         THEN us END) OVER (PARTITION BY user_id) AS t3 FROM w2),
-      |u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM w3)
-      |SELECT COUNT(*) AS n_users,
-      |  CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_view,
-      |  CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_view_click,
-      |  CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_full_funnel
-      |FROM u""".stripMargin
+  val funnelWindowSql: String = funnelStagedSql(Some(604800000000L))
 
   /** Batch sessionization over events — the relational twin of
     * streaming.Streams.sessionCounts: gap-based session ids via

@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Measured-quality assertions for the ANN variants (VERDICT r8 #1): the
+  * recall@10 query must report a non-trivial ground truth, and the two
+  * recall amplifiers must measure at or above the single-bucket baseline.
+  * The inequalities are guaranteed by candidate-superset construction
+  * (multi-probe probes the exact bucket plus 8 neighbors; OR-construction
+  * unions two tables, one of which IS the single-bucket table), so a
+  * violation here means the variant filters drifted apart — exactly the
+  * regression this pins. */
+class RecallSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("recall@10: multiprobe >= lsh and or_tables >= lsh, truth non-empty") {
+    val rows = Similarity.recallAt10(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows.keySet === Set("lsh", "multiprobe", "or_tables"))
+    val (_, nTruth, _) = rows("lsh")
+    assert(nTruth === 200L, "20 queries x top-10 ground truth")
+    assert(rows("multiprobe")._3 >= rows("lsh")._3,
+      s"multi-probe recall must not measure below single-probe: $rows")
+    assert(rows("or_tables")._3 >= rows("lsh")._3,
+      s"OR-construction recall must not measure below single-table: $rows")
+    // per-variant hits never exceed the truth set
+    rows.values.foreach { case (h, t, r) =>
+      assert(h >= 0L && h <= t)
+      assert(math.abs(r - h.toDouble / t.toDouble) == 0.0)
+    }
+  }
+}
