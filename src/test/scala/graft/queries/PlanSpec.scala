@@ -147,6 +147,26 @@ class PlanSpec extends AnyFunSuite {
       s"bounded funnel must not shuffle per stage:\n$tree")
   }
 
+  test("p_sim_lsh_or: both candidate joins broadcast, bounded scan count") {
+    // OR-construction = union of two single-bucket candidate fetches
+    // (VERDICT r8 #3: the only declared query without a plan gate). Each
+    // leg must join candidates to the broadcast query row — regressing to
+    // a sort-merge join or a fan-out shape would shuffle the corpus per
+    // table. Scans: exactly 4 = 2 corpus-side (one per LSH table) + 2
+    // query-side pruned to vec_id = 0 (pushed EqualTo) feeding the
+    // broadcasts; anything more means a table is read twice.
+    val tree = graft.engine.Engine.explain(
+      Similarity.lshOrTables(spark, dir), "simple")
+    val bhj = "BroadcastHashJoin".r.findAllIn(tree).size
+    assert(bhj == 2, s"both OR legs must broadcast (saw $bhj):\n$tree")
+    assert(!tree.contains("SortMergeJoin"),
+      s"OR candidates must not sort-merge the corpus:\n$tree")
+    assert(tree.contains("Union"), tree)
+    val scans = "Scan parquet".r.findAllIn(tree).size
+    assert(scans == 4,
+      s"expected 2 corpus + 2 pruned query scans, saw $scans:\n$tree")
+  }
+
   test("sum_sq UDAF: typed Dataset-side aggregation matches SQL-side") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(1L, 2L, 3L, 4L))
