@@ -88,10 +88,12 @@ object Bench {
     // Persist the complete per-query map to a file (VERDICT r5/r6/r7): the
     // harness tail-truncates stdout, so the printed map has been lost three
     // rounds running. The file survives regardless of stdout limits and is
-    // what BenchHistorySpec's regression gate reads next round.
+    // what BenchHistorySpec compares against the medians in
+    // tools/bench_history.jsonl. Relative default so it lands in the
+    // invoking cwd (ADVICE r8); SPARK_GRAFT_BENCH_OUT overrides.
     try {
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
       java.nio.file.Files.write(out,
         (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {

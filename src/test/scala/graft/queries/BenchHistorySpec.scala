@@ -1,0 +1,80 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Perf-regression gate over the persisted bench runs (VERDICT r8 #2):
+  * compares the latest `bench_full.json` (written by `graft.Bench` each
+  * driver round) against per-query MEDIANS across all recorded runs in
+  * `tools/bench_history.jsonl` (one full-run JSON line per round, appended
+  * when a round's run is adjudicated clean). Medians — not last-run
+  * values — because this host's documented failure mode is isolated
+  * 5-10x scheduler/GC spikes on sub-second queries (BASELINE.md;
+  * r8: c_join_inner 6.0s driver vs 0.98s judge re-run, same plan), so a
+  * single prior run is too noisy to be a reference.
+  *
+  * The gate is deliberately loose on singletons and strict on patterns:
+  *   - a query is an OUTLIER when it exceeds 3x its median AND is >5s
+  *     absolute over it (both conditions, so sub-second jitter never
+  *     counts);
+  *   - up to 2 outliers pass (observed host-noise spikes come 1-2 per
+  *     run); 3+ concurrent outliers have never been noise here and fail;
+  *   - the run total must stay under 1.6x the median total (a broad
+  *     slowdown shows up here even if no single query trips the 3x bar);
+  *   - the query inventory must not shrink and the run must have 0 errors
+  *     (catches a declared query silently dropped from or dying in Bench).
+  */
+class BenchHistorySpec extends AnyFunSuite {
+
+  private val currentPath = Paths.get("bench_full.json")
+  private val historyPath = Paths.get("tools/bench_history.jsonl")
+  private val mapper = new ObjectMapper()
+
+  private def queryMap(run: JsonNode): Map[String, Double] =
+    run.get("queries").properties().asScala
+      .map(e => e.getKey -> e.getValue.asDouble()).toMap
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  test("latest bench run holds against the per-query history medians") {
+    assume(Files.exists(currentPath), "no bench_full.json on disk yet")
+    assume(Files.exists(historyPath), "no recorded history yet")
+
+    val current = mapper.readTree(Files.readString(currentPath))
+    val history = Files.readAllLines(historyPath).asScala
+      .map(_.trim).filter(_.nonEmpty).map(mapper.readTree).toSeq
+    assert(history.nonEmpty, "history file exists but has no runs")
+
+    val cur = queryMap(current)
+    val histMaps = history.map(queryMap)
+    val medians = histMaps.flatMap(_.keys).distinct.map { q =>
+      q -> median(histMaps.flatMap(_.get(q)))
+    }.toMap
+
+    val outliers = cur.toSeq.sortBy(-_._2).collect {
+      case (q, t) if medians.contains(q) &&
+          t > 3 * medians(q) && t - medians(q) > 5.0 =>
+        f"$q: ${t}%.2fs vs median ${medians(q)}%.2fs"
+    }
+    assert(outliers.size <= 2,
+      s"${outliers.size} queries regressed past 3x median + 5s — more than " +
+        s"documented host noise ever produces:\n${outliers.mkString("\n")}")
+
+    val medianTotal = median(history.map(_.get("value").asDouble()))
+    val curTotal = current.get("value").asDouble()
+    assert(curTotal <= 1.6 * medianTotal,
+      f"run total $curTotal%.1fs exceeds 1.6x median total $medianTotal%.1fs")
+
+    assert(current.get("errors").asInt() == 0, "bench run recorded errors")
+    val maxHistN = history.map(_.get("n_queries").asInt()).max
+    assert(current.get("n_queries").asInt() >= maxHistN,
+      s"query inventory shrank: ${current.get("n_queries").asInt()} < $maxHistN")
+  }
+}
