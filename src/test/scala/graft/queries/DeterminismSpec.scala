@@ -10,41 +10,55 @@ import org.scalatest.funsuite.AnyFunSuite
   * cluster — so running the same query under two regimes and comparing
   * row-for-row pins the canonicalization policy (exact DECIMAL/integer
   * accumulation, sequential float folds, value-based frames) as a test
-  * instead of a manual matrix run. */
+  * instead of a manual matrix run. The compare is deliberately
+  * order-sensitive: the driver's hash stringifies rows in output order,
+  * so row order under a different regime is part of the contract.
+  */
 class DeterminismSpec extends AnyFunSuite {
 
   private lazy val spark = graft.TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  // Float-sensitive representatives without memoized intermediates (a
-  // cached subtree would be computed once and shared across regimes,
-  // which defeats the comparison): money sums (t1), sequential float
-  // folds (quantize, brute-force cosine), and the bucketed range join.
-  private val names = Seq("t1_account_summary", "p_embed_quantize",
-    "p_sim_bruteforce", "c_window_range_bucketed",
-    // r7 additions: tfidf's divide-then-multiply over shuffled joins, and
-    // the packing query's per-lang running sums (window state must not
-    // depend on input split boundaries)
-    "p_text_tfidf", "p_pack_sequences")
-
-  test("outputs are identical across partitioning regimes") {
+  /** Runs `name` under a coarse regime (one-ish split, 2 reducers) and a
+    * shredded one (64 KB splits, prime reducer count) and asserts
+    * identical non-empty output. */
+  private def assertRegimeStable(name: String): Unit = {
     val keys = Seq("spark.sql.shuffle.partitions",
       "spark.sql.files.maxPartitionBytes")
     val saved = keys.map(k => k -> spark.conf.get(k))
-    // regime A: coarse (one-ish split, 2 reducers); regime B: shredded
-    // input (64 KB splits) with a prime reducer count
     val regimes = Seq(Seq("2", "134217728"), Seq("7", "65536"))
     try {
-      for (name <- names) {
-        val snaps = regimes.map { r =>
-          keys.zip(r).foreach { case (k, v) => spark.conf.set(k, v) }
-          graft.SparkEntry.queries(name)(spark, dir)
-            .collect().map(_.toString).toSeq
-        }
-        assert(snaps(0) == snaps(1),
-          s"$name output depends on the partitioning regime")
-        assert(snaps(0).nonEmpty, s"$name returned no rows at sf0.001")
+      val snaps = regimes.map { r =>
+        keys.zip(r).foreach { case (k, v) => spark.conf.set(k, v) }
+        graft.SparkEntry.queries(name)(spark, dir)
+          .collect().map(_.toString).toSeq
       }
+      assert(snaps(0) == snaps(1),
+        s"$name output depends on the partitioning regime")
+      assert(snaps(0).nonEmpty, s"$name returned no rows at sf0.001")
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  // Float-sensitive representatives outside the pipeline family, without
+  // memoized intermediates (a cached subtree would be computed once and
+  // shared across regimes, which defeats the comparison): money sums (t1)
+  // and the bucketed range join's value-based frames.
+  test("representative queries are identical across partitioning regimes") {
+    Seq("t1_account_summary", "c_window_range_bucketed")
+      .foreach(assertRegimeStable)
+  }
+
+  // The ENTIRE pipeline family (VERDICT r8 #6): every declared p_* query —
+  // dedup signatures, LSH bucketing, quantization folds, tfidf's
+  // divide-then-multiply over shuffled joins, packing's per-lang running
+  // sums — re-run under both regimes each build, so a future
+  // order-sensitive float or split-dependent window sneaks in nowhere in
+  // the family. Iterating the registry (not a hand list) means a newly
+  // declared p_* query is covered the moment it exists.
+  test("every p_* pipeline query is identical across partitioning regimes") {
+    val family = graft.SparkEntry.queries.keys.filter(_.startsWith("p_"))
+      .toSeq.sorted
+    assert(family.size >= 30, s"pipeline family shrank: $family")
+    family.foreach(assertRegimeStable)
   }
 }
