@@ -21,8 +21,19 @@ class DeterminismSpec extends AnyFunSuite {
 
   /** Runs `name` under a coarse regime (one-ish split, 2 reducers) and a
     * shredded one (64 KB splits, prime reducer count) and asserts
-    * identical non-empty output. */
-  private def assertRegimeStable(name: String): Unit = {
+    * identical non-empty output. A query that is legitimately empty at
+    * sf0.001 (e.g. p_sim_lsh: 256 hyperplane buckets over ~60 vectors —
+    * the query vector's bucket can be a singleton) would make the regime
+    * comparison vacuous, so empty-at-sf0.001 escalates to sf0.01, where
+    * every declared query is CORRECTNESS-verified non-empty. */
+  private def assertRegimeStable(name: String): Unit =
+    if (runRegimes(name, dir).isEmpty) {
+      val rows = runRegimes(name, "/root/testdata/sf0.01")
+      assert(rows.nonEmpty, s"$name returned no rows at sf0.01 either")
+    }
+
+  /** Returns the (regime-identical) output rows of `name` over `d`. */
+  private def runRegimes(name: String, d: String): Seq[String] = {
     val keys = Seq("spark.sql.shuffle.partitions",
       "spark.sql.files.maxPartitionBytes")
     val saved = keys.map(k => k -> spark.conf.get(k))
@@ -30,12 +41,12 @@ class DeterminismSpec extends AnyFunSuite {
     try {
       val snaps = regimes.map { r =>
         keys.zip(r).foreach { case (k, v) => spark.conf.set(k, v) }
-        graft.SparkEntry.queries(name)(spark, dir)
+        graft.SparkEntry.queries(name)(spark, d)
           .collect().map(_.toString).toSeq
       }
       assert(snaps(0) == snaps(1),
-        s"$name output depends on the partitioning regime")
-      assert(snaps(0).nonEmpty, s"$name returned no rows at sf0.001")
+        s"$name output depends on the partitioning regime over $d")
+      snaps(0)
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
