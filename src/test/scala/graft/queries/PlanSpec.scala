@@ -167,6 +167,27 @@ class PlanSpec extends AnyFunSuite {
       s"expected 2 corpus + 2 pruned query scans, saw $scans:\n$tree")
   }
 
+  test("c_part_prune: status filter is a PartitionFilter, not a row filter") {
+    // The layout query's whole point (VERDICT r8 task 7): the equality on
+    // the partition column must prune DIRECTORIES at file-listing time.
+    // If o_orderstatus shows up in ReadSchema or PushedFilters instead,
+    // the scan is reading all three status partitions and filtering rows —
+    // correct answers, no pruning, and at 100 TB a 3× overscan.
+    val p = planOf(Layout.partPrune(spark, dir))
+    val partLine = p.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partLine.contains("o_orderstatus") && partLine.contains("F"),
+      s"status equality must be a PartitionFilter:\n$p")
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_orderstatus"),
+      s"partition column must be directory-encoded, not read from files:\n$p")
+    val pushedLine = p.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(!pushedLine.contains("o_orderstatus"),
+      s"status must prune at listing time, not row-filter:\n$p")
+  }
+
   test("sum_sq UDAF: typed Dataset-side aggregation matches SQL-side") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(1L, 2L, 3L, 4L))
