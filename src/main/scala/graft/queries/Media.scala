@@ -14,8 +14,11 @@ import Tables._
   * spec-correct PNG / JPEG(JFIF) / GIF header (by doc_id % 8) with
   * width/height encoded in the proper header fields — big-endian IHDR for
   * PNG, a variable-length APP0 segment then a SOF0 frame header for JPEG
-  * (so the decoder's marker WALK, not a fixed offset, is exercised),
-  * little-endian logical screen descriptor for GIF — followed by the
+  * (so the decoder's marker WALK, not a fixed offset, is exercised;
+  * every other class-1 doc additionally carries a variable-length COM
+  * segment BETWEEN APP0 and SOF0, so the multi-segment hop — not just the
+  * first-marker read — is executed by data), little-endian logical screen
+  * descriptor for GIF — followed by the
   * document text as the payload body. Classes 4–7 are MALFORMED on purpose
   * (VERDICT r7 #2), exercising every corrupt-stream branch with hashed
   * data: a JPEG whose walk hits SOS before any SOF (4), a PNG truncated
@@ -25,10 +28,16 @@ import Tables._
   *
   * The oracle builds byte-identical blobs in DuckDB and then PARSES THE
   * BYTES BACK (hex-substring arithmetic, including reading the APP0 length
-  * field to locate the next JPEG marker and checking whether it is SOF0 or
-  * SOS) — so the hash gate checks real cross-engine byte-level header
+  * field to locate the next JPEG marker, hopping ONE optional COM segment
+  * by its own length field, and checking whether the marker there is SOF0
+  * or SOS) — so the hash gate checks real cross-engine byte-level header
   * parsing, not a formula replay: if either side's endianness, offset,
   * marker arithmetic, or corrupt-input fallback drifted, the hash breaks.
+  * Scope note (ADVICE r8): HeaderDecoder's walk is fully general (skips
+  * any number of segments, accepts any SOFn except C4/C8/CC); the oracle
+  * mirrors exactly the shapes the generator plants — APP0 [COM] SOF0 —
+  * one hop deep. A new generator class with two intermediate segments or
+  * a non-SOF0 frame must extend the oracle walk in step.
   *
   * Scale: header construction and decode are per-partition map work with
   * zero shuffles; the binary column rides next to its metadata, so queries
@@ -49,6 +58,9 @@ object Media {
       WHEN 1 THEN concat(unhex(concat(
           'FFD8FFE0', lpad(hex(7 + pmod(doc_id, 8)), 4, '0'), '4A46494600',
           repeat('00', CAST(pmod(doc_id, 8) AS INT)),
+          CASE WHEN pmod(doc_id, 16) = 9 THEN concat(
+            'FFFE', lpad(hex(2 + pmod(doc_id, 5)), 4, '0'),
+            repeat('41', CAST(pmod(doc_id, 5) AS INT))) ELSE '' END,
           'FFC00011', '08',
           lpad(hex(pmod(doc_id, 1080) + 1), 4, '0'),
           lpad(hex(pmod(doc_id, 1920) + 1), 4, '0'),
@@ -99,6 +111,9 @@ object Media {
       |      || lpad(hex(doc_id % 1080 + 1), 8, '0') || '0806000000') || body
       |    WHEN 1 THEN unhex('FFD8FFE0' || lpad(hex(7 + doc_id % 8), 4, '0')
       |      || '4A46494600' || repeat('00', CAST(doc_id % 8 AS INT))
+      |      || CASE WHEN doc_id % 16 = 9 THEN 'FFFE'
+      |           || lpad(hex(2 + doc_id % 5), 4, '0')
+      |           || repeat('41', CAST(doc_id % 5 AS INT)) ELSE '' END
       |      || 'FFC00011' || '08' || lpad(hex(doc_id % 1080 + 1), 4, '0')
       |      || lpad(hex(doc_id % 1920 + 1), 4, '0')
       |      || '03012200021101031101') || body
@@ -124,7 +139,13 @@ object Media {
       |  CASE WHEN starts_with(hx, 'FFD8') AND substr(hx, 5, 4) = 'FFE0'
       |       THEN 4 + CAST(('0x' || substr(hx, 9, 4)) AS BIGINT)
       |       ELSE -1 END AS nm_off
-      |  FROM h)
+      |  FROM h),
+      |j2 AS (SELECT *,
+      |  CASE WHEN nm_off >= 0 AND substr(hx, nm_off * 2 + 1, 4) = 'FFFE'
+      |       THEN nm_off + 2 +
+      |         CAST(('0x' || substr(hx, nm_off * 2 + 5, 4)) AS BIGINT)
+      |       ELSE nm_off END AS sof_off
+      |  FROM j)
       |SELECT doc_id,
       |  CASE WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'png'
       |       WHEN starts_with(hx, 'FFD8') THEN 'jpeg'
@@ -135,9 +156,9 @@ object Media {
       |         THEN CASE WHEN n >= 24 AND substr(hx, 25, 8) = '49484452'
       |           THEN CAST(('0x' || substr(hx, 33, 8)) AS BIGINT) ELSE 0 END
       |       WHEN starts_with(hx, 'FFD8')
-      |         THEN CASE WHEN nm_off >= 0
-      |             AND substr(hx, nm_off * 2 + 1, 4) = 'FFC0'
-      |           THEN CAST(('0x' || substr(hx, (nm_off + 7) * 2 + 1, 4))
+      |         THEN CASE WHEN sof_off >= 0
+      |             AND substr(hx, sof_off * 2 + 1, 4) = 'FFC0'
+      |           THEN CAST(('0x' || substr(hx, (sof_off + 7) * 2 + 1, 4))
       |             AS BIGINT) ELSE 0 END
       |       WHEN (starts_with(hx, '474946383761')
       |           OR starts_with(hx, '474946383961')) AND n >= 10
@@ -148,9 +169,9 @@ object Media {
       |         THEN CASE WHEN n >= 24 AND substr(hx, 25, 8) = '49484452'
       |           THEN CAST(('0x' || substr(hx, 41, 8)) AS BIGINT) ELSE 0 END
       |       WHEN starts_with(hx, 'FFD8')
-      |         THEN CASE WHEN nm_off >= 0
-      |             AND substr(hx, nm_off * 2 + 1, 4) = 'FFC0'
-      |           THEN CAST(('0x' || substr(hx, (nm_off + 5) * 2 + 1, 4))
+      |         THEN CASE WHEN sof_off >= 0
+      |             AND substr(hx, sof_off * 2 + 1, 4) = 'FFC0'
+      |           THEN CAST(('0x' || substr(hx, (sof_off + 5) * 2 + 1, 4))
       |             AS BIGINT) ELSE 0 END
       |       WHEN (starts_with(hx, '474946383761')
       |           OR starts_with(hx, '474946383961')) AND n >= 10
@@ -158,7 +179,7 @@ object Media {
       |           AS BIGINT)
       |       ELSE 0 END AS height,
       |  n AS n_bytes
-      |FROM j ORDER BY doc_id""".stripMargin
+      |FROM j2 ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map("p_media_meta" -> mediaMeta)
   val oracle: Map[String, String] = Map("p_media_meta" -> mediaMetaSql)
