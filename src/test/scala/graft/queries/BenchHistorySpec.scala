@@ -72,7 +72,11 @@ class BenchHistorySpec extends AnyFunSuite {
     assert(curTotal <= 1.6 * medianTotal,
       f"run total $curTotal%.1fs exceeds 1.6x median total $medianTotal%.1fs")
 
-    assert(current.get("errors").asInt() == 0, "bench run recorded errors")
+    // `errors` is a JSON ARRAY of failed query names (Bench.scala:75);
+    // Jackson's asInt() on an array returns 0 unconditionally, so an
+    // asInt check would wave through a run full of failures.
+    assert(current.get("errors").isArray && current.get("errors").size() == 0,
+      s"bench run recorded errors: ${current.get("errors")}")
     val maxHistN = history.map(_.get("n_queries").asInt()).max
     assert(current.get("n_queries").asInt() >= maxHistN,
       s"query inventory shrank: ${current.get("n_queries").asInt()} < $maxHistN")
