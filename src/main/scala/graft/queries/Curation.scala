@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import Tables._
+
+/** Web-corpus curation operators — the pipeline steps between a raw crawl
+  * and a training corpus that the text family doesn't cover yet: PII
+  * scrubbing (redact emails/phones/IPs before anything persists them) and
+  * domain-blocklist filtering (drop documents from known-bad hosts).
+  * Beyond the reference's own surface, like the rest of the p_* family.
+  *
+  * The synthetic corpus contains no PII or URLs, so — exactly like the
+  * Media fixture — both engines PLANT them deterministically from doc_id
+  * (doc_id%5 classes: email-only / phone-only / ip-only / all-three /
+  * clean), then run the real scrub over the augmented text. The clean
+  * class proves the no-match branch by data; the all-three class proves
+  * the redactions compose on one string.
+  *
+  * Regex dialect note: patterns use character classes exclusively
+  * ([0-9], [.]) and NO backslash escapes — Spark SQL string literals
+  * process backslashes while DuckDB's do not, so a pattern with `\.`
+  * would silently differ between the engines; with classes the pattern
+  * text is byte-identical on both sides. Both engines return the same
+  * leftmost match for these patterns (greedy classes, no alternation).
+  *
+  * Scale: per-document map work (regexp over ~1 KB strings) plus a small
+  * aggregation or broadcast anti-join — no wide shuffle; the blocklist
+  * side is dimension-sized by construction (a real blocklist is at most
+  * millions of rows against billions of documents, still broadcastable).
+  */
+object Curation {
+
+  // character-class-only patterns (see dialect note above)
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+"
+  private val phoneRe = "[(][0-9]{3}[)] [0-9]{3}-[0-9]{4}"
+  private val ipRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  /** Deterministic PII planted after the text by doc_id%5 (Spark SQL
+    * dialect; the oracle builds the identical string in DuckDB). */
+  private val plantedExpr: String = """
+    concat(text,
+      CASE WHEN pmod(doc_id, 5) IN (0, 3) THEN concat(' contact user',
+        CAST(doc_id AS STRING), '@mail', CAST(pmod(doc_id, 7) AS STRING),
+        '.example.com now') ELSE '' END,
+      CASE WHEN pmod(doc_id, 5) IN (1, 3) THEN concat(' call (555) 867-',
+        lpad(CAST(pmod(doc_id, 10000) AS STRING), 4, '0'), ' today')
+        ELSE '' END,
+      CASE WHEN pmod(doc_id, 5) IN (2, 3) THEN concat(' host 10.',
+        CAST(pmod(doc_id, 256) AS STRING), '.',
+        CAST(pmod(doc_id * 7, 256) AS STRING), '.',
+        CAST(pmod(doc_id * 13, 256) AS STRING), ' up') ELSE '' END)"""
+
+  /** PII scrub: count each PII type, then redact all three in sequence
+    * (email → phone → ip) and emit md5 of the redacted text — the narrow
+    * witness that both engines produced byte-identical scrubbed strings
+    * without shipping the strings through the compare. */
+  val piiScrub: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .orderBy(col("doc_id")).limit(300)
+      .withColumn("aug", expr(plantedExpr))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(aug, '$emailRe', 0)"))
+          .cast(LongType).as("n_email"),
+        size(expr(s"regexp_extract_all(aug, '$phoneRe', 0)"))
+          .cast(LongType).as("n_phone"),
+        size(expr(s"regexp_extract_all(aug, '$ipRe', 0)"))
+          .cast(LongType).as("n_ip"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("aug"),
+          lit(emailRe), lit("<EMAIL>")),
+          lit(phoneRe), lit("<PHONE>")),
+          lit(ipRe), lit("<IP>"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+
+  val piiScrubSql: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+       |           ORDER BY doc_id LIMIT 300),
+       |a AS (SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 5 IN (0, 3) THEN ' contact user' ||
+       |    CAST(doc_id AS VARCHAR) || '@mail' ||
+       |    CAST(doc_id % 7 AS VARCHAR) || '.example.com now' ELSE '' END ||
+       |  CASE WHEN doc_id % 5 IN (1, 3) THEN ' call (555) 867-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 5 IN (2, 3) THEN ' host 10.' ||
+       |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+       |    CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
+       |    CAST((doc_id * 13) % 256 AS VARCHAR) || ' up' ELSE '' END
+       |  AS aug FROM d)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(aug, '$emailRe')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(aug, '$phoneRe')) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(aug, '$ipRe')) AS BIGINT) AS n_ip,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+       |    '$emailRe', '<EMAIL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g'),
+       |    '$ipRe', '<IP>', 'g')) AS redacted_md5
+       |FROM a ORDER BY doc_id""".stripMargin
+
+  /** Domain-blocklist filter: build each document's source URL, extract
+    * the registrable domain with a regex, and anti-join against the
+    * blocklist. The blocklist side is broadcast (PlanSpec-gated): at
+    * corpus scale the documents NEVER shuffle for this filter. */
+  val blocklist: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .withColumn("url", concat(lit("https://site"),
+        pmod(col("doc_id"), lit(50)).cast(LongType), lit(".example/page/"),
+        col("doc_id")))
+      .withColumn("domain",
+        regexp_extract(col("url"), "https://([a-z0-9.-]+)/", 1))
+    val bad = s.range(0, 10).select(
+      concat(lit("site"), col("id"), lit(".example")).as("bad_domain"))
+    docs.join(broadcast(bad), col("domain") === col("bad_domain"),
+        "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        countDistinct(col("domain")).as("n_domains"))
+      .orderBy(col("lang"))
+  }
+
+  val blocklistSql: String =
+    """WITH d AS (SELECT lang,
+      |  regexp_extract('https://site' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    '.example/page/' || CAST(doc_id AS VARCHAR),
+      |    'https://([a-z0-9.-]+)/', 1) AS domain
+      |  FROM documents),
+      |bl AS (SELECT 'site' || CAST(range AS VARCHAR) || '.example'
+      |       AS bad_domain FROM range(10))
+      |SELECT lang, COUNT(*) AS n_kept,
+      |  COUNT(DISTINCT domain) AS n_domains
+      |FROM d WHERE domain NOT IN (SELECT bad_domain FROM bl)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "p_text_pii" -> piiScrub,
+    "p_filter_blocklist" -> blocklist)
+
+  val oracle: Map[String, String] = Map(
+    "p_text_pii" -> piiScrubSql,
+    "p_filter_blocklist" -> blocklistSql)
+}

@@ -188,6 +188,20 @@ class PlanSpec extends AnyFunSuite {
       s"status must prune at listing time, not row-filter:\n$p")
   }
 
+  test("p_filter_blocklist: anti-join broadcasts the blocklist, one scan") {
+    // At corpus scale the blocklist is dimension-sized by construction;
+    // the documents side must never shuffle for this filter. A regression
+    // to SortMergeJoin(LeftAnti) would shuffle every document by domain.
+    val tree = graft.engine.Engine.explain(
+      Curation.blocklist(spark, dir), "simple")
+    assert(tree.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"blocklist must broadcast-anti-join:\n$tree")
+    assert(!tree.contains("SortMergeJoin"), tree)
+    val scans = "Scan parquet".r.findAllIn(tree).size
+    assert(scans == 1, s"blocklist must scan documents once, saw $scans:\n$tree")
+  }
+
   test("sum_sq UDAF: typed Dataset-side aggregation matches SQL-side") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(1L, 2L, 3L, 4L))
