@@ -132,11 +132,47 @@ object Curation {
       |FROM d WHERE domain NOT IN (SELECT bad_domain FROM bl)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Stratified sampling: EXACTLY k documents per language, selected by
+    * smallest md5 (a deterministic uniform draw — the op that cuts a
+    * per-language budget out of a skewed crawl). Declared as the plain
+    * per-lang ROW_NUMBER top-k because Spark's optimizer plans this shape
+    * with a PARTIAL WindowGroupLimit on the map side (each input task
+    * keeps only its own k smallest per lang BEFORE the exchange, the
+    * Final limit after) — i.e. the two-stage skew-safe top-k a careful
+    * engineer would hand-roll with salt buckets is already native here;
+    * a hand-salted stage was built, measured redundant, and removed. The
+    * per-lang reducer therefore sees ≤ k × map-tasks rows, not the whole
+    * language, at any corpus size. PlanSpec pins the Partial/Final pair
+    * so an optimizer-setting regression resurfaces as a test failure. */
+  val sampleStratified: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val k = 20
+    t(s, dir, "documents")
+      .withColumn("h", md5(concat(lit("strat_"), col("doc_id"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id")))
+        .cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"), col("h"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT lang, rk, doc_id, h FROM (
+      |  SELECT lang, doc_id, md5('strat_' || CAST(doc_id AS VARCHAR)) AS h,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5('strat_' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS rk
+      |  FROM documents)
+      |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p_text_pii" -> piiScrub,
-    "p_filter_blocklist" -> blocklist)
+    "p_filter_blocklist" -> blocklist,
+    "p_sample_stratified" -> sampleStratified)
 
   val oracle: Map[String, String] = Map(
     "p_text_pii" -> piiScrubSql,
-    "p_filter_blocklist" -> blocklistSql)
+    "p_filter_blocklist" -> blocklistSql,
+    "p_sample_stratified" -> sampleStratifiedSql)
 }

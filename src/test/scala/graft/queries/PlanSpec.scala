@@ -202,6 +202,26 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"blocklist must scan documents once, saw $scans:\n$tree")
   }
 
+  test("p_sample_stratified: map-side partial WindowGroupLimit prunes") {
+    // The rank<=k filter must plan as the Partial (before the per-lang
+    // exchange) + Final WindowGroupLimit pair: the map-side prune is what
+    // keeps a skewed language from shipping its whole corpus slice to one
+    // reducer. If the Partial node disappears (optimizer flag regression,
+    // or the filter drifting out of the rewrite's recognized shape), the
+    // plan silently degrades to the single-reducer window.
+    val tree = graft.engine.Engine.explain(
+      Curation.sampleStratified(spark, dir), "simple")
+    assert(tree.contains("WindowGroupLimit") && tree.contains("Partial"),
+      s"expected a map-side partial top-k prune:\n$tree")
+    val exchangePos = tree.indexOf("Exchange hashpartitioning(lang")
+    val partialPos = tree.indexOf("Partial")
+    assert(exchangePos >= 0 && partialPos > exchangePos,
+      s"Partial prune must sit BELOW the lang exchange (tree prints " +
+        s"top-down, so below = later offset):\n$tree")
+    val scans = "Scan parquet".r.findAllIn(tree).size
+    assert(scans == 1, s"one documents scan expected, saw $scans:\n$tree")
+  }
+
   test("sum_sq UDAF: typed Dataset-side aggregation matches SQL-side") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(1L, 2L, 3L, 4L))
