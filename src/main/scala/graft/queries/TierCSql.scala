@@ -209,8 +209,50 @@ object TierCSql {
       |WHERE c.c_custkey <= 20
       |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
 
+  // FULL OUTER join completing the join family: both inputs PRE-AGGREGATED
+  // to one row per customer before the join (the at-scale shape — the
+  // full-outer shuffle moves customer-grain rows, not order-grain), then
+  // the null-side classification that full-outer exists for. All-integer
+  // arithmetic; identical text both engines. (At 100 TB both legs shuffle
+  // on ck once and the join is co-partitioned — no broadcast is possible
+  // or needed for full-outer.)
+  val joinFull: String =
+    """WITH f AS (SELECT o_custkey AS ck, COUNT(*) AS n_f FROM orders
+      |           WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+      |o AS (SELECT o_custkey AS ck, COUNT(*) AS n_o FROM orders
+      |      WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+      |SELECT CASE WHEN f.ck IS NULL THEN 'open_only'
+      |  WHEN o.ck IS NULL THEN 'finished_only' ELSE 'both' END AS side,
+      |  COUNT(*) AS n, CAST(SUM(COALESCE(n_f, 0)) AS BIGINT) AS total_f,
+      |  CAST(SUM(COALESCE(n_o, 0)) AS BIGINT) AS total_o
+      |FROM f FULL JOIN o ON f.ck = o.ck
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // EXCEPT ALL — bag semantics (per-key multiplicity difference), the
+  // variant c_setop_except's DISTINCT semantics can't witness. Sides
+  // chosen so the difference is non-empty (O-status rows outnumber
+  // R-flag rows per supplier); re-grouped so the output is one bounded
+  // row per key. Identical text both engines.
+  val setopExceptAll: String =
+    """SELECT k, COUNT(*) AS n FROM (
+      |  SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'O'
+      |  EXCEPT ALL
+      |  SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R') AS e
+      |GROUP BY k ORDER BY k LIMIT 100""".stripMargin
+
+  // GROUP BY ALL — the infer-keys-from-select-list form (a DuckDB-ism the
+  // reference's users type daily that Spark 4 also accepts verbatim).
+  val groupByAll: String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${msum("l_quantity")} AS qty
+       |FROM lineitem GROUP BY ALL
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "c_sql_select" -> q(sqlSelect),
+    "c_join_full" -> q(joinFull),
+    "c_setop_except_all" -> q(setopExceptAll),
+    "c_sql_group_by_all" -> q(groupByAll),
     "c_sql_path" -> pathQ,
     "c_sql_cte" -> q(cteSpark),
     "c_sql_scalar_subq" -> q(scalarSubq),
@@ -229,6 +271,9 @@ object TierCSql {
 
   val oracle: Map[String, String] = Map(
     "c_sql_select" -> sqlSelect,
+    "c_join_full" -> joinFull,
+    "c_setop_except_all" -> setopExceptAll,
+    "c_sql_group_by_all" -> groupByAll,
     "c_sql_path" -> sqlSelect, // same rows via the oracle's view
     "c_sql_cte" -> cteOracle,
     "c_sql_scalar_subq" -> scalarSubq,
