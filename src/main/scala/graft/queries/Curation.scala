@@ -166,13 +166,53 @@ object Curation {
       |  FROM documents)
       |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
 
+  /** Quantile-threshold quality filter: keep documents ABOVE their
+    * language's median word count — the stage that turns a quality score
+    * into a kept corpus (p_text_quality only scores). The thresholds are
+    * a 5-row aggregate broadcast back onto the corpus, so the documents
+    * side never shuffles for the filter. median() of integers is exact
+    * cross-engine: both engines interpolate even-count medians to .0/.5
+    * halves, which doubles represent exactly. Scale note: exact median
+    * collects each language's values on one reducer — fine for a
+    * handful of languages' worth of ≤8-byte ints; at a truly unbounded
+    * group size swap in approx_percentile (the c_percentile /
+    * c_approx_quantile pair documents both shapes). */
+  val qualityFilter: Q = (s, dir) => {
+    val words = t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_words"))
+    val thresholds = words.groupBy(col("lang"))
+      .agg(expr("median(n_words)").as("thr"))
+      .withColumnRenamed("lang", "t_lang")
+    words.join(broadcast(thresholds), col("lang") === col("t_lang"))
+      .filter(col("n_words") > col("thr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("n_words")).as("min_kept"),
+        max(col("n_words")).as("max_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val qualityFilterSql: String =
+    """WITH w AS (SELECT lang, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      |  FROM documents),
+      |th AS (SELECT lang AS t_lang, median(n_words) AS thr
+      |       FROM w GROUP BY lang)
+      |SELECT lang, COUNT(*) AS n_kept, MIN(n_words) AS min_kept,
+      |  MAX(n_words) AS max_kept
+      |FROM w JOIN th ON lang = t_lang WHERE n_words > thr
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p_text_pii" -> piiScrub,
     "p_filter_blocklist" -> blocklist,
-    "p_sample_stratified" -> sampleStratified)
+    "p_sample_stratified" -> sampleStratified,
+    "p_filter_quality" -> qualityFilter)
 
   val oracle: Map[String, String] = Map(
     "p_text_pii" -> piiScrubSql,
     "p_filter_blocklist" -> blocklistSql,
-    "p_sample_stratified" -> sampleStratifiedSql)
+    "p_sample_stratified" -> sampleStratifiedSql,
+    "p_filter_quality" -> qualityFilterSql)
 }

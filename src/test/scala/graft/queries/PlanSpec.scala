@@ -222,6 +222,16 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"one documents scan expected, saw $scans:\n$tree")
   }
 
+  test("p_filter_quality: threshold table broadcasts back onto the corpus") {
+    // The per-lang median is a handful of rows; joining it back must
+    // broadcast so the documents side never shuffles for the filter.
+    val tree = graft.engine.Engine.explain(
+      Curation.qualityFilter(spark, dir), "simple")
+    assert(tree.contains("BroadcastHashJoin"), tree)
+    assert(!tree.contains("SortMergeJoin"),
+      s"threshold join must not shuffle the corpus:\n$tree")
+  }
+
   test("sum_sq UDAF: typed Dataset-side aggregation matches SQL-side") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(1L, 2L, 3L, 4L))
