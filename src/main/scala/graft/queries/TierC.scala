@@ -451,11 +451,17 @@ object TierC {
 
   // --- Window functions ----------------------------------------------------
 
+  // The monthly aggregates below group on the RAW truncated timestamp and
+  // render 'yyyy-MM-dd' AFTER aggregation (injective on month buckets, so
+  // group identity is unchanged): the formatter and string group-key
+  // hashing run on dozens of month rows, not every fact row — the same
+  // format-after-aggregate rewrite as Templates t3–t6.
   private def monthlySupplier(s: org.apache.spark.sql.SparkSession, dir: String) =
     t(s, dir, "lineitem")
-      .groupBy(monthStr(col("l_shipdate")).as("mes"),
+      .groupBy(date_trunc("month", col("l_shipdate")).as("_m"),
         col("l_suppkey").as("account_id"))
       .agg(decSum("l_extendedprice").as("cost_dec"))
+      .select(dstr(col("_m")).as("mes"), col("account_id"), col("cost_dec"))
 
   /** Top-3 suppliers per month via row_number — the aggregate shrinks the
     * data before the window, so the window partitions (one month each) are
@@ -490,8 +496,9 @@ object TierC {
     * scale-killer. */
   val windowLag: Q = (s, dir) => {
     val m = t(s, dir, "lineitem")
-      .groupBy(monthStr(col("l_shipdate")).as("mes"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("_m"))
       .agg(decSum("l_extendedprice").as("total_dec"))
+      .select(dstr(col("_m")).as("mes"), col("total_dec"))
     val w = Window.orderBy(col("mes"))
     m.withColumn("prev_dec", lag(col("total_dec"), 1).over(w))
       .select(col("mes"),
@@ -518,9 +525,10 @@ object TierC {
     * minimum of the item count. Exact types inside both frames. */
   val windowFrame: Q = (s, dir) => {
     val m = t(s, dir, "lineitem")
-      .groupBy(monthStr(col("l_shipdate")).as("mes"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("_m"))
       .agg(count(lit(1)).as("n_items"),
         decSum("l_extendedprice").as("total_dec"))
+      .select(dstr(col("_m")).as("mes"), col("n_items"), col("total_dec"))
     val wRun = Window.orderBy(col("mes"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wMov = Window.orderBy(col("mes")).rowsBetween(-2, 0)
@@ -711,8 +719,9 @@ object TierC {
     * ties cannot leak nondeterminism into lead/first_value. */
   val windowRanks: Q = (s, dir) => {
     val m = t(s, dir, "lineitem")
-      .groupBy(monthStr(col("l_shipdate")).as("mes"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("_m"))
       .agg(count(lit(1)).as("n"))
+      .select(dstr(col("_m")).as("mes"), col("n"))
     val byNDesc = Window.orderBy(desc("n"), col("mes"))
     val byMes = Window.orderBy(col("mes"))
     m.select(col("mes"), col("n"),
@@ -934,9 +943,11 @@ object TierC {
     * with an hour bucket, where the micros truncation is invisible. */
   val eventHourly: Q = (s, dir) =>
     t(s, dir, "events")
-      .groupBy(tstr(date_trunc("hour", eventTs(col("ts")))).as("hora"),
+      .groupBy(date_trunc("hour", eventTs(col("ts"))).as("_h"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), dsum("value").as("total_value"))
+      .select(tstr(col("_h")).as("hora"), col("event_type"), col("n"),
+        col("total_value"))
       .orderBy(col("hora"), col("event_type"))
 
   val eventHourlySql: String =
