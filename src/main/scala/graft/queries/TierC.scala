@@ -560,19 +560,25 @@ object TierC {
     * user_id — group-key cardinality (weeks × weeks) is tiny at any
     * input scale. */
   val retention: Q = (s, dir) => {
+    // weeks ride as raw truncated timestamps through distinct/join/filter
+    // (same cardinality and ordering — formatting is injective and
+    // monotone on week buckets) and render once on the final
+    // weeks × weeks rows: the format-after-aggregate rewrite again.
     val e = t(s, dir, "events")
       .select(col("user_id"), col("event_type"),
         eventTs(col("ts")).as("t"))
     val cohort = e.filter(col("event_type") === "signup")
       .groupBy(col("user_id"))
-      .agg(dstr(date_trunc("week", min(col("t")))).as("cohort_week"))
+      .agg(date_trunc("week", min(col("t"))).as("_cw"))
     val activity = e
-      .select(col("user_id"), dstr(date_trunc("week", col("t"))).as("act_week"))
+      .select(col("user_id"), date_trunc("week", col("t")).as("_aw"))
       .distinct()
     cohort.join(activity, "user_id")
-      .filter(col("act_week") >= col("cohort_week"))
-      .groupBy(col("cohort_week"), col("act_week"))
+      .filter(col("_aw") >= col("_cw"))
+      .groupBy(col("_cw"), col("_aw"))
       .agg(count(lit(1)).as("n_users"))
+      .select(dstr(col("_cw")).as("cohort_week"),
+        dstr(col("_aw")).as("act_week"), col("n_users"))
       .orderBy(col("cohort_week"), col("act_week"))
   }
 
