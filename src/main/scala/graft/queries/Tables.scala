@@ -57,8 +57,6 @@ object Tables {
   def dstr(c: Column): Column = date_format(c, "yyyy-MM-dd")
   /** Render a timestamp as 'yyyy-MM-dd HH:mm:ss' (second granularity). */
   def tstr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
-  /** Month bucket of a timestamp as 'yyyy-MM-dd' (first of month). */
-  def monthStr(c: Column): Column = dstr(date_trunc("month", c))
 
   /** `events.ts` read back as a timestamp: the column is TIMESTAMP(NANOS)
     * in the parquet, which Spark only reads as BIGINT nanos (Session's
