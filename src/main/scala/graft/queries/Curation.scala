@@ -204,13 +204,74 @@ object Curation {
       |FROM w JOIN th ON lang = t_lang WHERE n_words > thr
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** URL canonicalization + URL-level dedup — the cheap dedup that runs
+    * BEFORE any content dedup in a web pipeline: the same page crawled as
+    * http/https, with/without www., mixed case, trailing slash, query
+    * string, or fragment is one document. Each group of 4 consecutive
+    * doc_ids gets the same page in 4 planted disguises (mixed-case path /
+    * trailing slash / www+query / http+fragment); canonicalization must
+    * collapse every group to exactly n_dups=4. Pure per-row regex +
+    * lower() map work then an exact groupBy on the canonical key — the
+    * same shuffle shape as p_dedup_exact, keys are short strings. */
+  private val urlExpr: String = """
+    CASE CAST(pmod(doc_id, 4) AS INT)
+      WHEN 0 THEN concat('https://Site', CAST(pmod(doc_id div 4, 50) AS STRING),
+        '.example/Page/', CAST(doc_id div 4 AS STRING))
+      WHEN 1 THEN concat('https://site', CAST(pmod(doc_id div 4, 50) AS STRING),
+        '.example/page/', CAST(doc_id div 4 AS STRING), '/')
+      WHEN 2 THEN concat('https://www.site', CAST(pmod(doc_id div 4, 50) AS STRING),
+        '.example/page/', CAST(doc_id div 4 AS STRING), '?utm_source=x')
+      ELSE concat('http://site', CAST(pmod(doc_id div 4, 50) AS STRING),
+        '.example/page/', CAST(doc_id div 4 AS STRING), '#frag')
+    END"""
+
+  val urlDedup: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("url", expr(urlExpr))
+      .withColumn("canon",
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          lower(col("url")),
+          lit("^https?://"), lit("")),
+          lit("^www[.]"), lit("")),
+          lit("[?#].*$"), lit("")),
+          lit("/$"), lit("")))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("survivor_id"))
+      .orderBy(col("canon"))
+      .limit(100)
+
+  val urlDedupSql: String =
+    """WITH u AS (SELECT doc_id,
+      |  CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN 'https://Site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+      |      || '.example/Page/' || CAST(doc_id // 4 AS VARCHAR)
+      |    WHEN 1 THEN 'https://site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+      |      || '.example/page/' || CAST(doc_id // 4 AS VARCHAR) || '/'
+      |    WHEN 2 THEN 'https://www.site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+      |      || '.example/page/' || CAST(doc_id // 4 AS VARCHAR)
+      |      || '?utm_source=x'
+      |    ELSE 'http://site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+      |      || '.example/page/' || CAST(doc_id // 4 AS VARCHAR) || '#frag'
+      |  END AS url FROM documents),
+      |c AS (SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    lower(url),
+      |    '^https?://', ''),
+      |    '^www[.]', ''),
+      |    '[?#].*$', ''),
+      |    '/$', '') AS canon FROM u)
+      |SELECT canon, COUNT(*) AS n_dups, MIN(doc_id) AS survivor_id
+      |FROM c GROUP BY canon ORDER BY canon LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p_dedup_url" -> urlDedup,
     "p_text_pii" -> piiScrub,
     "p_filter_blocklist" -> blocklist,
     "p_sample_stratified" -> sampleStratified,
     "p_filter_quality" -> qualityFilter)
 
   val oracle: Map[String, String] = Map(
+    "p_dedup_url" -> urlDedupSql,
     "p_text_pii" -> piiScrubSql,
     "p_filter_blocklist" -> blocklistSql,
     "p_sample_stratified" -> sampleStratifiedSql,
