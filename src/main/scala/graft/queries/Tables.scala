@@ -33,9 +33,23 @@ object Tables {
     "embeddings")
 
   /** Load one testdata table (`TESTDATA.md`): parquet is self-describing,
-    * the scan is lazy, and Catalyst pushes filters/projections into it. */
+    * the scan is lazy, and Catalyst pushes filters/projections into it.
+    *
+    * Memoized per (session, dir, name): `spark.read.parquet` reads the
+    * footer for schema + lists files eagerly, and declared queries are
+    * invoked several times per harness run (verify dump, bench samples,
+    * plan gates) — re-reading footers each time is harness overhead, not
+    * query cost. Reuse is safe: the returned DataFrame is an immutable
+    * lazy plan, physical planning re-reads session confs on every action
+    * (so DeterminismSpec's regime switches still apply), and the testdata
+    * files never change within a run. */
+  private val tableMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String),
+      DataFrame]
+
   def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    tableMemo.getOrElseUpdate((s, dir, name),
+      s.read.parquet(s"$dir/$name.parquet"))
 
   /** Register every testdata table as a temp view (for spark.sql queries —
     * the analog of the reference's single SQL delegation point,
