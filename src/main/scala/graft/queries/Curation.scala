@@ -14,9 +14,13 @@ import Tables._
   * The synthetic corpus contains no PII or URLs, so — exactly like the
   * Media fixture — both engines PLANT them deterministically from doc_id
   * (doc_id%5 classes: email-only / phone-only / ip-only / all-three /
-  * clean), then run the real scrub over the augmented text. The clean
-  * class proves the no-match branch by data; the all-three class proves
-  * the redactions compose on one string.
+  * clean-with-decoys), then run the real scrub over the augmented text.
+  * The clean class carries NEAR-MISS decoys — a spelled-out "at … dot
+  * com" address, a 2-digit area code "(55) 123-4567", a version number
+  * "v2.N" — that must count 0 and survive redaction untouched on BOTH
+  * engines, so the no-match semantics of the two regex engines (Java
+  * regex vs RE2) are pinned by data, not assumed. The all-three class
+  * proves the redactions compose on one string.
   *
   * Regex dialect note: patterns use character classes exclusively
   * ([0-9], [.]) and NO backslash escapes — Spark SQL string literals
@@ -50,7 +54,11 @@ object Curation {
       CASE WHEN pmod(doc_id, 5) IN (2, 3) THEN concat(' host 10.',
         CAST(pmod(doc_id, 256) AS STRING), '.',
         CAST(pmod(doc_id * 7, 256) AS STRING), '.',
-        CAST(pmod(doc_id * 13, 256) AS STRING), ' up') ELSE '' END)"""
+        CAST(pmod(doc_id * 13, 256) AS STRING), ' up') ELSE '' END,
+      CASE WHEN pmod(doc_id, 5) = 4 THEN concat(
+        ' reach user', CAST(doc_id AS STRING),
+        ' at example dot com or (55) 123-4567 re v2.',
+        CAST(pmod(doc_id, 10) AS STRING), ' spec') ELSE '' END)"""
 
   /** PII scrub: count each PII type, then redact all three in sequence
     * (email → phone → ip) and emit md5 of the redacted text — the narrow
@@ -86,7 +94,11 @@ object Curation {
        |  CASE WHEN doc_id % 5 IN (2, 3) THEN ' host 10.' ||
        |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
        |    CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
-       |    CAST((doc_id * 13) % 256 AS VARCHAR) || ' up' ELSE '' END
+       |    CAST((doc_id * 13) % 256 AS VARCHAR) || ' up' ELSE '' END ||
+       |  CASE WHEN doc_id % 5 = 4 THEN
+       |    ' reach user' || CAST(doc_id AS VARCHAR) ||
+       |    ' at example dot com or (55) 123-4567 re v2.' ||
+       |    CAST(doc_id % 10 AS VARCHAR) || ' spec' ELSE '' END
        |  AS aug FROM d)
        |SELECT doc_id,
        |  CAST(len(regexp_extract_all(aug, '$emailRe')) AS BIGINT) AS n_email,
