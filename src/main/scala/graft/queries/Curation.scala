@@ -41,6 +41,30 @@ object Curation {
   private val phoneRe = "[(][0-9]{3}[)] [0-9]{3}-[0-9]{4}"
   private val ipRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
 
+  import org.apache.spark.sql.Column
+
+  /** The scrub transform itself (email → phone → ip, in that order so
+    * the oracle's identical chain composes the same way). IDEMPOTENT —
+    * the replacement tokens contain no digits or '@' so no pattern can
+    * match them — and CurationSpec pins that law through actual Spark
+    * evaluation over adversarial generated strings. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      lit(emailRe), lit("<EMAIL>")),
+      lit(phoneRe), lit("<PHONE>")),
+      lit(ipRe), lit("<IP>"))
+
+  /** URL canonicalization (lowercase; strip scheme, leading www., query/
+    * fragment tail, trailing slash). IDEMPOTENT — each rule's output can
+    * no longer match its own pattern — pinned in CurationSpec. */
+  def canonicalUrl(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(c),
+      lit("^https?://"), lit("")),
+      lit("^www[.]"), lit("")),
+      lit("[?#].*$"), lit("")),
+      lit("/$"), lit(""))
+
   /** Deterministic PII planted after the text by doc_id%5 (Spark SQL
     * dialect; the oracle builds the identical string in DuckDB). */
   private val plantedExpr: String = """
@@ -75,10 +99,7 @@ object Curation {
           .cast(LongType).as("n_phone"),
         size(expr(s"regexp_extract_all(aug, '$ipRe', 0)"))
           .cast(LongType).as("n_ip"),
-        md5(regexp_replace(regexp_replace(regexp_replace(col("aug"),
-          lit(emailRe), lit("<EMAIL>")),
-          lit(phoneRe), lit("<PHONE>")),
-          lit(ipRe), lit("<IP>"))).as("redacted_md5"))
+        md5(redactPii(col("aug"))).as("redacted_md5"))
       .orderBy(col("doc_id"))
 
   val piiScrubSql: String =
@@ -240,13 +261,7 @@ object Curation {
   val urlDedup: Q = (s, dir) =>
     t(s, dir, "documents")
       .withColumn("url", expr(urlExpr))
-      .withColumn("canon",
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          lower(col("url")),
-          lit("^https?://"), lit("")),
-          lit("^www[.]"), lit("")),
-          lit("[?#].*$"), lit("")),
-          lit("/$"), lit("")))
+      .withColumn("canon", canonicalUrl(col("url")))
       .groupBy(col("canon"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("survivor_id"))
       .orderBy(col("canon"))
