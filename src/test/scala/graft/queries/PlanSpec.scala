@@ -167,6 +167,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected 2 corpus + 2 pruned query scans, saw $scans:\n$tree")
   }
 
+  test("p_sim_lsh_tuned: all four candidate legs broadcast, bounded scans") {
+    // Same discipline as the p_sim_lsh_or gate, scaled to the tuned
+    // 4-table configuration: each leg joins corpus candidates to the
+    // broadcast 5-probe set; a sort-merge regression would shuffle the
+    // corpus once PER TABLE. Scans: 8 = 4 corpus-side (one per LSH
+    // table) + 4 query-side pruned to vec_id = 0 feeding the broadcasts.
+    val tree = graft.engine.Engine.explain(
+      Similarity.lshTuned(spark, dir), "simple")
+    val bhj = "BroadcastHashJoin".r.findAllIn(tree).size
+    assert(bhj == 4, s"all 4 tuned legs must broadcast (saw $bhj):\n$tree")
+    assert(!tree.contains("SortMergeJoin"),
+      s"tuned candidates must not sort-merge the corpus:\n$tree")
+    assert(tree.contains("Union"), tree)
+    val scans = "Scan parquet".r.findAllIn(tree).size
+    assert(scans == 8,
+      s"expected 4 corpus + 4 pruned query scans, saw $scans:\n$tree")
+  }
+
   test("c_part_prune: status filter is a PartitionFilter, not a row filter") {
     // The layout query's whole point (VERDICT r8 task 7): the equality on
     // the partition column must prune DIRECTORIES at file-listing time.
