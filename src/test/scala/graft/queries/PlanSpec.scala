@@ -206,6 +206,20 @@ class PlanSpec extends AnyFunSuite {
       s"status must prune at listing time, not row-filter:\n$p")
   }
 
+  test("c_bucket_join: sort-merge on bucketed layouts with ZERO exchanges") {
+    // The hash-backed twin of ScaleSpec's bucketed-join shape assertion
+    // (VERDICT r9 #2): join AND the per-customer aggregate must both ride
+    // the at-rest bucket partitioning. Any Exchange — shuffle OR broadcast
+    // — means a side lost its bucketing (metadata regression, bucket-count
+    // mismatch, or the merge hint stopped pinning the join strategy).
+    val tree = graft.engine.Engine.explain(
+      Layout.bucketJoin(spark, dir), "simple")
+    assert(tree.contains("SortMergeJoin"), tree)
+    assert(!tree.contains("Exchange"),
+      s"bucketed join+agg must be exchange-free end to end:\n$tree")
+    assert(tree.contains("TakeOrderedAndProject"), tree)
+  }
+
   test("p_filter_blocklist: anti-join broadcasts the blocklist, one scan") {
     // At corpus scale the blocklist is dimension-sized by construction;
     // the documents side must never shuffle for this filter. A regression
