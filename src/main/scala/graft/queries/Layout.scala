@@ -173,13 +173,55 @@ object Layout {
       |GROUP BY c_custkey, c_mktsegment
       |ORDER BY c_custkey LIMIT 200""".stripMargin
 
+  /** Two parquet files with OVERLAPPING-BUT-DIFFERENT schemas — the same
+    * 25 nations, one file carrying (key, name), the other (key, regionkey)
+    * — unioned through the engine's A9 import path
+    * (`Catalog.createOrReplaceParquetView`, mergeSchema). SURVEY §7.4 #4
+    * names this a deliberate parity hazard: DuckDB's `read_parquet`
+    * unifies by NAME, Spark's default union is by POSITION; the A9 path
+    * must fill each file's missing columns with NULL exactly as the
+    * oracle's explicit NULL-padded UNION ALL does. Registered once per
+    * (sfDir, JVM); the view reads lazily so the union never copies bytes. */
+  private def unionByNameView(s: SparkSession, dir: String): String =
+    written.getOrElseUpdate((dir, "union_by_name"), {
+      val root = tmpRoot("union_by_name", dir)
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/a.parquet")
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/b.parquet")
+      val view = s"graft_union_${md5hex(dir).take(8)}_p$pid"
+      graft.engine.Catalog.createOrReplaceParquetView(
+        s, java.nio.file.Paths.get(root),
+        Seq(graft.engine.Catalog.ImportedFile("a.parquet", 0L),
+          graft.engine.Catalog.ImportedFile("b.parquet", 0L)),
+        view)
+      view
+    })
+
+  val unionByName: Q = (s, dir) => {
+    val view = unionByNameView(s, dir)
+    s.table(view)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"), col("n_name").asc_nulls_last)
+  }
+
+  val unionByNameSql: String =
+    """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+      |FROM nation
+      |UNION ALL
+      |SELECT n_nationkey, CAST(NULL AS VARCHAR) AS n_name, n_regionkey
+      |FROM nation
+      |ORDER BY n_nationkey, n_name NULLS LAST""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "c_part_prune" -> partPrune,
     "c_bucket_join" -> bucketJoin,
-    "c_sort_skip" -> sortSkip)
+    "c_sort_skip" -> sortSkip,
+    "c_union_by_name" -> unionByName)
 
   val oracle: Map[String, String] = Map(
     "c_part_prune" -> partPruneSql,
     "c_bucket_join" -> bucketJoinSql,
-    "c_sort_skip" -> sortSkipSql)
+    "c_sort_skip" -> sortSkipSql,
+    "c_union_by_name" -> unionByNameSql)
 }
