@@ -210,12 +210,12 @@ object Curation {
     * handful of languages' worth of ≤8-byte ints; at a truly unbounded
     * group size swap in approx_percentile (the c_percentile /
     * c_approx_quantile pair documents both shapes). */
-  val qualityFilter: Q = (s, dir) => {
+  private def qualityFiltered(thresholdAgg: Column): Q = (s, dir) => {
     val words = t(s, dir, "documents")
       .select(col("lang"), col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_words"))
     val thresholds = words.groupBy(col("lang"))
-      .agg(expr("median(n_words)").as("thr"))
+      .agg(thresholdAgg.as("thr"))
       .withColumnRenamed("lang", "t_lang")
     words.join(broadcast(thresholds), col("lang") === col("t_lang"))
       .filter(col("n_words") > col("thr"))
@@ -225,6 +225,22 @@ object Curation {
         max(col("n_words")).as("max_kept"))
       .orderBy(col("lang"))
   }
+
+  val qualityFilter: Q = qualityFiltered(expr("median(n_words)"))
+
+  /** The documented scale swap for `qualityFilter` (VERDICT r9 #5), now a
+    * declared query instead of a comment: identical filter pipeline with
+    * the per-language threshold computed by `approx_percentile` — a
+    * mergeable GK sketch with bounded memory per group, so an unboundedly
+    * large language never concentrates its values on one reducer the way
+    * exact `median()` does. Declared rows-only like its sketch kin
+    * (`c_approx_distinct`/`c_approx_quantile`): the sketch's merge order
+    * is engine-specific, so there is no cross-engine hash oracle — the
+    * exact query above stays the hash anchor, and at test scale
+    * (n per group ≪ accuracy=10000) the sketch is rank-exact, which is
+    * what keeps DeterminismSpec's regime sweep byte-stable over it. */
+  val qualityFilterApprox: Q =
+    qualityFiltered(expr("approx_percentile(n_words, 0.5, 10000)"))
 
   val qualityFilterSql: String =
     """WITH w AS (SELECT lang, doc_id,
@@ -295,7 +311,8 @@ object Curation {
     "p_text_pii" -> piiScrub,
     "p_filter_blocklist" -> blocklist,
     "p_sample_stratified" -> sampleStratified,
-    "p_filter_quality" -> qualityFilter)
+    "p_filter_quality" -> qualityFilter,
+    "p_filter_quality_approx" -> qualityFilterApprox)
 
   val oracle: Map[String, String] = Map(
     "p_dedup_url" -> urlDedupSql,

@@ -254,14 +254,17 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"one documents scan expected, saw $scans:\n$tree")
   }
 
-  test("p_filter_quality: threshold table broadcasts back onto the corpus") {
-    // The per-lang median is a handful of rows; joining it back must
-    // broadcast so the documents side never shuffles for the filter.
-    val tree = graft.engine.Engine.explain(
-      Curation.qualityFilter(spark, dir), "simple")
-    assert(tree.contains("BroadcastHashJoin"), tree)
-    assert(!tree.contains("SortMergeJoin"),
-      s"threshold join must not shuffle the corpus:\n$tree")
+  test("p_filter_quality(+approx): threshold table broadcasts onto corpus") {
+    // The per-lang threshold is a handful of rows; joining it back must
+    // broadcast so the documents side never shuffles for the filter —
+    // for the exact median anchor AND its approx_percentile scale twin.
+    Seq("p_filter_quality", "p_filter_quality_approx").foreach { name =>
+      val tree = graft.engine.Engine.explain(
+        graft.SparkEntry.queries(name)(spark, dir), "simple")
+      assert(tree.contains("BroadcastHashJoin"), s"$name:\n$tree")
+      assert(!tree.contains("SortMergeJoin"),
+        s"$name threshold join must not shuffle the corpus:\n$tree")
+    }
   }
 
   test("sum_sq UDAF: typed Dataset-side aggregation matches SQL-side") {
