@@ -68,6 +68,22 @@ object Bench {
         else { val b = sample(); (if (b < 0) a else math.min(a, b), 2) }
       (name, best, best >= 0, nSamples)
     }
+    // probes_total: the probe_* diagnostics stay OUT of the timed set
+    // (constant queries measure session overhead, not engine throughput —
+    // VERDICT r3 #4) but are timed ONCE here so the n_queries-vs-declared-
+    // inventory difference is self-documenting instead of reading as
+    // silent truncation (VERDICT r9 #7). Not part of `total` or history.
+    val probesTotal = SparkEntry.queries.toSeq
+      .filter(_._1.startsWith("probe_")).sortBy(_._1)
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { run(fn); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            0.0
+        }
+      }.sum
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val samples = results.map { case (k, _, _, n) => "\"" + k + "\":" + n }
@@ -83,7 +99,7 @@ object Bench {
     // spikes but makes cross-round totals slightly flattering vs r01–r04.
     val templatesTotal = results
       .collect { case (k, v, true, _) if k.startsWith("t") => v }.sum
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"templates_total":$templatesTotal,"n_queries":${results.size},"samples":$samples,"max_runs_per_query":2,"agg":"min","sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"templates_total":$templatesTotal,"probes_total":$probesTotal,"n_queries":${results.size},"samples":$samples,"max_runs_per_query":2,"agg":"min","sf":"$sfDir"}"""
     println(fullJson)
     // Persist the complete per-query map to a file (VERDICT r5/r6/r7): the
     // harness tail-truncates stdout, so the printed map has been lost three
@@ -103,7 +119,7 @@ object Bench {
     // records a bounded TAIL of stdout, and the full line above can lose
     // its leading `"value"` field to front-truncation as the per-query
     // map grows (BENCH_r05 did). The last line always survives intact.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","templates_total":$templatesTotal,"n_queries":${results.size},"n_errors":${results.count(!_._3)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","templates_total":$templatesTotal,"probes_total":$probesTotal,"n_queries":${results.size},"n_errors":${results.count(!_._3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

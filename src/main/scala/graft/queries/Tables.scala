@@ -42,7 +42,13 @@ object Tables {
     * query cost. Reuse is safe: the returned DataFrame is an immutable
     * lazy plan, physical planning re-reads session confs on every action
     * (so DeterminismSpec's regime switches still apply), and the testdata
-    * files never change within a run. */
+    * files never change within a run.
+    *
+    * Retention note (ADVICE r9, accepted for the single-session harness):
+    * memo keys hold SparkSession references for the JVM lifetime, so a
+    * host that creates and stops MANY sessions would retain stopped
+    * sessions' plans; the harness and test suites share one session
+    * (TestSpark/Session are memoized), so nothing accumulates here. */
   private val tableMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String),
       DataFrame]
@@ -55,21 +61,17 @@ object Tables {
     * the analog of the reference's single SQL delegation point,
     * /root/reference/src/duckdb.ts:46-49) and return the session.
     *
-    * Registration is skipped when this session's views already point at
-    * `dir`: every SQL-routed declared query calls this, and re-reading 10
-    * parquet footers per invocation was pure harness overhead that
-    * dominated those queries' bench times (~0.3–0.5 s each at sf0.1) and
-    * misstated the engine's actual query cost. The memo tracks the LAST
-    * registered dir (not a set) because the view names are shared — a
-    * dir change (bench warms at sf0.001, then times sf0.1) re-registers. */
-  private val lastViewDir =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
-
+    * Registration always runs (ADVICE r9): the expensive part — footer
+    * reads — is already eliminated by `tableMemo`, so these are 10
+    * near-free catalog puts, and re-putting every call self-heals a view
+    * name clobbered by the engine's user-facing import paths
+    * (`Catalog.registerFile` / `createOrReplaceParquetView` derive view
+    * names from user file paths — an imported `lineitem.parquet` would
+    * otherwise silently shadow the testdata view for every later
+    * SQL-routed query). A dir change (bench warms at sf0.001, then times
+    * sf0.1) repoints the shared names for the same reason. */
   def views(s: SparkSession, dir: String): SparkSession = {
-    if (!lastViewDir.get(s).contains(dir)) {
-      tableNames.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
-      lastViewDir.put(s, dir)
-    }
+    tableNames.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
     s
   }
 

@@ -243,13 +243,18 @@ class PlanSpec extends AnyFunSuite {
     // plan silently degrades to the single-reducer window.
     val tree = graft.engine.Engine.explain(
       Curation.sampleStratified(spark, dir), "simple")
-    assert(tree.contains("WindowGroupLimit") && tree.contains("Partial"),
-      s"expected a map-side partial top-k prune:\n$tree")
-    val exchangePos = tree.indexOf("Exchange hashpartitioning(lang")
-    val partialPos = tree.indexOf("Partial")
-    assert(exchangePos >= 0 && partialPos > exchangePos,
+    // anchor to the WindowGroupLimit node itself (ADVICE r9): a bare
+    // indexOf("Partial") could match an unrelated node above the exchange
+    val lines = tree.linesIterator.toVector
+    val exchangeIdx = lines
+      .indexWhere(_.contains("Exchange hashpartitioning(lang"))
+    val partialIdx = lines.indexWhere(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(partialIdx >= 0,
+      s"expected a map-side Partial WindowGroupLimit prune:\n$tree")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
       s"Partial prune must sit BELOW the lang exchange (tree prints " +
-        s"top-down, so below = later offset):\n$tree")
+        s"top-down, so below = later line):\n$tree")
     val scans = "Scan parquet".r.findAllIn(tree).size
     assert(scans == 1, s"one documents scan expected, saw $scans:\n$tree")
   }
