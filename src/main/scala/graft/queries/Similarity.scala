@@ -319,11 +319,16 @@ object Similarity {
 
   // --- ANN recall measurement (recall@10 vs exact ground truth) -----------
 
-  /** Recall@10 of the four LSH retrieval variants — single-bucket
+  /** Recall@10 of all five ANN retrieval variants — single-bucket
     * (`lshBucket`), multi-probe (`lshMultiProbe`), OR-construction
-    * (`lshOrTables`), and the production-tuned `lshTuned` — measured
-    * against exact brute-force ground truth over the fixed query set
-    * `vec_id < 20`. This is the number that
+    * (`lshOrTables`), the production-tuned `lshTuned`, and the IVF-flat
+    * nprobe=2 path (`ivfFlat`'s candidate rule: the corpus row's nearest
+    * centroid is one of the query's 2 nearest) — measured against exact
+    * brute-force ground truth over the fixed query set `vec_id < 20`.
+    * Both ANN scale paths (hash-bucketed and coarse-quantized) report on
+    * one harness: measured at sf0.01, IVF retrieves 0.73@10 from a ~12%
+    * candidate fraction while tuned-LSH retrieves 0.925 from a far larger
+    * one — the scan-fraction/recall tradeoff made visible. This is the number that
     * justifies an ANN operator's existence (VERDICT r8 #1): recall is the
     * quality axis the bits/probes/tables knobs trade against scan
     * fraction, and until it is measured the variants are shapes, not
@@ -346,17 +351,38 @@ object Similarity {
   val recallAt10: Q = (s, dir) => {
     graft.functions.CosineSimilarity.register(s)
     import s.implicits._
+    // IVF probe columns: the corpus row's nearest centroid (cent_id) and
+    // each query's nprobe=2 nearest centroids (qc1, qc2) — all map-side
+    // argmaxes over the inlined 16-entry codebook, exactly as in ivfFlat.
+    // qc2 masks the FIRST argmax position (by position, not value) so
+    // duplicate cosines still select the same second centroid as the
+    // oracle's ROW_NUMBER ... rn = 2.
+    val cents = codebook(t(s, dir, "embeddings"))
+    val secondArgmax =
+      s"""element_at(${idsLitOf(cents)}, CAST(array_position(qarr2,
+         |  array_max(qarr2)) AS INT))""".stripMargin
     val bk = tunedBucketExprs.zipWithIndex
       .foldLeft(t(s, dir, "embeddings")
         .withColumn("b0", expr(bucketExpr))
         .withColumn("b1", expr(bucketExpr2))) { case (df, (e, i)) =>
         df.withColumn(s"tb$i", expr(e))
       }
+      .withColumn("cent_arr", expr(centCosArr("embedding", cents)))
+      .withColumn("cent_id", expr(centArgmax("cent_arr", cents)))
       .select(col("vec_id") +: col("embedding") +: col("b0") +: col("b1") +:
-        tunedPrefixes.indices.map(i => col(s"tb$i")): _*)
+        col("cent_id") +: tunedPrefixes.indices.map(i => col(s"tb$i")): _*)
     val q = bk.filter(col("vec_id") < 20)
+      .withColumn("qarr", expr(centCosArr("embedding", cents)))
+      .withColumn("qc1", expr(centArgmax("qarr", cents)))
+      .withColumn("qarr2", expr(
+        s"""transform(sequence(0, ${cents.size - 1}), j ->
+           |  CASE WHEN j + 1 = array_position(qarr, array_max(qarr))
+           |  THEN CAST('-Infinity' AS DOUBLE)
+           |  ELSE element_at(qarr, j + 1) END)""".stripMargin))
+      .withColumn("qc2", expr(secondArgmax))
       .select(col("vec_id").as("qid") +: col("embedding").as("q_emb") +:
         col("b0").as("qb0") +: col("b1").as("qb1") +:
+        col("qc1") +: col("qc2") +:
         tunedPrefixes.indices.map(i => col(s"tb$i").as(s"qtb$i")): _*)
     val pairs = memoPersist(s, dir, "sim_recall_pairs") {
       bk.crossJoin(broadcast(q))
@@ -364,6 +390,7 @@ object Similarity {
         .withColumn("cosine", expr("cosine_sim(embedding, q_emb)"))
         .select(col("qid") +: col("vec_id") +: col("b0") +: col("b1") +:
           col("qb0") +: col("qb1") +: col("cosine") +:
+          col("cent_id") +: col("qc1") +: col("qc2") +:
           tunedPrefixes.indices.flatMap(i =>
             Seq(col(s"tb$i"), col(s"qtb$i"))): _*)
     }
@@ -379,14 +406,17 @@ object Similarity {
       .map(i => s"bit_count(tb$i ^ qtb$i) <= 1").mkString(" OR ")
     val cand = pairs
       .withColumn("variant", explode(array(
-        lit("lsh"), lit("multiprobe"), lit("or_tables"), lit("tuned"))))
+        lit("lsh"), lit("multiprobe"), lit("or_tables"), lit("tuned"),
+        lit("ivf"))))
       .filter(
         (col("variant") === "lsh" && col("b0") === col("qb0")) ||
         (col("variant") === "multiprobe" &&
           expr("b0 ^ qb0").isin(probes: _*)) ||
         (col("variant") === "or_tables" &&
           (col("b0") === col("qb0") || col("b1") === col("qb1"))) ||
-        (col("variant") === "tuned" && expr(tunedCond)))
+        (col("variant") === "tuned" && expr(tunedCond)) ||
+        (col("variant") === "ivf" &&
+          (col("cent_id") === col("qc1") || col("cent_id") === col("qc2"))))
     val wVar = Window.partitionBy(col("variant"), col("qid"))
       .orderBy(desc("cosine"), col("vec_id"))
     val retr = cand.withColumn("rn", row_number().over(wVar))
@@ -395,7 +425,8 @@ object Similarity {
     val hits = retr.join(truth, Seq("qid", "vec_id"))
       .groupBy(col("variant")).agg(count(lit(1)).as("hits"))
     val tot = truth.agg(count(lit(1)).as("n_truth"))
-    val variants = Seq("lsh", "multiprobe", "or_tables", "tuned").toDF("variant")
+    val variants = Seq("ivf", "lsh", "multiprobe", "or_tables", "tuned")
+      .toDF("variant")
     variants.join(hits, Seq("variant"), "left")
       .crossJoin(broadcast(tot))
       .select(col("variant"),
@@ -416,20 +447,40 @@ object Similarity {
     val tunedCond = tunedPrefixes.indices
       .map(i => s"bit_count(xor(p.tb$i, p.qtb$i)) <= 1")
       .mkString("\n         OR ")
+    def oCos(e: String, c: String) =
+      s"${oDot(e, c)} / (${oNorm(e)} * ${oNorm(c)})"
     s"""WITH bk AS (
        |  SELECT vec_id, embedding,
        |    ${oBucketOf(oBitsP(""))} AS b0,
        |    ${oBucketOf(oBitsP("t1_"))} AS b1,
        |    $tb
        |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+       |  WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${oCos("e.embedding", "c.cent")} DESC, c.cent_id)
+       |        AS rn
+       |    FROM embeddings e, cents c) WHERE rn = 1),
        |q AS (SELECT vec_id AS qid, embedding AS q_emb, b0 AS qb0, b1 AS qb1,
        |        $qtb
        |      FROM bk WHERE vec_id < 20),
+       |qprobes AS (
+       |  SELECT qid, cent_id FROM (
+       |    SELECT q.qid, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ${oCos("q.q_emb", "c.cent")} DESC, c.cent_id) AS rn
+       |    FROM q, cents c) WHERE rn <= 2),
        |pairs AS (
        |  SELECT e.vec_id, q.qid, e.b0, e.b1, q.qb0, q.qb1, $ptb,
+       |    a.cent_id,
        |    ${oDot("e.embedding", "q.q_emb")} /
        |      (${oNorm("e.embedding")} * ${oNorm("q.q_emb")}) AS cosine
-       |  FROM bk e, q WHERE e.vec_id <> q.qid),
+       |  FROM bk e JOIN assigned a ON a.vec_id = e.vec_id, q
+       |  WHERE e.vec_id <> q.qid),
        |truth AS (
        |  SELECT qid, vec_id FROM (
        |    SELECT qid, vec_id,
@@ -440,14 +491,17 @@ object Similarity {
        |  SELECT v.variant, p.qid, p.vec_id, p.cosine
        |  FROM pairs p
        |  CROSS JOIN (SELECT unnest(['lsh', 'multiprobe', 'or_tables',
-       |    'tuned']) AS variant) v
+       |    'tuned', 'ivf']) AS variant) v
        |  WHERE (v.variant = 'lsh' AND p.b0 = p.qb0)
        |     OR (v.variant = 'multiprobe'
        |         AND xor(p.b0, p.qb0) IN (0, 1, 2, 4, 8, 16, 32, 64, 128))
        |     OR (v.variant = 'or_tables'
        |         AND (p.b0 = p.qb0 OR p.b1 = p.qb1))
        |     OR (v.variant = 'tuned'
-       |         AND ($tunedCond))),
+       |         AND ($tunedCond))
+       |     OR (v.variant = 'ivf'
+       |         AND EXISTS (SELECT 1 FROM qprobes pr
+       |           WHERE pr.qid = p.qid AND pr.cent_id = p.cent_id))),
        |retr AS (
        |  SELECT variant, qid, vec_id FROM (
        |    SELECT variant, qid, vec_id,
@@ -463,8 +517,8 @@ object Similarity {
        |  tot.n_truth,
        |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(tot.n_truth AS DOUBLE)
        |    AS recall_at_10
-       |FROM (SELECT unnest(['lsh', 'multiprobe', 'or_tables', 'tuned'])
-       |  AS variant) v
+       |FROM (SELECT unnest(['lsh', 'multiprobe', 'or_tables', 'tuned',
+       |  'ivf']) AS variant) v
        |LEFT JOIN hits h ON h.variant = v.variant
        |CROSS JOIN tot
        |ORDER BY v.variant""".stripMargin
@@ -526,15 +580,43 @@ object Similarity {
     * 16-entry codebook. Ties break by (cosine desc, centroid id) on both
     * sides: `array_position` finds the FIRST occurrence of the max, and
     * the codebook array is ordered by centroid id. */
-  val ivfFlat: Q = (s, dir) => {
-    graft.functions.CosineSimilarity.register(s)
-    val emb = t(s, dir, "embeddings")
-    // Codebook fetch: 16 rows (the coarse quantizer). At scale this is
-    // loading a trained model artifact, not a data-dependent collect.
-    val cents: Seq[(Long, Array[Float])] = emb.filter(col("vec_id") < 16)
+  /** Codebook fetch: 16 rows (the coarse quantizer). At scale this is
+    * loading a trained model artifact, not a data-dependent collect. */
+  private def codebook(emb: DataFrame): Seq[(Long, Array[Float])] =
+    emb.filter(col("vec_id") < 16)
       .select(col("vec_id"), col("embedding")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+
+  // Float.toString round-trips exactly, so the literal arrays carry the
+  // bit-identical vectors; ConstantFolding collapses them to one Literal.
+  private def centLit(c: Array[Float]): String =
+    c.map(v => s"CAST('$v' AS FLOAT)").mkString("array(", ", ", ")")
+  private def centsLitOf(cents: Seq[(Long, Array[Float])]): String =
+    cents.map(c => centLit(c._2)).mkString("array(", ", ", ")")
+  private def idsLitOf(cents: Seq[(Long, Array[Float])]): String =
+    cents.map(c => s"CAST(${c._1} AS BIGINT)").mkString("array(", ", ", ")")
+
+  /** Per-row array of cosines against every inlined centroid (map-side). */
+  private def centCosArr(
+      embCol: String, cents: Seq[(Long, Array[Float])]): String =
+    s"""transform(sequence(0, ${cents.size - 1}),
+       |  j -> cosine_sim($embCol, element_at(${centsLitOf(cents)}, j + 1)))"""
+      .stripMargin
+
+  /** Nearest-centroid id from a cosine array: array_position finds the
+    * FIRST occurrence of the max, and the id array is ordered by centroid
+    * id, so ties break to the lowest id — matching the oracle's
+    * `ORDER BY cosine DESC, cent_id`. */
+  private def centArgmax(
+      arrCol: String, cents: Seq[(Long, Array[Float])]): String =
+    s"element_at(${idsLitOf(cents)}, " +
+      s"CAST(array_position($arrCol, array_max($arrCol)) AS INT))"
+
+  val ivfFlat: Q = (s, dir) => {
+    graft.functions.CosineSimilarity.register(s)
+    val emb = t(s, dir, "embeddings")
+    val cents = codebook(emb)
     // Degenerate input (no query vector — implies no codebook when the
     // table is empty) yields the empty result the previous join
     // formulation produced, instead of failing at plan-construction time.
@@ -546,13 +628,8 @@ object Similarity {
 
   private def ivfProbed(
       emb: DataFrame, cents: Seq[(Long, Array[Float])]): DataFrame = {
-    // Float.toString round-trips exactly, so the literal arrays carry the
-    // bit-identical vectors; ConstantFolding collapses them to one Literal.
-    def centLit(c: Array[Float]): String =
-      c.map(v => s"CAST('$v' AS FLOAT)").mkString("array(", ", ", ")")
-    val centsLit = cents.map(c => centLit(c._2)).mkString("array(", ", ", ")")
-    val idsLit = cents.map(c => s"CAST(${c._1} AS BIGINT)")
-      .mkString("array(", ", ", ")")
+    val centsLit = centsLitOf(cents)
+    val idsLit = idsLitOf(cents)
     // Driver twin of cosine_sim's one-pass fold — the same IEEE operation
     // sequence, so probe selection agrees bit-for-bit with the oracle's.
     def cos(a: Array[Float], b: Array[Float]): Double = {

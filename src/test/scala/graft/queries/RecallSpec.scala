@@ -20,7 +20,12 @@ class RecallSpec extends AnyFunSuite {
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3))))
       .toMap
-    assert(rows.keySet === Set("lsh", "multiprobe", "or_tables", "tuned"))
+    assert(rows.keySet ===
+      Set("ivf", "lsh", "multiprobe", "or_tables", "tuned"))
+    // IVF has no superset relation to the LSH variants — its row simply
+    // must be a measured, in-bounds recall (the harness reports both ANN
+    // scale paths side by side)
+    assert(rows("ivf")._1 >= 0L && rows("ivf")._1 <= rows("ivf")._2)
     val (_, nTruth, _) = rows("lsh")
     assert(nTruth === 200L, "20 queries x top-10 ground truth")
     assert(rows("multiprobe")._3 >= rows("lsh")._3,
