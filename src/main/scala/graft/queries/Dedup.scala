@@ -646,8 +646,64 @@ object Dedup {
        |     END), 0) AS BIGINT) FROM bc) AS n_buckets_dropped,
        |  (SELECT MAX(c) FROM bc) AS max_bucket""".stripMargin
 
+  // --- MinHash candidate-generation quality (measured, like p_sim_recall) --
+
+  /** Recall AND precision of MinHash-LSH candidate generation, measured
+    * against exact trigram-Jaccard ground truth — the dedup twin of the
+    * ANN family's `p_sim_recall` discipline: a banding configuration is a
+    * shape until its retrieval quality is a number. Ground truth = capped
+    * exact-Jaccard pairs ≥ 0.5 (identical rule to `p_dedup_ngram`);
+    * retrieved = the banded candidate pairs (identical rule to
+    * `p_dedup_minhash`); recall = hit fraction of truth, precision = hit
+    * fraction of candidates (the cost side: every false candidate pays an
+    * exact verification downstream). All counts are exact integers over
+    * shared subtrees — the shingle index and signatures are the memoized
+    * intermediates the component queries already use — so the single
+    * output row is hash-stable cross-engine. */
+  val minhashRecall: Q = (s, dir) => {
+    val sh = shingles(s, dir)
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val truth = cappedCommon(sh)
+      .join(n.toDF("d1", "n1"), "d1")
+      .join(n.toDF("d2", "n2"), "d2")
+      .filter(col("common").cast("double") /
+        (col("n1") + col("n2") - col("common")) >= 0.5)
+      .select(col("d1"), col("d2"))
+    val cand = minhashLsh(s, dir).select(col("d1"), col("d2"))
+    val hits = truth.join(cand, Seq("d1", "d2"))
+      .agg(count(lit(1)).as("n_hits"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    nt.crossJoin(broadcast(nc)).crossJoin(broadcast(hits))
+      .select(col("n_truth"), col("n_cand"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth").cast("double"))
+          .as("recall"),
+        (col("n_hits").cast("double") / col("n_cand").cast("double"))
+          .as("precision"))
+  }
+
+  val minhashRecallSql: String =
+    s"""WITH $oMinhashCtes,
+       |n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+       |$oCappedPairs,
+       |truth AS (
+       |  SELECT d1, d2 FROM pairs
+       |  JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2
+       |  WHERE CAST(common AS DOUBLE) / (na.ns + nb.ns - common) >= 0.5),
+       |cand AS (
+       |$oMinhashPairSelect),
+       |h AS (SELECT COUNT(*) AS n_hits FROM truth t
+       |      JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2),
+       |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+       |nc AS (SELECT COUNT(*) AS n_cand FROM cand)
+       |SELECT nt.n_truth, nc.n_cand, h.n_hits,
+       |  CAST(h.n_hits AS DOUBLE) / CAST(nt.n_truth AS DOUBLE) AS recall,
+       |  CAST(h.n_hits AS DOUBLE) / CAST(nc.n_cand AS DOUBLE) AS precision
+       |FROM nt, nc, h""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p_dedup_exact" -> exact,
+    "p_dedup_minhash_recall" -> minhashRecall,
     "p_dedup_ngram" -> ngramJaccard,
     "p_dedup_minhash" -> minhashLsh,
     "p_dedup_minhash_est" -> minhashEstimate,
@@ -660,6 +716,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "p_dedup_exact" -> exactSql,
+    "p_dedup_minhash_recall" -> minhashRecallSql,
     "p_dedup_ngram" -> ngramJaccardSql,
     "p_dedup_minhash" -> minhashLshSql,
     "p_dedup_minhash_est" -> minhashEstimateSql,

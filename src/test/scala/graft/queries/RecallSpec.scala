@@ -39,6 +39,21 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash banding recalls the exact-Jaccard truth set (measured)") {
+    // The dedup twin of the ANN recall discipline: 4 bands x 4 rows must
+    // retrieve (essentially) every pair the exact trigram-Jaccard >= 0.5
+    // rule confirms — measured 1.0 at sf0.001/sf0.01 on the planted
+    // near-dup fixture — while precision stays a real number (< 1: banding
+    // intentionally over-generates and the estimate/verify stages prune).
+    val r = Dedup.minhashRecall(spark, dir).collect().head
+    val (nTruth, nCand, nHits) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTruth > 0, "fixture must plant near-dup ground truth")
+    assert(nCand >= nHits && nHits <= nTruth)
+    assert(r.getDouble(3) >= 0.9,
+      s"minhash banding recall regressed: $r")
+  }
+
   test("tuned configuration retrieves with production-grade recall >= 0.8") {
     // VERDICT r9 #1: the demo-parameter variants top out at 0.11@10; the
     // tuned configuration (4 tables x 4 planes, Hamming-radius-1 probes)
