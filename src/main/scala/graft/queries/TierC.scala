@@ -315,6 +315,96 @@ object TierC {
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
       .stripMargin
 
+  /** SALTED JOIN — the join-side twin of `c_salted_agg` for hot PROBE
+    * keys: when one dim key owns a disproportionate share of fact rows, a
+    * plain shuffle join lands that key's entire fact slice on ONE reducer.
+    * The manual fix (what AQE's skew-join split does adaptively, expressed
+    * as a deterministic operator): replicate each dim row `nSalts`× with a
+    * salt column (map-side explode — the dim ships nSalts copies, never
+    * the fact), salt each fact row by a stable row-content hash, and join
+    * on (key, salt) — the hot key now spreads across nSalts reducers.
+    * Result ≡ the plain join by construction (every fact row meets exactly
+    * the one replica carrying its salt), so the oracle is the PLAIN
+    * join+aggregate and the hash match proves the rewrite is lossless.
+    * merge hints force the sort-merge shape the salting exists for —
+    * a broadcast join has no skew to fix (and at 100 TB the dim that
+    * needs salting is too big to broadcast). PlanSpec asserts the join
+    * exchange hashes on the WIDENED (key, salt) space. */
+  val saltedJoin: Q = (s, dir) => {
+    val nS = 8
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .withColumn("f_salt",
+        pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(nS)))
+    val dim = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .withColumn("d_salt", explode(expr(s"sequence(0, ${nS - 1})")))
+    fact.hint("merge")
+      .join(dim.hint("merge"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("f_salt") === col("d_salt"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum("l_extendedprice").as("revenue"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val saltedJoinSql: String =
+    s"""SELECT s_nationkey, COUNT(*) AS n_items,
+       |  ${oDsum("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  /** BLOOM SEMI-JOIN REDUCTION — the classic 100 TB trick for a selective
+    * join against a dim too big to broadcast: build a compact Bloom filter
+    * over the dim keys (m=4096 bits, k=3 Murmur3 positions — the build is
+    * a distinct-positions aggregate whose result is ≤ m ints, a bounded
+    * collect like the IVF codebook load; at scale this is exactly the
+    * artifact Spark's own `InjectRuntimeFilter` ships), then drop
+    * non-matching fact rows MAP-SIDE before the join shuffle. False
+    * positives are pruned by the exact semi-join that follows, so the
+    * result ≡ the plain semi-join and the oracle is the PLAIN `IN`
+    * subquery — the hash match proves the prefilter is conservative
+    * (sound), while PlanSpec pins that the bloom test sits under the
+    * fact scan where it cuts shuffled bytes. merge hints force the
+    * sort-merge shape the reduction exists for. */
+  val bloomSemijoin: Q = (s, dir) => {
+    val m = 4096
+    val kHashes = 3
+    val dimKeys = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val buildPos = (0 until kHashes).map(i =>
+      pmod(hash(col("c_custkey"), lit(i)), lit(m)).cast("int"))
+    val positions = dimKeys.select(explode(array(buildPos: _*)).as("p"))
+      .distinct().collect().map(_.getInt(0))
+    val words = new Array[Long](m / 64)
+    positions.foreach(p => words(p / 64) |= (1L << (p % 64)))
+    val bloomLit = words.mkString("array(", "L, ", "L)")
+    val bloomPass = (0 until kHashes).map { i =>
+      val pos = s"CAST(pmod(hash(o_custkey, $i), $m) AS INT)"
+      expr(s"(shiftright(element_at($bloomLit," +
+        s" CAST($pos div 64 + 1 AS INT)), $pos % 64) & 1) = 1")
+    }.reduce(_ && _)
+    t(s, dir, "orders")
+      .filter(bloomPass)
+      .hint("merge")
+      .join(dimKeys.hint("merge"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val bloomSemijoinSql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  ${oDsum("o_totalprice")} AS total
+       |FROM orders
+       |WHERE o_custkey IN (SELECT c_custkey FROM customer
+       |                    WHERE c_mktsegment = 'BUILDING')
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val stringAgg: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -1047,6 +1137,8 @@ object TierC {
     "c_distinct_on" -> distinctOn,
     "c_string_agg" -> stringAgg,
     "c_salted_agg" -> saltedAgg,
+    "c_salted_join" -> saltedJoin,
+    "c_bloom_semijoin" -> bloomSemijoin,
     "c_window_topk" -> windowTopk,
     "c_window_lag" -> windowLag,
     "c_window_frame" -> windowFrame,
@@ -1089,6 +1181,8 @@ object TierC {
     "c_distinct_on" -> distinctOnSql,
     "c_string_agg" -> stringAggSql,
     "c_salted_agg" -> saltedAggSql,
+    "c_salted_join" -> saltedJoinSql,
+    "c_bloom_semijoin" -> bloomSemijoinSql,
     "c_window_topk" -> windowTopkSql,
     "c_window_lag" -> windowLagSql,
     "c_window_frame" -> windowFrameSql,

@@ -206,6 +206,42 @@ class PlanSpec extends AnyFunSuite {
       s"status must prune at listing time, not row-filter:\n$p")
   }
 
+  test("c_salted_join: join exchange hashes the widened (key, salt) space") {
+    // The whole point of the salted rewrite: the shuffle must key on
+    // (suppkey, salt) — a hot suppkey then spreads across the salt range
+    // instead of landing on one reducer. If the salt drops out of the
+    // exchange (optimizer simplification, a refactor joining on suppkey
+    // only), the query still answers correctly but the skew protection is
+    // silently gone.
+    val tree = graft.engine.Engine.explain(
+      TierC.saltedJoin(spark, dir), "simple")
+    assert(tree.contains("SortMergeJoin"), tree)
+    val saltedExchange = tree.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("suppkey") &&
+        l.contains("salt"))
+    assert(saltedExchange,
+      s"join exchange must hash on (suppkey, salt):\n$tree")
+  }
+
+  test("c_bloom_semijoin: bloom test filters the fact BELOW the join") {
+    // The reduction only cuts shuffled bytes if the bloom membership test
+    // sits under the orders scan side of the semi-join — a filter that
+    // drifts above the join (or disappears into the dim side) leaves the
+    // full fact shuffle the technique exists to avoid.
+    val tree = graft.engine.Engine.explain(
+      TierC.bloomSemijoin(spark, dir), "simple")
+    assert(tree.contains("LeftSemi"), tree)
+    val lines = tree.linesIterator.toVector
+    val joinIdx = lines.indexWhere(_.contains("LeftSemi"))
+    val bloomIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("shiftright"))
+    assert(bloomIdx >= 0, s"no bloom membership filter in plan:\n$tree")
+    assert(bloomIdx > joinIdx,
+      s"bloom filter must sit BELOW the semi-join (fact side):\n$tree")
+    val scans = "Scan parquet".r.findAllIn(tree).size
+    assert(scans == 2, s"expected orders + customer scans, saw $scans:\n$tree")
+  }
+
   test("c_bucket_join: sort-merge on bucketed layouts with ZERO exchanges") {
     // The hash-backed twin of ScaleSpec's bucketed-join shape assertion
     // (VERDICT r9 #2): join AND the per-customer aggregate must both ride
