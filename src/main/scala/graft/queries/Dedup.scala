@@ -137,6 +137,12 @@ object Dedup {
       .agg(count(lit(1)).as("common"))
   }
 
+  // NOTE (measured, round 10): do NOT memoPersist the capped pair
+  // relation. It is cheap to STREAM (pairs flow straight into their
+  // consumer's join) but expensive to HOLD — materializing it at sf0.1
+  // evicted the other cached intermediates (shingles, signatures, recall
+  // pairs) and slowed the whole dedup family ~2x. ngramJaccard and
+  // minhashRecall each recompute it from the memoized shingle index.
   val ngramJaccard: Q = (s, dir) => {
     val sh = shingles(s, dir)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
