@@ -844,6 +844,107 @@ object TierC {
        |    AS busiest
        |FROM m ORDER BY mes""".stripMargin
 
+  /** percent_rank + cume_dist — the two relative-rank window functions
+    * the ranks query doesn't cover. Deterministic because the window
+    * ORDER BY ends on the unique o_orderkey (no rank ties) and each value
+    * is ONE division of exact small integers ((rank-1)/(N-1), c/N) — the
+    * same IEEE op on both engines, hence bit-equal. January-1995 slice
+    * keeps the output bounded; the low-cardinality partition key is the
+    * witness role (at 100 TB a global relative rank would use the
+    * range-bucketed formulation `c_window_range_bucketed` demonstrates). */
+  val windowPct: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1995-01-01") &&
+        col("o_orderdate") < ts("1995-02-01"))
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      .limit(500)
+  }
+
+  val windowPctSql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      |  percent_rank() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+      |  cume_dist() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey) AS cume
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+      |ORDER BY o_orderpriority, o_orderkey LIMIT 500""".stripMargin
+
+  /** Statistical aggregates (mean/variance/stddev/correlation) with the
+    * repo's float discipline applied to MOMENTS: the native stddev/corr
+    * aggregates use engine-specific merge formulas whose results depend
+    * on partitioning and differ between engines, so this query instead
+    * accumulates the exact DECIMAL power sums (Σx, Σx², Σy, Σy², Σxy —
+    * order-insensitive at any parallelism, identical cross-engine) and
+    * derives each statistic with ONE identical double expression tree on
+    * both sides — deterministic under the regime sweep and hash-equal
+    * against the oracle. This is also the 100 TB shape: power sums
+    * combine map-side and merge associatively; the derivation is 5
+    * scalar ops on a 4-row result. */
+  val statsMoments: Q = (s, dir) => {
+    val varE = "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * " +
+      "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"
+    val corrE =
+      """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |  CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |SQRT((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+        |    CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) *
+        |  (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) -
+        |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(l_quantity AS DECIMAL(18,2))")).as("s1"),
+        sum(expr("CAST(l_quantity AS DECIMAL(18,2)) * " +
+          "CAST(l_quantity AS DECIMAL(18,2))")).as("s2"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).as("sy"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "CAST(l_extendedprice AS DECIMAL(18,2))")).as("sy2"),
+        sum(expr("CAST(l_quantity AS DECIMAL(18,2)) * " +
+          "CAST(l_extendedprice AS DECIMAL(18,2))")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_qty"),
+        expr(varE).as("var_qty"),
+        expr(s"SQRT($varE)").as("std_qty"),
+        expr(corrE).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val statsMomentsSql: String = {
+    val varE = "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * " +
+      "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"
+    val corrE =
+      """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |  CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |SQRT((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+        |    CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) *
+        |  (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) -
+        |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin
+    s"""WITH a AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+       |    SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+       |        CAST(l_quantity AS DECIMAL(18,2))) AS s2,
+       |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+       |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |        CAST(l_extendedprice AS DECIMAL(18,2))) AS sy2,
+       |    SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+       |        CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+       |  $varE AS var_qty,
+       |  SQRT($varE) AS std_qty,
+       |  $corrE AS corr_qty_price
+       |FROM a ORDER BY l_returnflag""".stripMargin
+  }
+
   /** Exact continuous percentiles (Spark `percentile` ↔ DuckDB
     * `quantile_cont`, both linear interpolation). l_quantity is
     * integer-valued, so quartile interpolation lands on exact binary
@@ -1139,6 +1240,8 @@ object TierC {
     "c_salted_agg" -> saltedAgg,
     "c_salted_join" -> saltedJoin,
     "c_bloom_semijoin" -> bloomSemijoin,
+    "c_window_pct" -> windowPct,
+    "c_stats_moments" -> statsMoments,
     "c_window_topk" -> windowTopk,
     "c_window_lag" -> windowLag,
     "c_window_frame" -> windowFrame,
@@ -1183,6 +1286,8 @@ object TierC {
     "c_salted_agg" -> saltedAggSql,
     "c_salted_join" -> saltedJoinSql,
     "c_bloom_semijoin" -> bloomSemijoinSql,
+    "c_window_pct" -> windowPctSql,
+    "c_stats_moments" -> statsMomentsSql,
     "c_window_topk" -> windowTopkSql,
     "c_window_lag" -> windowLagSql,
     "c_window_frame" -> windowFrameSql,
