@@ -54,6 +54,23 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming curation front — the stream twin of the batch
+    * `p_pipeline_full` prefix (URL canonicalization → URL-level dedup →
+    * PII scrub): a crawl stream collapses recrawls of the same canonical
+    * URL within the late-arrival horizon (state bounded exactly like
+    * `dedupStream`) and redacts PII BEFORE anything persists — the
+    * compliance ordering a real ingest requires. Reuses the batch Column
+    * transforms verbatim (`Curation.canonicalUrl` / `redactPii`, whose
+    * algebraic laws CurationSpec pins), so the batch and stream paths
+    * cannot drift. */
+  def curateStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("canon", graft.queries.Curation.canonicalUrl(col("url")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(Seq("canon"))
+      .withColumn("text", graft.queries.Curation.redactPii(col("text")))
+      .drop("url")
+
   /** Stream-stream interval join: purchases matched to clicks by the same
     * user within the preceding hour — the streaming twin of the batch
     * as-of join (c_join_asof). BOTH sides need watermarks plus a time-band

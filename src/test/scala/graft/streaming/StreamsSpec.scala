@@ -156,6 +156,36 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateStream: canonical-URL dedup + PII scrub on the stream path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val df = in.toDF().toDF("ts", "url", "text")
+    val q = Streams.curateStream(df).writeStream
+      .outputMode("append").format("memory").queryName("curated").start()
+    try {
+      in.addData(
+        // the same page in two disguises -> one canonical survivor
+        (ts("2024-01-01 10:00:00"), "https://Site3.example/Page/7",
+          "mail bob@mail7.example.com now"),
+        (ts("2024-01-01 10:01:00"), "http://www.site3.example/page/7?u=x",
+          "recrawl copy"),
+        (ts("2024-01-01 10:02:00"), "https://other.example/p",
+          "call (555) 867-5309 or 10.1.2.3"))
+      q.processAllAvailable()
+      // a later recrawl of the same canonical URL is still a dup
+      in.addData((ts("2024-01-01 10:03:00"), "https://site3.example/page/7/",
+        "third copy"))
+      q.processAllAvailable()
+      val out = spark.table("curated").select("canon", "text")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(out.keySet ==
+        Set("site3.example/page/7", "other.example/p"), out)
+      assert(out("site3.example/page/7") == "mail <EMAIL> now", out)
+      assert(out("other.example/p") == "call <PHONE> or <IP>", out)
+    } finally q.stop()
+  }
+
   test("runningUserTotals: keyed state accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
