@@ -424,16 +424,26 @@ object Similarity {
       .select(col("variant"), col("qid"), col("vec_id"))
     val hits = retr.join(truth, Seq("qid", "vec_id"))
       .groupBy(col("variant")).agg(count(lit(1)).as("hits"))
+    // the COST axis, measured alongside recall: how many (query, corpus)
+    // pairs each variant's candidate rule admits, as a fraction of the
+    // full cross product — the scan share a pruned-at-rest layout reads
+    val cands = cand.groupBy(col("variant")).agg(count(lit(1)).as("cands"))
     val tot = truth.agg(count(lit(1)).as("n_truth"))
+    val totPairs = pairs.agg(count(lit(1)).as("n_pairs"))
     val variants = Seq("ivf", "lsh", "multiprobe", "or_tables", "tuned")
       .toDF("variant")
     variants.join(hits, Seq("variant"), "left")
+      .join(cands, Seq("variant"), "left")
       .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(totPairs))
       .select(col("variant"),
         coalesce(col("hits"), lit(0L)).as("n_hits"),
         col("n_truth"),
         (coalesce(col("hits"), lit(0L)).cast("double") /
-          col("n_truth").cast("double")).as("recall_at_10"))
+          col("n_truth").cast("double")).as("recall_at_10"),
+        coalesce(col("cands"), lit(0L)).as("n_cand"),
+        (coalesce(col("cands"), lit(0L)).cast("double") /
+          col("n_pairs").cast("double")).as("cand_frac"))
       .orderBy(col("variant"))
   }
 
@@ -512,15 +522,23 @@ object Similarity {
        |  SELECT r.variant, COUNT(*) AS n_hits
        |  FROM retr r JOIN truth t ON r.qid = t.qid AND r.vec_id = t.vec_id
        |  GROUP BY r.variant),
-       |tot AS (SELECT COUNT(*) AS n_truth FROM truth)
+       |cands AS (
+       |  SELECT variant, COUNT(*) AS n_cand FROM cand GROUP BY variant),
+       |tot AS (SELECT COUNT(*) AS n_truth FROM truth),
+       |totp AS (SELECT COUNT(*) AS n_pairs FROM pairs)
        |SELECT v.variant, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
        |  tot.n_truth,
        |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(tot.n_truth AS DOUBLE)
-       |    AS recall_at_10
+       |    AS recall_at_10,
+       |  CAST(COALESCE(c.n_cand, 0) AS BIGINT) AS n_cand,
+       |  CAST(COALESCE(c.n_cand, 0) AS DOUBLE) / CAST(totp.n_pairs AS DOUBLE)
+       |    AS cand_frac
        |FROM (SELECT unnest(['lsh', 'multiprobe', 'or_tables', 'tuned',
        |  'ivf']) AS variant) v
        |LEFT JOIN hits h ON h.variant = v.variant
+       |LEFT JOIN cands c ON c.variant = v.variant
        |CROSS JOIN tot
+       |CROSS JOIN totp
        |ORDER BY v.variant""".stripMargin
   }
 
