@@ -80,7 +80,8 @@ object Layout {
     * table names; written once per (sfDir, JVM). saveAsTable is the only
     * way Spark persists bucket metadata, so names carry the dir hash AND
     * the pid to keep concurrent harness JVMs off each other's tables. */
-  private def bucketedPair(s: SparkSession, dir: String): (String, String) = {
+  private[queries] def bucketedPair(
+      s: SparkSession, dir: String): (String, String) = {
     val ot = written.getOrElseUpdate((dir, "bkt_orders"), {
       val name = s"graft_bkt_orders_${md5hex(dir).take(12)}_p$pid"
       graft.engine.Scale.writeBucketed(

@@ -67,6 +67,27 @@ class LayoutSpec extends AnyFunSuite {
       s"every row group overlaps Q1-1995 — the sort buys no skipping: $sorted")
   }
 
+  test("bucketed layout: an equality filter prunes to one bucket of 8") {
+    // The read-side benefit of bucketing, beyond the shuffle-free join:
+    // a point lookup on the bucket key must scan 1/8 of the files
+    // (SelectedBucketsCount in the scan node). Spark's
+    // DisableUnnecessaryBucketedScan rule turns bucketed reading off for
+    // filter-only queries (it optimizes for the join/agg case), so pin
+    // autoBucketedScan off for the probe — the production setting for a
+    // point-lookup-heavy workload over a bucketed layout.
+    import org.apache.spark.sql.functions.col
+    val (ot, _) = Layout.bucketedPair(spark, dir)
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val p = graft.engine.Engine.explain(
+        spark.table(ot).filter(col("o_custkey") === 7L))
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+        s"equality on the bucket key must prune to one bucket:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("c_sort_skip: the range filter is pushed to the parquet scan") {
     val p = graft.engine.Engine.explain(Layout.sortSkip(spark, dir))
     assert(p.contains("PushedFilters") &&
