@@ -359,13 +359,18 @@ object Dedup {
     * tiny vocabulary makes fingerprints cluster heavily, exactly the
     * boilerplate pathology the cap exists for), pair within surviving
     * buckets, then verify by exact hamming distance ≤ 1. */
-  val simhashPairs: Q = (s, dir) => {
-    val bands = memoPersist(s, dir, "simhash_bands") {
+  /** (doc_id, simhash, band, key) band relation — memoized, shared by the
+    * pair query and the recall measurement. */
+  private def simhashBands(s: SparkSession, dir: String): DataFrame =
+    memoPersist(s, dir, "simhash_bands") {
       simhashFp(s, dir)
         .select(col("doc_id"), col("simhash"),
           expr("stack(2, 0, simhash & 65535, 1," +
             " shiftright(simhash, 16) & 65535)").as(Seq("band", "key")))
     }
+
+  val simhashPairs: Q = (s, dir) => {
+    val bands = simhashBands(s, dir)
     val small = bands.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2 && col("c") <= 20)
@@ -707,9 +712,82 @@ object Dedup {
        |  CAST(h.n_hits AS DOUBLE) / CAST(nc.n_cand AS DOUBLE) AS precision
        |FROM nt, nc, h""".stripMargin
 
+  /** Recall of SimHash banded candidate generation vs the exact
+    * hamming ≤ 1 truth over the 20-doc query sample — completing the
+    * measured-quality triple (ANN `p_sim_recall`, MinHash
+    * `p_dedup_minhash_recall`, SimHash here). The interesting property:
+    * a 1-bit flip can change only ONE of the two 16-bit bands, so banding
+    * alone recalls EVERY hamming ≤ 1 pair — the only recall loss is the
+    * bucket-size cap, which this corpus's tiny vocabulary (heavily
+    * clustered fingerprints, the exact pathology the cap exists for)
+    * makes bite. The measured number is therefore the CAP'S recall cost,
+    * isolated — the tradeoff a user tunes bucket caps against. */
+  val simhashRecall: Q = (s, dir) => {
+    val fp = simhashFp(s, dir)
+    val bands = simhashBands(s, dir)
+    val small = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2 && col("c") <= 20)
+      .select(col("band"), col("key"))
+    val q = fp.filter(col("doc_id") < 20).toDF("qid", "qfp")
+    val truth = fp.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("qid") &&
+        expr("bit_count(simhash ^ qfp) <= 1"))
+      .select(col("qid"), col("doc_id"))
+    val db = bands.join(small, Seq("band", "key"))
+      .select(col("doc_id").as("d"), col("band"), col("key"))
+    val qb = bands.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("qid"), col("band").as("qband"),
+        col("key").as("qkey"))
+    val cand = db.join(broadcast(qb),
+        col("band") === col("qband") && col("key") === col("qkey") &&
+          col("d") =!= col("qid"))
+      .select(col("qid"), col("d").as("doc_id")).distinct()
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    val h = truth.join(cand, Seq("qid", "doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    nt.crossJoin(broadcast(nc)).crossJoin(broadcast(h))
+      .select(col("n_truth"), col("n_cand"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+  }
+
+  val simhashRecallSql: String =
+    s"""WITH $oSimhashFp,
+       |bands AS (
+       |  SELECT doc_id, simhash, 0 AS band, simhash & 65535 AS key FROM fp
+       |  UNION ALL
+       |  SELECT doc_id, simhash, 1, (simhash >> 16) & 65535 FROM fp),
+       |small AS (
+       |  SELECT band, key FROM bands GROUP BY band, key
+       |  HAVING COUNT(*) BETWEEN 2 AND 20),
+       |q AS (SELECT doc_id AS qid, simhash AS qfp FROM fp
+       |      WHERE doc_id < 20),
+       |truth AS (
+       |  SELECT q.qid, f.doc_id FROM fp f, q
+       |  WHERE f.doc_id <> q.qid
+       |    AND bit_count(xor(f.simhash, q.qfp)) <= 1),
+       |db AS (SELECT b.doc_id AS d, b.band, b.key
+       |       FROM bands b JOIN small s ON b.band = s.band
+       |         AND b.key = s.key),
+       |qb AS (SELECT doc_id AS qid, band, key FROM bands
+       |       WHERE doc_id < 20),
+       |cand AS (SELECT DISTINCT qb.qid, db.d AS doc_id
+       |         FROM db JOIN qb ON db.band = qb.band AND db.key = qb.key
+       |           AND db.d <> qb.qid),
+       |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+       |nc AS (SELECT COUNT(*) AS n_cand FROM cand),
+       |h AS (SELECT COUNT(*) AS n_hits FROM truth t JOIN cand c
+       |      ON t.qid = c.qid AND t.doc_id = c.doc_id)
+       |SELECT nt.n_truth, nc.n_cand, h.n_hits,
+       |  CAST(h.n_hits AS DOUBLE) / CAST(nt.n_truth AS DOUBLE) AS recall
+       |FROM nt, nc, h""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p_dedup_exact" -> exact,
     "p_dedup_minhash_recall" -> minhashRecall,
+    "p_dedup_simhash_recall" -> simhashRecall,
     "p_dedup_ngram" -> ngramJaccard,
     "p_dedup_minhash" -> minhashLsh,
     "p_dedup_minhash_est" -> minhashEstimate,
@@ -723,6 +801,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "p_dedup_exact" -> exactSql,
     "p_dedup_minhash_recall" -> minhashRecallSql,
+    "p_dedup_simhash_recall" -> simhashRecallSql,
     "p_dedup_ngram" -> ngramJaccardSql,
     "p_dedup_minhash" -> minhashLshSql,
     "p_dedup_minhash_est" -> minhashEstimateSql,
