@@ -291,10 +291,167 @@ object Media {
       |FROM d2 JOIN st ON st.doc_id = d2.doc_id
       |ORDER BY d2.doc_id""".stripMargin
 
+  /** RESIZE — 2×2 average pooling over the decoded PGM grid (floor
+    * semantics: odd trailing rows/columns drop, the standard pooling
+    * rule). Block sums are exact integers; the pooled mean divides once
+    * at the end, so both engines agree bitwise. Truncated blobs are
+    * excluded by data (pooling needs the full grid); the bounded-read
+    * branch stays `p_media_pixels`' job. Per-row map work, no shuffle. */
+  val mediaResize: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 60 && expr("pmod(doc_id, 9) != 0"))
+      .withColumn("img", expr(pgmExpr))
+      .withColumn("hx", expr("hex(img)"))
+      .filter(expr("substring(hx, 1, 4) = '5035'"))
+      .withColumn("w",
+        expr("CAST(conv(substring(hx, 7, 2), 16, 10) AS BIGINT) - 48"))
+      .withColumn("h",
+        expr("CAST(conv(substring(hx, 11, 2), 16, 10) AS BIGINT) - 48"))
+      .withColumn("pxs", expr(
+        """transform(sequence(0, CAST(w * h - 1 AS INT)), i ->
+          |  CAST(conv(substring(hx, 23 + i * 2, 2), 16, 10) AS BIGINT))"""
+          .stripMargin))
+      .withColumn("wo", expr("w div 2"))
+      .withColumn("ho", expr("h div 2"))
+      .withColumn("blocks", expr(
+        """transform(sequence(0, CAST(wo * ho - 1 AS INT)), b ->
+          |  element_at(pxs, CAST((b div wo) * 2 * w
+          |    + pmod(b, wo) * 2 + 1 AS INT)) +
+          |  element_at(pxs, CAST((b div wo) * 2 * w
+          |    + pmod(b, wo) * 2 + 2 AS INT)) +
+          |  element_at(pxs, CAST(((b div wo) * 2 + 1) * w
+          |    + pmod(b, wo) * 2 + 1 AS INT)) +
+          |  element_at(pxs, CAST(((b div wo) * 2 + 1) * w
+          |    + pmod(b, wo) * 2 + 2 AS INT)))""".stripMargin))
+      .select(col("doc_id"), col("w"), col("h"), col("wo"), col("ho"),
+        expr("aggregate(blocks, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("pool_sum"),
+        expr("array_min(blocks)").as("pool_min"),
+        expr("array_max(blocks)").as("pool_max"),
+        expr("CAST(aggregate(blocks, CAST(0 AS BIGINT), (a, x) -> a + x)" +
+          " AS DOUBLE) / CAST(wo * ho * 4 AS DOUBLE)").as("pooled_mean"))
+      .orderBy(col("doc_id"))
+
+  val mediaResizeSql: String =
+    """WITH b AS (SELECT doc_id FROM documents
+      |           WHERE doc_id < 60 AND doc_id % 9 != 0),
+      |gen AS (SELECT b.doc_id,
+      |  4 + b.doc_id % 5 AS gw, 4 + (b.doc_id * 3) % 5 AS gh,
+      |  string_agg(lpad(hex((b.doc_id * 7 + t.i * 13) % 256), 2, '0'),
+      |    '' ORDER BY t.i) AS px64
+      |  FROM b, (SELECT unnest(range(0, 64)) AS i) t
+      |  GROUP BY b.doc_id),
+      |m AS (SELECT doc_id,
+      |  unhex('50350A' || lpad(hex(52 + doc_id % 5), 2, '0') || '20'
+      |    || lpad(hex(52 + (doc_id * 3) % 5), 2, '0') || '0A3235350A'
+      |    || substr(px64, 1, CAST(gw * gh * 2 AS INT))) AS img
+      |  FROM gen),
+      |d AS (SELECT doc_id, hex(img) AS hx,
+      |  CAST(('0x' || substr(hex(img), 7, 2)) AS BIGINT) - 48 AS w,
+      |  CAST(('0x' || substr(hex(img), 11, 2)) AS BIGINT) - 48 AS h
+      |  FROM m WHERE substr(hex(img), 1, 4) = '5035'),
+      |pl AS (SELECT d.doc_id, d.w, d.h,
+      |  list(CAST(('0x' || substr(d.hx, CAST(23 + t.i * 2 AS INT), 2))
+      |    AS BIGINT) ORDER BY t.i) AS pxs
+      |  FROM d, (SELECT unnest(range(0, 64)) AS i) t
+      |  WHERE t.i < d.w * d.h
+      |  GROUP BY d.doc_id, d.w, d.h),
+      |pool AS (SELECT doc_id, w, h, w // 2 AS wo, h // 2 AS ho,
+      |  list_transform(range(0, (w // 2) * (h // 2)), b ->
+      |    pxs[CAST((b // (w // 2)) * 2 * w
+      |      + (b % (w // 2)) * 2 + 1 AS INT)] +
+      |    pxs[CAST((b // (w // 2)) * 2 * w
+      |      + (b % (w // 2)) * 2 + 2 AS INT)] +
+      |    pxs[CAST(((b // (w // 2)) * 2 + 1) * w
+      |      + (b % (w // 2)) * 2 + 1 AS INT)] +
+      |    pxs[CAST(((b // (w // 2)) * 2 + 1) * w
+      |      + (b % (w // 2)) * 2 + 2 AS INT)]) AS blocks
+      |  FROM pl)
+      |SELECT doc_id, w, h, wo, ho,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), blocks),
+      |    (a, x) -> a + x) AS BIGINT) AS pool_sum,
+      |  CAST(list_reduce(blocks, (a, x) -> least(a, x)) AS BIGINT)
+      |    AS pool_min,
+      |  CAST(list_reduce(blocks, (a, x) -> greatest(a, x)) AS BIGINT)
+      |    AS pool_max,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), blocks),
+      |    (a, x) -> a + x) AS DOUBLE) / CAST(wo * ho * 4 AS DOUBLE)
+      |    AS pooled_mean
+      |FROM pool ORDER BY doc_id""".stripMargin
+
+  /** FRAME-SAMPLE — the video-shaped plumbing: a synthetic container
+    * ('VIDF' magic, a frame-count byte, then fixed 16-byte frames with
+    * deterministic content) is sampled at stride 2 (frames 0 and 2 of 4)
+    * and each SAMPLED frame alone is decoded to its mean + an md5
+    * content witness — the every-kth-frame shape that lets a 100 TB
+    * video pipeline read 1/k of the payload bytes. Both engines parse
+    * the frame count and offsets from the bytes. */
+  private val videoExpr: String = {
+    def frameHex(f: Int): String =
+      (0 until 16)
+        .map(i => s"lpad(hex(pmod(doc_id * 11 + ${f * 31 + i * 17}, 256))," +
+          " 2, '0')")
+        .mkString("concat(", ", ", ")")
+    s"""unhex(concat('56494446', '04',
+       |  ${(0 until 4).map(frameHex).mkString(", ")}))""".stripMargin
+  }
+
+  val mediaFrames: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 40)
+      .withColumn("img", expr(videoExpr))
+      .withColumn("hx", expr("hex(img)"))
+      .filter(expr("substring(hx, 1, 8) = '56494446'"))
+      .withColumn("n_frames",
+        expr("CAST(conv(substring(hx, 9, 2), 16, 10) AS BIGINT)"))
+      .withColumn("frame_idx", explode(expr(
+        "sequence(CAST(0 AS BIGINT), n_frames - 1, CAST(2 AS BIGINT))")))
+      .withColumn("fhex",
+        expr("substring(hx, CAST(11 + frame_idx * 32 AS INT), 32)"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        expr("""CAST(aggregate(transform(sequence(0, 15), i ->
+          |  CAST(conv(substring(fhex, 1 + i * 2, 2), 16, 10) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) / 16.0"""
+          .stripMargin).as("frame_mean"),
+        expr("md5(fhex)").as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val mediaFramesSql: String =
+    """WITH b AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+      |gen AS (SELECT b.doc_id,
+      |  string_agg(lpad(hex((b.doc_id * 11 + t.i * 17
+      |      + (t.f * 31)) % 256), 2, '0'), '' ORDER BY t.f, t.i) AS body
+      |  FROM b, (SELECT f.f, i.i
+      |           FROM (SELECT unnest(range(0, 4)) AS f) f,
+      |                (SELECT unnest(range(0, 16)) AS i) i) t
+      |  GROUP BY b.doc_id),
+      |m AS (SELECT doc_id, unhex('5649444604' || body) AS img FROM gen),
+      |d AS (SELECT doc_id, hex(img) AS hx FROM m
+      |      WHERE substr(hex(img), 1, 8) = '56494446'),
+      |fr AS (SELECT d.doc_id,
+      |  CAST(('0x' || substr(d.hx, 9, 2)) AS BIGINT) AS n_frames,
+      |  t.fi AS frame_idx,
+      |  substr(d.hx, CAST(11 + t.fi * 32 AS INT), 32) AS fhex
+      |  FROM d, (SELECT unnest(range(0, 4, 2)) AS fi) t
+      |  WHERE t.fi < CAST(('0x' || substr(d.hx, 9, 2)) AS BIGINT)),
+      |px AS (SELECT doc_id, n_frames, frame_idx, fhex,
+      |  CAST(('0x' || substr(fhex, CAST(1 + t.i * 2 AS INT), 2))
+      |    AS BIGINT) AS v
+      |  FROM fr, (SELECT unnest(range(0, 16)) AS i) t)
+      |SELECT doc_id, n_frames, frame_idx,
+      |  CAST(SUM(v) AS DOUBLE) / 16.0 AS frame_mean,
+      |  md5(fhex) AS frame_md5
+      |FROM px GROUP BY doc_id, n_frames, frame_idx, fhex
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p_media_meta" -> mediaMeta,
-    "p_media_pixels" -> mediaPixels)
+    "p_media_pixels" -> mediaPixels,
+    "p_media_resize" -> mediaResize,
+    "p_media_frames" -> mediaFrames)
   val oracle: Map[String, String] = Map(
     "p_media_meta" -> mediaMetaSql,
-    "p_media_pixels" -> mediaPixelsSql)
+    "p_media_pixels" -> mediaPixelsSql,
+    "p_media_resize" -> mediaResizeSql,
+    "p_media_frames" -> mediaFramesSql)
 }
