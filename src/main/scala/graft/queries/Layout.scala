@@ -24,7 +24,7 @@ object Layout {
   // mode("overwrite") keeps a stale layout from a previous JVM harmless.
   // NOTE (accepted, single-session harness): entries live for the JVM
   // lifetime; a long-lived multi-session host would want eviction.
-  private val written =
+  private[queries] val written =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private def md5hex(s: String): String =
@@ -37,7 +37,7 @@ object Layout {
   private val pid = ProcessHandle.current.pid
 
   /** Layout root under java.io.tmpdir, unique per (kind, sfDir, JVM). */
-  private def tmpRoot(kind: String, dir: String): String =
+  private[queries] def tmpRoot(kind: String, dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}" +
       s"/graft_layout_${kind}_${md5hex(dir).take(12)}_p$pid"
 

@@ -716,12 +716,16 @@ object Similarity {
     else ivfProbed(emb, cents)
   }
 
-  private def ivfProbed(
-      emb: DataFrame, cents: Seq[(Long, Array[Float])]): DataFrame = {
-    val centsLit = centsLitOf(cents)
-    val idsLit = idsLitOf(cents)
-    // Driver twin of cosine_sim's one-pass fold — the same IEEE operation
-    // sequence, so probe selection agrees bit-for-bit with the oracle's.
+  /** nprobe=2 probe selection: the 2 centroids nearest the query vector,
+    * computed DRIVER-SIDE over the 16-entry codebook with a twin of
+    * cosine_sim's one-pass fold — the same IEEE operation sequence, so
+    * probe selection agrees bit-for-bit with the oracle's. Ties break by
+    * cosine DESC, id ASC — via java.lang.Double.compare so a NaN cosine
+    * (zero-norm centroid) sorts FIRST, matching both engines' ORDER BY
+    * DESC semantics (Scala tuple sortBy on the negated value would sort
+    * NaN last and silently pick different probes than the oracle). */
+  private def probeIdsOf(
+      q: Array[Float], cents: Seq[(Long, Array[Float])]): Seq[Long] = {
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na2 = 0.0; var nb2 = 0.0; var i = 0
       while (i < a.length) {
@@ -730,16 +734,19 @@ object Similarity {
       }
       dot / (math.sqrt(na2) * math.sqrt(nb2))
     }
-    val q = cents.find(_._1 == 0L).get._2
-    // cosine DESC, id ASC — via java.lang.Double.compare so a NaN cosine
-    // (zero-norm centroid) sorts FIRST, matching both engines' ORDER BY
-    // DESC semantics (Scala tuple sortBy on the negated value would sort
-    // NaN last and silently pick different probes than the oracle).
-    val probeIds = cents.map { case (id, c) => (id, cos(q, c)) }
+    cents.map { case (id, c) => (id, cos(q, c)) }
       .sortWith { case ((id1, c1), (id2, c2)) =>
         val cmp = java.lang.Double.compare(c2, c1)
         if (cmp != 0) cmp < 0 else id1 < id2
       }.take(2).map(_._1)
+  }
+
+  private def ivfProbed(
+      emb: DataFrame, cents: Seq[(Long, Array[Float])]): DataFrame = {
+    val centsLit = centsLitOf(cents)
+    val idsLit = idsLitOf(cents)
+    val q = cents.find(_._1 == 0L).get._2
+    val probeIds = probeIdsOf(q, cents)
     emb
       .withColumn("cos_arr", expr(
         s"""transform(sequence(0, ${cents.size - 1}),
@@ -783,6 +790,65 @@ object Similarity {
        |ORDER BY cosine DESC, a.vec_id
        |LIMIT 5""".stripMargin
   }
+
+  // --- IVF at rest: partitioned-by-centroid layout (VERDICT r10 #2) -------
+
+  /** `embeddings` rewritten under java.io.tmpdir PARTITIONED BY the
+    * assigned centroid id — the layout that converts IVF's candidate
+    * fraction into a BYTES-SCANNED fraction: each centroid's vectors live
+    * in their own directory, so an nprobe=2 query lists (and reads) 2 of
+    * 16 directories and the other 87.5% of the corpus is never opened.
+    * This is `c_part_prune`'s discipline composed with the IVF codebook
+    * (`Layout.written` memo, one write per (sfDir, JVM)); assignment is
+    * the same map-side inlined-codebook argmax as `ivfFlat`. cent_id is
+    * written as INT so the read-back partition-column inference and the
+    * probe literals agree without casts — a cast on the partition column
+    * could block directory pruning. */
+  private def ivfPartitioned(s: SparkSession, dir: String,
+      cents: Seq[(Long, Array[Float])]): String =
+    Layout.written.getOrElseUpdate((dir, "ivf_emb"), {
+      val path = Layout.tmpRoot("ivf_emb", dir)
+      val assigned = t(s, dir, "embeddings")
+        .withColumn("cos_arr", expr(centCosArr("embedding", cents)))
+        .withColumn("cent_id",
+          expr(centArgmax("cos_arr", cents)).cast("int"))
+        .drop("cos_arr")
+      graft.engine.Scale.writePartitioned(assigned, path, "cent_id")
+      path
+    })
+
+  /** IVF answered FROM the at-rest layout (VERDICT r10 #2): identical
+    * retrieval semantics to `ivfFlat` — same codebook, same driver-side
+    * nprobe=2 probe selection, same exact-cosine re-rank — but the
+    * candidate fetch is a partition-pruned scan of the rewritten table
+    * (PlanSpec asserts cent_id appears ONLY as a PartitionFilter), and
+    * the result hash-matches the UNPARTITIONED oracle, certifying the
+    * layout roundtrip preserved every vector. */
+  val ivfAtRest: Q = (s, dir) => {
+    graft.functions.CosineSimilarity.register(s)
+    val emb = t(s, dir, "embeddings")
+    val cents = codebook(emb)
+    if (!cents.exists(_._1 == 0L))
+      emb.select(col("vec_id"), col("label"),
+        lit(0L).as("cent_id"), lit(0.0).as("cosine")).filter(lit(false))
+    else {
+      val q = cents.find(_._1 == 0L).get._2
+      val probes = probeIdsOf(q, cents).map(_.toInt)
+      val path = ivfPartitioned(s, dir, cents)
+      s.read.parquet(path)
+        .filter(col("cent_id").isin(probes: _*) && col("vec_id") =!= 0)
+        .withColumn("cosine", expr(s"cosine_sim(embedding, ${centLit(q)})"))
+        .select(col("vec_id"), col("label"),
+          col("cent_id").cast("bigint").as("cent_id"), col("cosine"))
+        .orderBy(desc("cosine"), col("vec_id"))
+        .limit(5)
+    }
+  }
+
+  /** Same oracle as `ivfFlat`: the at-rest leg must return the SAME rows
+    * from 2/16 of the bytes — the unpartitioned oracle IS the layout
+    * certification. */
+  val ivfAtRestSql: String = ivfFlatSql
 
   // --- Embedding quantization (int8-style storage compression) -----------
 
@@ -900,6 +966,7 @@ object Similarity {
     "p_sim_lsh_or" -> lshOrTables,
     "p_sim_lsh_tuned" -> lshTuned,
     "p_sim_ivf" -> ivfFlat,
+    "p_sim_ivf_pruned" -> ivfAtRest,
     "p_sim_recall" -> recallAt10,
     "p_sim_recall_clustered" -> recallClustered,
     "p_dedup_embedding" -> embeddingNearDup,
@@ -913,6 +980,7 @@ object Similarity {
     "p_sim_lsh_or" -> lshOrTablesSql,
     "p_sim_lsh_tuned" -> lshTunedSql,
     "p_sim_ivf" -> ivfFlatSql,
+    "p_sim_ivf_pruned" -> ivfAtRestSql,
     "p_sim_recall" -> recallAt10Sql,
     "p_sim_recall_clustered" -> recallClusteredSql,
     "p_dedup_embedding" -> embeddingNearDupSql,

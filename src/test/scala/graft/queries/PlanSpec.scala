@@ -206,6 +206,28 @@ class PlanSpec extends AnyFunSuite {
       s"status must prune at listing time, not row-filter:\n$p")
   }
 
+  test("p_sim_ivf_pruned: centroid probes prune DIRECTORIES of the layout") {
+    // The IVF-at-rest composition (VERDICT r10 #2): nprobe=2 must become
+    // a 2-of-16-directories listing on the partitioned rewrite — the
+    // layout that turns IVF's candidate fraction into a bytes-scanned
+    // fraction. cent_id in ReadSchema or PushedFilters would mean the
+    // scan reads all 16 partitions and row-filters: right answers, 8×
+    // overscan at 100 TB.
+    val p = planOf(Similarity.ivfAtRest(spark, dir))
+    val partLine = p.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partLine.contains("cent_id"),
+      s"probe selection must be a PartitionFilter:\n$p")
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("cent_id"),
+      s"cent_id must be directory-encoded, not read from files:\n$p")
+    val pushedLine = p.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(!pushedLine.contains("cent_id"),
+      s"probes must prune at listing time, not row-filter:\n$p")
+  }
+
   test("c_salted_join: join exchange hashes the widened (key, salt) space") {
     // The whole point of the salted rewrite: the shuffle must key on
     // (suppkey, salt) — a hot suppkey then spreads across the salt range
