@@ -71,6 +71,30 @@ object Streams {
       .withColumn("text", graft.queries.Curation.redactPii(col("text")))
       .drop("url")
 
+  /** Streaming near-dup front — the stream twin of `p_dedup_minhash`'s
+    * candidate generation (VERDICT r10 #7): MinHash signature and band
+    * keys via the batch Column transforms VERBATIM
+    * (`Dedup.withMinhashSig` / `Dedup.withBandKeys` — the exact code the
+    * batch LSH index runs), then keyed-state dedup per (band, key)
+    * bucket under the watermark: the FIRST document to claim an LSH
+    * bucket becomes its representative, and a later near-duplicate —
+    * whose 4 band keys all collide with already-claimed buckets —
+    * contributes no new claims. The output is the bucket→representative
+    * claim stream (doc_id, ts, band, key): the incrementally built LSH
+    * index a downstream exact-verifier joins candidates against, exactly
+    * as the batch pipeline self-joins its band relation. State = one row
+    * per claimed bucket inside the late-arrival horizon
+    * (`dropDuplicatesWithinWatermark` expires the rest), so at 100 TB
+    * state tracks distinct buckets in the watermark window, never corpus
+    * history. */
+  def nearDupStream(docs: DataFrame): DataFrame =
+    graft.queries.Dedup.withBandKeys(
+        graft.queries.Dedup.withMinhashSig(docs))
+      .select(col("doc_id"), col("ts"),
+        expr("stack(4, 0, k0, 1, k1, 2, k2, 3, k3)").as(Seq("band", "key")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(Seq("band", "key"))
+
   /** Stream-stream interval join: purchases matched to clicks by the same
     * user within the preceding hour — the streaming twin of the batch
     * as-of join (c_join_asof). BOTH sides need watermarks plus a time-band

@@ -186,6 +186,42 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupStream: near-dup claims no bucket; transforms match batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.nearDupStream(df).writeStream
+      .outputMode("append").format("memory").queryName("neardup").start()
+    val tA = "the quick brown fox jumps over the lazy dog again and again"
+    val tC = "completely different content with many unique words here indeed"
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), tA))
+      q.processAllAvailable()
+      in.addData(
+        (2L, ts("2024-01-01 10:01:00"), tA), // identical text = identical
+        // signature: all 4 of its band buckets are already claimed
+        (3L, ts("2024-01-01 10:02:00"), tC)) // fresh content: 4 new buckets
+      q.processAllAvailable()
+      val out = spark.table("neardup").select("doc_id", "band", "key")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      assert(out.count(_._1 == 1L) == 4, out.mkString(","))
+      assert(out.count(_._1 == 2L) == 0, "near-dup must claim no bucket")
+      assert(out.count(_._1 == 3L) == 4, out.mkString(","))
+      // transform-reuse proof: the stream's claimed (band, key) set is
+      // EXACTLY what the batch transforms produce on the same survivors —
+      // same functions, not a re-implementation that could drift
+      val batch = graft.queries.Dedup.withBandKeys(
+          graft.queries.Dedup.withMinhashSig(
+            Seq((1L, tA), (3L, tC)).toDF("doc_id", "text")))
+        .selectExpr("doc_id",
+          "stack(4, 0, k0, 1, k1, 2, k2, 3, k3) AS (band, key)")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSet
+      assert(out.toSet == batch)
+    } finally q.stop()
+  }
+
   test("runningUserTotals: keyed state accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
