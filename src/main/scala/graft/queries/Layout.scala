@@ -18,14 +18,21 @@ import Tables._
   */
 object Layout {
 
-  // One layout write per (sfDir, kind) per JVM: Verify/Bench invoke each
+  // One layout write per (session, sfDir, kind): Verify/Bench invoke each
   // query up to 3 times and the plan gates re-build the frame — rewriting
   // the table each time would turn a read benchmark into a write benchmark.
   // mode("overwrite") keeps a stale layout from a previous JVM harmless.
+  // The SESSION is part of the key (ADVICE r11): bucketedPair and
+  // unionByNameView register catalog tables/views in a SPECIFIC session,
+  // so a second SparkSession in the same JVM must re-register its own
+  // rather than silently reading a name that only exists in the first
+  // session's catalog (path-only layouts just rewrite once per session —
+  // a write, not a correctness hazard).
   // NOTE (accepted, single-session harness): entries live for the JVM
   // lifetime; a long-lived multi-session host would want eviction.
   private[queries] val written =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    scala.collection.concurrent.TrieMap.empty[
+      (SparkSession, String, String), String]
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -46,7 +53,7 @@ object Layout {
     * returns the layout root. Keyed by sfDir hash so sf0.001 plan gates
     * and sf0.01 Verify runs never read each other's layout. */
   private def partitionedOrders(s: SparkSession, dir: String): String =
-    written.getOrElseUpdate((dir, "orders"), {
+    written.getOrElseUpdate((s, dir, "orders"), {
       val path = tmpRoot("orders", dir)
       graft.engine.Scale.writePartitioned(
         t(s, dir, "orders"), path, "o_orderstatus")
@@ -82,14 +89,14 @@ object Layout {
     * the pid to keep concurrent harness JVMs off each other's tables. */
   private[queries] def bucketedPair(
       s: SparkSession, dir: String): (String, String) = {
-    val ot = written.getOrElseUpdate((dir, "bkt_orders"), {
+    val ot = written.getOrElseUpdate((s, dir, "bkt_orders"), {
       val name = s"graft_bkt_orders_${md5hex(dir).take(12)}_p$pid"
       graft.engine.Scale.writeBucketed(
         t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
         name, "o_custkey", 8)
       name
     })
-    val ct = written.getOrElseUpdate((dir, "bkt_customer"), {
+    val ct = written.getOrElseUpdate((s, dir, "bkt_customer"), {
       val name = s"graft_bkt_customer_${md5hex(dir).take(12)}_p$pid"
       graft.engine.Scale.writeBucketed(
         t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
@@ -108,7 +115,7 @@ object Layout {
     * sorted triad. `private[queries]` so LayoutSpec can read the same
     * layout's parquet footers for the stat-level skipping assertion. */
   private[queries] def sortedOrders(s: SparkSession, dir: String): String =
-    written.getOrElseUpdate((dir, "sorted_orders"), {
+    written.getOrElseUpdate((s, dir, "sorted_orders"), {
       val path = tmpRoot("sorted_orders", dir)
       graft.engine.Scale.writeSorted(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
@@ -184,7 +191,7 @@ object Layout {
     * oracle's explicit NULL-padded UNION ALL does. Registered once per
     * (sfDir, JVM); the view reads lazily so the union never copies bytes. */
   private def unionByNameView(s: SparkSession, dir: String): String =
-    written.getOrElseUpdate((dir, "union_by_name"), {
+    written.getOrElseUpdate((s, dir, "union_by_name"), {
       val root = tmpRoot("union_by_name", dir)
       t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
         .coalesce(1).write.mode("overwrite").parquet(s"$root/a.parquet")
