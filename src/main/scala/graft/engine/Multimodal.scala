@@ -81,19 +81,32 @@ object Multimodal {
         var i = 2
         var w = 0; var h = 0
         var done = false
-        while (!done && i + 3 < bytes.length) {
+        // `hops` counts ADVANCING steps (fill byte, standalone marker,
+        // segment skip) and bounds the walk at 64 — the SAME bound as the
+        // oracle walk's recursion cap (Media.mediaMetaSql `depth < 64`,
+        // ADVICE r11), so a pathological blob with more segments than
+        // that decodes as (jpeg, 0, 0, n) on BOTH engines instead of one
+        // side walking deeper than the other. A SOF found ON the 64th
+        // hop's offset still decodes (the oracle checks its deepest row
+        // for a frame header the same way). Real preambles are < 10 hops.
+        var hops = 0
+        while (!done && hops <= 64 && i + 3 < bytes.length) {
           if (u8(i) != 0xff) done = true // corrupt stream: keep dims 0
           else {
             val m = u8(i + 1)
-            if (m == 0xff) i += 1 // fill byte before a marker
-            else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone
-            else {
+            if (m == 0xff) { i += 1; hops += 1 } // fill byte before a marker
+            else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) {
+              i += 2; hops += 1 // standalone
+            } else {
               val isSof =
                 m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
               if (isSof && i + 8 < bytes.length) {
                 h = be16(i + 5); w = be16(i + 7); done = true
               } else if (m == 0xda) done = true // SOS — no SOF seen
-              else i += 2 + be16(i + 2) // skip the segment (len includes itself)
+              else {
+                i += 2 + be16(i + 2) // skip the segment (len includes itself)
+                hops += 1
+              }
             }
           }
         }

