@@ -381,7 +381,13 @@ object TierC {
       .distinct().collect().map(_.getInt(0))
     val words = new Array[Long](m / 64)
     positions.foreach(p => words(p / 64) |= (1L << (p % 64)))
-    val bloomLit = words.mkString("array(", "L, ", "L)")
+    // CAST('<v>' AS BIGINT) instead of an `L`-suffixed literal (ADVICE
+    // r11): a word equal to Long.MinValue renders as -9223372036854775808L,
+    // which the SQL parser reads as unary minus over an overflowing
+    // positive literal and rejects; the string cast round-trips every
+    // 64-bit value.
+    val bloomLit = words.map(w => s"CAST('$w' AS BIGINT)")
+      .mkString("array(", ", ", ")")
     val bloomPass = (0 until kHashes).map { i =>
       val pos = s"CAST(pmod(hash(o_custkey, $i), $m) AS INT)"
       expr(s"(shiftright(element_at($bloomLit," +
