@@ -952,7 +952,13 @@ object Similarity {
            |    element_at(${cbLit(j)}, k + 1),
            |    (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
            |    CAST(0 AS DOUBLE), (acc, p) -> acc + p))""".stripMargin
-      val withDists = (0 until 8).foldLeft(emb) { (df, j) =>
+      // top-k BEFORE the 8x16 distance folds: the sort key (vec_id) is
+      // independent of the computed codes, so the per-row subspace
+      // argmins run on 500 rows, not the corpus — the features-after-
+      // limit discipline (as in Media.mediaMeta). Output rows identical.
+      val top = emb.select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(500)
+      val withDists = (0 until 8).foldLeft(top) { (df, j) =>
         df.withColumn(s"dist$j", expr(distExpr(j)))
       }
       val packed = (0 until 8)
@@ -962,7 +968,6 @@ object Similarity {
         .withColumn("pq_code", expr(s"CAST($packed AS BIGINT)"))
         .select(col("vec_id"), col("pq_code"))
         .orderBy(col("vec_id"))
-        .limit(500)
     }
   }
 
