@@ -47,6 +47,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decode(b).width == 0x80 && decode(b).height == 0x40)
   }
 
+  /** A JPEG whose SOF0 sits behind `n` COM segments of varying lengths —
+    * drives the marker walk to any chosen depth. */
+  private def jpegWithSegments(n: Int, w: Int, h: Int): Array[Byte] = {
+    val coms = (0 until n).map { i =>
+      val payload = 1 + (i % 5) // segment length = 2 (len field) + payload
+      f"FFFE${2 + payload}%04X" + "AB" * payload
+    }.mkString
+    hx(f"FFD8 $coms%s FFC00011 08 $h%04X $w%04X 03012200021101031101")
+  }
+
+  test("JPEG walk depth sweep: any segment count up to the shared 64-hop " +
+    "cap decodes; past it, bounded (jpeg, 0, 0) — the oracle's exact rule") {
+    // the generality property behind the class-8 fixtures (2 and 3
+    // intermediate segments): the LOOP handles every depth, and the walk
+    // shares the oracle's recursion bound (Media.mediaMetaSql depth < 64)
+    // so both engines would agree even on a pathological >64-segment blob
+    for (n <- Seq(0, 1, 2, 3, 5, 17, 33, 63)) {
+      val m = decode(jpegWithSegments(n, 640, 480))
+      assert(m == Multimodal.MediaMeta("jpeg", 640, 480,
+        jpegWithSegments(n, 640, 480).length.toLong),
+        s"walk failed at depth $n")
+    }
+    // 64 segment hops put the SOF at the walk's deepest permitted row —
+    // still decodes on both sides (the oracle checks its deepest row)
+    assert(decode(jpegWithSegments(64, 12, 34)).width == 12)
+    // 65 hops exceed the shared bound: dims 0, never an unbounded walk
+    val over = decode(jpegWithSegments(65, 12, 34))
+    assert(over == Multimodal.MediaMeta("jpeg", 0, 0,
+      jpegWithSegments(65, 12, 34).length.toLong))
+  }
+
   test("GIF: little-endian logical screen descriptor") {
     val b = gif(320, 200)
     assert(decode(b) == Multimodal.MediaMeta("gif", 320, 200, b.length.toLong))

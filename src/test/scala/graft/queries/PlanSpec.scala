@@ -137,6 +137,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!smjLeft, s"survivors must not sort-merge the corpus:\n$tree")
   }
 
+  test("minhash signature computes map-side: no aggregate, no exchange") {
+    // withMinhashSig (r12) replaced the 16-parallel-min groupBy over the
+    // exploded shingle index: the signature must plan as a single scan +
+    // projection of array folds, so any Exchange or (Hash)Aggregate in
+    // its subtree means signature construction regressed to a shuffle —
+    // and the streaming twin would inherit the regression.
+    import org.apache.spark.sql.functions.col
+    val sig = Dedup.withMinhashSig(
+      Tables.t(spark, dir, "documents").select(col("doc_id"), col("text")))
+    val tree = graft.engine.Engine.explain(sig, "simple")
+    assert(!tree.contains("Exchange"), s"signature must not shuffle:\n$tree")
+    assert(!tree.contains("Aggregate"),
+      s"signature must not aggregate:\n$tree")
+    val scans = "Scan parquet".r.findAllIn(tree).size
+    assert(scans == 1, tree)
+  }
+
   test("c_funnel_window: same one-scan one-shuffle shape as c_funnel") {
     val tree = graft.engine.Engine.explain(
       TierC.funnelWindow(spark, dir), "simple")
