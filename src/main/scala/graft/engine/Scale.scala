@@ -45,6 +45,42 @@ object Scale {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Morton (Z-order) interleave of two non-negative keys into one 64-bit
+    * value: bit i of `a` lands at bit 2i, bit i of `b` at bit 2i+1, so
+    * sorting by the result orders rows along the Z space-filling curve and
+    * rows close in EITHER key stay close on disk. The classic
+    * parallel-prefix spread (O(log w) shifts/masks per key, pure codegen
+    * arithmetic — no UDF). Callers should first scale both keys to the
+    * SAME bit width (an unbalanced interleave degenerates to a
+    * lexicographic sort on the wider key); low 32 bits of each are used. */
+  def mortonInterleave(a: Column, b: Column): Column = {
+    def spread(c: Column): Column = {
+      var x = c.bitwiseAND(lit(0xFFFFFFFFL))
+      x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
+      x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Persist parquet Z-ORDERED by two columns: range-partition and sort by
+    * the Morton interleave, then drop it — each file (and row group) gets
+    * a contiguous Z range, i.e. a small RECTANGLE of the 2-D key space, so
+    * min/max footer stats are tight on BOTH columns and a filter on either
+    * key (or a 2-D box) skips most row groups. This is what a single-key
+    * sort cannot give: sorted-by-A tightens only A's stats — a B-only
+    * filter scans everything (LayoutSpec proves the contrast by footer).
+    * `a`/`b` must already be scaled to a common bit width. */
+  def writeZOrdered(
+      df: DataFrame, path: String, a: Column, b: Column, files: Int): Unit =
+    df.withColumn("_z", mortonInterleave(a, b))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
   /** Two-stage salted aggregation for skewed group keys: stage 1 groups on
     * (key, salt) — splitting a hot key across `nSalts` reducers — stage 2
     * merges the partials per key. The salt derives from stable row content

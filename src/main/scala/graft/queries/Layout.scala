@@ -221,15 +221,109 @@ object Layout {
       |FROM nation
       |ORDER BY n_nationkey, n_name NULLS LAST""".stripMargin
 
+  // --- Z-order layout: 2-D clustering for multi-dim pruning ---------------
+
+  /** (min, max) bounds of lineitem's two clustering keys, memoized per
+    * (session, sfDir). One tiny 2-column agg here; at 100 TB these are
+    * column statistics already sitting in the metastore / parquet footers
+    * — never a scan. */
+  private val liBoundsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Long, Long, Long, Long)]
+
+  private[queries] def liBounds(
+      s: SparkSession, dir: String): (Long, Long, Long, Long) =
+    liBoundsMemo.getOrElseUpdate((s, dir), {
+      val r = t(s, dir, "lineitem")
+        .agg(min(col("l_partkey")), max(col("l_partkey")),
+          min(col("l_suppkey")), max(col("l_suppkey"))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    })
+
+  /** The 2-D query box, derived from the bounds with integer arithmetic
+    * (identical in Scala and the oracle's `//`): part keys in the span's
+    * second eighth, supp keys in [span/8, span/2) — non-empty at every SF
+    * because both spans exceed 8. Literals in the plan, so the box reaches
+    * the scan as PushedFilters and the footer stats actually skip. */
+  private def liBox(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
+    val (pmin, pmax, smin, smax) = liBounds(s, dir)
+    val (pspan, sspan) = (pmax - pmin + 1, smax - smin + 1)
+    (pmin + pspan / 8, pmin + pspan / 4, smin + sspan / 8, smin + sspan / 2)
+  }
+
+  /** `lineitem`'s (part, supp, quantity, price) rewritten Z-ORDERED by
+    * (l_partkey, l_suppkey) — the multi-dimensional fourth leg of the
+    * layout family: partitioning covers low-cardinality equality keys,
+    * bucketing covers join keys, single-key sorting covers ONE range key;
+    * Z-ordering is the layout for a table queried by range on TWO
+    * independent keys. Both keys are scaled to a common 8-bit width from
+    * their bounds (an unbalanced interleave degenerates to a plain sort on
+    * the wider key), Morton-interleaved, and range-sorted into 16 files,
+    * so every file's footer carries a tight min/max RECTANGLE of the key
+    * plane and a filter on either key — or a 2-D box — skips most of the
+    * corpus at footer-read time. The scaling only affects WRITE-time
+    * clustering; the stored columns are untouched, which is why the
+    * read-back hash can match the original-table oracle exactly. */
+  private[queries] def zorderLineitem(s: SparkSession, dir: String): String =
+    written.getOrElseUpdate((s, dir, "zorder_li"), {
+      val path = tmpRoot("zorder_li", dir)
+      val (pmin, pmax, smin, smax) = liBounds(s, dir)
+      val li = t(s, dir, "lineitem").select(
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      val zx = expr(
+        s"CAST(((l_partkey - $pmin) * 256) DIV ${pmax - pmin + 1} AS BIGINT)")
+      val zy = expr(
+        s"CAST(((l_suppkey - $smin) * 256) DIV ${smax - smin + 1} AS BIGINT)")
+      graft.engine.Scale.writeZOrdered(li, path, zx, zy, 16)
+      path
+    })
+
+  /** 2-D box aggregate answered FROM the Z-ordered layout (the zorder twin
+    * of `c_sort_skip`): the box predicate pushes to the scan, where the
+    * Z-layout's rectangular footer stats skip the files outside the box on
+    * EITHER dimension (LayoutSpec reads the footers and proves the skip —
+    * and proves the single-key-sorted contrast layout cannot skip on the
+    * second key). The oracle aggregates the ORIGINAL lineitem under the
+    * same box, so a hash match certifies the Z rewrite lost/duplicated/
+    * mangled nothing. */
+  val zorderSkip: Q = (s, dir) => {
+    val path = zorderLineitem(s, dir)
+    val (plo, phi, slo, shi) = liBox(s, dir)
+    s.read.parquet(path)
+      .filter(col("l_partkey") >= plo && col("l_partkey") < phi &&
+        col("l_suppkey") >= slo && col("l_suppkey") < shi)
+      .agg(count(lit(1)).as("n"), dsum("l_quantity").as("qty"),
+        min(col("l_partkey")).as("p_first"),
+        max(col("l_partkey")).as("p_last"),
+        min(col("l_suppkey")).as("s_first"),
+        max(col("l_suppkey")).as("s_last"))
+  }
+
+  val zorderSkipSql: String =
+    """WITH b AS (SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+      |                  MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+      |           FROM lineitem)
+      |SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+      |  MIN(l_partkey) AS p_first, MAX(l_partkey) AS p_last,
+      |  MIN(l_suppkey) AS s_first, MAX(l_suppkey) AS s_last
+      |FROM lineitem, b
+      |WHERE l_partkey >= pmin + (pmax - pmin + 1) // 8
+      |  AND l_partkey <  pmin + (pmax - pmin + 1) // 4
+      |  AND l_suppkey >= smin + (smax - smin + 1) // 8
+      |  AND l_suppkey <  smin + (smax - smin + 1) // 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "c_part_prune" -> partPrune,
     "c_bucket_join" -> bucketJoin,
     "c_sort_skip" -> sortSkip,
+    "c_zorder_skip" -> zorderSkip,
     "c_union_by_name" -> unionByName)
 
   val oracle: Map[String, String] = Map(
     "c_part_prune" -> partPruneSql,
     "c_bucket_join" -> bucketJoinSql,
     "c_sort_skip" -> sortSkipSql,
+    "c_zorder_skip" -> zorderSkipSql,
     "c_union_by_name" -> unionByNameSql)
 }

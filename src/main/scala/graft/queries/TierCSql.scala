@@ -248,7 +248,32 @@ object TierCSql {
        |FROM lineitem GROUP BY ALL
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // QUALIFY — the filter-on-window-result clause (a DuckDB/Snowflake-ism
+  // next to DISTINCT ON in the reference user's daily vocabulary). Spark
+  // SQL has no QUALIFY, so the engine-side translation is the canonical
+  // one: push the window function into a derived table and filter its
+  // alias — exactly the rewrite QUALIFY is sugar for. Top-2 orders per
+  // status; row_number's (price DESC, key) order is total because
+  // o_orderkey is unique, so the rank — and the hash — is deterministic
+  // at any parallelism. One shuffle on the partition key; the outer
+  // filter cuts each group to 2 rows before the final order-by.
+  val qualifySpark: String =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t WHERE rn <= 2
+      |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin
+
+  val qualifyOracle: String =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice
+      |FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+      |  ORDER BY o_totalprice DESC, o_orderkey) <= 2
+      |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "c_sql_qualify" -> q(qualifySpark),
     "c_sql_select" -> q(sqlSelect),
     "c_join_full" -> q(joinFull),
     "c_setop_except_all" -> q(setopExceptAll),
@@ -270,6 +295,7 @@ object TierCSql {
     "c_lateral_topn" -> q(lateralTopn))
 
   val oracle: Map[String, String] = Map(
+    "c_sql_qualify" -> qualifyOracle,
     "c_sql_select" -> sqlSelect,
     "c_join_full" -> joinFull,
     "c_setop_except_all" -> setopExceptAll,

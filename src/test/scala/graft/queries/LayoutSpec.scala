@@ -88,6 +88,88 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("c_zorder_skip: footers prune on BOTH dims; a lead-key sort cannot") {
+    import org.apache.spark.sql.functions.col
+    // materialize the Z layout (memoized write) + sanity-check the data leg
+    val row = Layout.zorderSkip(spark, dir).collect().head
+    assert(row.getLong(0) > 0, "2-D box must match rows")
+
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def statRanges(path: String)
+        : Seq[((Long, Long), (Long, Long))] = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+      files.toSeq.flatMap { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        def mm(block: org.apache.parquet.hadoop.metadata.BlockMetaData,
+            name: String): (Long, Long) = {
+          val c = block.getColumns.asScala
+            .find(_.getPath.toDotString == name)
+            .getOrElse(fail(s"no $name chunk in $f"))
+          val st = c.getStatistics
+          assert(st != null && st.hasNonNullValue, s"no $name stats in $f")
+          (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+        }
+        try reader.getFooter.getBlocks.asScala.toSeq
+          .map(b => (mm(b, "l_partkey"), mm(b, "l_suppkey")))
+        finally reader.close()
+      }
+    }
+
+    val zr = statRanges(Layout.zorderLineitem(spark, dir))
+    assert(zr.size >= 8, s"expected >= 8 row groups, got ${zr.size}")
+
+    // the declared query's own box, same integer arithmetic
+    val (pmin, pmax, smin, smax) = Layout.liBounds(spark, dir)
+    val (pspan, sspan) = (pmax - pmin + 1, smax - smin + 1)
+    val (plo, phi) = (pmin + pspan / 8, pmin + pspan / 4)
+    val (slo, shi) = (smin + sspan / 8, smin + sspan / 2)
+    def overlapP(r: ((Long, Long), (Long, Long))) =
+      r._1._2 >= plo && r._1._1 < phi
+    def overlapS(r: ((Long, Long), (Long, Long))) =
+      r._2._2 >= slo && r._2._1 < shi
+
+    // EACH single-dim predicate alone must skip at least a quarter of the
+    // row groups — the property that makes Z-order the 2-D layout: no
+    // single-key sort can skip on both.
+    val pOnly = zr.count(overlapP)
+    val sOnly = zr.count(overlapS)
+    assert(pOnly >= 1 && sOnly >= 1, s"box empty against stats: $zr")
+    assert(pOnly <= zr.size * 3 / 4,
+      s"part-key predicate skipped < 1/4 of row groups ($pOnly/${zr.size})")
+    assert(sOnly <= zr.size * 3 / 4,
+      s"supp-key predicate skipped < 1/4 of row groups ($sOnly/${zr.size})")
+    // and the 2-D box prunes at least as hard as either dim alone
+    val both = zr.count(r => overlapP(r) && overlapS(r))
+    assert(both <= math.min(pOnly, sOnly))
+
+    // CONTRAST: the same columns sorted by l_partkey ALONE. The lead key
+    // prunes fine — but every row group spans the full supp range, so the
+    // supp predicate skips NOTHING. This is the gap Z-ordering closes.
+    val contrastPath = Layout.tmpRoot("zorder_contrast", dir)
+    graft.engine.Scale.writeSorted(
+      Tables.t(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")),
+      contrastPath, "l_partkey", 8)
+    val sr = statRanges(contrastPath)
+    assert(sr.count(overlapP) < sr.size, "lead-key sort must prune its key")
+    assert(sr.count(overlapS) == sr.size,
+      s"supp predicate should overlap EVERY part-sorted row group: $sr")
+  }
+
+  test("c_zorder_skip: the 2-D box is pushed to the parquet scan") {
+    val p = graft.engine.Engine.explain(Layout.zorderSkip(spark, dir))
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_partkey") &&
+      p.contains("LessThan(l_partkey") &&
+      p.contains("GreaterThanOrEqual(l_suppkey") &&
+      p.contains("LessThan(l_suppkey"),
+      s"both dims' range predicates must reach the scan:\n$p")
+  }
+
   test("c_sort_skip: the range filter is pushed to the parquet scan") {
     val p = graft.engine.Engine.explain(Layout.sortSkip(spark, dir))
     assert(p.contains("PushedFilters") &&
