@@ -994,6 +994,94 @@ object Similarity {
       |  CAST(SUM(k << CAST(4 * j AS INT)) AS BIGINT) AS pq_code
       |FROM codes GROUP BY vec_id ORDER BY vec_id LIMIT 500""".stripMargin
 
+  // --- k-means training step: how the codebook gets MADE ------------------
+
+  /** One Lloyd iteration over the embeddings corpus — the job that TRAINS
+    * the coarse quantizer the IVF/PQ family treats as an artifact: assign
+    * every vector to its nearest centroid (the same map-side
+    * inlined-codebook argmax as `ivfFlat` — zero joins, windows, or
+    * shuffles on the corpus) and re-estimate each centroid from its
+    * members. The update aggregates QUANTIZED coordinates
+    * (floor(x * 1e6) as BIGINT): integer sums are associative and
+    * order-independent, so the result is exact and hash-identical across
+    * engines and any partitioning — a float mean would depend on reduction
+    * order. Per centroid: member count, the exact all-dims quantized total
+    * (`sum_q`, a checksum any misassignment perturbs), and the
+    * re-estimated mean of the leading 4 dims (each ONE IEEE double
+    * division of exact integers, deterministic cross-engine).
+    *
+    * Scale: the corpus never shuffles — assignment and quantization are
+    * map work, the groupBy is a partial (map-combine) aggregation whose
+    * exchange carries 16 rows per map task. A full training run is this
+    * pass iterated with the updated codebook re-broadcast; at 100 TB each
+    * iteration costs one scan, which is why k-means codebooks are trained
+    * on a sample and REFINED rarely — this query is that refinement step,
+    * certified exact. */
+  private def qdim(i: Int): String =
+    s"CAST(floor(CAST(element_at(embedding, $i) AS DOUBLE) * " +
+      "CAST(1000000 AS DOUBLE)) AS BIGINT)"
+
+  val kmeansStep: Q = (s, dir) => {
+    graft.functions.CosineSimilarity.register(s)
+    val emb = t(s, dir, "embeddings")
+    val cents = codebook(emb)
+    if (cents.isEmpty)
+      emb.select(col("vec_id").as("cent_id"), lit(0L).as("n"),
+        lit(0L).as("sum_q"), lit(0.0).as("mean_d1"), lit(0.0).as("mean_d2"),
+        lit(0.0).as("mean_d3"), lit(0.0).as("mean_d4")).filter(lit(false))
+    else {
+      def meanD(i: Int): org.apache.spark.sql.Column =
+        (sum(expr(qdim(i))).cast("double") /
+          count(lit(1)).cast("double")).as(s"mean_d$i")
+      emb
+        .withColumn("cos_arr", expr(centCosArr("embedding", cents)))
+        .withColumn("cent_id", expr(centArgmax("cos_arr", cents)))
+        .groupBy(col("cent_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr(
+            """aggregate(transform(embedding,
+              |  x -> CAST(floor(CAST(x AS DOUBLE) *
+              |       CAST(1000000 AS DOUBLE)) AS BIGINT)),
+              |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+            .as("sum_q"),
+          meanD(1), meanD(2), meanD(3), meanD(4))
+        .orderBy(col("cent_id"))
+    }
+  }
+
+  val kmeansStepSql: String = {
+    def oCos(e: String, c: String) =
+      s"${oDot(e, c)} / (${oNorm(e)} * ${oNorm(c)})"
+    def oQdim(i: Int) =
+      s"CAST(FLOOR(CAST(embedding[$i] AS DOUBLE) * " +
+        "CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    def oMean(i: Int) =
+      s"CAST(SUM(${oQdim(i)}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)" +
+        s" AS mean_d$i"
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+       |  WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cent_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${oCos("e.embedding", "c.cent")} DESC, c.cent_id)
+       |        AS rn
+       |    FROM embeddings e, cents c)
+       |  WHERE rn = 1)
+       |SELECT cent_id, COUNT(*) AS n,
+       |  CAST(SUM(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) *
+       |           CAST(1000000 AS DOUBLE)) AS BIGINT))),
+       |    (a, x) -> a + x) AS BIGINT)) AS BIGINT) AS sum_q,
+       |  ${oMean(1)}, ${oMean(2)}, ${oMean(3)}, ${oMean(4)}
+       |FROM assigned
+       |GROUP BY cent_id
+       |ORDER BY cent_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "p_sim_bruteforce" -> bruteForce,
     "p_sim_lsh" -> lshBucket,
@@ -1006,7 +1094,8 @@ object Similarity {
     "p_sim_recall_clustered" -> recallClustered,
     "p_dedup_embedding" -> embeddingNearDup,
     "p_embed_quantize" -> quantize,
-    "p_embed_pq" -> pqCodes)
+    "p_embed_pq" -> pqCodes,
+    "p_sim_kmeans_step" -> kmeansStep)
 
   val oracle: Map[String, String] = Map(
     "p_sim_bruteforce" -> bruteForceSql,
@@ -1020,5 +1109,6 @@ object Similarity {
     "p_sim_recall_clustered" -> recallClusteredSql,
     "p_dedup_embedding" -> embeddingNearDupSql,
     "p_embed_quantize" -> quantizeSql,
-    "p_embed_pq" -> pqCodesSql)
+    "p_embed_pq" -> pqCodesSql,
+    "p_sim_kmeans_step" -> kmeansStepSql)
 }

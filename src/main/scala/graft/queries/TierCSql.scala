@@ -272,8 +272,24 @@ object TierCSql {
       |  ORDER BY o_totalprice DESC, o_orderkey) <= 2
       |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // SELECT * EXCLUDE / REPLACE — DuckDB's star-modifier sugar (the second
+  // dialect convenience a reference user types daily, next to QUALIFY).
+  // Spark has no star modifiers, so the engine-side translation is the
+  // desugared form the modifiers are DEFINED as: the table's columns in
+  // declaration order, minus the EXCLUDE list, with each REPLACE
+  // expression substituted in place under its original name. Pure
+  // projection — no shuffle; the pruned column never leaves the scan.
+  val excludeReplaceSpark: String =
+    """SELECT n_nationkey, upper(n_name) AS n_name
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  val excludeReplaceOracle: String =
+    """SELECT * EXCLUDE (n_regionkey) REPLACE (upper(n_name) AS n_name)
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "c_sql_qualify" -> q(qualifySpark),
+    "c_sql_exclude_replace" -> q(excludeReplaceSpark),
     "c_sql_select" -> q(sqlSelect),
     "c_join_full" -> q(joinFull),
     "c_setop_except_all" -> q(setopExceptAll),
@@ -296,6 +312,7 @@ object TierCSql {
 
   val oracle: Map[String, String] = Map(
     "c_sql_qualify" -> qualifyOracle,
+    "c_sql_exclude_replace" -> excludeReplaceOracle,
     "c_sql_select" -> sqlSelect,
     "c_join_full" -> joinFull,
     "c_setop_except_all" -> setopExceptAll,

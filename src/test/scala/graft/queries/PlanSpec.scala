@@ -154,6 +154,30 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, tree)
   }
 
+  test("p_sim_kmeans_step: one scan, one partial-agg exchange, no join") {
+    // A training iteration must cost ONE pass: centroid assignment is the
+    // inlined-codebook argmax (no join/window — the r5 #3 regression
+    // shape), quantization is map work, and the only exchange is the
+    // 16-group aggregation AFTER a partial (map-combine) stage, so the
+    // shuffle carries at most 16 rows per map task, never the corpus.
+    val tree = graft.engine.Engine.explain(
+      Similarity.kmeansStep(spark, dir), "simple")
+    val scans = "Scan parquet".r.findAllIn(tree).size
+    assert(scans == 1, s"kmeans step must scan embeddings once:\n$tree")
+    assert(!tree.contains("Join"), s"assignment must not join:\n$tree")
+    assert(!tree.contains("Window"), s"assignment must not window:\n$tree")
+    val exchanges = "Exchange".r.findAllIn(tree).size
+    assert(exchanges <= 2, // hash agg exchange + the final orderBy range
+      s"kmeans step must shuffle only agg partials:\n$tree")
+    val partialFirst =
+      tree.indexOf("partial_count") >= 0 &&
+        tree.indexOf("partial_count") > tree.indexOf("Exchange hashpartitioning")
+    assert(tree.contains("partial_count"),
+      s"aggregation must have a map-side partial stage:\n$tree")
+    assert(partialFirst,
+      s"the partial agg must sit BELOW the exchange (map-side):\n$tree")
+  }
+
   test("c_funnel_window: same one-scan one-shuffle shape as c_funnel") {
     val tree = graft.engine.Engine.explain(
       TierC.funnelWindow(spark, dir), "simple")
