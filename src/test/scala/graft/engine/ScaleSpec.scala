@@ -86,6 +86,50 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // The runtime half of the skew story: `c_salted_join` is the MANUAL
+    // mitigation (pre-planned (key, salt) widening); this pins the
+    // AUTOMATIC one — AQE's OptimizeSkewedJoin observing the actual
+    // shuffle sizes and splitting the hot partition into advisory-sized
+    // slices, each re-joined against a duplicated build side. At 100 TB
+    // the manual salt is for KNOWN hot keys baked into a pipeline; AQE
+    // covers the unknown ones, and this test proves the session config
+    // actually delivers that (thresholds scaled down to test-data sizes
+    // — the ratios, not the absolutes, are what a cluster would tune).
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      // 16 reducers so the non-hot keys yield a meaningful MEDIAN size
+      // for skew detection (the suite default of 2 would fold the median
+      // into the hot partition itself)
+      "spark.sql.shuffle.partitions" -> "16",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1MB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+      // ~80% of fact rows land on key 7; md5 payload keeps the hot
+      // shuffle partition incompressible enough to trip the threshold
+      val fact = spark.range(0, 120000).select(
+        when(col("id") % 5 =!= 0, lit(7L)).otherwise(col("id") % 32)
+          .as("k"),
+        md5(col("id").cast("string")).as("pad"))
+      val dim = spark.range(0, 32).select(
+        col("id").as("dk"), concat(lit("d"), col("id")).as("dname"))
+      val joined = fact.join(dim, col("k") === col("dk"))
+      // execute THIS dataframe (count() plans a different query and
+      // would leave joined's adaptive plan unfinalized)
+      assert(joined.collect().length == 120000) // every fact key resolves
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the hot partition's join as skewed:\n$finalPlan")
+      assert(finalPlan.contains("AQEShuffleRead"),
+        s"runtime shuffle reader missing — AQE not engaged:\n$finalPlan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("scan-partition sizing divides the task budget by decode expansion") {
     val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try {
