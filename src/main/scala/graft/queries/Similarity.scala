@@ -695,8 +695,10 @@ object Similarity {
     * sides: `array_position` finds the FIRST occurrence of the max, and
     * the codebook array is ordered by centroid id. */
   /** Codebook fetch: 16 rows (the coarse quantizer). At scale this is
-    * loading a trained model artifact, not a data-dependent collect. */
-  private def codebook(emb: DataFrame): Seq[(Long, Array[Float])] =
+    * loading a trained model artifact, not a data-dependent collect.
+    * Package-visible so the streaming ingester's spec can load the same
+    * artifact the batch paths use. */
+  private[graft] def codebook(emb: DataFrame): Seq[(Long, Array[Float])] =
     emb.filter(col("vec_id") < 16)
       .select(col("vec_id"), col("embedding")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -834,15 +836,25 @@ object Similarity {
   // is exactly one codebook and the layout cannot be reused under a stale
   // one. A future variant with externally supplied codebooks must fold a
   // codebook fingerprint into the key.
+  /** embedding → assigned coarse-centroid id (`cent_id`, INT), map-side:
+    * the ONE transform both the batch IVF-at-rest writer and the
+    * streaming ingester (`Streams.ivfIngest`) run, so the layout a
+    * stream appends to and the layout the batch rewrite produces cannot
+    * drift. Registers `cosine_sim` idempotently — the expr depends on
+    * it. */
+  private[graft] def withCentroid(
+      df: DataFrame, cents: Seq[(Long, Array[Float])]): DataFrame = {
+    graft.functions.CosineSimilarity.register(df.sparkSession)
+    df.withColumn("cos_arr", expr(centCosArr("embedding", cents)))
+      .withColumn("cent_id", expr(centArgmax("cos_arr", cents)).cast("int"))
+      .drop("cos_arr")
+  }
+
   private def ivfPartitioned(s: SparkSession, dir: String,
       cents: Seq[(Long, Array[Float])]): String =
     Layout.written.getOrElseUpdate((s, dir, "ivf_emb"), {
       val path = Layout.tmpRoot("ivf_emb", dir)
-      val assigned = t(s, dir, "embeddings")
-        .withColumn("cos_arr", expr(centCosArr("embedding", cents)))
-        .withColumn("cent_id",
-          expr(centArgmax("cos_arr", cents)).cast("int"))
-        .drop("cos_arr")
+      val assigned = withCentroid(t(s, dir, "embeddings"), cents)
       graft.engine.Scale.writePartitioned(assigned, path, "cent_id")
       path
     })

@@ -148,6 +148,31 @@ object Streams {
       }
   }
 
+  /** Streaming ingestion INTO the IVF at-rest layout: new embeddings are
+    * assigned to their coarse centroid MAP-SIDE with the exact batch
+    * transform (`Similarity.withCentroid` — the code `p_sim_ivf_pruned`'s
+    * layout writer runs) and appended to the centroid-partitioned parquet
+    * layout via `writeStream.partitionBy`, so a partition-pruned nprobe
+    * read stays valid as the corpus streams in. Stateless: no watermark,
+    * no shuffle — each micro-batch is codegen map work plus a partitioned
+    * file append, which is what lets ingestion keep up at production
+    * rates. The codebook is the frozen trained artifact; retraining it
+    * (see `p_sim_kmeans_step`) means rewriting the layout, exactly as in
+    * a batch IVF rebuild. */
+  def ivfIngest(
+      embs: DataFrame,
+      cents: Seq[(Long, Array[Float])],
+      path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.queries.Similarity.withCentroid(embs, cents)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cent_id")
+      .start()
+
   /** Start `hourlyCounts` end to end from a file source to a memory/console
     * sink — the readStream → transform → writeStream shape. The schema
     * argument is required by streaming file sources (no inference). */

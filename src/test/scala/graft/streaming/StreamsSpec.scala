@@ -241,4 +241,47 @@ class StreamsSpec extends AnyFunSuite {
       assert(last == Streams.UserTotal(1L, 3L, 1L))
     } finally q.stop()
   }
+
+  test("ivfIngest: streamed embeddings land in the partitioned ANN layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.queries.Similarity.codebook(emb)
+    assert(cents.size == 16, "codebook artifact must have 16 entries")
+    val sample = emb.select("vec_id", "embedding").orderBy("vec_id")
+      .limit(40).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val out = java.nio.file.Files.createTempDirectory("ivf-ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivf-ckpt").toString
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.ivfIngest(
+      in.toDF().toDF("vec_id", "embedding"), cents, out, ckpt)
+    try {
+      in.addData(sample.take(20).toSeq: _*)
+      q.processAllAvailable()
+      in.addData(sample.drop(20).toSeq: _*) // second micro-batch appends
+      q.processAllAvailable()
+    } finally q.stop()
+    // the at-rest shape: one directory per assigned centroid
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cent_id="))
+    assert(dirs.length > 1, s"expected multiple centroid dirs: ${dirs.toSeq}")
+    // assignment parity: the stream wrote EXACTLY what the batch
+    // transform assigns for the same vectors — same function, no drift
+    val ingested = spark.read.parquet(out).select("vec_id", "cent_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val sampleIds = sample.map(_._1)
+    val batch = graft.queries.Similarity.withCentroid(
+        emb.filter(col("vec_id").isin(sampleIds: _*)), cents)
+      .select("vec_id", "cent_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(ingested == batch)
+    // and an nprobe-style read of the INGESTED layout partition-prunes
+    val plan = graft.engine.Engine.explain(
+      spark.read.parquet(out).filter(col("cent_id") === ingested.values.head))
+    assert(plan.contains("PartitionFilters") && plan.contains("cent_id"),
+      s"pruned read of the streamed layout:\n$plan")
+  }
 }
