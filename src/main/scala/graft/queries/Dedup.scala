@@ -827,7 +827,59 @@ object Dedup {
        |  CAST(h.n_hits AS DOUBLE) / CAST(nt.n_truth AS DOUBLE) AS recall
        |FROM nt, nc, h""".stripMargin
 
+  // --- Incremental dedup: probing history, not re-deduping the world ------
+
+  /** The daily-batch admission shape: a production corpus is not re-deduped
+    * from scratch per ingest — the new slice is probed against the
+    * PERSISTED band index of everything already admitted. Here history =
+    * docs with doc_id % 4 != 0 (the at-rest corpus, whose band relation is
+    * the memoized `minhashBands` — the index an ingest pipeline keeps on
+    * disk), incoming = the % 4 == 0 slice. Each incoming doc's 4 band keys
+    * probe the capped history buckets; output per colliding newcomer: the
+    * earliest colliding history doc (its dedup representative) and how
+    * many distinct history docs it collides with. At 100 TB the economics
+    * are the point: cost scales with |incoming| × bucket size, never
+    * |history|² — the incoming side is the small join side (broadcast or
+    * a (band, key) shuffle of the slice only), and the `DfCap` bucket cap
+    * bounds the one hot boilerplate bucket exactly as in the batch
+    * self-join. History buckets of size 1 ARE valid probe targets (the
+    * batch pair-cap's `>= 2` floor exists only because a pair needs two
+    * docs on one side), so the cap here is `<= DfCap` alone. */
+  val incremental: Q = (s, dir) => {
+    val bands = minhashBands(s, dir)
+    val hist = bands.filter(col("doc_id") % 4 =!= 0)
+      .toDF("hist_id", "band", "key")
+    val inc = bands.filter(col("doc_id") % 4 === 0)
+      .toDF("new_id", "band", "key")
+    val ok = hist.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") <= DfCap)
+      .select(col("band"), col("key"))
+    inc.join(hist.join(ok, Seq("band", "key")), Seq("band", "key"))
+      .groupBy(col("new_id"))
+      .agg(min(col("hist_id")).as("first_dup"),
+        countDistinct(col("hist_id")).as("n_dups"))
+      .orderBy(col("new_id"))
+  }
+
+  val incrementalSql: String =
+    s"""WITH $oMinhashCtes,
+       |hist AS (SELECT doc_id AS hist_id, band, key FROM bands
+       |         WHERE doc_id % 4 <> 0),
+       |inc AS (SELECT doc_id AS new_id, band, key FROM bands
+       |        WHERE doc_id % 4 = 0),
+       |okh AS (SELECT band, key FROM hist GROUP BY band, key
+       |        HAVING COUNT(*) <= $DfCap)
+       |SELECT new_id, MIN(hist_id) AS first_dup,
+       |  CAST(COUNT(DISTINCT hist_id) AS BIGINT) AS n_dups
+       |FROM inc
+       |JOIN okh USING (band, key)
+       |JOIN hist USING (band, key)
+       |GROUP BY new_id
+       |ORDER BY new_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p_dedup_incremental" -> incremental,
     "p_dedup_exact" -> exact,
     "p_dedup_minhash_recall" -> minhashRecall,
     "p_dedup_simhash_recall" -> simhashRecall,
@@ -842,6 +894,7 @@ object Dedup {
     "p_dedup_cap_stats" -> capStats)
 
   val oracle: Map[String, String] = Map(
+    "p_dedup_incremental" -> incrementalSql,
     "p_dedup_exact" -> exactSql,
     "p_dedup_minhash_recall" -> minhashRecallSql,
     "p_dedup_simhash_recall" -> simhashRecallSql,

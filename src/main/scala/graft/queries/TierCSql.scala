@@ -287,9 +287,34 @@ object TierCSql {
     """SELECT * EXCLUDE (n_regionkey) REPLACE (upper(n_name) AS n_name)
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  // Named windows (the WINDOW clause): one definition shared by several
+  // window functions — supported verbatim by BOTH engines, so this runs
+  // unchanged in each. rank and lag share w; the (price DESC, key) order
+  // is total (o_orderkey unique), so both functions are deterministic at
+  // any parallelism. The WHERE prunes before the window shuffle.
+  val windowNamed: String =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |  rank() OVER w AS rnk,
+      |  lag(o_orderkey) OVER w AS prev_key
+      |FROM orders
+      |WHERE o_orderkey % 50 = 0
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderstatus, rnk""".stripMargin
+
+  // ORDER BY ALL — the companion dialect convenience to GROUP BY ALL:
+  // order by every output column left to right. Verbatim in both engines
+  // (Spark 4 and DuckDB both accept it); the translation, were it needed,
+  // is just the explicit column list.
+  val orderByAll: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "c_sql_qualify" -> q(qualifySpark),
     "c_sql_exclude_replace" -> q(excludeReplaceSpark),
+    "c_sql_window_named" -> q(windowNamed),
+    "c_sql_order_by_all" -> q(orderByAll),
     "c_sql_select" -> q(sqlSelect),
     "c_join_full" -> q(joinFull),
     "c_setop_except_all" -> q(setopExceptAll),
@@ -313,6 +338,8 @@ object TierCSql {
   val oracle: Map[String, String] = Map(
     "c_sql_qualify" -> qualifyOracle,
     "c_sql_exclude_replace" -> excludeReplaceOracle,
+    "c_sql_window_named" -> windowNamed,
+    "c_sql_order_by_all" -> orderByAll,
     "c_sql_select" -> sqlSelect,
     "c_join_full" -> joinFull,
     "c_setop_except_all" -> setopExceptAll,
