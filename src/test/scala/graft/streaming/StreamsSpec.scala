@@ -284,4 +284,39 @@ class StreamsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("cent_id"),
       s"pruned read of the streamed layout:\n$plan")
   }
+
+  test("ivfIngest: restart from checkpoint is exactly-once") {
+    // The production property the checkpoint exists for: kill the ingest
+    // query, start a NEW one on the same checkpoint + sink, and the
+    // layout ends up with each vector exactly once — batch 1 is not
+    // reprocessed (source offsets are checkpointed) and batch 2 is not
+    // lost. File source here because its offset log (which source files
+    // are done) is exactly what a restarted production ingest relies on.
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.queries.Similarity.codebook(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    val src = java.nio.file.Files.createTempDirectory("ivf-src").toString
+    val out = java.nio.file.Files.createTempDirectory("ivf-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivf-ck2").toString
+    def start() = Streams.ivfIngest(
+      spark.readStream.schema(emb.schema).parquet(src), cents, out, ckpt)
+
+    emb.filter(col("vec_id") < 20).write.mode("append").parquet(src)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    emb.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+      .write.mode("append").parquet(src)
+    val q2 = start() // restart: same checkpoint, same sink
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.length == 40, s"exactly-once violated: ${got.length} rows")
+    assert(got.distinct.length == 40, "duplicate vectors after restart")
+    assert(got.toSet == (0L until 40L).toSet)
+  }
 }
