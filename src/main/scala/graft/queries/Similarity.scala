@@ -1006,6 +1006,138 @@ object Similarity {
       |  CAST(SUM(k << CAST(4 * j AS INT)) AS BIGINT) AS pq_code
       |FROM codes GROUP BY vec_id ORDER BY vec_id LIMIT 500""".stripMargin
 
+  // --- PQ search (asymmetric distance computation) ------------------------
+
+  /** The SEARCH half of product quantization (`p_embed_pq` is the encode
+    * half): approximate L2 distance to the query via table lookups on the
+    * packed 4-byte code — the memory-resident ANN path, where the corpus
+    * is 16× compressed and a query never touches a raw vector. The 8
+    * per-subspace lookup tables (query-to-codeword distances, 8×16
+    * doubles) are built DRIVER-SIDE from the same codebook artifact with
+    * the exact IEEE fold sequence of the oracle's `list_reduce` (the
+    * `probeIdsOf` discipline), inlined as literals; each row's work is
+    * unpack 8 four-bit codes (shift/mask on ONE BIGINT) + 8 array
+    * lookups + 7 additions — pure codegen, zero shuffles before the
+    * top-k. The in-query encode step stands in for the stored codes
+    * column a production index keeps at rest; the ADC arithmetic itself
+    * reads ONLY the packed code. Left-to-right addition on both engines
+    * (the oracle folds an ORDER BY j list from zero; 0 + d0 == d0
+    * exactly for finite non-negative doubles), so distances — and the
+    * top-10 — hash-match. */
+  val pqSearch: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val withIds: Seq[(Long, Array[Float])] = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    if (withIds.isEmpty || !withIds.exists(_._1 == 0L))
+      emb.select(col("vec_id"), col("label"), lit(0.0).as("adc_dist"))
+        .filter(lit(false))
+    else {
+      val cents = withIds.map(_._2)
+      val q = withIds.find(_._1 == 0L).get._2 // the ANN family's query vec
+      // lut(j)(k): sequential fold over the 8 dims of subspace j —
+      // acc + (q - c)^2 in array order, the oracle's exact op sequence
+      val lut: Array[Array[Double]] = Array.tabulate(8) { j =>
+        cents.map { c =>
+          var acc = 0.0
+          var i = 0
+          while (i < 8) {
+            val d = q(j * 8 + i).toDouble - c(j * 8 + i).toDouble
+            acc += d * d
+            i += 1
+          }
+          acc
+        }.toArray
+      }
+      def cbLit(j: Int): String =
+        cents.map { c =>
+          c.slice(j * 8, j * 8 + 8).map(_.toDouble)
+            .mkString("array(", ", ", ")")
+        }.mkString("array(", ", ", ")")
+      def distExpr(j: Int): String =
+        s"""transform(sequence(0, ${cents.size - 1}), k ->
+           |  aggregate(zip_with(slice(embedding, ${j * 8 + 1}, 8),
+           |    element_at(${cbLit(j)}, k + 1),
+           |    (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+           |    CAST(0 AS DOUBLE), (acc, p) -> acc + p))""".stripMargin
+      // Double.toString round-trips exactly and a quoted CAST parses it
+      // back bit-identically; a BARE decimal literal would type the
+      // lookup (and the output) as DECIMAL, not DOUBLE (the centLit
+      // discipline)
+      def lutLit(j: Int): String =
+        lut(j).map(v => s"CAST('$v' AS DOUBLE)")
+          .mkString("array(", ", ", ")")
+      val withDists = (0 until 8).foldLeft(
+        emb.select(col("vec_id"), col("label"), col("embedding"))) {
+        (df, j) => df.withColumn(s"dist$j", expr(distExpr(j)))
+      }
+      val packed = (0 until 8)
+        .map(j => s"shiftleft(array_position(dist$j, array_min(dist$j)) - 1," +
+          s" ${4 * j})")
+        .mkString(" + ")
+      // from here on, ONLY pq_code feeds the distance: unpack + lookup
+      val adc = (0 until 8)
+        .map(j => s"element_at(${lutLit(j)}, " +
+          s"CAST((shiftright(pq_code, ${4 * j}) & 15) + 1 AS INT))")
+        .mkString(" + ")
+      withDists
+        .withColumn("pq_code", expr(s"CAST($packed AS BIGINT)"))
+        .withColumn("adc_dist", expr(adc))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"), col("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(10)
+    }
+  }
+
+  val pqSearchSql: String = {
+    def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
+    val e = "CAST(e.embedding[CAST(j.j * 8 + i + 1 AS INT)] AS DOUBLE)"
+    val c = "CAST(c.cent[CAST(j.j * 8 + i + 1 AS INT)] AS DOUBLE)"
+    val qd = "CAST(q.qe[CAST(j.j * 8 + i + 1 AS INT)] AS DOUBLE)"
+    s"""WITH cents AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, embedding AS cent
+       |  FROM embeddings WHERE vec_id < 16),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT j.j, c.k,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(0, 8), i -> ${sq(qd, c)})),
+       |      (a, x) -> a + x) AS dist
+       |  FROM q, (SELECT unnest(range(0, 8)) AS j) j, cents c),
+       |d AS (
+       |  SELECT e.vec_id, j.j, c.k,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(0, 8), i -> ${sq(e, c)})),
+       |      (a, x) -> a + x) AS dist
+       |  FROM embeddings e, (SELECT unnest(range(0, 8)) AS j) j, cents c),
+       |codes AS (
+       |  SELECT vec_id, j, k FROM (
+       |    SELECT vec_id, j, k,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, k) AS rn
+       |    FROM d) WHERE rn = 1),
+       |packed AS (
+       |  SELECT vec_id, CAST(SUM(k << CAST(4 * j AS INT)) AS BIGINT)
+       |    AS pq_code
+       |  FROM codes GROUP BY vec_id),
+       |unp AS (
+       |  SELECT vec_id, j.j,
+       |    CAST((pq_code >> CAST(4 * j.j AS INT)) & 15 AS BIGINT) AS k
+       |  FROM packed, (SELECT unnest(range(0, 8)) AS j) j),
+       |adc AS (
+       |  SELECT u.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(l.dist ORDER BY u.j)), (a, x) -> a + x) AS adc_dist
+       |  FROM unp u JOIN lut l ON l.j = u.j AND l.k = u.k
+       |  GROUP BY u.vec_id)
+       |SELECT a.vec_id, e.label, a.adc_dist
+       |FROM adc a JOIN embeddings e ON e.vec_id = a.vec_id
+       |WHERE a.vec_id <> 0
+       |ORDER BY a.adc_dist, a.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   // --- k-means training step: how the codebook gets MADE ------------------
 
   /** One Lloyd iteration over the embeddings corpus — the job that TRAINS
@@ -1107,6 +1239,7 @@ object Similarity {
     "p_dedup_embedding" -> embeddingNearDup,
     "p_embed_quantize" -> quantize,
     "p_embed_pq" -> pqCodes,
+    "p_sim_pq_search" -> pqSearch,
     "p_sim_kmeans_step" -> kmeansStep)
 
   val oracle: Map[String, String] = Map(
@@ -1122,5 +1255,6 @@ object Similarity {
     "p_dedup_embedding" -> embeddingNearDupSql,
     "p_embed_quantize" -> quantizeSql,
     "p_embed_pq" -> pqCodesSql,
+    "p_sim_pq_search" -> pqSearchSql,
     "p_sim_kmeans_step" -> kmeansStepSql)
 }

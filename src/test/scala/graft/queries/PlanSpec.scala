@@ -154,6 +154,20 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, tree)
   }
 
+  test("p_sim_pq_search: ADC is map work — no exchange before the top-k") {
+    // The PQ search path must stay memory-shaped: unpack + 8 lookups + 7
+    // adds per row, then a per-partition top-k merged on the driver
+    // (TakeOrderedAndProject). Any Exchange/Join/Window means the ADC
+    // regressed to a shuffle of the corpus.
+    val tree = graft.engine.Engine.explain(
+      Similarity.pqSearch(spark, dir), "simple")
+    assert(tree.contains("TakeOrderedAndProject"), tree)
+    assert(!tree.contains("Exchange"), s"ADC must not shuffle:\n$tree")
+    assert(!tree.contains("Join"), s"ADC must not join:\n$tree")
+    val scans = "Scan parquet".r.findAllIn(tree).size
+    assert(scans == 1, s"pq search must scan embeddings once:\n$tree")
+  }
+
   test("p_sim_kmeans_step: one scan, one partial-agg exchange, no join") {
     // A training iteration must cost ONE pass: centroid assignment is the
     // inlined-codebook argmax (no join/window — the r5 #3 regression
