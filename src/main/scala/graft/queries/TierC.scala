@@ -1160,6 +1160,49 @@ object TierC {
        |GROUP BY hora, event_type
        |ORDER BY hora, event_type""".stripMargin
 
+  /** Time-series gap filling: the dates-spine pattern — a regular hourly
+    * spine generated from the series bounds, LEFT-joined to the sparse
+    * per-hour aggregate, absent hours emitted as explicit zeros (673 of
+    * 720 hours have purchases at sf0.01; the other 47 must appear as 0,
+    * not vanish — the difference between a chart with holes and a
+    * correct one). Scale shape: the bounds are a 2-scalar aggregate, the
+    * spine is `sequence()` over them (rows = series length, independent
+    * of corpus size), and the corpus-sized work is the same partial-agg
+    * groupBy as `c_event_hourly`; the spine side of the join is tiny and
+    * broadcasts. */
+  val gapfill: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val spine = ev
+      .agg(min(date_trunc("hour", eventTs(col("ts")))).as("h0"),
+        max(date_trunc("hour", eventTs(col("ts")))).as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("_h"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", eventTs(col("ts"))).as("_h"))
+      .agg(count(lit(1)).as("n_raw"), dsum("value").as("v_raw"))
+    spine.join(purchases, Seq("_h"), "left")
+      .select(tstr(col("_h")).as("hora"),
+        coalesce(col("n_raw"), lit(0L)).as("n"),
+        coalesce(col("v_raw"), lit(0.0)).as("total_value"))
+      .orderBy(col("hora"))
+  }
+
+  val gapfillSql: String =
+    s"""WITH b AS (
+       |  SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS h0,
+       |         CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS h1
+       |  FROM events),
+       |spine AS (
+       |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+       |  FROM b),
+       |c AS (
+       |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+       |    COUNT(*) AS n, ${oDsum("value")} AS tv
+       |  FROM events WHERE event_type = 'purchase' GROUP BY h)
+       |SELECT ${oSec("spine.h")} AS hora,
+       |  COALESCE(c.n, 0) AS n, COALESCE(c.tv, 0.0) AS total_value
+       |FROM spine LEFT JOIN c ON spine.h = c.h
+       |ORDER BY hora""".stripMargin
+
   /** B9 semantics witness: NULLIF(...) IS NOT NULL kept literally on the
     * Spark side too (unlike t5/t6, which use the pushdown-friendly `=!=`) —
     * this query exists to pin the null-check semantics themselves. */
@@ -1262,6 +1305,7 @@ object TierC {
     "c_nested_types" -> nestedTypes,
     "c_json_extract" -> jsonExtract,
     "c_event_hourly" -> eventHourly,
+    "c_gapfill" -> gapfill,
     "c_sessionize" -> sessionize,
     "c_funnel" -> funnel,
     "c_funnel_window" -> funnelWindow,
@@ -1308,6 +1352,7 @@ object TierC {
     "c_nested_types" -> nestedTypesSql,
     "c_json_extract" -> jsonExtractSql,
     "c_event_hourly" -> eventHourlySql,
+    "c_gapfill" -> gapfillSql,
     "c_kmv_distinct" -> kmvDistinctSql,
     "c_sessionize" -> sessionizeSql,
     "c_funnel" -> funnelSql,
