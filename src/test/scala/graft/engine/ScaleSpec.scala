@@ -86,6 +86,48 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("mortonInterleave matches a bit-by-bit reference on 1024 pairs") {
+    // The Z-order layout's entire skipping guarantee rides on the
+    // parallel-prefix spread being a CORRECT interleave; check it against
+    // the naive bit loop, plus the locality property the layout uses:
+    // within a fixed b, z is strictly increasing in a (and vice versa),
+    // so per-key range predicates map to contiguous z-runs inside a box.
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 32) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    // deterministic pseudo-random 32-bit pairs + the edge corners
+    val pairs = (0 until 1000).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mi_$i".getBytes("UTF-8"))
+      def u32(off: Int): Long =
+        java.nio.ByteBuffer.wrap(h, off, 4).getInt.toLong & 0xFFFFFFFFL
+      (u32(0), u32(4))
+    } ++ Seq((0L, 0L), (0xFFFFFFFFL, 0xFFFFFFFFL), (0xFFFFFFFFL, 0L),
+      (0L, 0xFFFFFFFFL), (1L, 2L), (255L, 256L))
+    import spark.implicits._
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Scale.mortonInterleave(col("a"), col("b")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) == ref(a, b),
+        f"interleave($a%d, $b%d) = ${got((a, b))}%d != ref ${ref(a, b)}%d")
+    }
+    // monotonicity in each key with the other fixed
+    val inA = Seq(3L, 7L, 100L, 1000L, 4096L).map(a => ref(a, 77L))
+    assert(inA == inA.sorted, "z must increase with a at fixed b")
+    val inB = Seq(3L, 7L, 100L, 1000L, 4096L).map(b => ref(55L, b))
+    assert(inB == inB.sorted, "z must increase with b at fixed a")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // The runtime half of the skew story: `c_salted_join` is the MANUAL
     // mitigation (pre-planned (key, salt) widening); this pins the
