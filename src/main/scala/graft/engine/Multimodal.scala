@@ -120,6 +120,71 @@ object Multimodal {
     }
   }
 
+  /** GIF BLOCK walk: count image descriptors (frames) in an animated GIF
+    * by stepping the real block grammar (GIF89a spec §20-25): after the
+    * logical screen descriptor (+ global color table when the packed
+    * flags declare one), the stream is a sequence of blocks — extension
+    * (0x21 + label + data sub-blocks), image descriptor (0x2C + 9 bytes
+    * + optional local color table + LZW min-code byte + data sub-blocks),
+    * trailer (0x3B). Data sub-blocks are length-prefixed chains ended by
+    * a 0 byte; color-table sizes decode as 3·2^((flags&7)+1) bytes.
+    *
+    * The walk is an EVENT-STEP state machine — one step per block
+    * introducer or sub-block — bounded at 64 steps, and the oracle's
+    * recursive CTE (`Media.gifFramesSql`) executes the IDENTICAL machine
+    * (same guards, same step accounting, same bound), the
+    * `HeaderDecoder`-JPEG-walk discipline. Malformed input never throws:
+    * an unknown block byte or a truncated descriptor stops the walk and
+    * the count so far stands (a truncated tail loses at most its own
+    * uncounted frames). */
+  def gifFrameCount(bytes: Array[Byte]): Int = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def ctBytes(flags: Int): Int =
+      if ((flags & 0x80) != 0) 3 * (1 << ((flags & 7) + 1)) else 0
+    val sig = bytes.length >= 13 &&
+      u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
+      (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a'
+    if (!sig) 0
+    else {
+      var pos = 13 + ctBytes(u8(10))
+      var frames = 0
+      var depth = 0
+      var mode = 0 // 0 = at a block introducer, 1 = in a sub-block chain
+      var done = false
+      while (!done && depth < 64 && pos < bytes.length) {
+        if (mode == 1) {
+          val len = u8(pos)
+          pos += 1 + len
+          mode = if (len == 0) 0 else 1
+          depth += 1
+        } else u8(pos) match {
+          case 0x21 => pos += 2; mode = 1; depth += 1
+          case 0x2c if pos + 9 < bytes.length =>
+            frames += 1
+            pos += 11 + ctBytes(u8(pos + 9))
+            mode = 1
+            depth += 1
+          case _ => done = true // trailer 0x3B, unknown, or truncated 0x2C
+        }
+      }
+      frames
+    }
+  }
+
+  /** Add an `n_frames` column from `gifFrameCount` over a binary column —
+    * same once-per-partition mapPartitions shape as `withDecodedMeta`. */
+  def withGifFrames(df: DataFrame, binaryCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val outSchema = df.schema.add(StructField("n_frames", IntegerType))
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        Row.fromSeq(row.toSeq :+ gifFrameCount(row.getAs[Array[Byte]](idx)))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Decode a binary column into a `meta` struct, decoder initialized once
     * per partition. Input rows pass through unchanged. */
   def withDecodedMeta(

@@ -515,14 +515,143 @@ object Media {
       |FROM px GROUP BY doc_id, n_frames, frame_idx, fhex
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // --- Animated GIF: frame counting via the real block grammar ------------
+
+  /** Spec-correct ANIMATED GIF per doc: header + logical screen
+    * descriptor (+ a 2-entry global color table when doc_id%3 = 0, so the
+    * packed-flags color-table arithmetic is data-exercised), then
+    * 1 + doc_id%4 frames — each a graphic control extension followed by
+    * an image descriptor (+ a 4-entry LOCAL color table when
+    * doc_id%5 = 1), LZW min-code byte, and a 1–5 byte data sub-block
+    * chain — then (when doc_id%7 = 0) a trailing comment extension, then
+    * the 0x3B trailer. Every structural branch of the block walk
+    * (global/local color tables, extension sub-block chains, multi-frame
+    * repetition, trailing blocks) is reached by data. */
+  private def gifDims: String =
+    """substr(lpad(hex(pmod(doc_id, 1920) + 1), 4, '0'), 3, 2),
+      |substr(lpad(hex(pmod(doc_id, 1920) + 1), 4, '0'), 1, 2),
+      |substr(lpad(hex(pmod(doc_id, 1080) + 1), 4, '0'), 3, 2),
+      |substr(lpad(hex(pmod(doc_id, 1080) + 1), 4, '0'), 1, 2)"""
+      .stripMargin
+  private val gifExpr: String = s"""
+    unhex(concat(
+      '474946383961',
+      $gifDims,
+      CASE WHEN pmod(doc_id, 3) = 0 THEN '80' ELSE '00' END,
+      '0000',
+      CASE WHEN pmod(doc_id, 3) = 0 THEN repeat('FF', 6) ELSE '' END,
+      repeat(concat(
+        '21F904000A000000',
+        '2C00000000',
+        $gifDims,
+        CASE WHEN pmod(doc_id, 5) = 1
+          THEN concat('81', repeat('EE', 12)) ELSE '00' END,
+        '02',
+        lpad(hex(1 + pmod(doc_id, 5)), 2, '0'),
+        repeat('AA', CAST(1 + pmod(doc_id, 5) AS INT)),
+        '00'), CAST(1 + pmod(doc_id, 4) AS INT)),
+      CASE WHEN pmod(doc_id, 7) = 0 THEN concat(
+        '21FE', lpad(hex(1 + pmod(doc_id, 6)), 2, '0'),
+        repeat('43', CAST(1 + pmod(doc_id, 6) AS INT)), '00') ELSE '' END,
+      '3B'))"""
+
+  /** Frame count from the block walk (`Multimodal.gifFrameCount`) over
+    * the generated animated GIFs; the oracle re-executes the identical
+    * event-step machine as a recursive CTE (same guards, same step
+    * accounting, same 64-step bound — the JPEG-walk discipline), so a
+    * drift in either walker breaks the hash. Expected n_frames is
+    * 1 + doc_id%4 by construction; the hash certifies the WALK derives
+    * it from the bytes on both engines. */
+  val gifFrames: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+      .limit(500)
+      .withColumn("media", expr(gifExpr))
+    graft.engine.Multimodal.withGifFrames(docs, "media")
+      .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+        length(col("media")).cast("long").as("n_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  // single-line fragments: embedded into the stripMargin template below,
+  // so they must not carry their own newlines (a leading || would lose a
+  // pipe to the outer stripMargin)
+  private def oGifDims: String =
+    "substr(lpad(hex(doc_id % 1920 + 1), 4, '0'), 3, 2)" +
+      " || substr(lpad(hex(doc_id % 1920 + 1), 4, '0'), 1, 2)" +
+      " || substr(lpad(hex(doc_id % 1080 + 1), 4, '0'), 3, 2)" +
+      " || substr(lpad(hex(doc_id % 1080 + 1), 4, '0'), 1, 2)"
+  // byte at 0-based offset p of hex string hx, as text / as int
+  private def oB(p: String) = s"substr(hx, CAST(($p) * 2 + 1 AS INT), 2)"
+  private def oBi(p: String) = s"CAST(('0x' || ${oB(p)}) AS BIGINT)"
+  private def oCt(p: String) =
+    s"CASE WHEN (${oBi(p)} & 128) > 0 THEN 3 * " +
+      s"(1 << CAST((${oBi(p)} & 7) + 1 AS INT)) ELSE 0 END"
+  val gifFramesSql: String =
+    s"""WITH RECURSIVE b AS (SELECT doc_id FROM documents
+       |  ORDER BY doc_id LIMIT 500),
+       |g AS (SELECT doc_id,
+       |  '474946383961' || $oGifDims
+       |  || CASE WHEN doc_id % 3 = 0 THEN '80' ELSE '00' END
+       |  || '0000'
+       |  || CASE WHEN doc_id % 3 = 0 THEN repeat('FF', 6) ELSE '' END
+       |  || repeat('21F904000A000000'
+       |       || '2C00000000' || $oGifDims
+       |       || CASE WHEN doc_id % 5 = 1 THEN '81' || repeat('EE', 12)
+       |            ELSE '00' END
+       |       || '02'
+       |       || lpad(hex(1 + doc_id % 5), 2, '0')
+       |       || repeat('AA', CAST(1 + doc_id % 5 AS INT))
+       |       || '00', CAST(1 + doc_id % 4 AS INT))
+       |  || CASE WHEN doc_id % 7 = 0 THEN '21FE'
+       |       || lpad(hex(1 + doc_id % 6), 2, '0')
+       |       || repeat('43', CAST(1 + doc_id % 6 AS INT)) || '00'
+       |       ELSE '' END
+       |  || '3B' AS hx
+       |  FROM b),
+       |gwalk AS (
+       |  SELECT doc_id, hx,
+       |    13 + ${oCt("10")} AS pos,
+       |    CAST(0 AS BIGINT) AS frames, 0 AS depth, 0 AS mode
+       |  FROM g
+       |  UNION ALL
+       |  SELECT doc_id, hx,
+       |    CASE WHEN mode = 1 THEN pos + 1 + ${oBi("pos")}
+       |         WHEN ${oB("pos")} = '21' THEN pos + 2
+       |         ELSE pos + 11 + ${oCt("pos + 9")}
+       |    END,
+       |    frames + CASE WHEN mode = 0 AND ${oB("pos")} = '2C'
+       |      THEN 1 ELSE 0 END,
+       |    depth + 1,
+       |    CASE WHEN mode = 1
+       |      THEN CASE WHEN ${oB("pos")} = '00' THEN 0 ELSE 1 END
+       |      ELSE 1 END
+       |  FROM gwalk
+       |  WHERE depth < 64
+       |    AND length(hx) >= pos * 2 + 2
+       |    AND (mode = 1
+       |      OR ${oB("pos")} = '21'
+       |      OR (${oB("pos")} = '2C' AND length(hx) >= (pos + 10) * 2))),
+       |gend AS (
+       |  SELECT doc_id, hx, frames,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY depth DESC) AS rn
+       |  FROM gwalk)
+       |SELECT doc_id, CAST(frames AS BIGINT) AS n_frames,
+       |  CAST(length(hx) // 2 AS BIGINT) AS n_bytes
+       |FROM gend WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p_media_meta" -> mediaMeta,
     "p_media_pixels" -> mediaPixels,
     "p_media_resize" -> mediaResize,
-    "p_media_frames" -> mediaFrames)
+    "p_media_frames" -> mediaFrames,
+    "p_media_gif_frames" -> gifFrames)
   val oracle: Map[String, String] = Map(
     "p_media_meta" -> mediaMetaSql,
     "p_media_pixels" -> mediaPixelsSql,
     "p_media_resize" -> mediaResizeSql,
-    "p_media_frames" -> mediaFramesSql)
+    "p_media_frames" -> mediaFramesSql,
+    "p_media_gif_frames" -> gifFramesSql)
 }

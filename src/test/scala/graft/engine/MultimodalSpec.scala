@@ -83,6 +83,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decode(b) == Multimodal.MediaMeta("gif", 320, 200, b.length.toLong))
   }
 
+  test("GIF block walk: frames counted through every structural branch") {
+    def gce = "21F904 000A0000 00"
+    def img(lct: Boolean) =
+      "2C 00000000 4001 F000 " + (if (lct) "81 " + "EE" * 12 else "00") +
+        " 02 03AAAAAA 00"
+    // two frames, global color table (2 entries = 6 bytes), trailing
+    // comment extension — all branches in one container
+    val full = hx("474946383961 4001 F000 80 0000 " + "FF" * 6 +
+      s" $gce ${img(lct = false)} $gce ${img(lct = true)}" +
+      " 21FE 02 4343 00 3B")
+    assert(Multimodal.gifFrameCount(full) == 2)
+    // truncation after the first frame loses only the uncounted tail
+    val oneAndCut = hx("474946383961 4001 F000 00 0000 " +
+      s"$gce ${img(lct = false)} 2C 0000") // second descriptor truncated
+    assert(Multimodal.gifFrameCount(oneAndCut) == 1)
+    // no frames: header + LSD + trailer
+    assert(Multimodal.gifFrameCount(
+      hx("474946383961 4001 F000 00 0000 3B")) == 0)
+    // not a GIF / too short
+    assert(Multimodal.gifFrameCount("plain text".getBytes) == 0)
+    assert(Multimodal.gifFrameCount(hx("474946383961 4001")) == 0)
+    // unknown block byte stops the walk, count so far stands
+    assert(Multimodal.gifFrameCount(hx("474946383961 4001 F000 00 0000 " +
+      s"$gce ${img(lct = false)} 7F 0000")) == 1)
+    // the 64-event bound: a long extension sub-block chain exhausts the
+    // budget before the frame behind it is reached
+    val chain = "01AA" * 70
+    assert(Multimodal.gifFrameCount(hx("474946383961 4001 F000 00 0000 " +
+      s"21FE $chain 00 ${img(lct = false)} 3B")) == 0)
+  }
+
   test("corrupt/truncated payloads never throw; format = signature, dims 0") {
     // policy (ADVICE r7): format reflects the recognized leading signature,
     // width=height=0 signals an unparseable header — uniform across formats
