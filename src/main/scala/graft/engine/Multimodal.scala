@@ -171,6 +171,78 @@ object Multimodal {
     }
   }
 
+  /** WAV (RIFF) chunk walk — the AUDIO leg of codec-free metadata: format
+    * facts live in the `fmt ` chunk and the payload length in `data`, so
+    * channels / sample rate / byte rate / bit depth / duration need no
+    * codec. Chunks are `id(4) + size(LE u32) + payload`, padded to even
+    * offsets (RIFF spec — a chunk with an odd size carries one pad byte);
+    * unknown chunks (JUNK, LIST, ...) are SKIPPED by size, which is the
+    * part naive fixed-offset parsers get wrong. One step per chunk,
+    * bounded at 64 (the shared walk-bound discipline); the oracle CTE
+    * (`Media.wavMetaSql`) executes the identical walk. Returns
+    * (channels, sampleRate, byteRate, bits, dataBytes), all 0 when the
+    * RIFF/WAVE signature is absent or a field's chunk is missing or
+    * truncated. */
+  def wavMeta(bytes: Array[Byte]): (Int, Int, Int, Int, Long) = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24))
+    val sig = bytes.length >= 12 &&
+      u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
+      u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E'
+    if (!sig) (0, 0, 0, 0, 0L)
+    else {
+      var pos = 12L
+      var depth = 0
+      var ch = 0; var sr = 0; var br = 0; var bits = 0
+      var dataBytes = 0L
+      while (depth < 64 && pos + 8 <= bytes.length) {
+        val p = pos.toInt
+        val size = le32(p + 4)
+        val isFmt = u8(p) == 'f' && u8(p + 1) == 'm' &&
+          u8(p + 2) == 't' && u8(p + 3) == ' '
+        val isData = u8(p) == 'd' && u8(p + 1) == 'a' &&
+          u8(p + 2) == 't' && u8(p + 3) == 'a'
+        if (isFmt && size >= 16 && pos + 8 + 16 <= bytes.length) {
+          ch = le16(p + 10)
+          sr = le32(p + 12).toInt
+          br = le32(p + 16).toInt
+          bits = le16(p + 22)
+        }
+        if (isData) dataBytes = size
+        pos += 8 + size + (size % 2) // RIFF pad to even
+        depth += 1
+      }
+      (ch, sr, br, bits, dataBytes)
+    }
+  }
+
+  /** Add wav metadata columns from `wavMeta` over a binary column — same
+    * once-per-partition mapPartitions shape as `withDecodedMeta`. */
+  def withWavMeta(df: DataFrame, binaryCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val outSchema = df.schema
+      .add(StructField("channels", IntegerType))
+      .add(StructField("sample_rate", IntegerType))
+      .add(StructField("byte_rate", IntegerType))
+      .add(StructField("bits", IntegerType))
+      .add(StructField("data_bytes", LongType))
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val (ch, sr, br, bits, db) =
+          wavMeta(row.getAs[Array[Byte]](idx))
+        // Seq[Any] — an unannotated Seq would numerically WIDEN the Int
+        // fields to Long to unify with db, and the encoder rejects a
+        // boxed Long in an INT column
+        Row.fromSeq(row.toSeq ++ Seq[Any](ch, sr, br, bits, db))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Add an `n_frames` column from `gifFrameCount` over a binary column —
     * same once-per-partition mapPartitions shape as `withDecodedMeta`. */
   def withGifFrames(df: DataFrame, binaryCol: String): DataFrame = {

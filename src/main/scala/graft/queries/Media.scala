@@ -642,16 +642,160 @@ object Media {
        |FROM gend WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
 
+  // --- WAV (RIFF) audio metadata ------------------------------------------
+
+  // little-endian hex renderers, parameterized by a SQL integer fragment;
+  // identical string output in both dialects (concat vs ||) — single-line
+  // (outer stripMargin)
+  private def sLe16(e: String): String =
+    s"concat(substr(lpad(hex($e), 4, '0'), 3, 2), " +
+      s"substr(lpad(hex($e), 4, '0'), 1, 2))"
+  private def sLe32(e: String): String =
+    s"concat(substr(lpad(hex($e), 8, '0'), 7, 2), " +
+      s"substr(lpad(hex($e), 8, '0'), 5, 2), " +
+      s"substr(lpad(hex($e), 8, '0'), 3, 2), " +
+      s"substr(lpad(hex($e), 8, '0'), 1, 2))"
+  private def oLe16(e: String): String =
+    s"(substr(lpad(hex($e), 4, '0'), 3, 2) " +
+      s"|| substr(lpad(hex($e), 4, '0'), 1, 2))"
+  private def oLe32(e: String): String =
+    s"(substr(lpad(hex($e), 8, '0'), 7, 2) " +
+      s"|| substr(lpad(hex($e), 8, '0'), 5, 2) " +
+      s"|| substr(lpad(hex($e), 8, '0'), 3, 2) " +
+      s"|| substr(lpad(hex($e), 8, '0'), 1, 2))"
+
+  // per-doc wav parameters as dialect-neutral fragments (pmod vs % differ)
+  private final case class WavFrags(
+      ch: String, sr: String, br: String, ba: String,
+      j: String, d: String, riffSize: String)
+  private def wavFrag(mod: (String, String) => String): WavFrags = {
+    val ch = s"(1 + ${mod("doc_id", "2")})"
+    val sr = s"(CASE CAST(${mod("doc_id", "3")} AS INT) WHEN 0 THEN 8000 " +
+      "WHEN 1 THEN 22050 ELSE 44100 END)"
+    val j = s"(2 + ${mod("doc_id", "5")})" // junk size 2–6, odd sizes pad
+    val d = s"(32 + ${mod("doc_id", "64")})"
+    val junkTotal = s"(8 + $j + ${mod(j, "2")})"
+    WavFrags(ch, sr, s"($sr * $ch * 2)", s"($ch * 2)", j, d,
+      s"(4 + CASE WHEN ${mod("doc_id", "4")} = 1 THEN $junkTotal " +
+        s"ELSE 0 END + 24 + 8 + $d + ${mod(d, "2")})")
+  }
+
+  /** Spec-correct WAV per doc: RIFF/WAVE header, a JUNK chunk to skip
+    * when doc_id%4 = 1 (odd sizes exercise the RIFF even-pad rule), the
+    * 16-byte `fmt ` chunk (PCM, 1–2 channels, 8000/22050/44100 Hz,
+    * 16-bit), and a `data` chunk of 32–95 payload bytes. */
+  private val wavExpr: String = {
+    val f = wavFrag((a, b) => s"pmod($a, $b)")
+    s"""unhex(concat(
+       |  '52494646', ${sLe32(f.riffSize)}, '57415645',
+       |  CASE WHEN pmod(doc_id, 4) = 1 THEN concat(
+       |    '4A554E4B', ${sLe32(f.j)}, repeat('4A', CAST(${f.j} AS INT)),
+       |    repeat('00', CAST(pmod(${f.j}, 2) AS INT))) ELSE '' END,
+       |  '666D7420', '10000000', '0100', ${sLe16(f.ch)},
+       |  ${sLe32(f.sr)}, ${sLe32(f.br)}, ${sLe16(f.ba)}, '1000',
+       |  '64617461', ${sLe32(f.d)}, repeat('AB', CAST(${f.d} AS INT)),
+       |  repeat('00', CAST(pmod(${f.d}, 2) AS INT))))""".stripMargin
+  }
+
+  /** Audio metadata from the RIFF chunk walk (`Multimodal.wavMeta`): the
+    * oracle re-executes the identical walk as a recursive CTE — same
+    * skip-by-size + even-pad stepping, same 64-chunk bound — so the
+    * extracted channels / rates / bit depth / payload size, and the
+    * duration derived from them by exact integer division, hash-match. */
+  val wavMetaQ: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+      .limit(500)
+      .withColumn("media", expr(wavExpr))
+    graft.engine.Multimodal.withWavMeta(docs, "media")
+      .select(col("doc_id"),
+        col("channels").cast("long").as("channels"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("byte_rate").cast("long").as("byte_rate"),
+        col("bits").cast("long").as("bits"),
+        col("data_bytes"),
+        expr("CASE WHEN byte_rate > 0 THEN data_bytes * 1000 div byte_rate" +
+          " ELSE 0 END").as("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
+  val wavMetaSql: String = {
+    val f = wavFrag((a, b) => s"($a % $b)")
+    s"""WITH RECURSIVE b AS (SELECT doc_id FROM documents
+       |  ORDER BY doc_id LIMIT 500),
+       |g AS (SELECT doc_id,
+       |  '52494646' || ${oLe32(f.riffSize)} || '57415645'
+       |  || CASE WHEN doc_id % 4 = 1 THEN
+       |       '4A554E4B' || ${oLe32(f.j)}
+       |       || repeat('4A', CAST(${f.j} AS INT))
+       |       || repeat('00', CAST(${f.j} % 2 AS INT)) ELSE '' END
+       |  || '666D7420' || '10000000' || '0100' || ${oLe16(f.ch)}
+       |  || ${oLe32(f.sr)} || ${oLe32(f.br)} || ${oLe16(f.ba)} || '1000'
+       |  || '64617461' || ${oLe32(f.d)}
+       |  || repeat('AB', CAST(${f.d} AS INT))
+       |  || repeat('00', CAST(${f.d} % 2 AS INT)) AS hx
+       |  FROM b),
+       |wwalk AS (
+       |  SELECT doc_id, hx, CAST(12 AS BIGINT) AS pos, 0 AS depth,
+       |    CAST(0 AS BIGINT) AS ch, CAST(0 AS BIGINT) AS sr,
+       |    CAST(0 AS BIGINT) AS br, CAST(0 AS BIGINT) AS bits,
+       |    CAST(0 AS BIGINT) AS db
+       |  FROM g
+       |  WHERE substr(hx, 1, 8) = '52494646'
+       |    AND substr(hx, 17, 8) = '57415645' AND length(hx) >= 24
+       |  UNION ALL
+       |  SELECT doc_id, hx,
+       |    pos + 8 + ${oWavSize} + ${oWavSize} % 2,
+       |    depth + 1,
+       |    CASE WHEN ${oWavIsFmt} THEN
+       |      CAST(('0x' || ${oB("pos + 11")} || ${oB("pos + 10")})
+       |        AS BIGINT) ELSE ch END,
+       |    CASE WHEN ${oWavIsFmt} THEN ${oWavLe32At("pos + 12")}
+       |      ELSE sr END,
+       |    CASE WHEN ${oWavIsFmt} THEN ${oWavLe32At("pos + 16")}
+       |      ELSE br END,
+       |    CASE WHEN ${oWavIsFmt} THEN
+       |      CAST(('0x' || ${oB("pos + 23")} || ${oB("pos + 22")})
+       |        AS BIGINT) ELSE bits END,
+       |    CASE WHEN substr(hx, CAST(pos * 2 + 1 AS INT), 8) = '64617461'
+       |      THEN ${oWavSize} ELSE db END
+       |  FROM wwalk
+       |  WHERE depth < 64 AND length(hx) >= (pos + 8) * 2),
+       |wend AS (
+       |  SELECT doc_id, ch, sr, br, bits, db,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY depth DESC) AS rn
+       |  FROM wwalk)
+       |SELECT doc_id, ch AS channels, sr AS sample_rate, br AS byte_rate,
+       |  bits, db AS data_bytes,
+       |  CASE WHEN br > 0 THEN CAST(db * 1000 // br AS BIGINT)
+       |    ELSE 0 END AS duration_ms
+       |FROM wend WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // chunk size (LE u32 at pos+4) and fmt-chunk predicate, as single-line
+  // fragments over the walk state
+  private def oWavLe32At(p: String): String =
+    s"CAST(('0x' || ${oB(s"($p) + 3")} || ${oB(s"($p) + 2")} || " +
+      s"${oB(s"($p) + 1")} || ${oB(p)}) AS BIGINT)"
+  private def oWavSize: String = oWavLe32At("pos + 4")
+  private def oWavIsFmt: String =
+    s"(substr(hx, CAST(pos * 2 + 1 AS INT), 8) = '666D7420' " +
+      s"AND $oWavSize >= 16 AND length(hx) >= (pos + 24) * 2)"
+
   val queries: Map[String, Q] = Map(
     "p_media_meta" -> mediaMeta,
     "p_media_pixels" -> mediaPixels,
     "p_media_resize" -> mediaResize,
     "p_media_frames" -> mediaFrames,
-    "p_media_gif_frames" -> gifFrames)
+    "p_media_gif_frames" -> gifFrames,
+    "p_media_wav_meta" -> wavMetaQ)
   val oracle: Map[String, String] = Map(
     "p_media_meta" -> mediaMetaSql,
     "p_media_pixels" -> mediaPixelsSql,
     "p_media_resize" -> mediaResizeSql,
     "p_media_frames" -> mediaFramesSql,
-    "p_media_gif_frames" -> gifFramesSql)
+    "p_media_gif_frames" -> gifFramesSql,
+    "p_media_wav_meta" -> wavMetaSql)
 }

@@ -114,6 +114,35 @@ class MultimodalSpec extends AnyFunSuite {
       s"21FE $chain 00 ${img(lct = false)} 3B")) == 0)
   }
 
+  test("WAV chunk walk: fmt fields through JUNK skip and odd-size padding") {
+    def le16(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+    def le32(v: Int) =
+      f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X" +
+        f"${(v >> 16) & 0xff}%02X${(v >> 24) & 0xff}%02X"
+    def fmt(ch: Int, sr: Int) =
+      "666D7420 " + le32(16) + " 0100 " + le16(ch) + le32(sr) +
+        le32(sr * ch * 2) + le16(ch * 2) + le16(16)
+    val data = "64617461 " + le32(6) + " ABABABABABAB"
+    // canonical: RIFF → fmt → data
+    val plain = hx("52494646" + le32(50) + "57415645 " +
+      fmt(2, 44100) + " " + data)
+    assert(Multimodal.wavMeta(plain) == ((2, 44100, 176400, 16, 6L)))
+    // a JUNK chunk with an ODD size must be skipped INCLUDING its pad
+    // byte, or the walk lands mid-chunk and every later field is garbage
+    val junked = hx("52494646" + le32(62) + "57415645 " +
+      "4A554E4B" + le32(3) + "4A4A4A 00 " + fmt(1, 8000) + " " + data)
+    assert(Multimodal.wavMeta(junked) == ((1, 8000, 16000, 16, 6L)))
+    // missing data chunk → data_bytes 0; fmt fields still extracted
+    val noData = hx("52494646" + le32(28) + "57415645 " + fmt(1, 22050))
+    assert(Multimodal.wavMeta(noData) == ((1, 22050, 44100, 16, 0L)))
+    // truncated fmt (size says 16, bytes end early) → all zeros
+    val cut = hx("52494646" + le32(20) + "57415645 666D7420" + le32(16) +
+      "0100")
+    assert(Multimodal.wavMeta(cut) == ((0, 0, 0, 0, 0L)))
+    // not RIFF/WAVE
+    assert(Multimodal.wavMeta("RIFFxxxxNOPE".getBytes) == ((0, 0, 0, 0, 0L)))
+  }
+
   test("corrupt/truncated payloads never throw; format = signature, dims 0") {
     // policy (ADVICE r7): format reflects the recognized leading signature,
     // width=height=0 signals an unparseable header — uniform across formats
