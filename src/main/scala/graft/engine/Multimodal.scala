@@ -183,7 +183,11 @@ object Multimodal {
     * (channels, sampleRate, byteRate, bits, dataBytes), all 0 when the
     * RIFF/WAVE signature is absent or a field's chunk is missing or
     * truncated. */
-  def wavMeta(bytes: Array[Byte]): (Int, Int, Int, Int, Long) = {
+  /** The shared RIFF walk: fmt fields plus the data chunk's payload
+    * OFFSET and declared size (offset -1 when no data chunk was seen) —
+    * consumed by both `wavMeta` and `wavSampleStats`. */
+  private def riffWalk(
+      bytes: Array[Byte]): (Int, Int, Int, Int, Int, Long) = {
     def u8(i: Int) = bytes(i) & 0xff
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int): Long =
@@ -192,11 +196,12 @@ object Multimodal {
     val sig = bytes.length >= 12 &&
       u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
       u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E'
-    if (!sig) (0, 0, 0, 0, 0L)
+    if (!sig) (0, 0, 0, 0, -1, 0L)
     else {
       var pos = 12L
       var depth = 0
       var ch = 0; var sr = 0; var br = 0; var bits = 0
+      var dataPos = -1
       var dataBytes = 0L
       while (depth < 64 && pos + 8 <= bytes.length) {
         val p = pos.toInt
@@ -211,12 +216,65 @@ object Multimodal {
           br = le32(p + 16).toInt
           bits = le16(p + 22)
         }
-        if (isData) dataBytes = size
+        if (isData) { dataPos = p + 8; dataBytes = size }
         pos += 8 + size + (size % 2) // RIFF pad to even
         depth += 1
       }
-      (ch, sr, br, bits, dataBytes)
+      (ch, sr, br, bits, dataPos, dataBytes)
     }
+  }
+
+  def wavMeta(bytes: Array[Byte]): (Int, Int, Int, Int, Long) = {
+    val (ch, sr, br, bits, _, db) = riffWalk(bytes)
+    (ch, sr, br, bits, db)
+  }
+
+  /** REAL sample-level audio decode — PCM needs no codec: signed 16-bit
+    * little-endian samples read from the data chunk, bounded by the
+    * bytes actually present (a declared size past the payload reads only
+    * full samples that exist; a trailing odd byte is not a sample).
+    * Returns (n_samples, sum, min, max) — integer-exact, so the oracle's
+    * identical arithmetic hash-matches. min/max are 0 when no samples. */
+  def wavSampleStats(bytes: Array[Byte]): (Long, Long, Int, Int) = {
+    def u8(i: Int) = bytes(i) & 0xff
+    val (_, _, _, _, dataPos, db) = riffWalk(bytes)
+    if (dataPos < 0) (0L, 0L, 0, 0)
+    else {
+      val avail = math.max(0L, bytes.length.toLong - dataPos)
+      val n = (math.min(db, avail) / 2).toInt
+      var i = 0
+      var sum = 0L
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      while (i < n) {
+        val v = u8(dataPos + 2 * i) | (u8(dataPos + 2 * i + 1) << 8)
+        val s = if (v >= 32768) v - 65536 else v
+        sum += s
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+        i += 1
+      }
+      if (n == 0) (0L, 0L, 0, 0) else (n.toLong, sum, mn, mx)
+    }
+  }
+
+  /** Add PCM sample statistics columns — same mapPartitions shape. */
+  def withWavSampleStats(df: DataFrame, binaryCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val outSchema = df.schema
+      .add(StructField("n_samples", LongType))
+      .add(StructField("sum_s", LongType))
+      .add(StructField("min_s", IntegerType))
+      .add(StructField("max_s", IntegerType))
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val (n, sum, mn, mx) =
+          wavSampleStats(row.getAs[Array[Byte]](idx))
+        Row.fromSeq(row.toSeq ++ Seq[Any](n, sum, mn, mx))
+      }
+    }(RowEncoder.encoderFor(outSchema))
   }
 
   /** Add wav metadata columns from `wavMeta` over a binary column — same

@@ -680,10 +680,22 @@ object Media {
         s"ELSE 0 END + 24 + 8 + $d + ${mod(d, "2")})")
   }
 
+  /** Up-to-96 PCM payload bytes as hex; byte i = (doc_id*7 + i*13) mod
+    * 256 — the pgm-pixel derivation, byte-identical in both engines. */
+  private val wavPayloadHex: String =
+    (0 until 96)
+      .map(i => s"lpad(hex(pmod(doc_id * 7 + ${13 * i}, 256)), 2, '0')")
+      .mkString("concat(", ", ", ")")
+  private val oWavPayloadHex: String =
+    (0 until 96)
+      .map(i => s"lpad(hex((doc_id * 7 + ${13 * i}) % 256), 2, '0')")
+      .mkString(" || ")
+
   /** Spec-correct WAV per doc: RIFF/WAVE header, a JUNK chunk to skip
     * when doc_id%4 = 1 (odd sizes exercise the RIFF even-pad rule), the
     * 16-byte `fmt ` chunk (PCM, 1–2 channels, 8000/22050/44100 Hz,
-    * 16-bit), and a `data` chunk of 32–95 payload bytes. */
+    * 16-bit), and a `data` chunk of 32–95 DETERMINISTIC payload bytes
+    * (so the sample decode below certifies content, not a constant). */
   private val wavExpr: String = {
     val f = wavFrag((a, b) => s"pmod($a, $b)")
     s"""unhex(concat(
@@ -693,7 +705,8 @@ object Media {
        |    repeat('00', CAST(pmod(${f.j}, 2) AS INT))) ELSE '' END,
        |  '666D7420', '10000000', '0100', ${sLe16(f.ch)},
        |  ${sLe32(f.sr)}, ${sLe32(f.br)}, ${sLe16(f.ba)}, '1000',
-       |  '64617461', ${sLe32(f.d)}, repeat('AB', CAST(${f.d} AS INT)),
+       |  '64617461', ${sLe32(f.d)},
+       |  substr($wavPayloadHex, 1, CAST(${f.d} * 2 AS INT)),
        |  repeat('00', CAST(pmod(${f.d}, 2) AS INT))))""".stripMargin
   }
 
@@ -720,9 +733,12 @@ object Media {
       .orderBy(col("doc_id"))
   }
 
-  val wavMetaSql: String = {
+  /** The shared oracle CTE prefix: generated wav hex + the chunk walk
+    * carrying fmt fields, data size AND the data payload's byte offset
+    * (dpos, -1 until a data chunk is seen). */
+  private def oWavWalkCtes: String = {
     val f = wavFrag((a, b) => s"($a % $b)")
-    s"""WITH RECURSIVE b AS (SELECT doc_id FROM documents
+    s"""b AS (SELECT doc_id FROM documents
        |  ORDER BY doc_id LIMIT 500),
        |g AS (SELECT doc_id,
        |  '52494646' || ${oLe32(f.riffSize)} || '57415645'
@@ -733,14 +749,14 @@ object Media {
        |  || '666D7420' || '10000000' || '0100' || ${oLe16(f.ch)}
        |  || ${oLe32(f.sr)} || ${oLe32(f.br)} || ${oLe16(f.ba)} || '1000'
        |  || '64617461' || ${oLe32(f.d)}
-       |  || repeat('AB', CAST(${f.d} AS INT))
+       |  || substr($oWavPayloadHex, 1, CAST(${f.d} * 2 AS INT))
        |  || repeat('00', CAST(${f.d} % 2 AS INT)) AS hx
        |  FROM b),
        |wwalk AS (
        |  SELECT doc_id, hx, CAST(12 AS BIGINT) AS pos, 0 AS depth,
        |    CAST(0 AS BIGINT) AS ch, CAST(0 AS BIGINT) AS sr,
        |    CAST(0 AS BIGINT) AS br, CAST(0 AS BIGINT) AS bits,
-       |    CAST(0 AS BIGINT) AS db
+       |    CAST(-1 AS BIGINT) AS dpos, CAST(0 AS BIGINT) AS db
        |  FROM g
        |  WHERE substr(hx, 1, 8) = '52494646'
        |    AND substr(hx, 17, 8) = '57415645' AND length(hx) >= 24
@@ -759,19 +775,74 @@ object Media {
        |      CAST(('0x' || ${oB("pos + 23")} || ${oB("pos + 22")})
        |        AS BIGINT) ELSE bits END,
        |    CASE WHEN substr(hx, CAST(pos * 2 + 1 AS INT), 8) = '64617461'
+       |      THEN pos + 8 ELSE dpos END,
+       |    CASE WHEN substr(hx, CAST(pos * 2 + 1 AS INT), 8) = '64617461'
        |      THEN ${oWavSize} ELSE db END
        |  FROM wwalk
        |  WHERE depth < 64 AND length(hx) >= (pos + 8) * 2),
        |wend AS (
-       |  SELECT doc_id, ch, sr, br, bits, db,
+       |  SELECT doc_id, hx, ch, sr, br, bits, dpos, db,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY depth DESC) AS rn
-       |  FROM wwalk)
-       |SELECT doc_id, ch AS channels, sr AS sample_rate, br AS byte_rate,
-       |  bits, db AS data_bytes,
-       |  CASE WHEN br > 0 THEN CAST(db * 1000 // br AS BIGINT)
-       |    ELSE 0 END AS duration_ms
-       |FROM wend WHERE rn = 1
-       |ORDER BY doc_id""".stripMargin
+       |  FROM wwalk)""".stripMargin
+  }
+
+  // concatenated (NOT an interpolated stripMargin template): the walk CTE
+  // contains lines beginning with ||, which an outer stripMargin would eat
+  val wavMetaSql: String =
+    "WITH RECURSIVE " + oWavWalkCtes + "\n" +
+      """SELECT doc_id, ch AS channels, sr AS sample_rate, br AS byte_rate,
+        |  bits, db AS data_bytes,
+        |  CASE WHEN br > 0 THEN CAST(db * 1000 // br AS BIGINT)
+        |    ELSE 0 END AS duration_ms
+        |FROM wend WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin
+
+  /** REAL sample-level AUDIO decode (the `p_media_pixels` analog): PCM
+    * needs no codec, so both engines read the data chunk's signed 16-bit
+    * little-endian samples back out of the bytes and aggregate them —
+    * count / exact integer sum / min / max. The sample count is bounded
+    * by the bytes actually present AND the declared size (a trailing odd
+    * byte is not a sample), and the payload varies per (doc, offset), so
+    * the hash certifies byte-level content decoding. */
+  val wavSamplesQ: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+      .limit(500)
+      .withColumn("media", expr(wavExpr))
+    graft.engine.Multimodal.withWavSampleStats(docs, "media")
+      .select(col("doc_id"), col("n_samples"), col("sum_s"),
+        col("min_s").cast("long").as("min_s"),
+        col("max_s").cast("long").as("max_s"))
+      .orderBy(col("doc_id"))
+  }
+
+  val wavSamplesSql: String = {
+    val u = "CAST(('0x' || " +
+      "substr(hx, CAST((dpos + 2*k + 1) * 2 + 1 AS INT), 2) || " +
+      "substr(hx, CAST((dpos + 2*k) * 2 + 1 AS INT), 2)) AS BIGINT)"
+    val s16 = s"CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END"
+    "WITH RECURSIVE " + oWavWalkCtes + ",\n" +
+      s"""sm AS (
+         |  SELECT doc_id, hx, dpos,
+         |    CASE WHEN dpos >= 0 THEN
+         |      CAST(least(db, greatest(length(hx) // 2 - dpos, 0)) // 2
+         |        AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS n
+         |  FROM wend WHERE rn = 1),
+         |vals AS (
+         |  SELECT doc_id, n,
+         |    list_transform(range(0, CAST(n AS INT)), k -> $s16) AS ss
+         |  FROM sm)
+         |SELECT doc_id, n AS n_samples,
+         |  CASE WHEN n > 0 THEN CAST(list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT), ss), (a, x) -> a + x)
+         |    AS BIGINT) ELSE 0 END AS sum_s,
+         |  CASE WHEN n > 0 THEN CAST(list_aggregate(ss, 'min') AS BIGINT)
+         |    ELSE 0 END AS min_s,
+         |  CASE WHEN n > 0 THEN CAST(list_aggregate(ss, 'max') AS BIGINT)
+         |    ELSE 0 END AS max_s
+         |FROM vals ORDER BY doc_id""".stripMargin
   }
 
   // chunk size (LE u32 at pos+4) and fmt-chunk predicate, as single-line
@@ -790,12 +861,14 @@ object Media {
     "p_media_resize" -> mediaResize,
     "p_media_frames" -> mediaFrames,
     "p_media_gif_frames" -> gifFrames,
-    "p_media_wav_meta" -> wavMetaQ)
+    "p_media_wav_meta" -> wavMetaQ,
+    "p_media_wav_samples" -> wavSamplesQ)
   val oracle: Map[String, String] = Map(
     "p_media_meta" -> mediaMetaSql,
     "p_media_pixels" -> mediaPixelsSql,
     "p_media_resize" -> mediaResizeSql,
     "p_media_frames" -> mediaFramesSql,
     "p_media_gif_frames" -> gifFramesSql,
-    "p_media_wav_meta" -> wavMetaSql)
+    "p_media_wav_meta" -> wavMetaSql,
+    "p_media_wav_samples" -> wavSamplesSql)
 }
