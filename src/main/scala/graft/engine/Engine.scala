@@ -53,6 +53,74 @@ object Engine {
       (_, stmt) => Some(sql(spark, stmt))
     }
 
+  /** DESCRIBE convenience (Tier C introspection — the DuckDB `DESCRIBE
+    * <table/query>` one-liner a UI user leans on, delegated surface via
+    * /root/reference/src/duckdb.ts:46-49): the result's schema as rows of
+    * (column_name, column_type, null). Built from `df.schema` — pure
+    * driver-side metadata, NO job runs (DuckDB's DESCRIBE is likewise a
+    * binder-only operation), which is the property that matters at 100 TB:
+    * describing a petabyte table costs the same as describing 10 rows.
+    * Type names render in Spark's SQL dialect (engine-specific by nature,
+    * so spec-checked rather than oracle-hashed). */
+  def describe(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.schema.fields.toSeq
+      .map(f => (f.name, f.dataType.sql,
+        if (f.nullable) "YES" else "NO"))
+      .toDF("column_name", "column_type", "null")
+  }
+
+  /** SUMMARIZE convenience (DuckDB's per-column profile one-liner): count /
+    * distinct / null-fraction / min / max / mean per column in ONE
+    * distributed aggregate pass (one job, map-side partials — not a
+    * per-column scan loop: at 100 TB the difference between 1 scan and
+    * N_cols scans is the whole cost). Spark's own `df.summary()` skips
+    * non-numeric columns and runs no distinct counts; this wrapper profiles
+    * EVERY column: approx_count_distinct (the only sane distinct at scale),
+    * min/max rendered through the A14 formatter so timestamps/decimals
+    * read naturally, mean only where numeric. Stats formatting is
+    * engine-specific → spec-checked, not oracle-hashed. */
+  def summarize(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.NumericType
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = df.schema.fields.flatMap { f =>
+      val c = col(s"`${f.name}`")
+      Seq(
+        count(c).as(s"cnt_${f.name}"),
+        approx_count_distinct(c).as(s"dst_${f.name}"),
+        min(c).as(s"min_${f.name}"),
+        max(c).as(s"max_${f.name}")) ++
+        (f.dataType match {
+          case _: NumericType =>
+            Seq(avg(c).cast("double").as(s"avg_${f.name}"))
+          case _ => Nil
+        })
+    }
+    val total = count(lit(1)).as("__total")
+    val row = df.agg(total, aggs.toSeq: _*).collect()(0)
+    val n = row.getAs[Long]("__total")
+    df.schema.fields.toSeq.map { f =>
+      def s(prefix: String): String = {
+        val v = row.getAs[Any](s"${prefix}_${f.name}")
+        if (v == null) null else Render.formatCell(v)
+      }
+      val cnt = row.getAs[Long](s"cnt_${f.name}")
+      val mean =
+        if (f.dataType.isInstanceOf[NumericType])
+          Option(row.getAs[Any](s"avg_${f.name}"))
+            .map(v => Render.formatCell(v)).orNull
+        else null
+      (f.name, f.dataType.sql, cnt,
+        row.getAs[Long](s"dst_${f.name}"),
+        if (n == 0) 0.0 else (n - cnt).toDouble / n.toDouble,
+        s("min"), s("max"), mean)
+    }.toDF("column_name", "column_type", "count", "approx_unique",
+      "null_fraction", "min", "max", "mean")
+  }
+
   /** Error surface: the reference catches engine failures and shows
     * `err.message` (`/root/reference/src/App.tsx:382-383,441-444`). The
     * analog contract here: analysis/parse errors (the errors a SQL author

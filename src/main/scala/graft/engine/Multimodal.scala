@@ -133,7 +133,14 @@ object Multimodal {
     * introducer or sub-block — bounded at 64 steps, and the oracle's
     * recursive CTE (`Media.gifFramesSql`) executes the IDENTICAL machine
     * (same guards, same step accounting, same bound), the
-    * `HeaderDecoder`-JPEG-walk discipline. Malformed input never throws:
+    * `HeaderDecoder`-JPEG-walk discipline. NOTE the bound is sized to the
+    * synthetic parity corpus (max ~27 steps by construction): every
+    * 255-byte data sub-block costs one step, and a single real-world
+    * frame's LZW payload can span hundreds of sub-blocks, so on real GIFs
+    * this walk UNDERCOUNTS once the budget runs out (ADVICE r12) — it is
+    * a cross-engine parity harness, not a general frame counter; raise
+    * the bound (in BOTH engines' machines) before pointing it at real
+    * files. Malformed input never throws:
     * an unknown block byte or a truncated descriptor stops the walk and
     * the count so far stands (a truncated tail loses at most its own
     * uncounted frames). */

@@ -52,10 +52,17 @@ object Scale {
     * parallel-prefix spread (O(log w) shifts/masks per key, pure codegen
     * arithmetic — no UDF). Callers should first scale both keys to the
     * SAME bit width (an unbalanced interleave degenerates to a
-    * lexicographic sort on the wider key); low 32 bits of each are used. */
+    * lexicographic sort on the wider key); the low 31 BITS of each key are
+    * used — not 32, because bit 31 of `b` would land at bit 63 (the Long
+    * sign bit) and every downstream consumer sorts the z-code with
+    * SIGNED comparison (writeZOrdered's repartitionByRange), which would
+    * order the upper half of the key space BEFORE the lower and break the
+    * Z-curve's locality contract (ADVICE r12). Keys wider than 31 bits
+    * are masked, folding distant keys together rather than inverting
+    * their order. */
   def mortonInterleave(a: Column, b: Column): Column = {
     def spread(c: Column): Column = {
-      var x = c.bitwiseAND(lit(0xFFFFFFFFL))
+      var x = c.bitwiseAND(lit(0x7FFFFFFFL))
       x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
       x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
       x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))

@@ -550,6 +550,70 @@ object TierC {
       |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Dynamic PIVOT — the DuckDB convenience where the engine DISCOVERS the
+    * pivot domain from the data (`PIVOT ... ON col` with no IN list,
+    * delegated surface via /root/reference/src/duckdb.ts:46-49). Spark has
+    * no single-statement equivalent; the at-scale translation is TWO JOBS:
+    * (1) a distinct scan over the pivot column to learn the domain
+    * (collected to the driver — bounded by the domain's cardinality, which
+    * is small by construction or the pivot result would be unreadably
+    * wide), (2) the same two-phase pivot aggregate as `c_pivot` with the
+    * discovered list. That extra pass is exactly what the static-list
+    * `c_pivot` avoids when the domain is known — this query documents the
+    * cost of not knowing it. Keys are sorted so column order (and the
+    * driver's name-sorted hash) is deterministic; DuckDB's dynamic PIVOT
+    * likewise emits value-named columns, so the schemas line up without
+    * either side hardcoding the domain into the pivot itself. */
+  val pivotDynamic: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val keys = li.select(col("l_returnflag")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val wide = li.groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", keys)
+      .agg(decSum("l_quantity"))
+    wide.select(col("l_linestatus") +:
+        keys.map(k => col(s"`$k`").cast(DoubleType).as(k)): _*)
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** Oracle: DuckDB's genuinely dynamic PIVOT (no IN list — the engine
+    * discovers A/N/R from the data); the outer SELECT only fixes the
+    * output types and column order for the hash compare. */
+  val pivotDynamicSql: String =
+    """SELECT l_linestatus,
+      |  CAST("A" AS DOUBLE) AS A, CAST("N" AS DOUBLE) AS N,
+      |  CAST("R" AS DOUBLE) AS R
+      |FROM (PIVOT lineitem ON l_returnflag
+      |      USING SUM(CAST(l_quantity AS DECIMAL(18,2)))
+      |      GROUP BY l_linestatus)
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** Deterministic sampling — the `TABLESAMPLE` / `USING SAMPLE` twin
+    * (DuckDB surface via /root/reference/src/duckdb.ts:46-49). Engine
+    * sampling RNGs (Spark's Bernoulli XORShift, DuckDB's reservoir) never
+    * agree across engines OR across partitionings of the same data, so the
+    * portable primitive — and the better one at 100 TB, where a sample
+    * must be REPRODUCIBLE across reruns and engines to be debuggable — is
+    * a hash-rank rule: keep a row iff md5(salt || key) falls under the
+    * rate threshold. Same discipline as `p_corpus_mix`/
+    * `p_sample_stratified`; the first two hex chars < '04' keep 4/256 ≈
+    * 1.56% uniformly, scan-local (no shuffle, pushable behind any
+    * downstream agg), and the SAME rows come back on every engine. */
+  val sampleHash: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .filter(substring(md5(concat(lit("smp_"),
+        col("o_orderkey").cast("string"))), 1, 2) < "04")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DoubleType).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  val sampleHashSql: String =
+    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE)
+      |  AS o_totalprice
+      |FROM orders
+      |WHERE SUBSTR(md5('smp_' || CAST(o_orderkey AS VARCHAR)), 1, 2) < '04'
+      |ORDER BY o_orderkey""".stripMargin
+
   /** UNPIVOT (melt): wide aggregate → (key, measure, value) long form via
     * Dataset.unpivot — a Generator-backed map-side expansion, no shuffle
     * beyond the aggregate's own. */
@@ -1307,6 +1371,8 @@ object TierC {
     "c_join_range" -> joinRange,
     "c_udaf_sumsq" -> udafSumsq,
     "c_pivot" -> pivot_,
+    "c_pivot_dynamic" -> pivotDynamic,
+    "c_sample_hash" -> sampleHash,
     "c_unpivot" -> unpivot_,
     "c_grouping_reagg" -> groupingReagg,
     "c_histogram" -> histogram,
@@ -1355,6 +1421,8 @@ object TierC {
     "c_join_range" -> joinRangeSql,
     "c_udaf_sumsq" -> udafSumsqSql,
     "c_pivot" -> pivotSql,
+    "c_pivot_dynamic" -> pivotDynamicSql,
+    "c_sample_hash" -> sampleHashSql,
     "c_unpivot" -> unpivotSql,
     "c_grouping_reagg" -> TierCSql.groupingSets,
     "c_histogram" -> histogramSql,

@@ -81,6 +81,43 @@ class EngineSpec extends AnyFunSuite {
       out.swap.exists(_.contains("no such file for path table")))
   }
 
+  test("describe returns schema rows without running a job") {
+    val df = Engine.sql(spark,
+      "SELECT CAST(1 AS BIGINT) AS id, 'x' AS name, CAST(1.5 AS DOUBLE) AS v")
+    val rows = Engine.describe(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.map(_._1).toSeq == Seq("id", "name", "v"))
+    assert(rows(0)._2 == "BIGINT" && rows(2)._2 == "DOUBLE")
+    // metadata-only: works on a frame whose evaluation would throw
+    val poisoned = Engine.sql(spark,
+      "SELECT CAST(assert_true(false) AS STRING) AS boom")
+    assert(Engine.describe(poisoned).collect().length == 1)
+  }
+
+  test("summarize profiles every column in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Some(10.0)), (2L, "b", Some(20.0)),
+      (3L, "a", None), (4L, "c", Some(40.0)))
+      .toDF("id", "tag", "score")
+    val out = Engine.summarize(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("id", "tag", "score"))
+    val id = out("id")
+    assert(id.getLong(2) == 4L && id.getLong(3) == 4L) // count, distinct
+    assert(id.getString(5) == "1" && id.getString(6) == "4") // min, max
+    assert(id.getString(7) == "2.5") // mean via the A14 formatter
+    val tag = out("tag")
+    assert(tag.getLong(3) == 3L && tag.getString(7) == null) // no mean
+    val score = out("score")
+    assert(score.getLong(2) == 3L) // one null
+    assert(math.abs(score.getDouble(4) - 0.25) < 1e-12) // null_fraction
+    assert(score.getString(5) == "10" && score.getString(6) == "40")
+    // empty frame: zero counts, no divide-by-zero
+    val empty = Engine.summarize(df.filter($"id" < 0)).collect()
+    assert(empty.forall(r => r.getLong(2) == 0L && r.getDouble(4) == 0.0))
+  }
+
   test("tryQuery: authoring errors come back as messages, not throws") {
     assert(Engine.tryQuery(spark, "SELECT 1 AS ok").isRight)
     val parse = Engine.tryQuery(spark, "SELEC 1")

@@ -92,10 +92,15 @@ class ScaleSpec extends AnyFunSuite {
     // the naive bit loop, plus the locality property the layout uses:
     // within a fixed b, z is strictly increasing in a (and vice versa),
     // so per-key range predicates map to contiguous z-runs inside a box.
-    def ref(a: Long, b: Long): Long = {
+    // Only the low 31 bits of each key interleave (ADVICE r12): bit 31 of
+    // b would reach the Long sign bit and invert the SIGNED sort order
+    // writeZOrdered relies on, so the reference masks identically.
+    def ref(a0: Long, b0: Long): Long = {
+      val a = a0 & 0x7FFFFFFFL
+      val b = b0 & 0x7FFFFFFFL
       var z = 0L
       var i = 0
-      while (i < 32) {
+      while (i < 31) {
         z |= ((a >> i) & 1L) << (2 * i)
         z |= ((b >> i) & 1L) << (2 * i + 1)
         i += 1
@@ -121,11 +126,17 @@ class ScaleSpec extends AnyFunSuite {
       assert(got((a, b)) == ref(a, b),
         f"interleave($a%d, $b%d) = ${got((a, b))}%d != ref ${ref(a, b)}%d")
     }
-    // monotonicity in each key with the other fixed
-    val inA = Seq(3L, 7L, 100L, 1000L, 4096L).map(a => ref(a, 77L))
+    // monotonicity in each key with the other fixed — INCLUDING the full
+    // 31-bit corner, under the SIGNED Long ordering the layout sorts with
+    // (the ADVICE r12 failure mode: a 32-bit key put bit 63 in play and
+    // the top quadrant sorted before the bottom)
+    val probe = Seq(3L, 7L, 100L, 1000L, 4096L, 0x40000000L, 0x7FFFFFFFL)
+    val inA = probe.map(a => ref(a, 0x7FFFFFFFL))
     assert(inA == inA.sorted, "z must increase with a at fixed b")
-    val inB = Seq(3L, 7L, 100L, 1000L, 4096L).map(b => ref(55L, b))
+    val inB = probe.map(b => ref(0x7FFFFFFFL, b))
     assert(inB == inB.sorted, "z must increase with b at fixed a")
+    assert(ref(0x7FFFFFFFL, 0x7FFFFFFFL) >= 0L,
+      "31-bit inputs must never produce a negative (sign-bit) z-code")
   }
 
   test("AQE splits a skewed join partition at runtime (skew=true)") {

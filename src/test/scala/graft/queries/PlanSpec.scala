@@ -283,6 +283,44 @@ class PlanSpec extends AnyFunSuite {
       s"probes must prune at listing time, not row-filter:\n$p")
   }
 
+  test("p_sim_ivf_trained: trained-artifact probes prune directories") {
+    // Same contract as p_sim_ivf_pruned, but the codebook provenance is
+    // the PERSISTED trained artifact (VERDICT r12 #1): pruning must
+    // survive the train → persist → load round-trip.
+    val p = planOf(Similarity.ivfTrained(spark, dir))
+    val partLine = p.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partLine.contains("cent_id"),
+      s"probe selection must be a PartitionFilter:\n$p")
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("cent_id"),
+      s"cent_id must be directory-encoded, not read from files:\n$p")
+  }
+
+  test("p_sim_ivfpq_search: pruned directories AND no embedding in scan") {
+    // The composed production search (VERDICT r12 #2): the scan must
+    // (a) list only the probed cent_id directories and (b) read a schema
+    // WITHOUT the raw embedding column — the layout stores packed codes
+    // only, so an embedding in ReadSchema would mean the query fell back
+    // to the raw table and the 64x compression story is fiction.
+    val p = planOf(Similarity.ivfpqSearch(spark, dir))
+    val partLine = p.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partLine.contains("cent_id"),
+      s"probe selection must be a PartitionFilter:\n$p")
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("pq_code"),
+      s"scan must read the stored codes:\n$p")
+    assert(!readSchema.contains("embedding"),
+      s"no raw embedding may reach the ADC scan:\n$p")
+    val pushedLine = p.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(!pushedLine.contains("cent_id"),
+      s"probes must prune at listing time, not row-filter:\n$p")
+  }
+
   test("c_salted_join: join exchange hashes the widened (key, salt) space") {
     // The whole point of the salted rewrite: the shuffle must key on
     // (suppkey, salt) — a hot suppkey then spreads across the salt range
