@@ -308,6 +308,89 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** ISO-BMFF (MP4) BOX walk: the video-container analog of the RIFF
+    * chunk walk (`riffWalk`) — a codec-free grammar every MP4/MOV/HEIF
+    * file shares (ISO/IEC 14496-12 §4.2): the stream is a sequence of
+    * boxes `[size:4 BE][type:4][payload]`; container boxes hold child
+    * boxes. The walk extracts the metadata a catalog cares about: the
+    * `ftyp` major brand, `mvhd`'s timescale + duration (version-0 layout:
+    * at payload bytes 12/16, i.e. box bytes 20/24), and the track count
+    * (top-level `trak` children of `moov`). Stepping: unknown/leaf boxes
+    * skip by declared size; `moov` DESCENDS (pos += 8) because its
+    * children are what we're reading; `trak` counts then skips whole —
+    * its subtree is opaque here. Bounded at 64 steps (one per box).
+    * Malformed input never throws: a size < 8, an overrunning box, or a
+    * truncated header stops the walk and the state so far stands.
+    * 64-bit `largesize` (size==1) and size==0 (to-EOF) boxes are
+    * deliberately unsupported — the size<8 guard stops on them — as the
+    * synthetic parity corpus never emits them; a real-file reader would
+    * handle both. The oracle (`Media.mp4MetaSql`) executes the IDENTICAL
+    * machine as a recursive CTE: same guards, same stepping, same bound.
+    * Returns (brand_hex, timescale, duration, n_tracks); brand is the
+    * 8-hex-char type code ('' until an ftyp is seen) so both engines
+    * compare raw bytes, not charset decodings. */
+  def mp4Meta(bytes: Array[Byte]): (String, Long, Long, Long) = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def hex4(i: Int): String =
+      (i until i + 4).map(j => f"${u8(j)}%02X").mkString
+    val len = bytes.length.toLong
+    var pos = 0L
+    var depth = 0
+    var brand = ""
+    var ts = 0L
+    var dur = 0L
+    var ntrak = 0L
+    var done = false
+    while (!done && depth < 64 && pos + 8 <= len) {
+      val size = be32(pos.toInt)
+      val typ = hex4(pos.toInt + 4)
+      if (size < 8 || pos + size > len) done = true
+      else {
+        typ match {
+          case "66747970" => // ftyp: major brand at box bytes 8-11
+            if (pos + 12 <= len) brand = hex4(pos.toInt + 8)
+            pos += size
+          case "6D6F6F76" => // moov: container — descend into children
+            pos += 8
+          case "6D766864" => // mvhd v0: timescale @ +20, duration @ +24
+            if (pos + 28 <= len) {
+              ts = be32(pos.toInt + 20)
+              dur = be32(pos.toInt + 24)
+            }
+            pos += size
+          case "7472616B" => // trak: count the track, skip its subtree
+            ntrak += 1
+            pos += size
+          case _ => pos += size
+        }
+        depth += 1
+      }
+    }
+    (brand, ts, dur, ntrak)
+  }
+
+  /** Add MP4 container metadata columns — same mapPartitions shape. */
+  def withMp4Meta(df: DataFrame, binaryCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val outSchema = df.schema
+      .add(StructField("brand", StringType))
+      .add(StructField("timescale", LongType))
+      .add(StructField("duration", LongType))
+      .add(StructField("n_tracks", LongType))
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val (brand, ts, dur, ntrak) =
+          mp4Meta(row.getAs[Array[Byte]](idx))
+        Row.fromSeq(row.toSeq ++ Seq[Any](brand, ts, dur, ntrak))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Add an `n_frames` column from `gifFrameCount` over a binary column —
     * same once-per-partition mapPartitions shape as `withDecodedMeta`. */
   def withGifFrames(df: DataFrame, binaryCol: String): DataFrame = {

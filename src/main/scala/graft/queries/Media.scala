@@ -855,6 +855,147 @@ object Media {
     s"(substr(hx, CAST(pos * 2 + 1 AS INT), 8) = '666D7420' " +
       s"AND $oWavSize >= 16 AND length(hx) >= (pos + 24) * 2)"
 
+  // --- ISO-BMFF (MP4) video-container metadata ----------------------------
+
+  // per-doc container parameters as dialect-neutral fragments: an optional
+  // `free` box (doc_id%3=1, 1-7 pad bytes) before moov exercises the
+  // skip-by-size step; 1-2 tracks exercise the trak counter; timescale /
+  // duration land in mvhd big-endian (BE needs no byte swap: lpad(hex())
+  // IS the wire format, unlike the WAV little-endian renderers).
+  private final case class Mp4Frags(
+      f: String, ntrak: String, ts: String, dur: String, tl: String,
+      moovSz: String)
+  private def mp4Frag(mod: (String, String) => String): Mp4Frags = {
+    val f = s"(1 + ${mod("doc_id", "7")})"
+    val ntrak = s"(1 + ${mod("doc_id", "2")})"
+    val ts = s"(CASE CAST(${mod("doc_id", "3")} AS INT) WHEN 0 THEN 600 " +
+      "WHEN 1 THEN 1000 ELSE 90000 END)"
+    val dur = s"($ts * (1 + ${mod("doc_id", "5")}))"
+    val tl = s"(16 + ${mod("doc_id", "32")})" // opaque trak payload bytes
+    Mp4Frags(f, ntrak, ts, dur, tl, s"(116 + $ntrak * (8 + $tl))")
+  }
+
+  private def sBe32(e: String): String = s"lpad(hex($e), 8, '0')"
+
+  /** Spec-correct ISO-BMFF per doc (ISO/IEC 14496-12): `ftyp` (brand
+    * isom), an optional `free` box, and `moov` containing a full 108-byte
+    * version-0 `mvhd` (timescale, duration, unity matrix, next-track-id)
+    * plus 1-2 `trak` boxes whose payloads are opaque filler — the walk
+    * skips trak subtrees by size, which is exactly what the filler
+    * exercises. Box payload content beyond mvhd is BY SPEC opaque to a
+    * top-level walk, so filler bytes are honest here (unlike pixels/PCM,
+    * where content decoding is the point and the payloads are real). */
+  private val mp4Expr: String = {
+    val f = mp4Frag((a, b) => s"pmod($a, $b)")
+    s"""unhex(concat(
+       |  '00000010', '66747970', '69736F6D', '00000200',
+       |  CASE WHEN pmod(doc_id, 3) = 1 THEN concat(
+       |    ${sBe32(s"(8 + ${f.f})")}, '66726565',
+       |    repeat('AB', CAST(${f.f} AS INT))) ELSE '' END,
+       |  ${sBe32(f.moovSz)}, '6D6F6F76',
+       |  '0000006C', '6D766864', '00000000', '00000000', '00000000',
+       |  ${sBe32(f.ts)}, ${sBe32(f.dur)},
+       |  '00010000', '01000000', repeat('00', 8),
+       |  '00010000', '00000000', '00000000', '00000000', '00010000',
+       |  '00000000', '00000000', '00000000', '40000000',
+       |  repeat('00', 24), ${sBe32(s"(${f.ntrak} + 1)")},
+       |  ${sBe32(s"(8 + ${f.tl})")}, '7472616B',
+       |  repeat('AB', CAST(${f.tl} AS INT)),
+       |  CASE WHEN ${f.ntrak} = 2 THEN concat(
+       |    ${sBe32(s"(8 + ${f.tl})")}, '7472616B',
+       |    repeat('AB', CAST(${f.tl} AS INT))) ELSE '' END))""".stripMargin
+  }
+
+  /** Video-container metadata from the ISO-BMFF box walk
+    * (`Multimodal.mp4Meta`): brand, timescale, duration (+ the derived
+    * duration_ms by exact integer division), track count, byte size. The
+    * oracle re-executes the identical box machine as a recursive CTE —
+    * same size guards, same moov-descend / trak-skip stepping, same
+    * 64-box bound — so every extracted field hash-matches. Completes the
+    * codec-free container family: PNG/JPEG/GIF (image), WAV (audio),
+    * ISO-BMFF (video). */
+  val mp4MetaQ: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+      .limit(500)
+      .withColumn("media", expr(mp4Expr))
+    graft.engine.Multimodal.withMp4Meta(docs, "media")
+      .select(col("doc_id"), col("brand"), col("timescale"), col("duration"),
+        expr("CASE WHEN timescale > 0 THEN duration * 1000 div timescale" +
+          " ELSE 0 END").as("duration_ms"),
+        col("n_tracks"),
+        length(col("media")).cast("long").as("n_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mp4MetaSql: String = {
+    val f = mp4Frag((a, b) => s"($a % $b)")
+    val oSz = "CAST(('0x' || substr(hx, CAST(pos * 2 + 1 AS INT), 8))" +
+      " AS BIGINT)"
+    val oTyp = "substr(hx, CAST(pos * 2 + 9 AS INT), 8)"
+    // concatenated, not an interpolated stripMargin: the generator lines
+    // begin with || which an outer stripMargin would eat
+    "WITH RECURSIVE b AS (SELECT doc_id FROM documents" +
+      " ORDER BY doc_id LIMIT 500),\n" +
+      "g AS (SELECT doc_id,\n" +
+      "  '00000010' || '66747970' || '69736F6D' || '00000200'\n" +
+      s"  || CASE WHEN doc_id % 3 = 1 THEN ${sBe32(s"(8 + ${f.f})")}\n" +
+      s"       || '66726565' || repeat('AB', CAST(${f.f} AS INT))\n" +
+      "       ELSE '' END\n" +
+      s"  || ${sBe32(f.moovSz)} || '6D6F6F76'\n" +
+      "  || '0000006C' || '6D766864' || '00000000' || '00000000'\n" +
+      s"  || '00000000' || ${sBe32(f.ts)} || ${sBe32(f.dur)}\n" +
+      "  || '00010000' || '01000000' || repeat('00', 8)\n" +
+      "  || '00010000' || '00000000' || '00000000' || '00000000'\n" +
+      "  || '00010000' || '00000000' || '00000000' || '00000000'\n" +
+      s"  || '40000000' || repeat('00', 24) || ${sBe32(s"(${f.ntrak} + 1)")}\n" +
+      s"  || ${sBe32(s"(8 + ${f.tl})")} || '7472616B'\n" +
+      s"  || repeat('AB', CAST(${f.tl} AS INT))\n" +
+      s"  || CASE WHEN ${f.ntrak} = 2 THEN ${sBe32(s"(8 + ${f.tl})")}\n" +
+      s"       || '7472616B' || repeat('AB', CAST(${f.tl} AS INT))\n" +
+      "       ELSE '' END AS hx\n" +
+      "  FROM b),\n" +
+      "mwalk AS (\n" +
+      "  SELECT doc_id, hx, CAST(0 AS BIGINT) AS pos, 0 AS depth,\n" +
+      "    '' AS brand, CAST(0 AS BIGINT) AS tsc,\n" +
+      "    CAST(0 AS BIGINT) AS dur, CAST(0 AS BIGINT) AS ntrak\n" +
+      "  FROM g\n" +
+      "  UNION ALL\n" +
+      "  SELECT doc_id, hx,\n" +
+      s"    CASE WHEN $oTyp = '6D6F6F76' THEN pos + 8\n" +
+      s"      ELSE pos + $oSz END,\n" +
+      "    depth + 1,\n" +
+      s"    CASE WHEN $oTyp = '66747970'\n" +
+      "      AND length(hx) >= (pos + 12) * 2\n" +
+      "      THEN substr(hx, CAST(pos * 2 + 17 AS INT), 8)\n" +
+      "      ELSE brand END,\n" +
+      s"    CASE WHEN $oTyp = '6D766864'\n" +
+      "      AND length(hx) >= (pos + 28) * 2\n" +
+      "      THEN CAST(('0x' || substr(hx, CAST(pos * 2 + 41 AS INT), 8))\n" +
+      "        AS BIGINT) ELSE tsc END,\n" +
+      s"    CASE WHEN $oTyp = '6D766864'\n" +
+      "      AND length(hx) >= (pos + 28) * 2\n" +
+      "      THEN CAST(('0x' || substr(hx, CAST(pos * 2 + 49 AS INT), 8))\n" +
+      "        AS BIGINT) ELSE dur END,\n" +
+      s"    ntrak + CASE WHEN $oTyp = '7472616B' THEN 1 ELSE 0 END\n" +
+      "  FROM mwalk\n" +
+      "  WHERE depth < 64 AND length(hx) >= (pos + 8) * 2\n" +
+      s"    AND $oSz >= 8 AND (pos + $oSz) * 2 <= length(hx)),\n" +
+      "mend AS (\n" +
+      "  SELECT doc_id, hx, brand, tsc, dur, ntrak,\n" +
+      "    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY depth DESC)\n" +
+      "      AS rn\n" +
+      "  FROM mwalk)\n" +
+      "SELECT doc_id, brand, tsc AS timescale, dur AS duration,\n" +
+      "  CASE WHEN tsc > 0 THEN CAST(dur * 1000 // tsc AS BIGINT)\n" +
+      "    ELSE 0 END AS duration_ms,\n" +
+      "  CAST(ntrak AS BIGINT) AS n_tracks,\n" +
+      "  CAST(length(hx) // 2 AS BIGINT) AS n_bytes\n" +
+      "FROM mend WHERE rn = 1\n" +
+      "ORDER BY doc_id"
+  }
+
   val queries: Map[String, Q] = Map(
     "p_media_meta" -> mediaMeta,
     "p_media_pixels" -> mediaPixels,
@@ -862,7 +1003,8 @@ object Media {
     "p_media_frames" -> mediaFrames,
     "p_media_gif_frames" -> gifFrames,
     "p_media_wav_meta" -> wavMetaQ,
-    "p_media_wav_samples" -> wavSamplesQ)
+    "p_media_wav_samples" -> wavSamplesQ,
+    "p_media_mp4_meta" -> mp4MetaQ)
   val oracle: Map[String, String] = Map(
     "p_media_meta" -> mediaMetaSql,
     "p_media_pixels" -> mediaPixelsSql,
@@ -870,5 +1012,6 @@ object Media {
     "p_media_frames" -> mediaFramesSql,
     "p_media_gif_frames" -> gifFramesSql,
     "p_media_wav_meta" -> wavMetaSql,
-    "p_media_wav_samples" -> wavSamplesSql)
+    "p_media_wav_samples" -> wavSamplesSql,
+    "p_media_mp4_meta" -> mp4MetaSql)
 }

@@ -143,6 +143,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.wavMeta("RIFFxxxxNOPE".getBytes) == ((0, 0, 0, 0, 0L)))
   }
 
+  test("MP4 box walk: ftyp brand, mvhd fields, trak count, free skip") {
+    def be32(v: Int) =
+      f"${(v >> 24) & 0xff}%02X${(v >> 16) & 0xff}%02X" +
+        f"${(v >> 8) & 0xff}%02X${v & 0xff}%02X"
+    val ftyp = be32(16) + "66747970 69736F6D 00000200"
+    def mvhd(ts: Int, dur: Int) =
+      be32(108) + "6D766864 00000000 00000000 00000000 " +
+        be32(ts) + be32(dur) +
+        "00010000 01000000 " + "00" * 8 +
+        "00010000 00000000 00000000 00000000 00010000 00000000 " +
+        "00000000 00000000 40000000 " + "00" * 24 + be32(2)
+    def trak(n: Int) = be32(8 + n) + "7472616B " + "AB" * n
+    // canonical: ftyp → moov(mvhd + 2 trak)
+    val body = mvhd(90000, 450000) + trak(10) + trak(10)
+    val plain = hx(ftyp + be32(8 + body.replace(" ", "").length / 2) +
+      "6D6F6F76 " + body)
+    assert(Multimodal.mp4Meta(plain) ==
+      (("69736F6D", 90000L, 450000L, 2L)))
+    // a free box between ftyp and moov is skipped by size
+    val withFree = hx(ftyp + be32(11) + "66726565 ABABAB " +
+      be32(8 + (mvhd(600, 1200) + trak(4)).replace(" ", "").length / 2) +
+      "6D6F6F76 " + mvhd(600, 1200) + trak(4))
+    assert(Multimodal.mp4Meta(withFree) == (("69736F6D", 600L, 1200L, 1L)))
+    // size < 8 (the largesize/to-EOF encodings we don't support) stops
+    // the walk with the state so far — never a throw or a spin
+    val badSize = hx(ftyp + be32(1) + "6D6F6F76")
+    assert(Multimodal.mp4Meta(badSize) == (("69736F6D", 0L, 0L, 0L)))
+    // an overrunning box stops the walk; prior fields stand
+    val overrun = hx(ftyp + be32(9999) + "6D6F6F76")
+    assert(Multimodal.mp4Meta(overrun) == (("69736F6D", 0L, 0L, 0L)))
+    // truncated mid-header: state so far stands
+    val cut = plain.take(20)
+    assert(Multimodal.mp4Meta(cut) == (("69736F6D", 0L, 0L, 0L)))
+    // not a box stream at all / empty
+    assert(Multimodal.mp4Meta("plain text!!".getBytes) ==
+      (("", 0L, 0L, 0L)))
+    assert(Multimodal.mp4Meta(Array.empty[Byte]) == (("", 0L, 0L, 0L)))
+  }
+
   test("corrupt/truncated payloads never throw; format = signature, dims 0") {
     // policy (ADVICE r7): format reflects the recognized leading signature,
     // width=height=0 signals an unparseable header — uniform across formats

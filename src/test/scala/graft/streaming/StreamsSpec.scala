@@ -319,4 +319,60 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.distinct.length == 40, "duplicate vectors after restart")
     assert(got.toSet == (0L until 40L).toSet)
   }
+
+  test("dedupIndexIngest: N micro-batches build the batch band index") {
+    // The composed loop (VERDICT r12 #7): the index the stream MAINTAINS
+    // must be the index the batch pipeline BUILDS — same docs in, same
+    // (doc_id, band, key) relation out, regardless of micro-batch
+    // boundaries. Feed 40 documents in 3 uneven micro-batches and
+    // compare against the batch transform chain on the same rows.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val out = java.nio.file.Files.createTempDirectory("dedup-idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup-ck").toString
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.dedupIndexIngest(
+      in.toDF().toDF("doc_id", "text"), out, ckpt)
+    try {
+      in.addData(docs.take(7).toSeq: _*)
+      q.processAllAvailable()
+      in.addData(docs.slice(7, 25).toSeq: _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(25).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // at-rest shape: one directory per band (the probe's prune column)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("band=")).sorted
+    assert(dirs.length == 4, s"expected 4 band dirs: ${dirs.toSeq}")
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "band", "key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val ids = docs.map(_._1)
+    val batch = graft.queries.Dedup.withBandKeys(
+        graft.queries.Dedup.withMinhashSig(
+          spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select(col("doc_id"), col("text"))
+            .filter(col("doc_id").isin(ids: _*))))
+      .select(col("doc_id"),
+        expr("stack(4, 0, k0, 1, k1, 2, k2, 3, k3)").as(Seq("band", "key")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(streamed == batch,
+      s"stream-maintained index drifted from the batch-built index: " +
+        s"${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+    assert(streamed.map(_._1) == ids.toSet, "every admitted doc indexed")
+    // and a (band, key) probe of the streamed index partition-prunes
+    val probe = streamed.head
+    val plan = graft.engine.Engine.explain(
+      spark.read.parquet(out)
+        .filter(col("band") === probe._2 && col("key") === probe._3))
+    assert(plan.contains("PartitionFilters") && plan.contains("band"),
+      s"band must prune directories of the streamed index:\n$plan")
+  }
 }
