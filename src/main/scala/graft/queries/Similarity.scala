@@ -1507,6 +1507,38 @@ object Similarity {
     * 8 array lookups + 7 adds, pure codegen, zero exchanges before the
     * top-10. This is `p_sim_ivf_pruned`'s bytes-scanned story × 64 again:
     * 2/16 of the directories, 4 B/vector instead of 256 B. */
+  /** The pruned ADC scan both composed searches share: probed directories
+    * of the codes-at-rest layout + the asymmetric distance over the
+    * stored pq_code (lut(j)(k): fold of (q_d − c_d)² over subspace j's 8
+    * dims in order — the oracle's exact op sequence). */
+  private def adcFrame(s: SparkSession, dir: String,
+      cents: Seq[(Long, Array[Double])], q: Array[Float]): DataFrame = {
+    val probes = probeIdsOfD(q, cents).map(_.toInt)
+    val lut: Array[Array[Double]] = Array.tabulate(8) { j =>
+      cents.map { case (_, c) =>
+        var acc = 0.0
+        var i = 0
+        while (i < 8) {
+          val d = q(j * 8 + i).toDouble - c(j * 8 + i)
+          acc += d * d
+          i += 1
+        }
+        acc
+      }.toArray
+    }
+    def lutLit(j: Int): String =
+      lut(j).map(v => s"CAST('$v' AS DOUBLE)")
+        .mkString("array(", ", ", ")")
+    val adc = (0 until 8)
+      .map(j => s"element_at(${lutLit(j)}, " +
+        s"CAST((shiftright(pq_code, ${4 * j}) & 15) + 1 AS INT))")
+      .mkString(" + ")
+    val path = ivfpqLayout(s, dir, cents)
+    s.read.parquet(path)
+      .filter(col("cent_id").isin(probes: _*) && col("vec_id") =!= 0)
+      .withColumn("adc_dist", expr(adc))
+  }
+
   val ivfpqSearch: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val cents = trainedCodebook(s, dir)
@@ -1514,36 +1546,44 @@ object Similarity {
     if (cents.isEmpty || qOpt.isEmpty)
       emb.select(col("vec_id"), col("label"), lit(0.0).as("adc_dist"))
         .filter(lit(false))
-    else {
-      val q = qOpt.get
-      val probes = probeIdsOfD(q, cents).map(_.toInt)
-      // lut(j)(k): fold of (q_d - c_d)^2 over subspace j's 8 dims in
-      // order — the oracle's exact op sequence
-      val lut: Array[Array[Double]] = Array.tabulate(8) { j =>
-        cents.map { case (_, c) =>
-          var acc = 0.0
-          var i = 0
-          while (i < 8) {
-            val d = q(j * 8 + i).toDouble - c(j * 8 + i)
-            acc += d * d
-            i += 1
-          }
-          acc
-        }.toArray
-      }
-      def lutLit(j: Int): String =
-        lut(j).map(v => s"CAST('$v' AS DOUBLE)")
-          .mkString("array(", ", ", ")")
-      val adc = (0 until 8)
-        .map(j => s"element_at(${lutLit(j)}, " +
-          s"CAST((shiftright(pq_code, ${4 * j}) & 15) + 1 AS INT))")
-        .mkString(" + ")
-      val path = ivfpqLayout(s, dir, cents)
-      s.read.parquet(path)
-        .filter(col("cent_id").isin(probes: _*) && col("vec_id") =!= 0)
-        .withColumn("adc_dist", expr(adc))
+    else
+      adcFrame(s, dir, cents, qOpt.get)
         .select(col("vec_id"), col("label"), col("adc_dist"))
         .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(10)
+  }
+
+  /** TWO-STAGE retrieval — the complete production ANN read path: the
+    * compressed index proposes, the raw vectors dispose. Stage 1 is the
+    * `ivfpqSearch` scan (pruned directories, ADC over stored codes) cut
+    * to a top-50 SHORTLIST (TakeOrderedAndProject); stage 2 fetches the
+    * shortlist's RAW vectors and re-ranks by exact cosine, returning the
+    * exact-scored top-10 of the candidates. The shortlist's 50 ids are
+    * collected (a bounded driver artifact, like the codebook) and pushed
+    * into the raw-table scan as an IN predicate — PlanSpec asserts
+    * `PushedFilters: In(vec_id, ...)` — so at 100 TB the re-rank reads
+    * row groups containing 50 ids, not the corpus: the point-lookup
+    * economics that make quantized shortlisting worthwhile. ADC ties and
+    * cosine ties both break on vec_id, so the shortlist boundary and the
+    * final order are deterministic cross-engine. */
+  val ivfpqRerank: Q = (s, dir) => {
+    graft.functions.CosineSimilarity.register(s)
+    val emb = t(s, dir, "embeddings")
+    val cents = trainedCodebook(s, dir)
+    val qOpt = queryVec(emb)
+    if (cents.isEmpty || qOpt.isEmpty)
+      emb.select(col("vec_id"), col("label"), lit(0.0).as("cosine"))
+        .filter(lit(false))
+    else {
+      val q = qOpt.get
+      val shortlist: Seq[Long] = adcFrame(s, dir, cents, q)
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(50)
+        .select(col("vec_id")).collect().toSeq.map(_.getLong(0))
+      emb.filter(col("vec_id").isin(shortlist: _*))
+        .withColumn("cosine", expr(s"cosine_sim(embedding, ${centLit(q)})"))
+        .select(col("vec_id"), col("label"), col("cosine"))
+        .orderBy(desc("cosine"), col("vec_id"))
         .limit(10)
     }
   }
@@ -1553,7 +1593,7 @@ object Similarity {
     * vectors, and replays the identical unpack → LUT-lookup → fold ADC —
     * no layout involved, so a hash match certifies the at-rest codes and
     * the pruned scan preserved every candidate. */
-  val ivfpqSearchSql: String = {
+  private val ivfpqCtes: String = {
     def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
     val e = "CAST(e.embedding[CAST(j.j * 8 + i + 1 AS INT)] AS DOUBLE)"
     val c = "CAST(c.cent[CAST(j.j * 8 + i + 1 AS INT)] AS DOUBLE)"
@@ -1610,12 +1650,30 @@ object Similarity {
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list(l.dist ORDER BY u.j)), (a, x) -> a + x) AS adc_dist
        |  FROM unp u JOIN lut l ON l.j = u.j AND l.k = u.k
-       |  GROUP BY u.vec_id)
-       |SELECT a.vec_id, e.label, a.adc_dist
-       |FROM adc a JOIN cand e ON e.vec_id = a.vec_id
-       |ORDER BY a.adc_dist, a.vec_id
-       |LIMIT 10""".stripMargin
+       |  GROUP BY u.vec_id)""".stripMargin
   }
+
+  val ivfpqSearchSql: String =
+    ivfpqCtes + "\n" +
+      """SELECT a.vec_id, e.label, a.adc_dist
+        |FROM adc a JOIN cand e ON e.vec_id = a.vec_id
+        |ORDER BY a.adc_dist, a.vec_id
+        |LIMIT 10""".stripMargin
+
+  /** Same CTE chain, then the two-stage final: ADC top-50 shortlist →
+    * exact cosine over the shortlist's raw vectors → exact top-10. */
+  val ivfpqRerankSql: String =
+    ivfpqCtes + ",\n" +
+      s"""shortlist AS (
+         |  SELECT vec_id FROM adc
+         |  ORDER BY adc_dist, vec_id
+         |  LIMIT 50)
+         |SELECT e.vec_id, e.label,
+         |  ${oCosOf("e.embedding", "q.qe")} AS cosine
+         |FROM embeddings e
+         |JOIN shortlist s ON s.vec_id = e.vec_id, q
+         |ORDER BY cosine DESC, e.vec_id
+         |LIMIT 10""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "p_sim_bruteforce" -> bruteForce,
@@ -1633,7 +1691,8 @@ object Similarity {
     "p_sim_pq_search" -> pqSearch,
     "p_sim_kmeans_step" -> kmeansStep,
     "p_sim_ivf_trained" -> ivfTrained,
-    "p_sim_ivfpq_search" -> ivfpqSearch)
+    "p_sim_ivfpq_search" -> ivfpqSearch,
+    "p_sim_ivfpq_rerank" -> ivfpqRerank)
 
   val oracle: Map[String, String] = Map(
     "p_sim_bruteforce" -> bruteForceSql,
@@ -1651,5 +1710,6 @@ object Similarity {
     "p_sim_pq_search" -> pqSearchSql,
     "p_sim_kmeans_step" -> kmeansStepSql,
     "p_sim_ivf_trained" -> ivfTrainedSql,
-    "p_sim_ivfpq_search" -> ivfpqSearchSql)
+    "p_sim_ivfpq_search" -> ivfpqSearchSql,
+    "p_sim_ivfpq_rerank" -> ivfpqRerankSql)
 }

@@ -321,6 +321,21 @@ class PlanSpec extends AnyFunSuite {
       s"probes must prune at listing time, not row-filter:\n$p")
   }
 
+  test("p_sim_ivfpq_rerank: shortlist ids push into the raw scan as IN") {
+    // Stage 2's economics: the exact re-rank must be a POINT LOOKUP of
+    // the 50 shortlisted vectors — the ids pushed to the parquet scan as
+    // an IN predicate (row-group skipping) — not a scan of the corpus
+    // with a post-filter, and certainly not a join that shuffles it.
+    val p = planOf(Similarity.ivfpqRerank(spark, dir))
+    val pushedLine = p.linesIterator
+      .find(l => l.contains("PushedFilters") && l.contains("vec_id"))
+      .getOrElse("")
+    assert(pushedLine.contains("In(vec_id") || pushedLine.contains("In(VEC_ID"),
+      s"shortlist ids must reach the scan as a pushed IN:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"re-rank must not shuffle-join the corpus:\n$p")
+  }
+
   test("c_salted_join: join exchange hashes the widened (key, salt) space") {
     // The whole point of the salted rewrite: the shuffle must key on
     // (suppkey, salt) — a hot suppkey then spreads across the salt range
