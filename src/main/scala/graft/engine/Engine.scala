@@ -21,8 +21,28 @@ object Engine {
     * registered views first (Catalog.rewritePathTables) so the
     * reference's `FROM 'file.csv'` dialect works for every supported
     * format, not just parquet's native path syntax. */
-  def sql(spark: SparkSession, statement: String): DataFrame =
-    spark.sql(Catalog.rewritePathTables(spark, statement)._1)
+  def sql(spark: SparkSession, statement: String): DataFrame = {
+    // DuckDB introspection one-liners a reference user types verbatim
+    // (delegated surface, /root/reference/src/duckdb.ts:46-49): Spark has
+    // no SUMMARIZE statement and spells DESCRIBE-a-query `DESCRIBE
+    // QUERY`, so both route to the engine's describe/summarize — the
+    // target may be a table name, a quoted path table, or a full SELECT.
+    val trimmed = statement.trim.stripSuffix(";").trim
+    val summarizeRe = "(?is)^SUMMARIZE\\s+(.+)$".r
+    val describeSelRe = "(?is)^DESCRIBE\\s+(SELECT\\b.+)$".r
+    trimmed match {
+      case summarizeRe(target) => summarize(sqlTarget(spark, target))
+      case describeSelRe(sel) => describe(sql(spark, sel))
+      case _ => spark.sql(Catalog.rewritePathTables(spark, statement)._1)
+    }
+  }
+
+  /** A SUMMARIZE/DESCRIBE target: a full SELECT runs as-is; anything else
+    * (table name, quoted path) wraps in SELECT * FROM so the path-table
+    * rewrite applies uniformly. */
+  private def sqlTarget(spark: SparkSession, target: String): DataFrame =
+    if (target.trim.toUpperCase.startsWith("SELECT")) sql(spark, target)
+    else sql(spark, s"SELECT * FROM ${target.trim}")
 
   /** A7: fire-and-forget exec (DDL) — run, discard result. Spark DDL
     * statements execute eagerly inside `spark.sql`. */
@@ -82,17 +102,24 @@ object Engine {
     * read naturally, mean only where numeric. Stats formatting is
     * engine-specific → spec-checked, not oracle-hashed. */
   def summarize(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.NumericType
     val spark = df.sparkSession
     import spark.implicits._
+    // non-orderable types (maps) support neither min/max nor the hash
+    // inside approx_count_distinct — their profile is count-only, nulls
+    // elsewhere, rather than an AnalysisException for the whole frame
+    def orderable(f: org.apache.spark.sql.types.StructField): Boolean =
+      RowOrdering.isOrderable(f.dataType)
     val aggs = df.schema.fields.flatMap { f =>
       val c = col(s"`${f.name}`")
-      Seq(
-        count(c).as(s"cnt_${f.name}"),
-        approx_count_distinct(c).as(s"dst_${f.name}"),
-        min(c).as(s"min_${f.name}"),
-        max(c).as(s"max_${f.name}")) ++
+      Seq(count(c).as(s"cnt_${f.name}")) ++
+        (if (orderable(f)) Seq(
+          approx_count_distinct(c).as(s"dst_${f.name}"),
+          min(c).as(s"min_${f.name}"),
+          max(c).as(s"max_${f.name}"))
+        else Nil) ++
         (f.dataType match {
           case _: NumericType =>
             Seq(avg(c).cast("double").as(s"avg_${f.name}"))
@@ -103,18 +130,21 @@ object Engine {
     val row = df.agg(total, aggs.toSeq: _*).collect()(0)
     val n = row.getAs[Long]("__total")
     df.schema.fields.toSeq.map { f =>
-      def s(prefix: String): String = {
-        val v = row.getAs[Any](s"${prefix}_${f.name}")
-        if (v == null) null else Render.formatCell(v)
-      }
+      def s(prefix: String): String =
+        if (!orderable(f)) null
+        else {
+          val v = row.getAs[Any](s"${prefix}_${f.name}")
+          if (v == null) null else Render.formatCell(v)
+        }
       val cnt = row.getAs[Long](s"cnt_${f.name}")
+      val dst: Option[Long] =
+        if (orderable(f)) Some(row.getAs[Long](s"dst_${f.name}")) else None
       val mean =
         if (f.dataType.isInstanceOf[NumericType])
           Option(row.getAs[Any](s"avg_${f.name}"))
             .map(v => Render.formatCell(v)).orNull
         else null
-      (f.name, f.dataType.sql, cnt,
-        row.getAs[Long](s"dst_${f.name}"),
+      (f.name, f.dataType.sql, cnt, dst,
         if (n == 0) 0.0 else (n - cnt).toDouble / n.toDouble,
         s("min"), s("max"), mean)
     }.toDF("column_name", "column_type", "count", "approx_unique",

@@ -116,6 +116,38 @@ class EngineSpec extends AnyFunSuite {
     // empty frame: zero counts, no divide-by-zero
     val empty = Engine.summarize(df.filter($"id" < 0)).collect()
     assert(empty.forall(r => r.getLong(2) == 0L && r.getDouble(4) == 0.0))
+    // a map column is neither orderable nor hashable: count-only profile
+    // instead of an AnalysisException for the whole frame
+    val withMap = Engine.sql(spark,
+      "SELECT 1 AS k, map('a', 1) AS m UNION ALL SELECT 2, map('b', 2)")
+    val mRow = Engine.summarize(withMap).collect()
+      .map(r => r.getString(0) -> r).toMap.apply("m")
+    assert(mRow.getLong(2) == 2L && mRow.isNullAt(3) &&
+      mRow.getString(5) == null && mRow.getString(6) == null)
+  }
+
+  test("SUMMARIZE / DESCRIBE SELECT route like the DuckDB one-liners") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_sum AS " +
+        "SELECT 1 AS a, 'x' AS b UNION ALL SELECT 3, 'y'")
+    // SUMMARIZE <table>
+    val byTable = Engine.sql(spark, "SUMMARIZE engine_spec_sum;")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(byTable.keySet == Set("a", "b"))
+    assert(byTable("a").getString(5) == "1" && byTable("a").getString(6) == "3")
+    // SUMMARIZE SELECT ...
+    val byQuery = Engine.sql(spark,
+      "SUMMARIZE SELECT a * 10 AS a10 FROM engine_spec_sum").collect()
+    assert(byQuery.length == 1 && byQuery(0).getString(0) == "a10" &&
+      byQuery(0).getString(6) == "30")
+    // DESCRIBE SELECT ... (Spark only accepts DESCRIBE QUERY natively)
+    val desc = Engine.sql(spark,
+      "DESCRIBE SELECT a, b FROM engine_spec_sum").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(desc.toSeq == Seq(("a", "INT"), ("b", "STRING")))
+    // plain DESCRIBE <table> still reaches Spark's native statement
+    val nat = Engine.sql(spark, "DESCRIBE engine_spec_sum").collect()
+    assert(nat.map(_.getString(0)).toSet.contains("a"))
   }
 
   test("tryQuery: authoring errors come back as messages, not throws") {
