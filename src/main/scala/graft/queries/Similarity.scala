@@ -1018,7 +1018,11 @@ object Similarity {
     * unpack 8 four-bit codes (shift/mask on ONE BIGINT) + 8 array
     * lookups + 7 additions — pure codegen, zero shuffles before the
     * top-k. The in-query encode step stands in for the stored codes
-    * column a production index keeps at rest; the ADC arithmetic itself
+    * column a production index keeps at rest — `ivfpqSearch`
+    * (`p_sim_ivfpq_search`) IS that production leg, reading trained
+    * codes from the partitioned layout with no embedding in its scan;
+    * this query remains the self-contained ADC demonstration, its cost
+    * dominated by the stand-in encode. The ADC arithmetic itself
     * reads ONLY the packed code. Left-to-right addition on both engines
     * (the oracle folds an ORDER BY j list from zero; 0 + d0 == d0
     * exactly for finite non-negative doubles), so distances — and the
