@@ -41,7 +41,9 @@ object Engine {
     * (table name, quoted path) wraps in SELECT * FROM so the path-table
     * rewrite applies uniformly. */
   private def sqlTarget(spark: SparkSession, target: String): DataFrame =
-    if (target.trim.toUpperCase.startsWith("SELECT")) sql(spark, target)
+    // \b word boundary (mirroring describeSelRe): a table NAMED
+    // `selected_docs` is a table, not a SELECT statement
+    if (target.trim.matches("(?is)^SELECT\\b.*")) sql(spark, target)
     else sql(spark, s"SELECT * FROM ${target.trim}")
 
   /** A7: fire-and-forget exec (DDL) — run, discard result. Spark DDL
@@ -112,36 +114,41 @@ object Engine {
     // elsewhere, rather than an AnalysisException for the whole frame
     def orderable(f: org.apache.spark.sql.types.StructField): Boolean =
       RowOrdering.isOrderable(f.dataType)
-    val aggs = df.schema.fields.flatMap { f =>
-      val c = col(s"`${f.name}`")
-      Seq(count(c).as(s"cnt_${f.name}")) ++
+    // Columns are addressed by INDEX, not name: duplicate column names
+    // (routine after joins) make name lookups ambiguous, and embedded
+    // backticks break quoting — a positional rename to __c$i sidesteps
+    // both, and the output still reports the ORIGINAL names.
+    val positional = df.toDF(df.columns.indices.map(i => s"__c$i"): _*)
+    val aggs = df.schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(s"__c$i")
+      Seq(count(c).as(s"cnt_$i")) ++
         (if (orderable(f)) Seq(
-          approx_count_distinct(c).as(s"dst_${f.name}"),
-          min(c).as(s"min_${f.name}"),
-          max(c).as(s"max_${f.name}"))
+          approx_count_distinct(c).as(s"dst_$i"),
+          min(c).as(s"min_$i"),
+          max(c).as(s"max_$i"))
         else Nil) ++
         (f.dataType match {
           case _: NumericType =>
-            Seq(avg(c).cast("double").as(s"avg_${f.name}"))
+            Seq(avg(c).cast("double").as(s"avg_$i"))
           case _ => Nil
         })
     }
     val total = count(lit(1)).as("__total")
-    val row = df.agg(total, aggs.toSeq: _*).collect()(0)
+    val row = positional.agg(total, aggs.toSeq: _*).collect()(0)
     val n = row.getAs[Long]("__total")
-    df.schema.fields.toSeq.map { f =>
+    df.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
       def s(prefix: String): String =
         if (!orderable(f)) null
         else {
-          val v = row.getAs[Any](s"${prefix}_${f.name}")
+          val v = row.getAs[Any](s"${prefix}_$i")
           if (v == null) null else Render.formatCell(v)
         }
-      val cnt = row.getAs[Long](s"cnt_${f.name}")
+      val cnt = row.getAs[Long](s"cnt_$i")
       val dst: Option[Long] =
-        if (orderable(f)) Some(row.getAs[Long](s"dst_${f.name}")) else None
+        if (orderable(f)) Some(row.getAs[Long](s"dst_$i")) else None
       val mean =
         if (f.dataType.isInstanceOf[NumericType])
-          Option(row.getAs[Any](s"avg_${f.name}"))
+          Option(row.getAs[Any](s"avg_$i"))
             .map(v => Render.formatCell(v)).orNull
         else null
       (f.name, f.dataType.sql, cnt, dst,

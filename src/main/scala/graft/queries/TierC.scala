@@ -566,8 +566,13 @@ object TierC {
     * either side hardcoding the domain into the pivot itself. */
   val pivotDynamic: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
+    // NULL pivot keys are dropped before sorting (Scala's String sort
+    // NPEs on null); DuckDB's dynamic PIVOT emits a "NULL" column for a
+    // null key, so a nullable pivot column would need the sentinel-column
+    // treatment — l_returnflag is non-null, and the guard keeps a stray
+    // null from crashing the domain discovery either way.
     val keys = li.select(col("l_returnflag")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+      .collect().map(_.getString(0)).filter(_ != null).sorted.toSeq
     val wide = li.groupBy(col("l_linestatus"))
       .pivot("l_returnflag", keys)
       .agg(decSum("l_quantity"))

@@ -124,6 +124,18 @@ class EngineSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r).toMap.apply("m")
     assert(mRow.getLong(2) == 2L && mRow.isNullAt(3) &&
       mRow.getString(5) == null && mRow.getString(6) == null)
+    // duplicate column names (routine after a join) profile positionally
+    // instead of throwing on an ambiguous lookup
+    val dup = Engine.sql(spark,
+      "SELECT 1 AS k, 2 AS k UNION ALL SELECT 3, 4")
+    val dupRows = Engine.summarize(dup).collect()
+    assert(dupRows.length == 2 &&
+      dupRows.forall(_.getString(0) == "k") &&
+      dupRows(0).getString(6) == "3" && dupRows(1).getString(6) == "4")
+    // a backtick inside a column name survives the positional rename
+    val tick = Engine.sql(spark, "SELECT 1 AS `we``ird`")
+    val tickRow = Engine.summarize(tick).collect()(0)
+    assert(tickRow.getString(0) == "we`ird" && tickRow.getString(6) == "1")
   }
 
   test("SUMMARIZE / DESCRIBE SELECT route like the DuckDB one-liners") {
@@ -148,6 +160,13 @@ class EngineSpec extends AnyFunSuite {
     // plain DESCRIBE <table> still reaches Spark's native statement
     val nat = Engine.sql(spark, "DESCRIBE engine_spec_sum").collect()
     assert(nat.map(_.getString(0)).toSet.contains("a"))
+    // a table whose NAME starts with "select" is a table, not a SELECT
+    // statement (the sqlTarget word-boundary rule)
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW selected_docs AS SELECT 7 AS a")
+    val selNamed = Engine.sql(spark, "SUMMARIZE selected_docs").collect()
+    assert(selNamed.length == 1 && selNamed(0).getString(0) == "a" &&
+      selNamed(0).getString(6) == "7")
   }
 
   test("tryQuery: authoring errors come back as messages, not throws") {
