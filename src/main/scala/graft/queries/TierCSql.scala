@@ -302,6 +302,102 @@ object TierCSql {
       |             ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_orderstatus, rnk""".stripMargin
 
+  // --- Write-side SQL: CREATE TABLE AS + INSERT INTO (VERDICT r13 #1) ----
+  //
+  // The reference's delegation point passes arbitrary SQL to DuckDB
+  // (/root/reference/src/duckdb.ts:46-49) and the app itself authors DDL
+  // (/root/reference/src/App.tsx:316-327), so materializing a query as a
+  // TABLE and appending to it is reference surface. Spark's analog is the
+  // session catalog's managed parquet table (the same machinery
+  // Layout.bucketedPair already leans on via saveAsTable): CTAS plans the
+  // SELECT through Catalyst and runs a distributed parquet write — at
+  // 100 TB it IS an insert-overwrite job, partitioned like any other
+  // write — and INSERT INTO appends files to the same table. The script
+  // runs through Engine.runScript (the B30 statement-at-cursor path), so
+  // the witness certifies lexer → DDL exec → DML append → read-back as one
+  // user flow. DROP TABLE IF EXISTS up front makes every invocation
+  // self-contained (Verify/Bench call each query up to 3×); the table name
+  // carries the sfDir hash + pid so concurrent harness JVMs and different
+  // scale factors never collide in the shared warehouse.
+  private def ctasTable(dir: String): String =
+    s"graft_ctas_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+
+  def ctasScript(dir: String): String = {
+    val t = ctasTable(dir)
+    s"""DROP TABLE IF EXISTS $t;
+       |CREATE TABLE $t AS
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_totalprice > 300000;
+       |INSERT INTO $t
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_totalprice < 5000;
+       |INSERT INTO $t VALUES
+       |  (CAST(-1 AS BIGINT), 'X', CAST(123.25 AS DOUBLE)),
+       |  (CAST(-2 AS BIGINT), 'X', CAST(67.5 AS DOUBLE));
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${msum("o_totalprice")} AS total
+       |FROM $t
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
+  }
+
+  /** Oracle: the SAME script shape on a DuckDB temp table (DuckDB's
+    * Python runner executes multi-statement scripts and returns the last
+    * result — the driver compare consumes exactly that). CREATE OR
+    * REPLACE keeps a shared oracle connection idempotent. */
+  val ctasOracle: String =
+    s"""CREATE OR REPLACE TEMP TABLE graft_ctas_oracle AS
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_totalprice > 300000;
+       |INSERT INTO graft_ctas_oracle
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_totalprice < 5000;
+       |INSERT INTO graft_ctas_oracle VALUES
+       |  (CAST(-1 AS BIGINT), 'X', CAST(123.25 AS DOUBLE)),
+       |  (CAST(-2 AS BIGINT), 'X', CAST(67.5 AS DOUBLE));
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${msum("o_totalprice")} AS total
+       |FROM graft_ctas_oracle
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
+
+  // --- SQL macro: CREATE TEMPORARY FUNCTION ↔ CREATE MACRO (r13 #3) ------
+  //
+  // DuckDB's scalar CREATE MACRO is the editor user's abstraction tool;
+  // Spark 4's SQL function DDL (CREATE TEMPORARY FUNCTION … RETURN expr)
+  // is the exact analog — a named SQL expression expanded at plan time,
+  // so the macro body inlines into codegen like any hand-written
+  // expression: zero UDF-invocation cost at any scale. Both sides DEFINE
+  // the macro in their own DDL and then CALL it from the same query
+  // shape. The macro body works in DECIMALS end to end: the stored 2-dp
+  // doubles cast exactly, the decimal multiply and sum are exact integer
+  // arithmetic in both engines, and only the final CAST AS DOUBLE rounds
+  // (both engines round the same exact decimal to the same nearest
+  // double). A double-arithmetic body would NOT hash-match: Spark casts
+  // double→decimal on the exact binary expansion while DuckDB rounds
+  // after an IEEE ×100, and products near a .005 boundary land on
+  // opposite sides.
+  private val discBody: String =
+    """CAST(p AS DECIMAL(18,2)) *
+      |  (CAST(1.0 AS DECIMAL(18,2)) - CAST(d AS DECIMAL(18,2)))"""
+      .stripMargin
+
+  val macroScript: String =
+    s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc(p DOUBLE, d DOUBLE)
+       |  RETURNS DECIMAL(38,4) RETURN $discBody;
+       |SELECT l_returnflag, COUNT(*) AS n,
+       |  CAST(SUM(graft_disc(l_extendedprice, l_discount)) AS DOUBLE)
+       |    AS revenue
+       |FROM lineitem
+       |GROUP BY l_returnflag ORDER BY l_returnflag;""".stripMargin
+
+  val macroOracle: String =
+    s"""CREATE OR REPLACE MACRO graft_disc(p, d) AS
+       |  $discBody;
+       |SELECT l_returnflag, COUNT(*) AS n,
+       |  CAST(SUM(graft_disc(l_extendedprice, l_discount)) AS DOUBLE)
+       |    AS revenue
+       |FROM lineitem
+       |GROUP BY l_returnflag ORDER BY l_returnflag;""".stripMargin
+
   // ORDER BY ALL — the companion dialect convenience to GROUP BY ALL:
   // order by every output column left to right. Verbatim in both engines
   // (Spark 4 and DuckDB both accept it); the translation, were it needed,
@@ -329,6 +425,9 @@ object TierCSql {
     "c_setop_except" -> q(setopExcept),
     "c_sql_grouping_sets" -> q(groupingSets),
     "c_sql_view_script" -> script(viewScript),
+    "c_sql_ctas" -> ((s, dir) => Engine.runScript(views(s, dir),
+      ctasScript(dir)).getOrElse(sys.error("script produced no result"))),
+    "c_sql_macro" -> script(macroScript),
     "c_scalar_funcs" -> q(scalarFuncs),
     "c_recursive_cte" -> q(recursiveCte),
     "c_sql_quoting" -> q(quotingSpark),
@@ -354,6 +453,8 @@ object TierCSql {
     "c_setop_except" -> setopExcept,
     "c_sql_grouping_sets" -> groupingSets,
     "c_sql_view_script" -> viewScriptOracle,
+    "c_sql_ctas" -> ctasOracle,
+    "c_sql_macro" -> macroOracle,
     "c_scalar_funcs" -> scalarFuncs,
     "c_recursive_cte" -> recursiveCte,
     "c_sql_quoting" -> quotingOracle,
