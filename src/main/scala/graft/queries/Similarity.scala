@@ -400,7 +400,7 @@ object Similarity {
        |) AS ARRAY<FLOAT>)""".stripMargin
   }
 
-  private def clusteredCorpus(s: SparkSession, dir: String): DataFrame =
+  private[graft] def clusteredCorpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), expr(clusteredEmbExpr).as("embedding"))
 
@@ -1489,42 +1489,153 @@ object Similarity {
        |LIMIT 5""".stripMargin
 
   // --- PQ codes AT REST + composed IVF+PQ search (VERDICT r12 #2) ---------
+  // r14: RESIDUAL PQ (VERDICT r13 #3). Codes quantize x − centroid(x),
+  // not x, against per-subspace codebooks TRAINED on those residuals —
+  // the IVFADC construction: the coarse cell absorbs the corpus-level
+  // structure, so the 4-bit sub-codes only have to cover the (much
+  // tighter) within-cell spread, and ADC LUTs become per-probe-cell.
 
-  /** Per-subspace squared-L2 distances of `embedding`'s j-th 8-dim slice
-    * to every trained centroid's matching slice (the trained centroids
-    * double as the per-subspace PQ codebooks — same artifact, same
-    * provenance). Sequential fold per distance; k indexes the
-    * vec_id-sorted artifact rows (oracle: ROW_NUMBER OVER (ORDER BY
-    * cent_id) - 1). */
-  private def subDistExprD(
-      j: Int, cents: Seq[(Long, Array[Double])]): String = {
-    val cbLit = cents.map { case (_, c) => centLitD(c.slice(j * 8, j * 8 + 8)) }
-      .mkString("array(", ", ", ")")
-    s"""transform(sequence(0, ${cents.size - 1}), k ->
-       |  aggregate(zip_with(slice(embedding, ${j * 8 + 1}, 8),
+  /** The residual x − centroid(x) as ARRAY<DOUBLE>: one exact IEEE
+    * subtraction per dim against the argmax-assigned trained centroid
+    * (requires `cos_arr` in scope — shared with the cent_id argmax so
+    * the assignment is computed once). */
+  private def residExpr(cents: Seq[(Long, Array[Double])]): String =
+    s"""zip_with(embedding, element_at(${centsLitDOf(cents)},
+       |  CAST(array_position(cos_arr, array_max(cos_arr)) AS INT)),
+       |  (x, c) -> CAST(x AS DOUBLE) - c)""".stripMargin
+
+  /** One distributed Lloyd update of ALL 8 per-subspace residual
+    * codebooks in a single pass: the exploded (vec_id, j, rv) frame
+    * assigns each 8-dim residual slice to its nearest codeword of
+    * subspace j's inlined codebook (squared-L2 sequential fold, ties to
+    * the lowest codeword id), then re-estimates every codeword as the
+    * quantized-integer per-dim mean — the same order-independent
+    * CAST(SUM(floor(r·1e6)) AS DOUBLE)/1e6/n discipline as the coarse
+    * trainer, so cross-engine exactness carries over. The groupBy
+    * exchange carries ≤ 8×16 rows per map task; the driver holds only
+    * the 8×16×8 codebook between passes (bounded at ANY corpus size). */
+  private def subLloydUpdate(resid8: DataFrame,
+      cbs: Seq[Seq[(Long, Array[Double])]]): Seq[Seq[(Long, Array[Double])]] = {
+    val cwLit = cbs.map(cb => cb.map(c => centLitD(c._2))
+      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+    val skLit = cbs.map(cb => cb.map(c => s"CAST(${c._1} AS BIGINT)")
+      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+    val distArr =
+      s"""transform(element_at($cwLit, CAST(j + 1 AS INT)), c ->
+         |  aggregate(zip_with(rv, c, (x, y) -> (x - y) * (x - y)),
+         |    CAST(0 AS DOUBLE), (acc, p) -> acc + p))""".stripMargin
+    val skExpr =
+      s"""element_at(element_at($skLit, CAST(j + 1 AS INT)),
+         |  CAST(array_position(d_arr, array_min(d_arr)) AS INT))""".stripMargin
+    val dimSums = (1 to 8).map(i => sum(expr(
+      s"CAST(FLOOR(element_at(rv, $i) * CAST(1000000 AS DOUBLE)) AS BIGINT)"))
+      .as(s"s_$i"))
+    val rows = resid8
+      .withColumn("d_arr", expr(distArr))
+      .withColumn("sk", expr(skExpr))
+      .groupBy(col("j"), col("sk"))
+      .agg(count(lit(1)).as("n"), dimSums: _*)
+      .collect()
+    (0 until 8).map { j =>
+      rows.filter(_.getInt(0) == j).map { r =>
+        val n = r.getLong(2)
+        (r.getLong(1), (1 to 8).map(i =>
+          r.getLong(2 + i).toDouble / 1000000.0 / n.toDouble).toArray)
+      }.sortBy(_._1).toSeq
+    }
+  }
+
+  /** The persisted per-subspace residual codebooks — the SECOND trained
+    * artifact (8 subspaces × ≤16 codewords × 8 dims): residuals against
+    * the trained coarse codebook, seeded with vec_id<16's residual
+    * slices, trained with TWO full Lloyd iterations (the same converged
+    * discipline as the coarse artifact). Stored as (j, sk, codeword)
+    * parquet rows; every encode/search leg LOADS this artifact. */
+  private[graft] def pqCodebookPath(s: SparkSession, dir: String): String =
+    Layout.written.getOrElseUpdate((s, dir, "pq_codebook"), {
+      val path = Layout.tmpRoot("pq_codebook", dir)
+      val cents = trainedCodebook(s, dir)
+      import s.implicits._
+      val rows: Seq[(Int, Long, Seq[Double])] =
+        if (cents.isEmpty) Seq.empty
+        else {
+          val resid8 = t(s, dir, "embeddings")
+            .withColumn("cos_arr", expr(centCosArrD("embedding", cents)))
+            .withColumn("resid", expr(residExpr(cents)))
+            .select(col("vec_id"), posexplode(expr(
+              "transform(sequence(0, 7), j -> slice(resid, j * 8 + 1, 8))")))
+            .withColumnRenamed("pos", "j")
+            .withColumnRenamed("col", "rv")
+          val seedRows = resid8.filter(col("vec_id") < 16)
+            .select(col("j"), col("vec_id"), col("rv")).collect()
+          val seeds: Seq[Seq[(Long, Array[Double])]] = (0 until 8).map { j =>
+            seedRows.filter(_.getInt(0) == j)
+              .map(r => (r.getLong(1), r.getSeq[Double](2).toArray))
+              .sortBy(_._1).toSeq
+          }
+          val it1 = subLloydUpdate(resid8, seeds)
+          val it2 = subLloydUpdate(resid8, it1)
+          for (j <- 0 until 8; cw <- it2(j)) yield (j, cw._1, cw._2.toSeq)
+        }
+      rows.toDF("j", "sk", "codeword")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      path
+    })
+
+  private val pqLoaded =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), Seq[Seq[(Long, Array[Double])]]]
+
+  /** Load the persisted residual sub-codebooks (≤128 rows — a model
+    * artifact fetch), per-subspace sk-sorted so codeword index k is the
+    * position (oracle twin: ROW_NUMBER OVER (PARTITION BY j ORDER BY
+    * sk) - 1). */
+  private[graft] def pqCodebooks(
+      s: SparkSession, dir: String): Seq[Seq[(Long, Array[Double])]] =
+    pqLoaded.getOrElseUpdate((s, dir), {
+      val rows = s.read.parquet(pqCodebookPath(s, dir)).collect()
+        .map(r => (r.getInt(r.fieldIndex("j")),
+          r.getLong(r.fieldIndex("sk")),
+          r.getSeq[Double](r.fieldIndex("codeword")).toArray))
+      (0 until 8).map(j => rows.filter(_._1 == j)
+        .map(t => (t._2, t._3)).sortBy(_._1).toSeq)
+    })
+
+  /** Per-subspace squared-L2 distances of the row's residual slice j to
+    * every TRAINED codeword of that subspace (sequential fold per
+    * distance; requires `resid` in scope). */
+  private def subDistResid(
+      j: Int, cb: Seq[(Long, Array[Double])]): String = {
+    val cbLit = cb.map(c => centLitD(c._2)).mkString("array(", ", ", ")")
+    s"""transform(sequence(0, ${cb.size - 1}), k ->
+       |  aggregate(zip_with(slice(resid, ${j * 8 + 1}, 8),
        |    element_at($cbLit, k + 1),
-       |    (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+       |    (x, y) -> (x - y) * (x - y)),
        |    CAST(0 AS DOUBLE), (acc, p) -> acc + p))""".stripMargin
   }
 
   /** The production ANN index at rest: `embeddings` PARTITIONED BY the
-    * trained coarse assignment with the PACKED PQ CODES as the payload —
-    * and the raw embedding column DROPPED. Directory = coarse cell, row =
-    * (vec_id, label, pq_code BIGINT): 64 float dims (256 B) stored as 4
-    * bytes plus the directory structure, the 64× compression that makes a
-    * 100 TB corpus's index memory-resident. Both the assignment and the
-    * sub-codebooks derive from the ONE persisted trained artifact. */
+    * trained coarse assignment with the PACKED RESIDUAL PQ CODES as the
+    * payload — and the raw embedding column DROPPED. Directory = coarse
+    * cell, row = (vec_id, label, pq_code BIGINT): 64 float dims (256 B)
+    * stored as 4 bytes plus the directory structure, the 64× compression
+    * that makes a 100 TB corpus's index memory-resident. Codes quantize
+    * x − centroid(x) against the per-subspace TRAINED sub-codebooks —
+    * both persisted artifacts (coarse codebook + pq codebooks) feed the
+    * one encode pass. */
   private def ivfpqLayout(s: SparkSession, dir: String,
-      cents: Seq[(Long, Array[Double])]): String =
+      cents: Seq[(Long, Array[Double])],
+      cbs: Seq[Seq[(Long, Array[Double])]]): String =
     Layout.written.getOrElseUpdate((s, dir, "ivfpq_emb"), {
       val path = Layout.tmpRoot("ivfpq_emb", dir)
       val assigned = t(s, dir, "embeddings")
         .withColumn("cos_arr", expr(centCosArrD("embedding", cents)))
+        .withColumn("resid", expr(residExpr(cents)))
         .withColumn("cent_id",
           expr(centArgmaxD("cos_arr", cents)).cast("int"))
         .drop("cos_arr")
       val withDists = (0 until 8).foldLeft(assigned) { (df, j) =>
-        df.withColumn(s"dist$j", expr(subDistExprD(j, cents)))
+        df.withColumn(s"dist$j", expr(subDistResid(j, cbs(j))))
       }
       val packed = (0 until 8)
         .map(j => s"shiftleft(array_position(dist$j, array_min(dist$j)) - 1," +
@@ -1550,31 +1661,41 @@ object Similarity {
     * 2/16 of the directories, 4 B/vector instead of 256 B. */
   /** The pruned ADC scan both composed searches share: probed directories
     * of the codes-at-rest layout + the asymmetric distance over the
-    * stored pq_code (lut(j)(k): fold of (q_d − c_d)² over subspace j's 8
-    * dims in order — the oracle's exact op sequence). */
+    * stored RESIDUAL pq_code. Residual codes make the LUT per-probe-cell
+    * — lut_c(j)(k) = fold of ((q_d − cent_c_d) − cw_d)² over subspace
+    * j's 8 dims in order, the oracle's exact op sequence — so the ADC
+    * projection is a 2-arm CASE on the partition column: still pure
+    * codegen over (pq_code, cent_id), still zero exchanges, and the
+    * driver-built LUTs stay a bounded 2×8×16 artifact. */
   private def adcFrame(s: SparkSession, dir: String,
-      cents: Seq[(Long, Array[Double])], q: Array[Float]): DataFrame = {
+      cents: Seq[(Long, Array[Double])],
+      cbs: Seq[Seq[(Long, Array[Double])]], q: Array[Float]): DataFrame = {
     val probes = probeIdsOfD(q, cents).map(_.toInt)
-    val lut: Array[Array[Double]] = Array.tabulate(8) { j =>
-      cents.map { case (_, c) =>
+    val centById = cents.toMap
+    def lutFor(cid: Int): Array[Array[Double]] = Array.tabulate(8) { j =>
+      cbs(j).map { case (_, cw) =>
         var acc = 0.0
         var i = 0
         while (i < 8) {
-          val d = q(j * 8 + i).toDouble - c(j * 8 + i)
+          val d = (q(j * 8 + i).toDouble - centById(cid.toLong)(j * 8 + i)) -
+            cw(i)
           acc += d * d
           i += 1
         }
         acc
       }.toArray
     }
-    def lutLit(j: Int): String =
-      lut(j).map(v => s"CAST('$v' AS DOUBLE)")
+    def lutLit(l: Array[Double]): String =
+      l.map(v => s"CAST('$v' AS DOUBLE)")
         .mkString("array(", ", ", ")")
-    val adc = (0 until 8)
-      .map(j => s"element_at(${lutLit(j)}, " +
+    def adcOf(lut: Array[Array[Double]]): String = (0 until 8)
+      .map(j => s"element_at(${lutLit(lut(j))}, " +
         s"CAST((shiftright(pq_code, ${4 * j}) & 15) + 1 AS INT))")
       .mkString(" + ")
-    val path = ivfpqLayout(s, dir, cents)
+    val adc = probes
+      .map(p => s"WHEN cent_id = $p THEN ${adcOf(lutFor(p))}")
+      .mkString("CASE ", " ", " END")
+    val path = ivfpqLayout(s, dir, cents, cbs)
     s.read.parquet(path)
       .filter(col("cent_id").isin(probes: _*) && col("vec_id") =!= 0)
       .withColumn("adc_dist", expr(adc))
@@ -1588,7 +1709,7 @@ object Similarity {
       emb.select(col("vec_id"), col("label"), lit(0.0).as("adc_dist"))
         .filter(lit(false))
     else
-      adcFrame(s, dir, cents, qOpt.get)
+      adcFrame(s, dir, cents, pqCodebooks(s, dir), qOpt.get)
         .select(col("vec_id"), col("label"), col("adc_dist"))
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(10)
@@ -1617,7 +1738,7 @@ object Similarity {
         .filter(lit(false))
     else {
       val q = qOpt.get
-      val shortlist: Seq[Long] = adcFrame(s, dir, cents, q)
+      val shortlist: Seq[Long] = adcFrame(s, dir, cents, pqCodebooks(s, dir), q)
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(50)
         .select(col("vec_id")).collect().toSeq.map(_.getLong(0))
@@ -1629,16 +1750,47 @@ object Similarity {
     }
   }
 
-  /** Unpartitioned exact oracle: re-derives the trained codebook
-    * (`trainedCentsCte`), assigns, encodes ONLY the candidate cells'
-    * vectors, and replays the identical unpack → LUT-lookup → fold ADC —
-    * no layout involved, so a hash match certifies the at-rest codes and
-    * the pruned scan preserved every candidate. */
+  /** Unpartitioned exact oracle: re-derives the trained coarse codebook
+    * (`trainedCentsCte`), assigns, re-trains the per-subspace RESIDUAL
+    * sub-codebooks with the same two Lloyd iterations (`subIter` is the
+    * SQL twin of `subLloydUpdate` — squared-L2 sequential fold
+    * assignment, ties to the lowest codeword id, quantized-integer
+    * means), encodes ONLY the candidate cells' residuals, and replays
+    * the identical unpack → per-cell-LUT-lookup → fold ADC — no layout
+    * involved, so a hash match certifies the trained sub-codebooks, the
+    * at-rest residual codes, and that the pruned scan preserved every
+    * candidate. */
   private val ivfpqCtes: String = {
-    def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
-    val e = "CAST(e.embedding[CAST(j.j * 8 + i + 1 AS INT)] AS DOUBLE)"
-    val c = "CAST(c.cent[CAST(j.j * 8 + i + 1 AS INT)] AS DOUBLE)"
-    val qd = "CAST(q.qe[CAST(j.j * 8 + i + 1 AS INT)] AS DOUBLE)"
+    // squared-diff sequential fold between two 8-dim residual lists
+    def subDist(r: String, s: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(0, 8), i ->
+         |        ($r.rv[CAST(i + 1 AS INT)] - $s.rv[CAST(i + 1 AS INT)]) *
+         |        ($r.rv[CAST(i + 1 AS INT)] - $s.rv[CAST(i + 1 AS INT)]))),
+         |      (a, x) -> a + x)""".stripMargin
+    // one Lloyd update of all 8 sub-codebooks: assign every residual
+    // slice to its nearest codeword of `prev`, then quantized means
+    def subIter(n: Int, prev: String) =
+      s"""sd$n AS (
+         |  SELECT r.vec_id, r.j, s.sk, ${subDist("r", "s")} AS d
+         |  FROM residl r JOIN $prev s ON s.j = r.j),
+         |sa$n AS (
+         |  SELECT vec_id, j, sk FROM (
+         |    SELECT vec_id, j, sk,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, sk)
+         |        AS rn
+         |    FROM sd$n) WHERE rn = 1),
+         |sm$n AS (
+         |  SELECT a.j, a.sk, i.i,
+         |    CAST(SUM(CAST(FLOOR(r.rv[CAST(i.i AS INT)] *
+         |      CAST(1000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE) /
+         |      CAST(1000000 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS v
+         |  FROM sa$n a JOIN residl r ON r.vec_id = a.vec_id AND r.j = a.j,
+         |    (SELECT unnest(range(1, 9)) AS i) i
+         |  GROUP BY a.j, a.sk, i.i),
+         |scw$n AS (
+         |  SELECT j, sk, list(v ORDER BY i) AS rv FROM sm$n
+         |  GROUP BY j, sk)""".stripMargin
     s"""WITH $trainedCentsCte,
        |assigned AS (
        |  SELECT vec_id, label, embedding, cent_id FROM (
@@ -1647,25 +1799,35 @@ object Similarity {
        |        ORDER BY ${oCosOf("e.embedding", "c.cent")} DESC, c.cent_id)
        |        AS rn
        |    FROM embeddings e, cents c) WHERE rn = 1),
+       |residl AS (
+       |  SELECT a.vec_id, a.cent_id, j.j,
+       |    list_transform(range(0, 8), i ->
+       |      CAST(a.embedding[CAST(j.j * 8 + i + 1 AS INT)] AS DOUBLE) -
+       |      c.cent[CAST(j.j * 8 + i + 1 AS INT)]) AS rv
+       |  FROM assigned a JOIN cents c ON c.cent_id = a.cent_id,
+       |    (SELECT unnest(range(0, 8)) AS j) j),
+       |sseed AS (
+       |  SELECT j, vec_id AS sk, rv FROM residl WHERE vec_id < 16),
+       |${subIter(1, "sseed")},
+       |${subIter(2, "scw1")},
+       |scb AS (
+       |  SELECT j, sk,
+       |    ROW_NUMBER() OVER (PARTITION BY j ORDER BY sk) - 1 AS k, rv
+       |  FROM scw2),
        |probes AS (
        |  SELECT c.cent_id AS probe_cent
        |  FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) q, cents c
        |  ORDER BY ${oCosOf("q.embedding", "c.cent")} DESC, c.cent_id
        |  LIMIT 2),
        |cand AS (
-       |  SELECT a.vec_id, a.label, a.embedding
+       |  SELECT a.vec_id, a.label, a.cent_id
        |  FROM assigned a JOIN probes p ON a.cent_id = p.probe_cent
        |  WHERE a.vec_id <> 0),
-       |scb AS (
-       |  SELECT ROW_NUMBER() OVER (ORDER BY cent_id) - 1 AS k, cent
-       |  FROM cents),
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |d AS (
-       |  SELECT e.vec_id, j.j, c.k,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(range(0, 8), i -> ${sq(e, c)})),
-       |      (a, x) -> a + x) AS dist
-       |  FROM cand e, (SELECT unnest(range(0, 8)) AS j) j, scb c),
+       |  SELECT r.vec_id, r.j, s.k, ${subDist("r", "s")} AS dist
+       |  FROM residl r JOIN scb s ON s.j = r.j
+       |  WHERE r.vec_id IN (SELECT vec_id FROM cand)),
        |codes AS (
        |  SELECT vec_id, j, k FROM (
        |    SELECT vec_id, j, k,
@@ -1676,12 +1838,16 @@ object Similarity {
        |  SELECT vec_id, CAST(SUM(k << CAST(4 * j AS INT)) AS BIGINT)
        |    AS pq_code
        |  FROM codes GROUP BY vec_id),
+       |qres AS (
+       |  SELECT p.probe_cent AS cent_id, j.j,
+       |    list_transform(range(0, 8), i ->
+       |      CAST(q.qe[CAST(j.j * 8 + i + 1 AS INT)] AS DOUBLE) -
+       |      c.cent[CAST(j.j * 8 + i + 1 AS INT)]) AS rv
+       |  FROM probes p JOIN cents c ON c.cent_id = p.probe_cent,
+       |    (SELECT unnest(range(0, 8)) AS j) j, q),
        |lut AS (
-       |  SELECT j.j, c.k,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(range(0, 8), i -> ${sq(qd, c)})),
-       |      (a, x) -> a + x) AS dist
-       |  FROM q, (SELECT unnest(range(0, 8)) AS j) j, scb c),
+       |  SELECT qr.cent_id, qr.j, s.k, ${subDist("qr", "s")} AS dist
+       |  FROM qres qr JOIN scb s ON s.j = qr.j),
        |unp AS (
        |  SELECT vec_id, j.j,
        |    CAST((pq_code >> CAST(4 * j.j AS INT)) & 15 AS BIGINT) AS k
@@ -1690,7 +1856,9 @@ object Similarity {
        |  SELECT u.vec_id,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list(l.dist ORDER BY u.j)), (a, x) -> a + x) AS adc_dist
-       |  FROM unp u JOIN lut l ON l.j = u.j AND l.k = u.k
+       |  FROM unp u
+       |  JOIN cand cc ON cc.vec_id = u.vec_id
+       |  JOIN lut l ON l.cent_id = cc.cent_id AND l.j = u.j AND l.k = u.k
        |  GROUP BY u.vec_id)""".stripMargin
   }
 
