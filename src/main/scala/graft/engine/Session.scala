@@ -38,10 +38,13 @@ object Session {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      // events.ts is TIMESTAMP(NANOS), which Spark's parquet reader rejects
-      // outright; read it as BIGINT nanos instead and convert at use sites
-      // (Tables.eventTs). DuckDB reads the same column as a naive ns
-      // timestamp, so oracle SQL uses it directly.
+      // Current testdata stores events.ts as TIMESTAMP(MICROS, ntz), which
+      // reads natively as TIMESTAMP_NTZ — this flag does not touch it. It
+      // is kept for TIMESTAMP(NANOS) parquet (earlier testdata generations,
+      // and real-world ns-precision logs), which Spark otherwise rejects
+      // outright: with the flag those columns read as BIGINT nanos and
+      // convert at use sites. DuckDB reads either encoding as a naive
+      // timestamp, so oracle SQL is unaffected by the physical unit.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
   }

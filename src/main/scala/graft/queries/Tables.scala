@@ -88,19 +88,25 @@ object Tables {
   /** Render a timestamp as 'yyyy-MM-dd HH:mm:ss' (second granularity). */
   def tstr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
-  /** `events.ts` read back as a timestamp: the column is TIMESTAMP(NANOS)
-    * in the parquet, which Spark only reads as BIGINT nanos (Session's
-    * nanosAsLong). Integer-divide to micros — same truncation DuckDB's
-    * `date_trunc('microsecond'…)` would apply — then build a timestamp. */
-  def eventTs(c: Column): Column = timestamp_micros((c / 1000L).cast("long"))
+  /** `events.ts` as a timestamp — the single adapter point between the
+    * testdata's physical encoding and every event query. The column is
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) in the parquet, which Spark
+    * reads natively as TIMESTAMP_NTZ and DuckDB as a naive TIMESTAMP, so
+    * both engines see identical micro-precision wall-clock values and the
+    * adapter is the identity. (Earlier testdata generations stored
+    * TIMESTAMP(NANOS), which Spark can only read as BIGINT — this function
+    * carried the nanos→micros conversion then; keeping all event queries
+    * routed through it is what made the schema change a one-line fix.) */
+  def eventTs(c: Column): Column = c
 
   /** The `ts` column as exact epoch MICROS (bigint) — the integer twin
     * of eventTs for queries that compare/emit raw micros (as-of join,
-    * sessionize, funnel); matches the oracle's `epoch_us(ts)`. Refers to
-    * `ts` by name: SQL `div` is the only exact integer division here
-    * (nano epochs exceed 2^53, so any double-based division corrupts
-    * low bits). */
-  def eventUs: Column = expr("CAST(ts div 1000 AS BIGINT)")
+    * sessionize, funnel); matches the oracle's `epoch_us(ts)`. The
+    * NTZ→TIMESTAMP cast reinterprets in the session zone, which Session
+    * pins to UTC, so `unix_micros` yields the same integer DuckDB's
+    * `epoch_us` derives from the same naive value — exact int arithmetic,
+    * no doubles anywhere. */
+  def eventUs: Column = expr("unix_micros(CAST(ts AS TIMESTAMP))")
 
   // --- temporal canonicalization: DuckDB oracle side ----------------------
   def oDay(x: String): String = s"strftime($x, '%Y-%m-%d')"

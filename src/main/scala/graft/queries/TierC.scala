@@ -131,9 +131,8 @@ object TierC {
     * semantics match. ONE shuffle on user_id + a per-partition sort —
     * never a per-row subquery or a range self-join; at 100 TB this is the
     * standard log-enrichment shape (skewed users handled by AQE).
-    * Timestamps compared and emitted at microsecond precision on both
-    * sides (events.ts is nanos in the parquet; DuckDB truncates to micros
-    * on read, Spark via `ts div 1000`). */
+    * Timestamps compared and emitted at exact microsecond epoch integers
+    * on both sides (`Tables.eventUs` ↔ the oracle's `epoch_us(ts)`). */
   val joinAsof: Q = (s, dir) => {
     // ONE scan with a conditional projection, not a union of two filtered
     // scans — the IN filter pushes down and the side/carry columns are
@@ -459,16 +458,16 @@ object TierC {
   /** Time-interval RANGE frame: each event's trailing-1-hour activity
     * count per user — the sliding-window-per-row shape (rate counters,
     * burst detection) that tumbling windows can't express. The Spark
-    * side ranges over the RAW nanosecond column with a 3.6e12 ns bound
-    * — numerically identical to the oracle's `INTERVAL 1 HOUR` bound on
-    * its nanosecond timestamps, and skipping the to-timestamp conversion
-    * inside the hot frame comparator; RANGE makes equal-ts peers share a
-    * frame on both engines, so ties cannot reorder results. One shuffle
-    * on user_id; the frame scan is the standard running-window pass over
-    * each partition sorted once. */
+    * side ranges over the exact epoch-micros integer (`Tables.eventUs`)
+    * with a 3.6e9 µs bound — numerically identical to the oracle's
+    * `INTERVAL 1 HOUR` bound on its microsecond timestamps, and keeping
+    * the hot frame comparator on a primitive long instead of a timestamp;
+    * RANGE makes equal-ts peers share a frame on both engines, so ties
+    * cannot reorder results. One shuffle on user_id; the frame scan is
+    * the standard running-window pass over each partition sorted once. */
   val windowRangeTime: Q = (s, dir) => {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      .rangeBetween(-3600L * 1000L * 1000L * 1000L, Window.currentRow)
+    val w = Window.partitionBy(col("user_id")).orderBy(eventUs)
+      .rangeBetween(-3600L * 1000L * 1000L, Window.currentRow)
     t(s, dir, "events")
       .withColumn("n_1h", count(lit(1)).over(w))
       .select(col("event_id"), col("user_id"),
@@ -1238,9 +1237,9 @@ object TierC {
        |WHERE l_shipdate >= TIMESTAMP '1998-09-01' - INTERVAL '30' DAY
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** Event-time aggregation over the nanosecond-precision events table:
-    * exercises the nanos-as-long read path (Session config + Tables.eventTs)
-    * with an hour bucket, where the micros truncation is invisible. */
+  /** Event-time aggregation over the events table: hour-bucketed counts
+    * and exact money sums, reading `ts` through the `Tables.eventTs`
+    * adapter so the physical timestamp encoding stays a non-event. */
   val eventHourly: Q = (s, dir) =>
     t(s, dir, "events")
       .groupBy(date_trunc("hour", eventTs(col("ts"))).as("_h"),
