@@ -40,11 +40,13 @@ object Session {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // Current testdata stores events.ts as TIMESTAMP(MICROS, ntz), which
       // reads natively as TIMESTAMP_NTZ — this flag does not touch it. It
-      // is kept for TIMESTAMP(NANOS) parquet (earlier testdata generations,
-      // and real-world ns-precision logs), which Spark otherwise rejects
-      // outright: with the flag those columns read as BIGINT nanos and
-      // convert at use sites. DuckDB reads either encoding as a naive
-      // timestamp, so oracle SQL is unaffected by the physical unit.
+      // only softens a TIMESTAMP(NANOS) parquet from a hard read failure
+      // into a BIGINT-nanos column; NOTHING downstream converts that BIGINT
+      // anymore (the nanos→micros adapter was removed with the micros
+      // testdata), so nanos-encoded events data is NOT supported end to
+      // end — Tables.eventTs/eventUs assume micros-native TIMESTAMP_NTZ,
+      // and feeding them a BIGINT would silently misread (ADVICE r14).
+      // Restoring nanos support means branching those adapters on dtype.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
   }

@@ -93,10 +93,15 @@ object Tables {
     * TIMESTAMP(MICROS, isAdjustedToUTC=false) in the parquet, which Spark
     * reads natively as TIMESTAMP_NTZ and DuckDB as a naive TIMESTAMP, so
     * both engines see identical micro-precision wall-clock values and the
-    * adapter is the identity. (Earlier testdata generations stored
-    * TIMESTAMP(NANOS), which Spark can only read as BIGINT — this function
-    * carried the nanos→micros conversion then; keeping all event queries
-    * routed through it is what made the schema change a one-line fix.) */
+    * adapter is the identity. NOTE: micros-native input is now a
+    * PRECONDITION, not a preference — a TIMESTAMP(NANOS) parquet reads as
+    * BIGINT under Session's nanosAsLong flag, and this identity (and
+    * eventUs below) would pass the raw long through to date_trunc /
+    * CAST-AS-TIMESTAMP call sites, producing silently wrong values rather
+    * than an error (ADVICE r14). Nanos-encoded events data is unsupported
+    * end to end; re-adding it means branching here on the column dtype
+    * (BIGINT ⇒ timestamp_micros(ts div 1000)). Keeping every event query
+    * routed through this one adapter is what keeps that a one-line fix. */
   def eventTs(c: Column): Column = c
 
   /** The `ts` column as exact epoch MICROS (bigint) — the integer twin
