@@ -319,13 +319,17 @@ object Multimodal {
     * skip by declared size; `moov` DESCENDS (pos += 8) because its
     * children are what we're reading; `trak` counts then skips whole —
     * its subtree is opaque here. Bounded at 64 steps (one per box).
-    * Malformed input never throws: a size < 8, an overrunning box, or a
-    * truncated header stops the walk and the state so far stands.
-    * 64-bit `largesize` (size==1) and size==0 (to-EOF) boxes are
-    * deliberately unsupported — the size<8 guard stops on them — as the
-    * synthetic parity corpus never emits them; a real-file reader would
-    * handle both. The oracle (`Media.mp4MetaSql`) executes the IDENTICAL
-    * machine as a recursive CTE: same guards, same stepping, same bound.
+    * Malformed input never throws: an undersized box, an overrunning box,
+    * or a truncated header stops the walk and the state so far stands.
+    * All three ISO/IEC 14496-12 §4.2 size encodings are handled: the
+    * classic 32-bit size, `largesize` (size==1 pulls a 64-bit size from
+    * box bytes 8-15, header grows to 16 bytes), and to-EOF (size==0 means
+    * the box runs to end of stream — by spec only legal for the last
+    * top-level box, which is exactly how the walk treats it: it consumes
+    * the rest). Field offsets are header-relative, so a largesize-encoded
+    * ftyp/mvhd would still parse. The oracle (`Media.mp4MetaSql`) executes
+    * the IDENTICAL machine as a recursive CTE: same guards, same stepping,
+    * same size arithmetic, same bound.
     * Returns (brand_hex, timescale, duration, n_tracks); brand is the
     * 8-hex-char type code ('' until an ftyp is seen) so both engines
     * compare raw bytes, not charset decodings. */
@@ -334,6 +338,7 @@ object Multimodal {
     def be32(i: Int): Long =
       (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
         (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
     def hex4(i: Int): String =
       (i until i + 4).map(j => f"${u8(j)}%02X").mkString
     val len = bytes.length.toLong
@@ -345,20 +350,29 @@ object Multimodal {
     var ntrak = 0L
     var done = false
     while (!done && depth < 64 && pos + 8 <= len) {
-      val size = be32(pos.toInt)
+      val size32 = be32(pos.toInt)
       val typ = hex4(pos.toInt + 4)
-      if (size < 8 || pos + size > len) done = true
+      // size==1: 64-bit largesize at box bytes 8-15, 16-byte header;
+      // size==0: box extends to EOF; else the classic 32-bit size.
+      // A largesize header cut before byte 16 yields size -1, which the
+      // size<hdr guard below turns into a clean stop.
+      val hdr = if (size32 == 1L) 16L else 8L
+      val size: Long =
+        if (size32 == 1L) { if (pos + 16 <= len) be64(pos.toInt + 8) else -1L }
+        else if (size32 == 0L) len - pos
+        else size32
+      if (size < hdr || pos + size > len) done = true
       else {
         typ match {
-          case "66747970" => // ftyp: major brand at box bytes 8-11
-            if (pos + 12 <= len) brand = hex4(pos.toInt + 8)
+          case "66747970" => // ftyp: major brand at payload bytes 0-3
+            if (pos + hdr + 4 <= len) brand = hex4((pos + hdr).toInt)
             pos += size
           case "6D6F6F76" => // moov: container — descend into children
-            pos += 8
-          case "6D766864" => // mvhd v0: timescale @ +20, duration @ +24
-            if (pos + 28 <= len) {
-              ts = be32(pos.toInt + 20)
-              dur = be32(pos.toInt + 24)
+            pos += hdr
+          case "6D766864" => // mvhd v0: timescale @ payload+12, dur @ +16
+            if (pos + hdr + 20 <= len) {
+              ts = be32((pos + hdr).toInt + 12)
+              dur = be32((pos + hdr).toInt + 16)
             }
             pos += size
           case "7472616B" => // trak: count the track, skip its subtree

@@ -166,10 +166,31 @@ class MultimodalSpec extends AnyFunSuite {
       be32(8 + (mvhd(600, 1200) + trak(4)).replace(" ", "").length / 2) +
       "6D6F6F76 " + mvhd(600, 1200) + trak(4))
     assert(Multimodal.mp4Meta(withFree) == (("69736F6D", 600L, 1200L, 1L)))
-    // size < 8 (the largesize/to-EOF encodings we don't support) stops
-    // the walk with the state so far — never a throw or a spin
+    // LARGESIZE (size field == 1): the 64-bit size at box bytes 8-15
+    // governs and the header is 16 bytes — a largesize free box must be
+    // skipped by its 64-bit size, landing exactly on moov (r14 #5)
+    val big = hx(ftyp + be32(1) + "66726565" +
+      "0000000000000013" + " ABABAB " + // largesize 19 = 16 hdr + 3 pad
+      be32(8 + (mvhd(600, 1200) + trak(4)).replace(" ", "").length / 2) +
+      "6D6F6F76 " + mvhd(600, 1200) + trak(4))
+    assert(Multimodal.mp4Meta(big) == (("69736F6D", 600L, 1200L, 1L)))
+    // to-EOF (size field == 0): the box runs to end of stream — a
+    // trailing mdat consumes the rest without disturbing parsed state
+    val withMdat = hx(ftyp + be32(8 + body.replace(" ", "").length / 2) +
+      "6D6F6F76 " + body + be32(0) + "6D646174 CDCDCDCD")
+    assert(Multimodal.mp4Meta(withMdat) ==
+      (("69736F6D", 90000L, 450000L, 2L)))
+    // a largesize header truncated before byte 16 stops the walk with
+    // the state so far — never a throw or a spin
     val badSize = hx(ftyp + be32(1) + "6D6F6F76")
     assert(Multimodal.mp4Meta(badSize) == (("69736F6D", 0L, 0L, 0L)))
+    // a largesize whose 64-bit size overruns the stream also stops
+    val bigOverrun = hx(ftyp + be32(1) + "66726565" + "000000000000FFFF")
+    assert(Multimodal.mp4Meta(bigOverrun) == (("69736F6D", 0L, 0L, 0L)))
+    // a largesize SMALLER than its own 16-byte header is malformed: stop
+    val bigTiny = hx(ftyp + be32(1) + "66726565" + "000000000000000A" +
+      be32(16) + "6D6F6F76 00000000 00000000")
+    assert(Multimodal.mp4Meta(bigTiny) == (("69736F6D", 0L, 0L, 0L)))
     // an overrunning box stops the walk; prior fields stand
     val overrun = hx(ftyp + be32(9999) + "6D6F6F76")
     assert(Multimodal.mp4Meta(overrun) == (("69736F6D", 0L, 0L, 0L)))
