@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -204,6 +206,74 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .partitionBy("band")
       .start()
+
+  final case class CompactionStats(
+      rowsBefore: Long, rowsAfter: Long,
+      bytesBefore: Long, bytesAfter: Long, bucketsDropped: Long)
+
+  /** Compaction of the at-rest dedup band index (VERDICT r14 #2 — the
+    * rewrite `dedupIndexIngest`'s docs defer): apply the probe-time
+    * bucket cap to STORAGE. The probe rule is `count <= DfCap`
+    * (`Dedup.incremental`): an over-cap bucket is ignored ENTIRELY at
+    * probe time — boilerplate keys, no dedup signal — so the
+    * semantics-preserving compaction drops those buckets WHOLE. (Merely
+    * trimming an over-cap bucket's tail would be wrong: the shrunken
+    * bucket would pass the `<= DfCap` filter and start producing probe
+    * hits it never produced before. StreamsSpec proves probe parity by
+    * set equality.)
+    *
+    * Scale shape: the over-cap relation is tiny by construction (the few
+    * hot boilerplate buckets), so it broadcasts into an anti-join and the
+    * rewrite is one map-shaped job over the index, written back
+    * partitioned by band — same layout, fewer bytes. The in-place swap
+    * drops the streaming sink's `_spark_metadata` log: compaction
+    * FINALIZES the segment into a plain batch layout (run it with the
+    * ingest quiesced; a resumed ingest starts a fresh checkpoint/segment,
+    * exactly as an IVF retrain rewrites its layout — production table
+    * formats make this swap atomic under their manifest, which is the
+    * same out-of-scope layer as in `engine/Dml.scala`). */
+  def compactDedupIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): CompactionStats = {
+    def parquetBytes(): Long = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try st.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+      finally st.close()
+    }
+    val bytesBefore = parquetBytes()
+    val before = spark.read.parquet(path).select("doc_id", "band", "key")
+    val rowsBefore = before.count()
+    val over = before.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > graft.queries.Dedup.DfCap)
+      .select(col("band"), col("key"))
+    val bucketsDropped = over.count()
+    val kept = before.join(broadcast(over), Seq("band", "key"), "left_anti")
+    val tmp = java.nio.file.Paths.get(
+      s"${path}_compact_p${ProcessHandle.current.pid}")
+    kept.write.mode("overwrite").partitionBy("band").parquet(tmp.toString)
+    // swap: clear the old segment (data, sink log, checksums), move the
+    // compacted layout's children in
+    val root = java.nio.file.Paths.get(path)
+    def clear(p: java.nio.file.Path): Unit = {
+      val st = java.nio.file.Files.walk(p)
+      val all = try st.iterator().asScala.toSeq.reverse finally st.close()
+      all.filter(_ != p).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    clear(root)
+    val kids = {
+      val st = java.nio.file.Files.list(tmp)
+      try st.iterator().asScala.toSeq finally st.close()
+    }
+    kids.foreach(k =>
+      java.nio.file.Files.move(k, root.resolve(k.getFileName.toString)))
+    java.nio.file.Files.deleteIfExists(tmp)
+    val after = spark.read.parquet(path)
+    CompactionStats(rowsBefore, after.count(), bytesBefore, parquetBytes(),
+      bucketsDropped)
+  }
 
   /** Start `hourlyCounts` end to end from a file source to a memory/console
     * sink — the readStream → transform → writeStream shape. The schema

@@ -375,4 +375,62 @@ class StreamsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("band"),
       s"band must prune directories of the streamed index:\n$plan")
   }
+
+  test("compactDedupIndex: probe results unchanged, bytes shrink") {
+    // VERDICT r14 #2: the at-rest compaction applies the probe-time
+    // `<= DfCap` rule to storage. Plant a corpus whose band index has an
+    // over-cap bucket family (DfCap+10 IDENTICAL docs — their 4 band
+    // buckets each hold 60 > 50 entries, which `Dedup.incremental`'s
+    // probe IGNORES) next to under-cap pairs and singletons; the compacted
+    // index must hold EXACTLY the under-cap buckets' rows (set equality —
+    // the strongest probe-parity statement: every (band, key) probe
+    // returns identical docs before and after) in strictly fewer bytes.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    implicit val sqlCtx = spark.sqlContext
+    val cap = graft.queries.Dedup.DfCap
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(8).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // 60 clones of doc 0's text (over-cap buckets), 2 clones of doc 1's
+    // (under-cap bucket, MUST survive), the rest unique
+    val docs: Seq[(Long, String)] =
+      (0 until cap + 10).map(i => (1000L + i, base(0)._2)) ++
+        Seq((2000L, base(1)._2), (2001L, base(1)._2)) ++
+        base.drop(2).map { case (id, tx) => (3000L + id, tx) }
+    val out = java.nio.file.Files.createTempDirectory("dedup-cmp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup-cmpck").toString
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.dedupIndexIngest(in.toDF().toDF("doc_id", "text"),
+      out, ckpt)
+    try { in.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+
+    def rows(): Set[(Long, Int, String)] =
+      spark.read.parquet(out).select("doc_id", "band", "key")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val before = rows()
+    // what a probe can ever see: rows of buckets with count <= DfCap
+    val probeVisible = before.groupBy(r => (r._2, r._3))
+      .filter(_._2.size <= cap).values.flatten.toSet
+    assert(probeVisible.size < before.size,
+      "fixture must contain over-cap buckets, or the test proves nothing")
+
+    val stats = Streams.compactDedupIndex(spark, out)
+    assert(stats.bucketsDropped >= 4,
+      s"the 4 clone-family buckets must drop: ${stats.bucketsDropped}")
+    assert(rows() == probeVisible,
+      "compacted index must hold exactly the probe-visible rows")
+    assert(stats.rowsAfter < stats.rowsBefore &&
+      stats.bytesAfter < stats.bytesBefore,
+      s"compaction must shrink: $stats")
+    // the partitioned at-rest shape survives the swap (band dirs intact)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("band=")).sorted
+    assert(dirs.length == 4, s"band partition dirs must survive: ${dirs.toSeq}")
+    // and the under-cap pair survived verbatim
+    assert(rows().exists(_._1 == 2000L) && rows().exists(_._1 == 2001L),
+      "under-cap buckets must be untouched")
+  }
 }
