@@ -89,6 +89,39 @@ object Bench {
             0.0
         }
       }.sum
+    // Artifact-build cost legs (VERDICT r14 #3): the ANN/layout read
+    // queries amortize training and layout writes away; time the real
+    // builds once, AFTER the timed query set, so the 100 TB story carries
+    // the amortized cost in the same JSON. Failed legs report -1 and are
+    // excluded from the subtotal.
+    val builds: Seq[(String, Double)] =
+      try queries.Builds.timedBuilds(spark, sfDir)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] builds leg failed: ${e.getMessage}")
+          Seq.empty
+      }
+    val buildsJson = builds.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val buildsTotal = builds.collect { case (_, v) if v >= 0 => v }.sum
+    // Host-speed calibration probe (VERDICT r14 #4): a fixed
+    // single-thread integer workload whose time depends ONLY on host
+    // speed — never on this repo's code — so adjudications can separate
+    // host drift from code drift mechanically. min of 2 runs (same
+    // spike-rejection rationale as the queries). ~0.5 s on a healthy
+    // host; a uniformly loaded host inflates this the same factor it
+    // inflates every untouched query.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 400000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      if (x == 0L) System.err.print("") // keep the loop observable
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibSec = math.min(calibOnce(), calibOnce())
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val samples = results.map { case (k, _, _, n) => "\"" + k + "\":" + n }
@@ -129,7 +162,7 @@ object Bench {
         }
       }
     } catch { case _: Throwable => false }
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"templates_total":$templatesTotal,"probes_total":$probesTotal,"probes_errors":$probesErrors,"suspect_host_load":$suspectHostLoad,"n_queries":${results.size},"samples":$samples,"max_runs_per_query":2,"agg":"min","sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"templates_total":$templatesTotal,"probes_total":$probesTotal,"probes_errors":$probesErrors,"builds":$buildsJson,"builds_total":$buildsTotal,"calib_sec":$calibSec,"suspect_host_load":$suspectHostLoad,"n_queries":${results.size},"samples":$samples,"max_runs_per_query":2,"agg":"min","sf":"$sfDir"}"""
     println(fullJson)
     // Persist the complete per-query map to a file (VERDICT r5/r6/r7): the
     // harness tail-truncates stdout, so the printed map has been lost three
@@ -149,7 +182,7 @@ object Bench {
     // records a bounded TAIL of stdout, and the full line above can lose
     // its leading `"value"` field to front-truncation as the per-query
     // map grows (BENCH_r05 did). The last line always survives intact.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","templates_total":$templatesTotal,"probes_total":$probesTotal,"probes_errors":$probesErrors,"suspect_host_load":$suspectHostLoad,"n_queries":${results.size},"n_errors":${results.count(!_._3)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","templates_total":$templatesTotal,"probes_total":$probesTotal,"probes_errors":$probesErrors,"builds_total":$buildsTotal,"calib_sec":$calibSec,"suspect_host_load":$suspectHostLoad,"n_queries":${results.size},"n_errors":${results.count(!_._3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
