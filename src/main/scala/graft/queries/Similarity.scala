@@ -1931,45 +1931,60 @@ object Similarity {
       .withColumn("resid", expr(residExpr(cents)))
       .withColumn("xd",
         expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+    // each distance array is computed ONCE as a column (an argmin that
+    // re-inlined the fold would double the expression tree), and the
+    // reconstruction frame is memoPersisted: the hit/count/distortion
+    // aggregates below are ~8 separate jobs, and without the cache every
+    // one would re-run (and re-codegen) the 16 large fold projections
     val withR = (0 until 8).foldLeft(base) { (df, j) =>
       val cbLit = cbs(j).map(c => centLitD(c._2))
         .mkString("array(", ", ", ")")
-      df.withColumn(s"rrec$j", expr(
-        s"""zip_with(slice(cent, ${j * 8 + 1}, 8),
-           |  element_at($cbLit, CAST(array_position(
-           |    ${subDistResid(j, cbs(j))},
-           |    array_min(${subDistResid(j, cbs(j))})) AS INT)),
-           |  (c, w) -> c + w)""".stripMargin))
+      df.withColumn(s"rdist$j", expr(subDistResid(j, cbs(j))))
+        .withColumn(s"rrec$j", expr(
+          s"""zip_with(slice(cent, ${j * 8 + 1}, 8),
+             |  element_at($cbLit, CAST(array_position(
+             |    rdist$j, array_min(rdist$j)) AS INT)),
+             |  (c, w) -> c + w)""".stripMargin))
     }
     val withS = (0 until 8).foldLeft(withR) { (df, j) =>
       val sliceLit = cents
         .map(c => centLitD(c._2.slice(j * 8, j * 8 + 8)))
         .mkString("array(", ", ", ")")
-      val sdist =
+      df.withColumn(s"sdist$j", expr(
         s"""transform(sequence(0, ${cents.size - 1}), k ->
            |  aggregate(zip_with(slice(xd, ${j * 8 + 1}, 8),
            |    element_at($sliceLit, k + 1),
            |    (x, y) -> (x - y) * (x - y)),
-           |    CAST(0 AS DOUBLE), (acc, p) -> acc + p))""".stripMargin
-      df.withColumn(s"srec$j", expr(
-        s"""element_at($sliceLit,
-           |  CAST(array_position($sdist, array_min($sdist)) AS INT))"""
-          .stripMargin))
+           |    CAST(0 AS DOUBLE), (acc, p) -> acc + p))""".stripMargin))
+        .withColumn(s"srec$j", expr(
+          s"""element_at($sliceLit,
+             |  CAST(array_position(sdist$j, array_min(sdist$j)) AS INT))"""
+            .stripMargin))
     }
-    val recon = withS
-      .withColumn("recon_r",
-        expr((0 until 8).map(j => s"rrec$j").mkString("concat(", ", ", ")")))
-      .withColumn("recon_s",
-        expr((0 until 8).map(j => s"srec$j").mkString("concat(", ", ", ")")))
-      .select(col("vec_id"), col("xd"), col("recon_r"), col("recon_s"))
+    // localCheckpoint (eager), not just persist: the recon plan carries
+    // 16 fold projections with ~2k inlined codebook literals, and every
+    // downstream action would re-ANALYZE that tree even with the data
+    // cached — checkpointing truncates the lineage to a LogicalRDD, so
+    // the ~10 aggregate/window jobs below plan over a 4-column leaf
+    val recon = memoPersist(s, dir, "pq_recall_recon") {
+      withS
+        .withColumn("recon_r", expr(
+          (0 until 8).map(j => s"rrec$j").mkString("concat(", ", ", ")")))
+        .withColumn("recon_s", expr(
+          (0 until 8).map(j => s"srec$j").mkString("concat(", ", ", ")")))
+        .select(col("vec_id"), col("xd"), col("recon_r"), col("recon_s"))
+        .localCheckpoint()
+    }
     val q = recon.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("xd").as("q_emb"))
-    val pairs = recon.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("d_true", expr(l2Expr("xd", "q_emb")))
-      .withColumn("d_r", expr(l2Expr("recon_r", "q_emb")))
-      .withColumn("d_s", expr(l2Expr("recon_s", "q_emb")))
-      .select("qid", "vec_id", "d_true", "d_r", "d_s")
+    val pairs = memoPersist(s, dir, "pq_recall_pairs") {
+      recon.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("d_true", expr(l2Expr("xd", "q_emb")))
+        .withColumn("d_r", expr(l2Expr("recon_r", "q_emb")))
+        .withColumn("d_s", expr(l2Expr("recon_s", "q_emb")))
+        .select("qid", "vec_id", "d_true", "d_r", "d_s")
+    }
     def top10(d: String) = pairs
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col(d), col("vec_id"))))

@@ -55,7 +55,12 @@ class DeterminismSpec extends AnyFunSuite {
   // shared across regimes, which defeats the comparison): money sums (t1)
   // and the bucketed range join's value-based frames.
   test("representative queries are identical across partitioning regimes") {
-    Seq("t1_account_summary", "c_window_range_bucketed")
+    // c_dml_* read MUTATED layouts (the copy-on-write rewrite runs once,
+    // memoized); regime-stability here certifies the post-DML read+agg —
+    // decimal sums and min/max over the rewritten + appended files —
+    // never depends on how the mixed file set splits into tasks.
+    Seq("t1_account_summary", "c_window_range_bucketed",
+        "c_dml_rewrite", "c_dml_merge")
       .foreach(assertRegimeStable)
   }
 
