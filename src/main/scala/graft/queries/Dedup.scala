@@ -878,8 +878,109 @@ object Dedup {
        |GROUP BY new_id
        |ORDER BY new_id""".stripMargin
 
+  // --- Winnowing: cross-doc SHARED-PASSAGE detection (round 15) -----------
+  //
+  // The substring-level member of the dedup family (the others are all
+  // doc-level): exact repeated PASSAGES across documents — boilerplate,
+  // quotations, template text — located by POSITION, the "exact substring
+  // dedup" a training pipeline runs next to doc-level near-dup. Method =
+  // winnowing (Schleimer, Wilkerson, Aiken, SIGMOD 2003 — the MOSS
+  // fingerprinter): per document, hash every word-trigram, slide a window
+  // of W consecutive hashes, and SELECT each window's minimum (leftmost on
+  // ties — `array_position`/`list_position` both take the first match).
+  // The winnowing guarantee: any shared run of >= W+2 words shares at
+  // least one SELECTED fingerprint, while only ~2/(W+1) of positions are
+  // selected — the index stores a fraction of the corpus. Candidates join
+  // on the 32-bit fingerprint through the same DfCap-bounded inverted
+  // index as the shingle path (>= 2 docs to be a candidate), then VERIFY
+  // by comparing the actual trigram text (killing 32-bit collisions), and
+  // pairs report their distinct shared-fingerprint count plus the
+  // lexicographically first shared passage as a witness. At 100 TB:
+  // selected fingerprints shuffle (never documents), buckets are capped,
+  // verification touches only colliding trigram strings.
+  private val WinnowW = 4
+
+  /** Winnowing-selected positional fingerprints of the first 300 docs:
+    * (doc_id, p, h, tg) — word position, 32-bit md5-derived hash, and the
+    * trigram text for verification. */
+  private def winnowSelected(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 300)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= WinnowW + 2)
+      .withColumn("tgs", expr(shinglesExpr))
+      .withColumn("hs", expr(
+        """transform(tgs, t ->
+          |  CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"""
+          .stripMargin))
+      .withColumn("sel", expr(
+        s"""array_distinct(transform(sequence(0, size(hs) - $WinnowW), j ->
+           |  j + array_position(slice(hs, j + 1, $WinnowW),
+           |        array_min(slice(hs, j + 1, $WinnowW)))))""".stripMargin))
+      .select(col("doc_id"), col("tgs"), col("hs"),
+        explode(col("sel")).as("p"))
+      .select(col("doc_id"), col("p"),
+        expr("element_at(hs, CAST(p AS INT))").as("h"),
+        expr("element_at(tgs, CAST(p AS INT))").as("tg"))
+
+  val winnow: Q = (s, dir) => {
+    val sel = winnowSelected(s, dir)
+    val ok = sel.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= DfCap)
+      .select(col("h"))
+    val a = sel.toDF("doc_a", "pa", "h", "tg_a")
+    val b = sel.toDF("doc_b", "pb", "h", "tg_b")
+    a.join(ok, Seq("h"))
+      .join(b, Seq("h"))
+      .filter(col("doc_a") < col("doc_b") && col("tg_a") === col("tg_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("h")).as("n_shared"),
+        min(col("tg_a")).as("passage"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val winnowSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE doc_id < 300),
+       |d2 AS (SELECT doc_id, ws FROM d WHERE len(ws) >= ${WinnowW + 2}),
+       |tg AS (SELECT doc_id,
+       |  list_transform(range(1, len(ws) - 1), i ->
+       |    ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] || ' ' ||
+       |    ws[CAST(i + 2 AS INT)]) AS tgs
+       |  FROM d2),
+       |hh AS (SELECT doc_id, tgs,
+       |  list_transform(tgs, t ->
+       |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+       |  FROM tg),
+       |selp AS (SELECT doc_id, tgs, hs,
+       |  list_distinct(list_transform(range(0, len(hs) - $WinnowW + 1),
+       |    j -> j + list_position(
+       |      hs[CAST(j + 1 AS INT):CAST(j + $WinnowW AS INT)],
+       |      list_min(hs[CAST(j + 1 AS INT):CAST(j + $WinnowW AS INT)]))))
+       |    AS sel
+       |  FROM hh),
+       |sp AS (SELECT doc_id, tgs, hs, unnest(sel) AS p FROM selp),
+       |s AS (SELECT doc_id, p,
+       |        hs[CAST(p AS INT)] AS h, tgs[CAST(p AS INT)] AS tg
+       |      FROM sp),
+       |ok AS (SELECT h FROM s GROUP BY h
+       |       HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND $DfCap),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h, a.tg
+       |       FROM s a JOIN ok USING (h) JOIN s b ON b.h = a.h
+       |       WHERE a.doc_id < b.doc_id AND a.tg = b.tg)
+       |SELECT doc_a, doc_b,
+       |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_shared,
+       |  MIN(tg) AS passage
+       |FROM pr GROUP BY doc_a, doc_b
+       |HAVING COUNT(DISTINCT h) >= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p_dedup_incremental" -> incremental,
+    "p_dedup_winnow" -> winnow,
     "p_dedup_exact" -> exact,
     "p_dedup_minhash_recall" -> minhashRecall,
     "p_dedup_simhash_recall" -> simhashRecall,
@@ -895,6 +996,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "p_dedup_incremental" -> incrementalSql,
+    "p_dedup_winnow" -> winnowSql,
     "p_dedup_exact" -> exactSql,
     "p_dedup_minhash_recall" -> minhashRecallSql,
     "p_dedup_simhash_recall" -> simhashRecallSql,
