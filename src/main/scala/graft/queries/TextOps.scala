@@ -454,8 +454,63 @@ object TextOps {
       |  CAST(SUM(n_words) AS BIGINT) AS total_words
       |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --- Overlap-window chunking (round 15) ---------------------------------
+  //
+  // The step BETWEEN curation and `p_pack_sequences` in a training-data
+  // pipeline: long documents split into fixed-size token windows with a
+  // stride overlap (size 32, stride 24 ⇒ 8-token overlap), so no span
+  // longer than the context window is lost at a chunk boundary. Pure
+  // per-row map work — explode by computed chunk count, slice the token
+  // array, no shuffle before the output ordering; each chunk carries its
+  // 1-based start token, its actual length (the final chunk clips), and
+  // an md5 of the joined tokens as the cross-engine content witness.
+  private val ChunkC = 32
+  private val ChunkS = 24
+
+  val chunkDocs: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(200)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n", size(col("ws")))
+      .withColumn("nchunks", expr(
+        s"""CASE WHEN n <= $ChunkC THEN 1
+           |  ELSE 1 + (n - $ChunkC + ${ChunkS - 1}) div $ChunkS END"""
+          .stripMargin))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(expr("sequence(0, nchunks - 1)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        expr(s"CAST(chunk_id * $ChunkS + 1 AS BIGINT)").as("start_tok"),
+        expr(s"CAST(size(slice(ws, chunk_id * $ChunkS + 1, $ChunkC)) " +
+          "AS BIGINT)").as("n_tokens"),
+        expr(s"md5(concat_ws(' ', " +
+          s"slice(ws, chunk_id * $ChunkS + 1, $ChunkC)))").as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val chunkDocsSql: String =
+    s"""WITH b AS (SELECT doc_id, text FROM documents
+       |           ORDER BY doc_id LIMIT 200),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM b),
+       |n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+       |c AS (SELECT doc_id, ws, n,
+       |  CASE WHEN n <= $ChunkC THEN 1
+       |    ELSE 1 + (n - $ChunkC + ${ChunkS - 1}) // $ChunkS END AS nchunks
+       |  FROM n),
+       |e AS (SELECT doc_id, ws, n, unnest(range(0, nchunks)) AS cid FROM c)
+       |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+       |  CAST(cid * $ChunkS + 1 AS BIGINT) AS start_tok,
+       |  CAST(len(ws[CAST(cid * $ChunkS + 1 AS INT):
+       |    CAST(least(cid * $ChunkS + $ChunkC, n) AS INT)]) AS BIGINT)
+       |    AS n_tokens,
+       |  md5(array_to_string(ws[CAST(cid * $ChunkS + 1 AS INT):
+       |    CAST(least(cid * $ChunkS + $ChunkC, n) AS INT)], ' '))
+       |    AS chunk_md5
+       |FROM e
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p_text_tf" -> tf,
+    "p_chunk_docs" -> chunkDocs,
     "p_text_tokens" -> tokens,
     "p_text_quality" -> quality,
     "p_text_repetition" -> repetition,
@@ -471,6 +526,7 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "p_text_tf" -> tfSql,
+    "p_chunk_docs" -> chunkDocsSql,
     "p_text_tokens" -> tokensSql,
     "p_text_quality" -> qualitySql,
     "p_text_repetition" -> repetitionSql,
