@@ -438,6 +438,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("p_dedup_winnow: index joins, never a cartesian product") {
+    // the winnowing pair generation joins selected fingerprints ON the
+    // hash through the capped index — the plan must be equi-joins (hash
+    // or sort-merge); a cartesian/broadcast-nested-loop would mean the
+    // candidate rule degenerated to all-pairs, the exact failure the
+    // inverted index exists to prevent at 100 TB
+    val p = planOf(Dedup.winnow(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"winnow candidates must come from equi-joins on the fingerprint:\n$p")
+    assert(p.contains("Join"), s"expected the index equi-joins:\n$p")
+  }
+
+  test("p_chunk_docs: map-only until the output ordering") {
+    // chunking is per-row explode+slice work; the only exchanges allowed
+    // are the top-k on doc_id (limit 200) and the final sort — no
+    // aggregate or join exchange may appear
+    val p = planOf(TextOps.chunkDocs(spark, dir))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"chunking must not join or aggregate:\n$p")
+    assert(p.contains("Generate") || p.contains("explode"),
+      s"expected the chunk explode:\n$p")
+  }
+
   test("sum_sq UDAF: typed Dataset-side aggregation matches SQL-side") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(1L, 2L, 3L, 4L))
