@@ -902,17 +902,32 @@ object Dedup {
 
   /** Winnowing-selected positional fingerprints of the first 300 docs:
     * (doc_id, p, h, tg) — word position, 32-bit md5-derived hash, and the
-    * trigram text for verification. */
-  private def winnowSelected(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"), col("text"))
-      .filter(col("doc_id") < 300)
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= WinnowW + 2)
-      .withColumn("tgs", expr(shinglesExpr))
-      .withColumn("hs", expr(
-        """transform(tgs, t ->
-          |  CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"""
-          .stripMargin))
+    * trigram text for verification.
+    *
+    * The (tgs, hs) frame is PINNED behind an eager localCheckpoint before
+    * the window selection: `sel` references hs TWICE PER WINDOW, and
+    * Catalyst's project collapsing would otherwise inline the whole
+    * split → trigram → md5 chain into every reference — higher-order
+    * lambdas are interpreted (no codegen CSE across lambda boundaries),
+    * so the inlined chain re-evaluates per window and the per-row cost
+    * goes quadratic (measured: minutes per run). Against the checkpoint,
+    * hs is a leaf ATTRIBUTE and each window slice is an O(W) array read.
+    * Memoized per (session, dir) like the other dedup intermediates. */
+  private def winnowSelected(s: SparkSession, dir: String): DataFrame = {
+    val base = memoPersist(s, dir, "winnow_base") {
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 300)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= WinnowW + 2)
+        .withColumn("tgs", expr(shinglesExpr))
+        .withColumn("hs", expr(
+          """transform(tgs, t ->
+            |  CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"""
+            .stripMargin))
+        .select(col("doc_id"), col("tgs"), col("hs"))
+        .localCheckpoint()
+    }
+    base
       .withColumn("sel", expr(
         s"""array_distinct(transform(sequence(0, size(hs) - $WinnowW), j ->
            |  j + array_position(slice(hs, j + 1, $WinnowW),
@@ -922,6 +937,7 @@ object Dedup {
       .select(col("doc_id"), col("p"),
         expr("element_at(hs, CAST(p AS INT))").as("h"),
         expr("element_at(tgs, CAST(p AS INT))").as("tg"))
+  }
 
   val winnow: Q = (s, dir) => {
     val sel = winnowSelected(s, dir)
