@@ -900,7 +900,7 @@ object Dedup {
   // verification touches only colliding trigram strings.
   private val WinnowW = 4
 
-  /** Winnowing-selected positional fingerprints of the first 300 docs:
+  /** Winnowing-selected positional fingerprints of the first 500 docs:
     * (doc_id, p, h, tg) — word position, 32-bit md5-derived hash, and the
     * trigram text for verification.
     *
@@ -916,7 +916,7 @@ object Dedup {
   private def winnowSelected(s: SparkSession, dir: String): DataFrame = {
     val base = memoPersist(s, dir, "winnow_base") {
       t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .filter(col("doc_id") < 300)
+        .filter(col("doc_id") < 500)
         .withColumn("ws", split(col("text"), " "))
         .filter(size(col("ws")) >= WinnowW + 2)
         .withColumn("tgs", expr(shinglesExpr))
@@ -960,7 +960,7 @@ object Dedup {
   val winnowSql: String =
     s"""WITH d AS (
        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-       |  WHERE doc_id < 300),
+       |  WHERE doc_id < 500),
        |d2 AS (SELECT doc_id, ws FROM d WHERE len(ws) >= ${WinnowW + 2}),
        |tg AS (SELECT doc_id,
        |  list_transform(range(1, len(ws) - 1), i ->
