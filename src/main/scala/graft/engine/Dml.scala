@@ -101,14 +101,33 @@ object Dml {
       spark: SparkSession, path: String, pruneCol: String,
       loMicros: Long, hiMicros: Long)(
       transform: DataFrame => DataFrame): Stats = {
-    val dir = Paths.get(path)
-    val files = dataFiles(dir)
+    val files = dataFiles(Paths.get(path))
     val affected = files.filter { f =>
       fileRange(f, pruneCol) match {
         case Some((mn, mx)) => mx >= loMicros && mn < hiMicros
         case None => true // no stats — cannot prove disjoint, must rewrite
       }
     }
+    rewriteFiles(spark, path, files, affected)(transform)
+  }
+
+  /** The UNPRUNED rewrite — every data file is affected. This is the
+    * engine-SQL route's executor (`Engine.sql` DELETE/UPDATE statements):
+    * an arbitrary user WHERE clause carries no prune column, so semantic
+    * completeness costs a full rewrite — exactly what a table format does
+    * for an unselective predicate. The stats-pruned path above is the
+    * optimized API (`c_dml_rewrite` proves it). */
+  def rewriteAllFiles(spark: SparkSession, path: String)(
+      transform: DataFrame => DataFrame): Stats = {
+    val files = dataFiles(Paths.get(path))
+    rewriteFiles(spark, path, files, files)(transform)
+  }
+
+  private def rewriteFiles(
+      spark: SparkSession, path: String,
+      files: Seq[Path], affected: Seq[Path])(
+      transform: DataFrame => DataFrame): Stats = {
+    val dir = Paths.get(path)
     if (affected.isEmpty) Stats(files.size, 0)
     else {
       // scratch dir next to the layout, pid-scoped like Layout.tmpRoot so
@@ -143,16 +162,27 @@ object Dml {
   /** UPDATE layout SET assignments WHERE rowPred — each assigned column
     * is replaced under the predicate and kept verbatim otherwise, so rows
     * outside the predicate survive the rewrite bit-for-bit in value
-    * terms. */
+    * terms. All assignments apply in ONE projection, so every
+    * right-hand side reads the OLD row — SQL UPDATE semantics
+    * (`SET a = b, b = a` swaps; a sequential withColumn chain would let
+    * the second assignment see the first's result). */
   def updateWhere(
       spark: SparkSession, path: String, pruneCol: String,
       loMicros: Long, hiMicros: Long, rowPred: Column,
       assignments: Seq[(String, Column)]): Stats =
-    copyOnWrite(spark, path, pruneCol, loMicros, hiMicros) { df =>
-      assignments.foldLeft(df) { case (d, (name, value)) =>
-        d.withColumn(name, when(rowPred, value).otherwise(col(name)))
-      }
-    }
+    copyOnWrite(spark, path, pruneCol, loMicros, hiMicros)(
+      applyAssignments(_, rowPred, assignments))
+
+  private[engine] def applyAssignments(
+      df: DataFrame, rowPred: Column,
+      assignments: Seq[(String, Column)]): DataFrame = {
+    val m = assignments.toMap
+    df.select(df.columns.map { c =>
+      m.get(c)
+        .map(v => when(rowPred, v).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }.toSeq: _*)
+  }
 
   /** MERGE INTO layout USING source ON layout.keys = source.keys — upsert
     * as copy-on-write: WHEN MATCHED, target rows take the same-named

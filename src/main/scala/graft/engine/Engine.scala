@@ -33,8 +33,101 @@ object Engine {
     trimmed match {
       case summarizeRe(target) => summarize(sqlTarget(spark, target))
       case describeSelRe(sel) => describe(sql(spark, sel))
+      case deleteRe(table, where) => runDelete(spark, table, Option(where))
+      case updateRe(table, sets, where) =>
+        runUpdate(spark, table, sets, Option(where))
       case _ => spark.sql(Catalog.rewritePathTables(spark, statement)._1)
     }
+  }
+
+  // --- user-typed DML: routed to the copy-on-write rewriter ---------------
+  //
+  // The reference's delegation point executes any DuckDB SQL, so a user
+  // can type `UPDATE`/`DELETE` against a table they created (CTAS is
+  // already supported through this path). Spark's session-catalog parquet
+  // tables reject DML outright ("does not support DELETE/MERGE/UPDATE" —
+  // row-level ops need a DSv2 table format), so the engine closes the gap
+  // itself: the statement's WHERE/SET text parses through `expr` (full
+  // Catalyst expression syntax) and executes as the copy-on-write file
+  // rewrite in `engine/Dml.scala`, then the table's file listing is
+  // refreshed. The engine route rewrites ALL of the table's files — an
+  // arbitrary predicate carries no prune column; the min/max-pruned path
+  // is the Dml API itself (`c_dml_rewrite`). Targets must be catalog
+  // TABLES: temp views over registered (read-only) files refuse with a
+  // clear message instead of mutating inputs.
+  private val deleteRe =
+    "(?is)^DELETE\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s+WHERE\\s+(.+))?$".r
+  private val updateRe =
+    ("(?is)^UPDATE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+SET\\s+(.+?)" +
+      "(?:\\s+WHERE\\s+(.+))?$").r
+
+  private def runDelete(
+      spark: SparkSession, table: String, where: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    // SQL DELETE removes rows where the predicate is TRUE; NULL keeps
+    val pred = coalesce(expr(where.getOrElse("TRUE")), lit(false))
+    withTablePath(spark, table)(path =>
+      Dml.rewriteAllFiles(spark, path)(_.filter(not(pred))))
+  }
+
+  private def runUpdate(
+      spark: SparkSession, table: String, sets: String,
+      where: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val assignments = splitTopLevel(sets, ',').map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0, s"malformed SET assignment: $a")
+      (a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`"),
+        expr(a.substring(eq + 1).trim))
+    }
+    val pred = coalesce(expr(where.getOrElse("TRUE")), lit(false))
+    withTablePath(spark, table)(path =>
+      Dml.rewriteAllFiles(spark, path)(
+        Dml.applyAssignments(_, pred, assignments)))
+  }
+
+  /** Resolve a DML target to its storage path, run the rewrite, refresh
+    * the catalog's file listing, and report (n_files, n_rewritten). */
+  private def withTablePath(spark: SparkSession, table: String)(
+      op: String => Dml.Stats): DataFrame = {
+    val catalog = spark.sessionState.catalog
+    require(catalog.getTempView(table).isEmpty &&
+      catalog.getGlobalTempView(table).isEmpty,
+      s"DML target '$table' is a view over registered files — only catalog" +
+        " tables are mutable")
+    val meta = catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val path = java.nio.file.Paths.get(meta.location).toString
+    val stats = op(path)
+    spark.catalog.refreshTable(table)
+    import spark.implicits._
+    Seq((stats.nFiles.toLong, stats.nRewritten.toLong))
+      .toDF("n_files", "n_rewritten")
+  }
+
+  /** Split on a separator at paren/quote top level only (SET lists carry
+    * commas inside function calls and string literals). */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    var depth = 0
+    var inStr = false
+    var last = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case c if c == sep && depth == 0 =>
+          out += s.substring(last, i); last = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(last)
+    out.toSeq
   }
 
   /** A SUMMARIZE/DESCRIBE target: a full SELECT runs as-is; anything else

@@ -398,6 +398,50 @@ object TierCSql {
        |FROM lineitem
        |GROUP BY l_returnflag ORDER BY l_returnflag;""".stripMargin
 
+  // --- User-typed DML through the engine's SQL route (r15) ----------------
+  //
+  // The reference's editor accepts DELETE/UPDATE against any table the
+  // user created (the delegation point runs arbitrary DuckDB SQL); Spark's
+  // session-catalog parquet tables reject DML outright, so `Engine.sql`
+  // routes those statements to the copy-on-write rewriter
+  // (`engine/Dml.scala`) and refreshes the table. This witness runs the
+  // full user flow — CTAS → DELETE → multi-assignment UPDATE → read-back —
+  // through the `Engine.runScript` lexer path; the oracle replays the
+  // IDENTICAL statements as native DuckDB DML, so a hash match certifies
+  // the routed rewrite implements real DML semantics (NULL-predicate
+  // rows kept, all UPDATE right-hand sides reading the OLD row, rows
+  // outside the predicates untouched).
+  private def dmlSqlTable(dir: String): String =
+    s"graft_dmlsql_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+
+  def dmlSqlScript(dir: String): String = {
+    val t = dmlSqlTable(dir)
+    s"""DROP TABLE IF EXISTS $t;
+       |CREATE TABLE $t AS
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey <= 3000;
+       |DELETE FROM $t WHERE o_totalprice < 50000;
+       |UPDATE $t SET o_totalprice = o_totalprice * 2, o_orderstatus = 'U'
+       |  WHERE o_totalprice > 400000;
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${msum("o_totalprice")} AS total
+       |FROM $t
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
+  }
+
+  val dmlSqlOracle: String =
+    s"""CREATE OR REPLACE TEMP TABLE graft_dmlsql_oracle AS
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey <= 3000;
+       |DELETE FROM graft_dmlsql_oracle WHERE o_totalprice < 50000;
+       |UPDATE graft_dmlsql_oracle
+       |  SET o_totalprice = o_totalprice * 2, o_orderstatus = 'U'
+       |  WHERE o_totalprice > 400000;
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${msum("o_totalprice")} AS total
+       |FROM graft_dmlsql_oracle
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
+
   // ORDER BY ALL — the companion dialect convenience to GROUP BY ALL:
   // order by every output column left to right. Verbatim in both engines
   // (Spark 4 and DuckDB both accept it); the translation, were it needed,
@@ -427,6 +471,8 @@ object TierCSql {
     "c_sql_view_script" -> script(viewScript),
     "c_sql_ctas" -> ((s, dir) => Engine.runScript(views(s, dir),
       ctasScript(dir)).getOrElse(sys.error("script produced no result"))),
+    "c_sql_dml" -> ((s, dir) => Engine.runScript(views(s, dir),
+      dmlSqlScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_macro" -> script(macroScript),
     "c_scalar_funcs" -> q(scalarFuncs),
     "c_recursive_cte" -> q(recursiveCte),
@@ -454,6 +500,7 @@ object TierCSql {
     "c_sql_grouping_sets" -> groupingSets,
     "c_sql_view_script" -> viewScriptOracle,
     "c_sql_ctas" -> ctasOracle,
+    "c_sql_dml" -> dmlSqlOracle,
     "c_sql_macro" -> macroOracle,
     "c_scalar_funcs" -> scalarFuncs,
     "c_recursive_cte" -> recursiveCte,

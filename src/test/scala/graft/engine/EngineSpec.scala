@@ -177,4 +177,16 @@ class EngineSpec extends AnyFunSuite {
     assert(analysis.isLeft &&
       analysis.swap.exists(_.contains("no_such_table_xyz")))
   }
+
+  test("routed DML refuses temp views over registered (read-only) files") {
+    // the c_sql_dml witness proves the TABLE path end to end; this pins
+    // the guard rail — a user's DELETE against an imported file's view
+    // must error clearly, never rewrite the input files
+    graft.queries.Tables.views(spark, "/root/testdata/sf0.001")
+    val e = intercept[IllegalArgumentException] {
+      Engine.sql(spark, "DELETE FROM lineitem WHERE l_orderkey = 1")
+    }
+    assert(e.getMessage.contains("view over registered files"),
+      s"expected the temp-view refusal: ${e.getMessage}")
+  }
 }
