@@ -259,15 +259,21 @@ object Engine {
     * infrastructure events, not statement authoring errors. A quoted path
     * table that resolves to no file gets a targeted hint ahead of the
     * analyzer's message. (ParseException needs no separate case: it
-    * extends AnalysisException.) */
+    * extends AnalysisException.) Routes through `sql`, so the engine's
+    * SUMMARIZE/DESCRIBE/DML statement routing applies on the
+    * error-surfaced path exactly as on the direct one; the routed DML's
+    * guard-rail refusals (IllegalArgumentException — e.g. DML on a temp
+    * view) surface as messages like any other authoring error. */
   def tryQuery(spark: SparkSession, statement: String): Either[String, DataFrame] = {
-    val (rewritten, missing) = Catalog.rewritePathTables(spark, statement)
-    try Right(spark.sql(rewritten))
+    val (_, missing) = Catalog.rewritePathTables(spark, statement)
+    def hint =
+      if (missing.isEmpty) ""
+      else s"no such file for path table(s): ${missing.mkString(", ")}\n"
+    try Right(sql(spark, statement))
     catch {
       case e: org.apache.spark.sql.AnalysisException =>
-        val hint =
-          if (missing.isEmpty) ""
-          else s"no such file for path table(s): ${missing.mkString(", ")}\n"
+        Left(hint + e.getMessage)
+      case e: IllegalArgumentException =>
         Left(hint + e.getMessage)
     }
   }
