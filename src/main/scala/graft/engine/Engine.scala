@@ -97,6 +97,11 @@ object Engine {
         " tables are mutable")
     val meta = catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
+    // the rewriter reads/writes parquet part files; a csv/json/orc table
+    // would silently no-op (no .parquet files to rewrite) — refuse loudly
+    require(meta.provider.exists(_.equalsIgnoreCase("parquet")),
+      s"DML target '$table' uses provider ${meta.provider.getOrElse("?")} —" +
+        " the copy-on-write rewriter supports parquet tables")
     val path = java.nio.file.Paths.get(meta.location).toString
     val stats = op(path)
     spark.catalog.refreshTable(table)
