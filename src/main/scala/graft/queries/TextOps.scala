@@ -467,24 +467,38 @@ object TextOps {
   private val ChunkC = 32
   private val ChunkS = 24
 
-  val chunkDocs: Q = (s, dir) =>
-    t(s, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      .orderBy(col("doc_id")).limit(200)
+  /** The chunking transform over any frame carrying (doc_id, text) —
+    * shared VERBATIM by the declared query and `Streams.chunkStream`
+    * (stateless Column work, so batch and stream paths cannot drift).
+    * Input columns other than `text` pass through onto every chunk row
+    * (the stream keeps its event-time column for watermarking). */
+  private[graft] def withChunks(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val keep = docs.columns.filterNot(_ == "text").map(col).toSeq
+    docs
       .withColumn("ws", split(col("text"), " "))
       .withColumn("n", size(col("ws")))
       .withColumn("nchunks", expr(
         s"""CASE WHEN n <= $ChunkC THEN 1
            |  ELSE 1 + (n - $ChunkC + ${ChunkS - 1}) div $ChunkS END"""
           .stripMargin))
-      .select(col("doc_id"), col("ws"), col("n"),
-        explode(expr("sequence(0, nchunks - 1)")).as("chunk_id"))
-      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+      .select(keep ++ Seq(col("ws"),
+        explode(expr("sequence(0, nchunks - 1)")).as("chunk_id")): _*)
+      .select(keep ++ Seq(
+        col("chunk_id").cast("long").as("chunk_id"),
         expr(s"CAST(chunk_id * $ChunkS + 1 AS BIGINT)").as("start_tok"),
         expr(s"CAST(size(slice(ws, chunk_id * $ChunkS + 1, $ChunkC)) " +
           "AS BIGINT)").as("n_tokens"),
         expr(s"md5(concat_ws(' ', " +
           s"slice(ws, chunk_id * $ChunkS + 1, $ChunkC)))").as("chunk_md5"))
+        : _*)
+  }
+
+  val chunkDocs: Q = (s, dir) =>
+    withChunks(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).limit(200))
       .orderBy(col("doc_id"), col("chunk_id"))
 
   val chunkDocsSql: String =

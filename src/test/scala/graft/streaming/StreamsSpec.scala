@@ -376,6 +376,42 @@ class StreamsSpec extends AnyFunSuite {
       s"band must prune directories of the streamed index:\n$plan")
   }
 
+  test("chunkStream: micro-batched chunks equal the batch transform") {
+    // stateless map work: chunk rows from N uneven micro-batches must be
+    // exactly the batch chunker's output on the same documents — the
+    // shared-transform guarantee, as with nearDupStream/dedupIndexIngest
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(30).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.chunkStream(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunk_stream_t").start()
+    try {
+      in.addData(docs.take(11).toSeq: _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(11).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_md5")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+    val streamed = rows(spark.table("chunk_stream_t"))
+    val batch = rows(graft.queries.TextOps.withChunks(
+      spark.createDataset(docs.toSeq).toDF("doc_id", "text")))
+    assert(streamed == batch,
+      s"stream chunks drifted from batch: ${(streamed diff batch).take(3)}" +
+        s" / ${(batch diff streamed).take(3)}")
+    assert(streamed.nonEmpty && streamed.map(_._1).size >= 30)
+  }
+
   test("compactDedupIndex: probe results unchanged, bytes shrink") {
     // VERDICT r14 #2: the at-rest compaction applies the probe-time
     // `<= DfCap` rule to storage. Plant a corpus whose band index has an
