@@ -192,7 +192,11 @@ object Dml {
     * matched-row rewriting touches only overlapping files and the
     * not-matched branch is a pure file append — exactly how a table
     * format executes MERGE under its log. `source` must carry the key
-    * columns plus (at least) `setCols`, all typed as in the layout.
+    * columns plus (at least) `setCols`, all typed as in the layout, and
+    * its keys must be DISTINCT — a duplicated source key would multiply
+    * every matched target row through the join, so (as SQL MERGE's
+    * multiple-matches error does) the precondition is enforced up front
+    * against the small source, not silently folded.
     *
     * The WHEN MATCHED branch joins the affected files against the
     * BROADCAST source — at scale the source (a day's upserts) is orders
@@ -203,6 +207,14 @@ object Dml {
       loMicros: Long, hiMicros: Long,
       source: DataFrame, srcKeys: Seq[String],
       setCols: Seq[String]): Stats = {
+    // SQL MERGE raises on multiple source matches per target row; the
+    // equivalent guard here is source-key uniqueness (cheap: one agg over
+    // the small upsert side, found-one-stop via limit(1))
+    require(source.groupBy(srcKeys.map(col).toSeq: _*)
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1).count() == 0,
+      s"MERGE source has duplicate keys on (${srcKeys.mkString(", ")}) —" +
+        " each target row must match at most one source row")
     // prefix non-key source columns + add a hit marker, so the left join
     // never collides with target names and NULL source VALUES still
     // register as a match

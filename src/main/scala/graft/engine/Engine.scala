@@ -34,8 +34,12 @@ object Engine {
       case summarizeRe(target) => summarize(sqlTarget(spark, target))
       case describeSelRe(sel) => describe(sql(spark, sel))
       case deleteRe(table, where) => runDelete(spark, table, Option(where))
-      case updateRe(table, sets, where) =>
-        runUpdate(spark, table, sets, Option(where))
+      case updateRe(table, blob) =>
+        // the SET list may carry WHERE inside a string literal
+        // (`SET note = 'a where b'`) or a subquery — split on the first
+        // TOP-LEVEL WHERE keyword, not the regex's first textual match
+        val (sets, where) = splitOnWhere(blob)
+        runUpdate(spark, table, sets, where)
       case _ => spark.sql(Catalog.rewritePathTables(spark, statement)._1)
     }
   }
@@ -58,8 +62,34 @@ object Engine {
   private val deleteRe =
     "(?is)^DELETE\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s+WHERE\\s+(.+))?$".r
   private val updateRe =
-    ("(?is)^UPDATE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+SET\\s+(.+?)" +
-      "(?:\\s+WHERE\\s+(.+))?$").r
+    "(?is)^UPDATE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+SET\\s+(.+)$".r
+
+  /** Split `SET-list [WHERE predicate]` at the first WHERE keyword that
+    * sits outside string literals and parens (subqueries). Quote state
+    * tracking matches splitTopLevel's ('' escaping reads as
+    * close-then-reopen, which lands on the same answer). */
+  private def splitOnWhere(s: String): (String, Option[String]) = {
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'w' | 'W' if depth == 0 && i + 5 <= s.length &&
+            s.regionMatches(true, i, "where", 0, 5) &&
+            (i == 0 || s.charAt(i - 1).isWhitespace) &&
+            (i + 5 == s.length || s.charAt(i + 5).isWhitespace) =>
+          return (s.substring(0, i).trim, Some(s.substring(i + 5).trim))
+        case _ => ()
+      }
+      i += 1
+    }
+    (s.trim, None)
+  }
 
   private def runDelete(
       spark: SparkSession, table: String, where: Option[String]): DataFrame = {
@@ -102,6 +132,14 @@ object Engine {
     require(meta.provider.exists(_.equalsIgnoreCase("parquet")),
       s"DML target '$table' uses provider ${meta.provider.getOrElse("?")} —" +
         " the copy-on-write rewriter supports parquet tables")
+    // a PARTITIONED BY table keeps its data in partition subdirectories;
+    // Dml.dataFiles lists only the top level, so the rewrite would find 0
+    // files and report success while mutating nothing — refuse loudly
+    // (same silent-no-op class as the provider guard above)
+    require(meta.partitionColumnNames.isEmpty,
+      s"DML target '$table' is partitioned by " +
+        s"${meta.partitionColumnNames.mkString(", ")} — the copy-on-write" +
+        " rewriter supports unpartitioned parquet tables")
     val path = java.nio.file.Paths.get(meta.location).toString
     val stats = op(path)
     spark.catalog.refreshTable(table)

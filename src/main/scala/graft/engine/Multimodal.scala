@@ -361,7 +361,10 @@ object Multimodal {
         if (size32 == 1L) { if (pos + 16 <= len) be64(pos.toInt + 8) else -1L }
         else if (size32 == 0L) len - pos
         else size32
-      if (size < hdr || pos + size > len) done = true
+      // subtraction form: pos <= len here, so len - pos can't overflow,
+      // whereas pos + size wraps negative for a crafted largesize near
+      // 2^63 and would sneak past an addition-form bound check
+      if (size < hdr || size > len - pos) done = true
       else {
         typ match {
           case "66747970" => // ftyp: major brand at payload bytes 0-3

@@ -1017,7 +1017,8 @@ object Media {
       s"    ntrak + CASE WHEN $oTyp = '7472616B' THEN 1 ELSE 0 END\n" +
       "  FROM mwalk\n" +
       "  WHERE depth < 64 AND length(hx) >= (pos + 8) * 2\n" +
-      s"    AND $oSz >= $oHdr AND (pos + $oSz) * 2 <= length(hx)),\n" +
+      // subtraction form mirrors Multimodal.mp4Meta's overflow-safe bound
+      s"    AND $oSz >= $oHdr AND $oSz <= length(hx) // 2 - pos),\n" +
       "mend AS (\n" +
       "  SELECT doc_id, hx, brand, tsc, dur, ntrak,\n" +
       "    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY depth DESC)\n" +

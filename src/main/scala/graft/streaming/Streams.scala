@@ -264,22 +264,21 @@ object Streams {
     val tmp = java.nio.file.Paths.get(
       s"${path}_compact_p${ProcessHandle.current.pid}")
     kept.write.mode("overwrite").partitionBy("band").parquet(tmp.toString)
-    // swap: clear the old segment (data, sink log, checksums), move the
-    // compacted layout's children in
+    // swap: rename the live segment ASIDE, move the compacted layout into
+    // place, THEN delete the renamed original — a crash mid-swap leaves a
+    // recoverable full copy (the aside dir), unlike a delete-first swap
+    // whose crash window strands the only copy in the tmp dir
     val root = java.nio.file.Paths.get(path)
+    val aside = java.nio.file.Paths.get(
+      s"${path}_old_p${ProcessHandle.current.pid}")
+    java.nio.file.Files.move(root, aside)
+    java.nio.file.Files.move(tmp, root)
     def clear(p: java.nio.file.Path): Unit = {
       val st = java.nio.file.Files.walk(p)
       val all = try st.iterator().asScala.toSeq.reverse finally st.close()
-      all.filter(_ != p).foreach(java.nio.file.Files.deleteIfExists(_))
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
     }
-    clear(root)
-    val kids = {
-      val st = java.nio.file.Files.list(tmp)
-      try st.iterator().asScala.toSeq finally st.close()
-    }
-    kids.foreach(k =>
-      java.nio.file.Files.move(k, root.resolve(k.getFileName.toString)))
-    java.nio.file.Files.deleteIfExists(tmp)
+    clear(aside)
     val after = spark.read.parquet(path)
     CompactionStats(rowsBefore, after.count(), bytesBefore, parquetBytes(),
       bucketsDropped)

@@ -189,4 +189,50 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("view over registered files"),
       s"expected the temp-view refusal: ${e.getMessage}")
   }
+
+  test("routed DML refuses partitioned tables instead of silently no-opping") {
+    // a PARTITIONED BY table's data lives in subdirectories the rewriter's
+    // top-level file listing never sees — without the guard, DELETE would
+    // report success with 0 files touched
+    val t = s"graft_part_refuse_p${ProcessHandle.current.pid}"
+    Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
+    Engine.exec(spark,
+      s"CREATE TABLE $t USING parquet PARTITIONED BY (p) AS " +
+        "SELECT id, id % 3 AS p FROM RANGE(30)")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Engine.sql(spark, s"DELETE FROM $t WHERE id = 1")
+      }
+      assert(e.getMessage.contains("partitioned"),
+        s"expected the partitioned-table refusal: ${e.getMessage}")
+      // and nothing was deleted
+      assert(spark.table(t).count() == 30)
+    } finally Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("routed UPDATE splits on the real WHERE, not one inside a literal") {
+    val t = s"graft_upd_literal_p${ProcessHandle.current.pid}"
+    Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
+    Engine.exec(spark,
+      s"CREATE TABLE $t USING parquet AS " +
+        "SELECT id, CAST('x' AS STRING) AS note FROM RANGE(10)")
+    try {
+      // the SET value contains a lowercase `where` inside the string
+      // literal and the real WHERE follows — the quote-aware split must
+      // assign the whole literal and filter on id >= 7
+      Engine.sql(spark,
+        s"UPDATE $t SET note = 'a where b' WHERE id >= 7").collect()
+      spark.catalog.refreshTable(t)
+      val notes = spark.table(t).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(notes(8) == "a where b" && notes(3) == "x",
+        s"literal-WHERE split broke the update: $notes")
+      // and with NO top-level WHERE at all, the literal's `where` must
+      // not be mistaken for one (all rows take the assignment)
+      Engine.sql(spark,
+        s"UPDATE $t SET note = 'all where rows'").collect()
+      spark.catalog.refreshTable(t)
+      assert(spark.table(t).filter("note = 'all where rows'").count() == 10)
+    } finally Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
+  }
 }

@@ -187,6 +187,11 @@ class MultimodalSpec extends AnyFunSuite {
     // a largesize whose 64-bit size overruns the stream also stops
     val bigOverrun = hx(ftyp + be32(1) + "66726565" + "000000000000FFFF")
     assert(Multimodal.mp4Meta(bigOverrun) == (("69736F6D", 0L, 0L, 0L)))
+    // a largesize near 2^63 would wrap pos + size negative under an
+    // addition-form bound check and index out of bounds — the
+    // subtraction-form guard (size > len - pos) stops it cleanly
+    val bigWrap = hx(ftyp + be32(1) + "66726565" + "7FFFFFFFFFFFFFF0")
+    assert(Multimodal.mp4Meta(bigWrap) == (("69736F6D", 0L, 0L, 0L)))
     // a largesize SMALLER than its own 16-byte header is malformed: stop
     val bigTiny = hx(ftyp + be32(1) + "66726565" + "000000000000000A" +
       be32(16) + "6D6F6F76 00000000 00000000")

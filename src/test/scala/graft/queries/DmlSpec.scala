@@ -149,4 +149,24 @@ class DmlSpec extends AnyFunSuite {
           lit(100.25).as("o_totalprice")))
     assertSameRows(path, expect)
   }
+
+  test("MERGE refuses a source with duplicate keys (no silent row fan-out)") {
+    // SQL MERGE errors on multiple matches; the left-join translation
+    // would instead multiply matched target rows — so the precondition
+    // is enforced before any file moves
+    val path = freshLayout("dmlspec_dup")
+    val before = fileHashes(path)
+    val dupSource = orig
+      .filter(col("o_orderdate") >= Tables.ts("1998-01-01") &&
+        col("o_orderdate") < Tables.ts("1998-02-01"))
+      .limit(4)
+    val doubled = dupSource.unionByName(dupSource) // every key twice
+    val e = intercept[IllegalArgumentException] {
+      Dml.mergeInto(spark, path, "o_orderdate",
+        Dml.dayMicros("1998-01-01"), Dml.dayMicros("1998-02-01"),
+        doubled, Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+    }
+    assert(e.getMessage.contains("duplicate keys"), e.getMessage)
+    assert(fileHashes(path) == before, "refusal must leave the layout intact")
+  }
 }
