@@ -97,18 +97,34 @@ object Dml {
     * applied ONLY to rows of affected files — it must be a superset-safe
     * row map (rows outside the predicate pass through unchanged), which
     * `deleteWhere`/`updateWhere` guarantee by construction. */
+  /** The files whose footer [min,max] on `column` intersects [lo, hi) —
+    * plus every file WITHOUT stats on the column (absence can't prove
+    * disjointness). `hi == Long.MaxValue` reads as +∞ (inclusive): the
+    * half-open form can't otherwise express a range containing MaxValue
+    * itself. Package-visible so DmlSpec can certify the selection
+    * itself, not only its end-to-end effect. */
+  private[graft] def overlapping(
+      files: Seq[Path], column: String, loMicros: Long,
+      hiMicros: Long): Seq[Path] =
+    files.filter { f =>
+      fileRange(f, column) match {
+        case Some((mn, mx)) =>
+          mx >= loMicros && (mn < hiMicros || hiMicros == Long.MaxValue)
+        case None => true // no stats — cannot prove disjoint, must rewrite
+      }
+    }
+
+  /** Data files of a layout directory (top level, dotfiles excluded). */
+  private[graft] def layoutFiles(path: String): Seq[Path] =
+    dataFiles(Paths.get(path))
+
   def copyOnWrite(
       spark: SparkSession, path: String, pruneCol: String,
       loMicros: Long, hiMicros: Long)(
       transform: DataFrame => DataFrame): Stats = {
     val files = dataFiles(Paths.get(path))
-    val affected = files.filter { f =>
-      fileRange(f, pruneCol) match {
-        case Some((mn, mx)) => mx >= loMicros && mn < hiMicros
-        case None => true // no stats — cannot prove disjoint, must rewrite
-      }
-    }
-    rewriteFiles(spark, path, files, affected)(transform)
+    rewriteFiles(spark, path, files,
+      overlapping(files, pruneCol, loMicros, hiMicros))(transform)
   }
 
   /** The UNPRUNED rewrite — every data file is affected. This is the
@@ -206,6 +222,41 @@ object Dml {
       spark: SparkSession, path: String, pruneCol: String,
       loMicros: Long, hiMicros: Long,
       source: DataFrame, srcKeys: Seq[String],
+      setCols: Seq[String]): Stats =
+    mergeCore(spark, path,
+      overlapping(_, pruneCol, loMicros, hiMicros),
+      source, srcKeys, setCols)
+
+  /** The UNPRUNED merge — every data file is a matched-branch candidate.
+    * This backs the engine's routed `MERGE INTO` statement (an arbitrary
+    * user merge carries no prune range); the range-pruned `mergeInto` is
+    * the optimized API. The insert branch still key-prunes (below) —
+    * that prune derives from the SOURCE's key span, which the statement
+    * does carry. */
+  def mergeIntoAll(
+      spark: SparkSession, path: String, source: DataFrame,
+      srcKeys: Seq[String], setCols: Seq[String]): Stats =
+    mergeCore(spark, path, identity, source, srcKeys, setCols)
+
+  /** The files the WHEN-NOT-MATCHED existence check must read: the
+    * anti-join needs only target KEYS, and a file whose footer [min,max]
+    * on the head key misses the source's key span [kLo, kHi] (inclusive)
+    * cannot contain a matching key. Only INT64-backed keys prune (the
+    * footer statistics fold reads long stats); anything else — and any
+    * file without stats — stays a candidate. */
+  private[graft] def insertCheckFiles(
+      files: Seq[Path], keyCol: String, kLo: Long, kHi: Long): Seq[Path] =
+    files.filter { f =>
+      fileRange(f, keyCol) match {
+        case Some((mn, mx)) => mx >= kLo && mn <= kHi
+        case None => true
+      }
+    }
+
+  private def mergeCore(
+      spark: SparkSession, path: String,
+      affectedSel: Seq[Path] => Seq[Path],
+      source: DataFrame, srcKeys: Seq[String],
       setCols: Seq[String]): Stats = {
     // SQL MERGE raises on multiple source matches per target row; the
     // equivalent guard here is source-key uniqueness (cheap: one agg over
@@ -221,7 +272,8 @@ object Dml {
     val renamed = source.columns.foldLeft(source) { (d, c) =>
       if (srcKeys.contains(c)) d else d.withColumnRenamed(c, s"_src_$c")
     }.withColumn("_src_hit", lit(true))
-    val stats = copyOnWrite(spark, path, pruneCol, loMicros, hiMicros) { df =>
+    val files = dataFiles(Paths.get(path))
+    val stats = rewriteFiles(spark, path, files, affectedSel(files)) { df =>
       val joined = df.join(broadcast(renamed), srcKeys, "left")
       val matched = col("_src_hit").isNotNull
       val updated = setCols.foldLeft(joined) { (d, name) =>
@@ -231,10 +283,31 @@ object Dml {
       updated.select(df.columns.map(col).toSeq: _*)
     }
     // WHEN NOT MATCHED: source keys absent from the ENTIRE layout append.
-    // (Anti-join against the full layout, not just affected files — a
-    // source row matching an out-of-range target row must not duplicate.)
+    // (The check spans the full key space — a source row matching an
+    // out-of-range target row must not duplicate — but only files whose
+    // head-key footer range overlaps the source's key span are READ: on
+    // a key-clustered layout a day's upserts open a handful of files,
+    // not the table. Schema comes from the layout footer, no scan.)
     val target = spark.read.parquet(path)
-    val inserts = renamed.join(target, srcKeys, "left_anti")
+    val keyCol = srcKeys.head
+    val candidates = target.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val span = source.agg(
+          min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head()
+        if (span.isNullAt(0)) Seq.empty // empty source: nothing to insert
+        else insertCheckFiles(dataFiles(Paths.get(path)), keyCol,
+          span.getLong(0), span.getLong(1))
+      case _ => dataFiles(Paths.get(path))
+    }
+    val targetKeys =
+      if (candidates.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            srcKeys.map(k => target.schema(target.schema.fieldIndex(k)))))
+      else spark.read.parquet(candidates.map(_.toString): _*)
+        .select(srcKeys.map(col).toSeq: _*)
+    val inserts = renamed.join(targetKeys, srcKeys, "left_anti")
       .select(target.columns.map { c =>
         if (srcKeys.contains(c)) col(c)
         else if (renamed.columns.contains(s"_src_$c")) col(s"_src_$c").as(c)

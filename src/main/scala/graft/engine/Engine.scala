@@ -40,6 +40,9 @@ object Engine {
         // TOP-LEVEL WHERE keyword, not the regex's first textual match
         val (sets, where) = splitOnWhere(blob)
         runUpdate(spark, table, sets, where)
+      case mergeRe(table, tAlias, src, sAlias, onCond, sets, insert) =>
+        runMerge(spark, table, Option(tAlias), src, Option(sAlias),
+          onCond, sets, insert)
       case _ => spark.sql(Catalog.rewritePathTables(spark, statement)._1)
     }
   }
@@ -47,18 +50,21 @@ object Engine {
   // --- user-typed DML: routed to the copy-on-write rewriter ---------------
   //
   // The reference's delegation point executes any DuckDB SQL, so a user
-  // can type `UPDATE`/`DELETE` against a table they created (CTAS is
-  // already supported through this path). Spark's session-catalog parquet
-  // tables reject DML outright ("does not support DELETE/MERGE/UPDATE" —
-  // row-level ops need a DSv2 table format), so the engine closes the gap
-  // itself: the statement's WHERE/SET text parses through `expr` (full
-  // Catalyst expression syntax) and executes as the copy-on-write file
-  // rewrite in `engine/Dml.scala`, then the table's file listing is
-  // refreshed. The engine route rewrites ALL of the table's files — an
-  // arbitrary predicate carries no prune column; the min/max-pruned path
-  // is the Dml API itself (`c_dml_rewrite`). Targets must be catalog
-  // TABLES: temp views over registered (read-only) files refuse with a
-  // clear message instead of mutating inputs.
+  // can type `UPDATE`/`DELETE`/`MERGE` against a table they created (CTAS
+  // is already supported through this path). Spark's session-catalog
+  // parquet tables reject DML outright ("does not support
+  // DELETE/MERGE/UPDATE" — row-level ops need a DSv2 table format), so
+  // the engine closes the gap itself: the statement's WHERE/SET text
+  // parses through `expr` (full Catalyst expression syntax) and executes
+  // as the copy-on-write file rewrite in `engine/Dml.scala`, then the
+  // table's file listing is refreshed. When the WHERE's top-level
+  // conjunction bounds a long/timestamp column by literals, the rewrite
+  // takes the footer-stats-PRUNED path (`pruneRange` below) — a narrow
+  // typed DELETE on a range-clustered layout touches a handful of files;
+  // any predicate shape the extractor doesn't recognize falls back to the
+  // full rewrite, never to wrong pruning. Targets must be catalog TABLES:
+  // temp views over registered (read-only) files refuse with a clear
+  // message instead of mutating inputs.
   private val deleteRe =
     "(?is)^DELETE\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s+WHERE\\s+(.+))?$".r
   private val updateRe =
@@ -91,13 +97,132 @@ object Engine {
     (s.trim, None)
   }
 
+  // MERGE INTO target [[AS] t] USING source [[AS] s] ON <equi-keys>
+  //   WHEN MATCHED THEN UPDATE SET <assignments>
+  //   WHEN NOT MATCHED THEN INSERT <* | (cols) VALUES (vals)>
+  // — the canonical upsert statement the reference's delegation point
+  // accepts (/root/reference/src/duckdb.ts:46-49), routed to the engine's
+  // copy-on-write merge (`Dml.mergeIntoAll`). The alias captures use a
+  // lookahead so a missing alias never swallows the next keyword.
+  private val mergeRe =
+    ("(?is)^MERGE\\s+INTO\\s+([A-Za-z_]\\w*)" +
+      "(?:\\s+(?:AS\\s+)?(?!USING\\b)([A-Za-z_]\\w*))?" +
+      "\\s+USING\\s+([A-Za-z_]\\w*)" +
+      "(?:\\s+(?:AS\\s+)?(?!ON\\b)([A-Za-z_]\\w*))?" +
+      "\\s+ON\\s+(.+?)" +
+      "\\s+WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+(.+?)" +
+      "\\s+WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+(.+)$").r
+
+  /** Parse the routed MERGE's clauses down to `Dml.mergeIntoAll`'s
+    * (srcKeys, setCols) contract and execute it. The supported shape is
+    * the same-named upsert MERGE translates to: ON conjoins
+    * `t.k = s.k` equi-keys, each SET assignment copies the same-named
+    * source column, and INSERT is the full source row (`*`, or an
+    * explicit column list covering the source columns with identity
+    * values). Anything richer refuses with a clear message — never a
+    * silently-different merge. */
+  private def runMerge(
+      spark: SparkSession, table: String, tAlias: Option[String],
+      src: String, sAlias: Option[String], onCond: String, sets: String,
+      insert: String): DataFrame = {
+    val tQuals = (Set(table) ++ tAlias).map(_.toLowerCase)
+    val sQuals = (Set(src) ++ sAlias).map(_.toLowerCase)
+    def parseRef(raw: String): (Option[String], String) = {
+      val r = raw.trim.stripPrefix("`").stripSuffix("`")
+      r.split('.') match {
+        case Array(q, c) => (Some(q.toLowerCase), c)
+        case Array(c) => (None, c)
+        case _ =>
+          throw new IllegalArgumentException(s"unsupported MERGE ref: $raw")
+      }
+    }
+    // ON: top-level AND of target-key = source-key, same column name
+    val srcKeys = splitOnKeyword(onCond, "AND").map { conj =>
+      val eq = splitTopLevel(conj, '=')
+      require(eq.size == 2, s"MERGE ON supports equi-key conjuncts: $conj")
+      val (q1, c1) = parseRef(eq(0)); val (q2, c2) = parseRef(eq(1))
+      require(c1.equalsIgnoreCase(c2),
+        s"MERGE ON keys must pair the same-named column: $conj")
+      val quals = (Set(q1) ++ Set(q2)).flatten
+      require(quals.exists(tQuals) && quals.exists(sQuals),
+        s"MERGE ON conjunct must join target to source: $conj")
+      c1
+    }
+    // SET: same-named source column per assignment
+    val setCols = splitTopLevel(sets, ',').map { a =>
+      val eq = splitTopLevel(a, '=')
+      require(eq.size == 2, s"malformed MERGE SET assignment: $a")
+      val (lq, lc) = parseRef(eq(0)); val (rq, rc) = parseRef(eq(1))
+      require(lq.forall(tQuals) && rq.forall(sQuals) &&
+        lc.equalsIgnoreCase(rc),
+        "routed MERGE supports SET col = source.col of the same name" +
+          s" — got: $a")
+      lc
+    }
+    val sourceDf = spark.table(src)
+    // INSERT: `*`, or an explicit (cols) VALUES (vals) spelling of the
+    // identical full-row insert
+    val ins = insert.trim.stripSuffix(";").trim
+    if (ins != "*") {
+      val cv = "(?is)^\\(([^)]*)\\)\\s*VALUES\\s*\\(([^)]*)\\)$".r
+      ins match {
+        case cv(cols, vals) =>
+          val cs = cols.split(',').map(parseRef(_)._2.toLowerCase).toSeq
+          val vs = vals.split(',').map(parseRef(_)._2.toLowerCase).toSeq
+          require(cs == vs,
+            "routed MERGE INSERT values must be the same-named source" +
+              s" columns: ($cols) VALUES ($vals)")
+          val full = sourceDf.columns.map(_.toLowerCase).toSet
+          require(cs.toSet == full,
+            "routed MERGE INSERT must cover the full source row — got" +
+              s" ${cs.mkString(", ")} of ${full.mkString(", ")}")
+        case _ =>
+          throw new IllegalArgumentException(
+            s"routed MERGE supports INSERT * or (cols) VALUES (cols): $ins")
+      }
+    }
+    withTablePath(spark, table)(path =>
+      Dml.mergeIntoAll(spark, path, sourceDf, srcKeys, setCols))
+  }
+
+  /** Split on a keyword at paren/quote top level (case-insensitive, word
+    * boundaries) — the AND-splitter for MERGE ON conjunctions. */
+  private def splitOnKeyword(s: String, kw: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    var depth = 0
+    var inStr = false
+    var last = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && i + kw.length <= s.length &&
+            s.regionMatches(true, i, kw, 0, kw.length) &&
+            (i == 0 || s.charAt(i - 1).isWhitespace) &&
+            (i + kw.length == s.length ||
+              s.charAt(i + kw.length).isWhitespace) =>
+          out += s.substring(last, i)
+          last = i + kw.length
+          i += kw.length - 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(last)
+    out.toSeq
+  }
+
   private def runDelete(
       spark: SparkSession, table: String, where: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     // SQL DELETE removes rows where the predicate is TRUE; NULL keeps
     val pred = coalesce(expr(where.getOrElse("TRUE")), lit(false))
     withTablePath(spark, table)(path =>
-      Dml.rewriteAllFiles(spark, path)(_.filter(not(pred))))
+      rewriteRouted(spark, path, where)(_.filter(not(pred))))
   }
 
   private def runUpdate(
@@ -112,8 +237,122 @@ object Engine {
     }
     val pred = coalesce(expr(where.getOrElse("TRUE")), lit(false))
     withTablePath(spark, table)(path =>
-      Dml.rewriteAllFiles(spark, path)(
+      rewriteRouted(spark, path, where)(
         Dml.applyAssignments(_, pred, assignments)))
+  }
+
+  /** Execute a routed mutation with footer-stats pruning when the WHERE
+    * yields a provable range, else as the full rewrite. */
+  private def rewriteRouted(
+      spark: SparkSession, path: String, where: Option[String])(
+      transform: DataFrame => DataFrame): Dml.Stats =
+    where.flatMap(w => pruneRange(spark, path, w)) match {
+      case Some((c, lo, hi)) =>
+        Dml.copyOnWrite(spark, path, c, lo, hi)(transform)
+      case None => Dml.rewriteAllFiles(spark, path)(transform)
+    }
+
+  /** Extract a SOUND prune range from a routed WHERE clause: if any
+    * top-level conjunct compares one unqualified long/timestamp column
+    * against exact literals, every mutated row is confined to [lo, hi)
+    * on that column (pred TRUE ⇒ each conjunct TRUE ⇒ col in range), so
+    * the copy-on-write may skip files whose footer stats prove
+    * disjointness. Conservative by construction: literal forms whose
+    * physical-unit conversion isn't exact (doubles, unparsable strings),
+    * ORs, functions over the column, other columns' conjuncts — all
+    * simply don't narrow the range, and an empty extraction means the
+    * full rewrite, never wrong pruning. */
+  private def pruneRange(
+      spark: SparkSession, path: String,
+      where: String): Option[(String, Long, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(where)
+      catch { case _: Exception => return None }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // the layout's physical schema (footer read, no scan) — the prune
+    // column must be INT64-backed for Dml's statistics fold
+    val schema = spark.read.parquet(path).schema
+    def colOf(e: Expression): Option[StructField] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.size == 1 =>
+        schema.fields.find(_.name.equalsIgnoreCase(a.nameParts.head))
+      case _ => None
+    }
+    // literal → the column's physical INT64 unit, EXACT or None: integral
+    // literals for long columns; date/timestamp/string literals (micros,
+    // via Catalyst's own cast to the column's timestamp FLAVOR — the
+    // testdata's parquet reads as TIMESTAMP_NTZ under Spark 4's
+    // inferTimestampNTZ default, while typed TIMESTAMP '…' literals are
+    // LTZ, so the cast also absorbs the zone conversion) for timestamp
+    // columns. Fractional/other literal forms don't prune.
+    def unit(l: Literal, t: DataType): Option[Long] = (l.dataType, t) match {
+      case (ByteType | ShortType | IntegerType | LongType, LongType) =>
+        Some(l.value.toString.toLong)
+      case (DateType | TimestampType | TimestampNTZType | StringType,
+          TimestampType | TimestampNTZType) =>
+        try Option(Cast(l, t,
+          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null))
+          .map(_.asInstanceOf[Long])
+        catch { case _: Exception => None }
+      case _ => None
+    }
+    def incr(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+    // fold bounds per column over the conjuncts, both operand orders
+    val bounds =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    def narrow(f: StructField, lo: Option[Long], hi: Option[Long]): Unit = {
+      val (l0, h0) =
+        bounds.getOrElse(f.name, (Long.MinValue, Long.MaxValue))
+      bounds(f.name) =
+        (math.max(l0, lo.getOrElse(Long.MinValue)),
+          math.min(h0, hi.getOrElse(Long.MaxValue)))
+    }
+    conjuncts(parsed).foreach {
+      case GreaterThanOrEqual(a, l: Literal) =>
+        for (f <- colOf(a); v <- unit(l, f.dataType))
+          narrow(f, Some(v), None)
+      case GreaterThan(a, l: Literal) =>
+        for (f <- colOf(a); v <- unit(l, f.dataType))
+          narrow(f, Some(incr(v)), None)
+      case LessThan(a, l: Literal) =>
+        for (f <- colOf(a); v <- unit(l, f.dataType))
+          narrow(f, None, Some(v))
+      case LessThanOrEqual(a, l: Literal) =>
+        for (f <- colOf(a); v <- unit(l, f.dataType))
+          narrow(f, None, Some(incr(v)))
+      case EqualTo(a, l: Literal) =>
+        for (f <- colOf(a); v <- unit(l, f.dataType))
+          narrow(f, Some(v), Some(incr(v)))
+      // literal-first spellings mirror with flipped comparison
+      case GreaterThanOrEqual(l: Literal, a) =>
+        for (f <- colOf(a); v <- unit(l, f.dataType))
+          narrow(f, None, Some(incr(v)))
+      case GreaterThan(l: Literal, a) =>
+        for (f <- colOf(a); v <- unit(l, f.dataType))
+          narrow(f, None, Some(v))
+      case LessThan(l: Literal, a) =>
+        for (f <- colOf(a); v <- unit(l, f.dataType))
+          narrow(f, Some(incr(v)), None)
+      case LessThanOrEqual(l: Literal, a) =>
+        for (f <- colOf(a); v <- unit(l, f.dataType))
+          narrow(f, Some(v), None)
+      case EqualTo(l: Literal, a) =>
+        for (f <- colOf(a); v <- unit(l, f.dataType))
+          narrow(f, Some(v), Some(incr(v)))
+      case _ => () // unrecognized conjunct: doesn't narrow, stays sound
+    }
+    // prefer a two-sided range; else any one-sided bound still prunes
+    val useful = bounds.filter { case (_, (lo, hi)) =>
+      lo != Long.MinValue || hi != Long.MaxValue }
+    useful.find { case (_, (lo, hi)) =>
+      lo != Long.MinValue && hi != Long.MaxValue }
+      .orElse(useful.headOption)
+      .map { case (c, (lo, hi)) => (c, lo, hi) }
   }
 
   /** Resolve a DML target to its storage path, run the rewrite, refresh

@@ -442,6 +442,64 @@ object TierCSql {
        |FROM graft_dmlsql_oracle
        |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
 
+  // --- User-typed MERGE INTO through the engine's SQL route (r16) ---------
+  //
+  // The canonical upsert statement, typed as SQL and routed by
+  // `Engine.sql`'s MERGE pattern to the copy-on-write merge
+  // (`Dml.mergeIntoAll`): matched keys take the source's columns via a
+  // broadcast left join inside the file rewrite, fresh keys append as new
+  // files, and the WHEN-NOT-MATCHED existence check reads only files
+  // whose key-range footer stats overlap the source's key span. The
+  // oracle replays the UPDATE-then-INSERT script MERGE is defined as for
+  // this source (branch keys are disjoint by construction: matched keys
+  // are existing evens ≤ 600, inserts carry a +9,000,000 offset), so a
+  // hash match certifies both branches through the full user flow —
+  // lexer → CTAS → temp-view source → routed MERGE → read-back.
+  private def mergeSqlTable(dir: String): String =
+    s"graft_mrgsql_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+
+  def mergeSqlScript(dir: String): String = {
+    val t = mergeSqlTable(dir)
+    s"""DROP TABLE IF EXISTS $t;
+       |CREATE TABLE $t AS
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey <= 3000;
+       |CREATE OR REPLACE TEMP VIEW ${t}_src AS
+       |  SELECT o_orderkey, 'M' AS o_orderstatus,
+       |    o_totalprice * 2 AS o_totalprice
+       |  FROM orders WHERE o_orderkey <= 600 AND o_orderkey % 2 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey + 9000000, 'N', CAST(100.25 AS DOUBLE)
+       |  FROM orders WHERE o_orderkey <= 600 AND o_orderkey % 3 = 0;
+       |MERGE INTO $t USING ${t}_src
+       |  ON $t.o_orderkey = ${t}_src.o_orderkey
+       |  WHEN MATCHED THEN UPDATE SET
+       |    o_orderstatus = ${t}_src.o_orderstatus,
+       |    o_totalprice = ${t}_src.o_totalprice
+       |  WHEN NOT MATCHED THEN INSERT *;
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${msum("o_totalprice")} AS total,
+       |  MIN(o_orderkey) AS k_min, MAX(o_orderkey) AS k_max
+       |FROM $t
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
+  }
+
+  val mergeSqlOracle: String =
+    s"""CREATE OR REPLACE TEMP TABLE graft_mrgsql_oracle AS
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey <= 3000;
+       |UPDATE graft_mrgsql_oracle
+       |  SET o_orderstatus = 'M', o_totalprice = o_totalprice * 2
+       |  WHERE o_orderkey <= 600 AND o_orderkey % 2 = 0;
+       |INSERT INTO graft_mrgsql_oracle
+       |  SELECT o_orderkey + 9000000, 'N', CAST(100.25 AS DOUBLE)
+       |  FROM orders WHERE o_orderkey <= 600 AND o_orderkey % 3 = 0;
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${msum("o_totalprice")} AS total,
+       |  MIN(o_orderkey) AS k_min, MAX(o_orderkey) AS k_max
+       |FROM graft_mrgsql_oracle
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
+
   // ORDER BY ALL — the companion dialect convenience to GROUP BY ALL:
   // order by every output column left to right. Verbatim in both engines
   // (Spark 4 and DuckDB both accept it); the translation, were it needed,
@@ -473,6 +531,8 @@ object TierCSql {
       ctasScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_dml" -> ((s, dir) => Engine.runScript(views(s, dir),
       dmlSqlScript(dir)).getOrElse(sys.error("script produced no result"))),
+    "c_sql_merge" -> ((s, dir) => Engine.runScript(views(s, dir),
+      mergeSqlScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_macro" -> script(macroScript),
     "c_scalar_funcs" -> q(scalarFuncs),
     "c_recursive_cte" -> q(recursiveCte),
@@ -501,6 +561,7 @@ object TierCSql {
     "c_sql_view_script" -> viewScriptOracle,
     "c_sql_ctas" -> ctasOracle,
     "c_sql_dml" -> dmlSqlOracle,
+    "c_sql_merge" -> mergeSqlOracle,
     "c_sql_macro" -> macroOracle,
     "c_scalar_funcs" -> scalarFuncs,
     "c_recursive_cte" -> recursiveCte,

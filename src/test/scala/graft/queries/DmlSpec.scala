@@ -169,4 +169,29 @@ class DmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate keys"), e.getMessage)
     assert(fileHashes(path) == before, "refusal must leave the layout intact")
   }
+
+  test("MERGE insert check reads only files overlapping the source key span") {
+    // key-clustered layout: each file carries a tight o_orderkey range,
+    // so a narrow source span must select a strict subset of files for
+    // the WHEN-NOT-MATCHED existence check (VERDICT r15 #2)
+    val path = Layout.tmpRoot("dmlspec_ins", dir) + s"_${System.nanoTime()}"
+    Scale.writeSorted(orig, path, "o_orderkey", 8)
+    val files = Dml.layoutFiles(path)
+    assert(files.size == 8)
+    val keys = orig.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+      .head()
+    val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+    val mid = kLo + (kHi - kLo) / 2
+    // a span covering ~1/8 of the key range: strict subset, never empty
+    val narrow = Dml.insertCheckFiles(files, "o_orderkey",
+      mid, mid + (kHi - kLo) / 8)
+    assert(narrow.nonEmpty && narrow.size < files.size,
+      s"narrow span selected ${narrow.size}/${files.size} files")
+    // a span past the key range proves full disjointness
+    assert(Dml.insertCheckFiles(files, "o_orderkey",
+      kHi + 1000000, kHi + 2000000).isEmpty,
+      "out-of-range span must select no files")
+    // and the full span selects everything (sanity)
+    assert(Dml.insertCheckFiles(files, "o_orderkey", kLo, kHi).size == 8)
+  }
 }
