@@ -43,6 +43,7 @@ object Engine {
       case mergeRe(table, tAlias, src, sAlias, onCond, sets, insert) =>
         runMerge(spark, table, Option(tAlias), src, Option(sAlias),
           onCond, sets, insert)
+      case copyRe(src, path, opts) => runCopy(spark, src, path, Option(opts))
       case _ => spark.sql(Catalog.rewritePathTables(spark, statement)._1)
     }
   }
@@ -183,6 +184,65 @@ object Engine {
     }
     withTablePath(spark, table)(path =>
       Dml.mergeIntoAll(spark, path, sourceDf, srcKeys, setCols))
+  }
+
+  // COPY (SELECT …)|table TO 'path' [(FORMAT fmt[, HEADER])] — DuckDB's
+  // result-export statement (delegated surface,
+  // /root/reference/src/duckdb.ts:46-49), routed to the engine's
+  // distributed writers (`Export.writeCsv/writeParquet/writeJson`): the
+  // export runs as executor tasks, the driver never holds the result.
+  // The source backtracks greedily so subquery parens inside the SELECT
+  // never truncate it.
+  private val copyRe =
+    ("(?is)^COPY\\s+(\\(.+\\)|[A-Za-z_]\\w*)\\s+TO\\s+'([^']+)'" +
+      "(?:\\s*\\((.*)\\))?\\s*$").r
+
+  private def runCopy(
+      spark: SparkSession, source: String, path: String,
+      opts: Option[String]): DataFrame = {
+    // options: FORMAT <fmt> plus HEADER (the csv writer always emits
+    // headers). Anything else — DELIMITER, COMPRESSION, … — refuses:
+    // silently ignoring an option would write a file the user didn't
+    // ask for.
+    var fmt: Option[String] = None
+    opts.toSeq.flatMap(o => splitTopLevel(o, ','))
+      .map(_.trim).filter(_.nonEmpty).foreach { o =>
+        val parts = o.split("\\s+")
+        parts(0).toUpperCase match {
+          case "FORMAT" if parts.length == 2 =>
+            fmt = Some(parts(1).stripPrefix("'").stripSuffix("'").toLowerCase)
+          case "HEADER" => ()
+          case _ =>
+            throw new IllegalArgumentException(
+              s"COPY option not supported: $o")
+        }
+      }
+    val s = source.trim
+    val df =
+      if (s.startsWith("(")) sql(spark, s.stripPrefix("(").stripSuffix(")"))
+      else sql(spark, s"SELECT * FROM $s")
+    // no explicit FORMAT: infer from the path extension, else DuckDB's
+    // csv default
+    val format = fmt.getOrElse {
+      val lower = path.toLowerCase
+      if (lower.endsWith(".parquet")) "parquet"
+      else if (lower.endsWith(".json") || lower.endsWith(".ndjson")) "json"
+      else if (lower.endsWith(".orc")) "orc"
+      else "csv"
+    }
+    format match {
+      case "csv" => Export.writeCsv(df, path)
+      case "parquet" => Export.writeParquet(df, path)
+      case "json" | "ndjson" => Export.writeJson(df, path)
+      case "orc" => Export.writeOrc(df, path)
+      case other => throw new IllegalArgumentException(
+        s"COPY TO supports csv/parquet/json/orc formats — got $other")
+    }
+    // a repeated COPY to the same path replaces the part files; drop any
+    // cached listing so a registered path-table view re-reads fresh
+    spark.catalog.refreshByPath(path)
+    import spark.implicits._
+    Seq((path, format)).toDF("path", "format")
   }
 
   /** Split on a keyword at paren/quote top level (case-insensitive, word

@@ -500,6 +500,36 @@ object TierCSql {
        |FROM graft_mrgsql_oracle
        |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
 
+  // --- User-typed COPY … TO through the engine's SQL route (r16) ----------
+  //
+  // DuckDB's export statement, routed by `Engine.sql` to the distributed
+  // writers (`Export.writeParquet` here). The witness runs the full user
+  // flow — COPY a SELECT out to a parquet directory, then read the
+  // DIRECTORY back through the quoted-path-table rewrite and aggregate —
+  // so a hash match against the oracle's direct aggregate of the same
+  // SELECT certifies the write→read round trip is the identity (parquet
+  // is exact for these types; the csv/json writer legs are certified by
+  // ExportSpec's round-trip properties and the EngineSpec COPY test).
+  private def copyOutDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_copy_" +
+      s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}.parquet"
+
+  def copySqlScript(dir: String): String = {
+    val p = copyOutDir(dir)
+    s"""COPY (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey % 7 = 0) TO '$p' (FORMAT parquet);
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${msum("o_totalprice")} AS total
+       |FROM '$p'
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
+  }
+
+  val copySqlOracle: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${msum("o_totalprice")} AS total
+       |FROM orders WHERE o_orderkey % 7 = 0
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
+
   // ORDER BY ALL — the companion dialect convenience to GROUP BY ALL:
   // order by every output column left to right. Verbatim in both engines
   // (Spark 4 and DuckDB both accept it); the translation, were it needed,
@@ -533,6 +563,8 @@ object TierCSql {
       dmlSqlScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_merge" -> ((s, dir) => Engine.runScript(views(s, dir),
       mergeSqlScript(dir)).getOrElse(sys.error("script produced no result"))),
+    "c_sql_copy" -> ((s, dir) => Engine.runScript(views(s, dir),
+      copySqlScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_macro" -> script(macroScript),
     "c_scalar_funcs" -> q(scalarFuncs),
     "c_recursive_cte" -> q(recursiveCte),
@@ -562,6 +594,7 @@ object TierCSql {
     "c_sql_ctas" -> ctasOracle,
     "c_sql_dml" -> dmlSqlOracle,
     "c_sql_merge" -> mergeSqlOracle,
+    "c_sql_copy" -> copySqlOracle,
     "c_sql_macro" -> macroOracle,
     "c_scalar_funcs" -> scalarFuncs,
     "c_recursive_cte" -> recursiveCte,

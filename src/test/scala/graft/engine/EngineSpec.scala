@@ -263,6 +263,28 @@ class EngineSpec extends AnyFunSuite {
     } finally Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
   }
 
+  test("COPY TO routes to the distributed writers and round-trips") {
+    graft.queries.Tables.views(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-copy-spec").toString
+    // csv leg: the RFC-4180 writer, read back through Catalog's csv route
+    Engine.sql(spark,
+      s"COPY (SELECT n_nationkey, n_name FROM nation) TO '$base/n.csv'" +
+        " (FORMAT csv, HEADER)").collect()
+    val csvBack = Catalog.read(spark, java.nio.file.Paths.get(s"$base/n.csv"))
+    assert(csvBack.count() == 25 && csvBack.columns.toSeq ==
+      Seq("n_nationkey", "n_name"))
+    // bare table + extension-inferred format
+    Engine.sql(spark, s"COPY nation TO '$base/n2.parquet'").collect()
+    assert(spark.read.parquet(s"$base/n2.parquet").count() == 25)
+    // unsupported options refuse instead of writing the wrong file
+    val e = intercept[IllegalArgumentException] {
+      Engine.sql(spark,
+        s"COPY nation TO '$base/n3.csv' (FORMAT csv, DELIMITER '|')")
+    }
+    assert(e.getMessage.contains("not supported"), e.getMessage)
+  }
+
   test("routed DELETE with a literal range prunes by footer stats") {
     // a range-clustered table (REPARTITION_BY_RANGE gives each file a
     // tight o_orderdate span) + a narrow typed DELETE: the routed
