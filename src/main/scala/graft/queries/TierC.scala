@@ -512,6 +512,58 @@ object TierC {
       .orderBy(col("l_suppkey"))
   }
 
+  /** GROUPS frame mode (DuckDB `GROUPS BETWEEN 1 PRECEDING AND CURRENT
+    * ROW`; delegated surface at /root/reference/src/duckdb.ts:46-49).
+    * Spark has no GROUPS frames, so this witnesses the canonical
+    * translation: a GROUPS frame counts PEER GROUPS (runs of equal
+    * ORDER-BY values), and `dense_rank()` numbers exactly those groups
+    * 1,2,3,… — so `GROUPS BETWEEN k PRECEDING AND CURRENT ROW` over key
+    * ≡ `RANGE BETWEEN k PRECEDING AND CURRENT ROW` over `dense_rank()`
+    * of key (RANGE on the rank keeps value-peers sharing a frame, which
+    * ROWS would not). Semantics here: each event's activity count over
+    * its own day AND its user's previous ACTIVE day — not the calendar
+    * day before, the previous distinct day present, which only GROUPS
+    * can say in one frame clause. Scale: both windows share one
+    * partitionBy(user_id) shuffle, and the second sort (by dense_rank)
+    * is the same order as the first (by day), so the physical plan is
+    * one exchange + one sort + two window passes over per-user runs. */
+  val windowGroups: Q = (s, dir) => {
+    val day = to_date(eventTs(col("ts")))
+    val dr = dense_rank()
+      .over(Window.partitionBy(col("user_id")).orderBy(day))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dr"))
+      .rangeBetween(-1, 0)
+    t(s, dir, "events")
+      .withColumn("day", day).withColumn("dr", dr)
+      .withColumn("n2d", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n2d"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The container's DuckDB parses but does not implement GROUPS frames
+    * ("GROUPS mode for window functions is not implemented yet"), so the
+    * oracle derives the identical semantics by an INDEPENDENT route —
+    * per-(user, day) group counts, LAG over groups, join back to rows —
+    * which cross-checks the dense_rank translation rather than echoing
+    * it. GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW over day ≡ current
+    * day-group's count + previous distinct day-group's count. */
+  val windowGroupsSql: String =
+    """WITH g AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      |g2 AS (
+      |  SELECT user_id, d,
+      |    n + COALESCE(LAG(n) OVER (PARTITION BY user_id ORDER BY d), 0)
+      |      AS n2d
+      |  FROM g)
+      |SELECT e.event_id, e.user_id, strftime(e.d, '%Y-%m-%d') AS day,
+      |  g2.n2d
+      |FROM (SELECT event_id, user_id, CAST(ts AS DATE) AS d
+      |      FROM events) e
+      |JOIN g2 USING (user_id, d)
+      |ORDER BY event_id""".stripMargin
+
   /** Fixed-width histogram by floor-division bucketing (no width_bucket in
     * the oracle dialect; FLOOR(x / w) is deterministic on both engines).
     * min/max per bucket are single stored values — no float accumulation —
@@ -1383,6 +1435,7 @@ object TierC {
     "c_window_range" -> windowRange,
     "c_window_range_time" -> windowRangeTime,
     "c_window_range_bucketed" -> windowRangeBucketed,
+    "c_window_groups" -> windowGroups,
     "c_distinct_on" -> distinctOn,
     "c_string_agg" -> stringAgg,
     "c_salted_agg" -> saltedAgg,
@@ -1433,6 +1486,7 @@ object TierC {
     "c_window_range" -> windowRangeSql,
     "c_window_range_time" -> windowRangeTimeSql,
     "c_window_range_bucketed" -> windowRangeSql, // same semantics, same oracle
+    "c_window_groups" -> windowGroupsSql,
     "c_distinct_on" -> distinctOnSql,
     "c_string_agg" -> stringAggSql,
     "c_salted_agg" -> saltedAggSql,

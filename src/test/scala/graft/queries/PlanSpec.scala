@@ -462,6 +462,30 @@ class PlanSpec extends AnyFunSuite {
       s"expected the chunk explode:\n$p")
   }
 
+  test("c_window_groups: both window passes share one partition shuffle") {
+    // the GROUPS→dense_rank translation re-sorts by the rank, but the
+    // rank is ordered identically to the day key, so the plan must keep
+    // ONE hashpartitioning exchange on user_id — a second partition
+    // exchange would mean the translation broke the shared clustering;
+    // the only other exchange allowed is the final ORDER BY rangepartition
+    val p = graft.engine.Engine.explain(TierC.windowGroups(spark, dir),
+      "simple")
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"expected one user_id hash exchange, saw $hashEx:\n$p")
+    assert("Window".r.findAllIn(p).size == 2, s"expected two window passes:\n$p")
+  }
+
+  test("p_dedup_winnow_full ≡ p_dedup_winnow on a ≤500-doc corpus") {
+    // sf0.001's documents table is exactly 500 docs, so lifting the
+    // corpus slice must not change a single pair — this pins the
+    // full-corpus bench leg to the hash-anchored sliced twin
+    val full = Dedup.queries("p_dedup_winnow_full")(spark, dir).collect()
+    val sliced = Dedup.queries("p_dedup_winnow")(spark, dir).collect()
+    assert(full.toSeq == sliced.toSeq,
+      s"full (${full.length}) and sliced (${sliced.length}) pair sets differ")
+  }
+
   test("sum_sq UDAF: typed Dataset-side aggregation matches SQL-side") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(1L, 2L, 3L, 4L))
