@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Templates.queries ++ Probes.queries ++ TierC.queries ++
       TierCSql.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextOps.queries ++ Media.queries ++ Layout.queries ++ Curation.queries
+      TextOps.queries ++ Media.queries ++ Layout.queries ++
+      Curation.queries ++ Bpe.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Templates.oracle ++ Probes.oracle ++ TierC.oracle ++
       TierCSql.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      TextOps.oracle ++ Media.oracle ++ Layout.oracle ++ Curation.oracle
+      TextOps.oracle ++ Media.oracle ++ Layout.oracle ++
+      Curation.oracle ++ Bpe.oracle
 }

@@ -43,6 +43,10 @@ object Builds {
       leg("ivfpq_layout_write", "ivfpq_emb") {
         Similarity.buildIvfpqLayout(s, dir); ()
       },
+      // N BPE merge rounds over the corpus vocabulary → N-row artifact
+      leg("bpe_train", "bpe_merges") {
+        Bpe.mergesPath(s, dir); ()
+      },
       // range-sort rewrite of orders (the c_sort_skip layout)
       leg("sorted_write", "sorted_orders") {
         Layout.sortedOrders(s, dir); ()
