@@ -44,8 +44,70 @@ object Engine {
         runMerge(spark, table, Option(tAlias), src, Option(sAlias),
           onCond, sets, insert)
       case copyRe(src, path, opts) => runCopy(spark, src, path, Option(opts))
+      case fromFirstRe(rest) => sql(spark, fromFirstToSelect(rest))
       case _ => spark.sql(Catalog.rewritePathTables(spark, statement)._1)
     }
+  }
+
+  // DuckDB FROM-first statement syntax (delegated surface,
+  // /root/reference/src/duckdb.ts:46-49): `FROM t` and
+  // `FROM t WHERE … LIMIT …` read as implicit SELECT *, and
+  // `FROM t SELECT cols …` carries an explicit select list (trailing
+  // clauses — WHERE/GROUP BY/ORDER BY/… — follow the list, as DuckDB
+  // accepts). Spark rejects a leading FROM, so the statement rewrites to
+  // SELECT-first form and re-enters `sql` (the rewritten text starts
+  // with SELECT, so it lands in the default branch: path-table rewrite
+  // and the rest of the routing still apply). Statement-level only, like
+  // every routed shim — a FROM-first SUBQUERY inside a larger statement
+  // is not rewritten.
+  private val fromFirstRe = "(?is)^FROM\\s+(.+)$".r
+
+  /** Keywords that can follow a FROM-first select list; the rewrite
+    * re-inserts FROM before the first of them. */
+  private val clauseKeywords = Seq("WHERE", "GROUP", "HAVING", "QUALIFY",
+    "WINDOW", "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT")
+
+  private[engine] def fromFirstToSelect(rest: String): String =
+    firstTopLevelKeyword(rest, Seq("SELECT")) match {
+      case None => s"SELECT * FROM ${rest.trim}"
+      case Some(i) =>
+        val src = rest.substring(0, i).trim
+        val sel = rest.substring(i + "SELECT".length).trim
+        firstTopLevelKeyword(sel, clauseKeywords) match {
+          case None => s"SELECT $sel FROM $src"
+          case Some(j) =>
+            s"SELECT ${sel.substring(0, j).trim} FROM $src" +
+              s" ${sel.substring(j)}"
+        }
+    }
+
+  /** Index of the first top-level (outside string literals and parens)
+    * whitespace-delimited occurrence of any of `kws`, if one exists. */
+  private def firstTopLevelKeyword(
+      s: String, kws: Seq[String]): Option[Int] = {
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 =>
+          val hit = kws.exists(kw =>
+            i + kw.length <= s.length &&
+              s.regionMatches(true, i, kw, 0, kw.length) &&
+              (i == 0 || s.charAt(i - 1).isWhitespace) &&
+              (i + kw.length == s.length ||
+                s.charAt(i + kw.length).isWhitespace))
+          if (hit) return Some(i)
+        case _ => ()
+      }
+      i += 1
+    }
+    None
   }
 
   // --- user-typed DML: routed to the copy-on-write rewriter ---------------

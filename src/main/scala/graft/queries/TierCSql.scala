@@ -272,6 +272,24 @@ object TierCSql {
       |  ORDER BY o_totalprice DESC, o_orderkey) <= 2
       |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // FROM-first statement syntax — DuckDB's leading-FROM sugar (`FROM t`,
+  // `FROM t WHERE …` as implicit SELECT *, `FROM t SELECT cols …` with
+  // trailing clauses after the list). The ENGINE routes it (round 16,
+  // `Engine.fromFirstToSelect`): a quote/paren-aware scan finds the
+  // top-level SELECT and re-inserts FROM before the first trailing
+  // clause keyword, so the IDENTICAL text runs on both engines — the
+  // oracle executes DuckDB's native FROM-first parse, certifying the
+  // rewrite against the real grammar rather than a re-spelling. The
+  // exercised shape covers the hard case: explicit select list with an
+  // aggregate, then WHERE + GROUP BY + ORDER BY after it.
+  val fromFirst: String =
+    s"""FROM lineitem
+       |SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${msum("l_extendedprice")} AS total
+       |WHERE l_quantity > 10
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   // SELECT * EXCLUDE / REPLACE — DuckDB's star-modifier sugar (the second
   // dialect convenience a reference user types daily, next to QUALIFY).
   // Spark has no star modifiers, so the engine-side translation is the
@@ -540,6 +558,7 @@ object TierCSql {
 
   val queries: Map[String, Q] = Map(
     "c_sql_qualify" -> q(qualifySpark),
+    "c_sql_from_first" -> q(fromFirst),
     "c_sql_exclude_replace" -> q(excludeReplaceSpark),
     "c_sql_window_named" -> q(windowNamed),
     "c_sql_order_by_all" -> q(orderByAll),
@@ -574,6 +593,7 @@ object TierCSql {
 
   val oracle: Map[String, String] = Map(
     "c_sql_qualify" -> qualifyOracle,
+    "c_sql_from_first" -> fromFirst, // IDENTICAL text — DuckDB parses it natively
     "c_sql_exclude_replace" -> excludeReplaceOracle,
     "c_sql_window_named" -> windowNamed,
     "c_sql_order_by_all" -> orderByAll,

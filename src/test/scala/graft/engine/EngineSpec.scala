@@ -169,6 +169,38 @@ class EngineSpec extends AnyFunSuite {
       selNamed(0).getString(6) == "7")
   }
 
+  test("FROM-first statements route like DuckDB's leading-FROM syntax") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_ff AS " +
+        "SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'a') v(x, y)")
+    // bare FROM <table> is implicit SELECT *
+    assert(Engine.sql(spark, "FROM engine_spec_ff").count() == 3)
+    // trailing clauses without a SELECT list
+    val narrowed = Engine.sql(spark,
+      "FROM engine_spec_ff WHERE x > 1 ORDER BY x LIMIT 1").collect()
+    assert(narrowed.length == 1 && narrowed(0).getInt(0) == 2)
+    // explicit select list with clauses AFTER it (DuckDB accepts WHERE
+    // after the list; the rewrite re-inserts FROM before the first
+    // trailing clause keyword)
+    val grouped = Engine.sql(spark,
+      "FROM engine_spec_ff SELECT y, COUNT(*) AS n WHERE x > 1 " +
+        "GROUP BY y ORDER BY y").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(grouped == Seq(("a", 1L), ("b", 1L)))
+    // a string literal containing ' select ' must not split the list,
+    // and parenthesized subqueries are not statement-level FROMs
+    val literal = Engine.sql(spark,
+      "FROM engine_spec_ff SELECT concat(y, ' select where ') AS z " +
+        "WHERE x = 1").collect()
+    assert(literal.length == 1 && literal(0).getString(0) == "a select where ")
+    // FROM-first over a quoted file path rides the path-table rewrite
+    val tmp = java.nio.file.Files.createTempDirectory("ff").toString
+    spark.range(4).toDF("id").write.mode("overwrite")
+      .parquet(s"$tmp/nums.parquet")
+    assert(Engine.sql(spark,
+      s"FROM '$tmp/nums.parquet' WHERE id >= 2").count() == 2)
+  }
+
   test("tryQuery: authoring errors come back as messages, not throws") {
     assert(Engine.tryQuery(spark, "SELECT 1 AS ok").isRight)
     val parse = Engine.tryQuery(spark, "SELEC 1")
