@@ -45,8 +45,93 @@ object Engine {
           onCond, sets, insert)
       case copyRe(src, path, opts) => runCopy(spark, src, path, Option(opts))
       case fromFirstRe(rest) => sql(spark, fromFirstToSelect(rest))
+      case donRe(rest) => sql(spark, distinctOnToWindow(rest))
+      case corTableRe(name, rest) =>
+        // DuckDB's CREATE OR REPLACE TABLE (its own oracle idiom for
+        // idempotent scripts); Spark's v1 catalog only supports REPLACE
+        // on v2 table formats, so the engine routes the honest
+        // translation: drop-if-exists, then create. NOT atomic (a reader
+        // between the two statements sees no table) — the same window
+        // DuckDB closes transactionally; documented, not hidden.
+        // TEMPORARY VIEW replace is Spark-native and never lands here
+        // (the regex requires TABLE right after REPLACE).
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        sql(spark, s"CREATE TABLE $name$rest")
       case _ => spark.sql(Catalog.rewritePathTables(spark, statement)._1)
     }
+  }
+
+  private val corTableRe =
+    ("(?is)^CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)(.*)$").r
+
+  // SELECT DISTINCT ON (keys) list FROM … — the DuckDB/Postgres
+  // pick-one-row-per-key idiom (delegated surface; `c_distinct_on`
+  // already witnesses the DataFrame-side translation, this routes the
+  // STATEMENT). Spark has no DISTINCT ON, so the statement rewrites to
+  // the rewrite it is sugar for: a row_number window partitioned by the
+  // keys, ordered by the statement's ORDER BY (which in DISTINCT ON
+  // decides WHICH row survives per key), filtered to rn = 1 — with the
+  // ORDER BY/LIMIT tail re-applied outside for the final ordering.
+  // Without an ORDER BY the surviving row is undefined in DuckDB too;
+  // the rewrite falls back to ordering by the keys (every partition row
+  // ties — an arbitrary-but-explicit pick, matching the undefinedness).
+  // GROUP BY / HAVING / set-op tails are out of the supported shape and
+  // refuse loudly.
+  private val donRe = "(?is)^SELECT\\s+DISTINCT\\s+ON\\s*\\((.*)$".r
+
+  private[engine] def distinctOnToWindow(afterParen: String): String = {
+    // keys: scan to the balancing close paren (quote-aware)
+    var depth = 1
+    var inStr = false
+    var i = 0
+    while (i < afterParen.length && depth > 0) {
+      val ch = afterParen.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    require(depth == 0, "unbalanced parens in DISTINCT ON key list")
+    val keys = afterParen.substring(0, i - 1).trim
+    val rest = afterParen.substring(i)
+    val fromIdx = firstTopLevelKeyword(rest, Seq("FROM")).getOrElse(
+      throw new IllegalArgumentException(
+        "DISTINCT ON statement needs a FROM clause"))
+    val list = rest.substring(0, fromIdx).trim
+    val tail = rest.substring(fromIdx + "FROM".length).trim
+    firstTopLevelKeyword(tail,
+      Seq("GROUP", "HAVING", "QUALIFY", "WINDOW", "UNION", "INTERSECT",
+        "EXCEPT")).foreach { _ =>
+      throw new IllegalArgumentException(
+        "routed DISTINCT ON supports SELECT … FROM … [WHERE …]" +
+          " [ORDER BY …] [LIMIT …] — aggregates/set-ops are not routed")
+    }
+    // inner relation text vs the ORDER BY/LIMIT tail
+    val cut = firstTopLevelKeyword(tail, Seq("ORDER", "LIMIT", "OFFSET"))
+      .getOrElse(tail.length)
+    val inner = tail.substring(0, cut).trim
+    val trailing = tail.substring(cut).trim
+    // the window order decides which row survives per key: the
+    // statement's ORDER BY items if present, else the keys
+    val ord = firstTopLevelKeyword(trailing, Seq("ORDER")) match {
+      case Some(0) =>
+        val afterBy = trailing.replaceFirst("(?is)^ORDER\\s+BY\\s+", "")
+        val lim = firstTopLevelKeyword(afterBy, Seq("LIMIT", "OFFSET"))
+          .getOrElse(afterBy.length)
+        afterBy.substring(0, lim).trim
+      case _ => keys
+    }
+    val outList = if (list == "*") "* EXCEPT (__graft_rn)" else list
+    s"""SELECT $outList FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY $keys ORDER BY $ord) AS __graft_rn
+       |  FROM $inner) __graft_don
+       |WHERE __graft_rn = 1 $trailing""".stripMargin
   }
 
   // DuckDB FROM-first statement syntax (delegated surface,

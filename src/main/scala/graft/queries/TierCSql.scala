@@ -290,6 +290,21 @@ object TierCSql {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // DISTINCT ON — the routed STATEMENT twin of `c_distinct_on` (which
+  // witnesses the DataFrame-side translation). The engine rewrites the
+  // statement to the row_number window it is sugar for (round 16,
+  // `Engine.distinctOnToWindow`), so the IDENTICAL text runs on both
+  // engines: per order key keep the highest line number's row. The
+  // (l_orderkey, l_linenumber) pair is unique, so both the survivor per
+  // key and the final order are deterministic.
+  val distinctOnRouted: String =
+    """SELECT DISTINCT ON (l_orderkey)
+      |  l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem
+      |WHERE l_quantity > 30
+      |ORDER BY l_orderkey, l_linenumber DESC
+      |LIMIT 100""".stripMargin
+
   // SELECT * EXCLUDE / REPLACE — DuckDB's star-modifier sugar (the second
   // dialect convenience a reference user types daily, next to QUALIFY).
   // Spark has no star modifiers, so the engine-side translation is the
@@ -339,6 +354,37 @@ object TierCSql {
   // scale factors never collide in the shared warehouse.
   private def ctasTable(dir: String): String =
     s"graft_ctas_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+
+  private def corTable(dir: String): String =
+    s"graft_cor_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+
+  /** CREATE OR REPLACE TABLE — DuckDB's idempotent-script idiom (this
+    * repo's own DuckDB oracles use it). Spark's v1 catalog rejects
+    * REPLACE TABLE, so the engine routes drop-if-exists + create
+    * (round 16). The script replaces a table twice with different
+    * contents and reads the survivor: a broken route would either throw
+    * (Spark's native rejection) or read the FIRST contents. */
+  def createReplaceScript(dir: String): String = {
+    val t = corTable(dir)
+    s"""CREATE OR REPLACE TABLE $t AS
+       |  SELECT o_orderkey, o_totalprice FROM orders
+       |  WHERE o_totalprice > 400000;
+       |CREATE OR REPLACE TABLE $t AS
+       |  SELECT o_orderkey, o_totalprice FROM orders
+       |  WHERE o_totalprice > 300000;
+       |SELECT COUNT(*) AS n, ${msum("o_totalprice")} AS total FROM $t;"""
+      .stripMargin
+  }
+
+  val createReplaceOracle: String =
+    s"""CREATE OR REPLACE TEMP TABLE graft_cor_oracle AS
+       |  SELECT o_orderkey, o_totalprice FROM orders
+       |  WHERE o_totalprice > 400000;
+       |CREATE OR REPLACE TEMP TABLE graft_cor_oracle AS
+       |  SELECT o_orderkey, o_totalprice FROM orders
+       |  WHERE o_totalprice > 300000;
+       |SELECT COUNT(*) AS n, ${msum("o_totalprice")} AS total
+       |FROM graft_cor_oracle;""".stripMargin
 
   def ctasScript(dir: String): String = {
     val t = ctasTable(dir)
@@ -559,6 +605,7 @@ object TierCSql {
   val queries: Map[String, Q] = Map(
     "c_sql_qualify" -> q(qualifySpark),
     "c_sql_from_first" -> q(fromFirst),
+    "c_sql_distinct_on" -> q(distinctOnRouted),
     "c_sql_exclude_replace" -> q(excludeReplaceSpark),
     "c_sql_window_named" -> q(windowNamed),
     "c_sql_order_by_all" -> q(orderByAll),
@@ -578,6 +625,8 @@ object TierCSql {
     "c_sql_view_script" -> script(viewScript),
     "c_sql_ctas" -> ((s, dir) => Engine.runScript(views(s, dir),
       ctasScript(dir)).getOrElse(sys.error("script produced no result"))),
+    "c_sql_create_replace" -> ((s, dir) => Engine.runScript(views(s, dir),
+      createReplaceScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_dml" -> ((s, dir) => Engine.runScript(views(s, dir),
       dmlSqlScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_merge" -> ((s, dir) => Engine.runScript(views(s, dir),
@@ -594,6 +643,7 @@ object TierCSql {
   val oracle: Map[String, String] = Map(
     "c_sql_qualify" -> qualifyOracle,
     "c_sql_from_first" -> fromFirst, // IDENTICAL text — DuckDB parses it natively
+    "c_sql_distinct_on" -> distinctOnRouted, // IDENTICAL text — native DISTINCT ON
     "c_sql_exclude_replace" -> excludeReplaceOracle,
     "c_sql_window_named" -> windowNamed,
     "c_sql_order_by_all" -> orderByAll,
@@ -612,6 +662,7 @@ object TierCSql {
     "c_sql_grouping_sets" -> groupingSets,
     "c_sql_view_script" -> viewScriptOracle,
     "c_sql_ctas" -> ctasOracle,
+    "c_sql_create_replace" -> createReplaceOracle,
     "c_sql_dml" -> dmlSqlOracle,
     "c_sql_merge" -> mergeSqlOracle,
     "c_sql_copy" -> copySqlOracle,

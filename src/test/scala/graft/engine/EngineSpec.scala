@@ -201,6 +201,49 @@ class EngineSpec extends AnyFunSuite {
       s"FROM '$tmp/nums.parquet' WHERE id >= 2").count() == 2)
   }
 
+  test("CREATE OR REPLACE TABLE routes as drop-then-create") {
+    val t = s"engine_spec_cor_p${ProcessHandle.current.pid}"
+    try {
+      Engine.exec(spark, s"CREATE OR REPLACE TABLE $t AS SELECT 1 AS x")
+      Engine.exec(spark, s"CREATE OR REPLACE TABLE $t AS SELECT 2 AS x")
+      val rows = spark.table(t).collect()
+      assert(rows.length == 1 && rows(0).getInt(0) == 2,
+        "the second REPLACE must win")
+      // plain CREATE TABLE on the existing name still refuses (the route
+      // must not have turned every CREATE into an implicit replace)
+      assertThrows[Exception](
+        Engine.exec(spark, s"CREATE TABLE $t AS SELECT 3 AS x"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("DISTINCT ON routes to the row_number window rewrite") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_don AS " +
+        "SELECT * FROM VALUES (1, 10, 'a'), (1, 20, 'b'), (2, 5, 'c') " +
+        "v(k, v, tag)")
+    // ORDER BY picks the survivor per key AND orders the result
+    val picked = Engine.sql(spark,
+      "SELECT DISTINCT ON (k) k, tag FROM engine_spec_don " +
+        "ORDER BY k, v DESC").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(picked == Seq((1, "b"), (2, "c")))
+    // star projection must not leak the helper rank column
+    val star = Engine.sql(spark,
+      "SELECT DISTINCT ON (k) * FROM engine_spec_don ORDER BY k, v")
+    assert(star.columns.toSeq == Seq("k", "v", "tag"))
+    assert(star.count() == 2)
+    // WHERE filters BEFORE the per-key pick (SQL clause order)
+    val filtered = Engine.sql(spark,
+      "SELECT DISTINCT ON (k) k, v FROM engine_spec_don " +
+        "WHERE v < 15 ORDER BY k, v DESC").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(filtered == Seq((1, 10), (2, 5)))
+    // unsupported shapes refuse loudly instead of mis-routing
+    assertThrows[IllegalArgumentException](
+      Engine.sql(spark,
+        "SELECT DISTINCT ON (k) k, COUNT(*) FROM engine_spec_don GROUP BY k"))
+  }
+
   test("tryQuery: authoring errors come back as messages, not throws") {
     assert(Engine.tryQuery(spark, "SELECT 1 AS ok").isRight)
     val parse = Engine.tryQuery(spark, "SELEC 1")
