@@ -46,6 +46,7 @@ object Engine {
       case copyRe(src, path, opts) => runCopy(spark, src, path, Option(opts))
       case fromFirstRe(rest) => sql(spark, fromFirstToSelect(rest))
       case donRe(rest) => sql(spark, distinctOnToWindow(rest))
+      case pivotStmtRe(rest) => runPivotStatement(spark, rest)
       case corTableRe(name, rest) =>
         // DuckDB's CREATE OR REPLACE TABLE (its own oracle idiom for
         // idempotent scripts); Spark's v1 catalog only supports REPLACE
@@ -64,6 +65,92 @@ object Engine {
   private val corTableRe =
     ("(?is)^CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)(.*)$").r
+
+  // PIVOT <table> ON <col> USING <agg>(<operand>) GROUP BY <cols>
+  // [ORDER BY …] [LIMIT …] — DuckDB's dynamic-pivot STATEMENT (delegated
+  // surface; `c_pivot_dynamic` witnesses the DataFrame-side mechanism).
+  // The route discovers the pivot-key domain with one DISTINCT pass —
+  // the honest, documented cost of DYNAMIC pivot (output SCHEMA depends
+  // on data; same bounded collect as `pivotDynamic`) — then emits
+  // Spark's native PIVOT clause over the discovered IN list. Null keys
+  // drop (DuckDB would emit a "NULL" column); key columns come out
+  // value-sorted, as DuckDB orders them. Supported shape: one USING
+  // aggregate and an explicit GROUP BY (without one, DuckDB groups by
+  // every column not referenced in ON/USING — unknowable here without
+  // schema guessing, so the route refuses rather than mis-grouping).
+  private val pivotStmtRe = "(?is)^PIVOT\\s+(.+)$".r
+
+  private def runPivotStatement(
+      spark: SparkSession, rest: String): DataFrame = {
+    def cutAt(s: String, kw: String): (String, String) =
+      firstTopLevelKeyword(s, Seq(kw)) match {
+        case Some(i) =>
+          (s.substring(0, i).trim, s.substring(i + kw.length).trim)
+        case None => throw new IllegalArgumentException(
+          s"routed PIVOT needs an $kw clause: PIVOT <table> ON <col>" +
+            " USING <agg>(<expr>) GROUP BY <cols>")
+      }
+    val (table, afterOn) = cutAt(rest, "ON")
+    val (onExpr, afterUsing) = cutAt(afterOn, "USING")
+    val (aggText, afterGroup) = cutAt(afterUsing, "GROUP")
+    val byStripped = afterGroup.replaceFirst("(?is)^BY\\s+", "")
+    val cut = firstTopLevelKeyword(byStripped,
+      Seq("ORDER", "LIMIT", "OFFSET")).getOrElse(byStripped.length)
+    val groupCols = byStripped.substring(0, cut).trim
+    val trailing = byStripped.substring(cut).trim
+    require(splitTopLevel(aggText, ',').size == 1,
+      s"routed PIVOT supports a single USING aggregate — got: $aggText")
+    val aggRe = "(?s)^(\\w+)\\s*\\((.*)\\)$".r
+    val (fn, operand) = aggText.trim match {
+      case aggRe(f, arg) => (f, arg.trim)
+      case other => throw new IllegalArgumentException(
+        s"routed PIVOT USING must be <agg>(<expr>): $other")
+    }
+    require(!operand.matches("(?is)^DISTINCT\\b.*"),
+      "routed PIVOT does not support DISTINCT aggregates")
+    // COUNT(*) has no operand expression; count a constant instead
+    val valExpr = if (operand == "*") "1" else operand
+    val src =
+      if (table.startsWith("(")) s"$table __graft_piv_src" else table
+    // domain discovery: one DISTINCT pass, bounded by the pivot-key
+    // cardinality (the documented dynamic-pivot collect)
+    val keys = sql(spark,
+      s"SELECT DISTINCT ($onExpr) AS __graft_pk FROM $src")
+      .collect().map(_.get(0)).filter(_ != null)
+      .map {
+        case s: String => (s, Sql.sqlStringLiteral(s))
+        case n: java.lang.Number => (n.toString, n.toString)
+        case other => (other.toString, Sql.sqlStringLiteral(other.toString))
+      }.sortBy(_._1).toSeq
+    require(keys.nonEmpty, "PIVOT key domain is empty (all-null keys?)")
+    val inList = keys.map { case (name, lit) =>
+      s"$lit AS ${Sql.sqlIdentifier(name)}"
+    }.mkString(", ")
+    val pivoted =
+      s"""(SELECT $groupCols, ($onExpr) AS __graft_pk,
+         |    ($valExpr) AS __graft_val
+         |  FROM $src
+         |) PIVOT ($fn(__graft_val) FOR __graft_pk IN ($inList))"""
+        .stripMargin
+    // COUNT parity: DuckDB backfills a missing (group, key) combination
+    // with 0 — a count over no rows — while Spark's pivot leaves the
+    // absent cell NULL. Coalesce the key columns for COUNT aggregates;
+    // the outer projection re-references the group columns by name, so
+    // this repair needs them to BE names (expressions would re-compute).
+    val outer =
+      if (fn.equalsIgnoreCase("COUNT")) {
+        val gcols = splitTopLevel(groupCols, ',').map(_.trim)
+        require(gcols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+          "routed PIVOT with COUNT needs plain-column GROUP BY names" +
+            s" (the 0-backfill re-references them): $groupCols")
+        val keyCols = keys.map { case (name, _) =>
+          val id = Sql.sqlIdentifier(name)
+          s"coalesce($id, CAST(0 AS BIGINT)) AS $id"
+        }
+        s"SELECT ${(gcols ++ keyCols).mkString(", ")} FROM $pivoted"
+      } else s"SELECT * FROM $pivoted"
+    sql(spark, s"$outer\n$trailing")
+  }
 
   // SELECT DISTINCT ON (keys) list FROM … — the DuckDB/Postgres
   // pick-one-row-per-key idiom (delegated surface; `c_distinct_on`

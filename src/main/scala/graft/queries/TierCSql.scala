@@ -305,6 +305,17 @@ object TierCSql {
       |ORDER BY l_orderkey, l_linenumber DESC
       |LIMIT 100""".stripMargin
 
+  // PIVOT statement — the routed twin of `c_pivot_dynamic` (which runs
+  // the DataFrame-side dynamic pivot against a DuckDB PIVOT oracle). The
+  // engine routes the STATEMENT (round 16, `Engine.runPivotStatement`):
+  // one DISTINCT pass discovers the key domain, then Spark's native
+  // PIVOT clause runs over the discovered IN list — identical text on
+  // both engines. COUNT keeps both sides BIGINT (a SUM over decimals
+  // would hit the documented DECIMAL-rendering hash divergence).
+  val pivotStmt: String =
+    """PIVOT lineitem ON l_returnflag USING COUNT(*)
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   // SELECT * EXCLUDE / REPLACE — DuckDB's star-modifier sugar (the second
   // dialect convenience a reference user types daily, next to QUALIFY).
   // Spark has no star modifiers, so the engine-side translation is the
@@ -606,6 +617,7 @@ object TierCSql {
     "c_sql_qualify" -> q(qualifySpark),
     "c_sql_from_first" -> q(fromFirst),
     "c_sql_distinct_on" -> q(distinctOnRouted),
+    "c_sql_pivot_stmt" -> q(pivotStmt),
     "c_sql_exclude_replace" -> q(excludeReplaceSpark),
     "c_sql_window_named" -> q(windowNamed),
     "c_sql_order_by_all" -> q(orderByAll),
@@ -644,6 +656,7 @@ object TierCSql {
     "c_sql_qualify" -> qualifyOracle,
     "c_sql_from_first" -> fromFirst, // IDENTICAL text — DuckDB parses it natively
     "c_sql_distinct_on" -> distinctOnRouted, // IDENTICAL text — native DISTINCT ON
+    "c_sql_pivot_stmt" -> pivotStmt, // IDENTICAL text — native PIVOT statement
     "c_sql_exclude_replace" -> excludeReplaceOracle,
     "c_sql_window_named" -> windowNamed,
     "c_sql_order_by_all" -> orderByAll,

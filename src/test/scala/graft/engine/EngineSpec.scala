@@ -244,6 +244,31 @@ class EngineSpec extends AnyFunSuite {
         "SELECT DISTINCT ON (k) k, COUNT(*) FROM engine_spec_don GROUP BY k"))
   }
 
+  test("PIVOT statements route to Spark's PIVOT clause over a discovered domain") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_piv AS " +
+        "SELECT * FROM VALUES ('x', 'A', 1), ('x', 'B', 2), ('y', 'A', 3), " +
+        "('x', 'A', 4) v(g, k, v)")
+    val wide = Engine.sql(spark,
+      "PIVOT engine_spec_piv ON k USING SUM(v) GROUP BY g ORDER BY g")
+    assert(wide.columns.toSeq == Seq("g", "A", "B"),
+      s"expected sorted key columns, got ${wide.columns.toSeq}")
+    val rows = wide.collect().map(r =>
+      (r.getString(0), r.get(1), r.get(2))).toSeq
+    assert(rows == Seq(("x", 5, 2), ("y", 3, null)))
+    // COUNT(*) has no operand (the route counts a constant), and the
+    // absent (y, B) combination backfills 0 — DuckDB's count-over-
+    // nothing — not Spark's native NULL cell
+    val counted = Engine.sql(spark,
+      "PIVOT engine_spec_piv ON k USING COUNT(*) GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(counted == Seq(("x", 2L, 1L), ("y", 1L, 0L)))
+    // missing GROUP BY refuses (DuckDB's group-by-everything-else default
+    // is unknowable without schema guessing)
+    assertThrows[IllegalArgumentException](
+      Engine.sql(spark, "PIVOT engine_spec_piv ON k USING SUM(v)"))
+  }
+
   test("tryQuery: authoring errors come back as messages, not throws") {
     assert(Engine.tryQuery(spark, "SELECT 1 AS ok").isRight)
     val parse = Engine.tryQuery(spark, "SELEC 1")
