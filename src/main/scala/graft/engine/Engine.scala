@@ -58,9 +58,89 @@ object Engine {
         // (the regex requires TABLE right after REPLACE).
         spark.sql(s"DROP TABLE IF EXISTS $name")
         sql(spark, s"CREATE TABLE $name$rest")
-      case _ => spark.sql(Catalog.rewritePathTables(spark, statement)._1)
+      case _ =>
+        val shimmed = rewriteQualify(rewriteStarExclude(trimmed))
+        spark.sql(Catalog.rewritePathTables(spark, shimmed)._1)
     }
   }
+
+  /** `* EXCLUDE (cols)` → `* EXCEPT (cols)`: DuckDB and Spark spell the
+    * same star modifier with different keywords, so the shim is a
+    * keyword swap — anchored to a preceding `*` (outside string
+    * literals), which is exactly the one position where EXCLUDE is the
+    * modifier and not an identifier. Applies inside subqueries too (the
+    * anchor makes it position-safe, unlike the statement-level routes).
+    * `* REPLACE (…)` has no Spark spelling and is NOT shimmed — it fails
+    * loudly at parse, and `c_sql_exclude_replace` documents the manual
+    * desugared translation. */
+  private[engine] def rewriteStarExclude(s: String): String = {
+    val sb = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (!inStr && ch == '*') {
+        sb.append(ch)
+        var j = i + 1
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        if (j + 7 <= s.length && s.regionMatches(true, j, "EXCLUDE", 0, 7) &&
+            (j + 7 == s.length || !s.charAt(j + 7).isLetterOrDigit)) {
+          sb.append(s.substring(i + 1, j)).append("EXCEPT")
+          i = j + 7
+        } else i += 1
+      } else {
+        if (inStr) { if (ch == '\'') inStr = false }
+        else if (ch == '\'') inStr = true
+        sb.append(ch)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** QUALIFY — the filter-on-window-results clause (DuckDB/Snowflake).
+    * Spark has no QUALIFY, so a statement carrying one at top level
+    * rewrites to the form it is sugar for: the predicate joins the
+    * select list as a boolean item (window functions are legal there,
+    * and Spark's lateral column aliases let it reference rank aliases
+    * from the same list), the whole head becomes a subquery filtered on
+    * that item, and the helper column drops via `* EXCEPT`. The ORDER
+    * BY/LIMIT tail stays outside, after the filter — QUALIFY's clause
+    * order. DISTINCT heads refuse (QUALIFY applies after DISTINCT in
+    * DuckDB; the rewrite would filter before it). A set-op head fails
+    * loudly at analysis (the helper column unbalances the branches) —
+    * never silently mis-filters. */
+  private[engine] def rewriteQualify(s: String): String =
+    // query statements only: a QUALIFY inside CREATE VIEW … AS SELECT
+    // would wrap the DDL in a SELECT — leave non-queries to Spark's
+    // parser (its error names the unexpected clause)
+    if (!s.matches("(?is)^(SELECT|WITH)\\b.*")) s
+    else firstTopLevelKeyword(s, Seq("QUALIFY")) match {
+      case None => s
+      case Some(qi) =>
+        val head = s.substring(0, qi).trim
+        val after = s.substring(qi + "QUALIFY".length)
+        val cut = firstTopLevelKeyword(after, Seq("ORDER", "LIMIT", "OFFSET"))
+          .getOrElse(after.length)
+        val pred = after.substring(0, cut).trim
+        val trailing = after.substring(cut).trim
+        val si = firstTopLevelKeyword(head, Seq("SELECT")).getOrElse(
+          throw new IllegalArgumentException(
+            s"QUALIFY without a SELECT head: $head"))
+        require(!head.substring(si + "SELECT".length).trim
+            .matches("(?is)^DISTINCT\\b.*"),
+          "QUALIFY over SELECT DISTINCT is not routed (DuckDB applies" +
+            " QUALIFY after DISTINCT; the rewrite would invert that)")
+        val fi = firstTopLevelKeyword(head, Seq("FROM")).getOrElse(
+          throw new IllegalArgumentException(
+            s"QUALIFY without a FROM clause: $head"))
+        require(fi > si, "malformed QUALIFY statement")
+        val withPred = head.substring(0, fi) +
+          s", ($pred) AS __graft_q " + head.substring(fi)
+        s"""SELECT * EXCEPT (__graft_q) FROM (
+           |$withPred
+           |) __graft_qual WHERE __graft_q $trailing""".stripMargin
+    }
 
   private val corTableRe =
     ("(?is)^CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+" +

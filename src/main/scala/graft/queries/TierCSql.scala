@@ -250,21 +250,14 @@ object TierCSql {
 
   // QUALIFY — the filter-on-window-result clause (a DuckDB/Snowflake-ism
   // next to DISTINCT ON in the reference user's daily vocabulary). Spark
-  // SQL has no QUALIFY, so the engine-side translation is the canonical
-  // one: push the window function into a derived table and filter its
-  // alias — exactly the rewrite QUALIFY is sugar for. Top-2 orders per
-  // status; row_number's (price DESC, key) order is total because
-  // o_orderkey is unique, so the rank — and the hash — is deterministic
-  // at any parallelism. One shuffle on the partition key; the outer
-  // filter cuts each group to 2 rows before the final order-by.
-  val qualifySpark: String =
-    """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
-      |  SELECT o_orderstatus, o_orderkey, o_totalprice,
-      |    row_number() OVER (PARTITION BY o_orderstatus
-      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      |  FROM orders) t WHERE rn <= 2
-      |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin
-
+  // SQL has no QUALIFY; since round 16 the ENGINE routes the clause
+  // (`Engine.rewriteQualify`: the predicate joins the select list as a
+  // boolean item, the head becomes a filtered subquery, the helper drops
+  // via * EXCEPT), so the IDENTICAL text runs on both engines — before
+  // r16 the Spark side carried the manual derived-table translation this
+  // rewrite automates. Top-2 orders per status; row_number's (price
+  // DESC, key) order is total because o_orderkey is unique, so the rank
+  // — and the hash — is deterministic at any parallelism.
   val qualifyOracle: String =
     """SELECT o_orderstatus, o_orderkey, o_totalprice
       |FROM orders
@@ -329,6 +322,15 @@ object TierCSql {
 
   val excludeReplaceOracle: String =
     """SELECT * EXCLUDE (n_regionkey) REPLACE (upper(n_name) AS n_name)
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  // The routed EXCLUDE twin (round 16): `Engine.rewriteStarExclude`
+  // swaps the star-anchored EXCLUDE keyword for Spark's EXCEPT, so this
+  // IDENTICAL text runs on both engines. REPLACE stays translation-only
+  // (Spark has no spelling for it) — `c_sql_exclude_replace` above keeps
+  // documenting that desugaring.
+  val excludeRouted: String =
+    """SELECT * EXCLUDE (n_regionkey)
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
   // Named windows (the WINDOW clause): one definition shared by several
@@ -614,11 +616,12 @@ object TierCSql {
       |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    "c_sql_qualify" -> q(qualifySpark),
+    "c_sql_qualify" -> q(qualifyOracle), // IDENTICAL text — routed since r16
     "c_sql_from_first" -> q(fromFirst),
     "c_sql_distinct_on" -> q(distinctOnRouted),
     "c_sql_pivot_stmt" -> q(pivotStmt),
     "c_sql_exclude_replace" -> q(excludeReplaceSpark),
+    "c_sql_exclude_routed" -> q(excludeRouted),
     "c_sql_window_named" -> q(windowNamed),
     "c_sql_order_by_all" -> q(orderByAll),
     "c_sql_select" -> q(sqlSelect),
@@ -658,6 +661,7 @@ object TierCSql {
     "c_sql_distinct_on" -> distinctOnRouted, // IDENTICAL text — native DISTINCT ON
     "c_sql_pivot_stmt" -> pivotStmt, // IDENTICAL text — native PIVOT statement
     "c_sql_exclude_replace" -> excludeReplaceOracle,
+    "c_sql_exclude_routed" -> excludeRouted, // IDENTICAL text — shimmed keyword
     "c_sql_window_named" -> windowNamed,
     "c_sql_order_by_all" -> orderByAll,
     "c_sql_select" -> sqlSelect,

@@ -269,6 +269,57 @@ class EngineSpec extends AnyFunSuite {
       Engine.sql(spark, "PIVOT engine_spec_piv ON k USING SUM(v)"))
   }
 
+  test("QUALIFY routes to the filtered-subquery rewrite") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_qual AS " +
+        "SELECT * FROM VALUES (1, 10), (1, 20), (2, 5), (2, 8) v(k, v)")
+    // window function directly in the predicate
+    val top1 = Engine.sql(spark,
+      "SELECT k, v FROM engine_spec_qual " +
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) = 1 " +
+        "ORDER BY k").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(top1 == Seq((1, 20), (2, 8)))
+    // predicate referencing a rank ALIAS from the select list (lateral
+    // column alias), plus a trailing LIMIT outside the filter
+    val aliased = Engine.sql(spark,
+      "SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) AS rn " +
+        "FROM engine_spec_qual QUALIFY rn <= 1 ORDER BY k LIMIT 1")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(aliased == Seq((1, 10)))
+    // a string literal containing ' qualify ' is not a clause
+    val literal = Engine.sql(spark,
+      "SELECT k, ' qualify me ' AS s FROM engine_spec_qual WHERE k = 2 " +
+        "QUALIFY row_number() OVER (ORDER BY v) = 1").collect()
+    assert(literal.length == 1)
+    // DISTINCT heads refuse rather than filter on the wrong side
+    assertThrows[IllegalArgumentException](
+      Engine.sql(spark,
+        "SELECT DISTINCT k FROM engine_spec_qual " +
+          "QUALIFY row_number() OVER (ORDER BY k) = 1"))
+  }
+
+  test("star EXCLUDE shims to Spark's EXCEPT, anchored to the star") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_excl AS " +
+        "SELECT 1 AS a, 2 AS b, 3 AS exclude")
+    val cols = Engine.sql(spark,
+      "SELECT * EXCLUDE (b) FROM engine_spec_excl").columns.toSeq
+    assert(cols == Seq("a", "exclude"))
+    // EXCLUDE as a plain identifier (no star anchor) is untouched
+    val asCol = Engine.sql(spark,
+      "SELECT exclude FROM engine_spec_excl").collect()
+    assert(asCol(0).getInt(0) == 3)
+    // inside a string literal, untouched
+    val lit = Engine.sql(spark,
+      "SELECT '* EXCLUDE (b)' AS s FROM engine_spec_excl").collect()
+    assert(lit(0).getString(0) == "* EXCLUDE (b)")
+    // works in a subquery position too (anchored, not statement-level)
+    val sub = Engine.sql(spark,
+      "SELECT a FROM (SELECT * EXCLUDE (exclude) FROM engine_spec_excl)")
+      .collect()
+    assert(sub(0).getInt(0) == 1)
+  }
+
   test("tryQuery: authoring errors come back as messages, not throws") {
     assert(Engine.tryQuery(spark, "SELECT 1 AS ok").isRight)
     val parse = Engine.tryQuery(spark, "SELEC 1")
