@@ -59,9 +59,70 @@ object Engine {
         spark.sql(s"DROP TABLE IF EXISTS $name")
         sql(spark, s"CREATE TABLE $name$rest")
       case _ =>
-        val shimmed = rewriteQualify(rewriteStarExclude(trimmed))
+        val shimmed =
+          rewriteQualify(rewriteUsingSample(rewriteStarExclude(trimmed)))
         spark.sql(Catalog.rewritePathTables(spark, shimmed)._1)
     }
+  }
+
+  /** `USING SAMPLE n% | n PERCENT | n ROWS [(method)]` → Spark
+    * `TABLESAMPLE (n PERCENT | n ROWS)` — DuckDB's sampling clause,
+    * recognized by the two-word `USING SAMPLE` anchor (a join's USING is
+    * always followed by a paren, never SAMPLE). The method name in
+    * parens drops — both engines then sample probabilistically — but a
+    * SEED refuses: DuckDB's seed promises reproducibility, and Spark's
+    * TABLESAMPLE SQL has nowhere to honor it (the sample values can
+    * never match across engines anyway — `c_sample_hash` documents the
+    * portable hash-sampling discipline; this shim is syntax compatibility
+    * for exploratory statements). */
+  private[engine] def rewriteUsingSample(s: String): String = {
+    val sb = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false; sb.append(ch); i += 1 }
+      else if (ch == '\'') { inStr = true; sb.append(ch); i += 1 }
+      else if (s.regionMatches(true, i, "USING", 0, 5) &&
+          (i == 0 || s.charAt(i - 1).isWhitespace)) {
+        var j = i + 5
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        if (s.regionMatches(true, j, "SAMPLE", 0, 6)) {
+          var k = j + 6
+          while (k < s.length && s.charAt(k).isWhitespace) k += 1
+          val numStart = k
+          while (k < s.length &&
+            (s.charAt(k).isDigit || s.charAt(k) == '.')) k += 1
+          require(k > numStart, s"USING SAMPLE needs a sample size")
+          val num = s.substring(numStart, k)
+          var unit: String = null
+          if (k < s.length && s.charAt(k) == '%') { unit = "PERCENT"; k += 1 }
+          else {
+            while (k < s.length && s.charAt(k).isWhitespace) k += 1
+            if (s.regionMatches(true, k, "PERCENT", 0, 7)) {
+              unit = "PERCENT"; k += 7
+            } else if (s.regionMatches(true, k, "ROWS", 0, 4)) {
+              unit = "ROWS"; k += 4
+            } else throw new IllegalArgumentException(
+              "USING SAMPLE supports n% / n PERCENT / n ROWS — got: " +
+                s.substring(numStart, math.min(s.length, numStart + 30)))
+          }
+          var m = k
+          while (m < s.length && s.charAt(m).isWhitespace) m += 1
+          if (m < s.length && s.charAt(m) == '(') {
+            val close = s.indexOf(')', m)
+            require(close > m, "unbalanced sample-method parens")
+            require(!s.substring(m, close).contains(","),
+              "USING SAMPLE with a seed is not routed (Spark's" +
+                " TABLESAMPLE cannot honor the reproducibility promise)")
+            k = close + 1
+          }
+          sb.append(s"TABLESAMPLE ($num $unit)")
+          i = k
+        } else { sb.append(ch); i += 1 }
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
   }
 
   /** `* EXCLUDE (cols)` → `* EXCEPT (cols)`: DuckDB and Spark spell the

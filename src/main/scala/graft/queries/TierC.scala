@@ -564,6 +564,54 @@ object TierC {
       |JOIN g2 USING (user_id, d)
       |ORDER BY event_id""".stripMargin
 
+  /** Window-frame EXCLUDE clause (DuckDB `EXCLUDE CURRENT ROW / GROUP /
+    * TIES`; delegated surface). Spark frames have no EXCLUDE, so this
+    * witnesses the subtraction translation over a RANGE frame:
+    *   EXCLUDE CURRENT ROW ≡ frame_sum − x        (NULL if frame = {x})
+    *   EXCLUDE GROUP       ≡ frame_sum − peer_sum (NULL if frame = peers)
+    *   EXCLUDE TIES        ≡ frame_sum − peer_sum + x   (never empty)
+    * where peer_sum/peer_cnt come from a second window keyed by the
+    * ORDER-BY VALUE (PARTITION BY n) — on a RANGE frame bounded at
+    * CURRENT ROW the peer group always lies wholly inside the frame, so
+    * the subtraction is exact; a ROWS frame can cut a peer group and
+    * would need the positional-intersection form instead (refuse, don't
+    * approximate). The empty-frame cases go through COUNT twins of the
+    * same windows because SQL's SUM over an excluded-to-empty frame is
+    * NULL, not 0. All-integer arithmetic; same unpartitioned-window
+    * caveat (and bucketed scaling twin) as `c_window_range`. */
+  val windowFrameExclude: Q = (s, dir) => {
+    val n = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.orderBy(col("n")).rangeBetween(-10, 0)
+    val wp = Window.partitionBy(col("n"))
+    n.select(col("l_suppkey"), col("n"),
+        sum(col("n")).over(wf).as("fs"),
+        count(lit(1)).over(wf).as("cf"),
+        sum(col("n")).over(wp).as("ps"),
+        count(lit(1)).over(wp).as("cp"))
+      .select(col("l_suppkey"), col("n"),
+        when(col("cf") === 1, lit(null)).otherwise(col("fs") - col("n"))
+          .cast(LongType).as("ex_cur"),
+        when(col("cf") === col("cp"), lit(null))
+          .otherwise(col("fs") - col("ps")).cast(LongType).as("ex_grp"),
+        (col("fs") - col("ps") + col("n")).cast(LongType).as("ex_ties"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** Oracle: the real EXCLUDE clauses, verbatim. */
+  val windowFrameExcludeSql: String =
+    """SELECT l_suppkey, n,
+      |  CAST(SUM(n) OVER (ORDER BY n RANGE BETWEEN 10 PRECEDING AND
+      |    CURRENT ROW EXCLUDE CURRENT ROW) AS BIGINT) AS ex_cur,
+      |  CAST(SUM(n) OVER (ORDER BY n RANGE BETWEEN 10 PRECEDING AND
+      |    CURRENT ROW EXCLUDE GROUP) AS BIGINT) AS ex_grp,
+      |  CAST(SUM(n) OVER (ORDER BY n RANGE BETWEEN 10 PRECEDING AND
+      |    CURRENT ROW EXCLUDE TIES) AS BIGINT) AS ex_ties
+      |FROM (SELECT l_suppkey, COUNT(*) AS n FROM lineitem
+      |      GROUP BY l_suppkey)
+      |ORDER BY l_suppkey""".stripMargin
+
   /** Fixed-width histogram by floor-division bucketing (no width_bucket in
     * the oracle dialect; FLOOR(x / w) is deterministic on both engines).
     * min/max per bucket are single stored values — no float accumulation —
@@ -1436,6 +1484,7 @@ object TierC {
     "c_window_range_time" -> windowRangeTime,
     "c_window_range_bucketed" -> windowRangeBucketed,
     "c_window_groups" -> windowGroups,
+    "c_window_frame_exclude" -> windowFrameExclude,
     "c_distinct_on" -> distinctOn,
     "c_string_agg" -> stringAgg,
     "c_salted_agg" -> saltedAgg,
@@ -1487,6 +1536,7 @@ object TierC {
     "c_window_range_time" -> windowRangeTimeSql,
     "c_window_range_bucketed" -> windowRangeSql, // same semantics, same oracle
     "c_window_groups" -> windowGroupsSql,
+    "c_window_frame_exclude" -> windowFrameExcludeSql,
     "c_distinct_on" -> distinctOnSql,
     "c_string_agg" -> stringAggSql,
     "c_salted_agg" -> saltedAggSql,

@@ -333,6 +333,16 @@ object TierCSql {
     """SELECT * EXCLUDE (n_regionkey)
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  // USING SAMPLE routed (round 16): sample VALUES can never hash-match
+  // across engines (independent RNGs — `c_sample_hash` carries the
+  // portable hash-sampling discipline), so the grammar witness runs at
+  // 100% where both samplers are the identity: the IDENTICAL text
+  // certifies the `USING SAMPLE` → `TABLESAMPLE` shim end to end while
+  // staying deterministic.
+  val sampleRouted: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_linenumber) AS BIGINT) AS s
+      |FROM lineitem USING SAMPLE 100 PERCENT (bernoulli)""".stripMargin
+
   // Named windows (the WINDOW clause): one definition shared by several
   // window functions — supported verbatim by BOTH engines, so this runs
   // unchanged in each. rank and lag share w; the (price DESC, key) order
@@ -622,6 +632,7 @@ object TierCSql {
     "c_sql_pivot_stmt" -> q(pivotStmt),
     "c_sql_exclude_replace" -> q(excludeReplaceSpark),
     "c_sql_exclude_routed" -> q(excludeRouted),
+    "c_sql_sample_routed" -> q(sampleRouted),
     "c_sql_window_named" -> q(windowNamed),
     "c_sql_order_by_all" -> q(orderByAll),
     "c_sql_select" -> q(sqlSelect),
@@ -662,6 +673,7 @@ object TierCSql {
     "c_sql_pivot_stmt" -> pivotStmt, // IDENTICAL text — native PIVOT statement
     "c_sql_exclude_replace" -> excludeReplaceOracle,
     "c_sql_exclude_routed" -> excludeRouted, // IDENTICAL text — shimmed keyword
+    "c_sql_sample_routed" -> sampleRouted, // IDENTICAL text — 100% sample
     "c_sql_window_named" -> windowNamed,
     "c_sql_order_by_all" -> orderByAll,
     "c_sql_select" -> sqlSelect,

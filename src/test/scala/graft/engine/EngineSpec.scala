@@ -320,6 +320,31 @@ class EngineSpec extends AnyFunSuite {
     assert(sub(0).getInt(0) == 1)
   }
 
+  test("USING SAMPLE shims to TABLESAMPLE") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_smp AS " +
+        "SELECT id FROM range(100)")
+    // 100% bernoulli keeps everything — deterministic on any engine
+    assert(Engine.sql(spark,
+      "SELECT COUNT(*) AS n FROM engine_spec_smp USING SAMPLE 100%")
+      .collect()(0).getLong(0) == 100L)
+    // n ROWS maps to Spark's exact row sample
+    assert(Engine.sql(spark,
+      "SELECT * FROM engine_spec_smp USING SAMPLE 7 ROWS").count() == 7L)
+    // method name drops; a seed refuses (no way to honor it)
+    assert(Engine.sql(spark,
+      "SELECT COUNT(*) AS n FROM engine_spec_smp " +
+        "USING SAMPLE 100 PERCENT (bernoulli)").collect()(0).getLong(0) == 100L)
+    assertThrows[IllegalArgumentException](
+      Engine.sql(spark,
+        "SELECT * FROM engine_spec_smp USING SAMPLE 10% (bernoulli, 42)"))
+    // a join's USING clause is untouched
+    val joined = Engine.sql(spark,
+      "SELECT a.id FROM engine_spec_smp a JOIN engine_spec_smp b USING (id) " +
+        "WHERE a.id < 3")
+    assert(joined.count() == 3L)
+  }
+
   test("tryQuery: authoring errors come back as messages, not throws") {
     assert(Engine.tryQuery(spark, "SELECT 1 AS ok").isRight)
     val parse = Engine.tryQuery(spark, "SELEC 1")
