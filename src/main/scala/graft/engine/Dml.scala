@@ -256,8 +256,32 @@ object Dml {
   private def mergeCore(
       spark: SparkSession, path: String,
       affectedSel: Seq[Path] => Seq[Path],
-      source: DataFrame, srcKeys: Seq[String],
-      setCols: Seq[String]): Stats = {
+      sourceIn: DataFrame, srcKeysIn: Seq[String],
+      setColsIn: Seq[String]): Stats = {
+    // Pin the SOURCE to a snapshot before any file is touched: the merge
+    // evaluates it several times (uniqueness guard, matched-branch
+    // broadcast, key span, insert anti-join), and the middle of those
+    // REPLACES target files — a source reading from the target (legal
+    // SQL MERGE: `USING (SELECT … FROM t …)`) would otherwise hit
+    // deleted part files or, worse, observe post-update rows and insert
+    // a different set than the statement's pre-merge snapshot. The
+    // source is broadcast-sized by contract, so the eager checkpoint is
+    // O(upsert batch), not O(table).
+    val source = sourceIn.localCheckpoint()
+    // resolve key/SET names against the actual column case: Spark
+    // resolves identifiers case-insensitively by default, so `ON t.ID =
+    // s.ID` over lowercase columns is legal SQL — exact-case string ops
+    // below (renames, contains, schema lookups) must see the stored case
+    def resolve(names: Seq[String], against: Seq[String],
+        what: String): Seq[String] =
+      names.map { n =>
+        against.find(_.equalsIgnoreCase(n)).getOrElse(
+          throw new IllegalArgumentException(
+            s"MERGE $what column $n not found among" +
+              s" (${against.mkString(", ")})"))
+      }
+    val srcKeys = resolve(srcKeysIn, source.columns.toSeq, "key")
+    val setCols = resolve(setColsIn, source.columns.toSeq, "SET")
     // SQL MERGE raises on multiple source matches per target row; the
     // equivalent guard here is source-key uniqueness (cheap: one agg over
     // the small upsert side, found-one-stop via limit(1))
@@ -289,11 +313,19 @@ object Dml {
     // a key-clustered layout a day's upserts open a handful of files,
     // not the table. Schema comes from the layout footer, no scan.)
     val target = spark.read.parquet(path)
-    val keyCol = srcKeys.head
-    val candidates = target.schema(keyCol).dataType match {
+    // name comparisons against the TARGET use its stored case too —
+    // source and target may legally disagree on identifier case
+    def isKey(c: String) = srcKeys.exists(_.equalsIgnoreCase(c))
+    def targetField(n: String) =
+      target.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"MERGE key column $n not found in the target layout"))
+    val keyCol = targetField(srcKeys.head).name
+    val candidates = targetField(keyCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
         val span = source.agg(
-          min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head()
+          min(col(srcKeys.head)).cast("long"),
+          max(col(srcKeys.head)).cast("long")).head()
         if (span.isNullAt(0)) Seq.empty // empty source: nothing to insert
         else insertCheckFiles(dataFiles(Paths.get(path)), keyCol,
           span.getLong(0), span.getLong(1))
@@ -303,17 +335,25 @@ object Dml {
       if (candidates.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(
-            srcKeys.map(k => target.schema(target.schema.fieldIndex(k)))))
+          org.apache.spark.sql.types.StructType(srcKeys.map(targetField)))
       else spark.read.parquet(candidates.map(_.toString): _*)
         .select(srcKeys.map(col).toSeq: _*)
     val inserts = renamed.join(targetKeys, srcKeys, "left_anti")
       .select(target.columns.map { c =>
-        if (srcKeys.contains(c)) col(c)
-        else if (renamed.columns.contains(s"_src_$c")) col(s"_src_$c").as(c)
-        else lit(null).cast(target.schema(c).dataType).as(c)
+        val srcName = renamed.columns
+          .find(_.equalsIgnoreCase(s"_src_$c"))
+        if (isKey(c)) col(srcKeys.find(_.equalsIgnoreCase(c)).get).as(c)
+        else srcName match {
+          case Some(sn) => col(sn).as(c)
+          case None => lit(null).cast(targetField(c).dataType).as(c)
+        }
       }.toSeq: _*)
-    inserts.write.mode("append").parquet(path)
+    // append ONLY when there is something to append: a fully-matched (or
+    // empty) source must not grow the layout by an empty, statless part
+    // file per merge — those files defeat every future footer prune
+    val pinnedInserts = inserts.localCheckpoint()
+    if (pinnedInserts.head(1).nonEmpty)
+      pinnedInserts.write.mode("append").parquet(path)
     stats
   }
 }

@@ -50,14 +50,30 @@ object Engine {
       case corTableRe(name, rest) =>
         // DuckDB's CREATE OR REPLACE TABLE (its own oracle idiom for
         // idempotent scripts); Spark's v1 catalog only supports REPLACE
-        // on v2 table formats, so the engine routes the honest
-        // translation: drop-if-exists, then create. NOT atomic (a reader
-        // between the two statements sees no table) — the same window
-        // DuckDB closes transactionally; documented, not hidden.
-        // TEMPORARY VIEW replace is Spark-native and never lands here
-        // (the regex requires TABLE right after REPLACE).
-        spark.sql(s"DROP TABLE IF EXISTS $name")
-        sql(spark, s"CREATE TABLE $name$rest")
+        // on v2 table formats, so the engine routes create-under-a-
+        // temp-name, drop the original, rename into place: a CREATE that
+        // FAILS (typo'd column, bad source) leaves the existing table
+        // and its data fully intact — a naive drop-then-create would
+        // have destroyed it before discovering the statement was broken
+        // (DuckDB's REPLACE is transactional; this is the closest
+        // non-transactional analog, with only a reader-visibility gap
+        // between drop and rename). TEMPORARY VIEW replace is
+        // Spark-native and never lands here (the regex requires TABLE
+        // right after REPLACE).
+        val tmp = s"${name}__graft_cor_tmp"
+        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+        sql(spark, s"CREATE TABLE $tmp$rest")
+        try {
+          spark.sql(s"DROP TABLE IF EXISTS $name")
+          spark.sql(s"ALTER TABLE $tmp RENAME TO $name")
+        } catch {
+          case e: Throwable =>
+            // the replacement data survives under the temp name either way
+            throw new IllegalStateException(
+              s"CREATE OR REPLACE TABLE $name: swap failed after build —" +
+                s" new data is intact under $tmp", e)
+        }
+        spark.emptyDataFrame
       case _ =>
         val shimmed =
           rewriteQualify(rewriteUsingSample(rewriteStarExclude(trimmed)))
@@ -98,14 +114,18 @@ object Engine {
           var unit: String = null
           if (k < s.length && s.charAt(k) == '%') { unit = "PERCENT"; k += 1 }
           else {
+            val beforeUnit = k
             while (k < s.length && s.charAt(k).isWhitespace) k += 1
             if (s.regionMatches(true, k, "PERCENT", 0, 7)) {
               unit = "PERCENT"; k += 7
             } else if (s.regionMatches(true, k, "ROWS", 0, 4)) {
               unit = "ROWS"; k += 4
-            } else throw new IllegalArgumentException(
-              "USING SAMPLE supports n% / n PERCENT / n ROWS — got: " +
-                s.substring(numStart, math.min(s.length, numStart + 30)))
+            } else {
+              // DuckDB's bare `USING SAMPLE 10` means 10 rows (rows is
+              // its default unit) — translate, don't refuse the most
+              // common spelling; whatever follows is the next clause
+              unit = "ROWS"; k = beforeUnit
+            }
           }
           var m = k
           while (m < s.length && s.charAt(m).isWhitespace) m += 1
@@ -144,8 +164,19 @@ object Engine {
         sb.append(ch)
         var j = i + 1
         while (j < s.length && s.charAt(j).isWhitespace) j += 1
-        if (j + 7 <= s.length && s.regionMatches(true, j, "EXCLUDE", 0, 7) &&
-            (j + 7 == s.length || !s.charAt(j + 7).isLetterOrDigit)) {
+        // the swap needs the full modifier shape `* EXCLUDE (` — a bare
+        // `* exclude` or `* exclude_fee` is multiplication by a column
+        // (underscore continues an identifier; '(' is what separates the
+        // modifier from arithmetic on a column named exclude)
+        val isModifier = j + 7 <= s.length &&
+          s.regionMatches(true, j, "EXCLUDE", 0, 7) && {
+            var k = j + 7
+            val boundary = k == s.length ||
+              (!s.charAt(k).isLetterOrDigit && s.charAt(k) != '_')
+            while (k < s.length && s.charAt(k).isWhitespace) k += 1
+            boundary && k < s.length && s.charAt(k) == '('
+          }
+        if (isModifier) {
           sb.append(s.substring(i + 1, j)).append("EXCEPT")
           i = j + 7
         } else i += 1
@@ -255,14 +286,20 @@ object Engine {
       if (table.startsWith("(")) s"$table __graft_piv_src" else table
     // domain discovery: one DISTINCT pass, bounded by the pivot-key
     // cardinality (the documented dynamic-pivot collect)
-    val keys = sql(spark,
+    val rawKeys = sql(spark,
       s"SELECT DISTINCT ($onExpr) AS __graft_pk FROM $src")
-      .collect().map(_.get(0)).filter(_ != null)
-      .map {
-        case s: String => (s, Sql.sqlStringLiteral(s))
-        case n: java.lang.Number => (n.toString, n.toString)
-        case other => (other.toString, Sql.sqlStringLiteral(other.toString))
-      }.sortBy(_._1).toSeq
+      .collect().map(_.get(0)).filter(_ != null).toSeq
+    // DuckDB orders the generated columns by key VALUE — numerically for
+    // numeric keys (1, 2, …, 10), not by their string form (1, 10, 2)
+    val sortedKeys =
+      if (rawKeys.forall(_.isInstanceOf[java.lang.Number]))
+        rawKeys.sortBy(_.asInstanceOf[java.lang.Number].doubleValue)
+      else rawKeys.sortBy(_.toString)
+    val keys = sortedKeys.map {
+      case s: String => (s, Sql.sqlStringLiteral(s))
+      case n: java.lang.Number => (n.toString, n.toString)
+      case other => (other.toString, Sql.sqlStringLiteral(other.toString))
+    }
     require(keys.nonEmpty, "PIVOT key domain is empty (all-null keys?)")
     val inList = keys.map { case (name, lit) =>
       s"$lit AS ${Sql.sqlIdentifier(name)}"
@@ -447,31 +484,15 @@ object Engine {
     "(?is)^UPDATE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+SET\\s+(.+)$".r
 
   /** Split `SET-list [WHERE predicate]` at the first WHERE keyword that
-    * sits outside string literals and parens (subqueries). Quote state
-    * tracking matches splitTopLevel's ('' escaping reads as
-    * close-then-reopen, which lands on the same answer). */
-  private def splitOnWhere(s: String): (String, Option[String]) = {
-    var depth = 0
-    var inStr = false
-    var i = 0
-    while (i < s.length) {
-      val ch = s.charAt(i)
-      if (inStr) { if (ch == '\'') inStr = false }
-      else ch match {
-        case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case 'w' | 'W' if depth == 0 && i + 5 <= s.length &&
-            s.regionMatches(true, i, "where", 0, 5) &&
-            (i == 0 || s.charAt(i - 1).isWhitespace) &&
-            (i + 5 == s.length || s.charAt(i + 5).isWhitespace) =>
-          return (s.substring(0, i).trim, Some(s.substring(i + 5).trim))
-        case _ => ()
-      }
-      i += 1
+    * sits outside string literals and parens (subqueries) — expressed
+    * through the shared top-level keyword scanner so the boundary and
+    * quote rules live in ONE place. */
+  private def splitOnWhere(s: String): (String, Option[String]) =
+    firstTopLevelKeyword(s, Seq("WHERE")) match {
+      case Some(i) =>
+        (s.substring(0, i).trim, Some(s.substring(i + "WHERE".length).trim))
+      case None => (s.trim, None)
     }
-    (s.trim, None)
-  }
 
   // MERGE INTO target [[AS] t] USING source [[AS] s] ON <equi-keys>
   //   WHEN MATCHED THEN UPDATE SET <assignments>
@@ -586,7 +607,16 @@ object Engine {
         parts(0).toUpperCase match {
           case "FORMAT" if parts.length == 2 =>
             fmt = Some(parts(1).stripPrefix("'").stripSuffix("'").toLowerCase)
-          case "HEADER" => ()
+          case "HEADER" if parts.length == 1 ||
+              parts(1).equalsIgnoreCase("true") ||
+              parts(1) == "1" => ()
+          case "HEADER" =>
+            // the csv writer always emits headers; silently honoring
+            // `HEADER false` by writing one anyway is exactly the
+            // "file the user didn't ask for" this parser refuses
+            throw new IllegalArgumentException(
+              "COPY ... (HEADER false) is not supported: the csv writer" +
+                " always emits a header row")
           case _ =>
             throw new IllegalArgumentException(
               s"COPY option not supported: $o")
@@ -718,25 +748,50 @@ object Engine {
         schema.fields.find(_.name.equalsIgnoreCase(a.nameParts.head))
       case _ => None
     }
-    // literal → the column's physical INT64 unit, EXACT or None: integral
-    // literals for long columns; date/timestamp/string literals (micros,
-    // via Catalyst's own cast to the column's timestamp FLAVOR — the
-    // testdata's parquet reads as TIMESTAMP_NTZ under Spark 4's
-    // inferTimestampNTZ default, while typed TIMESTAMP '…' literals are
-    // LTZ, so the cast also absorbs the zone conversion) for timestamp
-    // columns. Fractional/other literal forms don't prune.
-    def unit(l: Literal, t: DataType): Option[Long] = (l.dataType, t) match {
-      case (ByteType | ShortType | IntegerType | LongType, LongType) =>
-        Some(l.value.toString.toLong)
-      case (DateType | TimestampType | TimestampNTZType | StringType,
-          TimestampType | TimestampNTZType) =>
-        try Option(Cast(l, t,
-          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null))
-          .map(_.asInstanceOf[Long])
-        catch { case _: Exception => None }
-      case _ => None
-    }
+    // literal → the column's physical INT64 unit + a SLACK, or None:
+    // integral literals for long columns (slack 0); date/timestamp/
+    // string literals (micros, via Catalyst's own cast to the column's
+    // timestamp FLAVOR — the testdata's parquet reads as TIMESTAMP_NTZ
+    // under Spark 4's inferTimestampNTZ default, while typed
+    // TIMESTAMP '…' literals are LTZ, so the cast also absorbs the zone
+    // conversion) for timestamp columns. A cast CROSSING the LTZ↔NTZ
+    // flavor boundary under a session zone with DST transitions is not
+    // monotonic (wall-clock vs instant order disagree by the transition
+    // delta around a fall-back), and Spark's runtime coercion may apply
+    // the row-dependent conversion — so crossing casts under a
+    // non-fixed-offset zone carry a 1-day slack that WIDENS the bound on
+    // whichever side it lands (sound: prune less, never wrong). Under a
+    // fixed-offset zone (this engine pins UTC) slack is 0 and bounds
+    // stay exact. Fractional/other literal forms don't prune.
+    def unit(l: Literal, t: DataType): Option[(Long, Long)] =
+      (l.dataType, t) match {
+        case (ByteType | ShortType | IntegerType | LongType, LongType) =>
+          Some((l.value.toString.toLong, 0L))
+        case (DateType | TimestampType | TimestampNTZType | StringType,
+            TimestampType | TimestampNTZType) =>
+          val crossing = (l.dataType, t) match {
+            case (TimestampType, TimestampNTZType) |
+                (TimestampNTZType, TimestampType) => true
+            case _ => false
+          }
+          val zone = spark.sessionState.conf.sessionLocalTimeZone
+          val slack =
+            if (crossing &&
+              !java.time.ZoneId.of(zone).getRules.isFixedOffset)
+              86400L * 1000000L
+            else 0L
+          try Option(Cast(l, t, Some(zone)).eval(null))
+            .map(v => (v.asInstanceOf[Long], slack))
+          catch { case _: Exception => None }
+        case _ => None
+      }
     def incr(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+    // slack-widened bound helpers (micros values sit far from Long's
+    // edges, but keep the MaxValue sentinel intact)
+    def loosenLo(v: Long, slack: Long): Long =
+      if (v == Long.MinValue) v else v - slack
+    def loosenHi(v: Long, slack: Long): Long =
+      if (v >= Long.MaxValue - slack) Long.MaxValue else v + slack
     // fold bounds per column over the conjuncts, both operand orders
     val bounds =
       scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
@@ -749,36 +804,36 @@ object Engine {
     }
     conjuncts(parsed).foreach {
       case GreaterThanOrEqual(a, l: Literal) =>
-        for (f <- colOf(a); v <- unit(l, f.dataType))
-          narrow(f, Some(v), None)
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, Some(loosenLo(v, s)), None)
       case GreaterThan(a, l: Literal) =>
-        for (f <- colOf(a); v <- unit(l, f.dataType))
-          narrow(f, Some(incr(v)), None)
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, Some(loosenLo(incr(v), s)), None)
       case LessThan(a, l: Literal) =>
-        for (f <- colOf(a); v <- unit(l, f.dataType))
-          narrow(f, None, Some(v))
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, None, Some(loosenHi(v, s)))
       case LessThanOrEqual(a, l: Literal) =>
-        for (f <- colOf(a); v <- unit(l, f.dataType))
-          narrow(f, None, Some(incr(v)))
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, None, Some(loosenHi(incr(v), s)))
       case EqualTo(a, l: Literal) =>
-        for (f <- colOf(a); v <- unit(l, f.dataType))
-          narrow(f, Some(v), Some(incr(v)))
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, Some(loosenLo(v, s)), Some(loosenHi(incr(v), s)))
       // literal-first spellings mirror with flipped comparison
       case GreaterThanOrEqual(l: Literal, a) =>
-        for (f <- colOf(a); v <- unit(l, f.dataType))
-          narrow(f, None, Some(incr(v)))
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, None, Some(loosenHi(incr(v), s)))
       case GreaterThan(l: Literal, a) =>
-        for (f <- colOf(a); v <- unit(l, f.dataType))
-          narrow(f, None, Some(v))
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, None, Some(loosenHi(v, s)))
       case LessThan(l: Literal, a) =>
-        for (f <- colOf(a); v <- unit(l, f.dataType))
-          narrow(f, Some(incr(v)), None)
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, Some(loosenLo(incr(v), s)), None)
       case LessThanOrEqual(l: Literal, a) =>
-        for (f <- colOf(a); v <- unit(l, f.dataType))
-          narrow(f, Some(v), None)
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, Some(loosenLo(v, s)), None)
       case EqualTo(l: Literal, a) =>
-        for (f <- colOf(a); v <- unit(l, f.dataType))
-          narrow(f, Some(v), Some(incr(v)))
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, Some(loosenLo(v, s)), Some(loosenHi(incr(v), s)))
       case _ => () // unrecognized conjunct: doesn't narrow, stays sound
     }
     // prefer a two-sided range; else any one-sided bound still prunes

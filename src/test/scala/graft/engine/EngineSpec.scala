@@ -345,6 +345,61 @@ class EngineSpec extends AnyFunSuite {
     assert(joined.count() == 3L)
   }
 
+  test("CREATE OR REPLACE TABLE: a failing CREATE leaves the old table intact") {
+    val t = s"engine_spec_cor2_p${ProcessHandle.current.pid}"
+    try {
+      Engine.exec(spark, s"CREATE OR REPLACE TABLE $t AS SELECT 1 AS x")
+      assertThrows[Exception](Engine.exec(spark,
+        s"CREATE OR REPLACE TABLE $t AS SELECT no_such_col FROM range(1)"))
+      val rows = spark.table(t).collect()
+      assert(rows.length == 1 && rows(0).getInt(0) == 1,
+        "a typo'd REPLACE must not destroy the existing table")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}__graft_cor_tmp")
+    }
+  }
+
+  test("star EXCLUDE shim: multiplication by exclude-named columns untouched") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_excl2 AS " +
+        "SELECT 2 AS a, 5 AS exclude_fee, 7 AS exclude")
+    // `* exclude_fee` and `* exclude` are arithmetic, not the modifier
+    val r = Engine.sql(spark,
+      "SELECT a * exclude_fee AS x, a * exclude AS y FROM engine_spec_excl2")
+      .collect()(0)
+    assert((r.getInt(0), r.getInt(1)) == ((10, 14)))
+  }
+
+  test("USING SAMPLE bare number defaults to rows, like DuckDB") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_smp2 AS " +
+        "SELECT id FROM range(50)")
+    assert(Engine.sql(spark,
+      "SELECT * FROM engine_spec_smp2 USING SAMPLE 10").count() == 10L)
+  }
+
+  test("COPY (HEADER false) refuses instead of writing a header anyway") {
+    val dir = java.nio.file.Files.createTempDirectory("copyhdr").toString
+    assertThrows[IllegalArgumentException](Engine.sql(spark,
+      s"COPY (SELECT 1 AS x) TO '$dir/out.csv' (FORMAT csv, HEADER false)"))
+    // the affirmative spellings still pass
+    Engine.sql(spark,
+      s"COPY (SELECT 1 AS x) TO '$dir/ok.csv' (FORMAT csv, HEADER true)")
+    Engine.sql(spark,
+      s"COPY (SELECT 1 AS x) TO '$dir/ok2.csv' (FORMAT csv, HEADER)")
+  }
+
+  test("PIVOT orders numeric key columns numerically, not lexically") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_piv2 AS " +
+        "SELECT 'g' AS g, id AS m, 1 AS v FROM range(1, 13)")
+    val cols = Engine.sql(spark,
+      "PIVOT engine_spec_piv2 ON m USING SUM(v) GROUP BY g").columns.toSeq
+    assert(cols == "g" +: (1 to 12).map(_.toString),
+      s"expected 1..12 in numeric order, got $cols")
+  }
+
   test("tryQuery: authoring errors come back as messages, not throws") {
     assert(Engine.tryQuery(spark, "SELECT 1 AS ok").isRight)
     val parse = Engine.tryQuery(spark, "SELEC 1")

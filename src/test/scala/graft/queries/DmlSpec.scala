@@ -194,4 +194,61 @@ class DmlSpec extends AnyFunSuite {
     // and the full span selects everything (sanity)
     assert(Dml.insertCheckFiles(files, "o_orderkey", kLo, kHi).size == 8)
   }
+
+  test("MERGE: fully-matched source appends no empty part file") {
+    val path = freshLayout("dmlspec_noins")
+    val nRows = spark.read.parquet(path).count()
+    // every source key exists in the target: zero not-matched rows
+    val source = orig.limit(20)
+      .withColumn("o_orderstatus", lit("Z"))
+    Dml.mergeIntoAll(spark, path, source,
+      Seq("o_orderkey"), Seq("o_orderstatus"))
+    assert(spark.read.parquet(path).count() == nRows,
+      "no inserts: total rows unchanged")
+    // the empty insert relation must not have landed a 0-row part file
+    // (statless files defeat every future footer prune on the layout)
+    Dml.layoutFiles(path).foreach { f =>
+      assert(spark.read.parquet(f.toString).count() > 0,
+        s"empty appended part file: $f")
+    }
+  }
+
+  test("MERGE: a source reading FROM the target merges against the snapshot") {
+    val path = freshLayout("dmlspec_self")
+    // legal SQL MERGE: the source is a query over the target itself —
+    // double every January price. The merge must evaluate the source
+    // against the PRE-merge table even though the matched branch
+    // replaces the very files the source reads.
+    val source = spark.read.parquet(path)
+      .filter(col("o_orderdate") >= Tables.ts("1998-01-01") &&
+        col("o_orderdate") < Tables.ts("1998-02-01"))
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderstatus"), (col("o_totalprice") * 2).as("o_totalprice"))
+    val expectJan = source.collect().toSet
+    Dml.mergeIntoAll(spark, path, source,
+      Seq("o_orderkey"), Seq("o_totalprice"))
+    val gotJan = spark.read.parquet(path)
+      .filter(col("o_orderdate") >= Tables.ts("1998-01-01") &&
+        col("o_orderdate") < Tables.ts("1998-02-01")).collect().toSet
+    assert(gotJan == expectJan,
+      "prices must double exactly once (snapshot source, no re-read of" +
+        " post-merge files)")
+  }
+
+  test("MERGE resolves key and SET names case-insensitively, like Spark SQL") {
+    val path = freshLayout("dmlspec_case")
+    val source = orig.limit(10)
+      .select(col("o_orderkey").as("O_ORDERKEY"),
+        col("o_orderdate"), lit("C").as("O_ORDERSTATUS"),
+        col("o_totalprice"))
+    val keys = source.select(col("O_ORDERKEY")).collect()
+      .map(_.getLong(0)).toSet
+    Dml.mergeIntoAll(spark, path, source,
+      Seq("o_orderkey"), Seq("o_orderstatus"))
+    val updated = spark.read.parquet(path)
+      .filter(col("o_orderstatus") === "C").collect()
+      .map(_.getLong(0)).toSet
+    assert(updated == keys,
+      "uppercase source columns must merge onto lowercase target columns")
+  }
 }
