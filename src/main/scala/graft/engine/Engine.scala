@@ -75,8 +75,8 @@ object Engine {
         }
         spark.emptyDataFrame
       case _ =>
-        val shimmed =
-          rewriteQualify(rewriteUsingSample(rewriteStarExclude(trimmed)))
+        val shimmed = rewriteQualify(rewriteAsofJoin(
+          rewriteUsingSample(rewriteStarExclude(trimmed))))
         spark.sql(Catalog.rewritePathTables(spark, shimmed)._1)
     }
   }
@@ -188,6 +188,192 @@ object Engine {
       }
     }
     sb.toString
+  }
+
+  /** ASOF [LEFT] JOIN — DuckDB's time-series join statement: for each
+    * left row, match the right row with equal keys and the greatest
+    * right-timestamp at-or-before the left's (for `>=`; the other three
+    * inequality directions mirror). Spark has no ASOF JOIN, so the
+    * rewrite is the INTERVAL-JOIN formulation — the scalable translation:
+    * the right relation gains each row's validity interval end
+    * (`lead(ts) OVER (PARTITION BY keys ORDER BY ts)` — `lag` for
+    * forward joins), and ASOF becomes an ordinary equi-join on the keys
+    * with the inequality plus the interval bound as join filters; Spark
+    * plans the hash/sort-merge join the equi-keys admit, with no
+    * window over the left side and no nested loop. Exactly one
+    * inequality conjunct is required; every ON reference must be
+    * qualified (the canonical typed form); the right relation is a table
+    * name or a parenthesized subquery with an alias. A bare `SELECT *`
+    * list swaps to `* EXCEPT` of the helper column. Ties among right
+    * rows on (keys, ts) leave one arbitrary winner — DuckDB's pick is
+    * likewise unspecified. Statement-level, first ASOF only (a second
+    * fails loudly in Spark's parser). */
+  private[engine] def rewriteAsofJoin(s: String): String = {
+    if (!s.matches("(?is)^(SELECT|WITH)\\b.*")) return s
+    val ai = firstTopLevelKeyword(s, Seq("ASOF")).getOrElse(return s)
+    var p = ai + 4
+    def skipWs(): Unit =
+      while (p < s.length && s.charAt(p).isWhitespace) p += 1
+    def word(kw: String): Boolean =
+      s.regionMatches(true, p, kw, 0, kw.length) &&
+        (p + kw.length == s.length ||
+          !s.charAt(p + kw.length).isLetterOrDigit) && {
+          p += kw.length; skipWs(); true
+        }
+    skipWs()
+    val leftJoin = word("LEFT")
+    require(word("JOIN"), "ASOF must be followed by [LEFT] JOIN")
+    // right relation: identifier or balanced parenthesized subquery
+    val bStart = p
+    if (p < s.length && s.charAt(p) == '(') {
+      var depth = 0
+      var inStr = false
+      var done = false
+      while (p < s.length && !done) {
+        val ch = s.charAt(p)
+        if (inStr) { if (ch == '\'') inStr = false }
+        else if (ch == '\'') inStr = true
+        else if (ch == '(') depth += 1
+        else if (ch == ')') { depth -= 1; if (depth == 0) done = true }
+        p += 1
+      }
+      require(done, "unbalanced parens in ASOF JOIN right relation")
+    } else {
+      while (p < s.length && (s.charAt(p).isLetterOrDigit ||
+        s.charAt(p) == '_' || s.charAt(p) == '.')) p += 1
+      require(p > bStart, "ASOF JOIN needs a right relation")
+    }
+    val bRel = s.substring(bStart, p)
+    skipWs()
+    word("AS") // optional
+    var bAlias: String = null
+    if (!s.regionMatches(true, p, "ON", 0, 2) ||
+        (p + 2 < s.length && s.charAt(p + 2).isLetterOrDigit)) {
+      val aStart = p
+      while (p < s.length && (s.charAt(p).isLetterOrDigit ||
+        s.charAt(p) == '_')) p += 1
+      bAlias = s.substring(aStart, p)
+      skipWs()
+    }
+    if (bAlias == null) {
+      require(!bRel.startsWith("("),
+        "ASOF JOIN subquery relation needs an alias")
+      bAlias = bRel
+    }
+    require(word("ON"), "ASOF JOIN needs an ON condition")
+    val tail = s.substring(p)
+    val condEnd = firstTopLevelKeyword(tail,
+      Seq("WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY", "ORDER",
+        "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT"))
+      .getOrElse(tail.length)
+    val cond = tail.substring(0, condEnd).trim
+    val rest = tail.substring(condEnd)
+    // classify conjuncts: qualified equi-keys + exactly one inequality
+    def stripQ(r: String): (String, String) = {
+      val t0 = r.trim
+      t0.split('.') match {
+        case Array(q, c) =>
+          (q.trim.stripPrefix("`").stripSuffix("`"),
+            c.trim.stripPrefix("`").stripSuffix("`"))
+        case _ => throw new IllegalArgumentException(
+          s"routed ASOF JOIN needs qualified ON references: $r")
+      }
+    }
+    def findOp(c: String): (String, Int) = {
+      var depth = 0
+      var inStr = false
+      var i = 0
+      while (i < c.length) {
+        val ch = c.charAt(i)
+        if (inStr) { if (ch == '\'') inStr = false }
+        else ch match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case '<' | '>' if depth == 0 =>
+            return if (i + 1 < c.length && c.charAt(i + 1) == '=')
+              (c.charAt(i) + "=", i) else (c.charAt(i).toString, i)
+          case '=' if depth == 0 => return ("=", i)
+          case _ => ()
+        }
+        i += 1
+      }
+      throw new IllegalArgumentException(
+        s"ASOF ON conjunct has no comparison: $c")
+    }
+    val bKeys = Seq.newBuilder[String]
+    var ineq: Option[(String, String, String)] = None // (bTs, aTsText, dirOp)
+    splitOnKeyword(cond, "AND").map(_.trim).filter(_.nonEmpty).foreach {
+      conj =>
+        val (op, idx) = findOp(conj)
+        val lhs = conj.substring(0, idx)
+        val rhs = conj.substring(idx + op.length)
+        if (op == "=") {
+          val (lq, lc) = stripQ(lhs); val (rq, rc) = stripQ(rhs)
+          val bSide =
+            if (lq.equalsIgnoreCase(bAlias)) lc
+            else if (rq.equalsIgnoreCase(bAlias)) rc
+            else throw new IllegalArgumentException(
+              s"ASOF ON equi conjunct must involve $bAlias: $conj")
+          bKeys += bSide
+        } else {
+          require(ineq.isEmpty,
+            s"routed ASOF JOIN supports exactly one inequality: $cond")
+          val (lq, lc) = stripQ(lhs); val (rq0, _) = stripQ(rhs)
+          // normalize so the LEFT side of dirOp is the A expression
+          val (bTs, aTs, dirOp) =
+            if (rq0.equalsIgnoreCase(bAlias)) (stripQ(rhs)._2, lhs.trim, op)
+            else if (lq.equalsIgnoreCase(bAlias))
+              (lc, rhs.trim, op match {
+                case ">" => "<"
+                case "<" => ">"
+                case ">=" => "<="
+                case "<=" => ">="
+              })
+            else throw new IllegalArgumentException(
+              s"ASOF inequality must involve $bAlias: $conj")
+          ineq = Some((bTs, aTs, dirOp))
+        }
+    }
+    val (bTs, aTs, dirOp) = ineq.getOrElse(
+      throw new IllegalArgumentException(
+        "ASOF JOIN needs an inequality conjunct"))
+    val backward = dirOp == ">=" || dirOp == ">"
+    val adjFn = if (backward) "lead" else "lag"
+    val part =
+      if (bKeys.result().isEmpty) ""
+      else s"PARTITION BY ${bKeys.result().mkString(", ")} "
+    val newB =
+      s"""(SELECT __graft_b.*, $adjFn($bTs) OVER (
+         |    ${part}ORDER BY $bTs) AS __graft_adj
+         |  FROM $bRel __graft_b) $bAlias"""
+        .stripMargin
+    // the interval bound closes the match to the single nearest row
+    val bound = dirOp match {
+      case ">=" => s"($bAlias.__graft_adj IS NULL OR" +
+        s" $aTs < $bAlias.__graft_adj)"
+      case ">" => s"($bAlias.__graft_adj IS NULL OR" +
+        s" $aTs <= $bAlias.__graft_adj)"
+      case "<=" => s"($bAlias.__graft_adj IS NULL OR" +
+        s" $aTs > $bAlias.__graft_adj)"
+      case "<" => s"($bAlias.__graft_adj IS NULL OR" +
+        s" $aTs >= $bAlias.__graft_adj)"
+    }
+    val joinKw = if (leftJoin) "LEFT JOIN" else "JOIN"
+    val head0 = s.substring(0, ai)
+    // a bare `SELECT *` would leak the helper column
+    val head = {
+      val si = firstTopLevelKeyword(head0, Seq("SELECT"))
+      val fi = firstTopLevelKeyword(head0, Seq("FROM"))
+      (si, fi) match {
+        case (Some(x), Some(y))
+            if head0.substring(x + 6, y).trim == "*" =>
+          head0.substring(0, x) + "SELECT * EXCEPT (__graft_adj) " +
+            head0.substring(y)
+        case _ => head0
+      }
+    }
+    s"$head$joinKw $newB ON $cond AND $bound$rest"
   }
 
   /** QUALIFY — the filter-on-window-results clause (DuckDB/Snowflake).

@@ -333,6 +333,24 @@ object TierCSql {
     """SELECT * EXCLUDE (n_regionkey)
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  // ASOF JOIN routed (round 16): the typed statement twin of
+  // `c_join_asof` (which witnesses the DataFrame-side union-window
+  // formulation against this same DuckDB grammar). The engine rewrite
+  // (`Engine.rewriteAsofJoin`) is the INTERVAL-JOIN formulation — the
+  // right side gains lead(ts)-validity intervals and the join becomes a
+  // plain equi-join with range filters — so the IDENTICAL text runs on
+  // both engines. Output columns avoid timestamp rendering (engine date
+  // formats differ); (user_id, ts) click pairs are unique in the
+  // testdata, so the as-of pick is deterministic.
+  val asofRouted: String =
+    """SELECT p.event_id, p.user_id, c.value AS click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN
+      |  (SELECT user_id, ts, value FROM events
+      |   WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id LIMIT 2000""".stripMargin
+
   // USING SAMPLE routed (round 16): sample VALUES can never hash-match
   // across engines (independent RNGs — `c_sample_hash` carries the
   // portable hash-sampling discipline), so the grammar witness runs at
@@ -633,6 +651,7 @@ object TierCSql {
     "c_sql_exclude_replace" -> q(excludeReplaceSpark),
     "c_sql_exclude_routed" -> q(excludeRouted),
     "c_sql_sample_routed" -> q(sampleRouted),
+    "c_sql_asof" -> q(asofRouted),
     "c_sql_window_named" -> q(windowNamed),
     "c_sql_order_by_all" -> q(orderByAll),
     "c_sql_select" -> q(sqlSelect),
@@ -674,6 +693,7 @@ object TierCSql {
     "c_sql_exclude_replace" -> excludeReplaceOracle,
     "c_sql_exclude_routed" -> excludeRouted, // IDENTICAL text — shimmed keyword
     "c_sql_sample_routed" -> sampleRouted, // IDENTICAL text — 100% sample
+    "c_sql_asof" -> asofRouted, // IDENTICAL text — native ASOF JOIN
     "c_sql_window_named" -> windowNamed,
     "c_sql_order_by_all" -> orderByAll,
     "c_sql_select" -> sqlSelect,

@@ -400,6 +400,53 @@ class EngineSpec extends AnyFunSuite {
       s"expected 1..12 in numeric order, got $cols")
   }
 
+  test("ASOF JOIN routes to the interval-join rewrite") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW asof_trades AS SELECT * FROM " +
+        "VALUES (1, 10, 'u'), (1, 25, 'v'), (2, 5, 'w') t(sym, t, tag)")
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW asof_prices AS SELECT * FROM " +
+        "VALUES (1, 8, 100.0D), (1, 20, 110.0D), (1, 30, 120.0D), " +
+        "(2, 9, 50.0D) p(sym, t, px)")
+    // backward (>=): each trade takes the latest price at-or-before it
+    val back = Engine.sql(spark,
+      "SELECT tr.tag, pr.px FROM asof_trades tr ASOF JOIN asof_prices pr " +
+        "ON tr.sym = pr.sym AND tr.t >= pr.t ORDER BY tr.tag").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(back == Seq(("u", 100.0), ("v", 110.0)),
+      s"backward asof picked $back") // trade w at t=5 has no price <= 5
+    // LEFT keeps unmatched trades with NULL price
+    val left = Engine.sql(spark,
+      "SELECT tr.tag, pr.px FROM asof_trades tr ASOF LEFT JOIN asof_prices pr " +
+        "ON tr.sym = pr.sym AND tr.t >= pr.t ORDER BY tr.tag").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
+      .toSeq
+    assert(left == Seq(("u", 100.0), ("v", 110.0), ("w", -1.0)))
+    // forward (<=): the earliest price at-or-after the trade
+    val fwd = Engine.sql(spark,
+      "SELECT tr.tag, pr.px FROM asof_trades tr ASOF JOIN asof_prices pr " +
+        "ON tr.sym = pr.sym AND tr.t <= pr.t ORDER BY tr.tag").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(fwd == Seq(("u", 110.0), ("v", 120.0), ("w", 50.0)),
+      s"forward asof picked $fwd")
+    // bare SELECT * hides the helper interval column
+    val star = Engine.sql(spark,
+      "SELECT * FROM asof_trades tr ASOF JOIN asof_prices pr " +
+        "ON tr.sym = pr.sym AND tr.t >= pr.t")
+    assert(!star.columns.contains("__graft_adj"), star.columns.mkString(","))
+    // the plan must be an equi-join (hash or sort-merge), never a loop
+    val plan = Engine.explain(Engine.sql(spark,
+      "SELECT tr.tag, pr.px FROM asof_trades tr ASOF JOIN asof_prices pr " +
+        "ON tr.sym = pr.sym AND tr.t >= pr.t"), "simple")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"asof must plan as an equi-join:\n$plan")
+    // two inequalities refuse (which one is the as-of axis is ambiguous)
+    assertThrows[IllegalArgumentException](Engine.sql(spark,
+      "SELECT tr.tag FROM asof_trades tr ASOF JOIN asof_prices pr " +
+        "ON tr.sym = pr.sym AND tr.t >= pr.t AND tr.t < pr.px"))
+  }
+
   test("tryQuery: authoring errors come back as messages, not throws") {
     assert(Engine.tryQuery(spark, "SELECT 1 AS ok").isRight)
     val parse = Engine.tryQuery(spark, "SELEC 1")
