@@ -284,6 +284,18 @@ object Streams {
       bucketsDropped)
   }
 
+  /** Streaming twin of BPE token accounting (round 16): annotate each
+    * incoming document with its tokenizer token count using the TRAINED
+    * merges artifact — the model ships to the stream as inlined
+    * literals (`Bpe.withTokenCount`, shared verbatim), so the query is
+    * pure per-row map work: no state, no shuffle, no side input to
+    * refresh. This is the production shape for token-budgeting an
+    * ingest stream: train offline (the batch artifact), apply online.
+    * StreamsSpec proves micro-batch ≡ batch on the same documents. */
+  def tokenizeStream(
+      docs: DataFrame, merges: Seq[(Long, String, String)]): DataFrame =
+    graft.queries.Bpe.withTokenCount(docs, merges)
+
   /** Start `hourlyCounts` end to end from a file source to a memory/console
     * sink — the readStream → transform → writeStream shape. The schema
     * argument is required by streaming file sources (no inference). */

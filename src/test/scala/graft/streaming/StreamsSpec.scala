@@ -376,6 +376,41 @@ class StreamsSpec extends AnyFunSuite {
       s"band must prune directories of the streamed index:\n$plan")
   }
 
+  test("tokenizeStream: micro-batched token counts equal the batch transform") {
+    // stateless artifact-apply work: the trained merges ship as inlined
+    // literals, so N uneven micro-batches must produce exactly the batch
+    // counts on the same documents
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val merges = graft.queries.Bpe.merges(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(24).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.tokenizeStream(
+      in.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tok_stream_t").start()
+    try {
+      in.addData(docs.take(7).toSeq: _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(7).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tok").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = rows(spark.table("tok_stream_t"))
+    val batch = rows(graft.queries.Bpe.withTokenCount(
+      spark.createDataset(docs.toSeq).toDF("doc_id", "text"), merges))
+    assert(streamed == batch,
+      s"stream token counts drifted from batch:" +
+        s" ${(streamed diff batch).take(3)}")
+  }
+
   test("chunkStream: micro-batched chunks equal the batch transform") {
     // stateless map work: chunk rows from N uneven micro-batches must be
     // exactly the batch chunker's output on the same documents — the
