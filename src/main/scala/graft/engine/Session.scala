@@ -31,8 +31,11 @@ object Session {
       .master(master)
       .appName("graft")
       // engine-level Catalyst rules (e.g. the NULLIF pushdown rewrite) ride
-      // the public extension point so they apply to ALL user SQL
+      // the public extension point so they apply to ALL user SQL, as does
+      // the DuckDB function-name compatibility pack (string_split,
+      // list_transform, epoch_us, strftime %-codes, …)
       .withExtensions(graft.plans.NullifPushdown.install)
+      .withExtensions(graft.functions.DuckdbCompat.install)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -351,6 +351,34 @@ object TierCSql {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id LIMIT 2000""".stripMargin
 
+  // DuckDB function-name compatibility pack (round 16,
+  // `functions/DuckdbCompat` via SparkSessionExtensions): these two
+  // witnesses run IDENTICAL text on both engines — DuckDB executes its
+  // native functions, Spark executes the injected aliases, which build
+  // the native Catalyst expressions (string_split quotes its literal
+  // separator into Spark's regex split; strftime's %-codes translate to
+  // java.time patterns at plan time). NULLIF guards the one value-level
+  // divergence met while building: DuckDB's array_to_string yields NULL
+  // on an empty list where Spark's array_join yields ''.
+  val duckdbListFns: String =
+    """SELECT doc_id,
+      |  NULLIF(array_to_string(list_transform(
+      |    list_filter(string_split(text, ' '),
+      |      w -> list_contains(string_split('data model train', ' '), w)),
+      |    w -> upper(w)), ','), '') AS hits,
+      |  NULLIF(CAST(list_position(string_split(text, ' '), 'the')
+      |    AS BIGINT), 0) AS first_the,
+      |  CAST(list_contains(string_split(text, ' '), 'data') AS INT)
+      |    AS has_data
+      |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+
+  val duckdbTimeFns: String =
+    """SELECT event_id,
+      |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS t,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |  epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+      |FROM events ORDER BY event_id LIMIT 500""".stripMargin
+
   // USING SAMPLE routed (round 16): sample VALUES can never hash-match
   // across engines (independent RNGs — `c_sample_hash` carries the
   // portable hash-sampling discipline), so the grammar witness runs at
@@ -652,6 +680,8 @@ object TierCSql {
     "c_sql_exclude_routed" -> q(excludeRouted),
     "c_sql_sample_routed" -> q(sampleRouted),
     "c_sql_asof" -> q(asofRouted),
+    "c_sql_duckdb_list_fns" -> q(duckdbListFns),
+    "c_sql_duckdb_time_fns" -> q(duckdbTimeFns),
     "c_sql_window_named" -> q(windowNamed),
     "c_sql_order_by_all" -> q(orderByAll),
     "c_sql_select" -> q(sqlSelect),
@@ -694,6 +724,8 @@ object TierCSql {
     "c_sql_exclude_routed" -> excludeRouted, // IDENTICAL text — shimmed keyword
     "c_sql_sample_routed" -> sampleRouted, // IDENTICAL text — 100% sample
     "c_sql_asof" -> asofRouted, // IDENTICAL text — native ASOF JOIN
+    "c_sql_duckdb_list_fns" -> duckdbListFns, // IDENTICAL text — native fns
+    "c_sql_duckdb_time_fns" -> duckdbTimeFns, // IDENTICAL text — native fns
     "c_sql_window_named" -> windowNamed,
     "c_sql_order_by_all" -> orderByAll,
     "c_sql_select" -> sqlSelect,

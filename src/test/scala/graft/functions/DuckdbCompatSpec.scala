@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DuckDB function-name aliases resolve to native Catalyst
+  * expressions with matching semantics. Cross-engine VALUE parity is
+  * certified by the `c_sql_duckdb_*_fns` witnesses; this spec pins the
+  * adapter details (literal-separator quoting, %-code translation, the
+  * refusal rails) that the hash compare can't attribute. */
+class DuckdbCompatSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def one(sql: String): Any =
+    spark.sql(sql).collect()(0).get(0)
+
+  test("string_split treats the separator literally, not as a regex") {
+    // '.' as a regex would split between every character
+    assert(one("SELECT string_split('a.b.c', '.')") ==
+      Seq("a", "b", "c"))
+    assert(one("SELECT string_split('a|b', '|')") == Seq("a", "b"))
+    // computed separators are quoted too (the \\Q..\\E wrap is built
+    // around the expression, not the literal)
+    assert(one("SELECT string_split('x**y', repeat('*', 2))") ==
+      Seq("x", "y"))
+    // the regex flavor keeps regex semantics
+    assert(one("SELECT string_split_regex('a1b22c', '[0-9]+')") ==
+      Seq("a", "b", "c"))
+  }
+
+  test("list family maps to the native array expressions") {
+    assert(one("SELECT list_transform(array(1, 2), x -> x * 10)") ==
+      Seq(10, 20))
+    assert(one("SELECT list_filter(array(1, 2, 3), x -> x > 1)") ==
+      Seq(2, 3))
+    assert(one("SELECT list_contains(array('a', 'b'), 'b')") == true)
+    assert(one("SELECT list_position(array('a', 'b'), 'b')") == 2L)
+    assert(one("SELECT list_distinct(array(1, 1, 2))").
+      asInstanceOf[scala.collection.Seq[_]].toSet == Set(1, 2))
+    assert(one("SELECT list_sort(array(3, 1, 2))") == Seq(1, 2, 3))
+    assert(one("SELECT list_min(array(3, 1))") == 1)
+    assert(one("SELECT list_max(array(3, 1))") == 3)
+    assert(one("SELECT array_to_string(array('a', 'b'), '-')") == "a-b")
+    assert(one("SELECT regexp_matches('abc123', '[0-9]+')") == true)
+  }
+
+  test("epoch_us / epoch_ms / strftime translate the time spellings") {
+    assert(one("SELECT epoch_us(TIMESTAMP '2024-01-01 00:00:01')") ==
+      1704067201000000L)
+    assert(one("SELECT epoch_ms(TIMESTAMP '2024-01-01 00:00:01.5')") ==
+      1704067201500L)
+    assert(one("SELECT strftime(TIMESTAMP '2024-03-05 07:08:09'," +
+      " '%Y-%m-%d %H:%M:%S')") == "2024-03-05 07:08:09")
+    // literal text with letters is quoted, %% is a literal percent
+    assert(one("SELECT strftime(TIMESTAMP '2024-03-05 07:08:09'," +
+      " 'at %H o''clock (100%%)')") == "at 07 o'clock (100%)")
+  }
+
+  test("cFormatToJava translation table and refusals") {
+    assert(DuckdbCompat.cFormatToJava("%Y-%m-%d") == "yyyy-MM-dd")
+    assert(DuckdbCompat.cFormatToJava("%H:%M:%S.%f") == "HH:mm:ss.SSSSSS")
+    assert(DuckdbCompat.cFormatToJava("day %j of %Y") ==
+      "'day 'DDD' of 'yyyy")
+    intercept[IllegalArgumentException](DuckdbCompat.cFormatToJava("%Q"))
+    // non-literal formats refuse at plan time, never mis-format
+    val e = intercept[Exception](
+      spark.sql("SELECT strftime(TIMESTAMP '2024-01-01', concat('%','Y'))")
+        .collect())
+    assert(e.getMessage.contains("literal format"))
+  }
+}
