@@ -43,7 +43,16 @@ object Engine {
       case mergeRe(table, tAlias, src, sAlias, onCond, sets, insert) =>
         runMerge(spark, table, Option(tAlias), src, Option(sAlias),
           onCond, sets, insert)
+      case copyFromRe(table, path, opts) =>
+        runCopyFrom(spark, table, path, Option(opts))
       case copyRe(src, path, opts) => runCopy(spark, src, path, Option(opts))
+      case pragmaTableInfoRe(t1, t2) =>
+        // PRAGMA table_info('t') — DuckDB's column-introspection one-liner;
+        // routes to the engine describe (driver-side metadata, no job)
+        describe(spark.table(Option(t1).getOrElse(t2)))
+      case pragmaShowTablesRe() =>
+        spark.sql("SHOW TABLES")
+          .select(org.apache.spark.sql.functions.col("tableName").as("name"))
       case fromFirstRe(rest) => sql(spark, fromFirstToSelect(rest))
       case donRe(rest) => sql(spark, distinctOnToWindow(rest))
       case pivotStmtRe(rest) => runPivotStatement(spark, rest)
@@ -778,6 +787,76 @@ object Engine {
   private val copyRe =
     ("(?is)^COPY\\s+(\\(.+\\)|[A-Za-z_]\\w*)\\s+TO\\s+'([^']+)'" +
       "(?:\\s*\\((.*)\\))?\\s*$").r
+
+  // COPY <table> FROM 'path' [(FORMAT fmt[, HEADER])] — DuckDB's import
+  // statement, the symmetric half of COPY TO: load a file (or a
+  // directory of part files, which is what the engine's own COPY TO
+  // writes) into an EXISTING table, matching columns by POSITION with
+  // the table's types (DuckDB semantics). The read applies the target
+  // table's schema, so csv/json typing is the table's, not an inference.
+  private val copyFromRe =
+    ("(?is)^COPY\\s+([A-Za-z_]\\w*)\\s+FROM\\s+'([^']+)'" +
+      "(?:\\s*\\((.*)\\))?\\s*$").r
+
+  private val pragmaTableInfoRe =
+    ("(?is)^PRAGMA\\s+table_info\\s*\\(\\s*" +
+      "(?:'([^']+)'|([A-Za-z_]\\w*))\\s*\\)\\s*$").r
+  private val pragmaShowTablesRe = "(?is)^PRAGMA\\s+show_tables\\s*$".r
+
+  private def runCopyFrom(
+      spark: SparkSession, table: String, path: String,
+      opts: Option[String]): DataFrame = {
+    var fmt: Option[String] = None
+    opts.toSeq.flatMap(o => splitTopLevel(o, ','))
+      .map(_.trim).filter(_.nonEmpty).foreach { o =>
+        val parts = o.split("\\s+")
+        parts(0).toUpperCase match {
+          case "FORMAT" if parts.length == 2 =>
+            fmt = Some(parts(1).stripPrefix("'").stripSuffix("'").toLowerCase)
+          case "HEADER" if parts.length == 1 ||
+              parts(1).equalsIgnoreCase("true") || parts(1) == "1" => ()
+          case _ => throw new IllegalArgumentException(
+            s"COPY FROM option not supported: $o")
+        }
+      }
+    val format = fmt.getOrElse {
+      val lower = path.toLowerCase
+      if (lower.endsWith(".parquet")) "parquet"
+      else if (lower.endsWith(".json") || lower.endsWith(".ndjson")) "json"
+      else if (lower.endsWith(".orc")) "orc"
+      else "csv"
+    }
+    val schema = spark.table(table).schema
+    import org.apache.spark.sql.functions.col
+    val read = format match {
+      case "csv" =>
+        // with an explicit schema Spark pads a narrow file with NULLs, so
+        // probe the file's own width first — a width mismatch must refuse
+        // (DuckDB errors too), never silently null-fill or drop columns
+        val fileWidth =
+          spark.read.option("header", "true").csv(path).columns.length
+        require(fileWidth == schema.length,
+          s"COPY FROM: file has $fileWidth columns," +
+            s" table $table has ${schema.length}")
+        spark.read.option("header", "true").schema(schema).csv(path)
+      // json fields are named, not positional: absent fields read NULL —
+      // the format's own semantics, not a width error
+      case "json" | "ndjson" => spark.read.schema(schema).json(path)
+      case "parquet" => spark.read.parquet(path)
+      case "orc" => spark.read.orc(path)
+      case other => throw new IllegalArgumentException(
+        s"COPY FROM supports csv/parquet/json/orc formats — got $other")
+    }
+    require(read.columns.length == schema.length,
+      s"COPY FROM: file has ${read.columns.length} columns," +
+        s" table $table has ${schema.length}")
+    // positional alignment with the table's types, then positional insert
+    val aligned = read.toDF(schema.fieldNames.toSeq: _*)
+      .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    aligned.write.insertInto(table)
+    import spark.implicits._
+    Seq((path, format)).toDF("path", "format")
+  }
 
   private def runCopy(
       spark: SparkSession, source: String, path: String,

@@ -663,6 +663,41 @@ object TierCSql {
        |FROM orders WHERE o_orderkey % 7 = 0
        |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
 
+  // COPY FROM round trip (round 16): export through the engine's
+  // distributed COPY TO, import back through the routed COPY FROM
+  // (positional, typed by the target table — DuckDB semantics), and
+  // aggregate the landed table. The oracle replays the identical script
+  // shape with its own file path (each engine reads the bytes IT wrote;
+  // the cross-engine check is the final aggregate hash).
+  private def copyFromDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cpf_" +
+      s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}.csv"
+  private def copyFromTable(dir: String): String =
+    s"graft_cpf_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+
+  def copyFromScript(dir: String): String = {
+    val p = copyFromDir(dir)
+    val t = copyFromTable(dir)
+    s"""DROP TABLE IF EXISTS $t;
+       |CREATE TABLE $t (o_orderkey BIGINT, o_totalprice DOUBLE);
+       |COPY (SELECT o_orderkey, o_totalprice FROM orders
+       |  WHERE o_totalprice > 400000) TO '$p' (FORMAT csv, HEADER);
+       |COPY $t FROM '$p' (FORMAT csv, HEADER);
+       |SELECT COUNT(*) AS n, ${msum("o_totalprice")} AS total FROM $t;"""
+      .stripMargin
+  }
+
+  val copyFromOracle: String =
+    s"""CREATE OR REPLACE TEMP TABLE graft_cpf_oracle
+       |  (o_orderkey BIGINT, o_totalprice DOUBLE);
+       |COPY (SELECT o_orderkey, o_totalprice FROM orders
+       |  WHERE o_totalprice > 400000)
+       |  TO '/tmp/graft_cpf_oracle.csv' (FORMAT csv, HEADER);
+       |COPY graft_cpf_oracle FROM '/tmp/graft_cpf_oracle.csv'
+       |  (FORMAT csv, HEADER);
+       |SELECT COUNT(*) AS n, ${msum("o_totalprice")} AS total
+       |FROM graft_cpf_oracle;""".stripMargin
+
   // ORDER BY ALL — the companion dialect convenience to GROUP BY ALL:
   // order by every output column left to right. Verbatim in both engines
   // (Spark 4 and DuckDB both accept it); the translation, were it needed,
@@ -708,6 +743,8 @@ object TierCSql {
       mergeSqlScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_copy" -> ((s, dir) => Engine.runScript(views(s, dir),
       copySqlScript(dir)).getOrElse(sys.error("script produced no result"))),
+    "c_sql_copy_from" -> ((s, dir) => Engine.runScript(views(s, dir),
+      copyFromScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_macro" -> script(macroScript),
     "c_scalar_funcs" -> q(scalarFuncs),
     "c_recursive_cte" -> q(recursiveCte),
@@ -747,6 +784,7 @@ object TierCSql {
     "c_sql_dml" -> dmlSqlOracle,
     "c_sql_merge" -> mergeSqlOracle,
     "c_sql_copy" -> copySqlOracle,
+    "c_sql_copy_from" -> copyFromOracle,
     "c_sql_macro" -> macroOracle,
     "c_scalar_funcs" -> scalarFuncs,
     "c_recursive_cte" -> recursiveCte,

@@ -447,6 +447,46 @@ class EngineSpec extends AnyFunSuite {
         "ON tr.sym = pr.sym AND tr.t >= pr.t AND tr.t < pr.px"))
   }
 
+  test("COPY FROM imports positionally with the table's types") {
+    val t = s"engine_spec_cpf_p${ProcessHandle.current.pid}"
+    val dir = java.nio.file.Files.createTempDirectory("cpf").toString
+    try {
+      Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
+      Engine.exec(spark, s"CREATE TABLE $t (k BIGINT, v DOUBLE)")
+      Engine.sql(spark,
+        s"COPY (SELECT CAST(id AS BIGINT) AS a, CAST(id * 1.5 AS DOUBLE) AS b" +
+          s" FROM range(4)) TO '$dir/data.csv' (FORMAT csv, HEADER)")
+      Engine.sql(spark, s"COPY $t FROM '$dir/data.csv' (FORMAT csv, HEADER)")
+      val rows = spark.table(t).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      // columns land by POSITION (file says a/b, table says k/v)
+      assert(rows == Seq((0L, 0.0), (1L, 1.5), (2L, 3.0), (3L, 4.5)))
+      // arity mismatch refuses
+      Engine.sql(spark,
+        s"COPY (SELECT 1 AS only_one) TO '$dir/narrow.csv' (FORMAT csv)")
+      assertThrows[IllegalArgumentException](Engine.sql(spark,
+        s"COPY $t FROM '$dir/narrow.csv' (FORMAT csv)"))
+      // unknown options refuse
+      assertThrows[IllegalArgumentException](Engine.sql(spark,
+        s"COPY $t FROM '$dir/data.csv' (DELIMITER '|')"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("PRAGMA table_info / show_tables route to engine introspection") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_pragma AS " +
+        "SELECT CAST(1 AS BIGINT) AS id, 'x' AS name")
+    val info = Engine.sql(spark, "PRAGMA table_info('engine_spec_pragma')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(info == Seq(("id", "BIGINT"), ("name", "STRING")))
+    // bare identifier spelling too
+    assert(Engine.sql(spark, "PRAGMA table_info(engine_spec_pragma)")
+      .count() == 2)
+    val tables = Engine.sql(spark, "PRAGMA show_tables")
+      .collect().map(_.getString(0)).toSet
+    assert(tables.contains("engine_spec_pragma"))
+  }
+
   test("tryQuery: authoring errors come back as messages, not throws") {
     assert(Engine.tryQuery(spark, "SELECT 1 AS ok").isRight)
     val parse = Engine.tryQuery(spark, "SELEC 1")
