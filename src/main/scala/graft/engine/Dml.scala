@@ -320,8 +320,9 @@ object Dml {
       target.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
         throw new IllegalArgumentException(
           s"MERGE key column $n not found in the target layout"))
-    val keyCol = targetField(srcKeys.head).name
-    val candidates = targetField(keyCol).dataType match {
+    val keyField = targetField(srcKeys.head)
+    val keyCol = keyField.name
+    val candidates = keyField.dataType match {
       case org.apache.spark.sql.types.LongType =>
         val span = source.agg(
           min(col(srcKeys.head)).cast("long"),

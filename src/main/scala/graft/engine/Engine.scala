@@ -219,8 +219,12 @@ object Engine {
     * fails loudly in Spark's parser). */
   private[engine] def rewriteAsofJoin(s: String): String = {
     if (!s.matches("(?is)^(SELECT|WITH)\\b.*")) return s
-    val ai = firstTopLevelKeyword(s, Seq("ASOF")).getOrElse(return s)
-    var p = ai + 4
+    // find the first top-level ASOF actually followed by [LEFT] JOIN —
+    // a column or alias legally NAMED asof (`SELECT ts AS asof …`) is
+    // not a join and must leave the statement untouched
+    var ai = -1
+    var leftJoin = false
+    var p = 0
     def skipWs(): Unit =
       while (p < s.length && s.charAt(p).isWhitespace) p += 1
     def word(kw: String): Boolean =
@@ -229,9 +233,17 @@ object Engine {
           !s.charAt(p + kw.length).isLetterOrDigit) && {
           p += kw.length; skipWs(); true
         }
-    skipWs()
-    val leftJoin = word("LEFT")
-    require(word("JOIN"), "ASOF must be followed by [LEFT] JOIN")
+    var searchFrom = 0
+    while (ai < 0) {
+      val rel = firstTopLevelKeyword(s.substring(searchFrom), Seq("ASOF"))
+        .getOrElse(return s)
+      val cand = searchFrom + rel
+      p = cand + 4
+      skipWs()
+      val l = word("LEFT")
+      if (word("JOIN")) { ai = cand; leftJoin = l }
+      else searchFrom = cand + 4
+    }
     // right relation: identifier or balanced parenthesized subquery
     val bStart = p
     if (p < s.length && s.charAt(p) == '(') {
@@ -370,15 +382,28 @@ object Engine {
     }
     val joinKw = if (leftJoin) "LEFT JOIN" else "JOIN"
     val head0 = s.substring(0, ai)
-    // a bare `SELECT *` would leak the helper column
+    // a star in the select list would leak the helper column: scrub a
+    // bare `*` (also mid-list: `*, extra`) and the b-side qualified
+    // `bAlias.*` with the matching EXCEPT form; other items (a-side
+    // stars, explicit columns) cannot reference the helper
     val head = {
       val si = firstTopLevelKeyword(head0, Seq("SELECT"))
       val fi = firstTopLevelKeyword(head0, Seq("FROM"))
       (si, fi) match {
-        case (Some(x), Some(y))
-            if head0.substring(x + 6, y).trim == "*" =>
-          head0.substring(0, x) + "SELECT * EXCEPT (__graft_adj) " +
-            head0.substring(y)
+        case (Some(x), Some(y)) =>
+          val afterSel = head0.substring(x + "SELECT".length, y)
+          val (distinctKw, list) =
+            if (afterSel.trim.matches("(?is)^DISTINCT\\b.*"))
+              (" DISTINCT", afterSel.trim.substring("DISTINCT".length))
+            else ("", afterSel)
+          val items = splitTopLevel(list, ',').map(_.trim).map { item =>
+            if (item == "*") "* EXCEPT (__graft_adj)"
+            else if (item.equalsIgnoreCase(s"$bAlias.*"))
+              s"$item EXCEPT (__graft_adj)"
+            else item
+          }
+          head0.substring(0, x) + "SELECT" + distinctKw + " " +
+            items.mkString(", ") + " " + head0.substring(y)
         case _ => head0
       }
     }
@@ -485,10 +510,14 @@ object Engine {
       s"SELECT DISTINCT ($onExpr) AS __graft_pk FROM $src")
       .collect().map(_.get(0)).filter(_ != null).toSeq
     // DuckDB orders the generated columns by key VALUE — numerically for
-    // numeric keys (1, 2, …, 10), not by their string form (1, 10, 2)
+    // numeric keys (1, 2, …, 10), not by their string form (1, 10, 2).
+    // Exact decimal comparison (not doubleValue, which ties distinct
+    // BIGINTs past 2^53); a non-decimal numeric rendering (NaN/Infinity)
+    // falls back to string order.
     val sortedKeys =
       if (rawKeys.forall(_.isInstanceOf[java.lang.Number]))
-        rawKeys.sortBy(_.asInstanceOf[java.lang.Number].doubleValue)
+        try rawKeys.sortBy(v => BigDecimal(v.toString))
+        catch { case _: NumberFormatException => rawKeys.sortBy(_.toString) }
       else rawKeys.sortBy(_.toString)
     val keys = sortedKeys.map {
       case s: String => (s, Sql.sqlStringLiteral(s))
@@ -803,22 +832,44 @@ object Engine {
       "(?:'([^']+)'|([A-Za-z_]\\w*))\\s*\\)\\s*$").r
   private val pragmaShowTablesRe = "(?is)^PRAGMA\\s+show_tables\\s*$".r
 
-  private def runCopyFrom(
-      spark: SparkSession, table: String, path: String,
-      opts: Option[String]): DataFrame = {
+  /** Shared FORMAT/HEADER parser for both COPY directions: returns
+    * (explicit format, explicit header value). Unknown options refuse —
+    * silently ignoring one would read/write a file the user didn't ask
+    * for. The CALLER interprets header semantics (the csv writer always
+    * emits one, so COPY TO refuses HEADER false; the reader honors
+    * DuckDB's HEADER-false default). */
+  private def parseCopyOptions(
+      opts: Option[String], direction: String): (Option[String], Option[Boolean]) = {
     var fmt: Option[String] = None
+    var header: Option[Boolean] = None
     opts.toSeq.flatMap(o => splitTopLevel(o, ','))
       .map(_.trim).filter(_.nonEmpty).foreach { o =>
         val parts = o.split("\\s+")
         parts(0).toUpperCase match {
           case "FORMAT" if parts.length == 2 =>
             fmt = Some(parts(1).stripPrefix("'").stripSuffix("'").toLowerCase)
-          case "HEADER" if parts.length == 1 ||
-              parts(1).equalsIgnoreCase("true") || parts(1) == "1" => ()
+          case "HEADER" if parts.length == 1 => header = Some(true)
+          case "HEADER" if parts.length == 2 &&
+              (parts(1).equalsIgnoreCase("true") || parts(1) == "1") =>
+            header = Some(true)
+          case "HEADER" if parts.length == 2 &&
+              (parts(1).equalsIgnoreCase("false") || parts(1) == "0") =>
+            header = Some(false)
           case _ => throw new IllegalArgumentException(
-            s"COPY FROM option not supported: $o")
+            s"COPY $direction option not supported: $o")
         }
       }
+    (fmt, header)
+  }
+
+  private def runCopyFrom(
+      spark: SparkSession, table: String, path: String,
+      opts: Option[String]): DataFrame = {
+    val (fmt, headerOpt) = parseCopyOptions(opts, "FROM")
+    // DuckDB's COPY FROM defaults HEADER to FALSE — honoring that
+    // matters: reading a headerless file with header=true would consume
+    // the first DATA row as a header and silently lose it
+    val header = headerOpt.getOrElse(false)
     val format = fmt.getOrElse {
       val lower = path.toLowerCase
       if (lower.endsWith(".parquet")) "parquet"
@@ -833,12 +884,12 @@ object Engine {
         // with an explicit schema Spark pads a narrow file with NULLs, so
         // probe the file's own width first — a width mismatch must refuse
         // (DuckDB errors too), never silently null-fill or drop columns
-        val fileWidth =
-          spark.read.option("header", "true").csv(path).columns.length
+        val fileWidth = spark.read
+          .option("header", header.toString).csv(path).columns.length
         require(fileWidth == schema.length,
           s"COPY FROM: file has $fileWidth columns," +
             s" table $table has ${schema.length}")
-        spark.read.option("header", "true").schema(schema).csv(path)
+        spark.read.option("header", header.toString).schema(schema).csv(path)
       // json fields are named, not positional: absent fields read NULL —
       // the format's own semantics, not a width error
       case "json" | "ndjson" => spark.read.schema(schema).json(path)
@@ -861,32 +912,14 @@ object Engine {
   private def runCopy(
       spark: SparkSession, source: String, path: String,
       opts: Option[String]): DataFrame = {
-    // options: FORMAT <fmt> plus HEADER (the csv writer always emits
-    // headers). Anything else — DELIMITER, COMPRESSION, … — refuses:
-    // silently ignoring an option would write a file the user didn't
-    // ask for.
-    var fmt: Option[String] = None
-    opts.toSeq.flatMap(o => splitTopLevel(o, ','))
-      .map(_.trim).filter(_.nonEmpty).foreach { o =>
-        val parts = o.split("\\s+")
-        parts(0).toUpperCase match {
-          case "FORMAT" if parts.length == 2 =>
-            fmt = Some(parts(1).stripPrefix("'").stripSuffix("'").toLowerCase)
-          case "HEADER" if parts.length == 1 ||
-              parts(1).equalsIgnoreCase("true") ||
-              parts(1) == "1" => ()
-          case "HEADER" =>
-            // the csv writer always emits headers; silently honoring
-            // `HEADER false` by writing one anyway is exactly the
-            // "file the user didn't ask for" this parser refuses
-            throw new IllegalArgumentException(
-              "COPY ... (HEADER false) is not supported: the csv writer" +
-                " always emits a header row")
-          case _ =>
-            throw new IllegalArgumentException(
-              s"COPY option not supported: $o")
-        }
-      }
+    // options via the shared parser; the csv writer always emits
+    // headers, so an explicit HEADER false refuses — silently writing
+    // one anyway is exactly the "file the user didn't ask for" case
+    val (fmt, headerOpt) = parseCopyOptions(opts, "TO")
+    if (headerOpt.contains(false))
+      throw new IllegalArgumentException(
+        "COPY ... (HEADER false) is not supported: the csv writer" +
+          " always emits a header row")
     val s = source.trim
     val df =
       if (s.startsWith("(")) sql(spark, s.stripPrefix("(").stripSuffix(")"))

@@ -96,13 +96,18 @@ object DuckdbCompat {
       val args = arity("list_contains", 2)(args0)
       ArrayContains(args(0), args(1))
     },
+    // DuckDB returns NULL for an absent element where Spark's
+    // array_position returns 0 — adapt with NULLIF so `IS NULL`
+    // absence tests migrate correctly
     "list_position" -> { args0 =>
       val args = arity("list_position", 2)(args0)
-      ArrayPosition(args(0), args(1))
+      new NullIf(ArrayPosition(args(0), args(1)), Literal(0L))
     },
+    // DuckDB's list_distinct also drops NULL elements; Spark's
+    // array_distinct keeps one — compose with array_compact
     "list_distinct" -> { args0 =>
       val args = arity("list_distinct", 1)(args0)
-      ArrayDistinct(args(0))
+      ArrayCompact(ArrayDistinct(args(0)))
     },
     "list_sort" -> { args0 =>
       val args = arity("list_sort", 1)(args0)

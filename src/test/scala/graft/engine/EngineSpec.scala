@@ -487,6 +487,57 @@ class EngineSpec extends AnyFunSuite {
     assert(tables.contains("engine_spec_pragma"))
   }
 
+  test("ASOF rewrite: identifiers named asof pass through; stars scrubbed") {
+    // a column/alias legally named asof is not a join
+    val r = Engine.sql(spark, "SELECT 5 AS asof ORDER BY asof").collect()
+    assert(r.length == 1 && r(0).getInt(0) == 5)
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW asof_a2 AS SELECT 1 AS k, 10 AS t")
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW asof_b2 AS " +
+        "SELECT 1 AS k, 8 AS bt, 7.5D AS px")
+    // an asof-named alias BEFORE a real ASOF JOIN: the join still routes
+    val mixed = Engine.sql(spark,
+      "SELECT a.t AS asof, b.px FROM asof_a2 a ASOF JOIN asof_b2 b " +
+        "ON a.k = b.k AND a.t >= b.bt").collect()
+    assert(mixed.length == 1 && mixed(0).getDouble(1) == 7.5)
+    // b-side qualified star and mid-list star both hide the helper
+    val qs = Engine.sql(spark,
+      "SELECT b.* FROM asof_a2 a ASOF JOIN asof_b2 b " +
+        "ON a.k = b.k AND a.t >= b.bt")
+    assert(qs.columns.toSeq == Seq("k", "bt", "px"), qs.columns.mkString(","))
+    val midStar = Engine.sql(spark,
+      "SELECT *, a.t + 1 AS t1 FROM asof_a2 a ASOF JOIN asof_b2 b " +
+        "ON a.k = b.k AND a.t >= b.bt")
+    assert(!midStar.columns.contains("__graft_adj"),
+      midStar.columns.mkString(","))
+  }
+
+  test("COPY FROM honors DuckDB's HEADER-false default") {
+    val t = s"engine_spec_hdrless_p${ProcessHandle.current.pid}"
+    val dir = java.nio.file.Files.createTempDirectory("cpfh").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/plain.csv"), "1,0.5\n2,1.5\n")
+    try {
+      Engine.exec(spark, s"CREATE TABLE $t (k BIGINT, v DOUBLE)")
+      // no HEADER option: the first line is DATA, both rows land
+      Engine.sql(spark, s"COPY $t FROM '$dir/plain.csv' (FORMAT csv)")
+      assert(spark.table(t).count() == 2L,
+        "headerless import must not eat the first data row")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("PIVOT key order is exact past double precision") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_bigk AS " +
+        "SELECT * FROM VALUES ('g', 9007199254740993, 1), " +
+        "('g', 9007199254740994, 1), ('g', 2, 1) v(g, k, v)")
+    val cols = Engine.sql(spark,
+      "PIVOT engine_spec_bigk ON k USING SUM(v) GROUP BY g").columns.toSeq
+    assert(cols == Seq("g", "2", "9007199254740993", "9007199254740994"),
+      cols.mkString(","))
+  }
+
   test("tryQuery: authoring errors come back as messages, not throws") {
     assert(Engine.tryQuery(spark, "SELECT 1 AS ok").isRight)
     val parse = Engine.tryQuery(spark, "SELEC 1")

@@ -35,8 +35,13 @@ class DuckdbCompatSpec extends AnyFunSuite {
       Seq(2, 3))
     assert(one("SELECT list_contains(array('a', 'b'), 'b')") == true)
     assert(one("SELECT list_position(array('a', 'b'), 'b')") == 2L)
+    // DuckDB parity: absent element is NULL, not Spark's 0
+    assert(one("SELECT list_position(array('a', 'b'), 'z')") == null)
     assert(one("SELECT list_distinct(array(1, 1, 2))").
       asInstanceOf[scala.collection.Seq[_]].toSet == Set(1, 2))
+    // DuckDB parity: list_distinct drops NULL elements entirely
+    assert(one("SELECT list_distinct(array(1, 1, CAST(NULL AS INT)))").
+      asInstanceOf[scala.collection.Seq[_]].toSet == Set(1))
     assert(one("SELECT list_sort(array(3, 1, 2))") == Seq(1, 2, 3))
     assert(one("SELECT list_min(array(3, 1))") == 1)
     assert(one("SELECT list_max(array(3, 1))") == 3)
