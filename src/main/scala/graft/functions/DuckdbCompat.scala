@@ -153,9 +153,48 @@ object DuckdbCompat {
 
   /** Install every alias through the public extension point; composes
     * with the optimizer-rule extensions in `Session.builder`. */
-  def install(ext: SparkSessionExtensions): Unit =
+  def install(ext: SparkSessionExtensions): Unit = {
     aliases.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(getClass.getCanonicalName, name), builder))
     }
+    // unnest in SELECT position — DuckDB's row-expander, Spark's explode
+    // (same single-generator-per-select rule applies; a second unnest
+    // fails loudly at analysis, where DuckDB would zip them)
+    ext.injectFunction((FunctionIdentifier("unnest"),
+      new ExpressionInfo(getClass.getCanonicalName, "unnest"),
+      (args: Seq[Expression]) => Explode(arity("unnest", 1)(args).head)))
+    // generate_series — DuckDB's INCLUSIVE-end table function
+    // ((stop) | (start, stop) | (start, stop, step)), mapped onto
+    // Spark's native Range plan (exclusive end, so the bound shifts by
+    // one step-sign). Bounds must be literals: Range is a leaf plan
+    // whose extent exists before execution — same restriction Spark's
+    // own range() has. Output column is Spark's `id`; alias it as
+    // DuckDB queries usually do (`generate_series(5) t(x)`).
+    ext.injectTableFunction((FunctionIdentifier("generate_series"),
+      new ExpressionInfo(getClass.getCanonicalName, "generate_series"),
+      (args: Seq[Expression]) => {
+        def lit(e: Expression, what: String): Long = {
+          require(e.foldable,
+            s"generate_series $what must be a literal")
+          e.eval(null) match {
+            case n: Number => n.longValue
+            case other => throw new IllegalArgumentException(
+              s"generate_series $what must be integral, got $other")
+          }
+        }
+        val (start, stop, step) = args match {
+          case Seq(s0) => (0L, lit(s0, "stop"), 1L)
+          case Seq(a, b) => (lit(a, "start"), lit(b, "stop"), 1L)
+          case Seq(a, b, c) =>
+            (lit(a, "start"), lit(b, "stop"), lit(c, "step"))
+          case _ => throw new IllegalArgumentException(
+            "generate_series takes 1-3 arguments")
+        }
+        require(step != 0L, "generate_series step must not be 0")
+        val endExclusive = if (step > 0) stop + 1 else stop - 1
+        org.apache.spark.sql.catalyst.plans.logical.Range(
+          start, endExclusive, step, None)
+      }))
+  }
 }

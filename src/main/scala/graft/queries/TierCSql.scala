@@ -379,6 +379,16 @@ object TierCSql {
       |  epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
       |FROM events ORDER BY event_id LIMIT 500""".stripMargin
 
+  // generate_series / unnest (round 16, `DuckdbCompat`): DuckDB's
+  // inclusive-end series table function maps onto Spark's native Range
+  // leaf (bound shifted one step-sign), and select-position unnest maps
+  // to explode — IDENTICAL text on both engines, with the column alias
+  // DuckDB queries use anyway absorbing the output-name difference.
+  val seriesUnnest: String =
+    """WITH s AS (SELECT x FROM generate_series(2, 10, 2) t(x)),
+      |u AS (SELECT unnest(string_split('alpha beta gamma', ' ')) AS w)
+      |SELECT x, w FROM s, u ORDER BY x, w""".stripMargin
+
   // USING SAMPLE routed (round 16): sample VALUES can never hash-match
   // across engines (independent RNGs — `c_sample_hash` carries the
   // portable hash-sampling discipline), so the grammar witness runs at
@@ -717,6 +727,7 @@ object TierCSql {
     "c_sql_asof" -> q(asofRouted),
     "c_sql_duckdb_list_fns" -> q(duckdbListFns),
     "c_sql_duckdb_time_fns" -> q(duckdbTimeFns),
+    "c_sql_series_unnest" -> q(seriesUnnest),
     "c_sql_window_named" -> q(windowNamed),
     "c_sql_order_by_all" -> q(orderByAll),
     "c_sql_select" -> q(sqlSelect),
@@ -763,6 +774,7 @@ object TierCSql {
     "c_sql_asof" -> asofRouted, // IDENTICAL text — native ASOF JOIN
     "c_sql_duckdb_list_fns" -> duckdbListFns, // IDENTICAL text — native fns
     "c_sql_duckdb_time_fns" -> duckdbTimeFns, // IDENTICAL text — native fns
+    "c_sql_series_unnest" -> seriesUnnest, // IDENTICAL text — native fns
     "c_sql_window_named" -> windowNamed,
     "c_sql_order_by_all" -> orderByAll,
     "c_sql_select" -> sqlSelect,

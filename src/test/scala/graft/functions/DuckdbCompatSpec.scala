@@ -61,6 +61,24 @@ class DuckdbCompatSpec extends AnyFunSuite {
       " 'at %H o''clock (100%%)')") == "at 07 o'clock (100%)")
   }
 
+  test("unnest and generate_series map to explode and Range") {
+    assert(spark.sql("SELECT unnest(array('a', 'b')) AS w").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b"))
+    // inclusive end, all three arities, column-aliased like DuckDB use
+    assert(spark.sql("SELECT x FROM generate_series(3) t(x)").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(spark.sql("SELECT x FROM generate_series(2, 5) t(x)").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L, 5L))
+    assert(spark.sql("SELECT x FROM generate_series(10, 0, -4) t(x)")
+      .collect().map(_.getLong(0)).toSeq == Seq(10L, 6L, 2L))
+    // the plan is Spark's native Range leaf — no driver materialization
+    val plan = spark.sql("SELECT x FROM generate_series(1000000) t(x)")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Range"), plan)
+    intercept[Exception](
+      spark.sql("SELECT x FROM generate_series(1, 10, 0) t(x)").collect())
+  }
+
   test("cFormatToJava translation table and refusals") {
     assert(DuckdbCompat.cFormatToJava("%Y-%m-%d") == "yyyy-MM-dd")
     assert(DuckdbCompat.cFormatToJava("%H:%M:%S.%f") == "HH:mm:ss.SSSSSS")
