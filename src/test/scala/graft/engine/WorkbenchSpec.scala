@@ -84,4 +84,49 @@ class WorkbenchSpec extends AnyFunSuite {
     Export.toArrowStream(df, arrow)
     assert(arrow.size() > 0)
   }
+
+  test("DuckDB-dialect journey: the routed statements compose end to end") {
+    // the statements a migrating DuckDB user types, in one flow: a
+    // FROM-first exploration, DISTINCT ON, QUALIFY, a dialect-function
+    // projection, COPY TO a file, COPY the file back into a replaced
+    // table, and PRAGMA introspection at the end — all through the
+    // single Engine.sql delegation point
+    val t = s"wb_duck_p${ProcessHandle.current.pid}"
+    val dir = Files.createTempDirectory("wbduck").toString
+    try {
+      Engine.exec(spark,
+        "CREATE OR REPLACE TEMPORARY VIEW wb_events AS SELECT * FROM " +
+          "VALUES (1, 'a', 10.0D), (1, 'b', 30.0D), (2, 'a', 20.0D), " +
+          "(2, 'c', 5.0D) v(uid, kind, amount)")
+      // FROM-first with trailing clauses
+      assert(Engine.sql(spark,
+        "FROM wb_events WHERE amount > 6 ORDER BY amount LIMIT 2")
+        .count() == 2)
+      // DISTINCT ON: each user's largest amount
+      val don = Engine.sql(spark,
+        "SELECT DISTINCT ON (uid) uid, kind, amount FROM wb_events " +
+          "ORDER BY uid, amount DESC").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(don == Seq((1, "b"), (2, "a")))
+      // QUALIFY over a window, dialect functions in the projection
+      val q = Engine.sql(spark,
+        "SELECT uid, list_position(string_split('a b c', ' '), kind) " +
+          "AS kpos FROM wb_events " +
+          "QUALIFY row_number() OVER (PARTITION BY uid ORDER BY amount) = 1 " +
+          "ORDER BY uid").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      assert(q == Seq((1, 1L), (2, 3L)))
+      // COPY TO a csv, CREATE OR REPLACE a table, COPY the file back in
+      Engine.sql(spark,
+        s"COPY (FROM wb_events WHERE uid = 1) TO '$dir/u1.csv'" +
+          " (FORMAT csv, HEADER)")
+      Engine.exec(spark,
+        s"CREATE OR REPLACE TABLE $t (uid INT, kind STRING, amount DOUBLE)")
+      Engine.sql(spark, s"COPY $t FROM '$dir/u1.csv' (FORMAT csv, HEADER)")
+      assert(spark.table(t).count() == 2)
+      // introspection one-liners close the loop
+      assert(Engine.sql(spark, s"PRAGMA table_info('$t')").count() == 3)
+      assert(Engine.sql(spark, "PRAGMA show_tables").collect()
+        .map(_.getString(0)).contains("wb_events"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
