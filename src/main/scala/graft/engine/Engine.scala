@@ -84,8 +84,8 @@ object Engine {
         }
         spark.emptyDataFrame
       case _ =>
-        val shimmed = rewriteQualify(rewriteAsofJoin(
-          rewriteUsingSample(rewriteStarExclude(trimmed))))
+        val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
+          rewriteStarReplace(spark, rewriteStarExclude(trimmed)))))
         spark.sql(Catalog.rewritePathTables(spark, shimmed)._1)
     }
   }
@@ -160,9 +160,9 @@ object Engine {
     * literals), which is exactly the one position where EXCLUDE is the
     * modifier and not an identifier. Applies inside subqueries too (the
     * anchor makes it position-safe, unlike the statement-level routes).
-    * `* REPLACE (…)` has no Spark spelling and is NOT shimmed — it fails
-    * loudly at parse, and `c_sql_exclude_replace` documents the manual
-    * desugared translation. */
+    * `* REPLACE (…)` routes separately (`rewriteStarReplace` below —
+    * schema-aware, statement-level); this shim runs first so a combined
+    * `* EXCLUDE (…) REPLACE (…)` reaches it in EXCEPT spelling. */
   private[engine] def rewriteStarExclude(s: String): String = {
     val sb = new StringBuilder
     var inStr = false
@@ -408,6 +408,111 @@ object Engine {
       }
     }
     s"$head$joinKw $newB ON $cond AND $bound$rest"
+  }
+
+  /** `* [EXCEPT (cols)] REPLACE (expr AS col, …)` — DuckDB's REPLACE
+    * star modifier (EXCLUDE has already shimmed to EXCEPT by the time
+    * this runs). Spark has no REPLACE spelling, so the modifier desugars
+    * to what it is DEFINED as: the source relation's columns in
+    * declaration order, minus the EXCEPT list, with each REPLACE
+    * expression substituted in place under its original name. The
+    * column order comes from the FROM relation's ANALYZED schema —
+    * obtained by analyzing `SELECT * FROM <from-part>` (with the
+    * statement's WITH prefix, so CTE sources resolve), which plans
+    * nothing and reads nothing. Statement-level, first star-REPLACE
+    * item only; a REPLACE target absent from the schema refuses. */
+  private[engine] def rewriteStarReplace(
+      spark: SparkSession, s: String): String = {
+    if (!s.matches("(?is)^(SELECT|WITH)\\b.*")) return s
+    if (!"(?is)^.*\\*.*\\bREPLACE\\s*\\(.*$".r.matches(s)) return s
+    val si = firstTopLevelKeyword(s, Seq("SELECT")).getOrElse(return s)
+    val fi = firstTopLevelKeyword(s, Seq("FROM")).getOrElse(return s)
+    if (fi < si) return s
+    val afterSel = s.substring(si + "SELECT".length, fi)
+    val (distinctKw, list) =
+      if (afterSel.trim.matches("(?is)^DISTINCT\\b.*"))
+        (" DISTINCT", afterSel.trim.substring("DISTINCT".length))
+      else ("", afterSel)
+    val items = splitTopLevel(list, ',').map(_.trim)
+    val idx = items.indexWhere(it => it.startsWith("*") &&
+      "(?is)^.*\\bREPLACE\\s*\\(.*$".r.matches(it))
+    if (idx < 0) return s
+    val item = items(idx)
+    // parse the item: '*' [EXCEPT (cols)] REPLACE (assignments)
+    var p = 1
+    def skipWs(): Unit =
+      while (p < item.length && item.charAt(p).isWhitespace) p += 1
+    def balanced(): String = {
+      require(p < item.length && item.charAt(p) == '(',
+        s"malformed star modifier: $item")
+      val start = p
+      var depth = 0
+      var inStr = false
+      var done = false
+      while (p < item.length && !done) {
+        val ch = item.charAt(p)
+        if (inStr) { if (ch == '\'') inStr = false }
+        else if (ch == '\'') inStr = true
+        else if (ch == '(') depth += 1
+        else if (ch == ')') { depth -= 1; if (depth == 0) done = true }
+        p += 1
+      }
+      require(done, s"unbalanced parens in star modifier: $item")
+      item.substring(start + 1, p - 1)
+    }
+    skipWs()
+    val excluded: Set[String] =
+      if (item.regionMatches(true, p, "EXCEPT", 0, 6)) {
+        p += 6; skipWs()
+        val cols = balanced()
+        skipWs()
+        splitTopLevel(cols, ',').map(_.trim
+          .stripPrefix("`").stripSuffix("`").toLowerCase).toSet
+      } else Set.empty
+    require(item.regionMatches(true, p, "REPLACE", 0, 7),
+      s"malformed star modifier: $item")
+    p += 7; skipWs()
+    val assignments = splitTopLevel(balanced(), ',').map { a =>
+      val parts = splitOnKeyword(a, "AS")
+      require(parts.size >= 2,
+        s"REPLACE item must be <expr> AS <col>: $a")
+      val name = parts.last.trim.stripPrefix("`").stripSuffix("`")
+      // a cast's AS is parenthesized, so the LAST top-level AS is the
+      // alias separator; the text before it (minus the 2-char keyword)
+      // is the expression
+      val exprText =
+        a.substring(0, a.length - parts.last.length - "AS".length).trim
+      (name.toLowerCase, (name, exprText))
+    }.toMap
+    skipWs()
+    require(p >= item.length,
+      s"unexpected trailing text in star modifier: $item")
+    // the source schema: analyze SELECT * over the statement's FROM part
+    // (prefixed by any WITH clause so CTE relations resolve) — pure
+    // analysis, no job
+    val tailFromFrom = s.substring(fi + "FROM".length)
+    val cut = firstTopLevelKeyword(tailFromFrom,
+      Seq("WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY", "ORDER",
+        "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT"))
+      .getOrElse(tailFromFrom.length)
+    val fromPart = tailFromFrom.substring(0, cut)
+    val probe = s.substring(0, si) + "SELECT * FROM " + fromPart
+    val schema = sql(spark, probe).schema
+    assignments.keys.foreach { n =>
+      require(schema.fields.exists(_.name.equalsIgnoreCase(n)),
+        s"REPLACE target $n is not a column of the source relation")
+    }
+    val expanded = schema.fields.toSeq
+      .filterNot(f => excluded.contains(f.name.toLowerCase))
+      .map { f =>
+        assignments.get(f.name.toLowerCase) match {
+          case Some((_, e)) => s"$e AS ${Sql.sqlIdentifier(f.name)}"
+          case None => Sql.sqlIdentifier(f.name)
+        }
+      }
+    val newItems = items.updated(idx, expanded.mkString(", "))
+    s.substring(0, si) + "SELECT" + distinctKw + " " +
+      newItems.mkString(", ") + " " + s.substring(fi)
   }
 
   /** QUALIFY — the filter-on-window-results clause (DuckDB/Snowflake).

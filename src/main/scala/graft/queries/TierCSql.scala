@@ -316,19 +316,19 @@ object TierCSql {
   // declaration order, minus the EXCLUDE list, with each REPLACE
   // expression substituted in place under its original name. Pure
   // projection — no shuffle; the pruned column never leaves the scan.
-  val excludeReplaceSpark: String =
-    """SELECT n_nationkey, upper(n_name) AS n_name
-      |FROM nation ORDER BY n_nationkey""".stripMargin
-
+  // Since the r16 follow-up BOTH star modifiers route (`Engine.
+  // rewriteStarExclude` swaps the keyword; `rewriteStarReplace` desugars
+  // REPLACE against the FROM relation's analyzed schema), so the witness
+  // runs the IDENTICAL combined-modifier text on both engines.
   val excludeReplaceOracle: String =
     """SELECT * EXCLUDE (n_regionkey) REPLACE (upper(n_name) AS n_name)
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
   // The routed EXCLUDE twin (round 16): `Engine.rewriteStarExclude`
   // swaps the star-anchored EXCLUDE keyword for Spark's EXCEPT, so this
-  // IDENTICAL text runs on both engines. REPLACE stays translation-only
-  // (Spark has no spelling for it) — `c_sql_exclude_replace` above keeps
-  // documenting that desugaring.
+  // IDENTICAL text runs on both engines. REPLACE routes too (the
+  // schema-aware desugar, `Engine.rewriteStarReplace`) — the combined
+  // witness `c_sql_exclude_replace` above runs both modifiers verbatim.
   val excludeRouted: String =
     """SELECT * EXCLUDE (n_regionkey)
       |FROM nation ORDER BY n_nationkey""".stripMargin
@@ -721,7 +721,7 @@ object TierCSql {
     "c_sql_from_first" -> q(fromFirst),
     "c_sql_distinct_on" -> q(distinctOnRouted),
     "c_sql_pivot_stmt" -> q(pivotStmt),
-    "c_sql_exclude_replace" -> q(excludeReplaceSpark),
+    "c_sql_exclude_replace" -> q(excludeReplaceOracle), // IDENTICAL text — routed r16
     "c_sql_exclude_routed" -> q(excludeRouted),
     "c_sql_sample_routed" -> q(sampleRouted),
     "c_sql_asof" -> q(asofRouted),

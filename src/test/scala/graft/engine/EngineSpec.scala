@@ -538,6 +538,38 @@ class EngineSpec extends AnyFunSuite {
       cols.mkString(","))
   }
 
+  test("star REPLACE desugars against the analyzed source schema") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_repl AS " +
+        "SELECT 1 AS a, 2 AS b, 3 AS c")
+    // substitution in place, declaration order preserved
+    val r1 = Engine.sql(spark,
+      "SELECT * REPLACE (b * 10 AS b) FROM engine_spec_repl")
+    assert(r1.columns.toSeq == Seq("a", "b", "c"))
+    assert(r1.collect()(0).getInt(1) == 20)
+    // EXCLUDE and REPLACE compose on one star, like DuckDB
+    val r2 = Engine.sql(spark,
+      "SELECT * EXCLUDE (c) REPLACE (a + b AS a) FROM engine_spec_repl")
+    assert(r2.columns.toSeq == Seq("a", "b"))
+    assert(r2.collect()(0).getInt(0) == 3)
+    // a CAST's AS inside the expression is not the alias separator
+    val r3 = Engine.sql(spark,
+      "SELECT * REPLACE (CAST(a AS STRING) AS a) FROM engine_spec_repl")
+    assert(r3.schema("a").dataType.typeName == "string")
+    // CTE sources resolve for the schema probe
+    val r4 = Engine.sql(spark,
+      "WITH t AS (SELECT 5 AS x, 6 AS y) " +
+        "SELECT * REPLACE (x - 1 AS x) FROM t").collect()(0)
+    assert((r4.getInt(0), r4.getInt(1)) == ((4, 6)))
+    // mid-list star + other items keep their positions
+    val r5 = Engine.sql(spark,
+      "SELECT 0 AS z, * REPLACE (b + 1 AS b) FROM engine_spec_repl")
+    assert(r5.columns.toSeq == Seq("z", "a", "b", "c"))
+    // a REPLACE target that is not a source column refuses
+    assertThrows[IllegalArgumentException](Engine.sql(spark,
+      "SELECT * REPLACE (1 AS nope) FROM engine_spec_repl"))
+  }
+
   test("tryQuery: authoring errors come back as messages, not throws") {
     assert(Engine.tryQuery(spark, "SELECT 1 AS ok").isRight)
     val parse = Engine.tryQuery(spark, "SELEC 1")
