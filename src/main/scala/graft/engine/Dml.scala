@@ -301,8 +301,16 @@ object Dml {
       val joined = df.join(broadcast(renamed), srcKeys, "left")
       val matched = col("_src_hit").isNotNull
       val updated = setCols.foldLeft(joined) { (d, name) =>
-        d.withColumn(name,
-          when(matched, col(s"_src_$name")).otherwise(col(name)))
+        // write the replacement under the TARGET schema's case (source
+        // and target may legally disagree on identifier case): a
+        // withColumn under the source's case would persist rewritten
+        // part files with mixed-case column names across the layout —
+        // reads still resolve under caseSensitive=false, but exact-name
+        // footer-stat lookups on rewritten files would stop pruning.
+        // Only the `_src_` lookup keeps the source's case.
+        val tgtName = df.columns.find(_.equalsIgnoreCase(name)).getOrElse(name)
+        d.withColumn(tgtName,
+          when(matched, col(s"_src_$name")).otherwise(col(tgtName)))
       }
       updated.select(df.columns.map(col).toSeq: _*)
     }

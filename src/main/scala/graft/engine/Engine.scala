@@ -90,25 +90,29 @@ object Engine {
     }
   }
 
-  /** `USING SAMPLE n% | n PERCENT | n ROWS [(method)]` → Spark
-    * `TABLESAMPLE (n PERCENT | n ROWS)` — DuckDB's sampling clause,
-    * recognized by the two-word `USING SAMPLE` anchor (a join's USING is
-    * always followed by a paren, never SAMPLE). The method name in
-    * parens drops — both engines then sample probabilistically — but a
-    * SEED refuses: DuckDB's seed promises reproducibility, and Spark's
-    * TABLESAMPLE SQL has nowhere to honor it (the sample values can
-    * never match across engines anyway — `c_sample_hash` documents the
-    * portable hash-sampling discipline; this shim is syntax compatibility
-    * for exploratory statements). */
+  /** `USING SAMPLE n% | n PERCENT [(method)]` → Spark
+    * `TABLESAMPLE (n PERCENT)` — DuckDB's sampling clause, recognized by
+    * the two-word `USING SAMPLE` anchor (a join's USING is always
+    * followed by a paren, never SAMPLE). The method name in parens drops
+    * — both engines then sample probabilistically — but two shapes
+    * REFUSE rather than silently diverge: a SEED (DuckDB's seed promises
+    * reproducibility and Spark's TABLESAMPLE SQL has nowhere to honor
+    * it; the sample values can never match across engines anyway —
+    * `c_sample_hash` documents the portable hash-sampling discipline),
+    * and a ROWS count, including DuckDB's bare `USING SAMPLE 10`
+    * default-unit form (Spark's `TABLESAMPLE (n ROWS)` is a
+    * DETERMINISTIC head-LIMIT — a user's 'sample 1000 rows for stats'
+    * would silently become 'first 1000 rows', a bias worse than any
+    * value mismatch; `ORDER BY rand() LIMIT n` is the faithful
+    * spelling, suggested in the refusal). PERCENT-only passthrough is
+    * the documented contract. */
   private[engine] def rewriteUsingSample(s: String): String = {
+    val (codeAt, _) = codeMask(s)
     val sb = new StringBuilder
-    var inStr = false
     var i = 0
     while (i < s.length) {
       val ch = s.charAt(i)
-      if (inStr) { if (ch == '\'') inStr = false; sb.append(ch); i += 1 }
-      else if (ch == '\'') { inStr = true; sb.append(ch); i += 1 }
-      else if (s.regionMatches(true, i, "USING", 0, 5) &&
+      if (codeAt(i) && s.regionMatches(true, i, "USING", 0, 5) &&
           (i == 0 || s.charAt(i - 1).isWhitespace)) {
         var j = i + 5
         while (j < s.length && s.charAt(j).isWhitespace) j += 1
@@ -120,21 +124,19 @@ object Engine {
             (s.charAt(k).isDigit || s.charAt(k) == '.')) k += 1
           require(k > numStart, s"USING SAMPLE needs a sample size")
           val num = s.substring(numStart, k)
+          def refuseRows(): Nothing = throw new IllegalArgumentException(
+            s"USING SAMPLE $num ROWS is not routed: Spark's TABLESAMPLE" +
+              s" ($num ROWS) is a deterministic head-LIMIT, not a random" +
+              s" sample — use USING SAMPLE p PERCENT, or ORDER BY rand()" +
+              s" LIMIT $num for a random row count")
           var unit: String = null
           if (k < s.length && s.charAt(k) == '%') { unit = "PERCENT"; k += 1 }
           else {
-            val beforeUnit = k
             while (k < s.length && s.charAt(k).isWhitespace) k += 1
             if (s.regionMatches(true, k, "PERCENT", 0, 7)) {
               unit = "PERCENT"; k += 7
-            } else if (s.regionMatches(true, k, "ROWS", 0, 4)) {
-              unit = "ROWS"; k += 4
-            } else {
-              // DuckDB's bare `USING SAMPLE 10` means 10 rows (rows is
-              // its default unit) — translate, don't refuse the most
-              // common spelling; whatever follows is the next clause
-              unit = "ROWS"; k = beforeUnit
-            }
+            } else refuseRows() // explicit ROWS or DuckDB's bare
+              // default-unit form (`USING SAMPLE 10` means 10 rows)
           }
           var m = k
           while (m < s.length && s.charAt(m).isWhitespace) m += 1
@@ -164,12 +166,12 @@ object Engine {
     * schema-aware, statement-level); this shim runs first so a combined
     * `* EXCLUDE (…) REPLACE (…)` reaches it in EXCEPT spelling. */
   private[engine] def rewriteStarExclude(s: String): String = {
+    val (codeAt, _) = codeMask(s)
     val sb = new StringBuilder
-    var inStr = false
     var i = 0
     while (i < s.length) {
       val ch = s.charAt(i)
-      if (!inStr && ch == '*') {
+      if (codeAt(i) && ch == '*') {
         sb.append(ch)
         var j = i + 1
         while (j < s.length && s.charAt(j).isWhitespace) j += 1
@@ -190,8 +192,6 @@ object Engine {
           i = j + 7
         } else i += 1
       } else {
-        if (inStr) { if (ch == '\'') inStr = false }
-        else if (ch == '\'') inStr = true
         sb.append(ch)
         i += 1
       }
@@ -720,7 +720,14 @@ object Engine {
         afterBy.substring(0, lim).trim
       case _ => keys
     }
-    val outList = if (list == "*") "* EXCEPT (__graft_rn)" else list
+    // scrub the helper column from EVERY star item, not only a bare-`*`
+    // list: `*, expr` and qualified `alias.*` expand the inner SELECT *
+    // and would otherwise leak __graft_rn into the output schema (the
+    // same per-item scrub rewriteAsofJoin applies)
+    val outList = splitTopLevel(list, ',').map(_.trim).map { item =>
+      if (item == "*" || item.endsWith(".*")) s"$item EXCEPT (__graft_rn)"
+      else item
+    }.mkString(", ")
     s"""SELECT $outList FROM (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY $keys ORDER BY $ord) AS __graft_rn
@@ -760,29 +767,70 @@ object Engine {
         }
     }
 
-  /** Index of the first top-level (outside string literals and parens)
-    * whitespace-delimited occurrence of any of `kws`, if one exists. */
+  /** Per-character top-level map of a statement: `code(i)` is true when
+    * char i sits outside string literals, double-quoted/backtick
+    * identifiers, and both comment styles; `depth(i)` is the paren depth
+    * BEFORE char i. This is the ONE state machine behind every keyword
+    * scanner and splitter in the router — the same quote/comment rules
+    * the A12 lexer (`Sql.segments`) applies — so a QUALIFY/ASOF/WHERE
+    * sitting inside a `--` comment, a block comment, or a quoted
+    * identifier never triggers a route. */
+  private def codeMask(s: String): (Array[Boolean], Array[Int]) = {
+    val n = s.length
+    val code = new Array[Boolean](n)
+    val depth = new Array[Int](n)
+    var inS, inD, inB, inLine, inBlock = false
+    var skip = 0 // chars already consumed by a two-char token
+    var d = 0
+    var i = 0
+    while (i < n) {
+      depth(i) = d
+      val ch = s.charAt(i)
+      val nx = if (i + 1 < n) s.charAt(i + 1) else ' '
+      if (skip > 0) skip -= 1
+      else if (inLine) { if (ch == '\n') inLine = false }
+      else if (inBlock) {
+        if (ch == '*' && nx == '/') { inBlock = false; skip = 1 }
+      } else if (inS) {
+        if (ch == '\'' && nx == '\'') skip = 1
+        else if (ch == '\'') inS = false
+      } else if (inD) {
+        if (ch == '"' && nx == '"') skip = 1
+        else if (ch == '"') inD = false
+      } else if (inB) {
+        if (ch == '`' && nx == '`') skip = 1
+        else if (ch == '`') inB = false
+      } else if (ch == '-' && nx == '-') inLine = true
+      else if (ch == '/' && nx == '*') { inBlock = true; skip = 1 }
+      else if (ch == '\'') inS = true
+      else if (ch == '"') inD = true
+      else if (ch == '`') inB = true
+      else {
+        code(i) = true
+        if (ch == '(') d += 1
+        else if (ch == ')') d = math.max(0, d - 1)
+      }
+      i += 1
+    }
+    (code, depth)
+  }
+
+  /** Index of the first top-level (outside string literals, quoted
+    * identifiers, comments, and parens) whitespace-delimited occurrence
+    * of any of `kws`, if one exists. */
   private def firstTopLevelKeyword(
       s: String, kws: Seq[String]): Option[Int] = {
-    var depth = 0
-    var inStr = false
+    val (code, depth) = codeMask(s)
     var i = 0
     while (i < s.length) {
-      val ch = s.charAt(i)
-      if (inStr) { if (ch == '\'') inStr = false }
-      else ch match {
-        case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ if depth == 0 =>
-          val hit = kws.exists(kw =>
-            i + kw.length <= s.length &&
-              s.regionMatches(true, i, kw, 0, kw.length) &&
-              (i == 0 || s.charAt(i - 1).isWhitespace) &&
-              (i + kw.length == s.length ||
-                s.charAt(i + kw.length).isWhitespace))
-          if (hit) return Some(i)
-        case _ => ()
+      if (code(i) && depth(i) == 0) {
+        val hit = kws.exists(kw =>
+          i + kw.length <= s.length &&
+            s.regionMatches(true, i, kw, 0, kw.length) &&
+            (i == 0 || s.charAt(i - 1).isWhitespace) &&
+            (i + kw.length == s.length ||
+              s.charAt(i + kw.length).isWhitespace))
+        if (hit) return Some(i)
       }
       i += 1
     }
@@ -1053,32 +1101,24 @@ object Engine {
     Seq((path, format)).toDF("path", "format")
   }
 
-  /** Split on a keyword at paren/quote top level (case-insensitive, word
-    * boundaries) — the AND-splitter for MERGE ON conjunctions. */
+  /** Split on a keyword at paren/quote/comment top level
+    * (case-insensitive, word boundaries) — the AND-splitter for MERGE ON
+    * conjunctions. */
   private def splitOnKeyword(s: String, kw: String): Seq[String] = {
     val out = scala.collection.mutable.Buffer.empty[String]
-    var depth = 0
-    var inStr = false
+    val (code, depth) = codeMask(s)
     var last = 0
     var i = 0
     while (i < s.length) {
-      val ch = s.charAt(i)
-      if (inStr) { if (ch == '\'') inStr = false }
-      else ch match {
-        case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ if depth == 0 && i + kw.length <= s.length &&
-            s.regionMatches(true, i, kw, 0, kw.length) &&
-            (i == 0 || s.charAt(i - 1).isWhitespace) &&
-            (i + kw.length == s.length ||
-              s.charAt(i + kw.length).isWhitespace) =>
-          out += s.substring(last, i)
-          last = i + kw.length
-          i += kw.length - 1
-        case _ => ()
-      }
-      i += 1
+      if (code(i) && depth(i) == 0 && i + kw.length <= s.length &&
+          s.regionMatches(true, i, kw, 0, kw.length) &&
+          (i == 0 || s.charAt(i - 1).isWhitespace) &&
+          (i + kw.length == s.length ||
+            s.charAt(i + kw.length).isWhitespace)) {
+        out += s.substring(last, i)
+        last = i + kw.length
+        i += kw.length
+      } else i += 1
     }
     out += s.substring(last)
     out.toSeq
@@ -1280,24 +1320,16 @@ object Engine {
       .toDF("n_files", "n_rewritten")
   }
 
-  /** Split on a separator at paren/quote top level only (SET lists carry
-    * commas inside function calls and string literals). */
+  /** Split on a separator at paren/quote/comment top level only (SET
+    * lists carry commas inside function calls and string literals). */
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = scala.collection.mutable.Buffer.empty[String]
-    var depth = 0
-    var inStr = false
+    val (code, depth) = codeMask(s)
     var last = 0
     var i = 0
     while (i < s.length) {
-      val ch = s.charAt(i)
-      if (inStr) { if (ch == '\'') inStr = false }
-      else ch match {
-        case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case c if c == sep && depth == 0 =>
-          out += s.substring(last, i); last = i + 1
-        case _ => ()
+      if (code(i) && depth(i) == 0 && s.charAt(i) == sep) {
+        out += s.substring(last, i); last = i + 1
       }
       i += 1
     }

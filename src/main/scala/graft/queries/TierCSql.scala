@@ -697,16 +697,26 @@ object TierCSql {
       .stripMargin
   }
 
-  val copyFromOracle: String =
-    s"""CREATE OR REPLACE TEMP TABLE graft_cpf_oracle
+  // pid-scoped like the engine-side script (copyFromDir/copyFromTable):
+  // two concurrent bench/oracle runs must not clobber each other's
+  // export file and hash-compare against the other run's data. The pid
+  // is this JVM's — baked in when Verify dumps oracle_sql.json, so the
+  // driver's DuckDB replay of THIS dump stays self-consistent.
+  private def copyFromOraclePath: String =
+    s"/tmp/graft_cpf_oracle_p${ProcessHandle.current.pid}.csv"
+
+  val copyFromOracle: String = {
+    val t = s"graft_cpf_oracle_p${ProcessHandle.current.pid}"
+    s"""CREATE OR REPLACE TEMP TABLE $t
        |  (o_orderkey BIGINT, o_totalprice DOUBLE);
        |COPY (SELECT o_orderkey, o_totalprice FROM orders
        |  WHERE o_totalprice > 400000)
-       |  TO '/tmp/graft_cpf_oracle.csv' (FORMAT csv, HEADER);
-       |COPY graft_cpf_oracle FROM '/tmp/graft_cpf_oracle.csv'
+       |  TO '$copyFromOraclePath' (FORMAT csv, HEADER);
+       |COPY $t FROM '$copyFromOraclePath'
        |  (FORMAT csv, HEADER);
        |SELECT COUNT(*) AS n, ${msum("o_totalprice")} AS total
-       |FROM graft_cpf_oracle;""".stripMargin
+       |FROM $t;""".stripMargin
+  }
 
   // ORDER BY ALL — the companion dialect convenience to GROUP BY ALL:
   // order by every output column left to right. Verbatim in both engines

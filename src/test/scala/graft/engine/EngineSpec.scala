@@ -328,9 +328,11 @@ class EngineSpec extends AnyFunSuite {
     assert(Engine.sql(spark,
       "SELECT COUNT(*) AS n FROM engine_spec_smp USING SAMPLE 100%")
       .collect()(0).getLong(0) == 100L)
-    // n ROWS maps to Spark's exact row sample
-    assert(Engine.sql(spark,
-      "SELECT * FROM engine_spec_smp USING SAMPLE 7 ROWS").count() == 7L)
+    // n ROWS refuses: Spark's TABLESAMPLE (n ROWS) is a deterministic
+    // head-LIMIT, and silently serving "first 7 rows" for "sample 7
+    // rows" is a bias, not a sample
+    assertThrows[IllegalArgumentException](Engine.sql(spark,
+      "SELECT * FROM engine_spec_smp USING SAMPLE 7 ROWS"))
     // method name drops; a seed refuses (no way to honor it)
     assert(Engine.sql(spark,
       "SELECT COUNT(*) AS n FROM engine_spec_smp " +
@@ -371,12 +373,52 @@ class EngineSpec extends AnyFunSuite {
     assert((r.getInt(0), r.getInt(1)) == ((10, 14)))
   }
 
-  test("USING SAMPLE bare number defaults to rows, like DuckDB") {
+  test("USING SAMPLE row-count forms refuse rather than head-LIMIT") {
     Engine.exec(spark,
       "CREATE OR REPLACE TEMPORARY VIEW engine_spec_smp2 AS " +
         "SELECT id FROM range(50)")
+    // DuckDB's bare `USING SAMPLE 10` means 10 ROWS (its default unit):
+    // the refusal must name the faithful spelling instead of silently
+    // returning the first 10 rows
+    val e = intercept[IllegalArgumentException](Engine.sql(spark,
+      "SELECT * FROM engine_spec_smp2 USING SAMPLE 10").collect())
+    assert(e.getMessage.contains("ORDER BY rand() LIMIT"))
+    // and the text is inert inside comments and string literals
     assert(Engine.sql(spark,
-      "SELECT * FROM engine_spec_smp2 USING SAMPLE 10").count() == 10L)
+      "SELECT COUNT(*) AS n -- USING SAMPLE 10 ROWS\nFROM engine_spec_smp2")
+      .collect()(0).getLong(0) == 50L)
+    assert(Engine.sql(spark,
+      "SELECT 'USING SAMPLE 10 ROWS' AS s").collect()(0)
+      .getString(0) == "USING SAMPLE 10 ROWS")
+  }
+
+  test("router keyword scanners ignore comments and quoted identifiers") {
+    // a QUALIFY inside a trailing comment must not restructure the
+    // statement (the comment/quote-aware shared scanner)
+    assert(Engine.sql(spark,
+      "SELECT 1 AS a -- qualify later\n").collect()(0).getInt(0) == 1)
+    assert(Engine.sql(spark,
+      "SELECT 2 AS a /* QUALIFY rank() */").collect()(0).getInt(0) == 2)
+    // ...nor inside a double-quoted string-style literal or identifier
+    assert(Engine.sql(spark,
+      "SELECT 3 AS `where qualify`").columns.toSeq == Seq("where qualify"))
+    // DISTINCT ON / ASOF in comments stay inert too
+    assert(Engine.sql(spark,
+      "SELECT 4 AS a /* ASOF JOIN t ON x */").collect()(0).getInt(0) == 4)
+  }
+
+  test("DISTINCT ON scrubs the helper from mid-list and qualified stars") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_don2 AS " +
+        "SELECT id % 3 AS k, id AS v FROM range(30)")
+    // `*, expr` — the star expands the inner SELECT *, and the helper
+    // column must NOT leak into the output schema
+    val df = Engine.sql(spark,
+      "SELECT DISTINCT ON (k) *, v * 2 AS dbl FROM engine_spec_don2 " +
+        "ORDER BY k, v DESC")
+    assert(df.columns.toSeq == Seq("k", "v", "dbl"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSet == Set((0L, 27L), (1L, 28L), (2L, 29L)))
   }
 
   test("COPY (HEADER false) refuses instead of writing a header anyway") {
