@@ -5,6 +5,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // pin the scale-factor dir BEFORE any query object initializes:
+    // oracle texts that must be byte-identical on both engines embed
+    // absolute file paths (read_parquet witnesses) built from this
+    System.setProperty("graft.sfdir", sfDir)
     // optional third arg (local iteration only; the driver passes two):
     // comma-separated name prefixes — dump only matching queries
     val only: String => Boolean =

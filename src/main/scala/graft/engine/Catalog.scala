@@ -72,6 +72,13 @@ object Catalog {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private val pathView =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  /** Raw registered path → resolved filesystem location. The reference
+    * registers files in the engine's virtual FS under their RELATIVE
+    * import paths and its generated `read_parquet([...])` DDL names
+    * those same paths (`/root/reference/src/App.tsx:316-327`); the Spark
+    * analog resolves them back to where the bytes actually live. */
+  private val pathLocation =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -192,6 +199,55 @@ object Catalog {
   // paren belongs to one of the operand-FROM functions.
   private val OperandFromFns = Set("trim", "extract", "substring", "overlay")
 
+  // DuckDB's file-reading table functions in table position — the form
+  // the reference's OWN generated union-view DDL uses verbatim
+  // (`/root/reference/src/App.tsx:316-327` emits `CREATE OR REPLACE VIEW
+  // v AS SELECT * FROM read_parquet(['p1', 'p2', …]);` through `exec`).
+  // Spark has no such functions, so a call in FROM/JOIN position
+  // rewrites to a registered temp view over the named files — lazy scan,
+  // zero byte-copy, mergeSchema for read_parquet's union-by-name
+  // semantics. The format comes from the FUNCTION name (DuckDB
+  // semantics: read_csv reads csv whatever the extension).
+  private val TableFnFormat = Map(
+    "read_parquet" -> "parquet",
+    "read_csv" -> "csv", "read_csv_auto" -> "csv",
+    "read_json" -> "json", "read_json_auto" -> "json",
+    "read_ndjson" -> "ndjson", "read_ndjson_auto" -> "ndjson")
+
+  /** One multi-file scan with the table-function's format. Multi-path
+    * parquet always merges schemas by name — DuckDB's
+    * `union_by_name=true` and the A9 union view's contract. `.json`
+    * files read as whole-document JSON (`multiLine`) only when EVERY
+    * path says so; ndjson/mixed sets use the line-delimited reader. */
+  private def readSet(
+      spark: SparkSession, fmt: String, paths: Seq[String]): DataFrame =
+    fmt match {
+      case "parquet" =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      case "csv" =>
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .option("escape", "\"").csv(paths: _*)
+      case "json" if paths.forall(_.toLowerCase.endsWith(".json")) =>
+        spark.read.option("multiLine", "true").json(paths: _*)
+      case _ => spark.read.json(paths: _*)
+    }
+
+  /** Register (once) a temp view over a table-function's resolved path
+    * set and return its name — content-addressed by format + paths, so
+    * the same call text across statements reuses one view. */
+  private def claimSetView(
+      spark: SparkSession, fmt: String, resolved: Seq[String]): String = {
+    val key = (fmt +: resolved).mkString("\u0001")
+    val view = pathView.getOrElseUpdate((spark, key), {
+      val name = s"t_${fmt}set_${md5hex(key).take(10)}"
+      viewOwner.putIfAbsent((spark, name), key)
+      name
+    })
+    if (!spark.catalog.tableExists(view))
+      readSet(spark, fmt, resolved).createOrReplaceTempView(view)
+    view
+  }
+
   def rewritePathTables(
       spark: SparkSession, statement: String): (String, Seq[String]) = {
     val toks = lexTokens(statement)
@@ -219,9 +275,62 @@ object Catalog {
           val registered = spark.catalog.tableExists(view)
           val p = Paths.get(path)
           if (registered || Files.exists(p)) {
-            if (!registered) read(spark, p).createOrReplaceTempView(view)
+            if (!registered) {
+              read(spark, p).createOrReplaceTempView(view)
+              pathLocation.putIfAbsent((spark, path), path)
+            }
             edits += ((t, Sql.sqlIdentifier(view)))
           } else missing += path
+        }
+      }
+      // read_parquet / read_csv / read_json call in table position —
+      // the reference's generated-DDL form. Parse the call's argument
+      // tokens to the balancing close paren: quoted tokens are paths
+      // (bare or inside DuckDB's [...] list literal), union_by_name=true
+      // is accepted (mergeSchema IS union-by-name), anything else
+      // refuses loudly — silently ignoring a reader option would scan a
+      // file differently than the user asked.
+      if (!t.quoted && TableFnFormat.contains(t.text.toLowerCase) &&
+          idx > 0 && !toks(idx - 1).quoted &&
+          Seq("from", "join").contains(toks(idx - 1).text.toLowerCase) &&
+          !parenFn.headOption.exists(OperandFromFns.contains) &&
+          idx + 1 < toks.length && !toks(idx + 1).quoted &&
+          toks(idx + 1).text == "(") {
+        val fn = t.text.toLowerCase
+        var depth = 0
+        var end = -1
+        val paths = Seq.newBuilder[String]
+        var k = idx + 1
+        while (k < toks.length && end < 0) {
+          val tk = toks(k)
+          if (tk.quoted) paths += tk.text
+          else tk.text match {
+            case "(" => depth += 1
+            case ")" => depth -= 1; if (depth == 0) end = k
+            case "[" | "]" | "," | "=" => ()
+            case w if w.equalsIgnoreCase("union_by_name") ||
+                w.equalsIgnoreCase("true") => ()
+            case other => throw new IllegalArgumentException(
+              s"$fn: unsupported argument '$other' — routed calls take" +
+                " path literals (bare or in a [...] list) and" +
+                " union_by_name=true only")
+          }
+          k += 1
+        }
+        require(end > 0, s"unbalanced parens in $fn(...)")
+        val ps = paths.result()
+        require(ps.nonEmpty, s"$fn needs at least one path literal")
+        // a path registered through the import layer resolves to where
+        // its bytes live; anything else must exist on disk as written
+        val resolved = ps.map(p =>
+          pathLocation.getOrElse((spark, p), p))
+        val absent = ps.zip(resolved)
+          .collect { case (raw, r) if !Files.exists(Paths.get(r)) => raw }
+        if (absent.nonEmpty) missing ++= absent
+        else {
+          val view = claimSetView(spark, TableFnFormat(fn), resolved)
+          edits += ((Tok(t.start, toks(end).end, "", quoted = false),
+            Sql.sqlIdentifier(view)))
         }
       }
     }
@@ -237,6 +346,9 @@ object Catalog {
   def registerFile(spark: SparkSession, root: Path, file: ImportedFile): String = {
     val name = claimViewName(spark, file.path)
     read(spark, root.resolve(file.path)).createOrReplaceTempView(name)
+    // the raw import path stays addressable by the SQL-text routes (the
+    // reference's generated read_parquet DDL names these same paths)
+    pathLocation.put((spark, file.path), root.resolve(file.path).toString)
     name
   }
 

@@ -83,12 +83,69 @@ object Engine {
                 s" new data is intact under $tmp", e)
         }
         spark.emptyDataFrame
+      case ddl if splitDdlAs(ddl).isDefined =>
+        // CREATE …VIEW/TABLE … AS <query>: the dialect rewrites apply to
+        // the query BODY (a saved view definition legitimately carries
+        // QUALIFY / FROM-first / DISTINCT ON / read_parquet — the same
+        // surface a top-level statement gets), then the DDL prefix goes
+        // to Spark unchanged. The reference's own generated union-view
+        // DDL (`CREATE OR REPLACE VIEW v AS SELECT * FROM
+        // read_parquet([...]);`, /root/reference/src/App.tsx:316-327)
+        // lands here verbatim: the body's table-function call rewrites
+        // to a registered temp view, and because Spark refuses a
+        // PERSISTENT view over temporary objects while the reference's
+        // whole catalog is session-scoped (an in-memory DB), that one
+        // refusal retries as the session-scoped TEMPORARY view it means.
+        val (prefix, body) = splitDdlAs(ddl).get
+        val rewrittenBody = rewriteQueryText(spark, body)
+        try spark.sql(s"$prefix $rewrittenBody")
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "INVALID_TEMP_OBJ_REFERENCE" &&
+                ddl.matches("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\b.*") =>
+            val tempPrefix =
+              prefix.replaceFirst("(?i)\\bVIEW\\b", "TEMPORARY VIEW")
+            spark.sql(s"$tempPrefix $rewrittenBody")
+        }
       case _ =>
-        val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
-          rewriteStarReplace(spark, rewriteStarExclude(trimmed)))))
-        spark.sql(Catalog.rewritePathTables(spark, shimmed)._1)
+        spark.sql(rewriteQueryText(spark, trimmed))
     }
   }
+
+  /** The full dialect-rewrite pipeline over ONE query's text — what the
+    * router's default branch applies to a top-level statement, reusable
+    * for a DDL statement's AS-body: FROM-first and DISTINCT ON re-spell
+    * first (their output is a SELECT, so the rest applies to it), then
+    * the star/sample/ASOF/QUALIFY shims, then the path-table and
+    * table-function rewrites. Text in, text out — routes that produce a
+    * DataFrame directly (SUMMARIZE, PIVOT statements, DML) stay
+    * top-level-only. */
+  private def rewriteQueryText(spark: SparkSession, q0: String): String = {
+    val t = q0.trim.stripSuffix(";").trim
+    t match {
+      case fromFirstRe(rest) => rewriteQueryText(spark, fromFirstToSelect(rest))
+      case donRe(rest) => rewriteQueryText(spark, distinctOnToWindow(rest))
+      case other =>
+        val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
+          rewriteStarReplace(spark, rewriteStarExclude(other)))))
+        Catalog.rewritePathTables(spark, shimmed)._1
+    }
+  }
+
+  /** Split `CREATE …VIEW/TABLE … AS <query>` into (DDL prefix incl. AS,
+    * query body) at the first top-level AS — None when the statement is
+    * not an AS-DDL (plain CREATE TABLE with a column list, other
+    * statements). The body must open like a query; anything else stays
+    * whole for Spark's parser. */
+  private def splitDdlAs(s: String): Option[(String, String)] =
+    if (!s.matches("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?(GLOBAL\\s+)?" +
+        "(TEMP(ORARY)?\\s+)?(VIEW|TABLE)\\b.*")) None
+    else firstTopLevelKeyword(s, Seq("AS")).flatMap { i =>
+      val body = s.substring(i + 2).trim
+      if (body.matches("(?is)^(SELECT|WITH|FROM|VALUES)\\b.*"))
+        Some((s.substring(0, i + 2), body))
+      else None
+    }
 
   /** `USING SAMPLE n% | n PERCENT [(method)]` → Spark
     * `TABLESAMPLE (n PERCENT)` — DuckDB's sampling clause, recognized by
@@ -1472,7 +1529,12 @@ object Engine {
     * guard-rail refusals (IllegalArgumentException — e.g. DML on a temp
     * view) surface as messages like any other authoring error. */
   def tryQuery(spark: SparkSession, statement: String): Either[String, DataFrame] = {
-    val (_, missing) = Catalog.rewritePathTables(spark, statement)
+    // the hint probe itself may refuse (bad table-function arguments);
+    // the refusal re-raises identically from `sql` below, so the probe
+    // just degrades to no hint
+    val missing =
+      try Catalog.rewritePathTables(spark, statement)._2
+      catch { case _: IllegalArgumentException => Nil }
     def hint =
       if (missing.isEmpty) ""
       else s"no such file for path table(s): ${missing.mkString(", ")}\n"

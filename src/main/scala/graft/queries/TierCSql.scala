@@ -718,6 +718,27 @@ object TierCSql {
        |FROM $t;""".stripMargin
   }
 
+  // read_parquet table function routed (round 17): the SQL-text form of
+  // the reference's own generated union-view DDL
+  // (`/root/reference/src/App.tsx:316-327` emits `… FROM
+  // read_parquet(['p1', …])`). The engine rewrites the call in table
+  // position to a registered temp view over the named files
+  // (`Catalog.rewritePathTables`), so the IDENTICAL text — bracket-list
+  // spelling included — runs on both engines; DuckDB executes its
+  // native table function. The path is absolute, built from the same
+  // sfDir on both sides (Verify pins `graft.sfdir` before dumping the
+  // oracle, so the dumped text names the run's own data).
+  private def sfDirForOracle: String =
+    sys.props.get("graft.sfdir")
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.01")
+
+  def readFnSql(dir: String): String =
+    s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+       |FROM read_parquet(['$dir/lineitem.parquet'])
+       |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+       |LIMIT 20""".stripMargin
+
   // ORDER BY ALL — the companion dialect convenience to GROUP BY ALL:
   // order by every output column left to right. Verbatim in both engines
   // (Spark 4 and DuckDB both accept it); the translation, were it needed,
@@ -740,6 +761,7 @@ object TierCSql {
     "c_sql_series_unnest" -> q(seriesUnnest),
     "c_sql_window_named" -> q(windowNamed),
     "c_sql_order_by_all" -> q(orderByAll),
+    "c_sql_read_fn" -> ((s, dir) => Engine.sql(views(s, dir), readFnSql(dir))),
     "c_sql_select" -> q(sqlSelect),
     "c_join_full" -> q(joinFull),
     "c_setop_except_all" -> q(setopExceptAll),
@@ -787,6 +809,7 @@ object TierCSql {
     "c_sql_series_unnest" -> seriesUnnest, // IDENTICAL text — native fns
     "c_sql_window_named" -> windowNamed,
     "c_sql_order_by_all" -> orderByAll,
+    "c_sql_read_fn" -> readFnSql(sfDirForOracle), // IDENTICAL text — native fn
     "c_sql_select" -> sqlSelect,
     "c_join_full" -> joinFull,
     "c_setop_except_all" -> setopExceptAll,

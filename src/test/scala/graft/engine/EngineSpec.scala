@@ -421,6 +421,83 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.toSet == Set((0L, 27L), (1L, 28L), (2L, 29L)))
   }
 
+  test("the reference's generated read_parquet union-view DDL runs verbatim") {
+    // byte-identical statement construction to the app's
+    // createOrReplaceParquetView (/root/reference/src/App.tsx:316-327):
+    // CREATE OR REPLACE VIEW <ident> AS SELECT * FROM read_parquet([<list>]);
+    val dir = java.nio.file.Files.createTempDirectory("engine_spec_rp")
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .coalesce(1).write.parquet(s"$dir/one.parquet")
+    // second file: different column set — read_parquet unifies by NAME
+    Seq((3L, 30.5)).toDF("id", "score")
+      .coalesce(1).write.parquet(s"$dir/two.parquet")
+    val paths = Seq(s"$dir/one.parquet", s"$dir/two.parquet")
+    val ident = Sql.sqlIdentifier("meus dados") // forces the quoted branch
+    val list = "[" + paths.map(Sql.sqlStringLiteral).mkString(", ") + "]"
+    Engine.exec(spark,
+      s"CREATE OR REPLACE VIEW $ident AS SELECT * FROM read_parquet($list);")
+    val df = spark.table(ident) // backtick-quoted, as the DDL named it
+    assert(df.columns.toSet == Set("id", "name", "score"))
+    assert(df.count() == 3L)
+    assert(df.filter($"score".isNotNull).count() == 1L)
+    // single-path call form, and the same call text reuses the view
+    val one = Engine.sql(spark,
+      s"SELECT COUNT(*) AS n FROM read_parquet('${paths.head}')")
+    assert(one.collect()(0).getLong(0) == 2L)
+  }
+
+  test("read_csv / read_json table functions route by function format") {
+    val dir = java.nio.file.Files.createTempDirectory("engine_spec_rf")
+    java.nio.file.Files.writeString(dir.resolve("t.csv"), "a,b\n1,x\n2,y\n")
+    java.nio.file.Files.writeString(dir.resolve("t.ndjson"),
+      "{\"a\":5}\n{\"a\":6}\n")
+    assert(Engine.sql(spark,
+      s"SELECT SUM(a) AS s FROM read_csv('$dir/t.csv')")
+      .collect()(0).getLong(0) == 3L)
+    assert(Engine.sql(spark,
+      s"SELECT SUM(a) AS s FROM read_json('$dir/t.ndjson')")
+      .collect()(0).getLong(0) == 11L)
+    // an unsupported reader option refuses loudly instead of being
+    // silently dropped
+    val e = intercept[IllegalArgumentException](Engine.sql(spark,
+      s"SELECT * FROM read_csv('$dir/t.csv', header=false)"))
+    assert(e.getMessage.contains("unsupported argument"))
+    // a missing path surfaces the targeted hint through tryQuery
+    val out = Engine.tryQuery(spark,
+      "SELECT * FROM read_parquet('/no/such/file.parquet')")
+    assert(out.isLeft && out.swap.exists(_.contains("/no/such/file.parquet")))
+    // and the function name outside table position is untouched
+    assert(Engine.tryQuery(spark,
+      "SELECT read_parquet('x') AS v").isLeft) // unresolved fn, loud
+  }
+
+  test("QUALIFY and FROM-first route inside CREATE VIEW bodies") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_qv_src AS " +
+        "SELECT id % 3 AS g, id AS v FROM range(30)")
+    // a saved view definition carrying QUALIFY — the dialect rewrite
+    // applies to the DDL's AS-body
+    Engine.exec(spark,
+      """CREATE OR REPLACE TEMPORARY VIEW engine_spec_qv AS
+        |SELECT g, v FROM engine_spec_qv_src
+        |QUALIFY row_number() OVER (PARTITION BY g ORDER BY v DESC) <= 2
+        |""".stripMargin)
+    val rows = Engine.sql(spark,
+      "SELECT g, v FROM engine_spec_qv ORDER BY g, v DESC").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((0L, 24L), (0L, 27L), (1L, 25L), (1L, 28L),
+      (2L, 26L), (2L, 29L)).sortBy(t => (t._1, -t._2)))
+    // FROM-first inside a CTAS body
+    val t = s"engine_spec_ff_p${ProcessHandle.current.pid}"
+    try {
+      Engine.exec(spark,
+        s"CREATE TABLE $t AS FROM engine_spec_qv_src SELECT g, COUNT(*) AS n " +
+          "GROUP BY g")
+      assert(spark.table(t).count() == 3L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("COPY (HEADER false) refuses instead of writing a header anyway") {
     val dir = java.nio.file.Files.createTempDirectory("copyhdr").toString
     assertThrows[IllegalArgumentException](Engine.sql(spark,
