@@ -238,6 +238,18 @@ object Dml {
       srcKeys: Seq[String], setCols: Seq[String]): Stats =
     mergeCore(spark, path, identity, source, srcKeys, setCols)
 
+  /** INSERT-if-absent (the `ON CONFLICT DO NOTHING` upsert): only the
+    * WHEN-NOT-MATCHED branch runs — source rows whose keys exist in the
+    * layout drop, fresh rows append as new files. No existing file is
+    * opened for rewrite (affected = none), and the existence anti-join
+    * still key-prunes via footer stats, so a no-op upsert against a
+    * 100 TB key-clustered layout reads a handful of footers and writes
+    * nothing. */
+  def insertOnlyAll(
+      spark: SparkSession, path: String, source: DataFrame,
+      srcKeys: Seq[String]): Stats =
+    mergeCore(spark, path, _ => Seq.empty, source, srcKeys, Seq.empty)
+
   /** The files the WHEN-NOT-MATCHED existence check must read: the
     * anti-join needs only target KEYS, and a file whose footer [min,max]
     * on the head key misses the source's key span [kLo, kHi] (inclusive)

@@ -43,6 +43,9 @@ object Engine {
       case mergeRe(table, tAlias, src, sAlias, onCond, sets, insert) =>
         runMerge(spark, table, Option(tAlias), src, Option(sAlias),
           onCond, sets, insert)
+      case ins if insertConflictSplit(ins).isDefined =>
+        val (table, body, keys, doUpdate) = insertConflictSplit(ins).get
+        runUpsert(spark, table, body, keys, doUpdate)
       case copyFromRe(table, path, opts) =>
         runCopyFrom(spark, table, path, Option(opts))
       case copyRe(src, path, opts) => runCopy(spark, src, path, Option(opts))
@@ -620,7 +623,7 @@ object Engine {
     ("(?is)^CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)(.*)$").r
 
-  // PIVOT <table> ON <col> USING <agg>(<operand>) GROUP BY <cols>
+  // PIVOT <table> ON <col> USING <agg>(<operand>) [GROUP BY <cols>]
   // [ORDER BY …] [LIMIT …] — DuckDB's dynamic-pivot STATEMENT (delegated
   // surface; `c_pivot_dynamic` witnesses the DataFrame-side mechanism).
   // The route discovers the pivot-key domain with one DISTINCT pass —
@@ -628,10 +631,13 @@ object Engine {
   // on data; same bounded collect as `pivotDynamic`) — then emits
   // Spark's native PIVOT clause over the discovered IN list. Null keys
   // drop (DuckDB would emit a "NULL" column); key columns come out
-  // value-sorted, as DuckDB orders them. Supported shape: one USING
-  // aggregate and an explicit GROUP BY (without one, DuckDB groups by
-  // every column not referenced in ON/USING — unknowable here without
-  // schema guessing, so the route refuses rather than mis-grouping).
+  // value-sorted, as DuckDB orders them. One USING aggregate is
+  // supported; without a GROUP BY, DuckDB's primary documented form
+  // groups by every column NOT referenced in ON/USING — derived here
+  // from the FROM relation's ANALYZED schema (pure analysis, no job —
+  // the same probe rewriteStarReplace uses), matching by identifier
+  // mention so an expression over a column excludes it from the
+  // implicit keys exactly as DuckDB does.
   private val pivotStmtRe = "(?is)^PIVOT\\s+(.+)$".r
 
   private def runPivotStatement(
@@ -642,16 +648,40 @@ object Engine {
           (s.substring(0, i).trim, s.substring(i + kw.length).trim)
         case None => throw new IllegalArgumentException(
           s"routed PIVOT needs an $kw clause: PIVOT <table> ON <col>" +
-            " USING <agg>(<expr>) GROUP BY <cols>")
+            " USING <agg>(<expr>) [GROUP BY <cols>]")
       }
     val (table, afterOn) = cutAt(rest, "ON")
     val (onExpr, afterUsing) = cutAt(afterOn, "USING")
-    val (aggText, afterGroup) = cutAt(afterUsing, "GROUP")
-    val byStripped = afterGroup.replaceFirst("(?is)^BY\\s+", "")
-    val cut = firstTopLevelKeyword(byStripped,
-      Seq("ORDER", "LIMIT", "OFFSET")).getOrElse(byStripped.length)
-    val groupCols = byStripped.substring(0, cut).trim
-    val trailing = byStripped.substring(cut).trim
+    val src =
+      if (table.startsWith("(")) s"$table __graft_piv_src" else table
+    // the aggregate text runs to GROUP BY if present, else to the
+    // ORDER/LIMIT tail, else to the end
+    val aggCut = firstTopLevelKeyword(afterUsing,
+      Seq("GROUP", "ORDER", "LIMIT", "OFFSET")).getOrElse(afterUsing.length)
+    val aggText = afterUsing.substring(0, aggCut).trim
+    val afterAgg = afterUsing.substring(aggCut)
+    val (groupCols, trailing) =
+      firstTopLevelKeyword(afterAgg, Seq("GROUP")) match {
+        case Some(0) =>
+          val byStripped = afterAgg.replaceFirst("(?is)^GROUP\\s+BY\\s+", "")
+          val cut = firstTopLevelKeyword(byStripped,
+            Seq("ORDER", "LIMIT", "OFFSET")).getOrElse(byStripped.length)
+          (byStripped.substring(0, cut).trim,
+            byStripped.substring(cut).trim)
+        case _ =>
+          // implicit GROUP BY: every source column not mentioned in the
+          // ON or USING text (identifier match, case-insensitive)
+          val mentioned = "[A-Za-z_][A-Za-z0-9_]*".r
+            .findAllIn(s"$onExpr $aggText").map(_.toLowerCase).toSet
+          val schema = sql(spark, s"SELECT * FROM $src").schema
+          val implicitCols = schema.fields.toSeq
+            .filterNot(f => mentioned.contains(f.name.toLowerCase))
+            .map(f => Sql.sqlIdentifier(f.name))
+          require(implicitCols.nonEmpty,
+            "routed PIVOT without GROUP BY: every source column is" +
+              " referenced in ON/USING, leaving no implicit group keys")
+          (implicitCols.mkString(", "), afterAgg.trim)
+      }
     require(splitTopLevel(aggText, ',').size == 1,
       s"routed PIVOT supports a single USING aggregate — got: $aggText")
     val aggRe = "(?s)^(\\w+)\\s*\\((.*)\\)$".r
@@ -664,8 +694,6 @@ object Engine {
       "routed PIVOT does not support DISTINCT aggregates")
     // COUNT(*) has no operand expression; count a constant instead
     val valExpr = if (operand == "*") "1" else operand
-    val src =
-      if (table.startsWith("(")) s"$table __graft_piv_src" else table
     // domain discovery: one DISTINCT pass, bounded by the pivot-key
     // cardinality (the documented dynamic-pivot collect)
     val rawKeys = sql(spark,
@@ -704,7 +732,8 @@ object Engine {
     val outer =
       if (fn.equalsIgnoreCase("COUNT")) {
         val gcols = splitTopLevel(groupCols, ',').map(_.trim)
-        require(gcols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+        require(gcols.forall(
+          _.matches("[A-Za-z_][A-Za-z0-9_]*|`[^`]+`")),
           "routed PIVOT with COUNT needs plain-column GROUP BY names" +
             s" (the 0-backfill re-references them): $groupCols")
         val keyCols = keys.map { case (name, _) =>
@@ -1014,6 +1043,127 @@ object Engine {
     }
     withTablePath(spark, table)(path =>
       Dml.mergeIntoAll(spark, path, sourceDf, srcKeys, setCols))
+  }
+
+  // INSERT INTO t [(cols)] <SELECT…|VALUES…> ON CONFLICT (keys)
+  //   DO UPDATE SET col = EXCLUDED.col, … | DO NOTHING
+  // — DuckDB's native upsert spelling (far more typed by its users than
+  // MERGE INTO), routed onto the same copy-on-write merge the MERGE
+  // statement uses: DO UPDATE maps to `Dml.mergeIntoAll` (matched keys
+  // take the proposed row's columns via a broadcast join inside the file
+  // rewrite; fresh keys append), DO NOTHING to `Dml.insertOnlyAll`
+  // (insert-branch only — no file is ever rewritten). Source columns
+  // bind to the target POSITIONALLY (or to the explicit column list),
+  // with the target's types — DuckDB's INSERT semantics. The supported
+  // assignment shape is `col = EXCLUDED.col` of the same name (EXCLUDED
+  // being DuckDB/Postgres's name for the proposed row); anything richer
+  // refuses loudly. DuckDB enforces a unique index on the conflict
+  // target at table-creation time; this engine has no index metadata, so
+  // the equivalent runtime guard is mergeCore's source-key uniqueness
+  // check (duplicate conflict keys in one INSERT refuse there, exactly
+  // as DuckDB errors on them).
+  private def insertConflictSplit(
+      s: String): Option[(String, String, Seq[String], Option[String])] = {
+    val head = "(?is)^INSERT\\s+INTO\\s+([A-Za-z_]\\w*)\\s+(.+)$".r
+    s match {
+      case head(table, rest) =>
+        firstTopLevelKeyword(rest, Seq("CONFLICT")).flatMap { ci =>
+          val before = rest.substring(0, ci)
+          val onTail = "(?is)^(.*\\S)\\s+ON\\s*$".r
+          before match {
+            case onTail(body) =>
+              val after = rest.substring(ci + "CONFLICT".length).trim
+              val act = ("(?is)^\\(([^)]*)\\)\\s*DO\\s+" +
+                "(?:(NOTHING)|UPDATE\\s+SET\\s+(.+))\\s*$").r
+              after match {
+                case act(keysText, nothing, sets) =>
+                  val keys = keysText.split(',').toSeq
+                    .map(_.trim.stripPrefix("`").stripSuffix("`"))
+                    .filter(_.nonEmpty)
+                  if (keys.isEmpty) None
+                  else Some((table, body.trim, keys,
+                    if (nothing != null) None else Some(sets)))
+                case _ => throw new IllegalArgumentException(
+                  "INSERT … ON CONFLICT supports (keys) DO NOTHING |" +
+                    s" DO UPDATE SET …: ON CONFLICT $after")
+              }
+            case _ => None // a top-level CONFLICT not preceded by ON
+          }
+        }
+      case _ => None
+    }
+  }
+
+  private def runUpsert(
+      spark: SparkSession, table: String, body: String,
+      keys: Seq[String], doUpdate: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val target = spark.table(table)
+    // optional explicit column list before the source query
+    val (explicitCols, srcText) =
+      if (body.startsWith("(")) {
+        var depth = 0
+        var i = 0
+        var end = -1
+        while (i < body.length && end < 0) {
+          body.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) end = i
+            case _ => ()
+          }
+          i += 1
+        }
+        require(end > 0, "unbalanced column list in INSERT")
+        val cols = body.substring(1, end).split(',').toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+        (Some(cols), body.substring(end + 1).trim)
+      } else (None, body)
+    def targetField(n: String) =
+      target.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"INSERT … ON CONFLICT: column $n not in table $table"))
+    val insertCols = explicitCols.getOrElse(target.columns.toSeq)
+      .map(n => targetField(n).name)
+    keys.foreach { k =>
+      require(insertCols.exists(_.equalsIgnoreCase(k)),
+        s"ON CONFLICT key $k is not among the inserted columns")
+    }
+    // the proposed rows: run the body (SELECT or VALUES) through the
+    // router, bind POSITIONALLY to the target columns with their types
+    val src0 = sql(spark, srcText)
+    require(src0.columns.length == insertCols.length,
+      s"INSERT provides ${src0.columns.length} columns for" +
+        s" ${insertCols.length} target columns")
+    val source = src0.toDF(insertCols: _*)
+      .select(insertCols.map(n =>
+        col(n).cast(targetField(n).dataType).as(n)).toSeq: _*)
+    val setCols = doUpdate.map { sets =>
+      splitTopLevel(sets, ',').map { a =>
+        val eq = splitTopLevel(a, '=')
+        require(eq.size == 2, s"malformed DO UPDATE assignment: $a")
+        val lhs = eq(0).trim.stripPrefix("`").stripSuffix("`")
+        val rhs = eq(1).trim
+        val exc = "(?is)^EXCLUDED\\s*\\.\\s*`?([A-Za-z_]\\w*)`?$".r
+        rhs match {
+          case exc(rcol) =>
+            require(lhs.equalsIgnoreCase(rcol),
+              "routed ON CONFLICT supports SET col = EXCLUDED.col of the" +
+                s" same name — got: $a")
+          case _ => throw new IllegalArgumentException(
+            "routed ON CONFLICT assignments must read EXCLUDED.<col>:" +
+              s" $a")
+        }
+        require(!keys.exists(_.equalsIgnoreCase(lhs)),
+          s"DO UPDATE must not reassign the conflict key $lhs")
+        targetField(lhs).name
+      }
+    }
+    withTablePath(spark, table) { path =>
+      setCols match {
+        case Some(cols) => Dml.mergeIntoAll(spark, path, source, keys, cols)
+        case None => Dml.insertOnlyAll(spark, path, source, keys)
+      }
+    }
   }
 
   // COPY (SELECT …)|table TO 'path' [(FORMAT fmt[, HEADER])] — DuckDB's

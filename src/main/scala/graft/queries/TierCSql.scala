@@ -309,6 +309,18 @@ object TierCSql {
     """PIVOT lineitem ON l_returnflag USING COUNT(*)
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  // PIVOT without GROUP BY — DuckDB's PRIMARY documented spelling: group
+  // by every column not referenced in ON/USING. The engine derives that
+  // implicit key list from the FROM relation's analyzed schema
+  // (round 17, `Engine.runPivotStatement`), so the IDENTICAL text runs
+  // on both engines; the subquery source proves the derivation works
+  // against computed columns, not just base tables. COUNT keeps both
+  // sides BIGINT and exercises the 0-backfill parity.
+  val pivotImplicit: String =
+    """PIVOT (SELECT l_linestatus, CAST(l_quantity AS BIGINT) % 5 AS qb,
+      |  l_returnflag FROM lineitem)
+      |ON l_returnflag USING COUNT(*) ORDER BY l_linestatus, qb""".stripMargin
+
   // SELECT * EXCLUDE / REPLACE — DuckDB's star-modifier sugar (the second
   // dialect convenience a reference user types daily, next to QUALIFY).
   // Spark has no star modifiers, so the engine-side translation is the
@@ -643,6 +655,62 @@ object TierCSql {
        |FROM graft_mrgsql_oracle
        |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
 
+  // --- INSERT … ON CONFLICT through the engine's SQL route (r17) ----------
+  //
+  // DuckDB's native upsert spelling, routed by `Engine.sql` onto the same
+  // copy-on-write merge the MERGE statement uses (`Engine.runUpsert` →
+  // `Dml.mergeIntoAll` / `Dml.insertOnlyAll`). The witness runs BOTH
+  // conflict actions: a DO UPDATE whose source mixes matched keys
+  // (existing evens ≤ 600 take the proposed row) with fresh keys (+9M
+  // offset appends), then a DO NOTHING whose source mixes keys the
+  // previous statement just created (dropped) with genuinely fresh ones
+  // (inserted). The oracle replays the IDENTICAL INSERT … ON CONFLICT
+  // statements against DuckDB's native upsert on a PRIMARY-KEY temp
+  // table (DuckDB requires the unique index; the engine enforces the
+  // equivalent source-key-uniqueness guard at run time), so a hash match
+  // certifies both actions end to end through the lexer → CTAS → routed
+  // upsert → read-back flow.
+  private def upsertTable(dir: String): String =
+    s"graft_ups_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+
+  private def upsertStatements(t: String): String =
+    s"""INSERT INTO $t
+       |  SELECT o_orderkey, 'U' AS o_orderstatus,
+       |    o_totalprice * 2 AS o_totalprice
+       |  FROM orders WHERE o_orderkey <= 600 AND o_orderkey % 2 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey + 9000000, 'V', CAST(55.25 AS DOUBLE)
+       |  FROM orders WHERE o_orderkey <= 600 AND o_orderkey % 3 = 0
+       |  ON CONFLICT (o_orderkey) DO UPDATE SET
+       |    o_orderstatus = EXCLUDED.o_orderstatus,
+       |    o_totalprice = EXCLUDED.o_totalprice;
+       |INSERT INTO $t
+       |  SELECT o_orderkey + 9000000, 'W', CAST(1.5 AS DOUBLE) FROM orders
+       |  WHERE o_orderkey <= 900 AND o_orderkey % 3 = 0
+       |  ON CONFLICT (o_orderkey) DO NOTHING;
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${msum("o_totalprice")} AS total,
+       |  MIN(o_orderkey) AS k_min, MAX(o_orderkey) AS k_max
+       |FROM $t
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
+
+  def upsertScript(dir: String): String = {
+    val t = upsertTable(dir)
+    s"""DROP TABLE IF EXISTS $t;
+       |CREATE TABLE $t AS
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey <= 3000;
+       |${upsertStatements(t)}""".stripMargin
+  }
+
+  val upsertOracle: String =
+    s"""CREATE OR REPLACE TEMP TABLE graft_ups_oracle (o_orderkey BIGINT
+       |  PRIMARY KEY, o_orderstatus VARCHAR, o_totalprice DOUBLE);
+       |INSERT INTO graft_ups_oracle
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey <= 3000;
+       |${upsertStatements("graft_ups_oracle")}""".stripMargin
+
   // --- User-typed COPY … TO through the engine's SQL route (r16) ----------
   //
   // DuckDB's export statement, routed by `Engine.sql` to the distributed
@@ -752,6 +820,7 @@ object TierCSql {
     "c_sql_from_first" -> q(fromFirst),
     "c_sql_distinct_on" -> q(distinctOnRouted),
     "c_sql_pivot_stmt" -> q(pivotStmt),
+    "c_sql_pivot_implicit" -> q(pivotImplicit),
     "c_sql_exclude_replace" -> q(excludeReplaceOracle), // IDENTICAL text — routed r16
     "c_sql_exclude_routed" -> q(excludeRouted),
     "c_sql_sample_routed" -> q(sampleRouted),
@@ -784,6 +853,8 @@ object TierCSql {
       dmlSqlScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_merge" -> ((s, dir) => Engine.runScript(views(s, dir),
       mergeSqlScript(dir)).getOrElse(sys.error("script produced no result"))),
+    "c_sql_upsert" -> ((s, dir) => Engine.runScript(views(s, dir),
+      upsertScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_copy" -> ((s, dir) => Engine.runScript(views(s, dir),
       copySqlScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_copy_from" -> ((s, dir) => Engine.runScript(views(s, dir),
@@ -800,6 +871,7 @@ object TierCSql {
     "c_sql_from_first" -> fromFirst, // IDENTICAL text — DuckDB parses it natively
     "c_sql_distinct_on" -> distinctOnRouted, // IDENTICAL text — native DISTINCT ON
     "c_sql_pivot_stmt" -> pivotStmt, // IDENTICAL text — native PIVOT statement
+    "c_sql_pivot_implicit" -> pivotImplicit, // IDENTICAL text — implicit keys
     "c_sql_exclude_replace" -> excludeReplaceOracle,
     "c_sql_exclude_routed" -> excludeRouted, // IDENTICAL text — shimmed keyword
     "c_sql_sample_routed" -> sampleRouted, // IDENTICAL text — 100% sample
@@ -828,6 +900,7 @@ object TierCSql {
     "c_sql_create_replace" -> createReplaceOracle,
     "c_sql_dml" -> dmlSqlOracle,
     "c_sql_merge" -> mergeSqlOracle,
+    "c_sql_upsert" -> upsertOracle,
     "c_sql_copy" -> copySqlOracle,
     "c_sql_copy_from" -> copyFromOracle,
     "c_sql_macro" -> macroOracle,

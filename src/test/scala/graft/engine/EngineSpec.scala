@@ -263,10 +263,12 @@ class EngineSpec extends AnyFunSuite {
       "PIVOT engine_spec_piv ON k USING COUNT(*) GROUP BY g ORDER BY g")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(counted == Seq(("x", 2L, 1L), ("y", 1L, 0L)))
-    // missing GROUP BY refuses (DuckDB's group-by-everything-else default
-    // is unknowable without schema guessing)
-    assertThrows[IllegalArgumentException](
-      Engine.sql(spark, "PIVOT engine_spec_piv ON k USING SUM(v)"))
+    // missing GROUP BY groups by everything not in ON/USING — DuckDB's
+    // primary documented spelling (here: g) — matching the explicit form
+    val implicitRows = Engine.sql(spark,
+      "PIVOT engine_spec_piv ON k USING SUM(v) ORDER BY g")
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2))).toSeq
+    assert(implicitRows == Seq(("x", 5, 2), ("y", 3, null)))
   }
 
   test("QUALIFY routes to the filtered-subquery rewrite") {
@@ -507,6 +509,23 @@ class EngineSpec extends AnyFunSuite {
       s"COPY (SELECT 1 AS x) TO '$dir/ok.csv' (FORMAT csv, HEADER true)")
     Engine.sql(spark,
       s"COPY (SELECT 1 AS x) TO '$dir/ok2.csv' (FORMAT csv, HEADER)")
+  }
+
+  test("PIVOT without GROUP BY derives the implicit keys from the schema") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_piv3 AS " +
+        "SELECT CAST(id % 2 AS STRING) AS g, id % 3 AS h, " +
+        "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END AS k, id AS v " +
+        "FROM range(60)")
+    // DuckDB's primary spelling: no GROUP BY — group by every column
+    // not referenced in ON/USING (here: g and h; k is ON, v is USING)
+    val df = Engine.sql(spark,
+      "PIVOT engine_spec_piv3 ON k USING SUM(v) ORDER BY g, h")
+    assert(df.columns.toSeq == Seq("g", "h", "x", "y"))
+    assert(df.count() == 6L)
+    // all-columns-referenced refuses instead of grouping by nothing
+    assertThrows[IllegalArgumentException](Engine.sql(spark,
+      "PIVOT (SELECT k, v FROM engine_spec_piv3) ON k USING SUM(v)"))
   }
 
   test("PIVOT orders numeric key columns numerically, not lexically") {
@@ -781,6 +800,43 @@ class EngineSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("equi-key") ||
         e2.getMessage.contains("same-named"), e2.getMessage)
     } finally Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("INSERT ON CONFLICT routes both DO UPDATE and DO NOTHING") {
+    val t = s"engine_spec_ups_p${ProcessHandle.current.pid}"
+    try {
+      Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
+      Engine.exec(spark,
+        s"CREATE TABLE $t AS SELECT id AS k, CAST(id AS DOUBLE) AS v," +
+          " 'old' AS tag FROM range(10)")
+      // DO UPDATE: keys 0..4 exist (take the proposed row), 100..101 fresh
+      Engine.sql(spark,
+        s"INSERT INTO $t SELECT id * 1 AS k, CAST(-1.0 AS DOUBLE), 'up'" +
+          " FROM range(5) UNION ALL SELECT id + 100, CAST(7.5 AS DOUBLE)," +
+          s" 'new' FROM range(2) ON CONFLICT (k) DO UPDATE SET" +
+          " v = EXCLUDED.v, tag = EXCLUDED.tag")
+      val after = spark.table(t).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      assert(after.count(_._3 == "up") == 5 && after.count(_._3 == "new") == 2)
+      assert(after.count(_._3 == "old") == 5 && after.length == 12)
+      // DO NOTHING: key 3 exists (dropped), 200 fresh (inserted)
+      Engine.sql(spark,
+        s"INSERT INTO $t VALUES (3, 9.9, 'x'), (200, 2.0, 'frk')" +
+          " ON CONFLICT (k) DO NOTHING")
+      val after2 = spark.table(t).collect()
+        .map(r => (r.getLong(0), r.getString(2))).toMap
+      assert(after2(3L) == "up" && after2(200L) == "frk")
+      // refusals: reassigning the key, and a non-EXCLUDED right side
+      assertThrows[IllegalArgumentException](Engine.sql(spark,
+        s"INSERT INTO $t SELECT 1, 1.0, 'z' ON CONFLICT (k)" +
+          " DO UPDATE SET k = EXCLUDED.k"))
+      assertThrows[IllegalArgumentException](Engine.sql(spark,
+        s"INSERT INTO $t SELECT 1, 1.0, 'z' ON CONFLICT (k)" +
+          " DO UPDATE SET v = v + 1"))
+      // plain INSERT INTO (no ON CONFLICT) still takes Spark's native path
+      Engine.sql(spark, s"INSERT INTO $t VALUES (300, 1.0, 'plain')")
+      assert(spark.table(t).count() == 14L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
   test("COPY TO routes to the distributed writers and round-trips") {
