@@ -65,10 +65,12 @@ object Dml {
     Files.deleteIfExists(f.resolveSibling(s".${f.getFileName}.crc"))
   }
 
-  /** File-level [min,max] of a long-backed column, folded over the row
-    * groups' footer statistics. None = no stats anywhere in the file
-    * (all-null column or statless writer) — the caller must treat the
-    * file as affected; pruning on absent stats would drop rows. */
+  /** File-level [min,max] of an integer-backed column (INT64 longs and
+    * timestamps, INT32 ints and dates — the latter in DAYS, parquet's
+    * physical date unit), folded over the row groups' footer statistics.
+    * None = no stats anywhere in the file (all-null column, statless
+    * writer, or a non-integer physical type) — the caller must treat
+    * the file as affected; pruning on absent stats would drop rows. */
   private def fileRange(file: Path, column: String): Option[(Long, Long)] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -81,9 +83,11 @@ object Dml {
           .flatMap { c =>
             val st = c.getStatistics
             if (st == null || !st.hasNonNullValue) None
-            else Some(
-              (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
-                st.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Number, mx: java.lang.Number) =>
+                Some((mn.longValue, mx.longValue))
+              case _ => None // binary/float stats don't fold to a range
+            }
           }
       }
       if (ranges.isEmpty) None

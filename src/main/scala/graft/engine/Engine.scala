@@ -130,7 +130,8 @@ object Engine {
       case donRe(rest) => rewriteQueryText(spark, distinctOnToWindow(rest))
       case other =>
         val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
-          rewriteStarReplace(spark, rewriteStarExclude(other)))))
+          rewriteStarReplace(spark, rewriteColumnsFn(spark,
+            rewriteStarExclude(other))))))
         Catalog.rewritePathTables(spark, shimmed)._1
     }
   }
@@ -571,6 +572,57 @@ object Engine {
         }
       }
     val newItems = items.updated(idx, expanded.mkString(", "))
+    s.substring(0, si) + "SELECT" + distinctKw + " " +
+      newItems.mkString(", ") + " " + s.substring(fi)
+  }
+
+  /** `COLUMNS('regex')` — DuckDB's regex column selector (its signature
+    * star-expression sugar). Spark has no analog, so the call desugars
+    * against the FROM relation's ANALYZED schema — the same no-job probe
+    * REPLACE uses: each select-list item containing exactly one
+    * COLUMNS('re') call expands to one item per matching column in
+    * declaration order (unanchored regex search, DuckDB's semantics),
+    * with the call text replaced by the column identifier — so a
+    * wrapped form like `max(COLUMNS('re'))` expands to one aggregate
+    * per column, as DuckDB defines it. A regex matching nothing
+    * refuses (DuckDB errors too). Statement-level, select-list items
+    * only (the lambda/EXCLUDE variants of COLUMNS are not routed). */
+  private[engine] def rewriteColumnsFn(
+      spark: SparkSession, s: String): String = {
+    if (!s.matches("(?is)^(SELECT|WITH)\\b.*")) return s
+    if (!"(?is)^.*\\bCOLUMNS\\s*\\(.*$".r.matches(s)) return s
+    val si = firstTopLevelKeyword(s, Seq("SELECT")).getOrElse(return s)
+    val fi = firstTopLevelKeyword(s, Seq("FROM")).getOrElse(return s)
+    if (fi < si) return s
+    val afterSel = s.substring(si + "SELECT".length, fi)
+    val (distinctKw, list) =
+      if (afterSel.trim.matches("(?is)^DISTINCT\\b.*"))
+        (" DISTINCT", afterSel.trim.substring("DISTINCT".length))
+      else ("", afterSel)
+    val items = splitTopLevel(list, ',').map(_.trim)
+    val colRe = "(?is)^(.*?)\\bCOLUMNS\\s*\\(\\s*'([^']*)'\\s*\\)(.*)$".r
+    if (!items.exists(colRe.matches(_))) return s
+    // the source schema, analyzed exactly as rewriteStarReplace does
+    val tailFromFrom = s.substring(fi + "FROM".length)
+    val cut = firstTopLevelKeyword(tailFromFrom,
+      Seq("WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY", "ORDER",
+        "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT"))
+      .getOrElse(tailFromFrom.length)
+    val probe = s.substring(0, si) + "SELECT * FROM " +
+      tailFromFrom.substring(0, cut)
+    lazy val schema = sql(spark, probe).schema
+    val newItems = items.flatMap {
+      case item @ colRe(pre, re, post) =>
+        require(!"(?is)^.*\\bCOLUMNS\\s*\\(.*$".r.matches(pre + post),
+          s"one COLUMNS(...) call per select item: $item")
+        val rx = re.r
+        val matched = schema.fields.toSeq
+          .filter(f => rx.findFirstIn(f.name).isDefined)
+        require(matched.nonEmpty,
+          s"COLUMNS('$re') matches no column of the source relation")
+        matched.map(f => pre + Sql.sqlIdentifier(f.name) + post)
+      case item => Seq(item)
+    }
     s.substring(0, si) + "SELECT" + distinctKw + " " +
       newItems.mkString(", ") + " " + s.substring(fi)
   }
@@ -1368,8 +1420,8 @@ object Engine {
     }
 
   /** Extract a SOUND prune range from a routed WHERE clause: if any
-    * top-level conjunct compares one unqualified long/timestamp column
-    * against exact literals, every mutated row is confined to [lo, hi)
+    * top-level conjunct compares one unqualified long/timestamp/date
+    * column against exact literals, every mutated row is confined to [lo, hi)
     * on that column (pred TRUE ⇒ each conjunct TRUE ⇒ col in range), so
     * the copy-on-write may skip files whose footer stats prove
     * disjointness. Conservative by construction: literal forms whose
@@ -1417,6 +1469,13 @@ object Engine {
       (l.dataType, t) match {
         case (ByteType | ShortType | IntegerType | LongType, LongType) =>
           Some((l.value.toString.toLong, 0L))
+        // DATE columns are INT32 days in the footer stats — calendar
+        // arithmetic, no zone flavor to cross, so slack is always 0
+        case (DateType | StringType, DateType) =>
+          val zone = spark.sessionState.conf.sessionLocalTimeZone
+          try Option(Cast(l, DateType, Some(zone)).eval(null))
+            .map(v => (v.asInstanceOf[Int].toLong, 0L))
+          catch { case _: Exception => None }
         case (DateType | TimestampType | TimestampNTZType | StringType,
             TimestampType | TimestampNTZType) =>
           val crossing = (l.dataType, t) match {

@@ -786,6 +786,22 @@ object TierCSql {
        |FROM $t;""".stripMargin
   }
 
+  // QUALIFY inside a CREATE VIEW body (round 17): the router applies the
+  // full dialect-rewrite pipeline to a DDL statement's AS-body
+  // (`Engine.rewriteQueryText`), so a migrating user's SAVED view
+  // definitions carrying QUALIFY / FROM-first / DISTINCT ON work — not
+  // only top-level statements. IDENTICAL two-statement script on both
+  // engines (DuckDB parses QUALIFY in view bodies natively); top-3
+  // orders per status through the view, deterministic because
+  // o_orderkey is unique.
+  val viewQualifyScript: String =
+    """CREATE OR REPLACE TEMPORARY VIEW graft_qview AS
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+      |  QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice DESC, o_orderkey) <= 3;
+      |SELECT o_orderstatus, o_orderkey, o_totalprice FROM graft_qview
+      |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey;""".stripMargin
+
   // read_parquet table function routed (round 17): the SQL-text form of
   // the reference's own generated union-view DDL
   // (`/root/reference/src/App.tsx:316-327` emits `… FROM
@@ -800,6 +816,18 @@ object TierCSql {
     sys.props.get("graft.sfdir")
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
       .getOrElse("/root/testdata/sf0.01")
+
+  // COLUMNS('regex') routed (round 17): DuckDB's regex column selector,
+  // desugared by the engine against the FROM relation's analyzed schema
+  // (`Engine.rewriteColumnsFn` — unanchored search, declaration order),
+  // so the IDENTICAL text runs on both engines. One anchored and one
+  // substring pattern; the ORDER BY covers every output column, so the
+  // hash is order-deterministic.
+  val columnsFn: String =
+    """SELECT l_orderkey, l_linenumber, COLUMNS('^l_.*price$'), COLUMNS('tax')
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_tax
+      |LIMIT 50""".stripMargin
 
   def readFnSql(dir: String): String =
     s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
@@ -831,6 +859,7 @@ object TierCSql {
     "c_sql_window_named" -> q(windowNamed),
     "c_sql_order_by_all" -> q(orderByAll),
     "c_sql_read_fn" -> ((s, dir) => Engine.sql(views(s, dir), readFnSql(dir))),
+    "c_sql_columns" -> q(columnsFn),
     "c_sql_select" -> q(sqlSelect),
     "c_join_full" -> q(joinFull),
     "c_setop_except_all" -> q(setopExceptAll),
@@ -845,6 +874,7 @@ object TierCSql {
     "c_setop_except" -> q(setopExcept),
     "c_sql_grouping_sets" -> q(groupingSets),
     "c_sql_view_script" -> script(viewScript),
+    "c_sql_view_qualify" -> script(viewQualifyScript),
     "c_sql_ctas" -> ((s, dir) => Engine.runScript(views(s, dir),
       ctasScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_create_replace" -> ((s, dir) => Engine.runScript(views(s, dir),
@@ -882,6 +912,7 @@ object TierCSql {
     "c_sql_window_named" -> windowNamed,
     "c_sql_order_by_all" -> orderByAll,
     "c_sql_read_fn" -> readFnSql(sfDirForOracle), // IDENTICAL text — native fn
+    "c_sql_columns" -> columnsFn, // IDENTICAL text — native COLUMNS
     "c_sql_select" -> sqlSelect,
     "c_join_full" -> joinFull,
     "c_setop_except_all" -> setopExceptAll,
@@ -896,6 +927,7 @@ object TierCSql {
     "c_setop_except" -> setopExcept,
     "c_sql_grouping_sets" -> groupingSets,
     "c_sql_view_script" -> viewScriptOracle,
+    "c_sql_view_qualify" -> viewQualifyScript, // IDENTICAL text — native QUALIFY
     "c_sql_ctas" -> ctasOracle,
     "c_sql_create_replace" -> createReplaceOracle,
     "c_sql_dml" -> dmlSqlOracle,

@@ -676,6 +676,29 @@ class EngineSpec extends AnyFunSuite {
       cols.mkString(","))
   }
 
+  test("COLUMNS('regex') desugars to the matching columns in order") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_cols AS " +
+        "SELECT 1 AS price_a, 2 AS qty, 3 AS price_b, 4 AS other")
+    val df = Engine.sql(spark,
+      "SELECT COLUMNS('^price'), qty FROM engine_spec_cols")
+    assert(df.columns.toSeq == Seq("price_a", "price_b", "qty"))
+    // wrapped form: one aggregate per matching column (engine-dependent
+    // auto-names, value shape asserted)
+    val agg = Engine.sql(spark,
+      "SELECT max(COLUMNS('^price')) FROM engine_spec_cols").collect()(0)
+    assert((agg.getInt(0), agg.getInt(1)) == ((1, 3)))
+    // a no-match regex refuses, like DuckDB
+    assertThrows[IllegalArgumentException](Engine.sql(spark,
+      "SELECT COLUMNS('zzz') FROM engine_spec_cols"))
+    // and the word COLUMNS as an identifier is untouched
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_cols2 AS " +
+        "SELECT 9 AS columns")
+    assert(Engine.sql(spark,
+      "SELECT columns FROM engine_spec_cols2").collect()(0).getInt(0) == 9)
+  }
+
   test("star REPLACE desugars against the analyzed source schema") {
     Engine.exec(spark,
       "CREATE OR REPLACE TEMPORARY VIEW engine_spec_repl AS " +
@@ -892,6 +915,38 @@ class EngineSpec extends AnyFunSuite {
         s"DELETE FROM $t WHERE o_orderdate < '1995-06-01'").collect()(0)
       assert(stats2.getLong(1) < stats2.getLong(0),
         s"one-sided string bound must prune: ${stats2.mkString(",")}")
+    } finally Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("routed DELETE prunes on DATE columns (INT32 day stats)") {
+    // same shape as the timestamp prune test, but the cluster column is
+    // a true DATE — the footer stats are INT32 days, which the stats
+    // fold and the range extractor must both handle (VERDICT r16 #8)
+    graft.queries.Tables.views(spark, "/root/testdata/sf0.001")
+    val t = s"graft_prune_date_p${ProcessHandle.current.pid}"
+    Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
+    Engine.exec(spark,
+      s"CREATE TABLE $t USING parquet AS" +
+        " SELECT /*+ REPARTITION_BY_RANGE(8, d) */ * FROM (" +
+        " SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, o_totalprice" +
+        " FROM orders)")
+    try {
+      val total = spark.table(t).count()
+      val hit = spark.table(t).filter(
+        "d >= DATE '1996-01-01' AND d < DATE '1996-04-01'").count()
+      assert(hit > 0, "fixture window must contain rows")
+      val stats = Engine.sql(spark,
+        s"DELETE FROM $t WHERE d >= DATE '1996-01-01'" +
+          " AND d < DATE '1996-04-01'").collect()(0)
+      assert(stats.getLong(1) >= 1 && stats.getLong(1) < stats.getLong(0),
+        s"expected a partial DATE prune: ${stats.mkString(",")}")
+      assert(spark.table(t).count() == total - hit,
+        "pruned DATE DELETE must remove exactly the predicate's rows")
+      // string-literal spelling against the DATE column prunes too
+      val stats2 = Engine.sql(spark,
+        s"DELETE FROM $t WHERE d < '1995-06-01'").collect()(0)
+      assert(stats2.getLong(1) < stats2.getLong(0),
+        s"one-sided string DATE bound must prune: ${stats2.mkString(",")}")
     } finally Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
   }
 }
