@@ -129,10 +129,16 @@ object Engine {
       case fromFirstRe(rest) => rewriteQueryText(spark, fromFirstToSelect(rest))
       case donRe(rest) => rewriteQueryText(spark, distinctOnToWindow(rest))
       case other =>
+        // subquery bodies first (their rewritten form is what the outer
+        // shims and the REPLACE/COLUMNS schema probes must see), then
+        // the outer statement's shims, then path tables + table
+        // functions, and the literal constructors LAST so a
+        // read_parquet([…]) list is consumed as paths first
+        val sub = rewriteSubqueryBodies(spark, other)
         val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
           rewriteStarReplace(spark, rewriteColumnsFn(spark,
-            rewriteStarExclude(other))))))
-        Catalog.rewritePathTables(spark, shimmed)._1
+            rewriteStarExclude(sub))))))
+        rewriteDuckdbLiterals(Catalog.rewritePathTables(spark, shimmed)._1)
     }
   }
 
@@ -574,6 +580,97 @@ object Engine {
     val newItems = items.updated(idx, expanded.mkString(", "))
     s.substring(0, si) + "SELECT" + distinctKw + " " +
       newItems.mkString(", ") + " " + s.substring(fi)
+  }
+
+  /** DuckDB's collection LITERAL syntax → Spark's constructor functions:
+    * `[e1, e2, …]` → `array(e1, e2, …)` and `{'k': v, …}` →
+    * `named_struct('k', v, …)`. A `[` that IMMEDIATELY follows an
+    * identifier character, `)`, `]`, a backtick identifier, or a string
+    * literal is a SUBSCRIPT and stays untouched (DuckDB's own grammar
+    * needs the same adjacency to disambiguate; note the engines'
+    * subscript BASE differs — DuckDB is 1-based, Spark 0-based — so
+    * subscripts are native-Spark surface, while the `list_*` compat
+    * functions carry DuckDB's 1-based access semantics). Struct-literal
+    * colons swap to argument commas only at the struct's own nesting
+    * level; `::` cast syntax (valid in both engines) passes through.
+    * Pure text rewrite, idempotent (the output contains no `[`/`{` in
+    * literal position), applied AFTER the table-function route so a
+    * `read_parquet([…])` list is consumed as paths, not expressions. */
+  private[engine] def rewriteDuckdbLiterals(s: String): String = {
+    val (codeAt, _) = codeMask(s)
+    if (!s.exists(c => c == '[' || c == '{')) return s
+    val sb = new StringBuilder
+    // stack of open constructs: 'L' converted list, 'S' struct,
+    // 'X' subscript bracket (untouched), 'P' paren
+    val stack = scala.collection.mutable.Stack.empty[Char]
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (!codeAt(i)) { sb.append(ch); i += 1 }
+      else ch match {
+        case '(' => stack.push('P'); sb.append(ch); i += 1
+        case ')' =>
+          if (stack.headOption.contains('P')) stack.pop()
+          sb.append(ch); i += 1
+        case '[' =>
+          val prev = if (i > 0) s.charAt(i - 1) else ' '
+          val isSubscript = prev.isLetterOrDigit || prev == '_' ||
+            prev == ')' || prev == ']' || prev == '`' || prev == '\''
+          if (isSubscript) { stack.push('X'); sb.append(ch) }
+          else { stack.push('L'); sb.append("array(") }
+          i += 1
+        case ']' =>
+          val top = if (stack.nonEmpty) stack.pop() else 'X'
+          sb.append(if (top == 'L') ")" else "]")
+          i += 1
+        case '{' => stack.push('S'); sb.append("named_struct("); i += 1
+        case '}' =>
+          if (stack.headOption.contains('S')) stack.pop()
+          sb.append(')'); i += 1
+        case ':' if i + 1 < s.length && s.charAt(i + 1) == ':' =>
+          sb.append("::"); i += 2 // cast syntax, both engines
+        case ':' if stack.headOption.contains('S') =>
+          sb.append(','); i += 1
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Apply the dialect rewrites to parenthesized SUBQUERY bodies — CTE
+    * definitions, derived tables, IN/EXISTS/scalar subqueries: any
+    * depth-1 paren group whose content opens like a query re-enters the
+    * text pipeline (`rewriteQueryText`), innermost groups first via
+    * recursion. This is what lets a QUALIFY / DISTINCT ON / FROM-first /
+    * ASOF sit inside `WITH c AS (…)` or a derived table, not only at
+    * statement level. Groups that do not open like a query (function
+    * arguments, column lists) are descended for nested groups but
+    * otherwise untouched. */
+  private def rewriteSubqueryBodies(
+      spark: SparkSession, s: String): String = {
+    if (!s.exists(_ == '(')) return s
+    val (codeAt, depth) = codeMask(s)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (codeAt(i) && s.charAt(i) == '(' && depth(i) == 0) {
+        var j = i + 1
+        while (j < s.length &&
+          !(codeAt(j) && s.charAt(j) == ')' && depth(j) == 1)) j += 1
+        if (j >= s.length) { // unbalanced — leave for Spark's parser
+          sb.append(s.substring(i)); i = s.length
+        } else {
+          val content = s.substring(i + 1, j)
+          val inner =
+            if (content.trim.matches("(?is)^(SELECT|WITH|VALUES|FROM)\\b.*"))
+              rewriteQueryText(spark, content)
+            else rewriteSubqueryBodies(spark, content)
+          sb.append('(').append(inner).append(')')
+          i = j + 1
+        }
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 
   /** `COLUMNS('regex')` — DuckDB's regex column selector (its signature

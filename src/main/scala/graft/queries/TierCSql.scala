@@ -817,6 +817,33 @@ object TierCSql {
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
       .getOrElse("/root/testdata/sf0.01")
 
+  // DuckDB collection literals routed (round 17): `[…]` list and
+  // `{'k': v}` struct literal syntax rewrite to Spark's array /
+  // named_struct constructors (`Engine.rewriteDuckdbLiterals` — pure
+  // text, subscripts excluded by the adjacency rule), so the IDENTICAL
+  // text runs on both engines, including the parenthesized struct
+  // field access both grammars share. Scalar outputs only — the hash
+  // compare stays type-flat.
+  val listStructLits: String =
+    """WITH v AS (SELECT unnest([10, 20, 30]) AS n)
+      |SELECT n, CAST(list_contains(['A', 'R'], 'R') AS INT) AS has_r,
+      |  ({'q': n * 2}).q AS q
+      |FROM v ORDER BY n""".stripMargin
+
+  // QUALIFY inside a CTE body (round 17): the router now re-enters the
+  // dialect pipeline for parenthesized subquery bodies
+  // (`Engine.rewriteSubqueryBodies`), so the clause works where a
+  // migrating user's saved queries actually carry it — CTE definitions
+  // and derived tables — not only at statement level. IDENTICAL text on
+  // both engines; o_orderkey unique ⇒ deterministic ranks.
+  val cteQualify: String =
+    """WITH top AS (
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+      |  QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice DESC, o_orderkey) <= 2)
+      |SELECT o_orderstatus, o_orderkey, o_totalprice FROM top
+      |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin
+
   // COLUMNS('regex') routed (round 17): DuckDB's regex column selector,
   // desugared by the engine against the FROM relation's analyzed schema
   // (`Engine.rewriteColumnsFn` — unanchored search, declaration order),
@@ -860,6 +887,8 @@ object TierCSql {
     "c_sql_order_by_all" -> q(orderByAll),
     "c_sql_read_fn" -> ((s, dir) => Engine.sql(views(s, dir), readFnSql(dir))),
     "c_sql_columns" -> q(columnsFn),
+    "c_sql_list_struct" -> q(listStructLits),
+    "c_sql_cte_qualify" -> q(cteQualify),
     "c_sql_select" -> q(sqlSelect),
     "c_join_full" -> q(joinFull),
     "c_setop_except_all" -> q(setopExceptAll),
@@ -913,6 +942,8 @@ object TierCSql {
     "c_sql_order_by_all" -> orderByAll,
     "c_sql_read_fn" -> readFnSql(sfDirForOracle), // IDENTICAL text — native fn
     "c_sql_columns" -> columnsFn, // IDENTICAL text — native COLUMNS
+    "c_sql_list_struct" -> listStructLits, // IDENTICAL text — native literals
+    "c_sql_cte_qualify" -> cteQualify, // IDENTICAL text — native QUALIFY
     "c_sql_select" -> sqlSelect,
     "c_join_full" -> joinFull,
     "c_setop_except_all" -> setopExceptAll,

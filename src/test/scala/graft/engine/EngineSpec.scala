@@ -676,6 +676,54 @@ class EngineSpec extends AnyFunSuite {
       cols.mkString(","))
   }
 
+  test("DuckDB list/struct literals rewrite to array/named_struct") {
+    val r = Engine.sql(spark,
+      "SELECT [1, 2, 3] AS l, {'a': 1::BIGINT, 'b': 'x'} AS s," +
+        " ({'q': 7}).q AS q, list_contains(['A', 'R'], 'R') AS c")
+      .collect()(0)
+    assert(r.getSeq[Int](0) == Seq(1, 2, 3))
+    assert(r.getStruct(1).getLong(0) == 1L &&
+      r.getStruct(1).getString(1) == "x")
+    assert(r.getInt(2) == 7)
+    assert(r.getBoolean(3))
+    // adjacent brackets are subscripts — native Spark surface, untouched
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_lit AS" +
+        " SELECT array(10, 20) AS arr")
+    assert(Engine.sql(spark, "SELECT arr[0] AS h FROM engine_spec_lit")
+      .collect()(0).getInt(0) == 10)
+    // nested literals, and bracket text inside strings stays text
+    val nested = Engine.sql(spark,
+      "SELECT {'p': [1, 2], 'q': {'r': 3}} AS n").collect()(0).getStruct(0)
+    assert(nested.getSeq[Int](0) == Seq(1, 2))
+    assert(nested.getStruct(1).getInt(0) == 3)
+    assert(Engine.sql(spark, "SELECT '[1,2]' AS t").collect()(0)
+      .getString(0) == "[1,2]")
+  }
+
+  test("dialect shims apply inside CTE and subquery bodies") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_sub AS" +
+        " SELECT id % 3 AS g, id AS v FROM range(30)")
+    // QUALIFY inside a CTE body
+    val rows = Engine.sql(spark,
+      "WITH top AS (SELECT g, v FROM engine_spec_sub QUALIFY" +
+        " row_number() OVER (PARTITION BY g ORDER BY v DESC) = 1)" +
+        " SELECT g, v FROM top ORDER BY g").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((0L, 27L), (1L, 28L), (2L, 29L)))
+    // DISTINCT ON inside a derived table
+    val don = Engine.sql(spark,
+      "SELECT COUNT(*) AS n FROM (SELECT DISTINCT ON (g) g, v" +
+        " FROM engine_spec_sub ORDER BY g, v DESC) d").collect()(0).getLong(0)
+    assert(don == 3L)
+    // FROM-first as a derived table
+    val ff = Engine.sql(spark,
+      "SELECT COUNT(*) AS n FROM (FROM engine_spec_sub WHERE v >= 10) f")
+      .collect()(0).getLong(0)
+    assert(ff == 20L)
+  }
+
   test("COLUMNS('regex') desugars to the matching columns in order") {
     Engine.exec(spark,
       "CREATE OR REPLACE TEMPORARY VIEW engine_spec_cols AS " +
