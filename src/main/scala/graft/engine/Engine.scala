@@ -30,9 +30,39 @@ object Engine {
     val trimmed = statement.trim.stripSuffix(";").trim
     val summarizeRe = "(?is)^SUMMARIZE\\s+(.+)$".r
     val describeSelRe = "(?is)^DESCRIBE\\s+(SELECT\\b.+)$".r
+    val describePathRe = "(?is)^DESCRIBE\\s+'([^']+)'$".r
     trimmed match {
       case summarizeRe(target) => summarize(sqlTarget(spark, target))
       case describeSelRe(sel) => describe(sql(spark, sel))
+      case describePathRe(path) =>
+        // DESCRIBE 'file.parquet' — DuckDB describes a path table like
+        // any relation; route through the quoted-path rewrite so every
+        // supported format works (still driver-side metadata, no job)
+        describe(sqlTarget(spark, s"'$path'"))
+      case txnNoopRe() =>
+        // BEGIN/COMMIT/END: DuckDB scripts bracket work in transactions;
+        // this engine auto-commits each statement, and starting/closing
+        // a transaction that contains only auto-committed statements is
+        // a no-op — SEMANTICS differ only at ROLLBACK, which refuses
+        // below instead of silently not rolling back
+        spark.emptyDataFrame
+      case rollbackRe() =>
+        throw new IllegalArgumentException(
+          "ROLLBACK is not supported: statements auto-commit (no" +
+            " transaction log) — a rollback promise cannot be honored")
+      case createIndexRe(unique, name) =>
+        // CREATE INDEX is a physical-layout hint DuckDB users carry in
+        // schema scripts; Spark has no index objects and the engine's
+        // analog (footer-stats pruning over clustered layouts) needs no
+        // declaration — a plain index no-ops so migrating scripts run.
+        // UNIQUE refuses: it promises a CONSTRAINT this engine cannot
+        // enforce, and silently dropping a constraint is wrongness.
+        if (unique != null) throw new IllegalArgumentException(
+          s"CREATE UNIQUE INDEX $name: uniqueness constraints are not" +
+            " enforced by this engine — validate with a COUNT(*) vs" +
+            " COUNT(DISTINCT key) check instead")
+        spark.emptyDataFrame
+      case dropIndexRe() => spark.emptyDataFrame
       case deleteRe(table, where) => runDelete(spark, table, Option(where))
       case updateRe(table, blob) =>
         // the SET list may carry WHERE inside a string literal
@@ -661,10 +691,16 @@ object Engine {
           sb.append(s.substring(i)); i = s.length
         } else {
           val content = s.substring(i + 1, j)
-          val inner =
-            if (content.trim.matches("(?is)^(SELECT|WITH|VALUES|FROM)\\b.*"))
+          val pivotRe = "(?is)^PIVOT\\s+(.+)$".r
+          val inner = content.trim match {
+            case pivotRe(rest) =>
+              // DuckDB allows the PIVOT STATEMENT as a table expression
+              // — substitute the SQL it desugars to in place
+              rewriteQueryText(spark, pivotStatementSql(spark, rest))
+            case q if q.matches("(?is)^(SELECT|WITH|VALUES|FROM)\\b.*") =>
               rewriteQueryText(spark, content)
-            else rewriteSubqueryBodies(spark, content)
+            case _ => rewriteSubqueryBodies(spark, content)
+          }
           sb.append('(').append(inner).append(')')
           i = j + 1
         }
@@ -772,6 +808,16 @@ object Engine {
     ("(?is)^CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)(.*)$").r
 
+  // transaction brackets and index DDL — migrating-script surface
+  private val txnNoopRe =
+    "(?is)^(?:BEGIN(?:\\s+TRANSACTION)?|COMMIT|END(?:\\s+TRANSACTION)?)\\s*$".r
+  private val rollbackRe = "(?is)^(?:ROLLBACK|ABORT)\\b.*$".r
+  private val createIndexRe =
+    ("(?is)^CREATE\\s+(UNIQUE\\s+)?INDEX\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([A-Za-z_]\\w*)\\s+ON\\b.*$").r
+  private val dropIndexRe =
+    "(?is)^DROP\\s+INDEX\\s+(?:IF\\s+EXISTS\\s+)?[A-Za-z_]\\w*\\s*$".r
+
   // PIVOT <table> ON <col> USING <agg>(<operand>) [GROUP BY <cols>]
   // [ORDER BY …] [LIMIT …] — DuckDB's dynamic-pivot STATEMENT (delegated
   // surface; `c_pivot_dynamic` witnesses the DataFrame-side mechanism).
@@ -790,7 +836,18 @@ object Engine {
   private val pivotStmtRe = "(?is)^PIVOT\\s+(.+)$".r
 
   private def runPivotStatement(
-      spark: SparkSession, rest: String): DataFrame = {
+      spark: SparkSession, rest: String): DataFrame =
+    sql(spark, pivotStatementSql(spark, rest))
+
+  /** The routed PIVOT statement as the Spark SQL text it desugars to —
+    * separated from execution so a parenthesized `(PIVOT …)` SUBQUERY
+    * (DuckDB allows the statement as a table expression) can substitute
+    * the text in place via `rewriteSubqueryBodies`. Key-domain
+    * discovery runs HERE (one DISTINCT pass at rewrite time — dynamic
+    * pivot's documented cost; the output schema depends on data either
+    * way). */
+  private def pivotStatementSql(
+      spark: SparkSession, rest: String): String = {
     def cutAt(s: String, kw: String): (String, String) =
       firstTopLevelKeyword(s, Seq(kw)) match {
         case Some(i) =>
@@ -891,7 +948,7 @@ object Engine {
         }
         s"SELECT ${(gcols ++ keyCols).mkString(", ")} FROM $pivoted"
       } else s"SELECT * FROM $pivoted"
-    sql(spark, s"$outer\n$trailing")
+    s"$outer\n$trailing"
   }
 
   // SELECT DISTINCT ON (keys) list FROM … — the DuckDB/Postgres

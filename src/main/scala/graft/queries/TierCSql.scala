@@ -321,6 +321,17 @@ object TierCSql {
       |  l_returnflag FROM lineitem)
       |ON l_returnflag USING COUNT(*) ORDER BY l_linestatus, qb""".stripMargin
 
+  // PIVOT as a parenthesized table expression (round 17): DuckDB allows
+  // the PIVOT statement in subquery position; the engine substitutes
+  // the SQL the statement desugars to in place
+  // (`Engine.rewriteSubqueryBodies` + `pivotStatementSql`), so the
+  // IDENTICAL text runs on both engines, with an outer projection
+  // consuming the generated key columns.
+  val pivotSubq: String =
+    """SELECT l_linestatus, A + R AS ar FROM
+      |(PIVOT lineitem ON l_returnflag USING COUNT(*) GROUP BY l_linestatus) p
+      |ORDER BY l_linestatus""".stripMargin
+
   // SELECT * EXCLUDE / REPLACE — DuckDB's star-modifier sugar (the second
   // dialect convenience a reference user types daily, next to QUALIFY).
   // Spark has no star modifiers, so the engine-side translation is the
@@ -876,6 +887,7 @@ object TierCSql {
     "c_sql_distinct_on" -> q(distinctOnRouted),
     "c_sql_pivot_stmt" -> q(pivotStmt),
     "c_sql_pivot_implicit" -> q(pivotImplicit),
+    "c_sql_pivot_subq" -> q(pivotSubq),
     "c_sql_exclude_replace" -> q(excludeReplaceOracle), // IDENTICAL text — routed r16
     "c_sql_exclude_routed" -> q(excludeRouted),
     "c_sql_sample_routed" -> q(sampleRouted),
@@ -931,6 +943,7 @@ object TierCSql {
     "c_sql_distinct_on" -> distinctOnRouted, // IDENTICAL text — native DISTINCT ON
     "c_sql_pivot_stmt" -> pivotStmt, // IDENTICAL text — native PIVOT statement
     "c_sql_pivot_implicit" -> pivotImplicit, // IDENTICAL text — implicit keys
+    "c_sql_pivot_subq" -> pivotSubq, // IDENTICAL text — PIVOT as subquery
     "c_sql_exclude_replace" -> excludeReplaceOracle,
     "c_sql_exclude_routed" -> excludeRouted, // IDENTICAL text — shimmed keyword
     "c_sql_sample_routed" -> sampleRouted, // IDENTICAL text — 100% sample

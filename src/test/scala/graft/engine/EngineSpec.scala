@@ -676,6 +676,50 @@ class EngineSpec extends AnyFunSuite {
       cols.mkString(","))
   }
 
+  test("DESCRIBE 'path' routes to engine describe like DuckDB") {
+    val dir = java.nio.file.Files.createTempDirectory("engine_spec_dp")
+    java.nio.file.Files.writeString(dir.resolve("d.csv"), "a,b\n1,x\n")
+    val rows = Engine.sql(spark, s"DESCRIBE '$dir/d.csv'").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+  }
+
+  test("transaction brackets no-op; ROLLBACK refuses") {
+    // a migrating script's BEGIN/COMMIT wrap runs; the statements
+    // in between auto-commit
+    val out = Engine.runScript(spark,
+      """BEGIN TRANSACTION;
+        |CREATE OR REPLACE TEMPORARY VIEW engine_spec_txn AS SELECT 4 AS x;
+        |COMMIT;
+        |SELECT x FROM engine_spec_txn;""".stripMargin)
+    assert(out.get.collect()(0).getInt(0) == 4)
+    // ROLLBACK cannot be honored (no transaction log) — loud refusal
+    assertThrows[IllegalArgumentException](Engine.sql(spark, "ROLLBACK"))
+  }
+
+  test("CREATE INDEX no-ops; UNIQUE INDEX refuses; DROP INDEX no-ops") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_idx AS SELECT 1 AS k")
+    Engine.exec(spark, "CREATE INDEX idx_k ON engine_spec_idx (k)")
+    Engine.exec(spark, "DROP INDEX IF EXISTS idx_k")
+    // a UNIQUE index promises a constraint this engine can't enforce
+    assertThrows[IllegalArgumentException](Engine.sql(spark,
+      "CREATE UNIQUE INDEX u_k ON engine_spec_idx (k)"))
+  }
+
+  test("PIVOT statements work as parenthesized table expressions") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_pivsub AS " +
+        "SELECT CAST(id % 2 AS STRING) AS g, " +
+        "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS k, id AS v " +
+        "FROM range(12)")
+    val df = Engine.sql(spark,
+      "SELECT g, a + b AS total FROM " +
+        "(PIVOT engine_spec_pivsub ON k USING COUNT(*) GROUP BY g) p " +
+        "ORDER BY g")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("0", 6L), ("1", 6L)))
+  }
+
   test("DuckDB list/struct literals rewrite to array/named_struct") {
     val r = Engine.sql(spark,
       "SELECT [1, 2, 3] AS l, {'a': 1::BIGINT, 'b': 'x'} AS s," +
