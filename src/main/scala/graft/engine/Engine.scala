@@ -76,6 +76,17 @@ object Engine {
       case ins if insertConflictSplit(ins).isDefined =>
         val (table, body, keys, doUpdate) = insertConflictSplit(ins).get
         runUpsert(spark, table, body, keys, doUpdate)
+      case insertOrRe(kind) =>
+        // DuckDB's INSERT OR REPLACE/IGNORE shorthand resolves the key
+        // from the table's unique index — metadata this engine doesn't
+        // keep, so guessing a key would silently upsert on the wrong
+        // one; the refusal names the explicit spelling that does route
+        throw new IllegalArgumentException(
+          s"INSERT OR ${kind.toUpperCase} needs index metadata this" +
+            " engine does not keep — name the key explicitly:" +
+            " INSERT ... ON CONFLICT (keys) DO " +
+            (if (kind.equalsIgnoreCase("REPLACE")) "UPDATE SET col =" +
+              " EXCLUDED.col, ..." else "NOTHING"))
       case copyFromRe(table, path, opts) =>
         runCopyFrom(spark, table, path, Option(opts))
       case copyRe(src, path, opts) => runCopy(spark, src, path, Option(opts))
@@ -167,7 +178,7 @@ object Engine {
         val sub = rewriteSubqueryBodies(spark, other)
         val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
           rewriteStarReplace(spark, rewriteColumnsFn(spark,
-            rewriteStarExclude(sub))))))
+            rewriteSimilarTo(rewriteStarExclude(sub)))))))
         rewriteDuckdbLiterals(Catalog.rewritePathTables(spark, shimmed)._1)
     }
   }
@@ -612,6 +623,51 @@ object Engine {
       newItems.mkString(", ") + " " + s.substring(fi)
   }
 
+  /** `expr [NOT] SIMILAR TO 'pattern'` → `expr [NOT] RLIKE
+    * '^(?:pattern)$'` — the SQL-standard regex predicate (DuckDB/
+    * Postgres surface). SIMILAR TO matches the ENTIRE string, RLIKE
+    * searches, so the pattern anchors inside a non-capturing group.
+    * Only the literal-pattern form routes (the anchoring happens in
+    * text); a computed pattern stays for Spark's parser to refuse
+    * loudly. Comment/quote-aware via the shared scanner. */
+  private[engine] def rewriteSimilarTo(s: String): String = {
+    if (!"(?is)^.*\\bSIMILAR\\s+TO\\b.*$".r.matches(s)) return s
+    val (codeAt, _) = codeMask(s)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val matched =
+        codeAt(i) && s.regionMatches(true, i, "SIMILAR", 0, 7) &&
+          (i == 0 || s.charAt(i - 1).isWhitespace) && {
+            var j = i + 7
+            val boundary = j >= s.length || s.charAt(j).isWhitespace
+            while (j < s.length && s.charAt(j).isWhitespace) j += 1
+            boundary && s.regionMatches(true, j, "TO", 0, 2) && {
+              var k = j + 2
+              while (k < s.length && s.charAt(k).isWhitespace) k += 1
+              if (k < s.length && s.charAt(k) == '\'') {
+                // consume the literal (with '' escapes)
+                val litStart = k
+                k += 1
+                var open = true
+                while (k < s.length && open) {
+                  if (s.charAt(k) == '\'' &&
+                    k + 1 < s.length && s.charAt(k + 1) == '\'') k += 2
+                  else if (s.charAt(k) == '\'') { open = false; k += 1 }
+                  else k += 1
+                }
+                val body = s.substring(litStart + 1, k - 1)
+                sb.append("RLIKE '^(?:").append(body).append(")$'")
+                i = k
+                true
+              } else false
+            }
+          }
+      if (!matched) { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** DuckDB's collection LITERAL syntax → Spark's constructor functions:
     * `[e1, e2, …]` → `array(e1, e2, …)` and `{'k': v, …}` →
     * `named_struct('k', v, …)`. A `[` that IMMEDIATELY follows an
@@ -807,6 +863,9 @@ object Engine {
   private val corTableRe =
     ("(?is)^CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)(.*)$").r
+
+  private val insertOrRe =
+    "(?is)^INSERT\\s+OR\\s+(REPLACE|IGNORE)\\s+INTO\\b.*$".r
 
   // transaction brackets and index DDL — migrating-script surface
   private val txnNoopRe =

@@ -125,6 +125,44 @@ object DuckdbCompat {
       val args = arity("array_to_string", 2)(args0)
       ArrayJoin(args(0), args(1), None)
     },
+    // len on strings (DuckDB's most common spelling); a list argument
+    // fails type-checking loudly — use array_length for lists
+    "len" -> { args0 =>
+      val args = arity("len", 1)(args0)
+      Length(args(0))
+    },
+    "array_length" -> { args0 =>
+      val args = arity("array_length", 1)(args0)
+      Size(args(0))
+    },
+    "starts_with" -> { args0 =>
+      val args = arity("starts_with", 2)(args0)
+      StartsWith(args(0), args(1))
+    },
+    "ends_with" -> { args0 =>
+      val args = arity("ends_with", 2)(args0)
+      EndsWith(args(0), args(1))
+    },
+    "list_append" -> { args0 =>
+      val args = arity("list_append", 2)(args0)
+      ArrayAppend(args(0), args(1))
+    },
+    "list_prepend" -> { args0 =>
+      // DuckDB's argument order is (element, list)
+      val args = arity("list_prepend", 2)(args0)
+      ArrayPrepend(args(1), args(0))
+    },
+    "list_concat" -> { args0 =>
+      require(args0.size >= 2, "list_concat takes 2+ lists")
+      Concat(args0)
+    },
+    // DuckDB list_slice is 1-based with an INCLUSIVE end; Spark's slice
+    // takes (start, length) — length = end - begin + 1
+    "list_slice" -> { args0 =>
+      val args = arity("list_slice", 3)(args0)
+      Slice(args(0), args(1),
+        Add(Subtract(args(2), args(1)), Literal(1)))
+    },
     "regexp_matches" -> { args0 =>
       val args = arity("regexp_matches", 2)(args0)
       RLike(args(0), args(1))

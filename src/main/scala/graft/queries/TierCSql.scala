@@ -402,6 +402,29 @@ object TierCSql {
       |  epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
       |FROM events ORDER BY event_id LIMIT 500""".stripMargin
 
+  // String/list breadth pack (round 17, `DuckdbCompat` additions):
+  // len / array_length / starts_with / ends_with / list_append /
+  // list_prepend / list_concat / list_slice as native Catalyst
+  // expressions (list_slice with DuckDB's 1-based inclusive-end
+  // semantics via the start/length shift; list_prepend with DuckDB's
+  // (element, list) argument order), plus the SIMILAR TO predicate
+  // rewritten to an anchored RLIKE (`Engine.rewriteSimilarTo` — the
+  // standard's entire-string match over Spark's search semantics).
+  // IDENTICAL text on both engines; counts CAST to BIGINT because the
+  // engines' native width for len/array_length differs.
+  val duckdbStrFns: String =
+    """SELECT doc_id,
+      |  CAST(len(text) AS BIGINT) AS n,
+      |  CAST(starts_with(text, 'The') AS INT) AS st,
+      |  CAST(ends_with(text, '.') AS INT) AS en,
+      |  CAST(text SIMILAR TO '.*data.*' AS INT) AS has_data,
+      |  CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  array_to_string(list_slice(string_split(text, ' '), 1, 2), '_')
+      |    AS first2,
+      |  array_to_string(list_concat(list_prepend('a', ['b']),
+      |    list_append(['c'], 'd')), ',') AS lc
+      |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+
   // generate_series / unnest (round 16, `DuckdbCompat`): DuckDB's
   // inclusive-end series table function maps onto Spark's native Range
   // leaf (bound shifted one step-sign), and select-position unnest maps
@@ -894,6 +917,7 @@ object TierCSql {
     "c_sql_asof" -> q(asofRouted),
     "c_sql_duckdb_list_fns" -> q(duckdbListFns),
     "c_sql_duckdb_time_fns" -> q(duckdbTimeFns),
+    "c_sql_duckdb_str_fns" -> q(duckdbStrFns),
     "c_sql_series_unnest" -> q(seriesUnnest),
     "c_sql_window_named" -> q(windowNamed),
     "c_sql_order_by_all" -> q(orderByAll),
@@ -950,6 +974,7 @@ object TierCSql {
     "c_sql_asof" -> asofRouted, // IDENTICAL text — native ASOF JOIN
     "c_sql_duckdb_list_fns" -> duckdbListFns, // IDENTICAL text — native fns
     "c_sql_duckdb_time_fns" -> duckdbTimeFns, // IDENTICAL text — native fns
+    "c_sql_duckdb_str_fns" -> duckdbStrFns, // IDENTICAL text — native fns
     "c_sql_series_unnest" -> seriesUnnest, // IDENTICAL text — native fns
     "c_sql_window_named" -> windowNamed,
     "c_sql_order_by_all" -> orderByAll,

@@ -720,6 +720,28 @@ class EngineSpec extends AnyFunSuite {
     assert(rows == Seq(("0", 6L), ("1", 6L)))
   }
 
+  test("SIMILAR TO rewrites to an anchored RLIKE") {
+    // SIMILAR TO matches the ENTIRE string; RLIKE searches — the shim
+    // must anchor
+    val r = Engine.sql(spark,
+      "SELECT 'spark' SIMILAR TO 'sp.*' AS a," +
+        " 'spark' SIMILAR TO 'par' AS b," +
+        " 'spark' NOT SIMILAR TO 'par' AS c").collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2))
+    // inert inside string literals and comments
+    assert(Engine.sql(spark, "SELECT 'x SIMILAR TO y' AS s")
+      .collect()(0).getString(0) == "x SIMILAR TO y")
+  }
+
+  test("INSERT OR REPLACE/IGNORE refuse naming the ON CONFLICT spelling") {
+    val e = intercept[IllegalArgumentException](Engine.sql(spark,
+      "INSERT OR REPLACE INTO t VALUES (1)"))
+    assert(e.getMessage.contains("ON CONFLICT"))
+    val e2 = intercept[IllegalArgumentException](Engine.sql(spark,
+      "INSERT OR IGNORE INTO t VALUES (1)"))
+    assert(e2.getMessage.contains("DO NOTHING"))
+  }
+
   test("DuckDB list/struct literals rewrite to array/named_struct") {
     val r = Engine.sql(spark,
       "SELECT [1, 2, 3] AS l, {'a': 1::BIGINT, 'b': 'x'} AS s," +

@@ -49,6 +49,21 @@ class DuckdbCompatSpec extends AnyFunSuite {
     assert(one("SELECT regexp_matches('abc123', '[0-9]+')") == true)
   }
 
+  test("string/list breadth aliases map to the native expressions") {
+    assert(one("SELECT len('abcd')") == 4)
+    assert(one("SELECT array_length(array(7, 8, 9))") == 3)
+    assert(one("SELECT starts_with('spark', 'sp')") == true)
+    assert(one("SELECT ends_with('spark', 'rk')") == true)
+    assert(one("SELECT list_append(array(1, 2), 3)") == Seq(1, 2, 3))
+    // DuckDB's list_prepend takes (element, list)
+    assert(one("SELECT list_prepend(0, array(1, 2))") == Seq(0, 1, 2))
+    assert(one("SELECT list_concat(array(1), array(2, 3))") ==
+      Seq(1, 2, 3))
+    // list_slice is 1-based with an INCLUSIVE end
+    assert(one("SELECT list_slice(array(10, 20, 30, 40), 2, 3)") ==
+      Seq(20, 30))
+  }
+
   test("epoch_us / epoch_ms / strftime translate the time spellings") {
     assert(one("SELECT epoch_us(TIMESTAMP '2024-01-01 00:00:01')") ==
       1704067201000000L)

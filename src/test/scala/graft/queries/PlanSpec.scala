@@ -45,6 +45,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("c_sql_read_fn: the table-function view prunes columns and top-ks") {
+    // the routed read_parquet([...]) call must behave like any scan:
+    // the 4 selected columns reach ReadSchema, nothing else is read,
+    // and ORDER BY + LIMIT plans as TakeOrderedAndProject
+    val p = planOf(TierCSql.queries("c_sql_read_fn")(spark, dir))
+    assert(p.contains("l_extendedprice") && p.contains("l_returnflag"), p)
+    assert(!p.contains("l_partkey"),
+      s"read_parquet view must not read unreferenced columns:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("c_sql_columns: the COLUMNS desugar prunes to the matched set") {
+    val p = planOf(TierCSql.queries("c_sql_columns")(spark, dir))
+    assert(p.contains("l_extendedprice") && p.contains("l_tax"), p)
+    assert(!p.contains("l_discount"),
+      s"COLUMNS('regex') must prune unmatched columns from the scan:\n$p")
+  }
+
   test("c_join_theta: non-equi join broadcasts the constant band dim") {
     val p = planOf(TierC.joinTheta(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin"), p)
