@@ -231,16 +231,22 @@ object Dml {
       overlapping(_, pruneCol, loMicros, hiMicros),
       source, srcKeys, setCols)
 
-  /** The UNPRUNED merge — every data file is a matched-branch candidate.
-    * This backs the engine's routed `MERGE INTO` statement (an arbitrary
-    * user merge carries no prune range); the range-pruned `mergeInto` is
-    * the optimized API. The insert branch still key-prunes (below) —
-    * that prune derives from the SOURCE's key span, which the statement
-    * does carry. */
+  /** The statement-routed merge — no user-supplied prune range, but the
+    * matched branch still KEY-PRUNES from the source itself: a target
+    * file whose footer [min,max] on the head key misses the source's
+    * key span cannot contain a matched row, so it is never opened, let
+    * alone rewritten (sound for the same reason `insertCheckFiles` is —
+    * matched ⇒ key ∈ source span ⇒ file range overlaps). On a
+    * key-clustered layout a day's upserts rewrite a handful of files,
+    * not the table — the shape a 100 TB MERGE must have. Non-INT64
+    * head keys fall back to the full rewrite (the stats fold reads
+    * integer statistics); the range-pruned `mergeInto` remains the
+    * explicit-range API. */
   def mergeIntoAll(
       spark: SparkSession, path: String, source: DataFrame,
       srcKeys: Seq[String], setCols: Seq[String]): Stats =
-    mergeCore(spark, path, identity, source, srcKeys, setCols)
+    mergeCore(spark, path, identity, source, srcKeys, setCols,
+      pruneMatchedBySpan = true)
 
   /** INSERT-if-absent (the `ON CONFLICT DO NOTHING` upsert): only the
     * WHEN-NOT-MATCHED branch runs — source rows whose keys exist in the
@@ -273,7 +279,8 @@ object Dml {
       spark: SparkSession, path: String,
       affectedSel: Seq[Path] => Seq[Path],
       sourceIn: DataFrame, srcKeysIn: Seq[String],
-      setColsIn: Seq[String]): Stats = {
+      setColsIn: Seq[String],
+      pruneMatchedBySpan: Boolean = false): Stats = {
     // Pin the SOURCE to a snapshot before any file is touched: the merge
     // evaluates it several times (uniqueness guard, matched-branch
     // broadcast, key span, insert anti-join), and the middle of those
@@ -313,7 +320,39 @@ object Dml {
       if (srcKeys.contains(c)) d else d.withColumnRenamed(c, s"_src_$c")
     }.withColumn("_src_hit", lit(true))
     val files = dataFiles(Paths.get(path))
-    val stats = rewriteFiles(spark, path, files, affectedSel(files)) { df =>
+    // target schema + head key resolve BEFORE the rewrite (footer read,
+    // no scan) — both branch prunes derive from them
+    val target = spark.read.parquet(path)
+    // name comparisons against the TARGET use its stored case too —
+    // source and target may legally disagree on identifier case
+    def isKey(c: String) = srcKeys.exists(_.equalsIgnoreCase(c))
+    def targetField(n: String) =
+      target.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"MERGE key column $n not found in the target layout"))
+    val keyField = targetField(srcKeys.head)
+    val keyCol = keyField.name
+    // the source's head-key span (one agg over the broadcast-sized
+    // source); (1, 0) encodes an EMPTY source — no file can match it
+    val spanOpt: Option[(Long, Long)] = keyField.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val span = source.agg(
+          min(col(srcKeys.head)).cast("long"),
+          max(col(srcKeys.head)).cast("long")).head()
+        if (span.isNullAt(0)) Some((1L, 0L))
+        else Some((span.getLong(0), span.getLong(1)))
+      case _ => None
+    }
+    def spanPrune(fs: Seq[Path]): Option[Seq[Path]] = spanOpt.map {
+      case (lo, hi) =>
+        if (lo > hi) Seq.empty else insertCheckFiles(fs, keyCol, lo, hi)
+    }
+    // matched branch: a file whose head-key footer range misses the
+    // source's key span cannot contain a matched row — skip it
+    val affected =
+      if (pruneMatchedBySpan) spanPrune(files).getOrElse(affectedSel(files))
+      else affectedSel(files)
+    val stats = rewriteFiles(spark, path, files, affected) { df =>
       val joined = df.join(broadcast(renamed), srcKeys, "left")
       val matched = col("_src_hit").isNotNull
       val updated = setCols.foldLeft(joined) { (d, name) =>
@@ -335,27 +374,10 @@ object Dml {
     // out-of-range target row must not duplicate — but only files whose
     // head-key footer range overlaps the source's key span are READ: on
     // a key-clustered layout a day's upserts open a handful of files,
-    // not the table. Schema comes from the layout footer, no scan.)
-    val target = spark.read.parquet(path)
-    // name comparisons against the TARGET use its stored case too —
-    // source and target may legally disagree on identifier case
-    def isKey(c: String) = srcKeys.exists(_.equalsIgnoreCase(c))
-    def targetField(n: String) =
-      target.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
-        throw new IllegalArgumentException(
-          s"MERGE key column $n not found in the target layout"))
-    val keyField = targetField(srcKeys.head)
-    val keyCol = keyField.name
-    val candidates = keyField.dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        val span = source.agg(
-          min(col(srcKeys.head)).cast("long"),
-          max(col(srcKeys.head)).cast("long")).head()
-        if (span.isNullAt(0)) Seq.empty // empty source: nothing to insert
-        else insertCheckFiles(dataFiles(Paths.get(path)), keyCol,
-          span.getLong(0), span.getLong(1))
-      case _ => dataFiles(Paths.get(path))
-    }
+    // not the table. The POST-rewrite listing — the rewrite replaced
+    // the affected files under new names.)
+    val candidates = spanPrune(dataFiles(Paths.get(path)))
+      .getOrElse(dataFiles(Paths.get(path)))
     val targetKeys =
       if (candidates.isEmpty)
         spark.createDataFrame(

@@ -150,6 +150,30 @@ class DmlSpec extends AnyFunSuite {
     assertSameRows(path, expect)
   }
 
+  test("mergeIntoAll key-prunes the MATCHED branch from the source span") {
+    // layout clustered by the merge KEY: a narrow-key source must
+    // rewrite only the files whose head-key footer range overlaps its
+    // span — the statement-routed merge's 100 TB shape (no explicit
+    // prune range, yet only a handful of files open)
+    val path = Layout.tmpRoot("dmlspec_mrgspan", dir) + s"_${System.nanoTime()}"
+    Scale.writeSorted(orig, path, "o_orderkey", 8)
+    val before = fileHashes(path)
+    val source = orig.filter(col("o_orderkey").between(100, 300))
+      .withColumn("o_orderstatus", lit("K"))
+    val stats = Dml.mergeIntoAll(spark, path, source,
+      Seq("o_orderkey"), Seq("o_orderstatus"))
+    assert(stats.nRewritten >= 1 && stats.nRewritten < stats.nFiles,
+      s"matched branch must span-prune: ${stats.nRewritten}/${stats.nFiles}")
+    val after = fileHashes(path)
+    before.keySet.intersect(after.keySet).foreach { name =>
+      assert(before(name) == after(name), s"untouched $name changed")
+    }
+    val expect = orig.withColumn("o_orderstatus",
+      when(col("o_orderkey").between(100, 300), lit("K"))
+        .otherwise(col("o_orderstatus")))
+    assertSameRows(path, expect)
+  }
+
   test("MERGE refuses a source with duplicate keys (no silent row fan-out)") {
     // SQL MERGE errors on multiple matches; the left-join translation
     // would instead multiply matched target rows — so the precondition
