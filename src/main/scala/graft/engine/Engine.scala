@@ -89,6 +89,12 @@ object Engine {
               " EXCLUDED.col, ..." else "NOTHING"))
       case copyFromRe(table, path, opts) =>
         runCopyFrom(spark, table, path, Option(opts))
+      case exportDbRe(dir, opts) =>
+        runExportDatabase(spark, dir, Option(opts))
+      case importDbRe(dir) =>
+        val script = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(dir, "load.sql"))
+        runScript(spark, script).getOrElse(spark.emptyDataFrame)
       case copyRe(src, path, opts) => runCopy(spark, src, path, Option(opts))
       case pragmaTableInfoRe(t1, t2) =>
         // PRAGMA table_info('t') — DuckDB's column-introspection one-liner;
@@ -1451,6 +1457,56 @@ object Engine {
   private val copyFromRe =
     ("(?is)^COPY\\s+([A-Za-z_]\\w*)\\s+FROM\\s+'([^']+)'" +
       "(?:\\s*\\((.*)\\))?\\s*$").r
+
+  // EXPORT DATABASE 'dir' [(FORMAT parquet|csv)] / IMPORT DATABASE 'dir'
+  // — DuckDB's whole-catalog persistence pair. The Spark analog: every
+  // session relation (catalog tables AND the registered temp views)
+  // exports its DATA as one distributed write per relation, plus a
+  // `load.sql` of engine-runnable DDL that recreates each relation as a
+  // view over the exported files — through this engine's OWN routed
+  // read_parquet/read_csv table functions, so the export is consumable
+  // by both this engine (IMPORT DATABASE) and DuckDB itself (the same
+  // statements run there verbatim). Relations re-enter as SESSION VIEWS
+  // over the exported files (zero-copy on import; DuckDB rebuilds
+  // mutable tables instead — a user needing mutability re-materializes
+  // with CREATE TABLE AS). Export into a directory a current relation
+  // is READING from is the one unsupported shape (the overwrite would
+  // race the scan) — export to a fresh directory.
+  private val exportDbRe =
+    "(?is)^EXPORT\\s+DATABASE\\s+'([^']+)'(?:\\s*\\((.*)\\))?\\s*$".r
+  private val importDbRe = "(?is)^IMPORT\\s+DATABASE\\s+'([^']+)'\\s*$".r
+
+  private def runExportDatabase(
+      spark: SparkSession, dir: String, opts: Option[String]): DataFrame = {
+    val (fmt0, _) = parseCopyOptions(opts, "EXPORT")
+    val format = fmt0.getOrElse("parquet")
+    require(format == "parquet" || format == "csv",
+      s"EXPORT DATABASE supports parquet/csv — got $format")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val readFn = if (format == "parquet") "read_parquet" else "read_csv"
+    // bounded driver-side metadata: one row per catalog relation
+    val names = spark.catalog.listTables().collect().toSeq
+      .filter(t => t.isTemporary || Option(t.database).forall(_ == "default"))
+      .map(_.name).distinct.sorted
+    val exported = names.flatMap { name =>
+      val df = spark.table(Sql.sqlIdentifier(name))
+      if (df.isStreaming) None // streaming views have no batch snapshot
+      else {
+        val path = s"$dir/$name.$format"
+        if (format == "parquet") Export.writeParquet(df, path)
+        else Export.writeCsv(df, path)
+        Some((name, path))
+      }
+    }
+    val load = exported.map { case (name, path) =>
+      s"CREATE OR REPLACE VIEW ${Sql.sqlIdentifier(name)} AS " +
+        s"SELECT * FROM $readFn([${Sql.sqlStringLiteral(path)}]);"
+    }.mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "load.sql"), load + "\n")
+    import spark.implicits._
+    exported.toDF("name", "path")
+  }
 
   private val pragmaTableInfoRe =
     ("(?is)^PRAGMA\\s+table_info\\s*\\(\\s*" +

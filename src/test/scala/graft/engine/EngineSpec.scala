@@ -720,6 +720,30 @@ class EngineSpec extends AnyFunSuite {
     assert(rows == Seq(("0", 6L), ("1", 6L)))
   }
 
+  test("EXPORT DATABASE / IMPORT DATABASE round-trips the catalog") {
+    val dir = java.nio.file.Files.createTempDirectory("engine_spec_exdb")
+      .toString
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_exp1 AS " +
+        "SELECT id AS k, id * 2 AS v FROM range(100)")
+    val manifest = Engine.sql(spark, s"EXPORT DATABASE '$dir'")
+      .collect().map(_.getString(0))
+    assert(manifest.contains("engine_spec_exp1"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "load.sql")))
+    // drop, then IMPORT recreates the relation over the exported files
+    spark.catalog.dropTempView("engine_spec_exp1")
+    Engine.sql(spark, s"IMPORT DATABASE '$dir'")
+    val back = spark.table("engine_spec_exp1")
+    assert(back.count() == 100L)
+    assert(back.agg(org.apache.spark.sql.functions.sum("v"))
+      .collect()(0).getLong(0) == 9900L)
+    // the emitted load.sql speaks the shared dialect: read_parquet list
+    val load = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "load.sql"))
+    assert(load.contains("read_parquet(['"))
+  }
+
   test("SIMILAR TO rewrites to an anchored RLIKE") {
     // SIMILAR TO matches the ENTIRE string; RLIKE searches — the shim
     // must anchor

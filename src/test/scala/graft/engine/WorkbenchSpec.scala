@@ -127,6 +127,36 @@ class WorkbenchSpec extends AnyFunSuite {
       assert(Engine.sql(spark, s"PRAGMA table_info('$t')").count() == 3)
       assert(Engine.sql(spark, "PRAGMA show_tables").collect()
         .map(_.getString(0)).contains("wb_events"))
+      // round-17 surface, continuing the same flow: an upsert typed as
+      // INSERT ... ON CONFLICT against the imported table, collection
+      // literals + compat functions in the probe, a transaction
+      // bracket, and a read_parquet round trip through COPY
+      Engine.runScript(spark,
+        s"""BEGIN TRANSACTION;
+           |INSERT INTO $t VALUES (1, 'a', 99.0), (9, 'z', 1.0)
+           |  ON CONFLICT (uid, kind) DO UPDATE SET amount = EXCLUDED.amount;
+           |COMMIT;""".stripMargin)
+      val upserted = spark.table(t).collect()
+        .map(r => ((r.getInt(0), r.getString(1)), r.getDouble(2))).toMap
+      assert(upserted((1, "a")) == 99.0 && upserted((9, "z")) == 1.0)
+      assert(upserted.size == 3)
+      // list literal + compat fn over the upserted table, QUALIFY in a CTE
+      val probe = Engine.sql(spark,
+        s"""WITH ranked AS (
+           |  SELECT uid, kind, amount FROM $t
+           |  QUALIFY row_number() OVER (ORDER BY amount DESC) <= 2)
+           |SELECT uid, CAST(list_contains(['a', 'b'], kind) AS INT) AS ab
+           |FROM ranked ORDER BY uid""".stripMargin).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSeq
+      // top-2 by amount are (1,'a',99) and (1,'b',30) — both uid 1,
+      // both kinds in the literal list
+      assert(probe == Seq((1, 1), (1, 1)))
+      // COPY to parquet, read back through the read_parquet table fn
+      Engine.sql(spark,
+        s"COPY $t TO '$dir/t.parquet' (FORMAT parquet)")
+      assert(Engine.sql(spark,
+        s"SELECT COUNT(*) AS n FROM read_parquet(['$dir/t.parquet'])")
+        .collect()(0).getLong(0) == 3L)
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 }
