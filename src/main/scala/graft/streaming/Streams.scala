@@ -207,6 +207,33 @@ object Streams {
       .partitionBy("band")
       .start()
 
+  /** Streaming upsert into a parquet layout — the routed `ON CONFLICT`
+    * statement's streaming twin: each micro-batch merges into the
+    * at-rest layout through the SAME copy-on-write merge the statement
+    * uses (`Dml.mergeIntoAll` — matched keys take the batch's row via
+    * the key-span-pruned broadcast rewrite, fresh keys append), so
+    * continuous ingestion of a mutable metadata/document store
+    * maintains ONE layout with the batch path and cannot drift from it.
+    * `foreachBatch` because a merge is not an append: the sink rewrites
+    * files, which the streaming file sink cannot express. Restart
+    * safety is the merge's own idempotence — re-merging a replayed
+    * micro-batch matches the same keys to the same values and finds no
+    * fresh keys, so at-least-once delivery converges to exactly-once
+    * layout state. Duplicate keys WITHIN one micro-batch refuse via the
+    * merge's uniqueness guard (dedup upstream with `dedupStream`). */
+  def upsertStream(
+      source: DataFrame, path: String, checkpoint: String,
+      keys: Seq[String],
+      setCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.engine.Dml.mergeIntoAll(
+          batch.sparkSession, path, batch, keys, setCols)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming twin of `p_chunk_docs`: overlap-window chunking on the
     * document stream via `TextOps.withChunks` VERBATIM — stateless Column
     * work (explode + slice), so each micro-batch is pure map work with no

@@ -320,6 +320,44 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.toSet == (0L until 40L).toSet)
   }
 
+  test("upsertStream: micro-batched merges equal the batch upsert") {
+    // the ON CONFLICT statement's streaming twin: N uneven micro-batches
+    // of upserts against an at-rest layout must land the same final
+    // state as one batch merge of the union — and replaying a batch
+    // (at-least-once delivery) must not change the layout
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("ups-layout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ups-ck").toString
+    spark.range(100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v",
+      "'base' AS tag").coalesce(2)
+      .write.mode("overwrite").parquet(path)
+    val in = MemoryStream[(Long, Double, String)]
+    val q = Streams.upsertStream(in.toDF().toDF("k", "v", "tag"),
+      path, ckpt, Seq("k"), Seq("v", "tag"))
+    val b1 = (0L until 10L).map(k => (k, -1.0, "up1"))
+    val b2 = Seq((5L, -2.0, "up2"), (200L, 7.5, "new"))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getString(2)))).toMap
+    assert(got.size == 101)
+    assert(got(5L) == ((-2.0, "up2")), "later batch wins the key")
+    assert(got(3L) == ((-1.0, "up1")))
+    assert(got(200L) == ((7.5, "new")), "fresh key appended")
+    assert(got(50L) == ((50.0, "base")), "untouched rows keep base values")
+    // replaying batch 2 is idempotent — the merge converges
+    graft.engine.Dml.mergeIntoAll(spark, path,
+      b2.toDF("k", "v", "tag"), Seq("k"), Seq("v", "tag"))
+    val replay = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getString(2)))).toMap
+    assert(replay == got, "replayed micro-batch must not change state")
+  }
+
   test("dedupIndexIngest: N micro-batches build the batch band index") {
     // The composed loop (VERDICT r12 #7): the index the stream MAINTAINS
     // must be the index the batch pipeline BUILDS — same docs in, same
