@@ -108,6 +108,15 @@ object Catalog {
       }
     })
 
+  /** True when `name` is one of the engine's AUTO-registered path-table
+    * views (quoted-path rewrites, imports, table-function sets) rather
+    * than a relation the user created. DuckDB's catalog never contains
+    * these — `SELECT * FROM 'f.parquet'` leaves no entry there — so
+    * whole-catalog operations (EXPORT DATABASE) must skip them: their
+    * data lives in the original files already. */
+  def isAutoRegisteredView(spark: SparkSession, name: String): Boolean =
+    viewOwner.contains((spark, name))
+
   /** Read one file with extension-based format routing. */
   def read(spark: SparkSession, absolute: Path): DataFrame = {
     val p = absolute.toString
@@ -243,8 +252,13 @@ object Catalog {
       viewOwner.putIfAbsent((spark, name), key)
       name
     })
-    if (!spark.catalog.tableExists(view))
-      readSet(spark, fmt, resolved).createOrReplaceTempView(view)
+    // RE-CREATE on every call, never reuse: a file scan's listing is
+    // snapshotted at view creation, and a reference user legitimately
+    // COPYs over a path and re-reads it in the next statement — DuckDB
+    // re-lists per call, so stale-listing reuse would serve the previous
+    // export's rows (or FileNotFound on deleted parts). Re-creation
+    // costs one listing + footer read — the work DuckDB does per call.
+    readSet(spark, fmt, resolved).createOrReplaceTempView(view)
     view
   }
 
@@ -321,11 +335,17 @@ object Catalog {
         val ps = paths.result()
         require(ps.nonEmpty, s"$fn needs at least one path literal")
         // a path registered through the import layer resolves to where
-        // its bytes live; anything else must exist on disk as written
+        // its bytes live; anything else must exist on disk as written —
+        // except GLOB patterns (read_parquet('dir/*.parquet'), DuckDB's
+        // daily idiom), which Spark's reader resolves itself and reports
+        // loudly when they match nothing
         val resolved = ps.map(p =>
           pathLocation.getOrElse((spark, p), p))
+        def isGlob(p: String): Boolean =
+          p.exists(c => c == '*' || c == '?') || p.contains("[")
         val absent = ps.zip(resolved)
-          .collect { case (raw, r) if !Files.exists(Paths.get(r)) => raw }
+          .collect { case (raw, r)
+            if !isGlob(r) && !Files.exists(Paths.get(r)) => raw }
         if (absent.nonEmpty) missing ++= absent
         else {
           val view = claimSetView(spark, TableFnFormat(fn), resolved)

@@ -31,6 +31,7 @@ object Engine {
     val summarizeRe = "(?is)^SUMMARIZE\\s+(.+)$".r
     val describeSelRe = "(?is)^DESCRIBE\\s+(SELECT\\b.+)$".r
     val describePathRe = "(?is)^DESCRIBE\\s+'([^']+)'$".r
+    val describeFnRe = "(?is)^DESCRIBE\\s+(read_\\w+\\s*\\(.+\\))\\s*$".r
     trimmed match {
       case summarizeRe(target) => summarize(sqlTarget(spark, target))
       case describeSelRe(sel) => describe(sql(spark, sel))
@@ -39,6 +40,10 @@ object Engine {
         // any relation; route through the quoted-path rewrite so every
         // supported format works (still driver-side metadata, no job)
         describe(sqlTarget(spark, s"'$path'"))
+      case describeFnRe(call) =>
+        // DESCRIBE read_parquet('…') — the table-function spelling of
+        // the same introspection one-liner
+        describe(sqlTarget(spark, call))
       case txnNoopRe() =>
         // BEGIN/COMMIT/END: DuckDB scripts bracket work in transactions;
         // this engine auto-commits each statement, and starting/closing
@@ -535,19 +540,45 @@ object Engine {
     * statement's WITH prefix, so CTE sources resolve), which plans
     * nothing and reads nothing. Statement-level, first star-REPLACE
     * item only; a REPLACE target absent from the schema refuses. */
+  /** (selectIdx, fromIdx, distinctKw, select items) of a SELECT…FROM
+    * statement, when both keywords sit at top level in order — the
+    * shared front half of the select-list rewrites (REPLACE, COLUMNS). */
+  private def selectListParts(
+      s: String): Option[(Int, Int, String, Seq[String])] =
+    for {
+      si <- firstTopLevelKeyword(s, Seq("SELECT"))
+      fi <- firstTopLevelKeyword(s, Seq("FROM")) if fi > si
+    } yield {
+      val afterSel = s.substring(si + "SELECT".length, fi)
+      val (distinctKw, list) =
+        if (afterSel.trim.matches("(?is)^DISTINCT\\b.*"))
+          (" DISTINCT", afterSel.trim.substring("DISTINCT".length))
+        else ("", afterSel)
+      (si, fi, distinctKw, splitTopLevel(list, ',').map(_.trim))
+    }
+
+  /** ANALYZED schema of `SELECT * FROM <the statement's FROM part>` —
+    * pure analysis, no job runs; the statement's WITH prefix rides
+    * along so CTE sources resolve. The shared schema probe behind the
+    * REPLACE and COLUMNS desugars. */
+  private def fromPartSchema(spark: SparkSession, s: String, si: Int,
+      fi: Int): org.apache.spark.sql.types.StructType = {
+    val tailFromFrom = s.substring(fi + "FROM".length)
+    val cut = firstTopLevelKeyword(tailFromFrom,
+      Seq("WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY", "ORDER",
+        "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT"))
+      .getOrElse(tailFromFrom.length)
+    val probe = s.substring(0, si) + "SELECT * FROM " +
+      tailFromFrom.substring(0, cut)
+    sql(spark, probe).schema
+  }
+
   private[engine] def rewriteStarReplace(
       spark: SparkSession, s: String): String = {
     if (!s.matches("(?is)^(SELECT|WITH)\\b.*")) return s
     if (!"(?is)^.*\\*.*\\bREPLACE\\s*\\(.*$".r.matches(s)) return s
-    val si = firstTopLevelKeyword(s, Seq("SELECT")).getOrElse(return s)
-    val fi = firstTopLevelKeyword(s, Seq("FROM")).getOrElse(return s)
-    if (fi < si) return s
-    val afterSel = s.substring(si + "SELECT".length, fi)
-    val (distinctKw, list) =
-      if (afterSel.trim.matches("(?is)^DISTINCT\\b.*"))
-        (" DISTINCT", afterSel.trim.substring("DISTINCT".length))
-      else ("", afterSel)
-    val items = splitTopLevel(list, ',').map(_.trim)
+    val (si, fi, distinctKw, items) =
+      selectListParts(s).getOrElse(return s)
     val idx = items.indexWhere(it => it.startsWith("*") &&
       "(?is)^.*\\bREPLACE\\s*\\(.*$".r.matches(it))
     if (idx < 0) return s
@@ -601,17 +632,7 @@ object Engine {
     skipWs()
     require(p >= item.length,
       s"unexpected trailing text in star modifier: $item")
-    // the source schema: analyze SELECT * over the statement's FROM part
-    // (prefixed by any WITH clause so CTE relations resolve) — pure
-    // analysis, no job
-    val tailFromFrom = s.substring(fi + "FROM".length)
-    val cut = firstTopLevelKeyword(tailFromFrom,
-      Seq("WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY", "ORDER",
-        "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT"))
-      .getOrElse(tailFromFrom.length)
-    val fromPart = tailFromFrom.substring(0, cut)
-    val probe = s.substring(0, si) + "SELECT * FROM " + fromPart
-    val schema = sql(spark, probe).schema
+    val schema = fromPartSchema(spark, s, si, fi)
     assignments.keys.foreach { n =>
       require(schema.fields.exists(_.name.equalsIgnoreCase(n)),
         s"REPLACE target $n is not a column of the source relation")
@@ -689,8 +710,8 @@ object Engine {
     * literal position), applied AFTER the table-function route so a
     * `read_parquet([…])` list is consumed as paths, not expressions. */
   private[engine] def rewriteDuckdbLiterals(s: String): String = {
-    val (codeAt, _) = codeMask(s)
     if (!s.exists(c => c == '[' || c == '{')) return s
+    val (codeAt, _) = codeMask(s)
     val sb = new StringBuilder
     // stack of open constructs: 'L' converted list, 'S' struct,
     // 'X' subscript bracket (untouched), 'P' paren
@@ -786,26 +807,11 @@ object Engine {
       spark: SparkSession, s: String): String = {
     if (!s.matches("(?is)^(SELECT|WITH)\\b.*")) return s
     if (!"(?is)^.*\\bCOLUMNS\\s*\\(.*$".r.matches(s)) return s
-    val si = firstTopLevelKeyword(s, Seq("SELECT")).getOrElse(return s)
-    val fi = firstTopLevelKeyword(s, Seq("FROM")).getOrElse(return s)
-    if (fi < si) return s
-    val afterSel = s.substring(si + "SELECT".length, fi)
-    val (distinctKw, list) =
-      if (afterSel.trim.matches("(?is)^DISTINCT\\b.*"))
-        (" DISTINCT", afterSel.trim.substring("DISTINCT".length))
-      else ("", afterSel)
-    val items = splitTopLevel(list, ',').map(_.trim)
+    val (si, fi, distinctKw, items) =
+      selectListParts(s).getOrElse(return s)
     val colRe = "(?is)^(.*?)\\bCOLUMNS\\s*\\(\\s*'([^']*)'\\s*\\)(.*)$".r
     if (!items.exists(colRe.matches(_))) return s
-    // the source schema, analyzed exactly as rewriteStarReplace does
-    val tailFromFrom = s.substring(fi + "FROM".length)
-    val cut = firstTopLevelKeyword(tailFromFrom,
-      Seq("WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY", "ORDER",
-        "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT"))
-      .getOrElse(tailFromFrom.length)
-    val probe = s.substring(0, si) + "SELECT * FROM " +
-      tailFromFrom.substring(0, cut)
-    lazy val schema = sql(spark, probe).schema
+    lazy val schema = fromPartSchema(spark, s, si, fi)
     val newItems = items.flatMap {
       case item @ colRe(pre, re, post) =>
         require(!"(?is)^.*\\bCOLUMNS\\s*\\(.*$".r.matches(pre + post),
@@ -941,9 +947,15 @@ object Engine {
             byStripped.substring(cut).trim)
         case _ =>
           // implicit GROUP BY: every source column not mentioned in the
-          // ON or USING text (identifier match, case-insensitive)
-          val mentioned = "[A-Za-z_][A-Za-z0-9_]*".r
-            .findAllIn(s"$onExpr $aggText").map(_.toLowerCase).toSet
+          // ON or USING text (identifier match, case-insensitive). An
+          // identifier immediately followed by '(' is a FUNCTION name,
+          // not a column mention — a column legally named `count` must
+          // stay an implicit key under USING COUNT(v), as DuckDB keeps
+          // it
+          val mentioned = "([A-Za-z_][A-Za-z0-9_]*)\\s*(\\()?".r
+            .findAllMatchIn(s"$onExpr $aggText")
+            .filter(_.group(2) == null)
+            .map(_.group(1).toLowerCase).toSet
           val schema = sql(spark, s"SELECT * FROM $src").schema
           val implicitCols = schema.fields.toSeq
             .filterNot(f => mentioned.contains(f.name.toLowerCase))
@@ -1078,12 +1090,19 @@ object Engine {
       case _ => keys
     }
     // scrub the helper column from EVERY star item, not only a bare-`*`
-    // list: `*, expr` and qualified `alias.*` expand the inner SELECT *
-    // and would otherwise leak __graft_rn into the output schema (the
-    // same per-item scrub rewriteAsofJoin applies)
-    val outList = splitTopLevel(list, ',').map(_.trim).map { item =>
-      if (item == "*" || item.endsWith(".*")) s"$item EXCEPT (__graft_rn)"
-      else item
+    // list: `*, expr`, qualified `alias.*`, and star items carrying
+    // EXCLUDE/EXCEPT/REPLACE modifiers all expand the inner SELECT *
+    // and would otherwise leak __graft_rn into the output schema. An
+    // existing EXCLUDE/EXCEPT list gains the helper as one more member;
+    // a bare star (or star + REPLACE) gets an EXCEPT inserted right
+    // after the star — the position the downstream star-modifier
+    // parsers expect.
+    val modRe = "(?is)^((?:[A-Za-z_]\\w*\\.)?\\*\\s*(?:EXCLUDE|EXCEPT)\\s*\\()(.*)$".r
+    val starRe = "(?s)^((?:[A-Za-z_]\\w*\\.)?\\*)(.*)$".r
+    val outList = splitTopLevel(list, ',').map(_.trim).map {
+      case modRe(pre, rest) => s"${pre}__graft_rn, $rest"
+      case starRe(star, rest) => s"$star EXCEPT (__graft_rn)$rest"
+      case item => item
     }.mkString(", ")
     s"""SELECT $outList FROM (
        |  SELECT *, row_number() OVER (
@@ -1335,7 +1354,9 @@ object Engine {
   // as DuckDB errors on them).
   private def insertConflictSplit(
       s: String): Option[(String, String, Seq[String], Option[String])] = {
-    val head = "(?is)^INSERT\\s+INTO\\s+([A-Za-z_]\\w*)\\s+(.+)$".r
+    // \s* after the table name: the no-space column-list spelling
+    // `INSERT INTO t(a,b) …` is the common one
+    val head = "(?is)^INSERT\\s+INTO\\s+([A-Za-z_]\\w*)\\s*(.+)$".r
     s match {
       case head(table, rest) =>
         firstTopLevelKeyword(rest, Seq("CONFLICT")).flatMap { ci =>
@@ -1464,9 +1485,11 @@ object Engine {
   // exports its DATA as one distributed write per relation, plus a
   // `load.sql` of engine-runnable DDL that recreates each relation as a
   // view over the exported files — through this engine's OWN routed
-  // read_parquet/read_csv table functions, so the export is consumable
-  // by both this engine (IMPORT DATABASE) and DuckDB itself (the same
-  // statements run there verbatim). Relations re-enter as SESSION VIEWS
+  // read_parquet/read_csv table functions in glob form, so the export
+  // is consumable by this engine (IMPORT DATABASE) and, for bare
+  // relation names, by DuckDB too (globs resolve in both; quoted
+  // identifiers differ — backticks here, double quotes there).
+  // Relations re-enter as SESSION VIEWS
   // over the exported files (zero-copy on import; DuckDB rebuilds
   // mutable tables instead — a user needing mutability re-materializes
   // with CREATE TABLE AS). Export into a directory a current relation
@@ -1484,10 +1507,14 @@ object Engine {
       s"EXPORT DATABASE supports parquet/csv — got $format")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val readFn = if (format == "parquet") "read_parquet" else "read_csv"
-    // bounded driver-side metadata: one row per catalog relation
+    // bounded driver-side metadata: one row per catalog relation. The
+    // engine's auto-registered path-table views are skipped — DuckDB's
+    // catalog never holds them (a quoted-path scan leaves no entry),
+    // and their data already lives in the original files.
     val names = spark.catalog.listTables().collect().toSeq
       .filter(t => t.isTemporary || Option(t.database).forall(_ == "default"))
       .map(_.name).distinct.sorted
+      .filterNot(Catalog.isAutoRegisteredView(spark, _))
     val exported = names.flatMap { name =>
       val df = spark.table(Sql.sqlIdentifier(name))
       if (df.isStreaming) None // streaming views have no batch snapshot
@@ -1499,8 +1526,13 @@ object Engine {
       }
     }
     val load = exported.map { case (name, path) =>
+      // glob form: the export is a DIRECTORY of part files, and the
+      // glob resolves in both this engine and DuckDB (a bare directory
+      // path would not in DuckDB). Identifier quoting is this engine's
+      // (backticks) — bare relation names read identically in both.
       s"CREATE OR REPLACE VIEW ${Sql.sqlIdentifier(name)} AS " +
-        s"SELECT * FROM $readFn([${Sql.sqlStringLiteral(path)}]);"
+        s"SELECT * FROM $readFn([${
+          Sql.sqlStringLiteral(s"$path/*.$format")}]);"
     }.mkString("\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "load.sql"), load + "\n")

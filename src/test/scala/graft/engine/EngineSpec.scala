@@ -681,6 +681,10 @@ class EngineSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(dir.resolve("d.csv"), "a,b\n1,x\n")
     val rows = Engine.sql(spark, s"DESCRIBE '$dir/d.csv'").collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    // the table-function spelling of the same one-liner
+    val rows2 = Engine.sql(spark,
+      s"DESCRIBE read_csv('$dir/d.csv')").collect()
+    assert(rows2.map(_.getString(0)).toSeq == Seq("a", "b"))
   }
 
   test("transaction brackets no-op; ROLLBACK refuses") {
@@ -742,6 +746,74 @@ class EngineSpec extends AnyFunSuite {
     val load = java.nio.file.Files.readString(
       java.nio.file.Paths.get(dir, "load.sql"))
     assert(load.contains("read_parquet(['"))
+  }
+
+  test("review fixes: no-space column list, fresh re-reads, modifier scrub") {
+    // INSERT INTO t(cols) — the common no-space spelling routes
+    val t = s"engine_spec_rf2_p${ProcessHandle.current.pid}"
+    try {
+      Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
+      Engine.exec(spark,
+        s"CREATE TABLE $t AS SELECT id AS k, CAST(id AS DOUBLE) AS v" +
+          " FROM range(5)")
+      Engine.sql(spark,
+        s"INSERT INTO $t(k, v) VALUES (3, 99.0), (50, 1.0)" +
+          " ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v")
+      val m = spark.table(t).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(m(3L) == 99.0 && m(50L) == 1.0 && m.size == 6)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+    // a read_parquet view re-lists per call: overwrite then re-read
+    // must serve the NEW bytes, like DuckDB
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("engine_spec_fresh")
+    val p = s"$dir/data.parquet"
+    Seq(1L, 2L).toDF("x").coalesce(1).write.parquet(p)
+    assert(Engine.sql(spark, s"SELECT SUM(x) AS s FROM read_parquet('$p')")
+      .collect()(0).getLong(0) == 3L)
+    Seq(10L, 20L, 30L).toDF("x").coalesce(1)
+      .write.mode("overwrite").parquet(p)
+    assert(Engine.sql(spark, s"SELECT SUM(x) AS s FROM read_parquet('$p')")
+      .collect()(0).getLong(0) == 60L)
+    // glob paths resolve through the same route
+    assert(Engine.sql(spark,
+      s"SELECT SUM(x) AS s FROM read_parquet('$p/*.parquet')")
+      .collect()(0).getLong(0) == 60L)
+    // DISTINCT ON with a star EXCLUDE modifier scrubs the helper too
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_donx AS " +
+        "SELECT id % 3 AS k, id AS v, id * 2 AS w FROM range(30)")
+    val don = Engine.sql(spark,
+      "SELECT DISTINCT ON (k) * EXCLUDE (w) FROM engine_spec_donx " +
+        "ORDER BY k, v DESC")
+    assert(don.columns.toSeq == Seq("k", "v"),
+      s"helper/excluded columns must not leak: ${don.columns.toSeq}")
+    assert(don.count() == 3L)
+    // PIVOT implicit keys keep a column named like an aggregate function
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_pivfn AS " +
+        "SELECT CAST(id % 2 AS STRING) AS count, " +
+        "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS k, id AS v " +
+        "FROM range(12)")
+    val piv = Engine.sql(spark,
+      "PIVOT engine_spec_pivfn ON k USING COUNT(v) ORDER BY count")
+    assert(piv.columns.toSeq == Seq("count", "a", "b"),
+      s"column named 'count' must stay an implicit key: ${piv.columns.toSeq}")
+  }
+
+  test("EXPORT DATABASE skips the engine's auto-registered path views") {
+    val src = java.nio.file.Files.createTempDirectory("engine_spec_auto")
+    import spark.implicits._
+    Seq(1, 2).toDF("z").coalesce(1).write.parquet(s"$src/auto.parquet")
+    // a quoted-path scan registers an internal view...
+    Engine.sql(spark, s"SELECT * FROM '$src/auto.parquet'").collect()
+    val out = java.nio.file.Files.createTempDirectory("engine_spec_exdb2")
+      .toString
+    val names = Engine.sql(spark, s"EXPORT DATABASE '$out'")
+      .collect().map(_.getString(0))
+    // ...which must NOT be exported (its data lives in the source file)
+    assert(!names.exists(_.contains("auto_parquet")),
+      s"auto-registered path views must be skipped: ${names.toSeq}")
   }
 
   test("SIMILAR TO rewrites to an anchored RLIKE") {
