@@ -167,6 +167,23 @@ object DuckdbCompat {
       val args = arity("regexp_matches", 2)(args0)
       RLike(args(0), args(1))
     },
+    // --- aggregate family ---------------------------------------------
+    // DuckDB's signature pick-the-row aggregates: arg_max(x, by) is the
+    // x of the row maximizing by — Spark's native max_by/min_by exactly
+    "arg_max" -> { args0 =>
+      val args = arity("arg_max", 2)(args0)
+      aggregate.MaxBy(args(0), args(1))
+    },
+    "arg_min" -> { args0 =>
+      val args = arity("arg_min", 2)(args0)
+      aggregate.MinBy(args(0), args(1))
+    },
+    // quantile_cont = exact linear-interpolated quantile — Spark's
+    // native `percentile` aggregate computes the same definition
+    "quantile_cont" -> { args0 =>
+      val args = arity("quantile_cont", 2)(args0)
+      new aggregate.Percentile(args(0), args(1))
+    },
     // --- time family --------------------------------------------------
     "epoch_us" -> { args0 =>
       val args = arity("epoch_us", 1)(args0)

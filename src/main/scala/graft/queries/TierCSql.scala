@@ -425,6 +425,20 @@ object TierCSql {
       |    list_append(['c'], 'd')), ',') AS lc
       |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
 
+  // Aggregate compat pack (round 17, `DuckdbCompat`): DuckDB's
+  // signature arg_max/arg_min pick-the-row aggregates map to Spark's
+  // native max_by/min_by, and quantile_cont to the native exact
+  // interpolated `percentile` — IDENTICAL text on both engines. The
+  // extreme prices are unique per status in the testdata (checked), so
+  // the picks are deterministic; the quantile rounds to 4 dp to absorb
+  // last-ulp interpolation-order differences.
+  val duckdbAggFns: String =
+    """SELECT o_orderstatus,
+      |  arg_max(o_orderkey, o_totalprice) AS k_max,
+      |  arg_min(o_orderkey, o_totalprice) AS k_min,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // generate_series / unnest (round 16, `DuckdbCompat`): DuckDB's
   // inclusive-end series table function maps onto Spark's native Range
   // leaf (bound shifted one step-sign), and select-position unnest maps
@@ -918,6 +932,7 @@ object TierCSql {
     "c_sql_duckdb_list_fns" -> q(duckdbListFns),
     "c_sql_duckdb_time_fns" -> q(duckdbTimeFns),
     "c_sql_duckdb_str_fns" -> q(duckdbStrFns),
+    "c_sql_duckdb_agg_fns" -> q(duckdbAggFns),
     "c_sql_series_unnest" -> q(seriesUnnest),
     "c_sql_window_named" -> q(windowNamed),
     "c_sql_order_by_all" -> q(orderByAll),
@@ -975,6 +990,7 @@ object TierCSql {
     "c_sql_duckdb_list_fns" -> duckdbListFns, // IDENTICAL text — native fns
     "c_sql_duckdb_time_fns" -> duckdbTimeFns, // IDENTICAL text — native fns
     "c_sql_duckdb_str_fns" -> duckdbStrFns, // IDENTICAL text — native fns
+    "c_sql_duckdb_agg_fns" -> duckdbAggFns, // IDENTICAL text — native aggs
     "c_sql_series_unnest" -> seriesUnnest, // IDENTICAL text — native fns
     "c_sql_window_named" -> windowNamed,
     "c_sql_order_by_all" -> orderByAll,

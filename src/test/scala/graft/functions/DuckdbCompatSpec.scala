@@ -64,6 +64,15 @@ class DuckdbCompatSpec extends AnyFunSuite {
       Seq(20, 30))
   }
 
+  test("arg_max / arg_min / quantile_cont map to the native aggregates") {
+    spark.sql("SELECT * FROM VALUES (1, 10.0), (2, 30.0), (3, 20.0)" +
+      " v(k, m)").createOrReplaceTempView("compat_agg")
+    val r = spark.sql(
+      "SELECT arg_max(k, m), arg_min(k, m), quantile_cont(m, 0.5)" +
+        " FROM compat_agg").collect()(0)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1 && r.getDouble(2) == 20.0)
+  }
+
   test("epoch_us / epoch_ms / strftime translate the time spellings") {
     assert(one("SELECT epoch_us(TIMESTAMP '2024-01-01 00:00:01')") ==
       1704067201000000L)
