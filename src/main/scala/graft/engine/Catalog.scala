@@ -227,15 +227,21 @@ object Catalog {
     * parquet always merges schemas by name — DuckDB's
     * `union_by_name=true` and the A9 union view's contract. `.json`
     * files read as whole-document JSON (`multiLine`) only when EVERY
-    * path says so; ndjson/mixed sets use the line-delimited reader. */
+    * path says so; ndjson/mixed sets use the line-delimited reader.
+    * `opts` carries the routed named options (csv header/delim). */
   private def readSet(
-      spark: SparkSession, fmt: String, paths: Seq[String]): DataFrame =
+      spark: SparkSession, fmt: String, paths: Seq[String],
+      opts: Map[String, String]): DataFrame =
     fmt match {
       case "parquet" =>
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
       case "csv" =>
-        spark.read.option("header", "true").option("inferSchema", "true")
-          .option("escape", "\"").csv(paths: _*)
+        val header = opts.getOrElse("header", "true").toLowerCase
+        val base = spark.read.option("header", header)
+          .option("inferSchema", "true").option("escape", "\"")
+        opts.get("delim").orElse(opts.get("sep"))
+          .fold(base)(d => base.option("sep", d))
+          .csv(paths: _*)
       case "json" if paths.forall(_.toLowerCase.endsWith(".json")) =>
         spark.read.option("multiLine", "true").json(paths: _*)
       case _ => spark.read.json(paths: _*)
@@ -245,8 +251,11 @@ object Catalog {
     * set and return its name — content-addressed by format + paths, so
     * the same call text across statements reuses one view. */
   private def claimSetView(
-      spark: SparkSession, fmt: String, resolved: Seq[String]): String = {
-    val key = (fmt +: resolved).mkString("\u0001")
+      spark: SparkSession, fmt: String, resolved: Seq[String],
+      opts: Map[String, String] = Map.empty): String = {
+    val key = ((fmt +: resolved) ++
+      opts.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
+      .mkString("\u0001")
     val view = pathView.getOrElseUpdate((spark, key), {
       val name = s"t_${fmt}set_${md5hex(key).take(10)}"
       viewOwner.putIfAbsent((spark, name), key)
@@ -258,7 +267,7 @@ object Catalog {
     // re-lists per call, so stale-listing reuse would serve the previous
     // export's rows (or FileNotFound on deleted parts). Re-creation
     // costs one listing + footer read — the work DuckDB does per call.
-    readSet(spark, fmt, resolved).createOrReplaceTempView(view)
+    readSet(spark, fmt, resolved, opts).createOrReplaceTempView(view)
     view
   }
 
@@ -300,10 +309,11 @@ object Catalog {
       // read_parquet / read_csv / read_json call in table position —
       // the reference's generated-DDL form. Parse the call's argument
       // tokens to the balancing close paren: quoted tokens are paths
-      // (bare or inside DuckDB's [...] list literal), union_by_name=true
-      // is accepted (mergeSchema IS union-by-name), anything else
-      // refuses loudly — silently ignoring a reader option would scan a
-      // file differently than the user asked.
+      // (bare or inside DuckDB's [...] list literal), and a small set of
+      // NAMED options is honored — union_by_name=true (mergeSchema IS
+      // union-by-name), header=true/false and delim/sep='c' for csv.
+      // Anything else refuses loudly: silently ignoring a reader option
+      // would scan a file differently than the user asked.
       if (!t.quoted && TableFnFormat.contains(t.text.toLowerCase) &&
           idx > 0 && !toks(idx - 1).quoted &&
           Seq("from", "join").contains(toks(idx - 1).text.toLowerCase) &&
@@ -311,27 +321,46 @@ object Catalog {
           idx + 1 < toks.length && !toks(idx + 1).quoted &&
           toks(idx + 1).text == "(") {
         val fn = t.text.toLowerCase
-        var depth = 0
         var end = -1
-        val paths = Seq.newBuilder[String]
-        var k = idx + 1
-        while (k < toks.length && end < 0) {
+        var k = idx + 2
+        var depth = 1
+        while (k < toks.length && end < 0) { // find the balancing paren
           val tk = toks(k)
-          if (tk.quoted) paths += tk.text
-          else tk.text match {
-            case "(" => depth += 1
-            case ")" => depth -= 1; if (depth == 0) end = k
-            case "[" | "]" | "," | "=" => ()
-            case w if w.equalsIgnoreCase("union_by_name") ||
-                w.equalsIgnoreCase("true") => ()
-            case other => throw new IllegalArgumentException(
-              s"$fn: unsupported argument '$other' — routed calls take" +
-                " path literals (bare or in a [...] list) and" +
-                " union_by_name=true only")
+          if (!tk.quoted && tk.text == "(") depth += 1
+          else if (!tk.quoted && tk.text == ")") {
+            depth -= 1; if (depth == 0) end = k
           }
           k += 1
         }
         require(end > 0, s"unbalanced parens in $fn(...)")
+        val inner = toks.slice(idx + 2, end)
+        val paths = Seq.newBuilder[String]
+        val options = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        val NamedOpts = Set("union_by_name", "header", "delim", "sep")
+        var j = 0
+        while (j < inner.length) {
+          val tk = inner(j)
+          if (tk.quoted) { paths += tk.text; j += 1 }
+          else if (Seq("[", "]", ",").contains(tk.text)) j += 1
+          else if (NamedOpts.contains(tk.text.toLowerCase) &&
+              j + 2 < inner.length + 1 && j + 1 < inner.length &&
+              inner(j + 1).text == "=" && j + 2 < inner.length) {
+            options += (tk.text.toLowerCase -> inner(j + 2).text)
+            j += 3
+          } else throw new IllegalArgumentException(
+            s"$fn: unsupported argument '${tk.text}' — routed calls take" +
+              " path literals (bare or in a [...] list) and the named" +
+              " options union_by_name/header/delim")
+        }
+        options.foreach {
+          case ("union_by_name", v) => require(v.equalsIgnoreCase("true"),
+            s"$fn: union_by_name=$v is not routed (multi-file reads" +
+              " always unify by name here)")
+          case ("header", v) =>
+            require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+              s"$fn: header must be true/false, got $v")
+          case _ => () // delim/sep carry their literal value
+        }
         val ps = paths.result()
         require(ps.nonEmpty, s"$fn needs at least one path literal")
         // a path registered through the import layer resolves to where
@@ -348,7 +377,17 @@ object Catalog {
             if !isGlob(r) && !Files.exists(Paths.get(r)) => raw }
         if (absent.nonEmpty) missing ++= absent
         else {
-          val view = claimSetView(spark, TableFnFormat(fn), resolved)
+          val fmtName = TableFnFormat(fn)
+          // per-format option validity: silently ignoring an option
+          // would read the file differently than asked
+          if (fmtName != "csv")
+            require(!options.contains("header") &&
+              !options.contains("delim") && !options.contains("sep"),
+              s"$fn: header/delim options apply to read_csv only")
+          if (fmtName != "parquet")
+            require(!options.contains("union_by_name"),
+              s"$fn: union_by_name is routed for read_parquet only")
+          val view = claimSetView(spark, fmtName, resolved, options.toMap)
           edits += ((Tok(t.start, toks(end).end, "", quoted = false),
             Sql.sqlIdentifier(view)))
         }

@@ -460,11 +460,23 @@ class EngineSpec extends AnyFunSuite {
     assert(Engine.sql(spark,
       s"SELECT SUM(a) AS s FROM read_json('$dir/t.ndjson')")
       .collect()(0).getLong(0) == 11L)
+    // named options: header=false reads the first row as data, and
+    // delim switches the separator
+    java.nio.file.Files.writeString(dir.resolve("h.csv"), "5,x\n6,y\n")
+    assert(Engine.sql(spark,
+      s"SELECT COUNT(*) AS n FROM read_csv('$dir/h.csv', header=false)")
+      .collect()(0).getLong(0) == 2L)
+    java.nio.file.Files.writeString(dir.resolve("p.csv"), "a|b\n1|x\n")
+    assert(Engine.sql(spark,
+      s"SELECT a FROM read_csv('$dir/p.csv', delim='|')")
+      .collect()(0).getInt(0) == 1)
     // an unsupported reader option refuses loudly instead of being
-    // silently dropped
+    // silently dropped; so does an option on the wrong format
     val e = intercept[IllegalArgumentException](Engine.sql(spark,
-      s"SELECT * FROM read_csv('$dir/t.csv', header=false)"))
+      s"SELECT * FROM read_csv('$dir/t.csv', all_varchar=true)"))
     assert(e.getMessage.contains("unsupported argument"))
+    assertThrows[IllegalArgumentException](Engine.sql(spark,
+      s"SELECT * FROM read_json('$dir/t.ndjson', header=true)"))
     // a missing path surfaces the targeted hint through tryQuery
     val out = Engine.tryQuery(spark,
       "SELECT * FROM read_parquet('/no/such/file.parquet')")
