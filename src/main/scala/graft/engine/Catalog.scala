@@ -79,6 +79,28 @@ object Catalog {
     * analog resolves them back to where the bytes actually live. */
   private val pathLocation =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  /** View name -> mtime/size fingerprint of its underlying paths at
+    * registration. A registered path-table view snapshots its file
+    * LISTING; a reference user legitimately COPYs over a path and
+    * re-reads it in the next statement (DuckDB re-lists per call), so
+    * reuse must be freshness-checked: on a changed fingerprint the view
+    * re-registers (fresh listing + schema), otherwise the cached view
+    * serves — one stat per path per statement, not a re-inference. */
+  private val viewStamp =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Cheap change fingerprint of a path set: per path, the (mtime,
+    * size) of the file/dir — for a glob, of its parent directory
+    * (part-file replacement updates the dir mtime). */
+  private def pathStamp(paths: Seq[String]): String =
+    paths.map { raw =>
+      val base =
+        if (raw.exists(c => c == '*' || c == '?'))
+          Option(Paths.get(raw).getParent).map(_.toString).getOrElse(raw)
+        else raw
+      val f = new java.io.File(base)
+      s"${f.lastModified}:${f.length}"
+    }.mkString("|")
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -116,6 +138,16 @@ object Catalog {
     * data lives in the original files already. */
   def isAutoRegisteredView(spark: SparkSession, name: String): Boolean =
     viewOwner.contains((spark, name))
+
+  /** A user's own CREATE VIEW/TABLE re-using an auto-registered name
+    * turns it into a USER relation: the router calls this on routed DDL
+    * so the stale auto-claim doesn't make catalog-wide operations skip
+    * it (and the freshness stamp of the replaced view drops too). */
+  def releaseAutoClaim(spark: SparkSession, name: String): Unit = {
+    viewOwner.remove((spark, name))
+    viewStamp.remove((spark, name))
+    ()
+  }
 
   /** Read one file with extension-based format routing. */
   def read(spark: SparkSession, absolute: Path): DataFrame = {
@@ -261,13 +293,15 @@ object Catalog {
       viewOwner.putIfAbsent((spark, name), key)
       name
     })
-    // RE-CREATE on every call, never reuse: a file scan's listing is
-    // snapshotted at view creation, and a reference user legitimately
-    // COPYs over a path and re-reads it in the next statement — DuckDB
-    // re-lists per call, so stale-listing reuse would serve the previous
-    // export's rows (or FileNotFound on deleted parts). Re-creation
-    // costs one listing + footer read — the work DuckDB does per call.
-    readSet(spark, fmt, resolved, opts).createOrReplaceTempView(view)
+    // stamp-checked reuse (see viewStamp): re-register only when the
+    // underlying paths changed since registration, so a COPY-overwritten
+    // path re-reads fresh while the steady state costs one stat per path
+    val stamp = pathStamp(resolved)
+    if (!spark.catalog.tableExists(view) ||
+        !viewStamp.get((spark, view)).contains(stamp)) {
+      readSet(spark, fmt, resolved, opts).createOrReplaceTempView(view)
+      viewStamp.put((spark, view), stamp)
+    }
     view
   }
 
@@ -296,11 +330,20 @@ object Catalog {
           val path = t.text
           val view = claimViewName(spark, path)
           val registered = spark.catalog.tableExists(view)
-          val p = Paths.get(path)
+          // an import-registered path resolves to where its bytes live
+          val loc = pathLocation.getOrElse((spark, path), path)
+          val p = Paths.get(loc)
           if (registered || Files.exists(p)) {
-            if (!registered) {
+            // same stamp-checked freshness as the table-function route:
+            // a COPY-overwritten path must re-read fresh, not serve the
+            // registration-time listing snapshot
+            val stamp = pathStamp(Seq(loc))
+            if (!registered ||
+                (Files.exists(p) &&
+                  !viewStamp.get((spark, view)).contains(stamp))) {
               read(spark, p).createOrReplaceTempView(view)
               pathLocation.putIfAbsent((spark, path), path)
+              viewStamp.put((spark, view), stamp)
             }
             edits += ((t, Sql.sqlIdentifier(view)))
           } else missing += path
@@ -343,8 +386,7 @@ object Catalog {
           if (tk.quoted) { paths += tk.text; j += 1 }
           else if (Seq("[", "]", ",").contains(tk.text)) j += 1
           else if (NamedOpts.contains(tk.text.toLowerCase) &&
-              j + 2 < inner.length + 1 && j + 1 < inner.length &&
-              inner(j + 1).text == "=" && j + 2 < inner.length) {
+              j + 2 < inner.length && inner(j + 1).text == "=") {
             options += (tk.text.toLowerCase -> inner(j + 2).text)
             j += 3
           } else throw new IllegalArgumentException(
@@ -384,9 +426,12 @@ object Catalog {
             require(!options.contains("header") &&
               !options.contains("delim") && !options.contains("sep"),
               s"$fn: header/delim options apply to read_csv only")
-          if (fmtName != "parquet")
-            require(!options.contains("union_by_name"),
-              s"$fn: union_by_name is routed for read_parquet only")
+          // union_by_name holds for parquet (mergeSchema) and json
+          // (Spark's multi-file json reader unifies by name); csv would
+          // need per-file header alignment Spark doesn't do — refuse
+          require(fmtName != "csv" || !options.contains("union_by_name"),
+            s"$fn: union_by_name is not routed for csv (Spark infers" +
+              " one schema across the file set, not per-file headers)")
           val view = claimSetView(spark, fmtName, resolved, options.toMap)
           edits += ((Tok(t.start, toks(end).end, "", quoted = false),
             Sql.sqlIdentifier(view)))

@@ -153,15 +153,28 @@ object Engine {
         // refusal retries as the session-scoped TEMPORARY view it means.
         val (prefix, body) = splitDdlAs(ddl).get
         val rewrittenBody = rewriteQueryText(spark, body)
-        try spark.sql(s"$prefix $rewrittenBody")
-        catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getCondition == "INVALID_TEMP_OBJ_REFERENCE" &&
-                ddl.matches("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\b.*") =>
-            val tempPrefix =
-              prefix.replaceFirst("(?i)\\bVIEW\\b", "TEMPORARY VIEW")
-            spark.sql(s"$tempPrefix $rewrittenBody")
+        val created =
+          try spark.sql(s"$prefix $rewrittenBody")
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "INVALID_TEMP_OBJ_REFERENCE" &&
+                  ddl.matches("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\b.*") =>
+              val tempPrefix =
+                prefix.replaceFirst("(?i)\\bVIEW\\b", "TEMPORARY VIEW")
+              spark.sql(s"$tempPrefix $rewrittenBody")
+          }
+        // the created relation is now a USER relation — release any
+        // stale auto-registration claim on its name so catalog-wide
+        // operations (EXPORT DATABASE) stop skipping it
+        val ddlNameRe = ("(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?" +
+          "(?:GLOBAL\\s+)?(?:TEMP(?:ORARY)?\\s+)?(?:VIEW|TABLE)\\s+" +
+          "(?:IF\\s+NOT\\s+EXISTS\\s+)?(`[^`]+`|[\\w.]+).*$").r
+        prefix match {
+          case ddlNameRe(n) => Catalog.releaseAutoClaim(spark,
+            n.stripPrefix("`").stripSuffix("`"))
+          case _ => ()
         }
+        created
       case _ =>
         spark.sql(rewriteQueryText(spark, trimmed))
     }
@@ -515,11 +528,21 @@ object Engine {
             if (afterSel.trim.matches("(?is)^DISTINCT\\b.*"))
               (" DISTINCT", afterSel.trim.substring("DISTINCT".length))
             else ("", afterSel)
-          val items = splitTopLevel(list, ',').map(_.trim).map { item =>
-            if (item == "*") "* EXCEPT (__graft_adj)"
-            else if (item.equalsIgnoreCase(s"$bAlias.*"))
-              s"$item EXCEPT (__graft_adj)"
-            else item
+          // bare or bAlias-qualified stars hide the helper — including
+          // star items already carrying an EXCLUDE/EXCEPT modifier
+          // (weave into the existing list) or a REPLACE tail (insert an
+          // EXCEPT after the star). Other-qualified stars (a-side)
+          // cannot reference the helper and must NOT gain an EXCEPT for
+          // a column they don't have.
+          val qb = java.util.regex.Pattern.quote(bAlias)
+          val adjModRe =
+            (s"(?is)^((?:$qb\\s*\\.\\s*)?\\*\\s*(?:EXCLUDE|EXCEPT)\\s*\\()(.*)$$").r
+          val adjStarRe = (s"(?is)^((?:$qb\\s*\\.\\s*)?\\*)(.*)$$").r
+          val items = splitTopLevel(list, ',').map(_.trim).map {
+            case adjModRe(pre, restTail) => s"${pre}__graft_adj, $restTail"
+            case adjStarRe(star, restTail) =>
+              s"$star EXCEPT (__graft_adj)$restTail"
+            case item => item
           }
           head0.substring(0, x) + "SELECT" + distinctKw + " " +
             items.mkString(", ") + " " + head0.substring(y)
@@ -1193,9 +1216,12 @@ object Engine {
 
   /** Index of the first top-level (outside string literals, quoted
     * identifiers, comments, and parens) whitespace-delimited occurrence
-    * of any of `kws`, if one exists. */
+    * of any of `kws`, if one exists. `parenBoundary` additionally
+    * accepts `(` as the trailing boundary — for keywords a user types
+    * flush against a paren, like `ON CONFLICT(k)`. */
   private def firstTopLevelKeyword(
-      s: String, kws: Seq[String]): Option[Int] = {
+      s: String, kws: Seq[String],
+      parenBoundary: Boolean = false): Option[Int] = {
     val (code, depth) = codeMask(s)
     var i = 0
     while (i < s.length) {
@@ -1205,7 +1231,8 @@ object Engine {
             s.regionMatches(true, i, kw, 0, kw.length) &&
             (i == 0 || s.charAt(i - 1).isWhitespace) &&
             (i + kw.length == s.length ||
-              s.charAt(i + kw.length).isWhitespace))
+              s.charAt(i + kw.length).isWhitespace ||
+              (parenBoundary && s.charAt(i + kw.length) == '(')))
         if (hit) return Some(i)
       }
       i += 1
@@ -1359,7 +1386,8 @@ object Engine {
     val head = "(?is)^INSERT\\s+INTO\\s+([A-Za-z_]\\w*)\\s*(.+)$".r
     s match {
       case head(table, rest) =>
-        firstTopLevelKeyword(rest, Seq("CONFLICT")).flatMap { ci =>
+        firstTopLevelKeyword(rest, Seq("CONFLICT"), parenBoundary = true)
+          .flatMap { ci =>
           val before = rest.substring(0, ci)
           val onTail = "(?is)^(.*\\S)\\s+ON\\s*$".r
           before match {

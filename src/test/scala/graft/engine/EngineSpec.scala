@@ -813,6 +813,53 @@ class EngineSpec extends AnyFunSuite {
       s"column named 'count' must stay an implicit key: ${piv.columns.toSeq}")
   }
 
+  test("second-pass review fixes: ASOF modifier scrub, fresh quoted paths") {
+    // ASOF with a star EXCLUDE modifier scrubs the interval helper too
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_asx_a AS " +
+        "SELECT * FROM VALUES (1, 10, 'p1'), (1, 25, 'p2')" +
+        " v(uid, ts, tag)")
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_asx_b AS " +
+        "SELECT * FROM VALUES (1, 5, 0.5), (1, 20, 0.7) v(uid, ts, w)")
+    val asof = Engine.sql(spark,
+      "SELECT * EXCLUDE (tag) FROM engine_spec_asx_a a " +
+        "ASOF JOIN engine_spec_asx_b b " +
+        "ON a.uid = b.uid AND a.ts >= b.ts ORDER BY a.ts")
+    assert(!asof.columns.exists(_.contains("__graft")),
+      s"helper must not leak through modifier stars: ${asof.columns.toSeq}")
+    // ON CONFLICT( with no space routes
+    val t = s"engine_spec_oc_p${ProcessHandle.current.pid}"
+    try {
+      Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
+      Engine.exec(spark,
+        s"CREATE TABLE $t AS SELECT id AS k, id AS v FROM range(3)")
+      Engine.sql(spark,
+        s"INSERT INTO $t VALUES (1, 99) ON CONFLICT(k) DO UPDATE SET" +
+          " v = EXCLUDED.v")
+      assert(spark.table(t).filter("k = 1").collect()(0).getLong(1) == 99L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+    // a quoted-path table re-reads fresh after an overwrite (stamped)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("engine_spec_qfresh")
+    val p = s"$dir/q.parquet"
+    Seq(1L).toDF("x").coalesce(1).write.parquet(p)
+    assert(Engine.sql(spark, s"SELECT SUM(x) AS s FROM '$p'")
+      .collect()(0).getLong(0) == 1L)
+    Seq(7L, 8L).toDF("x").coalesce(1).write.mode("overwrite").parquet(p)
+    assert(Engine.sql(spark, s"SELECT SUM(x) AS s FROM '$p'")
+      .collect()(0).getLong(0) == 15L,
+      "overwritten quoted-path table must serve the new bytes")
+    // union_by_name accepted for multi-file json (unifies by name)
+    java.nio.file.Files.writeString(dir.resolve("j1.ndjson"), "{\"a\":1}\n")
+    java.nio.file.Files.writeString(dir.resolve("j2.ndjson"),
+      "{\"a\":2,\"b\":\"x\"}\n")
+    val j = Engine.sql(spark,
+      s"SELECT * FROM read_json(['$dir/j1.ndjson', '$dir/j2.ndjson']," +
+        " union_by_name=true)")
+    assert(j.columns.toSet == Set("a", "b") && j.count() == 2L)
+  }
+
   test("EXPORT DATABASE skips the engine's auto-registered path views") {
     val src = java.nio.file.Files.createTempDirectory("engine_spec_auto")
     import spark.implicits._
@@ -826,6 +873,17 @@ class EngineSpec extends AnyFunSuite {
     // ...which must NOT be exported (its data lives in the source file)
     assert(!names.exists(_.contains("auto_parquet")),
       s"auto-registered path views must be skipped: ${names.toSeq}")
+    // but a USER view re-using that name becomes a user relation and
+    // exports again (the DDL route releases the auto-claim)
+    val vn = Catalog.claimViewName(spark, s"$src/auto.parquet")
+    Engine.exec(spark,
+      s"CREATE OR REPLACE TEMPORARY VIEW `$vn` AS SELECT 42 AS reclaimed")
+    val out2 = java.nio.file.Files.createTempDirectory("engine_spec_exdb3")
+      .toString
+    val names2 = Engine.sql(spark, s"EXPORT DATABASE '$out2'")
+      .collect().map(_.getString(0))
+    assert(names2.contains(vn),
+      s"a user relation re-using an auto name must export: $vn")
   }
 
   test("SIMILAR TO rewrites to an anchored RLIKE") {
