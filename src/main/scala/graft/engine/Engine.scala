@@ -880,18 +880,25 @@ object Engine {
         val si = firstTopLevelKeyword(head, Seq("SELECT")).getOrElse(
           throw new IllegalArgumentException(
             s"QUALIFY without a SELECT head: $head"))
-        require(!head.substring(si + "SELECT".length).trim
-            .matches("(?is)^DISTINCT\\b.*"),
-          "QUALIFY over SELECT DISTINCT is not routed (DuckDB applies" +
-            " QUALIFY after DISTINCT; the rewrite would invert that)")
         val fi = firstTopLevelKeyword(head, Seq("FROM")).getOrElse(
           throw new IllegalArgumentException(
             s"QUALIFY without a FROM clause: $head"))
         require(fi > si, "malformed QUALIFY statement")
-        val withPred = head.substring(0, fi) +
-          s", ($pred) AS __graft_q " + head.substring(fi)
-        s"""SELECT * EXCEPT (__graft_q) FROM (
-           |$withPred
+        // a DISTINCT head: DuckDB's clause order is window → QUALIFY →
+        // DISTINCT, so the dedup moves OUTSIDE the filter — the inner
+        // query computes the list + predicate per source row, the
+        // filtered result deduplicates at the outer level
+        val afterSel = head.substring(si + "SELECT".length, fi)
+        val isDistinct = afterSel.trim.matches("(?is)^DISTINCT\\b.*")
+        val innerHead =
+          if (!isDistinct) head.substring(0, fi)
+          else head.substring(0, si) + "SELECT " +
+            afterSel.trim.substring("DISTINCT".length).trim + " "
+        val innerText =
+          innerHead + s", ($pred) AS __graft_q " + head.substring(fi)
+        val outerSel = if (isDistinct) "SELECT DISTINCT" else "SELECT"
+        s"""$outerSel * EXCEPT (__graft_q) FROM (
+           |$innerText
            |) __graft_qual WHERE __graft_q $trailing""".stripMargin
     }
 

@@ -878,6 +878,17 @@ object TierCSql {
       |  ({'q': n * 2}).q AS q
       |FROM v ORDER BY n""".stripMargin
 
+  // QUALIFY over SELECT DISTINCT (round 17): DuckDB's clause order is
+  // window → QUALIFY → DISTINCT, so the routed rewrite filters inside
+  // and deduplicates OUTSIDE (`Engine.rewriteQualify`'s DISTINCT
+  // branch). IDENTICAL text on both engines; the per-pair top-5 keep
+  // makes the filter matter while DISTINCT collapses the survivors.
+  val qualifyDistinct: String =
+    """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_orderstatus, o_orderpriority
+      |  ORDER BY o_orderkey) <= 5
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   // QUALIFY inside a CTE body (round 17): the router now re-enters the
   // dialect pipeline for parenthesized subquery bodies
   // (`Engine.rewriteSubqueryBodies`), so the clause works where a
@@ -940,6 +951,7 @@ object TierCSql {
     "c_sql_columns" -> q(columnsFn),
     "c_sql_list_struct" -> q(listStructLits),
     "c_sql_cte_qualify" -> q(cteQualify),
+    "c_sql_qualify_distinct" -> q(qualifyDistinct),
     "c_sql_select" -> q(sqlSelect),
     "c_join_full" -> q(joinFull),
     "c_setop_except_all" -> q(setopExceptAll),
@@ -998,6 +1010,7 @@ object TierCSql {
     "c_sql_columns" -> columnsFn, // IDENTICAL text — native COLUMNS
     "c_sql_list_struct" -> listStructLits, // IDENTICAL text — native literals
     "c_sql_cte_qualify" -> cteQualify, // IDENTICAL text — native QUALIFY
+    "c_sql_qualify_distinct" -> qualifyDistinct, // IDENTICAL text
     "c_sql_select" -> sqlSelect,
     "c_join_full" -> joinFull,
     "c_setop_except_all" -> setopExceptAll,

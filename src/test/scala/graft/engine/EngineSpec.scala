@@ -293,11 +293,14 @@ class EngineSpec extends AnyFunSuite {
       "SELECT k, ' qualify me ' AS s FROM engine_spec_qual WHERE k = 2 " +
         "QUALIFY row_number() OVER (ORDER BY v) = 1").collect()
     assert(literal.length == 1)
-    // DISTINCT heads refuse rather than filter on the wrong side
-    assertThrows[IllegalArgumentException](
-      Engine.sql(spark,
-        "SELECT DISTINCT k FROM engine_spec_qual " +
-          "QUALIFY row_number() OVER (ORDER BY k) = 1"))
+    // DISTINCT heads dedup OUTSIDE the filter — DuckDB's clause order
+    // (window → QUALIFY → DISTINCT): keep the top-2 rows per k, then
+    // distinct the k values
+    val distinct = Engine.sql(spark,
+      "SELECT DISTINCT k FROM engine_spec_qual " +
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v) <= 2 " +
+        "ORDER BY k").collect().map(_.getInt(0)).toSeq
+    assert(distinct == Seq(1, 2))
   }
 
   test("star EXCLUDE shims to Spark's EXCEPT, anchored to the star") {
