@@ -89,17 +89,37 @@ object Catalog {
   private val viewStamp =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
-  /** Cheap change fingerprint of a path set: per path, the (mtime,
-    * size) of the file/dir — for a glob, of its parent directory
-    * (part-file replacement updates the dir mtime). */
+  /** Glob-pattern predicate shared by the path-existence check and the
+    * stamp (they MUST agree — a path one side treats as a glob and the
+    * other stats literally yields a constant stamp and permanent
+    * staleness). */
+  private[engine] def isGlobPath(p: String): Boolean =
+    p.exists(c => c == '*' || c == '?') || p.contains("[")
+
+  /** Cheap change fingerprint of a path set. Per path: for a FILE, its
+    * (mtime, size); for a DIRECTORY, its own mtime plus every child's
+    * (name, mtime, size) — an IN-PLACE part-file overwrite (cp over an
+    * existing name) changes the child's mtime but NOT the directory's,
+    * so the dir mtime alone would serve stale rows. A glob walks up to
+    * its first non-glob ancestor directory; a path with no statable
+    * base stamps uniquely per call, forcing a fresh registration
+    * (correctness over cache). Same-length in-place overwrites inside
+    * the filesystem's mtime resolution are below this fingerprint's
+    * horizon — the documented limit. */
   private def pathStamp(paths: Seq[String]): String =
     paths.map { raw =>
-      val base =
-        if (raw.exists(c => c == '*' || c == '?'))
-          Option(Paths.get(raw).getParent).map(_.toString).getOrElse(raw)
-        else raw
+      var base = raw
+      while (base.nonEmpty && isGlobPath(base))
+        base = Option(Paths.get(base).getParent).map(_.toString)
+          .getOrElse("")
       val f = new java.io.File(base)
-      s"${f.lastModified}:${f.length}"
+      if (base.isEmpty || !f.exists) s"?${System.nanoTime()}"
+      else if (f.isDirectory) {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .map(c => s"${c.getName}:${c.lastModified}:${c.length}")
+          .sorted.mkString(",")
+        s"${f.lastModified}:${md5hex(kids).take(12)}"
+      } else s"${f.lastModified}:${f.length}"
     }.mkString("|")
 
   private def md5hex(s: String): String =
@@ -121,7 +141,8 @@ object Catalog {
       // practically impossible, so one fallback level suffices.
       val base = viewNameFor(path)
       def owns(name: String): Boolean =
-        viewOwner.putIfAbsent((spark, name), path).forall(_ == path)
+        !userClaimed.contains((spark, name)) &&
+          viewOwner.putIfAbsent((spark, name), path).forall(_ == path)
       if (owns(base)) base
       else {
         val alt = s"${base}_${md5hex(path).take(6)}"
@@ -139,13 +160,25 @@ object Catalog {
   def isAutoRegisteredView(spark: SparkSession, name: String): Boolean =
     viewOwner.contains((spark, name))
 
+  /** Names the USER has claimed with their own DDL: a later
+    * quoted-path registration must take a suffixed name instead of
+    * silently clobbering the user's relation. */
+  private val userClaimed =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+
   /** A user's own CREATE VIEW/TABLE re-using an auto-registered name
-    * turns it into a USER relation: the router calls this on routed DDL
-    * so the stale auto-claim doesn't make catalog-wide operations skip
-    * it (and the freshness stamp of the replaced view drops too). */
+    * turns it into a USER relation: the router calls this on EVERY
+    * routed CREATE so (a) catalog-wide operations stop skipping the
+    * name, (b) the path-to-name binding drops — the next quoted-path
+    * reference re-claims under a SUFFIXED name rather than replacing
+    * the user's view — and (c) the freshness stamp dies with the old
+    * registration. */
   def releaseAutoClaim(spark: SparkSession, name: String): Unit = {
-    viewOwner.remove((spark, name))
+    viewOwner.remove((spark, name)).foreach { ownedKey =>
+      pathView.remove((spark, ownedKey))
+    }
     viewStamp.remove((spark, name))
+    userClaimed.put((spark, name), true)
     ()
   }
 
@@ -289,7 +322,9 @@ object Catalog {
       opts.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
       .mkString("\u0001")
     val view = pathView.getOrElseUpdate((spark, key), {
-      val name = s"t_${fmt}set_${md5hex(key).take(10)}"
+      val base = s"t_${fmt}set_${md5hex(key).take(10)}"
+      val name =
+        if (userClaimed.contains((spark, base))) s"${base}_u" else base
       viewOwner.putIfAbsent((spark, name), key)
       name
     })
@@ -412,11 +447,9 @@ object Catalog {
         // loudly when they match nothing
         val resolved = ps.map(p =>
           pathLocation.getOrElse((spark, p), p))
-        def isGlob(p: String): Boolean =
-          p.exists(c => c == '*' || c == '?') || p.contains("[")
         val absent = ps.zip(resolved)
           .collect { case (raw, r)
-            if !isGlob(r) && !Files.exists(Paths.get(r)) => raw }
+            if !isGlobPath(r) && !Files.exists(Paths.get(r)) => raw }
         if (absent.nonEmpty) missing ++= absent
         else {
           val fmtName = TableFnFormat(fn)

@@ -28,6 +28,14 @@ object Engine {
     // QUERY`, so both route to the engine's describe/summarize — the
     // target may be a table name, a quoted path table, or a full SELECT.
     val trimmed = statement.trim.stripSuffix(";").trim
+    // EVERY routed CREATE of a view/table makes its target a USER
+    // relation — release any auto-registration claim on the name here,
+    // once, so no individual route (AS-body DDL, CREATE OR REPLACE
+    // TABLE, plain column-list CREATE) can forget to
+    ddlCreateNameRe.findFirstMatchIn(trimmed).foreach { m =>
+      Catalog.releaseAutoClaim(spark,
+        m.group(1).stripPrefix("`").stripSuffix("`"))
+    }
     val summarizeRe = "(?is)^SUMMARIZE\\s+(.+)$".r
     val describeSelRe = "(?is)^DESCRIBE\\s+(SELECT\\b.+)$".r
     val describePathRe = "(?is)^DESCRIBE\\s+'([^']+)'$".r
@@ -153,28 +161,15 @@ object Engine {
         // refusal retries as the session-scoped TEMPORARY view it means.
         val (prefix, body) = splitDdlAs(ddl).get
         val rewrittenBody = rewriteQueryText(spark, body)
-        val created =
-          try spark.sql(s"$prefix $rewrittenBody")
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "INVALID_TEMP_OBJ_REFERENCE" &&
-                  ddl.matches("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\b.*") =>
-              val tempPrefix =
-                prefix.replaceFirst("(?i)\\bVIEW\\b", "TEMPORARY VIEW")
-              spark.sql(s"$tempPrefix $rewrittenBody")
-          }
-        // the created relation is now a USER relation — release any
-        // stale auto-registration claim on its name so catalog-wide
-        // operations (EXPORT DATABASE) stop skipping it
-        val ddlNameRe = ("(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?" +
-          "(?:GLOBAL\\s+)?(?:TEMP(?:ORARY)?\\s+)?(?:VIEW|TABLE)\\s+" +
-          "(?:IF\\s+NOT\\s+EXISTS\\s+)?(`[^`]+`|[\\w.]+).*$").r
-        prefix match {
-          case ddlNameRe(n) => Catalog.releaseAutoClaim(spark,
-            n.stripPrefix("`").stripSuffix("`"))
-          case _ => ()
+        try spark.sql(s"$prefix $rewrittenBody")
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "INVALID_TEMP_OBJ_REFERENCE" &&
+                ddl.matches("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\b.*") =>
+            val tempPrefix =
+              prefix.replaceFirst("(?i)\\bVIEW\\b", "TEMPORARY VIEW")
+            spark.sql(s"$tempPrefix $rewrittenBody")
         }
-        created
       case _ =>
         spark.sql(rewriteQueryText(spark, trimmed))
     }
@@ -528,22 +523,12 @@ object Engine {
             if (afterSel.trim.matches("(?is)^DISTINCT\\b.*"))
               (" DISTINCT", afterSel.trim.substring("DISTINCT".length))
             else ("", afterSel)
-          // bare or bAlias-qualified stars hide the helper — including
-          // star items already carrying an EXCLUDE/EXCEPT modifier
-          // (weave into the existing list) or a REPLACE tail (insert an
-          // EXCEPT after the star). Other-qualified stars (a-side)
-          // cannot reference the helper and must NOT gain an EXCEPT for
-          // a column they don't have.
-          val qb = java.util.regex.Pattern.quote(bAlias)
-          val adjModRe =
-            (s"(?is)^((?:$qb\\s*\\.\\s*)?\\*\\s*(?:EXCLUDE|EXCEPT)\\s*\\()(.*)$$").r
-          val adjStarRe = (s"(?is)^((?:$qb\\s*\\.\\s*)?\\*)(.*)$$").r
-          val items = splitTopLevel(list, ',').map(_.trim).map {
-            case adjModRe(pre, restTail) => s"${pre}__graft_adj, $restTail"
-            case adjStarRe(star, restTail) =>
-              s"$star EXCEPT (__graft_adj)$restTail"
-            case item => item
-          }
+          // bare or bAlias-qualified stars hide the helper (modifier
+          // items included); a-side-qualified stars cannot reference it
+          // and must NOT gain an EXCEPT for a column they don't have
+          val items = weaveStarHelper(
+            splitTopLevel(list, ','), "__graft_adj",
+            q => q.isEmpty || q.equalsIgnoreCase(bAlias))
           head0.substring(0, x) + "SELECT" + distinctKw + " " +
             items.mkString(", ") + " " + head0.substring(y)
         case _ => head0
@@ -563,6 +548,30 @@ object Engine {
     * statement's WITH prefix, so CTE sources resolve), which plans
     * nothing and reads nothing. Statement-level, first star-REPLACE
     * item only; a REPLACE target absent from the schema refuses. */
+  /** Weave a helper column into each star item's hidden set: an
+    * existing `* EXCLUDE/EXCEPT (…)` list gains it as one more member,
+    * a bare star gains ` EXCEPT (helper)` right after the star (the
+    * position the downstream star-modifier parsers expect — so a bare
+    * `* REPLACE (…)` becomes `* EXCEPT (helper) REPLACE (…)`, the
+    * grammar rewriteStarReplace consumes). Only items whose star
+    * QUALIFIER satisfies `qualifierOk` ("" = unqualified) are touched —
+    * an other-qualified star must not gain an EXCEPT for a column its
+    * relation doesn't have. The one weaving implementation behind both
+    * the DISTINCT ON and ASOF helper scrubs. */
+  private def weaveStarHelper(items: Seq[String], helper: String,
+      qualifierOk: String => Boolean): Seq[String] = {
+    val modRe =
+      "(?is)^(?:([A-Za-z_]\\w*)\\s*\\.\\s*)?(\\*\\s*(?:EXCLUDE|EXCEPT)\\s*\\()(.*)$".r
+    val starRe = "(?s)^(?:([A-Za-z_]\\w*)\\s*\\.\\s*)?\\*(.*)$".r
+    items.map(_.trim).map {
+      case modRe(q, starPre, rest) if qualifierOk(Option(q).getOrElse("")) =>
+        Option(q).map(_ + ".").getOrElse("") + starPre + helper + ", " + rest
+      case starRe(q, rest) if qualifierOk(Option(q).getOrElse("")) =>
+        Option(q).map(_ + ".").getOrElse("") + s"* EXCEPT ($helper)" + rest
+      case item => item
+    }
+  }
+
   /** (selectIdx, fromIdx, distinctKw, select items) of a SELECT…FROM
     * statement, when both keywords sit at top level in order — the
     * shared front half of the select-list rewrites (REPLACE, COLUMNS). */
@@ -859,10 +868,13 @@ object Engine {
     * from the same list), the whole head becomes a subquery filtered on
     * that item, and the helper column drops via `* EXCEPT`. The ORDER
     * BY/LIMIT tail stays outside, after the filter — QUALIFY's clause
-    * order. DISTINCT heads refuse (QUALIFY applies after DISTINCT in
-    * DuckDB; the rewrite would filter before it). A set-op head fails
-    * loudly at analysis (the helper column unbalances the branches) —
-    * never silently mis-filters. */
+    * order. DISTINCT heads route too: DuckDB's clause order is window →
+    * QUALIFY → DISTINCT, so the DISTINCT moves to the OUTER projection
+    * (filter inside, dedup outside — `c_sql_qualify_distinct`); a
+    * WITH-headed DISTINCT ON shape refuses loudly (stripping only the
+    * DISTINCT keyword would corrupt it). A set-op head fails loudly at
+    * analysis (the helper column unbalances the branches) — never
+    * silently mis-filters. */
   private[engine] def rewriteQualify(s: String): String =
     // query statements only: a QUALIFY inside CREATE VIEW … AS SELECT
     // would wrap the DDL in a SELECT — leave non-queries to Spark's
@@ -890,6 +902,9 @@ object Engine {
         // filtered result deduplicates at the outer level
         val afterSel = head.substring(si + "SELECT".length, fi)
         val isDistinct = afterSel.trim.matches("(?is)^DISTINCT\\b.*")
+        require(!afterSel.trim.matches("(?is)^DISTINCT\\s+ON\\b.*"),
+          "QUALIFY over a WITH-headed DISTINCT ON is not routed —" +
+            " move the DISTINCT ON into its own CTE")
         val innerHead =
           if (!isDistinct) head.substring(0, fi)
           else head.substring(0, si) + "SELECT " +
@@ -908,6 +923,13 @@ object Engine {
 
   private val insertOrRe =
     "(?is)^INSERT\\s+OR\\s+(REPLACE|IGNORE)\\s+INTO\\b.*$".r
+
+  /** Target name of any CREATE VIEW/TABLE statement — the one shared
+    * extraction behind the auto-claim release in `sql`. */
+  private val ddlCreateNameRe =
+    ("(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:GLOBAL\\s+)?" +
+      "(?:TEMP(?:ORARY)?\\s+)?(?:EXTERNAL\\s+)?(?:VIEW|TABLE)\\s+" +
+      "(?:IF\\s+NOT\\s+EXISTS\\s+)?(`[^`]+`|[\\w.]+)").r
 
   // transaction brackets and index DDL — migrating-script surface
   private val txnNoopRe =
@@ -1122,18 +1144,9 @@ object Engine {
     // scrub the helper column from EVERY star item, not only a bare-`*`
     // list: `*, expr`, qualified `alias.*`, and star items carrying
     // EXCLUDE/EXCEPT/REPLACE modifiers all expand the inner SELECT *
-    // and would otherwise leak __graft_rn into the output schema. An
-    // existing EXCLUDE/EXCEPT list gains the helper as one more member;
-    // a bare star (or star + REPLACE) gets an EXCEPT inserted right
-    // after the star — the position the downstream star-modifier
-    // parsers expect.
-    val modRe = "(?is)^((?:[A-Za-z_]\\w*\\.)?\\*\\s*(?:EXCLUDE|EXCEPT)\\s*\\()(.*)$".r
-    val starRe = "(?s)^((?:[A-Za-z_]\\w*\\.)?\\*)(.*)$".r
-    val outList = splitTopLevel(list, ',').map(_.trim).map {
-      case modRe(pre, rest) => s"${pre}__graft_rn, $rest"
-      case starRe(star, rest) => s"$star EXCEPT (__graft_rn)$rest"
-      case item => item
-    }.mkString(", ")
+    // and would otherwise leak __graft_rn into the output schema
+    val outList = weaveStarHelper(
+      splitTopLevel(list, ','), "__graft_rn", _ => true).mkString(", ")
     s"""SELECT $outList FROM (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY $keys ORDER BY $ord) AS __graft_rn
