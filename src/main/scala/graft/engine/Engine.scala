@@ -76,6 +76,8 @@ object Engine {
             " COUNT(DISTINCT key) check instead")
         spark.emptyDataFrame
       case dropIndexRe() => spark.emptyDataFrame
+      case deleteUsingRe(table, src, cond) =>
+        runDeleteUsing(spark, table, src, cond)
       case deleteRe(table, where) => runDelete(spark, table, Option(where))
       case updateRe(table, blob) =>
         // the SET list may carry WHERE inside a string literal
@@ -119,6 +121,7 @@ object Engine {
       case fromFirstRe(rest) => sql(spark, fromFirstToSelect(rest))
       case donRe(rest) => sql(spark, distinctOnToWindow(rest))
       case pivotStmtRe(rest) => runPivotStatement(spark, rest)
+      case unpivotStmtRe(rest) => sql(spark, unpivotStatementSql(rest))
       case corTableRe(name, rest) =>
         // DuckDB's CREATE OR REPLACE TABLE (its own oracle idiom for
         // idempotent scripts); Spark's v1 catalog only supports REPLACE
@@ -807,11 +810,14 @@ object Engine {
         } else {
           val content = s.substring(i + 1, j)
           val pivotRe = "(?is)^PIVOT\\s+(.+)$".r
+          val unpivotRe = "(?is)^UNPIVOT\\s+(.+)$".r
           val inner = content.trim match {
             case pivotRe(rest) =>
               // DuckDB allows the PIVOT STATEMENT as a table expression
               // — substitute the SQL it desugars to in place
               rewriteQueryText(spark, pivotStatementSql(spark, rest))
+            case unpivotRe(rest) =>
+              rewriteQueryText(spark, unpivotStatementSql(rest))
             case q if q.matches("(?is)^(SELECT|WITH|VALUES|FROM)\\b.*") =>
               rewriteQueryText(spark, content)
             case _ => rewriteSubqueryBodies(spark, content)
@@ -1080,6 +1086,37 @@ object Engine {
     s"$outer\n$trailing"
   }
 
+  // UNPIVOT <table|(subq)> ON <cols> INTO NAME <n> VALUE <v> — DuckDB's
+  // wide-to-long STATEMENT. Spark has the same operator as a
+  // table-expression clause, so the route is a pure text re-spelling:
+  // `SELECT * FROM <src> UNPIVOT (<v> FOR <n> IN (<cols>))`. Both
+  // engines exclude NULL cells by default, so semantics align without
+  // adaptation. Statement-level and (like PIVOT) as a parenthesized
+  // subquery via `rewriteSubqueryBodies`.
+  private val unpivotStmtRe = "(?is)^UNPIVOT\\s+(.+)$".r
+
+  private def unpivotStatementSql(rest: String): String = {
+    val oi = firstTopLevelKeyword(rest, Seq("ON")).getOrElse(
+      throw new IllegalArgumentException(
+        "routed UNPIVOT needs ON: UNPIVOT <table> ON <cols>" +
+          " INTO NAME <col> VALUE <col>"))
+    val table = rest.substring(0, oi).trim
+    val afterOn = rest.substring(oi + "ON".length)
+    val ii = firstTopLevelKeyword(afterOn, Seq("INTO")).getOrElse(
+      throw new IllegalArgumentException(
+        "routed UNPIVOT needs INTO NAME <col> VALUE <col>"))
+    val onCols = afterOn.substring(0, ii).trim
+    val nv = "(?is)^NAME\\s+(`[^`]+`|\\w+)\\s+VALUE\\s+(`[^`]+`|\\w+)(.*)$".r
+    afterOn.substring(ii + "INTO".length).trim match {
+      case nv(n, v, trailing) =>
+        val src =
+          if (table.startsWith("(")) s"$table __graft_unp_src" else table
+        s"SELECT * FROM $src UNPIVOT ($v FOR $n IN ($onCols))$trailing"
+      case other => throw new IllegalArgumentException(
+        s"routed UNPIVOT INTO must be NAME <col> VALUE <col>: $other")
+    }
+  }
+
   // SELECT DISTINCT ON (keys) list FROM … — the DuckDB/Postgres
   // pick-one-row-per-key idiom (delegated surface; `c_distinct_on`
   // already witnesses the DataFrame-side translation, this routes the
@@ -1280,6 +1317,31 @@ object Engine {
   // message instead of mutating inputs.
   private val deleteRe =
     "(?is)^DELETE\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s+WHERE\\s+(.+))?$".r
+
+  // DELETE FROM t USING s WHERE <cond> — the DuckDB/Postgres join
+  // delete: remove target rows for which SOME source row satisfies the
+  // condition. The copy-on-write transform is a LEFT ANTI join against
+  // the broadcast source under the raw condition — anti-join keeps
+  // exactly the rows with NO qualifying match, which IS the statement's
+  // semantics (EXISTS-delete), with NULL conditions keeping the row
+  // like any SQL predicate. The source is an upsert-batch-sized
+  // relation by the same contract as MERGE, so the rewrite stays one
+  // map-shaped job with no target shuffle. Condition references qualify
+  // by the TABLE NAMES (aliases are not routed).
+  private val deleteUsingRe =
+    ("(?is)^DELETE\\s+FROM\\s+([A-Za-z_]\\w*)\\s+USING\\s+" +
+      "([A-Za-z_]\\w*)\\s+WHERE\\s+(.+)$").r
+
+  private def runDeleteUsing(
+      spark: SparkSession, table: String, src: String,
+      cond: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, expr}
+    val source = spark.table(src)
+    withTablePath(spark, table)(path =>
+      Dml.rewriteAllFiles(spark, path)(df =>
+        df.alias(table)
+          .join(broadcast(source.alias(src)), expr(cond), "left_anti")))
+  }
   private val updateRe =
     "(?is)^UPDATE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+SET\\s+(.+)$".r
 

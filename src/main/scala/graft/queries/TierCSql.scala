@@ -332,6 +332,16 @@ object TierCSql {
       |(PIVOT lineitem ON l_returnflag USING COUNT(*) GROUP BY l_linestatus) p
       |ORDER BY l_linestatus""".stripMargin
 
+  // UNPIVOT statement (round 17): DuckDB's wide-to-long statement form,
+  // routed as a pure re-spelling onto Spark's UNPIVOT table-expression
+  // clause (`Engine.unpivotStatementSql`) — IDENTICAL text on both
+  // engines; both exclude NULL cells by default, so no adaptation.
+  val unpivotStmt: String =
+    """UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+      |  FROM lineitem WHERE l_orderkey <= 30)
+      |ON l_quantity, l_discount INTO NAME measure VALUE val
+      |ORDER BY l_orderkey, l_linenumber, measure, val""".stripMargin
+
   // SELECT * EXCLUDE / REPLACE — DuckDB's star-modifier sugar (the second
   // dialect convenience a reference user types daily, next to QUALIFY).
   // Spark has no star modifiers, so the engine-side translation is the
@@ -703,6 +713,48 @@ object TierCSql {
        |FROM graft_mrgsql_oracle
        |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
 
+  // --- DELETE … USING through the engine's SQL route (r17) ----------------
+  //
+  // The DuckDB/Postgres join delete: remove target rows for which SOME
+  // source row satisfies the condition. `Engine.runDeleteUsing` executes
+  // it as the copy-on-write rewrite with a LEFT ANTI join against the
+  // broadcast source — anti-join retention IS the statement's
+  // EXISTS-delete semantics. The oracle replays the IDENTICAL statement
+  // shape natively on a temp-table copy.
+  private def delUsingTable(dir: String): String =
+    s"graft_delu_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+
+  def deleteUsingScript(dir: String): String = {
+    val t = delUsingTable(dir)
+    s"""DROP TABLE IF EXISTS $t;
+       |CREATE TABLE $t AS
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey <= 3000;
+       |CREATE OR REPLACE TEMP VIEW ${t}_del AS
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_orderkey <= 600 AND o_orderkey % 2 = 0;
+       |DELETE FROM $t USING ${t}_del
+       |  WHERE $t.o_orderkey = ${t}_del.o_orderkey;
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${msum("o_totalprice")} AS total
+       |FROM $t
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
+  }
+
+  val deleteUsingOracle: String =
+    s"""CREATE OR REPLACE TEMP TABLE graft_delu_oracle AS
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey <= 3000;
+       |CREATE OR REPLACE TEMP VIEW graft_delu_oracle_del AS
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_orderkey <= 600 AND o_orderkey % 2 = 0;
+       |DELETE FROM graft_delu_oracle USING graft_delu_oracle_del
+       |  WHERE graft_delu_oracle.o_orderkey = graft_delu_oracle_del.o_orderkey;
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${msum("o_totalprice")} AS total
+       |FROM graft_delu_oracle
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
+
   // --- INSERT … ON CONFLICT through the engine's SQL route (r17) ----------
   //
   // DuckDB's native upsert spelling, routed by `Engine.sql` onto the same
@@ -977,6 +1029,9 @@ object TierCSql {
       mergeSqlScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_upsert" -> ((s, dir) => Engine.runScript(views(s, dir),
       upsertScript(dir)).getOrElse(sys.error("script produced no result"))),
+    "c_sql_delete_using" -> ((s, dir) => Engine.runScript(views(s, dir),
+      deleteUsingScript(dir)).getOrElse(sys.error("script produced no result"))),
+    "c_sql_unpivot_stmt" -> q(unpivotStmt),
     "c_sql_copy" -> ((s, dir) => Engine.runScript(views(s, dir),
       copySqlScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_copy_from" -> ((s, dir) => Engine.runScript(views(s, dir),
@@ -1031,6 +1086,8 @@ object TierCSql {
     "c_sql_dml" -> dmlSqlOracle,
     "c_sql_merge" -> mergeSqlOracle,
     "c_sql_upsert" -> upsertOracle,
+    "c_sql_delete_using" -> deleteUsingOracle,
+    "c_sql_unpivot_stmt" -> unpivotStmt, // IDENTICAL text — native UNPIVOT
     "c_sql_copy" -> copySqlOracle,
     "c_sql_copy_from" -> copyFromOracle,
     "c_sql_macro" -> macroOracle,

@@ -725,6 +725,37 @@ class EngineSpec extends AnyFunSuite {
       "CREATE UNIQUE INDEX u_k ON engine_spec_idx (k)"))
   }
 
+  test("UNPIVOT statements route to Spark's UNPIVOT clause") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_unp AS " +
+        "SELECT 1 AS id, 10.0D AS a, 20.0D AS b")
+    val rows = Engine.sql(spark,
+      "UNPIVOT engine_spec_unp ON a, b INTO NAME m VALUE v ORDER BY m")
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("a", 10.0), ("b", 20.0)))
+    // and as a parenthesized table expression
+    assert(Engine.sql(spark,
+      "SELECT COUNT(*) AS n FROM (UNPIVOT engine_spec_unp ON a, b" +
+        " INTO NAME m VALUE v) u").collect()(0).getLong(0) == 2L)
+  }
+
+  test("DELETE USING removes exactly the matched rows via anti-join") {
+    val t = s"engine_spec_du_p${ProcessHandle.current.pid}"
+    try {
+      Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
+      Engine.exec(spark,
+        s"CREATE TABLE $t AS SELECT id AS k, id * 10 AS v FROM range(10)")
+      Engine.exec(spark,
+        "CREATE OR REPLACE TEMPORARY VIEW engine_spec_du_src AS " +
+          "SELECT id * 2 AS k FROM range(3)") // keys 0, 2, 4
+      Engine.sql(spark,
+        s"DELETE FROM $t USING engine_spec_du_src" +
+          s" WHERE $t.k = engine_spec_du_src.k")
+      val left = spark.table(t).collect().map(_.getLong(0)).sorted.toSeq
+      assert(left == Seq(1L, 3L, 5L, 6L, 7L, 8L, 9L))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("PIVOT statements work as parenthesized table expressions") {
     Engine.exec(spark,
       "CREATE OR REPLACE TEMPORARY VIEW engine_spec_pivsub AS " +
