@@ -260,6 +260,16 @@ object Dml {
       srcKeys: Seq[String]): Stats =
     mergeCore(spark, path, _ => Seq.empty, source, srcKeys, Seq.empty)
 
+  /** UPDATE-only merge (the `UPDATE … FROM` join update): matched keys
+    * take the source's columns through the key-span-pruned broadcast
+    * rewrite exactly as MERGE's matched branch; source keys absent from
+    * the layout do NOTHING — no append (an UPDATE never inserts). */
+  def updateFromAll(
+      spark: SparkSession, path: String, source: DataFrame,
+      srcKeys: Seq[String], setCols: Seq[String]): Stats =
+    mergeCore(spark, path, identity, source, srcKeys, setCols,
+      pruneMatchedBySpan = true, insertBranch = false)
+
   /** The files the WHEN-NOT-MATCHED existence check must read: the
     * anti-join needs only target KEYS, and a file whose footer [min,max]
     * on the head key misses the source's key span [kLo, kHi] (inclusive)
@@ -280,7 +290,8 @@ object Dml {
       affectedSel: Seq[Path] => Seq[Path],
       sourceIn: DataFrame, srcKeysIn: Seq[String],
       setColsIn: Seq[String],
-      pruneMatchedBySpan: Boolean = false): Stats = {
+      pruneMatchedBySpan: Boolean = false,
+      insertBranch: Boolean = true): Stats = {
     // Pin the SOURCE to a snapshot before any file is touched: the merge
     // evaluates it several times (uniqueness guard, matched-branch
     // broadcast, key span, insert anti-join), and the middle of those
@@ -369,6 +380,7 @@ object Dml {
       }
       updated.select(df.columns.map(col).toSeq: _*)
     }
+    if (!insertBranch) return stats // UPDATE FROM: matched-only, no append
     // WHEN NOT MATCHED: source keys absent from the ENTIRE layout append.
     // (The check spans the full key space — a source row matching an
     // out-of-range target row must not duplicate — but only files whose

@@ -79,6 +79,25 @@ object Engine {
       case deleteUsingRe(table, src, cond) =>
         runDeleteUsing(spark, table, src, cond)
       case deleteRe(table, where) => runDelete(spark, table, Option(where))
+      case updateRe(table, blob)
+          if firstTopLevelKeyword(splitOnWhere(blob)._1,
+            Seq("FROM")).isDefined =>
+        // UPDATE t SET col = s.col, … FROM s WHERE t.k = s.k — the
+        // DuckDB/Postgres join update. The supported shape mirrors the
+        // routed MERGE's matched branch exactly (same-named source
+        // columns, same-named equi-keys), and executes as the
+        // UPDATE-only merge: matched keys take the source's columns via
+        // the key-span-pruned broadcast rewrite, absent keys do nothing
+        // (an UPDATE never inserts). Richer shapes refuse loudly.
+        val (beforeWhere, whereOpt) = splitOnWhere(blob)
+        val fi = firstTopLevelKeyword(beforeWhere, Seq("FROM")).get
+        val sets = beforeWhere.substring(0, fi).trim
+        val src = beforeWhere.substring(fi + "FROM".length).trim
+        require(src.matches("[A-Za-z_]\\w*"),
+          s"routed UPDATE … FROM needs a plain source relation: $src")
+        val cond = whereOpt.getOrElse(throw new IllegalArgumentException(
+          "UPDATE … FROM needs a WHERE joining target to source"))
+        runUpdateFrom(spark, table, sets, src, cond)
       case updateRe(table, blob) =>
         // the SET list may carry WHERE inside a string literal
         // (`SET note = 'a where b'`) or a subquery — split on the first
@@ -1380,44 +1399,74 @@ object Engine {
     * explicit column list covering the source columns with identity
     * values). Anything richer refuses with a clear message — never a
     * silently-different merge. */
+  /** Parse `q.c` / `c` / backticked forms — (qualifier?, column). */
+  private def parseQualRef(raw: String): (Option[String], String) = {
+    val r = raw.trim.stripPrefix("`").stripSuffix("`")
+    r.split('.') match {
+      case Array(q, c) => (Some(q.toLowerCase), c)
+      case Array(c) => (None, c)
+      case _ =>
+        throw new IllegalArgumentException(s"unsupported column ref: $raw")
+    }
+  }
+
+  /** Same-named equi-key columns from a top-level AND of
+    * `t.k = s.k` conjuncts — the join shape both MERGE and
+    * UPDATE … FROM route (richer conditions refuse loudly). */
+  private def parseEquiKeys(cond: String, tQuals: Set[String],
+      sQuals: Set[String], what: String): Seq[String] =
+    splitOnKeyword(cond, "AND").map { conj =>
+      val eq = splitTopLevel(conj, '=')
+      require(eq.size == 2, s"$what supports equi-key conjuncts: $conj")
+      val (q1, c1) = parseQualRef(eq(0)); val (q2, c2) = parseQualRef(eq(1))
+      require(c1.equalsIgnoreCase(c2),
+        s"$what keys must pair the same-named column: $conj")
+      val quals = (Set(q1) ++ Set(q2)).flatten
+      require(quals.exists(tQuals) && quals.exists(sQuals),
+        s"$what conjunct must join target to source: $conj")
+      c1
+    }
+
+  /** Same-named source-column assignments from a SET list — the
+    * `col = source.col` shape MERGE and UPDATE … FROM route. */
+  private def parseSameNameSets(sets: String, tQuals: Set[String],
+      sQuals: Set[String], what: String): Seq[String] =
+    splitTopLevel(sets, ',').map { a =>
+      val eq = splitTopLevel(a, '=')
+      require(eq.size == 2, s"malformed $what SET assignment: $a")
+      val (lq, lc) = parseQualRef(eq(0)); val (rq, rc) = parseQualRef(eq(1))
+      require(lq.forall(tQuals) && rq.forall(sQuals) &&
+        lc.equalsIgnoreCase(rc),
+        s"routed $what supports SET col = source.col of the same name" +
+          s" — got: $a")
+      lc
+    }
+
+  /** The routed `UPDATE t SET … FROM s WHERE …` executor — the
+    * UPDATE-only merge (`Dml.updateFromAll`). */
+  private def runUpdateFrom(
+      spark: SparkSession, table: String, sets: String, src: String,
+      cond: String): DataFrame = {
+    val tQuals = Set(table.toLowerCase)
+    val sQuals = Set(src.toLowerCase)
+    val keys = parseEquiKeys(cond, tQuals, sQuals, "UPDATE … FROM")
+    val setCols = parseSameNameSets(sets, tQuals, sQuals, "UPDATE … FROM")
+    val sourceDf = spark.table(src)
+    withTablePath(spark, table)(path =>
+      Dml.updateFromAll(spark, path, sourceDf, keys, setCols))
+  }
+
   private def runMerge(
       spark: SparkSession, table: String, tAlias: Option[String],
       src: String, sAlias: Option[String], onCond: String, sets: String,
       insert: String): DataFrame = {
     val tQuals = (Set(table) ++ tAlias).map(_.toLowerCase)
     val sQuals = (Set(src) ++ sAlias).map(_.toLowerCase)
-    def parseRef(raw: String): (Option[String], String) = {
-      val r = raw.trim.stripPrefix("`").stripSuffix("`")
-      r.split('.') match {
-        case Array(q, c) => (Some(q.toLowerCase), c)
-        case Array(c) => (None, c)
-        case _ =>
-          throw new IllegalArgumentException(s"unsupported MERGE ref: $raw")
-      }
-    }
+    def parseRef(raw: String): (Option[String], String) = parseQualRef(raw)
     // ON: top-level AND of target-key = source-key, same column name
-    val srcKeys = splitOnKeyword(onCond, "AND").map { conj =>
-      val eq = splitTopLevel(conj, '=')
-      require(eq.size == 2, s"MERGE ON supports equi-key conjuncts: $conj")
-      val (q1, c1) = parseRef(eq(0)); val (q2, c2) = parseRef(eq(1))
-      require(c1.equalsIgnoreCase(c2),
-        s"MERGE ON keys must pair the same-named column: $conj")
-      val quals = (Set(q1) ++ Set(q2)).flatten
-      require(quals.exists(tQuals) && quals.exists(sQuals),
-        s"MERGE ON conjunct must join target to source: $conj")
-      c1
-    }
+    val srcKeys = parseEquiKeys(onCond, tQuals, sQuals, "MERGE ON")
     // SET: same-named source column per assignment
-    val setCols = splitTopLevel(sets, ',').map { a =>
-      val eq = splitTopLevel(a, '=')
-      require(eq.size == 2, s"malformed MERGE SET assignment: $a")
-      val (lq, lc) = parseRef(eq(0)); val (rq, rc) = parseRef(eq(1))
-      require(lq.forall(tQuals) && rq.forall(sQuals) &&
-        lc.equalsIgnoreCase(rc),
-        "routed MERGE supports SET col = source.col of the same name" +
-          s" — got: $a")
-      lc
-    }
+    val setCols = parseSameNameSets(sets, tQuals, sQuals, "MERGE")
     val sourceDf = spark.table(src)
     // INSERT: `*`, or an explicit (cols) VALUES (vals) spelling of the
     // identical full-row insert

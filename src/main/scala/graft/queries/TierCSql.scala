@@ -755,6 +755,54 @@ object TierCSql {
        |FROM graft_delu_oracle
        |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
 
+  // --- UPDATE … FROM through the engine's SQL route (r17) -----------------
+  //
+  // The DuckDB/Postgres join update — the matched-branch half of MERGE
+  // typed as an UPDATE. `Engine.runUpdateFrom` routes the same-named
+  // equi-key + same-named assignment shape onto the UPDATE-only merge
+  // (`Dml.updateFromAll`): matched keys take the source's columns via
+  // the key-span-pruned broadcast rewrite, absent keys do nothing. The
+  // oracle replays the IDENTICAL statement natively on a temp copy.
+  private def updateFromTable(dir: String): String =
+    s"graft_updf_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+
+  def updateFromScript(dir: String): String = {
+    val t = updateFromTable(dir)
+    s"""DROP TABLE IF EXISTS $t;
+       |CREATE TABLE $t AS
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey <= 3000;
+       |CREATE OR REPLACE TEMP VIEW ${t}_src AS
+       |  SELECT o_orderkey, 'J' AS o_orderstatus,
+       |    o_totalprice * 3 AS o_totalprice
+       |  FROM orders WHERE o_orderkey <= 600 AND o_orderkey % 5 = 0;
+       |UPDATE $t SET o_orderstatus = ${t}_src.o_orderstatus,
+       |    o_totalprice = ${t}_src.o_totalprice
+       |  FROM ${t}_src WHERE $t.o_orderkey = ${t}_src.o_orderkey;
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${msum("o_totalprice")} AS total
+       |FROM $t
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
+  }
+
+  val updateFromOracle: String =
+    s"""CREATE OR REPLACE TEMP TABLE graft_updf_oracle AS
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey <= 3000;
+       |CREATE OR REPLACE TEMP VIEW graft_updf_oracle_src AS
+       |  SELECT o_orderkey, 'J' AS o_orderstatus,
+       |    o_totalprice * 3 AS o_totalprice
+       |  FROM orders WHERE o_orderkey <= 600 AND o_orderkey % 5 = 0;
+       |UPDATE graft_updf_oracle
+       |  SET o_orderstatus = graft_updf_oracle_src.o_orderstatus,
+       |    o_totalprice = graft_updf_oracle_src.o_totalprice
+       |  FROM graft_updf_oracle_src
+       |  WHERE graft_updf_oracle.o_orderkey = graft_updf_oracle_src.o_orderkey;
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${msum("o_totalprice")} AS total
+       |FROM graft_updf_oracle
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
+
   // --- INSERT … ON CONFLICT through the engine's SQL route (r17) ----------
   //
   // DuckDB's native upsert spelling, routed by `Engine.sql` onto the same
@@ -1031,6 +1079,8 @@ object TierCSql {
       upsertScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_delete_using" -> ((s, dir) => Engine.runScript(views(s, dir),
       deleteUsingScript(dir)).getOrElse(sys.error("script produced no result"))),
+    "c_sql_update_from" -> ((s, dir) => Engine.runScript(views(s, dir),
+      updateFromScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_unpivot_stmt" -> q(unpivotStmt),
     "c_sql_copy" -> ((s, dir) => Engine.runScript(views(s, dir),
       copySqlScript(dir)).getOrElse(sys.error("script produced no result"))),
@@ -1087,6 +1137,7 @@ object TierCSql {
     "c_sql_merge" -> mergeSqlOracle,
     "c_sql_upsert" -> upsertOracle,
     "c_sql_delete_using" -> deleteUsingOracle,
+    "c_sql_update_from" -> updateFromOracle,
     "c_sql_unpivot_stmt" -> unpivotStmt, // IDENTICAL text — native UNPIVOT
     "c_sql_copy" -> copySqlOracle,
     "c_sql_copy_from" -> copyFromOracle,

@@ -756,6 +756,31 @@ class EngineSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("UPDATE FROM routes to the update-only merge") {
+    val t = s"engine_spec_uf_p${ProcessHandle.current.pid}"
+    try {
+      Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
+      Engine.exec(spark,
+        s"CREATE TABLE $t AS SELECT id AS k, CAST(0.0 AS DOUBLE) AS v" +
+          " FROM range(10)")
+      Engine.exec(spark,
+        "CREATE OR REPLACE TEMPORARY VIEW engine_spec_uf_src AS " +
+          "SELECT id * 3 AS k, CAST(9.5 AS DOUBLE) AS v FROM range(5)")
+      // source keys 0,3,6,9 match; 12 does not — and must NOT insert
+      Engine.sql(spark,
+        s"UPDATE $t SET v = engine_spec_uf_src.v FROM engine_spec_uf_src" +
+          s" WHERE $t.k = engine_spec_uf_src.k")
+      val m = spark.table(t).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(m.size == 10, "UPDATE FROM must never insert")
+      assert(Seq(0L, 3L, 6L, 9L).forall(m(_) == 9.5))
+      assert(m(1L) == 0.0 && m(5L) == 0.0)
+      // a plain UPDATE (no FROM) still routes through the WHERE path
+      Engine.sql(spark, s"UPDATE $t SET v = -1.0 WHERE k = 5")
+      assert(spark.table(t).filter("k = 5").collect()(0).getDouble(1) == -1.0)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("PIVOT statements work as parenthesized table expressions") {
     Engine.exec(spark,
       "CREATE OR REPLACE TEMPORARY VIEW engine_spec_pivsub AS " +
