@@ -268,7 +268,46 @@ object Dml {
       spark: SparkSession, path: String, source: DataFrame,
       srcKeys: Seq[String], setCols: Seq[String]): Stats =
     mergeCore(spark, path, identity, source, srcKeys, setCols,
-      pruneMatchedBySpan = true, insertBranch = false)
+      pruneMatchedBySpan = true, insertBranch = false,
+      label = "UPDATE FROM")
+
+  /** DELETE-by-keys (the equi-key `DELETE … USING` shape): drop target
+    * rows whose key tuple appears in the source, as a key-span-pruned
+    * copy-on-write rewrite — a file whose head-key footer range misses
+    * the source's key span cannot contain a deletable row and is never
+    * opened. The source pins to a snapshot first (it may legally read
+    * FROM the target). Non-equi conditions take the unpruned anti-join
+    * rewrite in the Engine route instead. */
+  def deleteUsingKeys(
+      spark: SparkSession, path: String, sourceIn: DataFrame,
+      srcKeysIn: Seq[String]): Stats = {
+    val source = sourceIn.localCheckpoint()
+    val srcKeys = srcKeysIn.map { n =>
+      source.columns.find(_.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"DELETE USING key column $n not found in the source"))
+    }
+    val files = dataFiles(Paths.get(path))
+    val target = spark.read.parquet(path)
+    val keyField = target.schema.fields
+      .find(_.name.equalsIgnoreCase(srcKeys.head)).getOrElse(
+        throw new IllegalArgumentException(
+          s"DELETE USING key column ${srcKeys.head} not found in the" +
+            " target layout"))
+    val affected = keyField.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val span = source.agg(
+          min(col(srcKeys.head)).cast("long"),
+          max(col(srcKeys.head)).cast("long")).head()
+        if (span.isNullAt(0)) Seq.empty // empty source deletes nothing
+        else insertCheckFiles(files, keyField.name,
+          span.getLong(0), span.getLong(1))
+      case _ => files
+    }
+    val keysDf = source.select(srcKeys.map(col).toSeq: _*).dropDuplicates()
+    rewriteFiles(spark, path, files, affected)(
+      _.join(broadcast(keysDf), srcKeys, "left_anti"))
+  }
 
   /** The files the WHEN-NOT-MATCHED existence check must read: the
     * anti-join needs only target KEYS, and a file whose footer [min,max]
@@ -291,7 +330,8 @@ object Dml {
       sourceIn: DataFrame, srcKeysIn: Seq[String],
       setColsIn: Seq[String],
       pruneMatchedBySpan: Boolean = false,
-      insertBranch: Boolean = true): Stats = {
+      insertBranch: Boolean = true,
+      label: String = "MERGE"): Stats = {
     // Pin the SOURCE to a snapshot before any file is touched: the merge
     // evaluates it several times (uniqueness guard, matched-branch
     // broadcast, key span, insert anti-join), and the middle of those
@@ -311,7 +351,7 @@ object Dml {
       names.map { n =>
         against.find(_.equalsIgnoreCase(n)).getOrElse(
           throw new IllegalArgumentException(
-            s"MERGE $what column $n not found among" +
+            s"$label $what column $n not found among" +
               s" (${against.mkString(", ")})"))
       }
     val srcKeys = resolve(srcKeysIn, source.columns.toSeq, "key")
@@ -322,7 +362,7 @@ object Dml {
     require(source.groupBy(srcKeys.map(col).toSeq: _*)
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
       .limit(1).count() == 0,
-      s"MERGE source has duplicate keys on (${srcKeys.mkString(", ")}) —" +
+      s"$label source has duplicate keys on (${srcKeys.mkString(", ")}) —" +
         " each target row must match at most one source row")
     // prefix non-key source columns + add a hit marker, so the left join
     // never collides with target names and NULL source VALUES still
@@ -340,7 +380,7 @@ object Dml {
     def targetField(n: String) =
       target.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
         throw new IllegalArgumentException(
-          s"MERGE key column $n not found in the target layout"))
+          s"$label key column $n not found in the target layout"))
     val keyField = targetField(srcKeys.head)
     val keyCol = keyField.name
     // the source's head-key span (one agg over the broadcast-sized

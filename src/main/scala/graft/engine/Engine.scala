@@ -79,31 +79,23 @@ object Engine {
       case deleteUsingRe(table, src, cond) =>
         runDeleteUsing(spark, table, src, cond)
       case deleteRe(table, where) => runDelete(spark, table, Option(where))
-      case updateRe(table, blob)
-          if firstTopLevelKeyword(splitOnWhere(blob)._1,
-            Seq("FROM")).isDefined =>
-        // UPDATE t SET col = s.col, … FROM s WHERE t.k = s.k — the
-        // DuckDB/Postgres join update. The supported shape mirrors the
-        // routed MERGE's matched branch exactly (same-named source
-        // columns, same-named equi-keys), and executes as the
-        // UPDATE-only merge: matched keys take the source's columns via
-        // the key-span-pruned broadcast rewrite, absent keys do nothing
-        // (an UPDATE never inserts). Richer shapes refuse loudly.
-        val (beforeWhere, whereOpt) = splitOnWhere(blob)
-        val fi = firstTopLevelKeyword(beforeWhere, Seq("FROM")).get
-        val sets = beforeWhere.substring(0, fi).trim
-        val src = beforeWhere.substring(fi + "FROM".length).trim
-        require(src.matches("[A-Za-z_]\\w*"),
-          s"routed UPDATE … FROM needs a plain source relation: $src")
-        val cond = whereOpt.getOrElse(throw new IllegalArgumentException(
-          "UPDATE … FROM needs a WHERE joining target to source"))
-        runUpdateFrom(spark, table, sets, src, cond)
       case updateRe(table, blob) =>
-        // the SET list may carry WHERE inside a string literal
-        // (`SET note = 'a where b'`) or a subquery — split on the first
-        // TOP-LEVEL WHERE keyword, not the regex's first textual match
-        val (sets, where) = splitOnWhere(blob)
-        runUpdate(spark, table, sets, where)
+        // one top-level scan decides the shape: a FROM in the SET blob
+        // is the DuckDB/Postgres JOIN UPDATE (`UPDATE t SET col = s.col
+        // FROM s WHERE t.k = s.k`) — routed onto the UPDATE-only merge:
+        // matched keys take the source's columns via the key-span-pruned
+        // broadcast rewrite, absent keys do nothing (an UPDATE never
+        // inserts); richer shapes refuse loudly. Otherwise it is the
+        // plain predicate UPDATE. The SET list may carry WHERE inside a
+        // string literal or a subquery — both splits use the TOP-LEVEL
+        // keyword scanners.
+        splitUpdateFrom(blob) match {
+          case Some((sets, src, cond)) =>
+            runUpdateFrom(spark, table, sets, src, cond)
+          case None =>
+            val (sets, where) = splitOnWhere(blob)
+            runUpdate(spark, table, sets, where)
+        }
       case mergeRe(table, tAlias, src, sAlias, onCond, sets, insert) =>
         runMerge(spark, table, Option(tAlias), src, Option(sAlias),
           onCond, sets, insert)
@@ -1128,6 +1120,13 @@ object Engine {
     val nv = "(?is)^NAME\\s+(`[^`]+`|\\w+)\\s+VALUE\\s+(`[^`]+`|\\w+)(.*)$".r
     afterOn.substring(ii + "INTO".length).trim match {
       case nv(n, v, trailing) =>
+        // only clause keywords may follow — anything else (DuckDB's
+        // multi-value `VALUE v1, v2` form included) must refuse, not
+        // splice into the generated SQL as a phantom relation
+        require(trailing.trim.isEmpty ||
+          trailing.trim.matches("(?is)^(ORDER|LIMIT|OFFSET)\\b.*"),
+          "routed UNPIVOT supports a single NAME/VALUE pair and an" +
+            s" ORDER BY/LIMIT tail — unexpected: $trailing")
         val src =
           if (table.startsWith("(")) s"$table __graft_unp_src" else table
         s"SELECT * FROM $src UNPIVOT ($v FOR $n IN ($onCols))$trailing"
@@ -1356,10 +1355,23 @@ object Engine {
       cond: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, expr}
     val source = spark.table(src)
-    withTablePath(spark, table)(path =>
-      Dml.rewriteAllFiles(spark, path)(df =>
-        df.alias(table)
-          .join(broadcast(source.alias(src)), expr(cond), "left_anti")))
+    // the equi-key shape takes the key-span-PRUNED delete (a file whose
+    // head-key footer range misses the source's key span is never
+    // opened — the sibling MERGE/UPDATE FROM scale shape); any richer
+    // condition falls back to the full anti-join rewrite
+    val equiKeys =
+      try Some(parseEquiKeys(cond, Set(table.toLowerCase),
+        Set(src.toLowerCase), "DELETE USING"))
+      catch { case _: IllegalArgumentException => None }
+    withTablePath(spark, table) { path =>
+      equiKeys match {
+        case Some(keys) => Dml.deleteUsingKeys(spark, path, source, keys)
+        case None =>
+          Dml.rewriteAllFiles(spark, path)(df =>
+            df.alias(table)
+              .join(broadcast(source.alias(src)), expr(cond), "left_anti"))
+      }
+    }
   }
   private val updateRe =
     "(?is)^UPDATE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+SET\\s+(.+)$".r
@@ -1442,6 +1454,23 @@ object Engine {
       lc
     }
 
+  /** Split an UPDATE's post-SET blob into the join-update parts
+    * (set list, source relation, join condition) when a top-level FROM
+    * is present — None for the plain predicate UPDATE. */
+  private def splitUpdateFrom(
+      blob: String): Option[(String, String, String)] = {
+    val (beforeWhere, whereOpt) = splitOnWhere(blob)
+    firstTopLevelKeyword(beforeWhere, Seq("FROM")).map { fi =>
+      val sets = beforeWhere.substring(0, fi).trim
+      val src = beforeWhere.substring(fi + "FROM".length).trim
+      require(src.matches("[A-Za-z_]\\w*"),
+        s"routed UPDATE … FROM needs a plain source relation: $src")
+      val cond = whereOpt.getOrElse(throw new IllegalArgumentException(
+        "UPDATE … FROM needs a WHERE joining target to source"))
+      (sets, src, cond)
+    }
+  }
+
   /** The routed `UPDATE t SET … FROM s WHERE …` executor — the
     * UPDATE-only merge (`Dml.updateFromAll`). */
   private def runUpdateFrom(
@@ -1462,7 +1491,6 @@ object Engine {
       insert: String): DataFrame = {
     val tQuals = (Set(table) ++ tAlias).map(_.toLowerCase)
     val sQuals = (Set(src) ++ sAlias).map(_.toLowerCase)
-    def parseRef(raw: String): (Option[String], String) = parseQualRef(raw)
     // ON: top-level AND of target-key = source-key, same column name
     val srcKeys = parseEquiKeys(onCond, tQuals, sQuals, "MERGE ON")
     // SET: same-named source column per assignment
@@ -1475,8 +1503,8 @@ object Engine {
       val cv = "(?is)^\\(([^)]*)\\)\\s*VALUES\\s*\\(([^)]*)\\)$".r
       ins match {
         case cv(cols, vals) =>
-          val cs = cols.split(',').map(parseRef(_)._2.toLowerCase).toSeq
-          val vs = vals.split(',').map(parseRef(_)._2.toLowerCase).toSeq
+          val cs = cols.split(',').map(parseQualRef(_)._2.toLowerCase).toSeq
+          val vs = vals.split(',').map(parseQualRef(_)._2.toLowerCase).toSeq
           require(cs == vs,
             "routed MERGE INSERT values must be the same-named source" +
               s" columns: ($cols) VALUES ($vals)")

@@ -737,6 +737,10 @@ class EngineSpec extends AnyFunSuite {
     assert(Engine.sql(spark,
       "SELECT COUNT(*) AS n FROM (UNPIVOT engine_spec_unp ON a, b" +
         " INTO NAME m VALUE v) u").collect()(0).getLong(0) == 2L)
+    // the multi-value form refuses instead of splicing a phantom join
+    assertThrows[IllegalArgumentException](Engine.sql(spark,
+      "UNPIVOT engine_spec_unp ON (a) AS x, (b) AS y" +
+        " INTO NAME m VALUE v1, v2"))
   }
 
   test("DELETE USING removes exactly the matched rows via anti-join") {

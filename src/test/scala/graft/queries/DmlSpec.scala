@@ -174,6 +174,26 @@ class DmlSpec extends AnyFunSuite {
     assertSameRows(path, expect)
   }
 
+  test("deleteUsingKeys span-prunes and removes exactly the source keys") {
+    val path = Layout.tmpRoot("dmlspec_delu", dir) + s"_${System.nanoTime()}"
+    Scale.writeSorted(orig, path, "o_orderkey", 8)
+    val before = fileHashes(path)
+    val total = spark.read.parquet(path).count()
+    val source = orig.filter(col("o_orderkey").between(200, 400))
+      .select(col("o_orderkey"))
+    val nDel = source.count()
+    val stats = Dml.deleteUsingKeys(spark, path, source, Seq("o_orderkey"))
+    assert(stats.nRewritten >= 1 && stats.nRewritten < stats.nFiles,
+      s"join delete must span-prune: ${stats.nRewritten}/${stats.nFiles}")
+    val after = fileHashes(path)
+    before.keySet.intersect(after.keySet).foreach { name =>
+      assert(before(name) == after(name), s"untouched $name changed")
+    }
+    assert(spark.read.parquet(path).count() == total - nDel)
+    assert(spark.read.parquet(path)
+      .filter(col("o_orderkey").between(200, 400)).count() == 0)
+  }
+
   test("MERGE refuses a source with duplicate keys (no silent row fan-out)") {
     // SQL MERGE errors on multiple matches; the left-join translation
     // would instead multiply matched target rows — so the precondition
