@@ -156,6 +156,9 @@ object DuckdbCompat {
       require(args0.size >= 2, "list_concat takes 2+ lists")
       Concat(args0)
     },
+    // DuckDB's functional list constructor (the call-form twin of the
+    // [..] literal the router rewrites)
+    "list_value" -> { args0 => CreateArray(args0) },
     // DuckDB list_slice is 1-based with an INCLUSIVE end; Spark's slice
     // takes (start, length) — length = end - begin + 1
     "list_slice" -> { args0 =>

@@ -62,6 +62,7 @@ class DuckdbCompatSpec extends AnyFunSuite {
     // list_slice is 1-based with an INCLUSIVE end
     assert(one("SELECT list_slice(array(10, 20, 30, 40), 2, 3)") ==
       Seq(20, 30))
+    assert(one("SELECT list_value(4, 5)") == Seq(4, 5))
   }
 
   test("arg_max / arg_min / quantile_cont map to the native aggregates") {
