@@ -60,7 +60,10 @@ class DeterminismSpec extends AnyFunSuite {
     // decimal sums and min/max over the rewritten + appended files —
     // never depends on how the mixed file set splits into tasks.
     Seq("t1_account_summary", "c_window_range_bucketed",
-        "c_dml_rewrite", "c_dml_merge")
+        "c_dml_rewrite", "c_dml_merge",
+        // r17: the interpolated quantile is the one new float fold whose
+        // result could conceivably depend on partition order — pin it
+        "c_sql_duckdb_agg_fns")
       .foreach(assertRegimeStable)
   }
 
