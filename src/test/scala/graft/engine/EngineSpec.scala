@@ -1074,6 +1074,21 @@ class EngineSpec extends AnyFunSuite {
       "SELECT * REPLACE (1 AS nope) FROM engine_spec_repl"))
   }
 
+  test("tryQuery: round-17 route refusals surface as messages too") {
+    // every guard-rail refusal added this round must reach a UI user as
+    // a message through the error surface, never a stack trace
+    Seq(
+      "ROLLBACK",
+      "SELECT * FROM engine_spec_smp USING SAMPLE 5 ROWS",
+      "INSERT OR REPLACE INTO t VALUES (1)",
+      "CREATE UNIQUE INDEX u ON t (k)",
+      "UNPIVOT engine_spec_unp ON a, b INTO NAME m VALUE v1, v2",
+      "SELECT COLUMNS('zzz') FROM engine_spec_smp"
+    ).foreach { stmt =>
+      assert(Engine.tryQuery(spark, stmt).isLeft, s"must refuse: $stmt")
+    }
+  }
+
   test("tryQuery: authoring errors come back as messages, not throws") {
     assert(Engine.tryQuery(spark, "SELECT 1 AS ok").isRight)
     val parse = Engine.tryQuery(spark, "SELEC 1")
