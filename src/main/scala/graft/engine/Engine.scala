@@ -129,6 +129,14 @@ object Engine {
       case pragmaShowTablesRe() =>
         spark.sql("SHOW TABLES")
           .select(org.apache.spark.sql.functions.col("tableName").as("name"))
+      case showTableRe(name)
+          if !ShowKeywords.contains(name.toLowerCase) &&
+            spark.catalog.tableExists(name) =>
+        // DuckDB's `SHOW <table>` is DESCRIBE shorthand; Spark's SHOW
+        // grammar has no such form. Guarded by tableExists so Spark's
+        // own SHOW statements (TABLES/DATABASES/…) pass through and a
+        // typo'd name still gets Spark's loud SHOW parse error
+        describe(spark.table(name))
       case fromFirstRe(rest) => sql(spark, fromFirstToSelect(rest))
       case donRe(rest) => sql(spark, distinctOnToWindow(rest))
       case pivotStmtRe(rest) => runPivotStatement(spark, rest)
@@ -1731,6 +1739,10 @@ object Engine {
     ("(?is)^PRAGMA\\s+table_info\\s*\\(\\s*" +
       "(?:'([^']+)'|([A-Za-z_]\\w*))\\s*\\)\\s*$").r
   private val pragmaShowTablesRe = "(?is)^PRAGMA\\s+show_tables\\s*$".r
+  private val showTableRe = "(?is)^SHOW\\s+([A-Za-z_]\\w*)\\s*$".r
+  private val ShowKeywords = Set("tables", "databases", "schemas", "views",
+    "functions", "columns", "partitions", "create", "all", "namespaces",
+    "catalogs", "tblproperties")
 
   /** Shared FORMAT/HEADER parser for both COPY directions: returns
     * (explicit format, explicit header value). Unknown options refuse —

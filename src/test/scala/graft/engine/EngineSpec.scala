@@ -625,6 +625,16 @@ class EngineSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("SHOW <table> routes to describe like DuckDB's shorthand") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW engine_spec_show AS " +
+        "SELECT 1 AS a, 'x' AS b")
+    val rows = Engine.sql(spark, "SHOW engine_spec_show").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    // Spark's own SHOW statements pass through untouched
+    assert(Engine.sql(spark, "SHOW TABLES").columns.contains("tableName"))
+  }
+
   test("PRAGMA table_info / show_tables route to engine introspection") {
     Engine.exec(spark,
       "CREATE OR REPLACE TEMPORARY VIEW engine_spec_pragma AS " +
