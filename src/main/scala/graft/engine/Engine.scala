@@ -220,7 +220,8 @@ object Engine {
         val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
           rewriteStarReplace(spark, rewriteColumnsFn(spark,
             rewriteSimilarTo(rewriteStarExclude(sub)))))))
-        rewriteDuckdbLiterals(Catalog.rewritePathTables(spark, shimmed)._1)
+        rewriteStructPack(
+          rewriteDuckdbLiterals(Catalog.rewritePathTables(spark, shimmed)._1))
     }
   }
 
@@ -747,6 +748,58 @@ object Engine {
       if (!matched) { sb.append(s.charAt(i)); i += 1 }
     }
     sb.toString
+  }
+
+  /** `struct_pack(k := v, …)` → `named_struct('k', v, …)` — DuckDB's
+    * functional struct constructor (the call-form twin of the `{…}`
+    * literal). The `:=` named-argument syntax has no Spark analog, so
+    * the shim rewrites each top-level `name := expr` argument into the
+    * quoted-name/value pair named_struct takes. Nested calls rewrite
+    * innermost-first via recursion on the argument text. A non-`:=`
+    * argument refuses — silently positional-packing would mis-name
+    * every field. */
+  private[engine] def rewriteStructPack(s: String): String = {
+    if (!"(?is)^.*\\bSTRUCT_PACK\\s*\\(.*$".r.matches(s)) return s
+    val (codeAt, _) = codeMask(s)
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val isCall = codeAt(i) &&
+        s.regionMatches(true, i, "STRUCT_PACK", 0, 11) &&
+        (i == 0 || !s.charAt(i - 1).isLetterOrDigit &&
+          s.charAt(i - 1) != '_') && {
+          var j = i + 11
+          while (j < s.length && s.charAt(j).isWhitespace) j += 1
+          j < s.length && s.charAt(j) == '('
+        }
+      if (isCall) {
+        var j = s.indexOf('(', i + 11)
+        // balanced span of the argument list (quote-aware via codeMask)
+        var depth = 0
+        var end = -1
+        var k = j
+        while (k < s.length && end < 0) {
+          if (codeAt(k) && s.charAt(k) == '(') depth += 1
+          else if (codeAt(k) && s.charAt(k) == ')') {
+            depth -= 1; if (depth == 0) end = k
+          }
+          k += 1
+        }
+        require(end > 0, "unbalanced parens in struct_pack(...)")
+        val args = rewriteStructPack(s.substring(j + 1, end)) // nested
+        val pairs = splitTopLevel(args, ',').map { a =>
+          val idx = a.indexOf(":=")
+          require(idx > 0,
+            s"struct_pack arguments must be name := value — got: $a")
+          val name = a.substring(0, idx).trim
+            .stripPrefix("`").stripSuffix("`")
+          s"${Sql.sqlStringLiteral(name)}, ${a.substring(idx + 2).trim}"
+        }
+        out.append("named_struct(").append(pairs.mkString(", ")).append(")")
+        i = end + 1
+      } else { out.append(s.charAt(i)); i += 1 }
+    }
+    out.toString
   }
 
   /** DuckDB's collection LITERAL syntax → Spark's constructor functions:

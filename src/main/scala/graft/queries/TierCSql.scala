@@ -978,6 +978,16 @@ object TierCSql {
       |  ({'q': n * 2}).q AS q
       |FROM v ORDER BY n""".stripMargin
 
+  // struct_pack routed (round 17): DuckDB's functional struct
+  // constructor with `:=` named arguments rewrites to named_struct
+  // (`Engine.rewriteStructPack`) — IDENTICAL text on both engines,
+  // fields read back through the dot access both grammars share.
+  val structPack: String =
+    """SELECT o_orderkey,
+      |  (struct_pack(s := o_orderstatus, p := o_totalprice)).s AS st,
+      |  (struct_pack(s := o_orderstatus, p := o_totalprice)).p AS pr
+      |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin
+
   // QUALIFY over SELECT DISTINCT (round 17): DuckDB's clause order is
   // window → QUALIFY → DISTINCT, so the routed rewrite filters inside
   // and deduplicates OUTSIDE (`Engine.rewriteQualify`'s DISTINCT
@@ -1050,6 +1060,7 @@ object TierCSql {
     "c_sql_read_fn" -> ((s, dir) => Engine.sql(views(s, dir), readFnSql(dir))),
     "c_sql_columns" -> q(columnsFn),
     "c_sql_list_struct" -> q(listStructLits),
+    "c_sql_struct_pack" -> q(structPack),
     "c_sql_cte_qualify" -> q(cteQualify),
     "c_sql_qualify_distinct" -> q(qualifyDistinct),
     "c_sql_select" -> q(sqlSelect),
@@ -1114,6 +1125,7 @@ object TierCSql {
     "c_sql_read_fn" -> readFnSql(sfDirForOracle), // IDENTICAL text — native fn
     "c_sql_columns" -> columnsFn, // IDENTICAL text — native COLUMNS
     "c_sql_list_struct" -> listStructLits, // IDENTICAL text — native literals
+    "c_sql_struct_pack" -> structPack, // IDENTICAL text — native struct_pack
     "c_sql_cte_qualify" -> cteQualify, // IDENTICAL text — native QUALIFY
     "c_sql_qualify_distinct" -> qualifyDistinct, // IDENTICAL text
     "c_sql_select" -> sqlSelect,

@@ -981,6 +981,21 @@ class EngineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("DO NOTHING"))
   }
 
+  test("struct_pack rewrites to named_struct, nested calls included") {
+    val r = Engine.sql(spark,
+      "SELECT struct_pack(a := 1, b := 'x') AS s," +
+        " (struct_pack(o := struct_pack(q := 7))).o.q AS q").collect()(0)
+    assert(r.getStruct(0).getInt(0) == 1 &&
+      r.getStruct(0).getString(1) == "x")
+    assert(r.getInt(1) == 7)
+    // positional arguments refuse rather than mis-name fields
+    assertThrows[IllegalArgumentException](Engine.sql(spark,
+      "SELECT struct_pack(1, 2) AS s"))
+    // the name outside call position is untouched
+    assert(Engine.sql(spark, "SELECT 'struct_pack(a := 1)' AS t")
+      .collect()(0).getString(0) == "struct_pack(a := 1)")
+  }
+
   test("DuckDB list/struct literals rewrite to array/named_struct") {
     val r = Engine.sql(spark,
       "SELECT [1, 2, 3] AS l, {'a': 1::BIGINT, 'b': 'x'} AS s," +
