@@ -84,7 +84,13 @@ object Dml {
             val st = c.getStatistics
             if (st == null || !st.hasNonNullValue) None
             else (st.genericGetMin, st.genericGetMax) match {
-              case (mn: java.lang.Number, mx: java.lang.Number) =>
+              // only the integral physical types fold losslessly; a
+              // Float/Double stat must NOT longValue-truncate (a negative
+              // min would move toward zero — an unsound prune), so
+              // floating-point columns fall to None = file always affected
+              case (mn: java.lang.Long, mx: java.lang.Long) =>
+                Some((mn.longValue, mx.longValue))
+              case (mn: java.lang.Integer, mx: java.lang.Integer) =>
                 Some((mn.longValue, mx.longValue))
               case _ => None // binary/float stats don't fold to a range
             }

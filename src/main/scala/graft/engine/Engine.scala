@@ -76,6 +76,40 @@ object Engine {
             " COUNT(DISTINCT key) check instead")
         spark.emptyDataFrame
       case dropIndexRe() => spark.emptyDataFrame
+      case macroStmtRe(orReplace, rest) =>
+        runCreateMacro(spark, orReplace != null, rest)
+        spark.emptyDataFrame
+      case dropMacroRe(ifExists, name) =>
+        runDropMacro(spark, ifExists != null, name)
+        spark.emptyDataFrame
+      case prepareRe(name, text) =>
+        // PREPARE stores the RAW statement text; binding and the full
+        // router (every dialect shim included) apply at EXECUTE time, so
+        // prepared statements compose with the same surface typed SQL gets
+        prepared(spark).update(name.toLowerCase, text)
+        spark.emptyDataFrame
+      case executeRe(name, argText) =>
+        val stored = prepared(spark).getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(
+            s"EXECUTE $name: no prepared statement with this name —" +
+              " PREPARE it first"))
+        val args = Option(argText).map(splitTopLevel(_, ','))
+          .getOrElse(Nil).map(_.trim).filter(_.nonEmpty)
+        sql(spark, bindPrepared(stored, args))
+      case deallocRe(name) =>
+        if (prepared(spark).remove(name.toLowerCase).isEmpty)
+          throw new IllegalArgumentException(
+            s"DEALLOCATE $name: no prepared statement with this name")
+        spark.emptyDataFrame
+      case attachRe(kw) =>
+        // DuckDB's multi-catalog surface; this engine runs ONE session
+        // catalog over registered files — refuse with the working
+        // alternatives rather than a raw parse error
+        throw new IllegalArgumentException(
+          s"${kw.toUpperCase} is not supported: this engine has a single" +
+            " session catalog — register the files as path tables/views" +
+            " (read_parquet/read_csv), or IMPORT DATABASE 'dir' for a" +
+            " directory exported by EXPORT DATABASE")
       case deleteUsingRe(table, src, cond) =>
         runDeleteUsing(spark, table, src, cond)
       case deleteRe(table, where) => runDelete(spark, table, Option(where))
@@ -219,7 +253,7 @@ object Engine {
         val sub = rewriteSubqueryBodies(spark, other)
         val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
           rewriteStarReplace(spark, rewriteColumnsFn(spark,
-            rewriteSimilarTo(rewriteStarExclude(sub)))))))
+            rewriteDateDiff(rewriteSimilarTo(rewriteStarExclude(sub))))))))
         rewriteStructPack(
           rewriteDuckdbLiterals(Catalog.rewritePathTables(spark, shimmed)._1))
     }
@@ -750,6 +784,46 @@ object Engine {
     sb.toString
   }
 
+  /** `date_diff('part', …)` / `datediff('part', …)` →
+    * `graft_date_diff('part', …)` — DuckDB's boundary-counting
+    * date_diff takes its part as a STRING, but Spark's grammar owns
+    * `date_diff(unit, a, b)` (the timestampdiff rule rejects a quoted
+    * unit before any function-registry lookup), so the compat builder
+    * (`DuckdbCompat`, `graft_date_diff`) is reachable only by renaming
+    * the call in text. ONLY calls whose first argument opens with a
+    * string literal rename — Spark's own `date_diff(DAY, a, b)` and
+    * 2-arg `datediff(end, start)` pass through untouched, so no Spark
+    * spelling changes meaning. Comment/quote-aware via the shared
+    * scanner. */
+  private[engine] def rewriteDateDiff(s: String): String = {
+    if (!"(?is)^.*\\bDATE_?DIFF\\s*\\(.*$".r.matches(s)) return s
+    val (codeAt, _) = codeMask(s)
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val nameLen =
+        if (codeAt(i) && s.regionMatches(true, i, "DATE_DIFF", 0, 9)) 9
+        else if (codeAt(i) && s.regionMatches(true, i, "DATEDIFF", 0, 8)) 8
+        else 0
+      val isCall = nameLen > 0 &&
+        (i == 0 || (!s.charAt(i - 1).isLetterOrDigit &&
+          s.charAt(i - 1) != '_' && s.charAt(i - 1) != '.')) && {
+          var j = i + nameLen
+          while (j < s.length && s.charAt(j).isWhitespace) j += 1
+          j < s.length && s.charAt(j) == '(' && {
+            var k = j + 1
+            while (k < s.length && s.charAt(k).isWhitespace) k += 1
+            k < s.length && s.charAt(k) == '\''
+          }
+        }
+      if (isCall) {
+        out.append("graft_date_diff")
+        i += nameLen
+      } else { out.append(s.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
   /** `struct_pack(k := v, …)` → `named_struct('k', v, …)` — DuckDB's
     * functional struct constructor (the call-form twin of the `{…}`
     * literal). The `:=` named-argument syntax has no Spark analog, so
@@ -1019,6 +1093,189 @@ object Engine {
   private val dropIndexRe =
     "(?is)^DROP\\s+INDEX\\s+(?:IF\\s+EXISTS\\s+)?[A-Za-z_]\\w*\\s*$".r
 
+  // --- CREATE MACRO: DuckDB's SQL abstraction tool ------------------------
+  //
+  // `CREATE [OR REPLACE] MACRO f(a, b) AS <expr>` is how a DuckDB user
+  // names a reusable expression in exactly the saved-script workflow the
+  // reference serves (delegated surface, /root/reference/src/duckdb.ts:
+  // 46-49). DuckDB macros are UNTYPED templates — parameter types bind at
+  // the call site — so the faithful Spark analog is not the typed
+  // TEMPORARY FUNCTION DDL (which demands parameter types the statement
+  // doesn't carry) but plan-time expansion: the body parses ONCE at
+  // CREATE (loud errors at definition, like DuckDB's binder), and a
+  // session-registered function builder substitutes each call's argument
+  // EXPRESSIONS for the named parameters. The expanded tree inlines into
+  // codegen like hand-written SQL — zero invocation cost at any scale,
+  // the same property the `c_sql_macro` TEMPORARY FUNCTION twin has.
+  // Scalar macros route; `AS TABLE …` refuses naming CREATE VIEW.
+  private val macroStmtRe =
+    ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?" +
+      "MACRO\\s+(.+)$").r
+  private val dropMacroRe =
+    "(?is)^DROP\\s+MACRO\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_]\\w*)\\s*$".r
+
+  private def runCreateMacro(
+      spark: SparkSession, orReplace: Boolean, rest: String): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    val headRe = "(?s)^([A-Za-z_]\\w*)\\s*\\((.*)$".r
+    val (name, afterParen) = rest.trim match {
+      case headRe(n, t) => (n, t)
+      case other => throw new IllegalArgumentException(
+        s"CREATE MACRO needs <name>(<params>) AS <expr> — got: $other")
+    }
+    // balanced close of the parameter list (quote-aware)
+    val (codeAt, depth) = codeMask(afterParen)
+    // the OPENING paren was consumed by headRe, so the list's close is
+    // the first top-level `)` of the remaining text
+    val close = (0 until afterParen.length).find(i =>
+      codeAt(i) && afterParen.charAt(i) == ')' && depth(i) == 0)
+      .getOrElse(throw new IllegalArgumentException(
+        s"CREATE MACRO $name: unbalanced parameter list"))
+    val params = splitTopLevel(afterParen.substring(0, close), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    params.foreach { p =>
+      require(p.matches("[A-Za-z_]\\w*"),
+        if (p.contains(":="))
+          s"CREATE MACRO $name: parameter defaults ($p) are not routed —" +
+            " pass the argument explicitly at each call"
+        else s"CREATE MACRO $name: parameters must be bare names — got: $p")
+    }
+    require(params.map(_.toLowerCase).distinct.length == params.length,
+      s"CREATE MACRO $name: duplicate parameter names")
+    val asBodyRe = "(?is)^\\s*AS\\s+(.+)$".r
+    val body = afterParen.substring(close + 1) match {
+      case asBodyRe(b) => b.trim
+      case other => throw new IllegalArgumentException(
+        s"CREATE MACRO $name: expected AS <expr> after the parameter" +
+          s" list — got: ${other.trim}")
+    }
+    if (body.matches("(?is)^TABLE\\b.*"))
+      throw new IllegalArgumentException(
+        s"CREATE MACRO $name AS TABLE is not routed — a parameterless" +
+          " table macro is CREATE [TEMP] VIEW; a parameterized one has" +
+          " no engine analog (inline the query or use a CTE)")
+    val registry = spark.sessionState.functionRegistry
+    val ident = FunctionIdentifier(name)
+    if (!orReplace && registry.functionExists(ident))
+      throw new IllegalArgumentException(
+        s"CREATE MACRO $name: a function with this name already exists —" +
+          " use CREATE OR REPLACE MACRO")
+    // parse once at definition time, with the scalar-expression dialect
+    // shims applied to the body text (struct_pack, collection literals,
+    // SIMILAR TO — the same surface a select-list expression gets)
+    val parsed = spark.sessionState.sqlParser.parseExpression(
+      rewriteStructPack(rewriteDuckdbLiterals(
+        rewriteDateDiff(rewriteSimilarTo(body)))))
+    val lowerParams = params.map(_.toLowerCase)
+    val builder = (args: Seq[Expression]) => {
+      require(args.length == params.length,
+        s"macro $name expects ${params.length} arguments," +
+          s" got ${args.length}")
+      val bind = lowerParams.zip(args).toMap
+      parsed.transformUp {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+            bind.contains(a.nameParts.head.toLowerCase) =>
+          bind(a.nameParts.head.toLowerCase)
+      }
+    }
+    registry.registerFunction(ident,
+      new ExpressionInfo(getClass.getCanonicalName, name), builder)
+  }
+
+  private def runDropMacro(
+      spark: SparkSession, ifExists: Boolean, name: String): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val registry = spark.sessionState.functionRegistry
+    val ident = FunctionIdentifier(name)
+    if (registry.functionExists(ident)) registry.dropFunction(ident)
+    else if (!ifExists) throw new IllegalArgumentException(
+      s"DROP MACRO $name: no such function — DROP MACRO IF EXISTS to" +
+        " ignore")
+    ()
+  }
+
+  // --- PREPARE / EXECUTE / DEALLOCATE -------------------------------------
+  //
+  // DuckDB-WASM supports prepared statements; an editor user's
+  // parameterized snippets (`PREPARE q AS SELECT … WHERE x > $1;
+  // EXECUTE q(5)`) route as driver-side template binding: the statement
+  // TEXT is stored per session, EXECUTE substitutes `$n`/`?` parameters
+  // (quote/comment-aware via the shared codeMask) with the call's
+  // argument expressions, and the bound text runs through the normal
+  // router — so prepared statements compose with every dialect shim.
+  // An honest analog of DuckDB's plan-once-bind-later only in API shape:
+  // this engine re-plans per EXECUTE (Catalyst planning is not the
+  // bottleneck at any data scale this engine targets).
+  private val prepareRe =
+    "(?is)^PREPARE\\s+([A-Za-z_]\\w*)\\s+AS\\s+(.+)$".r
+  private val executeRe =
+    "(?is)^EXECUTE\\s+([A-Za-z_]\\w*)\\s*(?:\\((.*)\\))?\\s*$".r
+  private val deallocRe =
+    "(?is)^DEALLOCATE\\s+(?:PREPARE\\s+)?([A-Za-z_]\\w*)\\s*$".r
+  private val attachRe = "(?is)^(ATTACH|DETACH)\\b.*$".r
+
+  /** Per-session prepared-statement store (name → raw statement text).
+    * Weak keys: a closed session's entries vanish with the session. */
+  private val preparedStatements =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+  private def prepared(
+      spark: SparkSession): scala.collection.mutable.Map[String, String] =
+    preparedStatements.synchronized {
+      preparedStatements.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Map.empty)
+    }
+
+  /** Substitute `$n` (1-based) or `?` (positional) parameters in a
+    * prepared statement's text with the argument expressions, outside
+    * strings/comments/quoted identifiers. Each substitution is
+    * parenthesized so an argument expression never re-associates with
+    * surrounding operators. Mixed styles, out-of-range indexes, and
+    * unused arguments refuse — a silently-ignored parameter is a wrong
+    * query. */
+  private[engine] def bindPrepared(text: String, args: Seq[String]): String = {
+    val (codeAt, _) = codeMask(text)
+    val sb = new StringBuilder
+    var i = 0
+    var qIdx = 0
+    var used = Set.empty[Int]
+    var sawDollar = false
+    var sawQ = false
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (codeAt(i) && ch == '$' && i + 1 < text.length &&
+          text.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < text.length && text.charAt(j).isDigit) j += 1
+        val n = text.substring(i + 1, j).toInt
+        require(n >= 1 && n <= args.length,
+          s"prepared statement references $$$n but EXECUTE passed" +
+            s" ${args.length} argument(s)")
+        sawDollar = true
+        used += n
+        sb.append('(').append(args(n - 1)).append(')')
+        i = j
+      } else if (codeAt(i) && ch == '?') {
+        require(qIdx < args.length,
+          s"prepared statement has more ? parameters than the" +
+            s" ${args.length} argument(s) EXECUTE passed")
+        sawQ = true
+        used += qIdx + 1
+        sb.append('(').append(args(qIdx)).append(')')
+        qIdx += 1
+        i += 1
+      } else { sb.append(ch); i += 1 }
+    }
+    require(!(sawDollar && sawQ),
+      "prepared statement mixes $n and ? parameter styles")
+    require(used.size == args.length,
+      s"EXECUTE passed ${args.length} argument(s) but the statement" +
+        s" uses ${used.size} parameter(s)")
+    sb.toString
+  }
+
   // PIVOT <table> ON <col> USING <agg>(<operand>) [GROUP BY <cols>]
   // [ORDER BY …] [LIMIT …] — DuckDB's dynamic-pivot STATEMENT (delegated
   // surface; `c_pivot_dynamic` witnesses the DataFrame-side mechanism).
@@ -1082,10 +1339,22 @@ object Engine {
           // not a column mention — a column legally named `count` must
           // stay an implicit key under USING COUNT(v), as DuckDB keeps
           // it
+          // an `AS alias` names an OUTPUT column, not a source-column
+          // reference — strip alias clauses before the scan so an
+          // incidental alias word (`USING COUNT(*) AS total` over a
+          // table with a `total` column) never drops a column from the
+          // implicit keys; likewise common expression KEYWORDS are not
+          // column mentions (an unquoted keyword could not reference a
+          // column anyway)
+          val scanText = s"$onExpr $aggText"
+            .replaceAll("(?is)\\bAS\\s+[A-Za-z_]\\w*", " ")
+          val kw = Set("as", "and", "or", "not", "case", "when", "then",
+            "else", "end", "null", "true", "false", "is", "in", "like",
+            "between", "distinct", "interval")
           val mentioned = "([A-Za-z_][A-Za-z0-9_]*)\\s*(\\()?".r
-            .findAllMatchIn(s"$onExpr $aggText")
+            .findAllMatchIn(scanText)
             .filter(_.group(2) == null)
-            .map(_.group(1).toLowerCase).toSet
+            .map(_.group(1).toLowerCase).toSet -- kw
           val schema = sql(spark, s"SELECT * FROM $src").schema
           val implicitCols = schema.fields.toSeq
             .filterNot(f => mentioned.contains(f.name.toLowerCase))
@@ -1606,31 +1875,62 @@ object Engine {
     val head = "(?is)^INSERT\\s+INTO\\s+([A-Za-z_]\\w*)\\s*(.+)$".r
     s match {
       case head(table, rest) =>
-        firstTopLevelKeyword(rest, Seq("CONFLICT"), parenBoundary = true)
+        // scan ALL top-level CONFLICT tokens, not just the first: an
+        // INSERT body whose join condition references a column literally
+        // named `conflict` (… JOIN b ON conflict = 1 …) must not hijack
+        // the route. A hit routes only when preceded by ON AND its tail
+        // parses as a conflict action; the LAST parseable hit wins (the
+        // real clause closes the statement).
+        val onTail = "(?is)^(.*\\S)\\s+ON\\s*$".r
+        val act = ("(?is)^\\(([^)]*)\\)\\s*DO\\s+" +
+          "(?:(NOTHING)|UPDATE\\s+SET\\s+(.+))\\s*$").r
+        val candidates = allTopLevelKeyword(rest, "CONFLICT").reverse
           .flatMap { ci =>
-          val before = rest.substring(0, ci)
-          val onTail = "(?is)^(.*\\S)\\s+ON\\s*$".r
-          before match {
-            case onTail(body) =>
-              val after = rest.substring(ci + "CONFLICT".length).trim
-              val act = ("(?is)^\\(([^)]*)\\)\\s*DO\\s+" +
-                "(?:(NOTHING)|UPDATE\\s+SET\\s+(.+))\\s*$").r
-              after match {
-                case act(keysText, nothing, sets) =>
-                  val keys = keysText.split(',').toSeq
-                    .map(_.trim.stripPrefix("`").stripSuffix("`"))
-                    .filter(_.nonEmpty)
-                  if (keys.isEmpty) None
-                  else Some((table, body.trim, keys,
-                    if (nothing != null) None else Some(sets)))
-                case _ => throw new IllegalArgumentException(
-                  "INSERT … ON CONFLICT supports (keys) DO NOTHING |" +
-                    s" DO UPDATE SET …: ON CONFLICT $after")
-              }
-            case _ => None // a top-level CONFLICT not preceded by ON
+            rest.substring(0, ci) match {
+              case onTail(body) =>
+                Some((body, rest.substring(ci + "CONFLICT".length).trim))
+              case _ => None // a top-level CONFLICT not preceded by ON
+            }
           }
+        val parsed = candidates.collectFirst {
+          case (body, act(keysText, nothing, sets)) =>
+            val keys = keysText.split(',').toSeq
+              .map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .filter(_.nonEmpty)
+            (body, keys, Option(nothing), sets)
+        }
+        parsed match {
+          case Some((body, keys, nothing, sets)) if keys.nonEmpty =>
+            Some((table, body.trim, keys,
+              if (nothing.isDefined) None else Some(sets)))
+          case Some(_) => None
+          case None =>
+            // an ON CONFLICT( that parses as NO action is a botched
+            // conflict clause — keep the targeted refusal instead of
+            // Spark's generic parse error
+            candidates.find(_._2.startsWith("(")).foreach { case (_, t) =>
+              throw new IllegalArgumentException(
+                "INSERT … ON CONFLICT supports (keys) DO NOTHING |" +
+                  s" DO UPDATE SET …: ON CONFLICT $t")
+            }
+            None
         }
       case _ => None
+    }
+  }
+
+  /** Every top-level index of `kw` in `s` — the all-occurrences variant
+    * of `firstTopLevelKeyword` (one codeMask pass), with the same
+    * whitespace/paren boundary rules. */
+  private def allTopLevelKeyword(s: String, kw: String): Seq[Int] = {
+    val (code, depth) = codeMask(s)
+    (0 until s.length).filter { i =>
+      code(i) && depth(i) == 0 && i + kw.length <= s.length &&
+        s.regionMatches(true, i, kw, 0, kw.length) &&
+        (i == 0 || s.charAt(i - 1).isWhitespace) &&
+        (i + kw.length == s.length ||
+          s.charAt(i + kw.length).isWhitespace ||
+          s.charAt(i + kw.length) == '(')
     }
   }
 

@@ -11,12 +11,18 @@ import org.apache.spark.sql.catalyst.expressions._
   * is injected through the public `SparkSessionExtensions` function
   * point and builds the NATIVE Catalyst expression directly — zero
   * wrapper cost, full codegen, indistinguishable from typing the Spark
-  * name. Only names Spark does NOT already define are aliased (no
-  * builtin is shadowed), and only where the semantics genuinely match;
+  * name. Names Spark already defines are registered only as
+  * ARITY-DISPATCHED extensions (date_sub: the 2-arg builtin form is
+  * rebuilt verbatim, the 3-arg DuckDB form is new — a builtin call's
+  * meaning never changes; date_diff is grammar-owned in Spark and
+  * routes via `graft_date_diff` + the Engine text shim instead), and
+  * only where the semantics genuinely match;
   * near-misses are adapted in the builder (string_split quotes its
   * separator because DuckDB splits on a literal while Spark's split
-  * takes a regex) or left out entirely (polymorphic `len`, list_sum's
-  * NULL rules) so an alias never silently computes something different.
+  * takes a regex), restricted to the matching slice (`len` is aliased
+  * for STRINGS only — a list argument fails type-checking loudly; use
+  * array_length), or left out entirely (list_sum's NULL rules) so an
+  * alias never silently computes something different.
   *
   * strftime: DuckDB formats with C-style % codes, Spark with
   * java.time patterns — the builder translates the % codes when the
@@ -109,9 +115,40 @@ object DuckdbCompat {
       val args = arity("list_distinct", 1)(args0)
       ArrayCompact(ArrayDistinct(args(0)))
     },
+    // DuckDB's list_sort defaults are ASC / NULLS LAST (its global
+    // default null order — measured against DuckDB 1.0, not assumed) —
+    // that is Spark's array_sort, NOT sort_array (whose ascending order
+    // puts NULLs FIRST). Explicit order arguments map where a native
+    // ordering exists; DESC + NULLS FIRST has none and refuses.
     "list_sort" -> { args0 =>
-      val args = arity("list_sort", 1)(args0)
-      new SortArray(args(0))
+      def ord(e: Expression, what: Seq[String]): String = e match {
+        case Literal(s, org.apache.spark.sql.types.StringType)
+            if s != null && what.contains(s.toString.toUpperCase) =>
+          s.toString.toUpperCase
+        case _ => throw new IllegalArgumentException(
+          s"list_sort order arguments must be literal" +
+            s" ${what.mkString(" / ")}")
+      }
+      args0 match {
+        case Seq(l) => new ArraySort(l)
+        case Seq(l, o) => ord(o, Seq("ASC", "DESC")) match {
+          case "ASC" => new ArraySort(l)
+          case _ => new SortArray(l, Literal(false))
+        }
+        case Seq(l, o, n) =>
+          (ord(o, Seq("ASC", "DESC")),
+            ord(n, Seq("NULLS FIRST", "NULLS LAST"))) match {
+            case ("ASC", "NULLS LAST") => new ArraySort(l)
+            case ("ASC", "NULLS FIRST") => new SortArray(l)
+            case ("DESC", "NULLS LAST") => new SortArray(l, Literal(false))
+            case _ => throw new IllegalArgumentException(
+              "list_sort DESC NULLS FIRST has no native Spark ordering" +
+                " — sort ASC NULLS LAST and list_reverse, or order rows" +
+                " instead")
+          }
+        case _ => throw new IllegalArgumentException(
+          "list_sort takes 1-3 arguments")
+      }
     },
     "list_min" -> { args0 =>
       val args = arity("list_min", 1)(args0)
@@ -152,9 +189,14 @@ object DuckdbCompat {
       val args = arity("list_prepend", 2)(args0)
       ArrayPrepend(args(1), args(0))
     },
+    // DuckDB SKIPS NULL inputs (list_concat([1], NULL) -> [1]; both NULL
+    // -> NULL) where Spark's Concat is null-on-any-null — branch on
+    // nullness so the NULL semantics match exactly. Binary, as DuckDB
+    // signs it (list_concat(ANY[], ANY[])).
     "list_concat" -> { args0 =>
-      require(args0.size >= 2, "list_concat takes 2+ lists")
-      Concat(args0)
+      val args = arity("list_concat", 2)(args0)
+      If(IsNull(args(0)), args(1),
+        If(IsNull(args(1)), args(0), Concat(args)))
     },
     // DuckDB's functional list constructor (the call-form twin of the
     // [..] literal the router rewrites)
@@ -207,7 +249,135 @@ object DuckdbCompat {
           "strftime requires a literal format string (the %-code" +
             " translation happens at plan time)")
       }
+    },
+    // strptime — the PARSE twin of strftime, same %-code translation,
+    // same literal-format-only contract
+    "strptime" -> { args0 =>
+      val args = arity("strptime", 2)(args0)
+      args(1) match {
+        case Literal(fmt, org.apache.spark.sql.types.StringType)
+            if fmt != null =>
+          new ParseToTimestamp(args(0),
+            Literal(cFormatToJava(fmt.toString)))
+        case _ => throw new IllegalArgumentException(
+          "strptime requires a literal format string (the %-code" +
+            " translation happens at plan time)")
+      }
+    },
+    // graft_date_diff('part', a, b) — DuckDB's date_diff/datediff:
+    // part BOUNDARIES crossed from a to b (signed; date_diff('month',
+    // Jan-31, Feb-01) = 1), which is NOT Spark's timestampdiff
+    // (complete intervals — that is DuckDB's date_sub, below). Each
+    // part builds the boundary arithmetic natively: calendar parts from
+    // field extraction, clock parts from floor-divided epochs. The name
+    // is graft-prefixed because Spark's GRAMMAR owns `date_diff(unit,
+    // a, b)` — a 3-arg call parses through the timestampdiff rule
+    // before any registry lookup, so the DuckDB quoted-'part' spelling
+    // can only reach this builder through the router's text shim
+    // (`Engine.rewriteDateDiff` renames exactly the quoted-first-arg
+    // calls); 2-arg calls pass through as Spark's own date_diff.
+    "graft_date_diff" -> dateDiffBuilder("date_diff"),
+    // date_sub('part', a, b) — DuckDB's COMPLETE-intervals count, which
+    // IS Spark's timestampdiff semantics exactly. 2-arg = Spark's own
+    // date_sub(date, days), rebuilt verbatim.
+    "date_sub" -> { args0 =>
+      args0 match {
+        case Seq(d, days) => DateSub(d, days)
+        case Seq(part, a, b) =>
+          new TimestampDiff(partLiteral(part, "date_sub").toUpperCase,
+            Cast(a, org.apache.spark.sql.types.TimestampType),
+            Cast(b, org.apache.spark.sql.types.TimestampType))
+        case _ => throw new IllegalArgumentException(
+          "date_sub takes (date, days) or ('part', start, end)")
+      }
+    },
+    // list(x) — DuckDB's collect aggregate. It KEEPS NULL elements
+    // where Spark's collect_list drops them, so each element wraps in a
+    // never-null struct before collection and unwraps with a transform
+    // — same two-phase partial aggregation, NULLs survive. Element
+    // order is undefined in BOTH engines (DuckDB documents no order
+    // guarantee; Spark collects in partition-arrival order) — sort with
+    // list_sort for a deterministic result.
+    "list" -> { args0 =>
+      val args = arity("list", 1)(args0)
+      val agg = aggregate.CollectList(
+        CreateNamedStruct(Seq(Literal("v"), args(0))))
+        .toAggregateExpression()
+      val x = UnresolvedNamedLambdaVariable(Seq("__graft_le"))
+      ArrayTransform(agg, LambdaFunction(
+        org.apache.spark.sql.catalyst.analysis
+          .UnresolvedExtractValue(x, Literal("v")), Seq(x)))
+    },
+    // histogram(x) — value→count map per group, entries key-sorted,
+    // NULLs skipped; a native TypedImperativeAggregate (graft.functions
+    // .Histogram) since Spark has no map-building counting aggregate
+    "histogram" -> { args0 =>
+      val args = arity("histogram", 1)(args0)
+      Histogram(args(0))
     })
+
+  /** Shared 3-arg/2-arg builder for date_diff and its datediff alias. */
+  private def dateDiffBuilder(name: String): Builder = {
+    case Seq(end, start) => DateDiff(end, start) // Spark's builtin form
+    case Seq(part, a, b) => boundariesBetween(
+      partLiteral(part, name), a, b)
+    case args => throw new IllegalArgumentException(
+      s"$name takes (end, start) or ('part', start, end) —" +
+        s" got ${args.length} arguments")
+  }
+
+  /** The literal part name of a date_diff/date_sub call, lowercased and
+    * de-pluralized; non-literal parts refuse (the arithmetic is chosen
+    * at plan time). */
+  private def partLiteral(e: Expression, fn: String): String = e match {
+    case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+      val p = s.toString.toLowerCase
+      if (p.length > 1 && p.endsWith("s")) p.stripSuffix("s") else p
+    case _ => throw new IllegalArgumentException(
+      s"$fn requires a literal part name as its first argument")
+  }
+
+  /** DuckDB date_diff: the number of `part` boundaries crossed between
+    * `a` and `b` (signed), as BIGINT. Calendar parts difference the
+    * extracted fields; 'week' differences Monday-truncated dates; clock
+    * parts difference FLOOR-divided epoch seconds/micros (floor, not
+    * truncate — pre-epoch values divide toward -∞ via a pmod). */
+  private def boundariesBetween(
+      part: String, a: Expression, b: Expression): Expression = {
+    import org.apache.spark.sql.types.{DateType, LongType, TimestampType}
+    def asDate(e: Expression) = Cast(e, DateType)
+    def asTs(e: Expression) = Cast(e, TimestampType)
+    def floorDiv(x: Expression, u: Long): Expression =
+      new IntegralDivide(Subtract(x, Pmod(x, Literal(u))), Literal(u))
+    def epochDiff(unitMicros: Long): Expression =
+      Subtract(floorDiv(UnixMicros(asTs(b)), unitMicros),
+        floorDiv(UnixMicros(asTs(a)), unitMicros))
+    val out: Expression = part match {
+      case "year" => Subtract(Year(b), Year(a))
+      case "quarter" =>
+        Add(Multiply(Subtract(Year(b), Year(a)), Literal(4)),
+          Subtract(Quarter(b), Quarter(a)))
+      case "month" =>
+        Add(Multiply(Subtract(Year(b), Year(a)), Literal(12)),
+          Subtract(Month(b), Month(a)))
+      case "week" =>
+        // Monday-start week boundaries in both engines; the day span
+        // between week-truncated dates is an exact multiple of 7
+        new IntegralDivide(
+          DateDiff(TruncDate(asDate(b), Literal("week")),
+            TruncDate(asDate(a), Literal("week"))), Literal(7))
+      case "day" => DateDiff(asDate(b), asDate(a))
+      case "hour" => epochDiff(3600L * 1000000L)
+      case "minute" => epochDiff(60L * 1000000L)
+      case "second" => epochDiff(1000000L)
+      case "millisecond" => epochDiff(1000L)
+      case "microsecond" => epochDiff(1L)
+      case other => throw new IllegalArgumentException(
+        s"date_diff part '$other' is not supported (year/quarter/month/" +
+          "week/day/hour/minute/second/millisecond/microsecond)")
+    }
+    Cast(out, LongType) // DuckDB returns BIGINT for every part
+  }
 
   /** Install every alias through the public extension point; composes
     * with the optimizer-rule extensions in `Session.builder`. */

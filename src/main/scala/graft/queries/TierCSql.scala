@@ -449,6 +449,53 @@ object TierCSql {
       |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // Date compat pack (round 18, `DuckdbCompat`): strptime (the parse
+  // twin of strftime, same %-code translation), 3-arg date_diff /
+  // datediff (DuckDB's BOUNDARIES-crossed count — calendar parts via
+  // field arithmetic, clock parts via floor-divided epochs) and 3-arg
+  // date_sub (COMPLETE intervals = Spark's native timestampdiff) —
+  // IDENTICAL text on both engines, every result BIGINT/string so no
+  // timestamp rendering divergence reaches the hash (strptime's value
+  // is certified by the strftime round-trip re-rendering it).
+  val duckdbDateFns: String =
+    """SELECT o_orderkey,
+      |  date_diff('day', DATE '1995-06-15', o_orderdate) AS dd,
+      |  date_diff('month', DATE '1995-06-15', o_orderdate) AS dm,
+      |  date_diff('quarter', DATE '1995-06-15', o_orderdate) AS dq,
+      |  date_diff('year', DATE '1995-06-15', o_orderdate) AS dy,
+      |  date_diff('week', DATE '1995-06-12', o_orderdate) AS dw,
+      |  date_diff('hour', TIMESTAMP '1995-06-15 06:30:00', o_orderdate)
+      |    AS dh,
+      |  date_diff('minute', TIMESTAMP '1995-06-15 06:30:30', o_orderdate)
+      |    AS dmin,
+      |  date_sub('month', DATE '1995-06-15', o_orderdate) AS sm,
+      |  datediff('day', DATE '1995-06-15', o_orderdate) AS dd2,
+      |  strftime(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d'),
+      |    '%d/%m/%Y') AS rt
+      |FROM orders WHERE o_orderkey <= 8000 ORDER BY o_orderkey"""
+      .stripMargin
+
+  // Collect/histogram aggregates (round 18, `DuckdbCompat`): `list(x)`
+  // keeps NULL elements on both engines (the compat builder wraps
+  // elements in a never-null struct so Spark's collect_list cannot drop
+  // them), `histogram(x)` is the native TypedImperativeAggregate
+  // (`graft.functions.Histogram` — key-sorted map, NULLs skipped, the
+  // same two-phase partial aggregation as builtin hash aggs). Element
+  // ORDER of list() is undefined in both engines, so every collected
+  // list passes through list_sort before rendering, and the map renders
+  // through map_entries → 'k:v' strings — the canonical-sort discipline
+  // that makes cross-engine hashes meaningful. IDENTICAL text.
+  val duckdbListAgg: String =
+    """SELECT o_orderpriority,
+      |  array_to_string(list_transform(map_entries(histogram(o_orderstatus)),
+      |    e -> concat(e.key, ':', e.value)), ',') AS hist,
+      |  array_to_string(list_transform(list_sort(
+      |    list(CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END)),
+      |    e -> coalesce(e, 'NUL')), '') AS statuses,
+      |  array_to_string(list_sort(list(o_orderkey % 7)), '|') AS ks
+      |FROM orders WHERE o_orderkey <= 1000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // generate_series / unnest (round 16, `DuckdbCompat`): DuckDB's
   // inclusive-end series table function maps onto Spark's native Range
   // leaf (bound shifted one step-sign), and select-position unnest maps
@@ -610,6 +657,39 @@ object TierCSql {
        |    AS revenue
        |FROM lineitem
        |GROUP BY l_returnflag ORDER BY l_returnflag;""".stripMargin
+
+  // r18: the verbatim CREATE MACRO statement now ROUTES (Engine
+  // registers an untyped plan-time-expansion function, the faithful
+  // analog of DuckDB's macro binder), so this witness runs the
+  // IDENTICAL DuckDB-spelled script on both engines — the definition
+  // through `Engine.runScript`, the call expanding into codegen exactly
+  // like the TEMPORARY FUNCTION twin above. Distinct macro name so the
+  // two witnesses never race on one registry slot in a shared session.
+  val macroDuckScript: String =
+    s"""CREATE OR REPLACE MACRO graft_discm(p, d) AS
+       |  $discBody;
+       |SELECT l_returnflag, COUNT(*) AS n,
+       |  CAST(SUM(graft_discm(l_extendedprice, l_discount)) AS DOUBLE)
+       |    AS revenue
+       |FROM lineitem
+       |GROUP BY l_returnflag ORDER BY l_returnflag;""".stripMargin
+
+  // --- PREPARE / EXECUTE: parameterized snippets (r18) --------------------
+  //
+  // Same text on both engines: DuckDB prepares/binds natively; the
+  // engine routes PREPARE as stored text and EXECUTE as quote-aware
+  // `$n` substitution through the full router (`Engine.bindPrepared`).
+  // Two EXECUTEs with different bindings prove the re-binding (the
+  // script's last statement is the comparison surface, so the second
+  // binding's result is what both engines hash).
+  val prepareScript: String =
+    s"""PREPARE graft_prep AS
+       |  SELECT o_orderstatus, COUNT(*) AS n,
+       |    ${msum("o_totalprice")} AS total
+       |  FROM orders WHERE o_totalprice > $$1 AND o_orderkey <= $$2
+       |  GROUP BY o_orderstatus ORDER BY o_orderstatus;
+       |EXECUTE graft_prep(350000, 40000);
+       |EXECUTE graft_prep(100000, 20000);""".stripMargin
 
   // --- User-typed DML through the engine's SQL route (r15) ----------------
   //
@@ -1054,6 +1134,8 @@ object TierCSql {
     "c_sql_duckdb_time_fns" -> q(duckdbTimeFns),
     "c_sql_duckdb_str_fns" -> q(duckdbStrFns),
     "c_sql_duckdb_agg_fns" -> q(duckdbAggFns),
+    "c_sql_duckdb_date_fns" -> q(duckdbDateFns),
+    "c_sql_duckdb_list_agg" -> q(duckdbListAgg),
     "c_sql_series_unnest" -> q(seriesUnnest),
     "c_sql_window_named" -> q(windowNamed),
     "c_sql_order_by_all" -> q(orderByAll),
@@ -1098,6 +1180,8 @@ object TierCSql {
     "c_sql_copy_from" -> ((s, dir) => Engine.runScript(views(s, dir),
       copyFromScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_macro" -> script(macroScript),
+    "c_sql_macro_duck" -> script(macroDuckScript),
+    "c_sql_prepare" -> script(prepareScript),
     "c_scalar_funcs" -> q(scalarFuncs),
     "c_recursive_cte" -> q(recursiveCte),
     "c_sql_quoting" -> q(quotingSpark),
@@ -1119,6 +1203,8 @@ object TierCSql {
     "c_sql_duckdb_time_fns" -> duckdbTimeFns, // IDENTICAL text — native fns
     "c_sql_duckdb_str_fns" -> duckdbStrFns, // IDENTICAL text — native fns
     "c_sql_duckdb_agg_fns" -> duckdbAggFns, // IDENTICAL text — native aggs
+    "c_sql_duckdb_date_fns" -> duckdbDateFns, // IDENTICAL text — native fns
+    "c_sql_duckdb_list_agg" -> duckdbListAgg, // IDENTICAL text — native aggs
     "c_sql_series_unnest" -> seriesUnnest, // IDENTICAL text — native fns
     "c_sql_window_named" -> windowNamed,
     "c_sql_order_by_all" -> orderByAll,
@@ -1154,6 +1240,9 @@ object TierCSql {
     "c_sql_copy" -> copySqlOracle,
     "c_sql_copy_from" -> copyFromOracle,
     "c_sql_macro" -> macroOracle,
+    "c_sql_macro_duck" -> macroDuckScript, // IDENTICAL text — routed CREATE MACRO
+    "c_sql_prepare" -> prepareScript, // IDENTICAL text — routed PREPARE/EXECUTE
+
     "c_scalar_funcs" -> scalarFuncs,
     "c_recursive_cte" -> recursiveCte,
     "c_sql_quoting" -> quotingOracle,

@@ -1332,4 +1332,119 @@ class EngineSpec extends AnyFunSuite {
         s"one-sided string DATE bound must prune: ${stats2.mkString(",")}")
     } finally Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
   }
+
+  test("CREATE MACRO routes as a plan-time-expanded function") {
+    Engine.exec(spark, "CREATE MACRO engine_spec_m1(a, b) AS a * 10 + b")
+    val r = Engine.sql(spark,
+      "SELECT engine_spec_m1(4, 2) AS v, engine_spec_m1(0, 7) AS w")
+      .collect()(0)
+    assert((r.getInt(0), r.getInt(1)) == ((42, 7)))
+    // macro args are EXPRESSIONS (column references included)
+    val c = Engine.sql(spark,
+      "SELECT engine_spec_m1(id, id) AS v FROM range(3) ORDER BY v")
+      .collect().map(_.getLong(0)).toSeq
+    assert(c == Seq(0L, 11L, 22L))
+    // without OR REPLACE a second definition refuses, like DuckDB
+    val dup = intercept[IllegalArgumentException](Engine.sql(spark,
+      "CREATE MACRO engine_spec_m1(x) AS x"))
+    assert(dup.getMessage.contains("OR REPLACE"))
+    // OR REPLACE redefines
+    Engine.exec(spark,
+      "CREATE OR REPLACE MACRO engine_spec_m1(a, b) AS a - b")
+    assert(Engine.sql(spark, "SELECT engine_spec_m1(10, 4) AS v")
+      .collect()(0).getInt(0) == 6)
+    // wrong arity fails loudly at the call
+    assertThrows[Exception](
+      Engine.sql(spark, "SELECT engine_spec_m1(1) AS v").collect())
+    // DROP MACRO removes it; a second DROP refuses without IF EXISTS
+    Engine.exec(spark, "DROP MACRO engine_spec_m1")
+    val gone = intercept[IllegalArgumentException](
+      Engine.sql(spark, "DROP MACRO engine_spec_m1"))
+    assert(gone.getMessage.contains("IF EXISTS"))
+    Engine.exec(spark, "DROP MACRO IF EXISTS engine_spec_m1")
+  }
+
+  test("CREATE MACRO refusals: table macros, defaults, shadowing") {
+    val tbl = intercept[IllegalArgumentException](Engine.sql(spark,
+      "CREATE MACRO engine_spec_tm(n) AS TABLE SELECT 1 AS x"))
+    assert(tbl.getMessage.contains("VIEW"))
+    val dflt = intercept[IllegalArgumentException](Engine.sql(spark,
+      "CREATE MACRO engine_spec_dm(a, b := 5) AS a + b"))
+    assert(dflt.getMessage.contains("default"))
+    // a builtin name refuses without OR REPLACE (protects builtins)
+    val bi = intercept[IllegalArgumentException](Engine.sql(spark,
+      "CREATE MACRO abs(x) AS x"))
+    assert(bi.getMessage.contains("already exists"))
+  }
+
+  test("PREPARE/EXECUTE/DEALLOCATE round-trip with re-binding") {
+    Engine.exec(spark,
+      "PREPARE engine_spec_p AS SELECT id FROM range(10)" +
+        " WHERE id > $1 AND id < $2 ORDER BY id")
+    val a = Engine.sql(spark, "EXECUTE engine_spec_p(6, 9)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == Seq(7L, 8L))
+    // re-binding the SAME statement with new arguments
+    val b = Engine.sql(spark, "EXECUTE engine_spec_p(0, 3)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(b == Seq(1L, 2L))
+    // wrong argument count refuses
+    val argc = intercept[IllegalArgumentException](
+      Engine.sql(spark, "EXECUTE engine_spec_p(1)"))
+    assert(argc.getMessage.contains("argument"))
+    Engine.exec(spark, "DEALLOCATE engine_spec_p")
+    val gone = intercept[IllegalArgumentException](
+      Engine.sql(spark, "EXECUTE engine_spec_p(1, 2)"))
+    assert(gone.getMessage.contains("PREPARE"))
+    // unknown DEALLOCATE refuses too
+    assertThrows[IllegalArgumentException](
+      Engine.sql(spark, "DEALLOCATE engine_spec_p"))
+  }
+
+  test("bindPrepared: quote-aware, ?-style, and refusal shapes") {
+    // $n inside a string literal is TEXT, not a parameter
+    assert(Engine.bindPrepared("SELECT '$1' AS s WHERE x > $1", Seq("5"))
+      == "SELECT '$1' AS s WHERE x > (5)")
+    // ?-style binds positionally; substitution parenthesizes
+    assert(Engine.bindPrepared("SELECT ? + ?", Seq("1 + 1", "2"))
+      == "SELECT (1 + 1) + (2)")
+    // a parameter may repeat — one argument satisfies both sites
+    assert(Engine.bindPrepared("SELECT $1 + $1", Seq("3"))
+      == "SELECT (3) + (3)")
+    // mixed styles refuse
+    assertThrows[IllegalArgumentException](
+      Engine.bindPrepared("SELECT $1 + ?", Seq("1", "2")))
+    // unused arguments refuse (a silently-dropped binding is wrongness)
+    assertThrows[IllegalArgumentException](
+      Engine.bindPrepared("SELECT $1", Seq("1", "2")))
+    // out-of-range index refuses
+    assertThrows[IllegalArgumentException](
+      Engine.bindPrepared("SELECT $3", Seq("1", "2")))
+  }
+
+  test("date_diff text shim renames only quoted-part calls") {
+    assert(Engine.rewriteDateDiff(
+      "SELECT date_diff('day', a, b), datediff('month', a, b)") ==
+      "SELECT graft_date_diff('day', a, b), graft_date_diff('month', a, b)")
+    // Spark's identifier-unit spelling and 2-arg datediff untouched
+    val keep = "SELECT date_diff(DAY, a, b) + datediff(b, a) FROM t"
+    assert(Engine.rewriteDateDiff(keep) == keep)
+    // occurrences inside string literals untouched
+    val lit = "SELECT 'date_diff(''day'', x, y)' AS s"
+    assert(Engine.rewriteDateDiff(lit) == lit)
+    // end-to-end: the DuckDB boundary semantics through the router
+    val r = Engine.sql(spark,
+      "SELECT date_diff('month', DATE '2020-01-31', DATE '2020-02-01')" +
+        " AS m").collect()(0)
+    assert(r.getLong(0) == 1L)
+  }
+
+  test("ATTACH/DETACH refuse with the working alternative named") {
+    val e = intercept[IllegalArgumentException](
+      Engine.sql(spark, "ATTACH 'other.db' AS other"))
+    assert(e.getMessage.contains("IMPORT DATABASE"))
+    val d = intercept[IllegalArgumentException](
+      Engine.sql(spark, "DETACH other"))
+    assert(d.getMessage.contains("single"))
+  }
 }

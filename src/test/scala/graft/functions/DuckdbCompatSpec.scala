@@ -104,6 +104,85 @@ class DuckdbCompatSpec extends AnyFunSuite {
       spark.sql("SELECT x FROM generate_series(1, 10, 0) t(x)").collect())
   }
 
+  test("list_concat skips NULL inputs like DuckDB; both-NULL is NULL") {
+    assert(one("SELECT list_concat(array(1), CAST(NULL AS ARRAY<INT>))") ==
+      Seq(1))
+    assert(one("SELECT list_concat(CAST(NULL AS ARRAY<INT>), array(2))") ==
+      Seq(2))
+    assert(one("SELECT list_concat(CAST(NULL AS ARRAY<INT>)," +
+      " CAST(NULL AS ARRAY<INT>))") == null)
+  }
+
+  test("list_sort defaults to ASC NULLS LAST (DuckDB's default)") {
+    assert(one("SELECT list_sort(array(3, NULL, 1))") == Seq(1, 3, null))
+    assert(one("SELECT list_sort(array(3, NULL, 1), 'DESC')") ==
+      Seq(3, 1, null))
+    assert(one("SELECT list_sort(array(3, NULL, 1), 'ASC'," +
+      " 'NULLS FIRST')") == Seq(null, 1, 3))
+    assert(one("SELECT list_sort(array(3, NULL, 1), 'ASC'," +
+      " 'NULLS LAST')") == Seq(1, 3, null))
+    intercept[Exception](spark.sql(
+      "SELECT list_sort(array(1), 'DESC', 'NULLS FIRST')").collect())
+  }
+
+  test("strptime parses with the translated %-codes") {
+    assert(one("SELECT CAST(strptime('05/03/2020 04:05:06'," +
+      " '%d/%m/%Y %H:%M:%S') AS STRING)") == "2020-03-05 04:05:06")
+    val e = intercept[Exception](spark.sql(
+      "SELECT strptime('x', concat('%','Y'))").collect())
+    assert(e.getMessage.contains("literal format"))
+  }
+
+  test("graft_date_diff counts boundaries, date_sub complete intervals") {
+    // the DuckDB divergence case: one month BOUNDARY crossed, zero
+    // complete months elapsed
+    assert(one("SELECT graft_date_diff('month', DATE '2020-01-31'," +
+      " DATE '2020-02-01')") == 1L)
+    assert(one("SELECT date_sub('month', DATE '2020-01-31'," +
+      " DATE '2020-02-01')") == 0L)
+    assert(one("SELECT graft_date_diff('day', TIMESTAMP" +
+      " '2020-01-01 23:00:00', TIMESTAMP '2020-01-02 01:00:00')") == 1L)
+    assert(one("SELECT graft_date_diff('hour', TIMESTAMP" +
+      " '2020-01-01 00:59:00', TIMESTAMP '2020-01-01 01:01:00')") == 1L)
+    // signed, reversed order
+    assert(one("SELECT graft_date_diff('day', DATE '2020-02-01'," +
+      " DATE '2020-01-31')") == -1L)
+    // Monday-start week boundary (Sun 2020-01-05 -> Mon 2020-01-06)
+    assert(one("SELECT graft_date_diff('week', DATE '2020-01-05'," +
+      " DATE '2020-01-06')") == 1L)
+    // pre-epoch clock parts floor-divide (no truncation toward zero)
+    assert(one("SELECT graft_date_diff('hour', TIMESTAMP" +
+      " '1969-12-31 23:30:00', TIMESTAMP '1970-01-01 00:30:00')") == 1L)
+    // 2-arg passthrough keeps Spark's builtin meaning
+    assert(one("SELECT graft_date_diff(DATE '2020-01-03'," +
+      " DATE '2020-01-01')") == 2)
+    intercept[Exception](spark.sql(
+      "SELECT graft_date_diff('fortnight', DATE '2020-01-01'," +
+        " DATE '2020-02-01')").collect())
+  }
+
+  test("list() keeps NULL elements; histogram skips them, sorts keys") {
+    assert(one("SELECT list_sort(list(x)) FROM" +
+      " VALUES (3), (NULL), (1) v(x)") == Seq(1, 3, null))
+    val h = one("SELECT histogram(x) FROM" +
+      " VALUES ('b'), ('a'), (NULL), ('a') v(x)")
+      .asInstanceOf[scala.collection.Map[Any, Any]]
+    assert(h == Map("a" -> 2L, "b" -> 1L))
+    // key-sorted entries (DuckDB's output order)
+    assert(one("SELECT map_keys(histogram(x)) FROM" +
+      " VALUES ('b'), ('a'), ('c') v(x)") == Seq("a", "b", "c"))
+    // numeric keys, grouped
+    val rows = spark.sql("SELECT k, histogram(v) FROM VALUES" +
+      " (1, 10), (1, 10), (1, 20), (2, 30) t(k, v)" +
+      " GROUP BY k ORDER BY k").collect()
+    assert(rows(0).getMap[Int, Long](1).toMap == Map(10 -> 2L, 20 -> 1L))
+    assert(rows(1).getMap[Int, Long](1).toMap == Map(30 -> 1L))
+    // unsupported key types refuse loudly
+    val e = intercept[Exception](spark.sql(
+      "SELECT histogram(array(1)) FROM VALUES (1) v(x)").collect())
+    assert(e.getMessage.toLowerCase.contains("histogram"))
+  }
+
   test("cFormatToJava translation table and refusals") {
     assert(DuckdbCompat.cFormatToJava("%Y-%m-%d") == "yyyy-MM-dd")
     assert(DuckdbCompat.cFormatToJava("%H:%M:%S.%f") == "HH:mm:ss.SSSSSS")
