@@ -2506,22 +2506,31 @@ object Engine {
   def describe(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // DuckDB's exact column set (r18 shape parity): key/default/extra
+    // are always NULL here — this engine keeps no constraint metadata —
+    // but a migrating user's tooling indexes the columns by name
     df.schema.fields.toSeq
       .map(f => (f.name, f.dataType.sql,
-        if (f.nullable) "YES" else "NO"))
-      .toDF("column_name", "column_type", "null")
+        if (f.nullable) "YES" else "NO",
+        Option.empty[String], Option.empty[String], Option.empty[String]))
+      .toDF("column_name", "column_type", "null", "key", "default", "extra")
   }
 
-  /** SUMMARIZE convenience (DuckDB's per-column profile one-liner): count /
-    * distinct / null-fraction / min / max / mean per column in ONE
-    * distributed aggregate pass (one job, map-side partials — not a
-    * per-column scan loop: at 100 TB the difference between 1 scan and
-    * N_cols scans is the whole cost). Spark's own `df.summary()` skips
-    * non-numeric columns and runs no distinct counts; this wrapper profiles
-    * EVERY column: approx_count_distinct (the only sane distinct at scale),
-    * min/max rendered through the A14 formatter so timestamps/decimals
-    * read naturally, mean only where numeric. Stats formatting is
-    * engine-specific → spec-checked, not oracle-hashed. */
+  /** SUMMARIZE convenience (DuckDB's per-column profile one-liner): the
+    * full DuckDB column set — min / max / approx_unique / avg / std /
+    * q25 / q50 / q75 / count / null_percentage per column, in DuckDB's
+    * EXACT column names and order (r18: a migrating user's tooling
+    * reads these names) — computed in ONE distributed aggregate pass
+    * (one job, map-side partials — not a per-column scan loop: at
+    * 100 TB the difference between 1 scan and N_cols scans is the
+    * whole cost). Spark's own `df.summary()` skips non-numeric columns
+    * and runs no distinct counts; this wrapper profiles EVERY column:
+    * approx_count_distinct and approx_percentile (the only sane
+    * distinct/quantiles at scale — DuckDB's own approx_unique/q* are
+    * approximate too), min/max rendered through the A14 formatter so
+    * timestamps/decimals read naturally, avg/std/quantiles only where
+    * numeric. Stat VALUES are engine-specific (approx sketches differ)
+    * → shape spec-checked, not oracle-hashed. */
   def summarize(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.RowOrdering
     import org.apache.spark.sql.functions._
@@ -2547,8 +2556,12 @@ object Engine {
           max(c).as(s"max_$i"))
         else Nil) ++
         (f.dataType match {
-          case _: NumericType =>
-            Seq(avg(c).cast("double").as(s"avg_$i"))
+          case _: NumericType => Seq(
+            avg(c).cast("double").as(s"avg_$i"),
+            stddev_samp(c.cast("double")).as(s"std_$i"),
+            percentile_approx(c.cast("double"),
+              array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+              .as(s"q_$i"))
           case _ => Nil
         })
     }
@@ -2562,19 +2575,25 @@ object Engine {
           val v = row.getAs[Any](s"${prefix}_$i")
           if (v == null) null else Render.formatCell(v)
         }
+      def numStat(prefix: String): String =
+        if (!f.dataType.isInstanceOf[NumericType]) null
+        else Option(row.getAs[Any](s"${prefix}_$i"))
+          .map(v => Render.formatCell(v)).orNull
+      val qs: Seq[String] =
+        if (!f.dataType.isInstanceOf[NumericType]) Seq(null, null, null)
+        else Option(row.getAs[scala.collection.Seq[Double]](s"q_$i"))
+          .map(_.map(v => Render.formatCell(v)).toSeq)
+          .getOrElse(Seq(null, null, null))
       val cnt = row.getAs[Long](s"cnt_$i")
       val dst: Option[Long] =
         if (orderable(f)) Some(row.getAs[Long](s"dst_$i")) else None
-      val mean =
-        if (f.dataType.isInstanceOf[NumericType])
-          Option(row.getAs[Any](s"avg_$i"))
-            .map(v => Render.formatCell(v)).orNull
-        else null
-      (f.name, f.dataType.sql, cnt, dst,
-        if (n == 0) 0.0 else (n - cnt).toDouble / n.toDouble,
-        s("min"), s("max"), mean)
-    }.toDF("column_name", "column_type", "count", "approx_unique",
-      "null_fraction", "min", "max", "mean")
+      // DuckDB's column ORDER and NAMES exactly; null_percentage is a
+      // percent (DuckDB renders DECIMAL(5,2) — the value is 0..100)
+      (f.name, f.dataType.sql, s("min"), s("max"), dst,
+        numStat("avg"), numStat("std"), qs(0), qs(1), qs(2), cnt,
+        if (n == 0) 0.0 else (n - cnt).toDouble * 100.0 / n.toDouble)
+    }.toDF("column_name", "column_type", "min", "max", "approx_unique",
+      "avg", "std", "q25", "q50", "q75", "count", "null_percentage")
   }
 
   /** Error surface: the reference catches engine failures and shows

@@ -54,6 +54,16 @@ object Builds {
       // Morton-interleave rewrite of lineitem (the c_zorder_skip layout)
       leg("zorder_write", "zorder_li") {
         Layout.zorderLineitem(s, dir); ()
+      },
+      // full-corpus winnowing fingerprint index (r18: the memo behind
+      // p_dedup_winnow_full — the read leg stays cheap because this
+      // build is amortized, so the bench measures the build here)
+      {
+        Tables.dropMemo(s, dir, "winnow_sel_full")
+        Tables.dropMemo(s, dir, "winnow_base_full")
+        leg("winnow_index_build") {
+          Dedup.buildWinnowIndex(s, dir); ()
+        }
       })
   }
 }

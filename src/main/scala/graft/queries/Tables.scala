@@ -152,4 +152,10 @@ object Tables {
       (build: => DataFrame): DataFrame =
     memo.getOrElseUpdate((s, dir, name),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop one memoized intermediate (unpersisting its cache) so a bench
+    * build leg can re-measure the REAL construction cost — the memo
+    * analog of `Layout.written.remove` for path-backed artifacts. */
+  def dropMemo(s: SparkSession, dir: String, name: String): Unit =
+    memo.remove((s, dir, name)).foreach(_.unpersist())
 }

@@ -496,6 +496,29 @@ object TierCSql {
       |FROM orders WHERE o_orderkey <= 1000
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // Window-function breadth (round 18, VERDICT r17 #7): nth_value over
+  // an explicit full frame, a filtered window count, and mode() as a
+  // WINDOW aggregate — the small window-family gaps a migrating analyst
+  // hits. IDENTICAL text on both engines. The filtered count spells
+  // CASE, not FILTER: Spark rejects FILTER on window aggregates
+  // ("not supported yet") and the CASE form is the portable
+  // equivalent both engines accept. Determinism: nth_value's frame is
+  // the whole partition under a unique ORDER BY; mode's operand is a
+  // 70/30 split over each ~thousands-row priority partition, so a tie
+  // (the one nondeterministic case in both engines) is statistically
+  // impossible at any tested SF.
+  val windowBreadth: String =
+    """SELECT o_orderkey,
+      |  nth_value(o_totalprice, 2) OVER w AS p2,
+      |  CAST(count(CASE WHEN o_totalprice > 150000 THEN 1 END) OVER w
+      |    AS BIGINT) AS n_big,
+      |  mode(CASE WHEN o_orderkey % 10 < 7 THEN 'lo' ELSE 'hi' END)
+      |    OVER (PARTITION BY o_orderpriority) AS m
+      |FROM orders WHERE o_orderkey <= 2000
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
   // generate_series / unnest (round 16, `DuckdbCompat`): DuckDB's
   // inclusive-end series table function maps onto Spark's native Range
   // leaf (bound shifted one step-sign), and select-position unnest maps
@@ -1138,6 +1161,7 @@ object TierCSql {
     "c_sql_duckdb_list_agg" -> q(duckdbListAgg),
     "c_sql_series_unnest" -> q(seriesUnnest),
     "c_sql_window_named" -> q(windowNamed),
+    "c_sql_window_breadth" -> q(windowBreadth),
     "c_sql_order_by_all" -> q(orderByAll),
     "c_sql_read_fn" -> ((s, dir) => Engine.sql(views(s, dir), readFnSql(dir))),
     "c_sql_columns" -> q(columnsFn),
@@ -1207,6 +1231,7 @@ object TierCSql {
     "c_sql_duckdb_list_agg" -> duckdbListAgg, // IDENTICAL text — native aggs
     "c_sql_series_unnest" -> seriesUnnest, // IDENTICAL text — native fns
     "c_sql_window_named" -> windowNamed,
+    "c_sql_window_breadth" -> windowBreadth, // IDENTICAL text — native fns
     "c_sql_order_by_all" -> orderByAll,
     "c_sql_read_fn" -> readFnSql(sfDirForOracle), // IDENTICAL text — native fn
     "c_sql_columns" -> columnsFn, // IDENTICAL text — native COLUMNS

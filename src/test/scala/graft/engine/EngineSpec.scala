@@ -84,6 +84,9 @@ class EngineSpec extends AnyFunSuite {
   test("describe returns schema rows without running a job") {
     val df = Engine.sql(spark,
       "SELECT CAST(1 AS BIGINT) AS id, 'x' AS name, CAST(1.5 AS DOUBLE) AS v")
+    // DuckDB's exact DESCRIBE columns (r18 shape parity)
+    assert(Engine.describe(df).columns.toSeq == Seq("column_name",
+      "column_type", "null", "key", "default", "extra"))
     val rows = Engine.describe(df).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
     assert(rows.map(_._1).toSeq == Seq("id", "name", "v"))
@@ -94,36 +97,44 @@ class EngineSpec extends AnyFunSuite {
     assert(Engine.describe(poisoned).collect().length == 1)
   }
 
-  test("summarize profiles every column in one pass") {
+  test("summarize profiles every column in one pass, DuckDB's shape") {
     import spark.implicits._
     val df = Seq(
       (1L, "a", Some(10.0)), (2L, "b", Some(20.0)),
       (3L, "a", None), (4L, "c", Some(40.0)))
       .toDF("id", "tag", "score")
-    val out = Engine.summarize(df).collect()
-      .map(r => r.getString(0) -> r).toMap
+    val res = Engine.summarize(df)
+    // a migrating user's tooling reads DuckDB's EXACT column names and
+    // order (r18 parity) — pin the whole shape
+    assert(res.columns.toSeq == Seq("column_name", "column_type", "min",
+      "max", "approx_unique", "avg", "std", "q25", "q50", "q75",
+      "count", "null_percentage"))
+    val out = res.collect().map(r => r.getString(0) -> r).toMap
     assert(out.keySet == Set("id", "tag", "score"))
     val id = out("id")
-    assert(id.getLong(2) == 4L && id.getLong(3) == 4L) // count, distinct
-    assert(id.getString(5) == "1" && id.getString(6) == "4") // min, max
-    assert(id.getString(7) == "2.5") // mean via the A14 formatter
+    assert(id.getLong(10) == 4L && id.getLong(4) == 4L) // count, distinct
+    assert(id.getString(2) == "1" && id.getString(3) == "4") // min, max
+    assert(id.getString(5) == "2.5") // avg via the A14 formatter
+    assert(id.getString(6) != null && id.getString(8) != null) // std, q50
     val tag = out("tag")
-    assert(tag.getLong(3) == 3L && tag.getString(7) == null) // no mean
+    assert(tag.getLong(4) == 3L && tag.getString(5) == null) // no avg
+    assert(tag.getString(6) == null && tag.getString(7) == null)
     val score = out("score")
-    assert(score.getLong(2) == 3L) // one null
-    assert(math.abs(score.getDouble(4) - 0.25) < 1e-12) // null_fraction
-    assert(score.getString(5) == "10" && score.getString(6) == "40")
+    assert(score.getLong(10) == 3L) // one null
+    assert(math.abs(score.getDouble(11) - 25.0) < 1e-9) // null PERCENT
+    assert(score.getString(2) == "10" && score.getString(3) == "40")
+    assert(score.getString(8) == "20") // q50 of 10/20/40
     // empty frame: zero counts, no divide-by-zero
     val empty = Engine.summarize(df.filter($"id" < 0)).collect()
-    assert(empty.forall(r => r.getLong(2) == 0L && r.getDouble(4) == 0.0))
+    assert(empty.forall(r => r.getLong(10) == 0L && r.getDouble(11) == 0.0))
     // a map column is neither orderable nor hashable: count-only profile
     // instead of an AnalysisException for the whole frame
     val withMap = Engine.sql(spark,
       "SELECT 1 AS k, map('a', 1) AS m UNION ALL SELECT 2, map('b', 2)")
     val mRow = Engine.summarize(withMap).collect()
       .map(r => r.getString(0) -> r).toMap.apply("m")
-    assert(mRow.getLong(2) == 2L && mRow.isNullAt(3) &&
-      mRow.getString(5) == null && mRow.getString(6) == null)
+    assert(mRow.getLong(10) == 2L && mRow.isNullAt(4) &&
+      mRow.getString(2) == null && mRow.getString(3) == null)
     // duplicate column names (routine after a join) profile positionally
     // instead of throwing on an ambiguous lookup
     val dup = Engine.sql(spark,
@@ -131,11 +142,11 @@ class EngineSpec extends AnyFunSuite {
     val dupRows = Engine.summarize(dup).collect()
     assert(dupRows.length == 2 &&
       dupRows.forall(_.getString(0) == "k") &&
-      dupRows(0).getString(6) == "3" && dupRows(1).getString(6) == "4")
+      dupRows(0).getString(3) == "3" && dupRows(1).getString(3) == "4")
     // a backtick inside a column name survives the positional rename
     val tick = Engine.sql(spark, "SELECT 1 AS `we``ird`")
     val tickRow = Engine.summarize(tick).collect()(0)
-    assert(tickRow.getString(0) == "we`ird" && tickRow.getString(6) == "1")
+    assert(tickRow.getString(0) == "we`ird" && tickRow.getString(3) == "1")
   }
 
   test("SUMMARIZE / DESCRIBE SELECT route like the DuckDB one-liners") {
@@ -146,12 +157,12 @@ class EngineSpec extends AnyFunSuite {
     val byTable = Engine.sql(spark, "SUMMARIZE engine_spec_sum;")
       .collect().map(r => r.getString(0) -> r).toMap
     assert(byTable.keySet == Set("a", "b"))
-    assert(byTable("a").getString(5) == "1" && byTable("a").getString(6) == "3")
+    assert(byTable("a").getString(2) == "1" && byTable("a").getString(3) == "3")
     // SUMMARIZE SELECT ...
     val byQuery = Engine.sql(spark,
       "SUMMARIZE SELECT a * 10 AS a10 FROM engine_spec_sum").collect()
     assert(byQuery.length == 1 && byQuery(0).getString(0) == "a10" &&
-      byQuery(0).getString(6) == "30")
+      byQuery(0).getString(3) == "30")
     // DESCRIBE SELECT ... (Spark only accepts DESCRIBE QUERY natively)
     val desc = Engine.sql(spark,
       "DESCRIBE SELECT a, b FROM engine_spec_sum").collect()
@@ -166,7 +177,7 @@ class EngineSpec extends AnyFunSuite {
       "CREATE OR REPLACE TEMPORARY VIEW selected_docs AS SELECT 7 AS a")
     val selNamed = Engine.sql(spark, "SUMMARIZE selected_docs").collect()
     assert(selNamed.length == 1 && selNamed(0).getString(0) == "a" &&
-      selNamed(0).getString(6) == "7")
+      selNamed(0).getString(3) == "7")
   }
 
   test("FROM-first statements route like DuckDB's leading-FROM syntax") {

@@ -81,4 +81,42 @@ class BenchHistorySpec extends AnyFunSuite {
     assert(current.get("n_queries").asInt() >= maxHistN,
       s"query inventory shrank: ${current.get("n_queries").asInt()} < $maxHistN")
   }
+
+  test("retryPlan: heals broad contention, leaves clean runs alone") {
+    val meds = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0)
+    // clean run (ratio ~1.0): no retries
+    val clean = Seq(("a", 1.1, true), ("b", 1.9, true), ("c", 4.0, true))
+    assert(graft.Bench.retryPlan(clean, meds)._2.isEmpty)
+    // broad 2x inflation: ratio > 1.25 and every regressed query listed
+    val hot = Seq(("a", 2.0, true), ("b", 4.0, true), ("c", 8.0, true))
+    val (ratio, retry) = graft.Bench.retryPlan(hot, meds)
+    assert(ratio > 1.9 && retry == Set("a", "b", "c"))
+    // broad trigger, but an individually-clean query is NOT re-run
+    val mixed = Seq(("a", 3.0, true), ("b", 6.0, true), ("c", 4.0, true))
+    assert(graft.Bench.retryPlan(mixed, meds)._2 == Set("a", "b"))
+    // one isolated spike below the subset-sum trigger: no retries (the
+    // existing min-of-2 sampling and the spec's outlier bar own that)
+    val spike = Seq(("a", 1.0, true), ("b", 2.0, true), ("c", 5.5, true))
+    assert(graft.Bench.retryPlan(spike, meds)._2.isEmpty)
+    // failed queries and queries without a median never join the subset
+    val partial = Seq(("a", 9.0, false), ("new_q", 9.0, true))
+    assert(graft.Bench.retryPlan(partial, meds) == ((0.0, Set.empty)))
+    // no history → no anchor → no retries
+    assert(graft.Bench.retryPlan(hot, Map.empty) == ((0.0, Set.empty)))
+  }
+
+  test("historyMedians reads the recorded per-query history") {
+    val meds = graft.Bench.historyMedians(historyPath)
+    assume(Files.exists(historyPath), "no recorded history yet")
+    assert(meds.nonEmpty && meds.values.forall(_ > 0))
+    // the medians agree with this spec's own computation
+    val history = Files.readAllLines(historyPath).asScala
+      .map(_.trim).filter(_.nonEmpty).map(mapper.readTree).toSeq
+    val histMaps = history.map(queryMap)
+    val q = histMaps.head.keys.head
+    assert(math.abs(meds(q) - median(histMaps.flatMap(_.get(q)))) < 1e-12)
+    // a missing file is an empty anchor, not a throw
+    assert(graft.Bench.historyMedians(
+      Paths.get("tools/does_not_exist.jsonl")).isEmpty)
+  }
 }
