@@ -245,17 +245,25 @@ object Engine {
       case fromFirstRe(rest) => rewriteQueryText(spark, fromFirstToSelect(rest))
       case donRe(rest) => rewriteQueryText(spark, distinctOnToWindow(rest))
       case other =>
-        // subquery bodies first (their rewritten form is what the outer
-        // shims and the REPLACE/COLUMNS schema probes must see), then
-        // the outer statement's shims, then path tables + table
-        // functions, and the literal constructors LAST so a
-        // read_parquet([…]) list is consumed as paths first
-        val sub = rewriteSubqueryBodies(spark, other)
-        val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
-          rewriteStarReplace(spark, rewriteColumnsFn(spark,
-            rewriteDateDiff(rewriteSimilarTo(rewriteStarExclude(sub))))))))
-        rewriteStructPack(
-          rewriteDuckdbLiterals(Catalog.rewritePathTables(spark, shimmed)._1))
+        rewriteUnionByName(spark, other) match {
+          case Some(t) =>
+            // DuckDB's UNION [ALL] BY NAME re-spelled as aligned
+            // positional branches; the rewritten text (no BY NAME left)
+            // re-enters the full pipeline so every other shim applies
+            rewriteQueryText(spark, t)
+          case None =>
+            // subquery bodies first (their rewritten form is what the
+            // outer shims and the REPLACE/COLUMNS schema probes must
+            // see), then the outer statement's shims, then path tables
+            // + table functions, and the literal constructors LAST so a
+            // read_parquet([…]) list is consumed as paths first
+            val sub = rewriteSubqueryBodies(spark, other)
+            val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
+              rewriteStarReplace(spark, rewriteColumnsFn(spark,
+                rewriteDateDiff(rewriteSimilarTo(rewriteStarExclude(sub))))))))
+            rewriteStructPack(rewriteDuckdbLiterals(
+              Catalog.rewritePathTables(spark, shimmed)._1))
+        }
     }
   }
 
@@ -782,6 +790,90 @@ object Engine {
       if (!matched) { sb.append(s.charAt(i)); i += 1 }
     }
     sb.toString
+  }
+
+  /** `<q1> UNION [ALL] BY NAME <q2> …` — DuckDB's column-name union
+    * (missing columns NULL-fill; output columns in first-appearance
+    * order). Spark SQL has no BY NAME set operator (only the DataFrame
+    * `unionByName`), so the statement desugars against the branches'
+    * ANALYZED schemas — the same no-job probe REPLACE/COLUMNS use: each
+    * branch becomes a positional SELECT over the union of names, with
+    * `CAST(NULL AS <type>)` for columns the branch lacks (the type
+    * taken from the first branch that has the column, matching DuckDB's
+    * left-to-right binding). Chains of the SAME operator are supported;
+    * mixing ALL and DISTINCT by-name steps in one chain refuses (the
+    * rewrite would have to invent an association DuckDB resolves by
+    * precedence). The trailing ORDER BY/LIMIT of the last branch
+    * applies to the whole union, as in plain SQL. */
+  private def rewriteUnionByName(
+      spark: SparkSession, s: String): Option[String] = {
+    if (!"(?is)^.*\\bBY\\s+NAME\\b.*$".r.matches(s)) return None
+    if (!s.trim.matches("(?is)^(SELECT|FROM|VALUES|WITH)\\b.*")) return None
+    // top-level UNION tokens whose following tokens read
+    // [ALL|DISTINCT] BY NAME — collect (start, endExclusive, isAll)
+    case class Hit(start: Int, end: Int, all: Boolean)
+    val hits = allTopLevelKeyword(s, "UNION").flatMap { i =>
+      var j = i + "UNION".length
+      def skipWs(): Unit =
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      def take(kw: String): Boolean = {
+        skipWs()
+        val ok = s.regionMatches(true, j, kw, 0, kw.length) &&
+          (j + kw.length == s.length ||
+            !s.charAt(j + kw.length).isLetterOrDigit)
+        if (ok) j += kw.length
+        ok
+      }
+      val all = take("ALL")
+      if (!all) take("DISTINCT") // explicit DISTINCT reads as not-ALL
+      if (take("BY") && take("NAME")) Some(Hit(i, j, all)) else None
+    }
+    if (hits.isEmpty) return None
+    require(hits.map(_.all).distinct.length == 1,
+      "UNION BY NAME chains mixing ALL and DISTINCT are not routed —" +
+        " parenthesize the sub-unions")
+    val all = hits.head.all
+    // branch texts between the operators
+    val cuts = hits.map(h => (h.start, h.end))
+    val branches0 = (Seq(0) ++ cuts.map(_._2))
+      .zip(cuts.map(_._1) ++ Seq(s.length))
+      .map { case (from, to) => s.substring(from, to).trim }
+    // the final branch's ORDER BY/LIMIT tail belongs to the whole union
+    val (lastBody, tail) = {
+      val last = branches0.last
+      firstTopLevelKeyword(last, Seq("ORDER", "LIMIT", "OFFSET")) match {
+        case Some(c) => (last.substring(0, c).trim, " " + last.substring(c))
+        case None => (last, "")
+      }
+    }
+    val branches = branches0.init :+ lastBody
+    branches.foreach { b =>
+      require(b.matches("(?is)^(SELECT|FROM|VALUES|WITH)\\b.*"),
+        s"UNION BY NAME branch must be a query — got: ${b.take(40)}")
+    }
+    // analyzed schemas (no job); sql() applies the full router to each
+    // branch, so path tables / dialect spellings inside them resolve
+    val schemas = branches.map(b => sql(spark, b).schema)
+    val unionCols = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, String)] // lower -> (first spelling, type)
+    schemas.foreach(_.fields.foreach { f =>
+      if (!unionCols.contains(f.name.toLowerCase))
+        unionCols(f.name.toLowerCase) = (f.name, f.dataType.sql)
+    })
+    val op = if (all) " UNION ALL " else " UNION "
+    val rewritten = branches.zip(schemas).zipWithIndex.map {
+      case ((b, schema), idx) =>
+        val items = unionCols.values.map { case (name, tpe) =>
+          schema.fields.find(_.name.equalsIgnoreCase(name)) match {
+            case Some(f) =>
+              s"${Sql.sqlIdentifier(f.name)} AS ${Sql.sqlIdentifier(name)}"
+            case None =>
+              s"CAST(NULL AS $tpe) AS ${Sql.sqlIdentifier(name)}"
+          }
+        }.mkString(", ")
+        s"SELECT $items FROM (\n$b\n) __graft_ubn$idx"
+    }.mkString(op)
+    Some(rewritten + tail)
   }
 
   /** `date_diff('part', …)` / `datediff('part', …)` →

@@ -291,6 +291,58 @@ object DuckdbCompat {
           "date_sub takes (date, days) or ('part', start, end)")
       }
     },
+    // date_add(d, INTERVAL …) — DuckDB's add-an-interval spelling. An
+    // INTERVAL second argument builds Add, which the analyzer's binary-
+    // arithmetic resolution rewrites to the proper date/time addition
+    // (the same path `d + INTERVAL 1 MONTH` takes); any other second
+    // argument is Spark's own date_add(date, days), rebuilt verbatim.
+    // The dispatch tests the ARGUMENT's resolved type: interval
+    // literals (the DuckDB spelling) are always resolved at this point.
+    "date_add" -> { args0 =>
+      val args = arity("date_add", 2)(args0)
+      import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, YearMonthIntervalType}
+      val isInterval = args(1).resolved && (args(1).dataType match {
+        case CalendarIntervalType | _: YearMonthIntervalType |
+            _: DayTimeIntervalType => true
+        case _ => false
+      })
+      if (isInterval) Add(args(0), args(1)) else DateAdd(args(0), args(1))
+    },
+    // list_aggregate(l, 'name') — DuckDB's apply-an-aggregate-to-a-list
+    // function. Literal names only (the expression is chosen at plan
+    // time): min/max map to the native array extremes, count to the
+    // non-NULL size (DuckDB skips NULL elements), sum to the native
+    // aggregate() fold over the compacted list with a zero derived from
+    // the element type (0 * first element — NULL on an empty/all-NULL
+    // list, exactly DuckDB's sum). Other names refuse, pointing at the
+    // aggregate() higher-order function.
+    "list_aggregate" -> { args0 =>
+      val args = arity("list_aggregate", 2)(args0)
+      val name = args(1) match {
+        case Literal(s, org.apache.spark.sql.types.StringType)
+            if s != null => s.toString.toLowerCase
+        case _ => throw new IllegalArgumentException(
+          "list_aggregate requires a literal aggregate name")
+      }
+      name match {
+        case "min" => ArrayMin(args(0))
+        case "max" => ArrayMax(args(0))
+        case "count" => Cast(Size(ArrayCompact(args(0))),
+          org.apache.spark.sql.types.LongType)
+        case "sum" =>
+          val l = ArrayCompact(args(0))
+          // try_element_at: an EMPTY list must yield a NULL zero (sum
+          // of nothing is NULL), not element_at's out-of-bounds error
+          val zero = Multiply(new TryElementAt(l, Literal(1)), Literal(0))
+          val acc = UnresolvedNamedLambdaVariable(Seq("__graft_acc"))
+          val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+          new ArrayAggregate(l, zero,
+            LambdaFunction(Add(acc, x), Seq(acc, x)))
+        case other => throw new IllegalArgumentException(
+          s"list_aggregate('$other') is not mapped — use the aggregate()" +
+            " higher-order function (min/max/count/sum are mapped)")
+      }
+    },
     // list(x) — DuckDB's collect aggregate. It KEEPS NULL elements
     // where Spark's collect_list drops them, so each element wraps in a
     // never-null struct before collection and unwraps with a transform

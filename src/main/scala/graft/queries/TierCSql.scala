@@ -471,9 +471,41 @@ object TierCSql {
       |  date_sub('month', DATE '1995-06-15', o_orderdate) AS sm,
       |  datediff('day', DATE '1995-06-15', o_orderdate) AS dd2,
       |  strftime(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d'),
-      |    '%d/%m/%Y') AS rt
+      |    '%d/%m/%Y') AS rt,
+      |  strftime(date_add(o_orderdate, INTERVAL 35 DAY), '%Y-%m-%d')
+      |    AS da_d,
+      |  strftime(date_add(o_orderdate, INTERVAL 2 MONTH), '%Y-%m-%d')
+      |    AS da_m
       |FROM orders WHERE o_orderkey <= 8000 ORDER BY o_orderkey"""
       .stripMargin
+
+  // list_aggregate (round 18, `DuckdbCompat`): DuckDB's
+  // apply-an-aggregate-to-a-list function over min/max/count/sum —
+  // IDENTICAL text; results cast to BIGINT because the engines' native
+  // sum/count widths differ (DuckDB HUGEINT/UBIGINT vs Spark INT/LONG).
+  val listAggregateFns: String =
+    """SELECT doc_id,
+      |  CAST(list_aggregate(list_transform(string_split(text, ' '),
+      |    w -> len(w)), 'sum') AS BIGINT) AS chars,
+      |  CAST(list_aggregate(list_transform(string_split(text, ' '),
+      |    w -> len(w)), 'max') AS BIGINT) AS longest,
+      |  CAST(list_aggregate(string_split(text, ' '), 'count') AS BIGINT)
+      |    AS nw
+      |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin
+
+  // UNION ALL BY NAME (round 18, `Engine.rewriteUnionByName`): DuckDB's
+  // column-name union — missing columns NULL-fill, output columns in
+  // first-appearance order — desugared against the branches' analyzed
+  // schemas into aligned positional branches. IDENTICAL text; the ORDER
+  // BY spells NULLS FIRST explicitly because the engines' default null
+  // order differs (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST).
+  val unionByName: String =
+    """SELECT o_orderstatus AS st, COUNT(*) AS n FROM orders
+      |GROUP BY o_orderstatus
+      |UNION ALL BY NAME
+      |SELECT COUNT(*) AS n, l_returnflag AS rf FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY st NULLS FIRST, rf NULLS FIRST, n""".stripMargin
 
   // Collect/histogram aggregates (round 18, `DuckdbCompat`): `list(x)`
   // keeps NULL elements on both engines (the compat builder wraps
@@ -1159,6 +1191,8 @@ object TierCSql {
     "c_sql_duckdb_agg_fns" -> q(duckdbAggFns),
     "c_sql_duckdb_date_fns" -> q(duckdbDateFns),
     "c_sql_duckdb_list_agg" -> q(duckdbListAgg),
+    "c_sql_list_aggregate" -> q(listAggregateFns),
+    "c_sql_union_by_name" -> q(unionByName),
     "c_sql_series_unnest" -> q(seriesUnnest),
     "c_sql_window_named" -> q(windowNamed),
     "c_sql_window_breadth" -> q(windowBreadth),
@@ -1229,6 +1263,8 @@ object TierCSql {
     "c_sql_duckdb_agg_fns" -> duckdbAggFns, // IDENTICAL text — native aggs
     "c_sql_duckdb_date_fns" -> duckdbDateFns, // IDENTICAL text — native fns
     "c_sql_duckdb_list_agg" -> duckdbListAgg, // IDENTICAL text — native aggs
+    "c_sql_list_aggregate" -> listAggregateFns, // IDENTICAL text — native fns
+    "c_sql_union_by_name" -> unionByName, // IDENTICAL text — routed BY NAME
     "c_sql_series_unnest" -> seriesUnnest, // IDENTICAL text — native fns
     "c_sql_window_named" -> windowNamed,
     "c_sql_window_breadth" -> windowBreadth, // IDENTICAL text — native fns

@@ -1450,6 +1450,38 @@ class EngineSpec extends AnyFunSuite {
     assert(r.getLong(0) == 1L)
   }
 
+  test("UNION BY NAME aligns by column name with NULL fill") {
+    // names align regardless of position; missing columns NULL-fill;
+    // output order is first appearance
+    val df = Engine.sql(spark,
+      "SELECT 1 AS a, 2 AS b UNION ALL BY NAME SELECT 30 AS b, 40 AS c")
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    val rows = df.collect().map(r =>
+      (Option(r.get(0)), r.getInt(1), Option(r.get(2)))).toSet
+    assert(rows == Set((Some(1), 2, None), (None, 30, Some(40))))
+    // DISTINCT variant dedups
+    assert(Engine.sql(spark,
+      "SELECT 1 AS a UNION BY NAME SELECT 1 AS a").count() == 1L)
+    // a 3-branch chain of the same operator
+    assert(Engine.sql(spark,
+      "SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS b" +
+        " UNION ALL BY NAME SELECT 3 AS c").columns.toSeq ==
+      Seq("a", "b", "c"))
+    // the trailing ORDER BY/LIMIT applies to the whole union
+    val ordered = Engine.sql(spark,
+      "SELECT 2 AS a UNION ALL BY NAME SELECT 1 AS a ORDER BY a LIMIT 1")
+      .collect()
+    assert(ordered.length == 1 && ordered(0).getInt(0) == 1)
+    // mixed ALL/DISTINCT by-name chains refuse
+    val e = intercept[IllegalArgumentException](Engine.sql(spark,
+      "SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS a" +
+        " UNION BY NAME SELECT 3 AS a"))
+    assert(e.getMessage.contains("mixing"))
+    // a plain UNION (no BY NAME) is untouched by the shim
+    assert(Engine.sql(spark,
+      "SELECT 1 AS a UNION ALL SELECT 2 AS a").count() == 2L)
+  }
+
   test("ATTACH/DETACH refuse with the working alternative named") {
     val e = intercept[IllegalArgumentException](
       Engine.sql(spark, "ATTACH 'other.db' AS other"))

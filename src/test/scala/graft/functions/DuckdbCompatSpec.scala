@@ -183,6 +183,29 @@ class DuckdbCompatSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("histogram"))
   }
 
+  test("date_add dispatches interval args; list_aggregate maps names") {
+    // INTERVAL second argument = DuckDB's add-an-interval form
+    assert(one("SELECT CAST(date_add(DATE '2020-01-31'," +
+      " INTERVAL 1 MONTH) AS STRING)") == "2020-02-29")
+    // plain integer second argument keeps Spark's builtin meaning
+    assert(one("SELECT CAST(date_add(DATE '2020-01-01', 3) AS STRING)")
+      == "2020-01-04")
+    assert(one("SELECT list_aggregate(array(3, 1, 2), 'min')") == 1)
+    assert(one("SELECT list_aggregate(array(3, 1, 2), 'max')") == 3)
+    // count skips NULL elements, like DuckDB
+    assert(one("SELECT list_aggregate(array(3, NULL, 2), 'count')") == 2L)
+    assert(one("SELECT list_aggregate(array(1, 2, 3), 'sum')") == 6)
+    // sum skips NULLs; an empty/all-NULL list sums to NULL
+    assert(one("SELECT list_aggregate(array(1, NULL, 3), 'sum')") == 4)
+    assert(one("SELECT list_aggregate(CAST(array() AS ARRAY<INT>)," +
+      " 'sum')") == null)
+    // doubles sum through the element-typed zero
+    assert(one("SELECT list_aggregate(array(1.5D, 2.5D), 'sum')") == 4.0)
+    val e = intercept[Exception](spark.sql(
+      "SELECT list_aggregate(array(1), 'median')").collect())
+    assert(e.getMessage.contains("aggregate("))
+  }
+
   test("cFormatToJava translation table and refusals") {
     assert(DuckdbCompat.cFormatToJava("%Y-%m-%d") == "yyyy-MM-dd")
     assert(DuckdbCompat.cFormatToJava("%H:%M:%S.%f") == "HH:mm:ss.SSSSSS")
