@@ -157,9 +157,30 @@ object Engine {
         runScript(spark, script).getOrElse(spark.emptyDataFrame)
       case copyRe(src, path, opts) => runCopy(spark, src, path, Option(opts))
       case pragmaTableInfoRe(t1, t2) =>
-        // PRAGMA table_info('t') — DuckDB's column-introspection one-liner;
-        // routes to the engine describe (driver-side metadata, no job)
-        describe(spark.table(Option(t1).getOrElse(t2)))
+        // PRAGMA table_info('t') — DuckDB's column-introspection
+        // one-liner, in DuckDB's EXACT output shape (cid, name, type,
+        // notnull, dflt_value, pk — r18): notnull is real schema
+        // metadata; dflt_value/pk are always NULL/false (no constraint
+        // metadata here). Driver-side metadata, no job.
+        tableInfo(spark.table(Option(t1).getOrElse(t2)))
+      case pragmaSettingRe() =>
+        // assignment-shaped PRAGMAs (PRAGMA threads=4, PRAGMA
+        // memory_limit='2GB', PRAGMA enable_progress_bar(false)) are
+        // host-tuning hints with no object here — migrating scripts
+        // carry them, so they no-op; BARE introspection pragmas other
+        // than the two routed above still fail loudly (silently
+        // returning nothing for PRAGMA version would be wrongness)
+        spark.emptyDataFrame
+      case maintenanceNoopRe(kw) =>
+        // VACUUM (DuckDB documents it as a near-no-op), bare ANALYZE
+        // (statistics live in parquet footers here — always current,
+        // nothing to recompute), CHECKPOINT (no WAL to flush; parquet
+        // is already at rest): each is a maintenance verb whose WORK
+        // this engine's storage model has no analog of, so the
+        // statement no-ops rather than failing a migrating script.
+        // Spark's own ANALYZE TABLE ... COMPUTE STATISTICS does not
+        // match this route and passes through untouched.
+        spark.emptyDataFrame
       case pragmaShowTablesRe() =>
         spark.sql("SHOW TABLES")
           .select(org.apache.spark.sql.functions.col("tableName").as("name"))
@@ -2184,6 +2205,11 @@ object Engine {
     ("(?is)^PRAGMA\\s+table_info\\s*\\(\\s*" +
       "(?:'([^']+)'|([A-Za-z_]\\w*))\\s*\\)\\s*$").r
   private val pragmaShowTablesRe = "(?is)^PRAGMA\\s+show_tables\\s*$".r
+  // assignment-shaped settings pragmas only: name=value or name(value)
+  private val pragmaSettingRe =
+    "(?is)^PRAGMA\\s+[A-Za-z_]\\w*\\s*(?:=\\s*\\S.*|\\(.*\\))\\s*$".r
+  private val maintenanceNoopRe =
+    "(?is)^(VACUUM|ANALYZE|CHECKPOINT)\\s*;?\\s*$".r
   private val showTableRe = "(?is)^SHOW\\s+([A-Za-z_]\\w*)\\s*$".r
   private val ShowKeywords = Set("tables", "databases", "schemas", "views",
     "functions", "columns", "partitions", "create", "all", "namespaces",
@@ -2606,6 +2632,18 @@ object Engine {
         if (f.nullable) "YES" else "NO",
         Option.empty[String], Option.empty[String], Option.empty[String]))
       .toDF("column_name", "column_type", "null", "key", "default", "extra")
+  }
+
+  /** DuckDB's `PRAGMA table_info` output shape (cid, name, type,
+    * notnull, dflt_value, pk): notnull is real schema metadata;
+    * dflt_value and pk are always NULL/false — this engine keeps no
+    * constraint metadata. Pure driver-side metadata, no job. */
+  private def tableInfo(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      (i, f.name, f.dataType.sql, !f.nullable, Option.empty[String], false)
+    }.toDF("cid", "name", "type", "notnull", "dflt_value", "pk")
   }
 
   /** SUMMARIZE convenience (DuckDB's per-column profile one-liner): the

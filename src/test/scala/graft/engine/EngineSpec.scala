@@ -650,15 +650,40 @@ class EngineSpec extends AnyFunSuite {
     Engine.exec(spark,
       "CREATE OR REPLACE TEMPORARY VIEW engine_spec_pragma AS " +
         "SELECT CAST(1 AS BIGINT) AS id, 'x' AS name")
-    val info = Engine.sql(spark, "PRAGMA table_info('engine_spec_pragma')")
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    assert(info == Seq(("id", "BIGINT"), ("name", "STRING")))
+    val res = Engine.sql(spark, "PRAGMA table_info('engine_spec_pragma')")
+    // DuckDB's exact table_info columns (r18 shape parity)
+    assert(res.columns.toSeq ==
+      Seq("cid", "name", "type", "notnull", "dflt_value", "pk"))
+    val info = res.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(info == Seq((0, "id", "BIGINT"), (1, "name", "STRING")))
     // bare identifier spelling too
     assert(Engine.sql(spark, "PRAGMA table_info(engine_spec_pragma)")
       .count() == 2)
     val tables = Engine.sql(spark, "PRAGMA show_tables")
       .collect().map(_.getString(0)).toSet
     assert(tables.contains("engine_spec_pragma"))
+  }
+
+  test("settings PRAGMAs and maintenance verbs no-op; bare PRAGMA refuses") {
+    // assignment-shaped host-tuning pragmas a migrating script carries
+    assert(Engine.sql(spark, "PRAGMA threads=4").count() == 0L)
+    assert(Engine.sql(spark, "PRAGMA memory_limit='2GB'").count() == 0L)
+    assert(Engine.sql(spark,
+      "PRAGMA enable_progress_bar(false)").count() == 0L)
+    // maintenance verbs with no storage-model analog here
+    assert(Engine.sql(spark, "VACUUM").count() == 0L)
+    assert(Engine.sql(spark, "ANALYZE").count() == 0L)
+    assert(Engine.sql(spark, "CHECKPOINT").count() == 0L)
+    // a BARE introspection pragma still fails loudly (silently
+    // returning nothing for PRAGMA version would be wrongness)
+    assertThrows[Exception](Engine.sql(spark, "PRAGMA version"))
+    // Spark's own ANALYZE TABLE statement passes through untouched
+    Engine.exec(spark, s"DROP TABLE IF EXISTS engine_spec_an")
+    Engine.exec(spark, "CREATE TABLE engine_spec_an AS SELECT 1 AS x")
+    try Engine.exec(spark,
+      "ANALYZE TABLE engine_spec_an COMPUTE STATISTICS")
+    finally Engine.exec(spark, "DROP TABLE IF EXISTS engine_spec_an")
   }
 
   test("ASOF rewrite: identifiers named asof pass through; stars scrubbed") {
