@@ -150,6 +150,33 @@ object DuckdbCompat {
           "list_sort takes 1-3 arguments")
       }
     },
+    "list_reverse" -> { args0 =>
+      val args = arity("list_reverse", 1)(args0)
+      Reverse(args(0))
+    },
+    // count of DISTINCT NON-NULL elements (DuckDB skips NULLs;
+    // measured: list_unique([1,1,2,NULL,NULL]) = 2), BIGINT like DuckDB
+    "list_unique" -> { args0 =>
+      val args = arity("list_unique", 1)(args0)
+      Cast(Size(ArrayCompact(ArrayDistinct(args(0)))),
+        org.apache.spark.sql.types.LongType)
+    },
+    // DuckDB's list_has_any IGNORES NULL elements (([NULL],[NULL]) is
+    // false) where Spark's arrays_overlap is three-valued — compacting
+    // both sides makes overlap two-valued and exact; NULL list
+    // arguments stay NULL in both
+    "list_has_any" -> { args0 =>
+      val args = arity("list_has_any", 2)(args0)
+      ArraysOverlap(ArrayCompact(args(0)), ArrayCompact(args(1)))
+    },
+    // every NON-NULL element of the second list present in the first
+    // (measured: list_has_all([1],[NULL]) is true — NULL needles are
+    // ignored): compact the needles, set-subtract, test emptiness
+    "list_has_all" -> { args0 =>
+      val args = arity("list_has_all", 2)(args0)
+      EqualTo(Size(ArrayExcept(ArrayCompact(args(1)), args(0))),
+        Literal(0))
+    },
     "list_min" -> { args0 =>
       val args = arity("list_min", 1)(args0)
       ArrayMin(args(0))

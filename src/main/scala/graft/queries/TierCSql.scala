@@ -490,7 +490,14 @@ object TierCSql {
       |  CAST(list_aggregate(list_transform(string_split(text, ' '),
       |    w -> len(w)), 'max') AS BIGINT) AS longest,
       |  CAST(list_aggregate(string_split(text, ' '), 'count') AS BIGINT)
-      |    AS nw
+      |    AS nw,
+      |  array_to_string(list_reverse(list_slice(string_split(text, ' '),
+      |    1, 3)), '_') AS rev3,
+      |  CAST(list_unique(string_split(text, ' ')) AS BIGINT) AS uniq,
+      |  CAST(list_has_any(string_split(text, ' '), ['the', 'and'])
+      |    AS INT) AS has_any,
+      |  CAST(list_has_all(string_split(text, ' '), ['the', 'of'])
+      |    AS INT) AS has_both
       |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin
 
   // UNION ALL BY NAME (round 18, `Engine.rewriteUnionByName`): DuckDB's

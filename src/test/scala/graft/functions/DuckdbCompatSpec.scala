@@ -206,6 +206,25 @@ class DuckdbCompatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("aggregate("))
   }
 
+  test("list_reverse/unique/has_any/has_all match DuckDB's NULL rules") {
+    assert(one("SELECT list_reverse(array(1, NULL, 3))") ==
+      Seq(3, null, 1))
+    // distinct NON-NULL count (DuckDB skips NULLs), BIGINT
+    assert(one("SELECT list_unique(array(1, 1, 2, NULL, NULL))") == 2L)
+    // has_any ignores NULL elements — two-valued, never three-valued
+    assert(one("SELECT list_has_any(array(1, 2), array(2, 3))") == true)
+    assert(one("SELECT list_has_any(array(1, CAST(NULL AS INT))," +
+      " array(2, CAST(NULL AS INT)))") == false)
+    assert(one("SELECT list_has_any(array(1)," +
+      " CAST(NULL AS ARRAY<INT>))") == null)
+    // has_all ignores NULL needles (measured DuckDB semantics)
+    assert(one("SELECT list_has_all(array(1, 2, 3), array(2, 3))") == true)
+    assert(one("SELECT list_has_all(array(1), array(2))") == false)
+    assert(one("SELECT list_has_all(array(1)," +
+      " array(CAST(NULL AS INT)))") == true)
+    assert(one("SELECT list_has_all(array(1, 2), array())") == true)
+  }
+
   test("cFormatToJava translation table and refusals") {
     assert(DuckdbCompat.cFormatToJava("%Y-%m-%d") == "yyyy-MM-dd")
     assert(DuckdbCompat.cFormatToJava("%H:%M:%S.%f") == "HH:mm:ss.SSSSSS")
