@@ -2223,8 +2223,19 @@ object Engine {
     * DuckDB's HEADER-false default). */
   private def parseCopyOptions(
       opts: Option[String], direction: String): (Option[String], Option[Boolean]) = {
+    val (fmt, header, partitionBy) = parseCopyOptionsFull(opts, direction)
+    require(partitionBy.isEmpty || direction == "TO",
+      s"COPY $direction does not take PARTITION_BY (a partitioned" +
+        " directory read auto-discovers its partition columns)")
+    (fmt, header)
+  }
+
+  private def parseCopyOptionsFull(
+      opts: Option[String], direction: String)
+      : (Option[String], Option[Boolean], Seq[String]) = {
     var fmt: Option[String] = None
     var header: Option[Boolean] = None
+    var partitionBy: Seq[String] = Nil
     opts.toSeq.flatMap(o => splitTopLevel(o, ','))
       .map(_.trim).filter(_.nonEmpty).foreach { o =>
         val parts = o.split("\\s+")
@@ -2238,11 +2249,20 @@ object Engine {
           case "HEADER" if parts.length == 2 &&
               (parts(1).equalsIgnoreCase("false") || parts(1) == "0") =>
             header = Some(false)
+          case "PARTITION_BY" =>
+            // PARTITION_BY (a, b) | PARTITION_BY a — DuckDB's
+            // hive-partitioned write option
+            val cols = o.substring("PARTITION_BY".length).trim
+              .stripPrefix("(").stripSuffix(")")
+            partitionBy = cols.split(',').toSeq.map(_.trim
+              .stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+            require(partitionBy.nonEmpty,
+              s"COPY $direction PARTITION_BY needs at least one column")
           case _ => throw new IllegalArgumentException(
             s"COPY $direction option not supported: $o")
         }
       }
-    (fmt, header)
+    (fmt, header, partitionBy)
   }
 
   private def runCopyFrom(
@@ -2298,7 +2318,7 @@ object Engine {
     // options via the shared parser; the csv writer always emits
     // headers, so an explicit HEADER false refuses — silently writing
     // one anyway is exactly the "file the user didn't ask for" case
-    val (fmt, headerOpt) = parseCopyOptions(opts, "TO")
+    val (fmt, headerOpt, partitionBy) = parseCopyOptionsFull(opts, "TO")
     if (headerOpt.contains(false))
       throw new IllegalArgumentException(
         "COPY ... (HEADER false) is not supported: the csv writer" +
@@ -2316,7 +2336,27 @@ object Engine {
       else if (lower.endsWith(".orc")) "orc"
       else "csv"
     }
-    format match {
+    if (partitionBy.nonEmpty) {
+      // DuckDB's PARTITION_BY write maps exactly onto Spark's
+      // hive-style partitionBy: one col=value directory level per key,
+      // partition columns dropped from the data files in BOTH engines.
+      // This is the scale-relevant export shape — a downstream reader
+      // partition-prunes on the directory keys.
+      partitionBy.foreach { c =>
+        require(df.columns.exists(_.equalsIgnoreCase(c)),
+          s"COPY TO PARTITION_BY column $c is not in the result")
+      }
+      val writer = df.write.mode("overwrite").partitionBy(partitionBy: _*)
+      format match {
+        case "csv" =>
+          writer.option("header", "true").option("escape", "\"").csv(path)
+        case "parquet" => writer.parquet(path)
+        case "json" | "ndjson" => writer.json(path)
+        case "orc" => writer.orc(path)
+        case other => throw new IllegalArgumentException(
+          s"COPY TO supports csv/parquet/json/orc formats — got $other")
+      }
+    } else format match {
       case "csv" => Export.writeCsv(df, path)
       case "parquet" => Export.writeParquet(df, path)
       case "json" | "ndjson" => Export.writeJson(df, path)

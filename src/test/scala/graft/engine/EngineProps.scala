@@ -20,8 +20,9 @@ object EngineProps extends Properties("EngineRewrites") {
   private val shielded = Gen.oneOf(
     "'USING SAMPLE 5 ROWS'", "'x [1] and { y: 1 }'", "'QUALIFY rank()'",
     "'it''s an ASOF JOIN'", "'a SIMILAR TO b'", "'* EXCLUDE (c)'",
+    "'date_diff(''day'', a, b)'", "'$1 bound ? param'",
     "\"weird [ident] {x}\"", "`odd [col] {y}`",
-    "-- USING SAMPLE 9 QUALIFY [1] {a: 2}\n",
+    "-- USING SAMPLE 9 QUALIFY [1] {a: 2} datediff('h', x, y)\n",
     "/* ASOF JOIN t ON x SIMILAR TO 'p' [3,4] */")
   private val symbol = Gen.oneOf("(", ")", ",", "*", "=", "+", "<", ">")
   private val token: Gen[String] =
@@ -33,12 +34,13 @@ object EngineProps extends Properties("EngineRewrites") {
   } yield "SELECT " + ts.mkString(" ")
 
   private def allPureShims(s: String): String =
-    Engine.rewriteSimilarTo(
-      Engine.rewriteDuckdbLiterals(
-        Engine.rewriteStarExclude(
-          Engine.rewriteUsingSample(
-            Engine.rewriteAsofJoin(
-              Engine.rewriteQualify(s))))))
+    Engine.rewriteDateDiff(
+      Engine.rewriteSimilarTo(
+        Engine.rewriteDuckdbLiterals(
+          Engine.rewriteStarExclude(
+            Engine.rewriteUsingSample(
+              Engine.rewriteAsofJoin(
+                Engine.rewriteQualify(s)))))))
 
   property("pure-text shims are the identity on trigger-free statements") =
     Prop.forAll(statement) { s => allPureShims(s) == s }
@@ -50,6 +52,11 @@ object EngineProps extends Properties("EngineRewrites") {
       val t = s + " " + p
       allPureShims(t) == t
     }
+
+  property("bindPrepared is the identity on parameter-free statements") =
+    // $n and ? inside literals/comments are shielded text, not params —
+    // a zero-argument EXECUTE must replay the statement byte-identically
+    Prop.forAll(statement) { s => Engine.bindPrepared(s, Nil) == s }
 
   property("literal rewrite converts exactly the unshielded brackets") =
     Prop.forAll(ident, ident) { (a, b) =>

@@ -1507,6 +1507,34 @@ class EngineSpec extends AnyFunSuite {
       "SELECT 1 AS a UNION ALL SELECT 2 AS a").count() == 2L)
   }
 
+  test("COPY TO (PARTITION_BY ...) writes a hive-partitioned export") {
+    val dir = java.nio.file.Files.createTempDirectory("cpy_part").toString
+    Engine.sql(spark,
+      s"COPY (SELECT id, CAST(id % 3 AS INT) AS bucket FROM range(30))" +
+        s" TO '$dir/out' (FORMAT parquet, PARTITION_BY (bucket))")
+    // hive-style col=value directory per key, like DuckDB's write
+    val subdirs = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(subdirs == Seq("bucket=0", "bucket=1", "bucket=2"), subdirs)
+    // the read restores partition columns and every row
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 30L &&
+      back.columns.toSet == Set("id", "bucket"))
+    // a downstream filter on the key prunes by DIRECTORY
+    val plan = back.filter("bucket = 1").queryExecution
+      .executedPlan.toString
+    assert(back.filter("bucket = 1").count() == 10L)
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"), plan)
+    // PARTITION_BY on the read direction refuses (auto-discovery owns it)
+    assertThrows[IllegalArgumentException](Engine.sql(spark,
+      s"COPY sometable FROM '$dir/out' (FORMAT parquet," +
+        " PARTITION_BY (bucket))"))
+    // an absent partition column refuses
+    assertThrows[IllegalArgumentException](Engine.sql(spark,
+      s"COPY (SELECT 1 AS a) TO '$dir/bad'" +
+        " (FORMAT parquet, PARTITION_BY (nope))"))
+  }
+
   test("ATTACH/DETACH refuse with the working alternative named") {
     val e = intercept[IllegalArgumentException](
       Engine.sql(spark, "ATTACH 'other.db' AS other"))
