@@ -1029,7 +1029,64 @@ object Dedup {
   val winnowSql: String = winnowSqlFor("WHERE doc_id < 500")
   val winnowFullSql: String = winnowSqlFor("WHERE TRUE")
 
+  // --- Benchmark decontamination (round 18) -------------------------------
+  //
+  // The training-pipeline step the rest of the dedup family doesn't
+  // cover: before training, corpus documents that overlap an EVALUATION
+  // benchmark must be flagged (verbatim leakage inflates benchmark
+  // scores — the GPT-3 appendix / Pile decontamination discipline of
+  // n-gram collision checks). Here the eval set is a deterministic
+  // stand-in (doc_id % 7 == 0, the role a benchmark file plays), the
+  // window is word 5-grams, and a corpus document is CONTAMINATED when
+  // it shares >= 1 distinct 5-gram with any eval document; the report
+  // carries the collision count and the smallest offending eval doc.
+  //
+  // Scale shape (the point): benchmarks are THOUSANDS of documents
+  // while the corpus is billions, so the eval n-gram set is the small
+  // side by construction — it aggregates once (small shuffle) and
+  // BROADCASTS; the corpus explodes per-doc-distinct 5-grams MAP-SIDE
+  // (array_distinct before explode — no corpus-wide distinct shuffle)
+  // into a broadcast-hash join, and the only corpus exchange is the
+  // final per-doc count with map-side partial aggregation. The corpus
+  // never shuffles by n-gram.
+  private val ngram5Expr =
+    "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"
+
+  private def gram5(docs: DataFrame): DataFrame =
+    docs.withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct($ngram5Expr)")).as("g"))
+
+  val decontaminate: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val evalGrams = gram5(docs.filter(col("doc_id") % 7 === 0))
+      .groupBy(col("g")).agg(min(col("doc_id")).as("eval_doc"))
+    val corpusGrams = gram5(docs.filter(col("doc_id") % 7 =!= 0))
+    corpusGrams.join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("eval_doc")).as("eval_doc"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(ws) - 3), i ->
+      |      array_to_string(list_slice(ws, i, i + 4), ' ')))) AS g
+      |  FROM w WHERE len(ws) >= 5),
+      |e AS (
+      |  SELECT g, MIN(doc_id) AS eval_doc FROM g
+      |  WHERE doc_id % 7 = 0 GROUP BY g)
+      |SELECT c.doc_id, COUNT(*) AS n_hits, MIN(e.eval_doc) AS eval_doc
+      |FROM g c JOIN e USING (g)
+      |WHERE c.doc_id % 7 <> 0
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p_decontaminate" -> decontaminate,
     "p_dedup_incremental" -> incremental,
     "p_dedup_winnow" -> winnow,
     "p_dedup_winnow_full" -> winnowFull,
@@ -1047,6 +1104,7 @@ object Dedup {
     "p_dedup_cap_stats" -> capStats)
 
   val oracle: Map[String, String] = Map(
+    "p_decontaminate" -> decontaminateSql,
     "p_dedup_incremental" -> incrementalSql,
     "p_dedup_winnow" -> winnowSql,
     "p_dedup_winnow_full" -> winnowFullSql,

@@ -155,6 +155,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!smjLeft, s"survivors must not sort-merge the corpus:\n$tree")
   }
 
+  test("p_decontaminate: eval n-grams broadcast, corpus never shuffles by gram") {
+    // benchmarks are thousands of docs against a corpus of billions —
+    // the eval n-gram set must be the BUILD side of a broadcast join,
+    // and the corpus side's only exchange is the final per-doc count
+    // (a sort-merge join here would shuffle every corpus n-gram)
+    val tree = graft.engine.Engine.explain(
+      Dedup.decontaminate(spark, dir), "simple")
+    assert(tree.contains("BroadcastHashJoin"), tree)
+    assert(!tree.contains("SortMergeJoin"),
+      s"decontaminate must not shuffle corpus n-grams:\n$tree")
+  }
+
   test("minhash signature computes map-side: no aggregate, no exchange") {
     // withMinhashSig (r12) replaced the 16-parallel-min groupBy over the
     // exploded shingle index: the signature must plan as a single scan +
