@@ -296,21 +296,51 @@ object Catalog {
     * `opts` carries the routed named options (csv header/delim). */
   private def readSet(
       spark: SparkSession, fmt: String, paths: Seq[String],
-      opts: Map[String, String]): DataFrame =
+      opts: Map[String, String]): DataFrame = {
+    // hive_partitioning=true (r18): recover col=value directory keys as
+    // COLUMNS, DuckDB's partitioned-read option. Spark auto-discovers
+    // partitions for a bare directory read, but the DuckDB idiom is a
+    // GLOB ('dir/*/*.parquet') — there Spark needs the explicit
+    // basePath (the deepest non-glob prefix) or the keys silently
+    // vanish from the schema.
+    val hive =
+      opts.get("hive_partitioning").exists(_.equalsIgnoreCase("true"))
+    def based(r: org.apache.spark.sql.DataFrameReader)
+        : org.apache.spark.sql.DataFrameReader =
+      if (!hive) r
+      else {
+        require(paths.forall(isGlobPath),
+          "hive_partitioning=true expects glob paths" +
+            " (read_parquet('dir/*/*.parquet', hive_partitioning=true));" +
+            " a bare directory path recovers partitions without the" +
+            " option")
+        val bases = paths.map(globBase).distinct
+        require(bases.length == 1 && bases.head.nonEmpty,
+          "hive_partitioning=true needs paths sharing one non-glob base" +
+            " directory")
+        r.option("basePath", bases.head)
+      }
     fmt match {
       case "parquet" =>
-        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        based(spark.read.option("mergeSchema", "true")).parquet(paths: _*)
       case "csv" =>
         val header = opts.getOrElse("header", "true").toLowerCase
-        val base = spark.read.option("header", header)
-          .option("inferSchema", "true").option("escape", "\"")
+        val base = based(spark.read.option("header", header)
+          .option("inferSchema", "true").option("escape", "\""))
         opts.get("delim").orElse(opts.get("sep"))
           .fold(base)(d => base.option("sep", d))
           .csv(paths: _*)
       case "json" if paths.forall(_.toLowerCase.endsWith(".json")) =>
-        spark.read.option("multiLine", "true").json(paths: _*)
-      case _ => spark.read.json(paths: _*)
+        based(spark.read.option("multiLine", "true")).json(paths: _*)
+      case _ => based(spark.read).json(paths: _*)
     }
+  }
+
+  /** The deepest non-glob directory prefix of a path — the basePath a
+    * hive-partitioned glob read anchors partition discovery at. */
+  private def globBase(p: String): String =
+    p.split('/').takeWhile(c => !c.exists("*?[{".contains(_)))
+      .mkString("/")
 
   /** Register (once) a temp view over a table-function's resolved path
     * set and return its name — content-addressed by format + paths, so
@@ -414,7 +444,8 @@ object Catalog {
         val inner = toks.slice(idx + 2, end)
         val paths = Seq.newBuilder[String]
         val options = scala.collection.mutable.LinkedHashMap.empty[String, String]
-        val NamedOpts = Set("union_by_name", "header", "delim", "sep")
+        val NamedOpts =
+          Set("union_by_name", "header", "delim", "sep", "hive_partitioning")
         var j = 0
         while (j < inner.length) {
           val tk = inner(j)
@@ -436,6 +467,9 @@ object Catalog {
           case ("header", v) =>
             require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
               s"$fn: header must be true/false, got $v")
+          case ("hive_partitioning", v) =>
+            require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+              s"$fn: hive_partitioning must be true/false, got $v")
           case _ => () // delim/sep carry their literal value
         }
         val ps = paths.result()

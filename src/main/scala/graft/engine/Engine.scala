@@ -2258,6 +2258,13 @@ object Engine {
               .stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
             require(partitionBy.nonEmpty,
               s"COPY $direction PARTITION_BY needs at least one column")
+          case "OVERWRITE_OR_IGNORE"
+              if parts.length == 1 || parts.length == 2 &&
+                (parts(1).equalsIgnoreCase("true") || parts(1) == "1") =>
+            // DuckDB's allow-existing-directory flag for partitioned
+            // writes; this engine's writes are mode(overwrite) — a
+            // strictly stronger guarantee — so the flag is a no-op and
+            // migrating scripts carrying it run unchanged
           case _ => throw new IllegalArgumentException(
             s"COPY $direction option not supported: $o")
         }

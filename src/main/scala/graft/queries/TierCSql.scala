@@ -1076,6 +1076,37 @@ object TierCSql {
        |FROM $t;""".stripMargin
   }
 
+  // Partitioned-export round trip (round 18): COPY TO (PARTITION_BY)
+  // writes the hive col=value layout through Spark's partitionBy, and
+  // read_parquet('dir/*/*.parquet', hive_partitioning=true) reads it
+  // back with the directory keys recovered as a COLUMN (the engine
+  // anchors Spark's basePath at the glob's non-glob prefix — without
+  // it the keys silently vanish from a glob read). Each engine round-
+  // trips its OWN files (pid-scoped paths like c_sql_copy_from); the
+  // cross-engine check is the final aggregate hash, which certifies
+  // both the partitioned WRITE and the key-recovering READ end to end.
+  // OVERWRITE_OR_IGNORE rides along as the DuckDB re-run flag (a no-op
+  // here — the engine's writes already overwrite).
+  private def hivePartDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_hive_" +
+      s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+
+  private def hivePartSqlFor(p: String): String =
+    s"""COPY (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey % 5 = 0)
+       |  TO '$p' (FORMAT parquet, PARTITION_BY (o_orderstatus),
+       |           OVERWRITE_OR_IGNORE 1);
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${msum("o_totalprice")} AS total
+       |FROM read_parquet('$p/*/*.parquet', hive_partitioning=true)
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
+
+  def hivePartScript(dir: String): String = hivePartSqlFor(hivePartDir(dir))
+
+  // pid-scoped oracle path, baked in when Verify dumps oracle_sql.json
+  val hivePartOracle: String = hivePartSqlFor(
+    s"/tmp/graft_hive_oracle_p${ProcessHandle.current.pid}")
+
   // QUALIFY inside a CREATE VIEW body (round 17): the router applies the
   // full dialect-rewrite pipeline to a DDL statement's AS-body
   // (`Engine.rewriteQueryText`), so a migrating user's SAVED view
@@ -1244,6 +1275,8 @@ object TierCSql {
       copySqlScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_copy_from" -> ((s, dir) => Engine.runScript(views(s, dir),
       copyFromScript(dir)).getOrElse(sys.error("script produced no result"))),
+    "c_sql_hive_part" -> ((s, dir) => Engine.runScript(views(s, dir),
+      hivePartScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_macro" -> script(macroScript),
     "c_sql_macro_duck" -> script(macroDuckScript),
     "c_sql_prepare" -> script(prepareScript),
@@ -1307,6 +1340,7 @@ object TierCSql {
     "c_sql_unpivot_stmt" -> unpivotStmt, // IDENTICAL text — native UNPIVOT
     "c_sql_copy" -> copySqlOracle,
     "c_sql_copy_from" -> copyFromOracle,
+    "c_sql_hive_part" -> hivePartOracle,
     "c_sql_macro" -> macroOracle,
     "c_sql_macro_duck" -> macroDuckScript, // IDENTICAL text — routed CREATE MACRO
     "c_sql_prepare" -> prepareScript, // IDENTICAL text — routed PREPARE/EXECUTE
