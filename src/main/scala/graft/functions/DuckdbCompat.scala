@@ -12,11 +12,12 @@ import org.apache.spark.sql.catalyst.expressions._
   * point and builds the NATIVE Catalyst expression directly — zero
   * wrapper cost, full codegen, indistinguishable from typing the Spark
   * name. Names Spark already defines are registered only as
-  * ARITY-DISPATCHED extensions (date_sub: the 2-arg builtin form is
-  * rebuilt verbatim, the 3-arg DuckDB form is new — a builtin call's
-  * meaning never changes; date_diff is grammar-owned in Spark and
-  * routes via `graft_date_diff` + the Engine text shim instead), and
-  * only where the semantics genuinely match;
+  * ARITY-DISPATCHED extensions (date_sub/date_add/regexp_replace: the
+  * builtin-arity form is rebuilt verbatim, the extra-arity DuckDB form
+  * is new — a builtin call's meaning never changes; date_diff is
+  * grammar-owned in Spark and routes via `graft_date_diff` + the
+  * Engine text shim instead), and only where the semantics genuinely
+  * match;
   * near-misses are adapted in the builder (string_split quotes its
   * separator because DuckDB splits on a literal while Spark's split
   * takes a regex), restricted to the matching slice (`len` is aliased
@@ -235,9 +236,42 @@ object DuckdbCompat {
       Slice(args(0), args(1),
         Add(Subtract(args(2), args(1)), Literal(1)))
     },
+    // regexp_matches with DuckDB's optional FLAGS argument: each
+    // supported flag maps to the regex's own inline modifier, prepended
+    // to the pattern so computed patterns work too ('c' = DuckDB's
+    // explicit case-sensitive default, a no-op)
     "regexp_matches" -> { args0 =>
-      val args = arity("regexp_matches", 2)(args0)
-      RLike(args(0), args(1))
+      args0 match {
+        case Seq(s, re) => RLike(s, re)
+        case Seq(s, re, flags) =>
+          RLike(s, regexFlagged(re, flags, "regexp_matches"))
+        case _ => throw new IllegalArgumentException(
+          "regexp_matches takes (string, pattern[, flags])")
+      }
+    },
+    // regexp_replace with DuckDB's flags: 'g' IS Spark's replace-all
+    // semantics, so g/gi route onto the native RegExpReplace (with the
+    // case flag as an inline (?i) prefix). The 2x3-arg form rebuilds
+    // Spark's builtin verbatim (replace ALL) — NOTE the documented
+    // divergence: DuckDB without 'g' replaces only the FIRST match, a
+    // semantics Spark has no native expression for, so flag-less and
+    // g-less-flagged calls keep/refuse rather than silently diverge:
+    // 3-arg stays Spark's builtin meaning (it is Spark's function), a
+    // 4-arg call WITHOUT g refuses loudly naming the difference.
+    "regexp_replace" -> { args0 =>
+      args0 match {
+        case Seq(s, re, rep) => RegExpReplace(s, re, rep)
+        case Seq(s, re, rep, flags) =>
+          val f = literalFlags(flags, "regexp_replace")
+          require(f.contains('g'),
+            "regexp_replace flags without 'g' are not routed: Spark" +
+              " replaces ALL occurrences while DuckDB without g" +
+              " replaces only the first — add g, or restructure")
+          RegExpReplace(s, regexFlagged(re,
+            Literal(f.filterNot(_ == 'g')), "regexp_replace"), rep)
+        case _ => throw new IllegalArgumentException(
+          "regexp_replace takes (string, pattern, replacement[, flags])")
+      }
     },
     // --- aggregate family ---------------------------------------------
     // DuckDB's signature pick-the-row aggregates: arg_max(x, by) is the
@@ -394,6 +428,33 @@ object DuckdbCompat {
       val args = arity("histogram", 1)(args0)
       Histogram(args(0))
     })
+
+  /** The literal flag characters of a regexp function's flags argument
+    * — validated against the supported set (g global, i insensitive,
+    * s dotall, m multiline, c case-sensitive no-op). */
+  private def literalFlags(e: Expression, fn: String): String = e match {
+    case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+      val f = s.toString
+      val bad = f.filterNot("giscm".contains(_))
+      require(bad.isEmpty, s"$fn: unsupported regexp flag(s) '$bad'")
+      f
+    case _ => throw new IllegalArgumentException(
+      s"$fn requires a literal flags string")
+  }
+
+  /** Prepend the inline modifiers a flags string maps to ((?i)/(?s)/
+    * (?m)) to the pattern expression — Concat, so computed patterns
+    * work; g and c have no inline form (g is the caller's semantics
+    * choice, c the default). */
+  private def regexFlagged(
+      re: Expression, flags: Expression, fn: String): Expression = {
+    val inline = literalFlags(flags, fn).distinct.collect {
+      case 'i' => "(?i)"
+      case 's' => "(?s)"
+      case 'm' => "(?m)"
+    }.mkString
+    if (inline.isEmpty) re else Concat(Seq(Literal(inline), re))
+  }
 
   /** Shared 3-arg/2-arg builder for date_diff and its datediff alias. */
   private def dateDiffBuilder(name: String): Builder = {

@@ -432,7 +432,9 @@ object TierCSql {
       |  array_to_string(list_slice(string_split(text, ' '), 1, 2), '_')
       |    AS first2,
       |  array_to_string(list_concat(list_prepend('a', ['b']),
-      |    list_append(['c'], 'd')), ',') AS lc
+      |    list_append(['c'], 'd')), ',') AS lc,
+      |  regexp_replace(text, '[aeiou]', '_', 'g') AS re_g,
+      |  CAST(regexp_matches(text, 'THE|DATA', 'i') AS INT) AS re_i
       |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
 
   // Aggregate compat pack (round 17, `DuckdbCompat`): DuckDB's

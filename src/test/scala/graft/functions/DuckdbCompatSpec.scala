@@ -225,6 +225,23 @@ class DuckdbCompatSpec extends AnyFunSuite {
     assert(one("SELECT list_has_all(array(1, 2), array())") == true)
   }
 
+  test("regexp flags: g/i route, flag-less replace keeps builtin meaning") {
+    assert(one("SELECT regexp_replace('aaa', 'a', 'b', 'g')") == "bbb")
+    assert(one("SELECT regexp_replace('AaA', 'a', 'b', 'gi')") == "bbb")
+    // 3-arg stays SPARK's builtin (replace all) — the documented
+    // divergence from DuckDB's first-only default
+    assert(one("SELECT regexp_replace('aaa', 'a', 'b')") == "bbb")
+    // flags without g refuse rather than silently replace all
+    val e = intercept[Exception](spark.sql(
+      "SELECT regexp_replace('aaa', 'a', 'b', 'i')").collect())
+    assert(e.getMessage.contains("'g'"))
+    assert(one("SELECT regexp_matches('ABC', 'abc', 'i')") == true)
+    assert(one("SELECT regexp_matches('ABC', 'abc')") == false)
+    // unsupported flags refuse loudly
+    assertThrows[Exception](spark.sql(
+      "SELECT regexp_matches('x', 'x', 'q')").collect())
+  }
+
   test("cFormatToJava translation table and refusals") {
     assert(DuckdbCompat.cFormatToJava("%Y-%m-%d") == "yyyy-MM-dd")
     assert(DuckdbCompat.cFormatToJava("%H:%M:%S.%f") == "HH:mm:ss.SSSSSS")
