@@ -2223,19 +2223,24 @@ object Engine {
     * DuckDB's HEADER-false default). */
   private def parseCopyOptions(
       opts: Option[String], direction: String): (Option[String], Option[Boolean]) = {
-    val (fmt, header, partitionBy) = parseCopyOptionsFull(opts, direction)
+    val (fmt, header, partitionBy, compression) =
+      parseCopyOptionsFull(opts, direction)
     require(partitionBy.isEmpty || direction == "TO",
       s"COPY $direction does not take PARTITION_BY (a partitioned" +
         " directory read auto-discovers its partition columns)")
+    require(compression.isEmpty || direction == "TO",
+      s"COPY $direction does not take COMPRESSION (reads auto-detect" +
+        " the codec from the files)")
     (fmt, header)
   }
 
   private def parseCopyOptionsFull(
       opts: Option[String], direction: String)
-      : (Option[String], Option[Boolean], Seq[String]) = {
+      : (Option[String], Option[Boolean], Seq[String], Option[String]) = {
     var fmt: Option[String] = None
     var header: Option[Boolean] = None
     var partitionBy: Seq[String] = Nil
+    var compression: Option[String] = None
     opts.toSeq.flatMap(o => splitTopLevel(o, ','))
       .map(_.trim).filter(_.nonEmpty).foreach { o =>
         val parts = o.split("\\s+")
@@ -2265,11 +2270,16 @@ object Engine {
             // writes; this engine's writes are mode(overwrite) — a
             // strictly stronger guarantee — so the flag is a no-op and
             // migrating scripts carrying it run unchanged
+          case "COMPRESSION" if parts.length == 2 =>
+            // passed to the Spark writer verbatim — an unknown codec
+            // fails loudly there, never writes an unasked-for file
+            compression =
+              Some(parts(1).stripPrefix("'").stripSuffix("'").toLowerCase)
           case _ => throw new IllegalArgumentException(
             s"COPY $direction option not supported: $o")
         }
       }
-    (fmt, header, partitionBy)
+    (fmt, header, partitionBy, compression)
   }
 
   private def runCopyFrom(
@@ -2325,7 +2335,8 @@ object Engine {
     // options via the shared parser; the csv writer always emits
     // headers, so an explicit HEADER false refuses — silently writing
     // one anyway is exactly the "file the user didn't ask for" case
-    val (fmt, headerOpt, partitionBy) = parseCopyOptionsFull(opts, "TO")
+    val (fmt, headerOpt, partitionBy, compression) =
+      parseCopyOptionsFull(opts, "TO")
     if (headerOpt.contains(false))
       throw new IllegalArgumentException(
         "COPY ... (HEADER false) is not supported: the csv writer" +
@@ -2343,17 +2354,22 @@ object Engine {
       else if (lower.endsWith(".orc")) "orc"
       else "csv"
     }
-    if (partitionBy.nonEmpty) {
+    if (partitionBy.nonEmpty || compression.isDefined) {
       // DuckDB's PARTITION_BY write maps exactly onto Spark's
       // hive-style partitionBy: one col=value directory level per key,
       // partition columns dropped from the data files in BOTH engines.
       // This is the scale-relevant export shape — a downstream reader
-      // partition-prunes on the directory keys.
+      // partition-prunes on the directory keys. COMPRESSION passes to
+      // the writer verbatim (zstd/gzip/snappy/… — codec validity is the
+      // writer's loud check).
       partitionBy.foreach { c =>
         require(df.columns.exists(_.equalsIgnoreCase(c)),
           s"COPY TO PARTITION_BY column $c is not in the result")
       }
-      val writer = df.write.mode("overwrite").partitionBy(partitionBy: _*)
+      val w0 = df.write.mode("overwrite")
+      val w1 =
+        if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+      val writer = compression.fold(w1)(c => w1.option("compression", c))
       format match {
         case "csv" =>
           writer.option("header", "true").option("escape", "\"").csv(path)

@@ -178,6 +178,18 @@ object DuckdbCompat {
       EqualTo(Size(ArrayExcept(ArrayCompact(args(1)), args(0))),
         Literal(0))
     },
+    // DuckDB's list_intersect dedups AND drops NULL elements (measured:
+    // ([1,2,2,NULL],[2,3,NULL]) = [2]), and a NULL list argument yields
+    // [] rather than NULL — compose compact over the native intersect
+    // and branch the null-argument case into an empty slice of the
+    // other side. (Both arguments NULL yields NULL here — DuckDB can't
+    // even type that literal call.)
+    "list_intersect" -> { args0 =>
+      val args = arity("list_intersect", 2)(args0)
+      If(Or(IsNull(args(0)), IsNull(args(1))),
+        Slice(Coalesce(Seq(args(0), args(1))), Literal(1), Literal(0)),
+        ArrayCompact(ArrayIntersect(args(0), args(1))))
+    },
     "list_min" -> { args0 =>
       val args = arity("list_min", 1)(args0)
       ArrayMin(args(0))

@@ -1535,6 +1535,47 @@ class EngineSpec extends AnyFunSuite {
         " (FORMAT parquet, PARTITION_BY (nope))"))
   }
 
+  test("COPY TO (COMPRESSION ...) passes the codec to the writer") {
+    val dir = java.nio.file.Files.createTempDirectory("cpy_cmp").toString
+    Engine.sql(spark,
+      s"COPY (SELECT id FROM range(100)) TO '$dir/z'" +
+        " (FORMAT parquet, COMPRESSION zstd)")
+    val parts = new java.io.File(s"$dir/z").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    assert(parts.nonEmpty && parts.forall(_.contains(".zstd.")), parts)
+    assert(spark.read.parquet(s"$dir/z").count() == 100L)
+    // composes with PARTITION_BY
+    Engine.sql(spark,
+      s"COPY (SELECT id, CAST(id % 2 AS INT) AS b FROM range(10))" +
+        s" TO '$dir/pz' (FORMAT parquet, PARTITION_BY (b)," +
+        " COMPRESSION gzip)")
+    assert(spark.read.parquet(s"$dir/pz").count() == 10L)
+    // an unknown codec fails loudly, never writes a different file
+    assertThrows[Exception](Engine.sql(spark,
+      s"COPY (SELECT 1 AS a) TO '$dir/bad'" +
+        " (FORMAT parquet, COMPRESSION nonsense)"))
+    // the read direction refuses (codec auto-detected on read)
+    assertThrows[IllegalArgumentException](Engine.sql(spark,
+      s"COPY sometable FROM '$dir/z' (FORMAT parquet, COMPRESSION zstd)"))
+  }
+
+  test("macros compose: a macro body may call another macro") {
+    Engine.exec(spark, "CREATE OR REPLACE MACRO engine_spec_base(x)" +
+      " AS x * 10")
+    Engine.exec(spark, "CREATE OR REPLACE MACRO engine_spec_outer(a, b)" +
+      " AS engine_spec_base(a) + b")
+    assert(Engine.sql(spark, "SELECT engine_spec_outer(4, 2) AS v")
+      .collect()(0).getInt(0) == 42)
+    // a PREPAREd statement may call a macro too — the routes compose
+    Engine.exec(spark,
+      "PREPARE engine_spec_pm AS SELECT engine_spec_outer($1, $2) AS v")
+    assert(Engine.sql(spark, "EXECUTE engine_spec_pm(1, 5)")
+      .collect()(0).getInt(0) == 15)
+    Engine.exec(spark, "DEALLOCATE engine_spec_pm")
+    Engine.exec(spark, "DROP MACRO engine_spec_outer")
+    Engine.exec(spark, "DROP MACRO engine_spec_base")
+  }
+
   test("ATTACH/DETACH refuse with the working alternative named") {
     val e = intercept[IllegalArgumentException](
       Engine.sql(spark, "ATTACH 'other.db' AS other"))

@@ -225,6 +225,16 @@ class DuckdbCompatSpec extends AnyFunSuite {
     assert(one("SELECT list_has_all(array(1, 2), array())") == true)
   }
 
+  test("list_intersect dedups, drops NULLs, and []-fills NULL args") {
+    assert(one("SELECT list_sort(list_intersect(array(1, 2, 2," +
+      " CAST(NULL AS INT)), array(2, 3, CAST(NULL AS INT))))") == Seq(2))
+    assert(one("SELECT list_intersect(array(1), array(2))") == Seq())
+    assert(one("SELECT list_intersect(array(1)," +
+      " CAST(NULL AS ARRAY<INT>))") == Seq())
+    assert(one("SELECT list_intersect(CAST(NULL AS ARRAY<INT>)," +
+      " array(1))") == Seq())
+  }
+
   test("regexp flags: g/i route, flag-less replace keeps builtin meaning") {
     assert(one("SELECT regexp_replace('aaa', 'a', 'b', 'g')") == "bbb")
     assert(one("SELECT regexp_replace('AaA', 'a', 'b', 'gi')") == "bbb")
