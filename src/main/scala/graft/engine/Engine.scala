@@ -36,6 +36,13 @@ object Engine {
       Catalog.releaseAutoClaim(spark,
         m.group(1).stripPrefix("`").stripSuffix("`"))
     }
+    // RETURNING (DuckDB/Postgres): a trailing clause on plain
+    // INSERT/UPDATE/DELETE that yields the affected rows — split off
+    // here so every DML route below stays RETURNING-free
+    splitReturning(trimmed) match {
+      case (stmt, Some(ret)) => return runReturning(spark, stmt, ret)
+      case _ => ()
+    }
     val summarizeRe = "(?is)^SUMMARIZE\\s+(.+)$".r
     val describeSelRe = "(?is)^DESCRIBE\\s+(SELECT\\b.+)$".r
     val describePathRe = "(?is)^DESCRIBE\\s+'([^']+)'$".r
@@ -2050,46 +2057,17 @@ object Engine {
   private def runUpsert(
       spark: SparkSession, table: String, body: String,
       keys: Seq[String], doUpdate: Option[String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val target = spark.table(table)
-    // optional explicit column list before the source query
-    val (explicitCols, srcText) =
-      if (body.startsWith("(")) {
-        var depth = 0
-        var i = 0
-        var end = -1
-        while (i < body.length && end < 0) {
-          body.charAt(i) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1; if (depth == 0) end = i
-            case _ => ()
-          }
-          i += 1
-        }
-        require(end > 0, "unbalanced column list in INSERT")
-        val cols = body.substring(1, end).split(',').toSeq
-          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-        (Some(cols), body.substring(end + 1).trim)
-      } else (None, body)
     def targetField(n: String) =
       target.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
         throw new IllegalArgumentException(
           s"INSERT … ON CONFLICT: column $n not in table $table"))
-    val insertCols = explicitCols.getOrElse(target.columns.toSeq)
-      .map(n => targetField(n).name)
+    // the proposed rows: shared positional binding (boundInsertSource)
+    val source = boundInsertSource(spark, table, body)
     keys.foreach { k =>
-      require(insertCols.exists(_.equalsIgnoreCase(k)),
+      require(source.columns.exists(_.equalsIgnoreCase(k)),
         s"ON CONFLICT key $k is not among the inserted columns")
     }
-    // the proposed rows: run the body (SELECT or VALUES) through the
-    // router, bind POSITIONALLY to the target columns with their types
-    val src0 = sql(spark, srcText)
-    require(src0.columns.length == insertCols.length,
-      s"INSERT provides ${src0.columns.length} columns for" +
-        s" ${insertCols.length} target columns")
-    val source = src0.toDF(insertCols: _*)
-      .select(insertCols.map(n =>
-        col(n).cast(targetField(n).dataType).as(n)).toSeq: _*)
     val setCols = doUpdate.map { sets =>
       splitTopLevel(sets, ',').map { a =>
         val eq = splitTopLevel(a, '=')
@@ -2417,6 +2395,131 @@ object Engine {
     out.toSeq
   }
 
+  /** Split a trailing top-level RETURNING clause off a DML statement —
+    * None when absent or when the statement isn't DML-shaped. */
+  private def splitReturning(s: String): (String, Option[String]) =
+    if (!s.matches("(?is)^(INSERT|UPDATE|DELETE)\\b.*")) (s, None)
+    else firstTopLevelKeyword(s, Seq("RETURNING")) match {
+      case Some(i) => (s.substring(0, i).trim,
+        Some(s.substring(i + "RETURNING".length).trim))
+      case None => (s, None)
+    }
+
+  /** DuckDB/Postgres RETURNING over the routed DML: the result is the
+    * AFFECTED rows projected through the clause's expressions —
+    * snapshotted eagerly (localCheckpoint) BEFORE the copy-on-write
+    * rewrite replaces the files the snapshot would otherwise re-read.
+    * DELETE returns the victims' OLD values, UPDATE the matched rows'
+    * NEW values, INSERT the landed rows (bound positionally with the
+    * target's types, DuckDB's binding). Join-DML and ON CONFLICT forms
+    * refuse loudly — their affected-row sets are not cleanly separable
+    * from the rewrite. Materializing the affected rows is RETURNING's
+    * own semantics (the client receives them), so the checkpoint is
+    * bounded by what the statement already promises to produce. */
+  private def runReturning(
+      spark: SparkSession, stmt: String, retExprs: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val items = splitTopLevel(retExprs, ',').map(_.trim).filter(_.nonEmpty)
+    require(items.nonEmpty, "RETURNING needs at least one expression")
+    def snap(rows: DataFrame): DataFrame =
+      rows.selectExpr(items: _*).localCheckpoint(true)
+    stmt match {
+      case deleteUsingRe(_, _, _) => throw new IllegalArgumentException(
+        "RETURNING is not routed for DELETE ... USING — run the join" +
+          " SELECT first, then the DELETE")
+      case deleteRe(table, where) =>
+        val pred =
+          coalesce(expr(Option(where).getOrElse("TRUE")), lit(false))
+        val out = snap(spark.table(table).filter(pred))
+        runDelete(spark, table, Option(where))
+        out
+      case updateRe(table, blob) =>
+        require(splitUpdateFrom(blob).isEmpty,
+          "RETURNING is not routed for UPDATE ... FROM — run the join" +
+            " SELECT first, then the UPDATE")
+        val (sets, where) = splitOnWhere(blob)
+        val pred = coalesce(expr(where.getOrElse("TRUE")), lit(false))
+        // the NEW values of exactly the matched rows: the same
+        // assignment projection the update itself applies
+        val updated = Dml.applyAssignments(
+          spark.table(table).filter(pred), lit(true),
+          parseAssignments(sets))
+        val out = snap(updated)
+        runUpdate(spark, table, sets, where)
+        out
+      case ins if insertConflictSplit(ins).isDefined =>
+        throw new IllegalArgumentException(
+          "RETURNING is not routed for INSERT ... ON CONFLICT (the" +
+            " landed rows depend on the conflict action) — read the" +
+            " keys back after the upsert")
+      case insertHeadRe(table, body) =>
+        val out = snap(boundInsertSource(spark, table, body))
+        sql(spark, stmt) // RETURNING already split off — plain INSERT
+        out
+      case other => throw new IllegalArgumentException(
+        "RETURNING is routed for plain INSERT INTO / UPDATE / DELETE" +
+          s" statements — got: ${other.take(40)}")
+    }
+  }
+
+  private val insertHeadRe =
+    "(?is)^INSERT\\s+INTO\\s+([A-Za-z_]\\w*)\\s*(.+)$".r
+
+  /** The rows a plain `INSERT INTO t [(cols)] <query|VALUES>` lands:
+    * the body run through the router, bound POSITIONALLY to the target
+    * columns (or the explicit column list) with the target's types —
+    * DuckDB's INSERT binding. Shared by the routed upsert and
+    * RETURNING. */
+  private def boundInsertSource(
+      spark: SparkSession, table: String, body: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val target = spark.table(table)
+    val (explicitCols, srcText) =
+      if (body.startsWith("(")) {
+        var depth = 0
+        var i = 0
+        var end = -1
+        while (i < body.length && end < 0) {
+          body.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) end = i
+            case _ => ()
+          }
+          i += 1
+        }
+        require(end > 0, "unbalanced column list in INSERT")
+        val cols = body.substring(1, end).split(',').toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+        (Some(cols), body.substring(end + 1).trim)
+      } else (None, body)
+    def targetField(n: String) =
+      target.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"INSERT: column $n not in table $table"))
+    val insertCols = explicitCols.getOrElse(target.columns.toSeq)
+      .map(n => targetField(n).name)
+    val src0 = sql(spark, srcText)
+    require(src0.columns.length == insertCols.length,
+      s"INSERT provides ${src0.columns.length} columns for" +
+        s" ${insertCols.length} target columns")
+    src0.toDF(insertCols: _*)
+      .select(insertCols.map(n =>
+        col(n).cast(targetField(n).dataType).as(n)).toSeq: _*)
+  }
+
+  /** Parse a SET list into (column, expression) assignments — shared by
+    * the routed UPDATE and its RETURNING projection. */
+  private def parseAssignments(
+      sets: String): Seq[(String, org.apache.spark.sql.Column)] = {
+    import org.apache.spark.sql.functions.expr
+    splitTopLevel(sets, ',').map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0, s"malformed SET assignment: $a")
+      (a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`"),
+        expr(a.substring(eq + 1).trim))
+    }
+  }
+
   private def runDelete(
       spark: SparkSession, table: String, where: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
@@ -2430,12 +2533,7 @@ object Engine {
       spark: SparkSession, table: String, sets: String,
       where: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
-    val assignments = splitTopLevel(sets, ',').map { a =>
-      val eq = a.indexOf('=')
-      require(eq > 0, s"malformed SET assignment: $a")
-      (a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`"),
-        expr(a.substring(eq + 1).trim))
-    }
+    val assignments = parseAssignments(sets)
     val pred = coalesce(expr(where.getOrElse("TRUE")), lit(false))
     withTablePath(spark, table)(path =>
       rewriteRouted(spark, path, where)(

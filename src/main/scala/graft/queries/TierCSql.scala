@@ -1078,6 +1078,41 @@ object TierCSql {
        |FROM $t;""".stripMargin
   }
 
+  // RETURNING (round 18): DuckDB/Postgres's affected-rows clause on
+  // plain DML, routed by `Engine.runReturning` — DELETE returns the
+  // victims' OLD values, UPDATE the matched rows' NEW values, INSERT
+  // the landed rows, each snapshotted eagerly before the copy-on-write
+  // rewrite replaces the files. All three verbs run in one script; the
+  // FINAL statement (a single-row DELETE ... RETURNING) is the hashed
+  // comparison surface, so the cross-engine check certifies the routed
+  // clause end to end (the mid-script RETURNINGs still execute — a
+  // broken route fails the script loudly).
+  private def returningTable(dir: String): String =
+    s"graft_ret_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+
+  def returningScript(dir: String): String = {
+    val t = returningTable(dir)
+    s"""DROP TABLE IF EXISTS $t;
+       |CREATE TABLE $t AS
+       |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+       |  WHERE o_orderkey <= 100;
+       |INSERT INTO $t VALUES (CAST(-1 AS BIGINT), CAST(111.25 AS DOUBLE)),
+       |  (CAST(-2 AS BIGINT), CAST(7.5 AS DOUBLE)) RETURNING k;
+       |UPDATE $t SET v = v * 2 WHERE k = -2 RETURNING k, v;
+       |DELETE FROM $t WHERE k = -1 RETURNING k, v;""".stripMargin
+  }
+
+  val returningOracle: String =
+    s"""CREATE OR REPLACE TEMP TABLE graft_ret_oracle AS
+       |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+       |  WHERE o_orderkey <= 100;
+       |INSERT INTO graft_ret_oracle VALUES
+       |  (CAST(-1 AS BIGINT), CAST(111.25 AS DOUBLE)),
+       |  (CAST(-2 AS BIGINT), CAST(7.5 AS DOUBLE)) RETURNING k;
+       |UPDATE graft_ret_oracle SET v = v * 2 WHERE k = -2 RETURNING k, v;
+       |DELETE FROM graft_ret_oracle WHERE k = -1 RETURNING k, v;"""
+      .stripMargin
+
   // Partitioned-export round trip (round 18): COPY TO (PARTITION_BY)
   // writes the hive col=value layout through Spark's partitionBy, and
   // read_parquet('dir/*/*.parquet', hive_partitioning=true) reads it
@@ -1279,6 +1314,8 @@ object TierCSql {
       copyFromScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_hive_part" -> ((s, dir) => Engine.runScript(views(s, dir),
       hivePartScript(dir)).getOrElse(sys.error("script produced no result"))),
+    "c_sql_returning" -> ((s, dir) => Engine.runScript(views(s, dir),
+      returningScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_macro" -> script(macroScript),
     "c_sql_macro_duck" -> script(macroDuckScript),
     "c_sql_prepare" -> script(prepareScript),
@@ -1343,6 +1380,7 @@ object TierCSql {
     "c_sql_copy" -> copySqlOracle,
     "c_sql_copy_from" -> copyFromOracle,
     "c_sql_hive_part" -> hivePartOracle,
+    "c_sql_returning" -> returningOracle,
     "c_sql_macro" -> macroOracle,
     "c_sql_macro_duck" -> macroDuckScript, // IDENTICAL text — routed CREATE MACRO
     "c_sql_prepare" -> prepareScript, // IDENTICAL text — routed PREPARE/EXECUTE

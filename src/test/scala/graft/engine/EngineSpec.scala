@@ -1576,6 +1576,41 @@ class EngineSpec extends AnyFunSuite {
     Engine.exec(spark, "DROP MACRO engine_spec_base")
   }
 
+  test("RETURNING: old values on DELETE, new on UPDATE, landed on INSERT") {
+    val t = s"engine_spec_ret_p${ProcessHandle.current.pid}"
+    Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
+    Engine.exec(spark,
+      s"CREATE TABLE $t AS SELECT CAST(id AS BIGINT) AS k," +
+        " CAST(id * 10.0 AS DOUBLE) AS v FROM range(5)")
+    try {
+      // INSERT returns the LANDED rows — positionally bound and cast
+      // to the target's types (the int literal lands as BIGINT/DOUBLE)
+      val ins = Engine.sql(spark,
+        s"INSERT INTO $t VALUES (9, 90) RETURNING k, v").collect()
+      assert(ins.length == 1 &&
+        ins(0).getLong(0) == 9L && ins(0).getDouble(1) == 90.0)
+      assert(spark.table(t).count() == 6L, "the insert itself landed")
+      // UPDATE returns the matched rows' NEW values
+      val upd = Engine.sql(spark,
+        s"UPDATE $t SET v = v + 1 WHERE k = 2 RETURNING k, v").collect()
+      assert(upd.length == 1 && upd(0).getDouble(1) == 21.0)
+      assert(spark.table(t).filter("k = 2").collect()(0)
+        .getDouble(1) == 21.0)
+      // DELETE returns the victims' OLD values (snapshotted before the
+      // files are rewritten), expressions allowed
+      val del = Engine.sql(spark,
+        s"DELETE FROM $t WHERE k >= 4 RETURNING k * 100 AS kk").collect()
+      assert(del.map(_.getLong(0)).sorted.toSeq == Seq(400L, 900L))
+      assert(spark.table(t).count() == 4L)
+      // join-DML and ON CONFLICT forms refuse loudly
+      assertThrows[IllegalArgumentException](Engine.sql(spark,
+        s"INSERT INTO $t VALUES (1, 1) ON CONFLICT (k) DO NOTHING" +
+          " RETURNING k"))
+      assertThrows[IllegalArgumentException](Engine.sql(spark,
+        s"DELETE FROM $t USING $t WHERE 1=1 RETURNING k"))
+    } finally Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
+  }
+
   test("ATTACH/DETACH refuse with the working alternative named") {
     val e = intercept[IllegalArgumentException](
       Engine.sql(spark, "ATTACH 'other.db' AS other"))
