@@ -1058,14 +1058,28 @@ object Dedup {
       .select(col("doc_id"),
         explode(expr(s"array_distinct($ngram5Expr)")).as("g"))
 
-  val decontaminate: Q = (s, dir) => {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val evalGrams = gram5(docs.filter(col("doc_id") % 7 === 0))
-      .groupBy(col("g")).agg(min(col("doc_id")).as("eval_doc"))
-    val corpusGrams = gram5(docs.filter(col("doc_id") % 7 =!= 0))
-    corpusGrams.join(broadcast(evalGrams), Seq("g"))
+  /** The eval side's (g, eval_doc) n-gram relation — small by nature
+    * (benchmarks are thousands of docs), the broadcast build side. */
+  private[graft] def evalGramsOf(evalDocs: DataFrame): DataFrame =
+    gram5(evalDocs).groupBy(col("g"))
+      .agg(min(col("doc_id")).as("eval_doc"))
+
+  /** Contamination flags of `docs` against a prepared eval n-gram
+    * relation: (doc_id, n_hits, eval_doc). Shared by the batch query
+    * and the streaming twin (`Streams.decontaminateStream` runs this
+    * per micro-batch — a doc arrives in exactly one batch, so the
+    * per-batch grouping IS the global per-doc grouping). */
+  private[graft] def contaminatedAgainst(
+      docs: DataFrame, evalGrams: DataFrame): DataFrame =
+    gram5(docs.select(col("doc_id"), col("text")))
+      .join(broadcast(evalGrams), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"), min(col("eval_doc")).as("eval_doc"))
+
+  val decontaminate: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    contaminatedAgainst(docs.filter(col("doc_id") % 7 =!= 0),
+      evalGramsOf(docs.filter(col("doc_id") % 7 === 0)))
       .orderBy(col("doc_id"))
   }
 

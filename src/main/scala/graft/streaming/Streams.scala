@@ -234,6 +234,29 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming twin of `p_decontaminate` (r18): each micro-batch's
+    * documents check against the STATIC eval n-gram relation through
+    * the SAME broadcast transform the batch query runs
+    * (`Dedup.contaminatedAgainst`), appending contamination flags to a
+    * parquet sink. Per-batch grouping IS the global per-doc grouping —
+    * a document arrives in exactly one micro-batch — so batch and
+    * stream flags cannot drift; the eval side is a bounded model-like
+    * artifact (a benchmark's n-grams), broadcast to every batch, and
+    * state is ZERO (no watermark, no keyed store): the scale shape a
+    * continuously-ingesting training pipeline needs for its
+    * contamination gate. */
+  def decontaminateStream(
+      docs: DataFrame, evalGrams: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.Dedup.contaminatedAgainst(batch, evalGrams)
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming twin of `p_chunk_docs`: overlap-window chunking on the
     * document stream via `TextOps.withChunks` VERBATIM — stateless Column
     * work (explode + slice), so each micro-batch is pure map work with no

@@ -542,4 +542,42 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows().exists(_._1 == 2000L) && rows().exists(_._1 == 2001L),
       "under-cap buckets must be untouched")
   }
+
+  test("decontaminateStream: micro-batched flags equal the batch check") {
+    // the r18 contamination gate's streaming twin: feed the corpus in
+    // 3 uneven micro-batches against the STATIC eval n-gram relation
+    // and require the accumulated flags to equal the batch transform on
+    // the same documents — per-batch grouping is the global grouping
+    // because each doc arrives exactly once
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val all = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val evalGrams = graft.queries.Dedup.evalGramsOf(
+      all.filter(col("doc_id") % 7 === 0))
+    val corpus = all.filter(col("doc_id") % 7 =!= 0)
+    val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val out = java.nio.file.Files.createTempDirectory("decon").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("decon-ck").toString
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.decontaminateStream(
+      in.toDF().toDF("doc_id", "text"), evalGrams, out, ckpt)
+    try {
+      in.addData(docs.take(50).toSeq: _*)
+      q.processAllAvailable()
+      in.addData(docs.slice(50, 80).toSeq: _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(80).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.queries.Dedup.contaminatedAgainst(corpus, evalGrams)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "fixture must surface contaminated docs")
+    assert(streamed == batch,
+      "streamed contamination flags must equal the batch check")
+  }
 }
