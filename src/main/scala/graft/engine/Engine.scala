@@ -203,6 +203,19 @@ object Engine {
       case donRe(rest) => sql(spark, distinctOnToWindow(rest))
       case pivotStmtRe(rest) => runPivotStatement(spark, rest)
       case unpivotStmtRe(rest) => sql(spark, unpivotStatementSql(rest))
+      case tempTableRe(orReplace, ifNotExists, rest) =>
+        // DuckDB scripts lean on CREATE TEMP TABLE; Spark has no
+        // temporary TABLES (only lazily-evaluated temporary VIEWS —
+        // "use CREATE TEMPORARY VIEW instead", which would silently
+        // change INSERT/UPDATE semantics). The statement routes as the
+        // MATERIALIZED catalog table it behaves as — writable,
+        // INSERT-able, DML-routable — with ONE documented divergence:
+        // lifetime is until DROP, not session end (this engine has no
+        // session-scoped writable store to bind it to). Re-enters the
+        // router so OR REPLACE takes the safe swap route and AS-bodies
+        // get the dialect shims.
+        sql(spark, "CREATE " + Option(orReplace).getOrElse("") +
+          "TABLE " + Option(ifNotExists).getOrElse("") + rest)
       case corTableRe(name, rest) =>
         // DuckDB's CREATE OR REPLACE TABLE (its own oracle idiom for
         // idempotent scripts); Spark's v1 catalog only supports REPLACE
@@ -288,7 +301,8 @@ object Engine {
             val sub = rewriteSubqueryBodies(spark, other)
             val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
               rewriteStarReplace(spark, rewriteColumnsFn(spark,
-                rewriteDateDiff(rewriteSimilarTo(rewriteStarExclude(sub))))))))
+                rewriteDateDiff(rewriteGlob(
+                  rewriteSimilarTo(rewriteStarExclude(sub)))))))))
             rewriteStructPack(rewriteDuckdbLiterals(
               Catalog.rewritePathTables(spark, shimmed)._1))
         }
@@ -944,6 +958,74 @@ object Engine {
     out.toString
   }
 
+  /** Translate a glob pattern to the regex it means: `*` → `.*`, `?`
+    * → `.`, `[...]` passes as a class with leading `!` as negation,
+    * every other regex metacharacter escaped. */
+  private[engine] def globToRegex(g: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < g.length) {
+      g.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          val j = g.indexOf(']', i + 1)
+          if (j < 0) sb.append("\\[") // unclosed class: literal bracket
+          else {
+            val body0 = g.substring(i + 1, j)
+            val body =
+              if (body0.startsWith("!")) "^" + body0.substring(1) else body0
+            sb.append('[').append(body).append(']')
+            i = j
+          }
+        case c if "\\.^$+{}()|".indexOf(c) >= 0 =>
+          sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** `expr [NOT] GLOB 'pattern'` → `expr [NOT] RLIKE '^(?:regex)$'` —
+    * DuckDB's (SQLite-lineage) glob predicate: case-sensitive
+    * whole-string match. Literal patterns only (the translation is
+    * textual); a computed pattern stays for Spark's parser to refuse
+    * loudly. Same scanner discipline as SIMILAR TO. */
+  private[engine] def rewriteGlob(s: String): String = {
+    if (!"(?is)^.*\\bGLOB\\b.*$".r.matches(s)) return s
+    val (codeAt, _) = codeMask(s)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val matched =
+        codeAt(i) && s.regionMatches(true, i, "GLOB", 0, 4) &&
+          (i == 0 || s.charAt(i - 1).isWhitespace) && {
+            var k = i + 4
+            val boundary = k >= s.length || s.charAt(k).isWhitespace
+            while (k < s.length && s.charAt(k).isWhitespace) k += 1
+            boundary && k < s.length && s.charAt(k) == '\'' && {
+              val litStart = k
+              k += 1
+              var open = true
+              while (k < s.length && open) {
+                if (s.charAt(k) == '\'' &&
+                  k + 1 < s.length && s.charAt(k + 1) == '\'') k += 2
+                else if (s.charAt(k) == '\'') { open = false; k += 1 }
+                else k += 1
+              }
+              val body = s.substring(litStart + 1, k - 1)
+              sb.append("RLIKE '^(?:").append(globToRegex(body))
+                .append(")$'")
+              i = k
+              true
+            }
+          }
+      if (!matched) { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** `struct_pack(k := v, …)` → `named_struct('k', v, …)` — DuckDB's
     * functional struct constructor (the call-form twin of the `{…}`
     * literal). The `:=` named-argument syntax has no Spark analog, so
@@ -1192,6 +1274,13 @@ object Engine {
   private val corTableRe =
     ("(?is)^CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)(.*)$").r
+
+  // CREATE [OR REPLACE] TEMP[ORARY] TABLE [IF NOT EXISTS] <rest> —
+  // captured with their trailing whitespace so the re-spelled
+  // statement preserves the original spacing
+  private val tempTableRe =
+    ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?TEMP(?:ORARY)?\\s+TABLE\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?(.+)$").r
 
   private val insertOrRe =
     "(?is)^INSERT\\s+OR\\s+(REPLACE|IGNORE)\\s+INTO\\b.*$".r

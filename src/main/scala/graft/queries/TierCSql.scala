@@ -1078,6 +1078,38 @@ object TierCSql {
        |FROM $t;""".stripMargin
   }
 
+  // GLOB predicate (round 18, `Engine.rewriteGlob`): DuckDB's
+  // SQLite-lineage glob match — case-sensitive, whole-string, * ? and
+  // [!..] classes — rewritten to the anchored RLIKE it means, literal
+  // patterns only (same scanner discipline as SIMILAR TO). IDENTICAL
+  // text on both engines; all three metacharacter kinds exercised.
+  val globPredicate: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE text GLOB 'data*' AND source GLOB 'src[0-9]'
+      |  AND NOT source GLOB 'src[!0-5]'
+      |ORDER BY doc_id LIMIT 200""".stripMargin
+
+  // CREATE TEMP TABLE (round 18): DuckDB scripts lean on temp tables
+  // as writable scratch space; Spark has only lazily-evaluated temp
+  // VIEWS, so the route materializes the statement as a catalog table
+  // (writable, INSERT-able, DML-routable — every behavior the script
+  // depends on) with the documented lifetime divergence (until DROP,
+  // not session end). IDENTICAL script text on both engines, DROPped
+  // first so re-runs are idempotent; the INSERT proves the temp table
+  // is writable through the same text.
+  val tempTableScript: String =
+    s"""DROP TABLE IF EXISTS graft_temp_tbl;
+       |CREATE TEMP TABLE graft_temp_tbl AS
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_totalprice > 400000;
+       |INSERT INTO graft_temp_tbl
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey <= 50;
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${msum("o_totalprice")} AS total
+       |FROM graft_temp_tbl
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
+
   // RETURNING (round 18): DuckDB/Postgres's affected-rows clause on
   // plain DML, routed by `Engine.runReturning` — DELETE returns the
   // victims' OLD values, UPDATE the matched rows' NEW values, INSERT
@@ -1316,6 +1348,8 @@ object TierCSql {
       hivePartScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_returning" -> ((s, dir) => Engine.runScript(views(s, dir),
       returningScript(dir)).getOrElse(sys.error("script produced no result"))),
+    "c_sql_glob" -> q(globPredicate),
+    "c_sql_temp_table" -> script(tempTableScript),
     "c_sql_macro" -> script(macroScript),
     "c_sql_macro_duck" -> script(macroDuckScript),
     "c_sql_prepare" -> script(prepareScript),
@@ -1381,6 +1415,8 @@ object TierCSql {
     "c_sql_copy_from" -> copyFromOracle,
     "c_sql_hive_part" -> hivePartOracle,
     "c_sql_returning" -> returningOracle,
+    "c_sql_glob" -> globPredicate, // IDENTICAL text — native GLOB
+    "c_sql_temp_table" -> tempTableScript, // IDENTICAL text — routed TEMP TABLE
     "c_sql_macro" -> macroOracle,
     "c_sql_macro_duck" -> macroDuckScript, // IDENTICAL text — routed CREATE MACRO
     "c_sql_prepare" -> prepareScript, // IDENTICAL text — routed PREPARE/EXECUTE

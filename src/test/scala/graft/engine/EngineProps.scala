@@ -21,6 +21,7 @@ object EngineProps extends Properties("EngineRewrites") {
     "'USING SAMPLE 5 ROWS'", "'x [1] and { y: 1 }'", "'QUALIFY rank()'",
     "'it''s an ASOF JOIN'", "'a SIMILAR TO b'", "'* EXCLUDE (c)'",
     "'date_diff(''day'', a, b)'", "'$1 bound ? param'",
+    "'x GLOB ''a*'''",
     "\"weird [ident] {x}\"", "`odd [col] {y}`",
     "-- USING SAMPLE 9 QUALIFY [1] {a: 2} datediff('h', x, y)\n",
     "/* ASOF JOIN t ON x SIMILAR TO 'p' [3,4] */")
@@ -34,13 +35,14 @@ object EngineProps extends Properties("EngineRewrites") {
   } yield "SELECT " + ts.mkString(" ")
 
   private def allPureShims(s: String): String =
-    Engine.rewriteDateDiff(
-      Engine.rewriteSimilarTo(
-        Engine.rewriteDuckdbLiterals(
-          Engine.rewriteStarExclude(
-            Engine.rewriteUsingSample(
-              Engine.rewriteAsofJoin(
-                Engine.rewriteQualify(s)))))))
+    Engine.rewriteGlob(
+      Engine.rewriteDateDiff(
+        Engine.rewriteSimilarTo(
+          Engine.rewriteDuckdbLiterals(
+            Engine.rewriteStarExclude(
+              Engine.rewriteUsingSample(
+                Engine.rewriteAsofJoin(
+                  Engine.rewriteQualify(s))))))))
 
   property("pure-text shims are the identity on trigger-free statements") =
     Prop.forAll(statement) { s => allPureShims(s) == s }

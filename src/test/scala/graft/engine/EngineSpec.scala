@@ -1611,6 +1611,40 @@ class EngineSpec extends AnyFunSuite {
     } finally Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
   }
 
+  test("GLOB rewrites to an anchored case-sensitive RLIKE") {
+    assert(Engine.globToRegex("a*b?c") == "a.*b.c")
+    assert(Engine.globToRegex("x[0-9]y[!ab]") == "x[0-9]y[^ab]")
+    assert(Engine.globToRegex("a.b(c)+") == "a\\.b\\(c\\)\\+")
+    val r = Engine.sql(spark,
+      "SELECT x, CAST(x GLOB 'a*' AS INT) AS g," +
+        " CAST(x NOT GLOB '?b' AS INT) AS ng FROM VALUES" +
+        " ('ab'), ('Ab'), ('axx') v(x) ORDER BY x").collect()
+      .map(row => (row.getString(0), row.getInt(1), row.getInt(2)))
+    // case-sensitive whole-string: 'Ab' does not match 'a*' but DOES
+    // match '?b' (any single char + b), so its NOT GLOB is false too
+    assert(r.toSeq == Seq(("Ab", 0, 0), ("ab", 1, 0), ("axx", 1, 1)))
+    // GLOB inside a string literal is text, not a predicate
+    assert(Engine.sql(spark, "SELECT 'x GLOB y' AS s").collect()(0)
+      .getString(0) == "x GLOB y")
+  }
+
+  test("CREATE TEMP TABLE routes as a materialized writable table") {
+    Engine.exec(spark, "DROP TABLE IF EXISTS engine_spec_ttab")
+    Engine.runScript(spark,
+      """CREATE TEMP TABLE engine_spec_ttab AS SELECT 1 AS x;
+        |INSERT INTO engine_spec_ttab VALUES (2);
+        |UPDATE engine_spec_ttab SET x = 10 WHERE x = 1;""".stripMargin)
+    try {
+      assert(spark.table("engine_spec_ttab").collect()
+        .map(_.getInt(0)).sorted.toSeq == Seq(2, 10))
+      // OR REPLACE takes the safe swap route
+      Engine.exec(spark,
+        "CREATE OR REPLACE TEMPORARY TABLE engine_spec_ttab AS" +
+          " SELECT 7 AS y")
+      assert(spark.table("engine_spec_ttab").columns.toSeq == Seq("y"))
+    } finally Engine.exec(spark, "DROP TABLE IF EXISTS engine_spec_ttab")
+  }
+
   test("ATTACH/DETACH refuse with the working alternative named") {
     val e = intercept[IllegalArgumentException](
       Engine.sql(spark, "ATTACH 'other.db' AS other"))
