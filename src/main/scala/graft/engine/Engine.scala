@@ -2542,9 +2542,24 @@ object Engine {
             " landed rows depend on the conflict action) — read the" +
             " keys back after the upsert")
       case insertHeadRe(table, body) =>
-        val out = snap(boundInsertSource(spark, table, body))
-        sql(spark, stmt) // RETURNING already split off — plain INSERT
-        out
+        // the landed rows INSERT FROM THE SNAPSHOT itself (never by
+        // re-running the statement: a nondeterministic source would
+        // land different rows than it returned), with columns absent
+        // from an explicit column list NULL-filled to the target's
+        // schema — DuckDB's subset-insert behavior, and RETURNING *
+        // sees the full landed row
+        import org.apache.spark.sql.functions.{col, lit}
+        val target = spark.table(table)
+        val landed =
+          boundInsertSource(spark, table, body).localCheckpoint(true)
+        val full = target.schema.fields.toSeq.map { f =>
+          if (landed.columns.exists(_.equalsIgnoreCase(f.name)))
+            col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }
+        val fullRows = landed.select(full: _*)
+        fullRows.write.mode("append").insertInto(table)
+        fullRows.selectExpr(items: _*)
       case other => throw new IllegalArgumentException(
         "RETURNING is routed for plain INSERT INTO / UPDATE / DELETE" +
           s" statements — got: ${other.take(40)}")

@@ -1602,6 +1602,13 @@ class EngineSpec extends AnyFunSuite {
         s"DELETE FROM $t WHERE k >= 4 RETURNING k * 100 AS kk").collect()
       assert(del.map(_.getLong(0)).sorted.toSeq == Seq(400L, 900L))
       assert(spark.table(t).count() == 4L)
+      // a SUBSET column list NULL-fills the rest (DuckDB's behavior)
+      // and RETURNING * sees the full landed row
+      val sub = Engine.sql(spark,
+        s"INSERT INTO $t (k) VALUES (77) RETURNING *").collect()
+      assert(sub.length == 1 && sub(0).getLong(0) == 77L &&
+        sub(0).isNullAt(1))
+      assert(spark.table(t).filter("k = 77").collect()(0).isNullAt(1))
       // join-DML and ON CONFLICT forms refuse loudly
       assertThrows[IllegalArgumentException](Engine.sql(spark,
         s"INSERT INTO $t VALUES (1, 1) ON CONFLICT (k) DO NOTHING" +
