@@ -213,7 +213,25 @@ object Engine {
         // lifetime is until DROP, not session end (this engine has no
         // session-scoped writable store to bind it to). Re-enters the
         // router so OR REPLACE takes the safe swap route and AS-bodies
-        // get the dialect shims.
+        // get the dialect shims. A temp-table NAME is fresh per session
+        // by definition, so a stale warehouse directory left by a
+        // previous session's temp table (the in-memory catalog forgets
+        // tables at JVM exit; their directories survive) clears when
+        // the catalog holds no such table — without this, re-running a
+        // temp-table script in a new session dies on
+        // LOCATION_ALREADY_EXISTS, which no DuckDB script expects.
+        "^[A-Za-z_]\\w*".r.findFirstIn(rest.trim).foreach { name =>
+          if (!spark.catalog.tableExists(name)) {
+            val loc = spark.sessionState.catalog.defaultTablePath(
+              org.apache.spark.sql.catalyst.TableIdentifier(name))
+            val dir = java.nio.file.Paths.get(loc)
+            if (java.nio.file.Files.exists(dir)) {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+                .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+            }
+          }
+        }
         sql(spark, "CREATE " + Option(orReplace).getOrElse("") +
           "TABLE " + Option(ifNotExists).getOrElse("") + rest)
       case corTableRe(name, rest) =>
