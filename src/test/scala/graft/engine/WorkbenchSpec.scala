@@ -157,6 +157,41 @@ class WorkbenchSpec extends AnyFunSuite {
       assert(Engine.sql(spark,
         s"SELECT COUNT(*) AS n FROM read_parquet(['$dir/t.parquet'])")
         .collect()(0).getLong(0) == 3L)
+      // round-18 surface, continuing the same flow: a MACRO definition
+      // used by a PREPAREd statement, RETURNING on an insert, a GLOB
+      // filter, UNION BY NAME, a partitioned COPY read back with
+      // hive_partitioning, and the DuckDB-shaped SUMMARIZE — one
+      // migrating script's worth of routes composing in one session
+      Engine.runScript(spark,
+        s"""CREATE OR REPLACE MACRO wb_bump(x) AS x * 10;
+           |PREPARE wb_q AS SELECT uid, wb_bump(amount) AS amt10
+           |  FROM $t WHERE amount > $$1;""".stripMargin)
+      val prepared = Engine.sql(spark, "EXECUTE wb_q(20)").collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._2).toSeq
+      assert(prepared == Seq((1, 300.0), (1, 990.0)))
+      val landed = Engine.sql(spark,
+        s"INSERT INTO $t VALUES (5, 'glob_me', 7.0)" +
+          " RETURNING kind, wb_bump(amount) AS a10").collect()(0)
+      assert(landed.getString(0) == "glob_me" && landed.getDouble(1) == 70.0)
+      assert(Engine.sql(spark,
+        s"SELECT COUNT(*) AS n FROM $t WHERE kind GLOB 'glob*'")
+        .collect()(0).getLong(0) == 1L)
+      val ubn = Engine.sql(spark,
+        s"SELECT uid, kind FROM $t WHERE uid = 5" +
+          " UNION ALL BY NAME SELECT 'x' AS kind, 42.0D AS extra")
+      assert(ubn.columns.toSeq == Seq("uid", "kind", "extra") &&
+        ubn.count() == 2L)
+      Engine.sql(spark,
+        s"COPY $t TO '$dir/part' (FORMAT parquet, PARTITION_BY (uid))")
+      assert(Engine.sql(spark,
+        s"SELECT COUNT(DISTINCT uid) AS n FROM read_parquet(" +
+          s"'$dir/part/*/*.parquet', hive_partitioning=true)")
+        .collect()(0).getLong(0) == 3L)
+      val summ = Engine.sql(spark, s"SUMMARIZE $t")
+      assert(summ.columns.take(5).toSeq ==
+        Seq("column_name", "column_type", "min", "max", "approx_unique"))
+      Engine.exec(spark, "DEALLOCATE wb_q")
+      Engine.exec(spark, "DROP MACRO wb_bump")
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 }
