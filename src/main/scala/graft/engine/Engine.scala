@@ -102,7 +102,16 @@ object Engine {
               " PREPARE it first"))
         val args = Option(argText).map(splitTopLevel(_, ','))
           .getOrElse(Nil).map(_.trim).filter(_.nonEmpty)
-        sql(spark, bindPrepared(stored, args))
+        // `name := expr` arguments bind DuckDB's NAMED parameters
+        // ($name placeholders); plain arguments bind positionally
+        val namedArgRe = "(?s)^([A-Za-z_]\\w*)\\s*:=\\s*(.+)$".r
+        val named = args.collect {
+          case namedArgRe(k, v) => k.toLowerCase -> v.trim
+        }
+        require(named.isEmpty || named.size == args.size,
+          s"EXECUTE $name mixes named (k := v) and positional arguments")
+        sql(spark, bindPrepared(stored,
+          if (named.nonEmpty) Nil else args, named.toMap))
       case deallocRe(name) =>
         if (prepared(spark).remove(name.toLowerCase).isEmpty)
           throw new IllegalArgumentException(
@@ -1455,21 +1464,26 @@ object Engine {
         _ => scala.collection.mutable.Map.empty)
     }
 
-  /** Substitute `$n` (1-based) or `?` (positional) parameters in a
+  /** Substitute `$n` (1-based), `?` (positional), or `$name` (named —
+    * bound by EXECUTE's `name := expr` arguments) parameters in a
     * prepared statement's text with the argument expressions, outside
     * strings/comments/quoted identifiers. Each substitution is
     * parenthesized so an argument expression never re-associates with
-    * surrounding operators. Mixed styles, out-of-range indexes, and
-    * unused arguments refuse — a silently-ignored parameter is a wrong
-    * query. */
-  private[engine] def bindPrepared(text: String, args: Seq[String]): String = {
+    * surrounding operators. Mixed styles, out-of-range indexes,
+    * unbound names, and unused arguments refuse — a silently-ignored
+    * parameter is a wrong query. */
+  private[engine] def bindPrepared(
+      text: String, args: Seq[String],
+      named: Map[String, String] = Map.empty): String = {
     val (codeAt, _) = codeMask(text)
     val sb = new StringBuilder
     var i = 0
     var qIdx = 0
     var used = Set.empty[Int]
+    var usedNames = Set.empty[String]
     var sawDollar = false
     var sawQ = false
+    var sawNamed = false
     while (i < text.length) {
       val ch = text.charAt(i)
       if (codeAt(i) && ch == '$' && i + 1 < text.length &&
@@ -1484,6 +1498,20 @@ object Engine {
         used += n
         sb.append('(').append(args(n - 1)).append(')')
         i = j
+      } else if (codeAt(i) && ch == '$' && i + 1 < text.length &&
+          (text.charAt(i + 1).isLetter || text.charAt(i + 1) == '_')) {
+        var j = i + 1
+        while (j < text.length && (text.charAt(j).isLetterOrDigit ||
+          text.charAt(j) == '_')) j += 1
+        val pname = text.substring(i + 1, j).toLowerCase
+        require(named.contains(pname),
+          s"prepared statement references $$$pname but EXECUTE bound" +
+            s" [${named.keys.toSeq.sorted.mkString(", ")}] — bind it" +
+            s" with EXECUTE q($pname := ...)")
+        sawNamed = true
+        usedNames += pname
+        sb.append('(').append(named(pname)).append(')')
+        i = j
       } else if (codeAt(i) && ch == '?') {
         require(qIdx < args.length,
           s"prepared statement has more ? parameters than the" +
@@ -1495,11 +1523,15 @@ object Engine {
         i += 1
       } else { sb.append(ch); i += 1 }
     }
-    require(!(sawDollar && sawQ),
-      "prepared statement mixes $n and ? parameter styles")
+    require(Seq(sawDollar, sawQ, sawNamed).count(identity) <= 1,
+      "prepared statement mixes $n / ? / $name parameter styles")
     require(used.size == args.length,
       s"EXECUTE passed ${args.length} argument(s) but the statement" +
         s" uses ${used.size} parameter(s)")
+    require(usedNames == named.keySet,
+      s"EXECUTE bound [${named.keySet.toSeq.sorted.mkString(", ")}]" +
+        s" but the statement uses" +
+        s" [${usedNames.toSeq.sorted.mkString(", ")}]")
     sb.toString
   }
 

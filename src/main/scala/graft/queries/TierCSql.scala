@@ -755,6 +755,17 @@ object TierCSql {
        |EXECUTE graft_prep(350000, 40000);
        |EXECUTE graft_prep(100000, 20000);""".stripMargin
 
+  // Named parameters in their OWN script: DuckDB's multi-statement
+  // execute refuses scripts mixing named and positional parameter
+  // styles ("not supported yet"), so the named twin stays separate —
+  // same text on both engines either way.
+  val prepareNamedScript: String =
+    s"""PREPARE graft_prep_n AS
+       |  SELECT o_orderstatus, COUNT(*) AS n
+       |  FROM orders WHERE o_totalprice > $$lo AND o_totalprice < $$hi
+       |  GROUP BY o_orderstatus ORDER BY o_orderstatus;
+       |EXECUTE graft_prep_n(lo := 100000, hi := 250000);""".stripMargin
+
   // --- User-typed DML through the engine's SQL route (r15) ----------------
   //
   // The reference's editor accepts DELETE/UPDATE against any table the
@@ -1353,6 +1364,7 @@ object TierCSql {
     "c_sql_macro" -> script(macroScript),
     "c_sql_macro_duck" -> script(macroDuckScript),
     "c_sql_prepare" -> script(prepareScript),
+    "c_sql_prepare_named" -> script(prepareNamedScript),
     "c_scalar_funcs" -> q(scalarFuncs),
     "c_recursive_cte" -> q(recursiveCte),
     "c_sql_quoting" -> q(quotingSpark),
@@ -1420,6 +1432,7 @@ object TierCSql {
     "c_sql_macro" -> macroOracle,
     "c_sql_macro_duck" -> macroDuckScript, // IDENTICAL text — routed CREATE MACRO
     "c_sql_prepare" -> prepareScript, // IDENTICAL text — routed PREPARE/EXECUTE
+    "c_sql_prepare_named" -> prepareNamedScript, // IDENTICAL text — named params
 
     "c_scalar_funcs" -> scalarFuncs,
     "c_recursive_cte" -> recursiveCte,

@@ -1456,6 +1456,28 @@ class EngineSpec extends AnyFunSuite {
     // out-of-range index refuses
     assertThrows[IllegalArgumentException](
       Engine.bindPrepared("SELECT $3", Seq("1", "2")))
+    // NAMED parameters bind by name, any order, case-insensitive
+    assert(Engine.bindPrepared("SELECT $hi - $lo", Nil,
+      Map("lo" -> "1", "hi" -> "9")) == "SELECT (9) - (1)")
+    // an unbound name and an unused binding both refuse
+    assertThrows[IllegalArgumentException](
+      Engine.bindPrepared("SELECT $lo", Nil, Map("hi" -> "9")))
+    assertThrows[IllegalArgumentException](
+      Engine.bindPrepared("SELECT $lo", Nil,
+        Map("lo" -> "1", "hi" -> "9")))
+    // mixing named and numbered styles refuses
+    assertThrows[IllegalArgumentException](
+      Engine.bindPrepared("SELECT $1 + $lo", Seq("1"), Map("lo" -> "2")))
+    // end to end: EXECUTE with name := value arguments
+    Engine.exec(spark,
+      "PREPARE engine_spec_pn AS SELECT id FROM range(10)" +
+        " WHERE id > $lo AND id < $hi ORDER BY id")
+    assert(Engine.sql(spark, "EXECUTE engine_spec_pn(hi := 5, lo := 2)")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    val mixed = intercept[IllegalArgumentException](Engine.sql(spark,
+      "EXECUTE engine_spec_pn(2, hi := 5)"))
+    assert(mixed.getMessage.contains("mixes"))
+    Engine.exec(spark, "DEALLOCATE engine_spec_pn")
   }
 
   test("date_diff text shim renames only quoted-part calls") {
