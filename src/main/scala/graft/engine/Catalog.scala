@@ -324,15 +324,53 @@ object Catalog {
       case "parquet" =>
         based(spark.read.option("mergeSchema", "true")).parquet(paths: _*)
       case "csv" =>
-        val header = opts.getOrElse("header", "true").toLowerCase
-        val base = based(spark.read.option("header", header)
-          .option("inferSchema", "true").option("escape", "\""))
+        // columns= carries an explicit Spark-DDL schema: inference off,
+        // header defaulting to FALSE (Spark cannot sniff a header the
+        // way DuckDB's detector does — pass header=true explicitly)
+        val explicit = opts.get("columns")
+        val header = opts.getOrElse("header",
+          if (explicit.isDefined) "false" else "true").toLowerCase
+        val base0 = based(spark.read.option("header", header)
+          .option("escape", "\""))
+        val base = explicit match {
+          case Some(ddl) => base0.schema(ddl)
+          case None => base0.option("inferSchema", "true")
+        }
         opts.get("delim").orElse(opts.get("sep"))
           .fold(base)(d => base.option("sep", d))
           .csv(paths: _*)
       case "json" if paths.forall(_.toLowerCase.endsWith(".json")) =>
         based(spark.read.option("multiLine", "true")).json(paths: _*)
       case _ => based(spark.read).json(paths: _*)
+    }
+  }
+
+  /** DuckDB type spelling → Spark DDL type for `columns=` schemas:
+    * names both engines share pass through; DuckDB-only spellings map
+    * to the Spark type with the same VALUES; anything unknown refuses
+    * (a guessed type reads the file differently than asked). */
+  private def duckTypeToSpark(t: String): String = {
+    val up = t.trim.toUpperCase
+    up match {
+      case "VARCHAR" | "TEXT" | "STRING" | "BPCHAR" => "STRING"
+      case "INTEGER" | "INT" | "INT4" | "SIGNED" => "INT"
+      case "BIGINT" | "INT8" | "LONG" => "BIGINT"
+      case "SMALLINT" | "INT2" | "SHORT" => "SMALLINT"
+      case "TINYINT" | "INT1" => "TINYINT"
+      case "HUGEINT" => "DECIMAL(38,0)" // the values int128 can hold
+      case "DOUBLE" | "FLOAT8" | "REAL" => "DOUBLE"
+      case "FLOAT" | "FLOAT4" => "FLOAT"
+      case "BOOLEAN" | "BOOL" | "LOGICAL" => "BOOLEAN"
+      case "DATE" => "DATE"
+      case "TIMESTAMP" | "DATETIME" => "TIMESTAMP"
+      case "BLOB" | "BYTEA" | "BINARY" => "BINARY"
+      case d if d.matches("DECIMAL\\s*\\(\\s*\\d+\\s*,\\s*\\d+\\s*\\)") ||
+          d.matches("NUMERIC\\s*\\(\\s*\\d+\\s*,\\s*\\d+\\s*\\)") =>
+        d.replaceFirst("NUMERIC", "DECIMAL")
+      case other => throw new IllegalArgumentException(
+        s"columns=: type '$other' is not mapped — use one of the" +
+          " shared SQL type names (VARCHAR/INTEGER/BIGINT/DOUBLE/" +
+          "BOOLEAN/DATE/TIMESTAMP/DECIMAL(p,s)/...)")
     }
   }
 
@@ -451,6 +489,45 @@ object Catalog {
           val tk = inner(j)
           if (tk.quoted) { paths += tk.text; j += 1 }
           else if (Seq("[", "]", ",").contains(tk.text)) j += 1
+          else if (tk.text.equalsIgnoreCase("columns") &&
+              j + 2 < inner.length && !inner(j + 1).quoted &&
+              inner(j + 1).text == "=" && !inner(j + 2).quoted &&
+              inner(j + 2).text == "{") {
+            // columns={'name': 'TYPE', …} — DuckDB's explicit-schema
+            // read. The struct literal's quoted tokens are NAMES and
+            // TYPES, consumed here so they never read as paths; the
+            // value stored is the Spark schema DDL the reader takes.
+            // NOTE the header default: DuckDB still SNIFFS a header
+            // row even with columns= (measured); Spark cannot sniff,
+            // so without an explicit header option the first line is
+            // DATA — pass header=true for headered files.
+            var k = j + 3
+            val fields = Seq.newBuilder[String]
+            var curName: Option[String] = None
+            var done = false
+            while (k < inner.length && !done) {
+              val t2 = inner(k)
+              if (!t2.quoted && t2.text == "}") { done = true; k += 1 }
+              else if (!t2.quoted && (t2.text == ":" || t2.text == ","))
+                k += 1
+              else if (t2.quoted && curName.isEmpty) {
+                curName = Some(t2.text); k += 1
+              } else if (t2.quoted) {
+                fields += s"${Sql.sqlIdentifier(curName.get)} " +
+                  duckTypeToSpark(t2.text)
+                curName = None
+                k += 1
+              } else throw new IllegalArgumentException(
+                s"$fn: columns= expects {'name': 'TYPE', ...} — got" +
+                  s" '${t2.text}'")
+            }
+            require(done && curName.isEmpty,
+              s"$fn: malformed columns= struct literal")
+            val ddl = fields.result()
+            require(ddl.nonEmpty, s"$fn: columns= needs at least one column")
+            options += ("columns" -> ddl.mkString(", "))
+            j = k
+          }
           else if (NamedOpts.contains(tk.text.toLowerCase) &&
               j + 2 < inner.length && inner(j + 1).text == "=") {
             options += (tk.text.toLowerCase -> inner(j + 2).text)
@@ -458,7 +535,8 @@ object Catalog {
           } else throw new IllegalArgumentException(
             s"$fn: unsupported argument '${tk.text}' — routed calls take" +
               " path literals (bare or in a [...] list) and the named" +
-              " options union_by_name/header/delim")
+              " options union_by_name/header/delim/hive_partitioning/" +
+              "columns")
         }
         options.foreach {
           case ("union_by_name", v) => require(v.equalsIgnoreCase("true"),
@@ -491,8 +569,9 @@ object Catalog {
           // would read the file differently than asked
           if (fmtName != "csv")
             require(!options.contains("header") &&
-              !options.contains("delim") && !options.contains("sep"),
-              s"$fn: header/delim options apply to read_csv only")
+              !options.contains("delim") && !options.contains("sep") &&
+              !options.contains("columns"),
+              s"$fn: header/delim/columns options apply to read_csv only")
           // union_by_name holds for parquet (mergeSchema) and json
           // (Spark's multi-file json reader unifies by name); csv would
           // need per-file header alignment Spark doesn't do — refuse

@@ -1121,6 +1121,36 @@ object TierCSql {
        |FROM graft_temp_tbl
        |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin
 
+  // read_csv(columns={...}) — DuckDB's explicit-schema read (round 18):
+  // the struct literal becomes the reader's Spark-DDL schema (inference
+  // off, names and types exactly as given). Each engine round-trips its
+  // own COPY TO export (the engine writes a part-file directory → glob;
+  // DuckDB a single file), and the final typed aggregate is the
+  // cross-engine hash surface — names bound by columns=, not the file
+  // header, so a rename-on-read is part of what's certified.
+  private def csvColsPath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cols_" +
+      s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}"
+
+  private def csvColsSqlFor(writePath: String, readPath: String): String =
+    s"""COPY (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey % 11 = 0) TO '$writePath' (FORMAT csv, HEADER);
+       |SELECT s, COUNT(*) AS n,
+       |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+       |FROM read_csv('$readPath', header=true,
+       |  columns={'k': 'BIGINT', 's': 'VARCHAR', 'p': 'DOUBLE'})
+       |GROUP BY s ORDER BY s;""".stripMargin
+
+  def csvColsScript(dir: String): String = {
+    val p = csvColsPath(dir)
+    csvColsSqlFor(p, s"$p/*.csv")
+  }
+
+  val csvColsOracle: String = {
+    val p = s"/tmp/graft_cols_oracle_p${ProcessHandle.current.pid}.csv"
+    csvColsSqlFor(p, p)
+  }
+
   // RETURNING (round 18): DuckDB/Postgres's affected-rows clause on
   // plain DML, routed by `Engine.runReturning` — DELETE returns the
   // victims' OLD values, UPDATE the matched rows' NEW values, INSERT
@@ -1360,6 +1390,8 @@ object TierCSql {
     "c_sql_returning" -> ((s, dir) => Engine.runScript(views(s, dir),
       returningScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_glob" -> q(globPredicate),
+    "c_sql_read_csv_cols" -> ((s, dir) => Engine.runScript(views(s, dir),
+      csvColsScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_temp_table" -> script(tempTableScript),
     "c_sql_macro" -> script(macroScript),
     "c_sql_macro_duck" -> script(macroDuckScript),
@@ -1428,6 +1460,7 @@ object TierCSql {
     "c_sql_hive_part" -> hivePartOracle,
     "c_sql_returning" -> returningOracle,
     "c_sql_glob" -> globPredicate, // IDENTICAL text — native GLOB
+    "c_sql_read_csv_cols" -> csvColsOracle,
     "c_sql_temp_table" -> tempTableScript, // IDENTICAL text — routed TEMP TABLE
     "c_sql_macro" -> macroOracle,
     "c_sql_macro_duck" -> macroDuckScript, // IDENTICAL text — routed CREATE MACRO

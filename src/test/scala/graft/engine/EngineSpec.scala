@@ -1674,6 +1674,28 @@ class EngineSpec extends AnyFunSuite {
     } finally Engine.exec(spark, "DROP TABLE IF EXISTS engine_spec_ttab")
   }
 
+  test("read_csv columns= binds the explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("csvcols")
+    java.nio.file.Files.writeString(dir.resolve("d.csv"), "1,x\n2,y\n")
+    // names and types come from columns=, not inference; header
+    // defaults FALSE with an explicit schema (first line is DATA)
+    val df = Engine.sql(spark,
+      s"SELECT * FROM read_csv('$dir/d.csv'," +
+        " columns={'k': 'BIGINT', 's': 'VARCHAR'})")
+    assert(df.columns.toSeq == Seq("k", "s"))
+    assert(df.schema("k").dataType.sql == "BIGINT")
+    assert(df.count() == 2L)
+    // unknown type names refuse loudly (never guess a schema)
+    val e = intercept[IllegalArgumentException](Engine.sql(spark,
+      s"SELECT * FROM read_csv('$dir/d.csv'," +
+        " columns={'k': 'FANCYTYPE'})"))
+    assert(e.getMessage.contains("not mapped"))
+    // columns= is a csv option; other formats refuse
+    assertThrows[IllegalArgumentException](Engine.sql(spark,
+      s"SELECT * FROM read_parquet('$dir/d.csv'," +
+        " columns={'k': 'BIGINT'})"))
+  }
+
   test("ATTACH/DETACH refuse with the working alternative named") {
     val e = intercept[IllegalArgumentException](
       Engine.sql(spark, "ATTACH 'other.db' AS other"))
