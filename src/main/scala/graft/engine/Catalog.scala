@@ -349,7 +349,7 @@ object Catalog {
     * names both engines share pass through; DuckDB-only spellings map
     * to the Spark type with the same VALUES; anything unknown refuses
     * (a guessed type reads the file differently than asked). */
-  private def duckTypeToSpark(t: String): String = {
+  private[engine] def duckTypeToSpark(t: String): String = {
     val up = t.trim.toUpperCase
     up match {
       case "VARCHAR" | "TEXT" | "STRING" | "BPCHAR" => "STRING"

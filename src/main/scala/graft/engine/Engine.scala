@@ -89,6 +89,27 @@ object Engine {
       case dropMacroRe(ifExists, name) =>
         runDropMacro(spark, ifExists != null, name)
         spark.emptyDataFrame
+      case alterAddColRe(table, ifNot, colName, typeText) =>
+        // DuckDB's singular ADD COLUMN c TYPE re-spells onto Spark's
+        // ADD COLUMNS (c TYPE) — existing rows read NULL in both
+        // engines. A DEFAULT clause refuses: DuckDB backfills existing
+        // rows with the default, which here would be a full rewrite —
+        // add the column, then UPDATE it (the routed UPDATE does the
+        // rewrite explicitly).
+        require(firstTopLevelKeyword(typeText, Seq("DEFAULT")).isEmpty,
+          s"ALTER TABLE $table ADD COLUMN ... DEFAULT is not routed:" +
+            " existing rows would need a backfill rewrite — add the" +
+            " column, then UPDATE it")
+        val c = colName.stripPrefix("`").stripSuffix("`")
+        if (ifNot != null && spark.table(table).schema.fields
+            .exists(_.name.equalsIgnoreCase(c))) spark.emptyDataFrame
+        else spark.sql(s"ALTER TABLE $table ADD COLUMNS" +
+          s" (${Sql.sqlIdentifier(c)} ${
+            Catalog.duckTypeToSpark(typeText.trim)})")
+      case alterDropColRe(table, ifExists, colName) =>
+        runAlterDropColumn(spark, table, ifExists != null, colName)
+      case alterRenameColRe(table, oldName, newName) =>
+        runAlterRenameColumn(spark, table, oldName, newName)
       case prepareRe(name, text) =>
         // PREPARE stores the RAW statement text; binding and the full
         // router (every dialect shim included) apply at EXECUTE time, so
@@ -1318,6 +1339,87 @@ object Engine {
     ("(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:GLOBAL\\s+)?" +
       "(?:TEMP(?:ORARY)?\\s+)?(?:EXTERNAL\\s+)?(?:VIEW|TABLE)\\s+" +
       "(?:IF\\s+NOT\\s+EXISTS\\s+)?(`[^`]+`|[\\w.]+)").r
+
+  // ALTER TABLE column surgery (r18): Spark's v1 session-catalog
+  // parquet tables support ADD COLUMNS natively but reject DROP/RENAME
+  // COLUMN outright ("does not support DROP COLUMN" — verified), so
+  // those route through the SAME copy-on-write machinery as the DML
+  // statements: one distributed rewrite of the data files with the
+  // column dropped/renamed, then the catalog's stored schema follows
+  // (`alterTableDataSchema`). A full rewrite is the honest cost of a
+  // physical schema change at any scale — DuckDB pays its storage-level
+  // equivalent. Only the explicit COLUMN-keyword spellings route;
+  // Spark's own ALTER TABLE forms (ADD COLUMNS (...), RENAME TO) pass
+  // through untouched.
+  private val alterAddColRe =
+    ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_]\\w*)\\s+ADD\\s+COLUMN\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?(`[^`]+`|[A-Za-z_]\\w*)\\s+(.+)$").r
+  private val alterDropColRe =
+    ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_]\\w*)\\s+DROP\\s+COLUMN\\s+" +
+      "(IF\\s+EXISTS\\s+)?(`[^`]+`|[A-Za-z_]\\w*)\\s*$").r
+  private val alterRenameColRe =
+    ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_]\\w*)\\s+RENAME\\s+COLUMN\\s+" +
+      "(`[^`]+`|[A-Za-z_]\\w*)\\s+TO\\s+(`[^`]+`|[A-Za-z_]\\w*)\\s*$").r
+
+  private def runAlterDropColumn(
+      spark: SparkSession, table: String, ifExists: Boolean,
+      col0: String): DataFrame = {
+    val colName = col0.stripPrefix("`").stripSuffix("`")
+    val target = spark.table(table)
+    target.schema.fields.find(_.name.equalsIgnoreCase(colName)) match {
+      case None if ifExists => spark.emptyDataFrame
+      case None => throw new IllegalArgumentException(
+        s"ALTER TABLE $table DROP COLUMN $colName: no such column")
+      case Some(f) =>
+        require(target.schema.fields.length > 1,
+          s"ALTER TABLE $table: cannot drop the only column")
+        val out = withTablePath(spark, table) { path =>
+          Dml.rewriteAllFiles(spark, path)(_.drop(f.name))
+        }
+        forceDataSchema(spark, table, org.apache.spark.sql.types
+          .StructType(target.schema.fields.filterNot(
+            _.name.equalsIgnoreCase(colName))))
+        out
+    }
+  }
+
+  /** Point the catalog's stored data schema at what the rewritten files
+    * now hold. Goes through the EXTERNAL catalog directly:
+    * `SessionCatalog.alterTableDataSchema` refuses any change that
+    * removes a field ("We don't support dropping columns yet") — the
+    * guard exists because the FILES would disagree, which is exactly
+    * what the copy-on-write rewrite has already fixed by the time this
+    * runs. */
+  private def forceDataSchema(
+      spark: SparkSession, table: String,
+      newSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    spark.sessionState.catalog.externalCatalog.alterTableDataSchema(
+      meta.database, meta.identifier.table, newSchema)
+    spark.sessionState.catalog.refreshTable(ident)
+    spark.catalog.refreshTable(table)
+  }
+
+  private def runAlterRenameColumn(
+      spark: SparkSession, table: String, old0: String,
+      new0: String): DataFrame = {
+    val oldC = old0.stripPrefix("`").stripSuffix("`")
+    val newC = new0.stripPrefix("`").stripSuffix("`")
+    val target = spark.table(table)
+    val f = target.schema.fields.find(_.name.equalsIgnoreCase(oldC))
+      .getOrElse(throw new IllegalArgumentException(
+        s"ALTER TABLE $table RENAME COLUMN $oldC: no such column"))
+    require(!target.schema.fields.exists(_.name.equalsIgnoreCase(newC)),
+      s"ALTER TABLE $table RENAME COLUMN: $newC already exists")
+    val out = withTablePath(spark, table) { path =>
+      Dml.rewriteAllFiles(spark, path)(_.withColumnRenamed(f.name, newC))
+    }
+    forceDataSchema(spark, table, org.apache.spark.sql.types.StructType(
+      target.schema.fields.map(x =>
+        if (x.name.equalsIgnoreCase(oldC)) x.copy(name = newC) else x)))
+    out
+  }
 
   // transaction brackets and index DDL — migrating-script surface
   private val txnNoopRe =

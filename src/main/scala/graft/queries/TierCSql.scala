@@ -1151,6 +1151,27 @@ object TierCSql {
     csvColsSqlFor(p, p)
   }
 
+  // ALTER TABLE column surgery (round 18): ADD COLUMN re-spelled onto
+  // Spark's native ADD COLUMNS (null-filled in both engines), DROP and
+  // RENAME COLUMN routed through the copy-on-write rewrite (Spark's v1
+  // parquet tables reject them outright) with the catalog schema
+  // following the files. IDENTICAL script on both engines via the
+  // routed CREATE TEMP TABLE; the final aggregate reads the renamed
+  // column and counts the null-filled one, so all three surgeries are
+  // on the hash surface.
+  val alterColScript: String =
+    s"""DROP TABLE IF EXISTS graft_alt_t;
+       |CREATE TEMP TABLE graft_alt_t AS
+       |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS v
+       |  FROM orders WHERE o_orderkey <= 500;
+       |ALTER TABLE graft_alt_t ADD COLUMN note VARCHAR;
+       |ALTER TABLE graft_alt_t DROP COLUMN st;
+       |ALTER TABLE graft_alt_t RENAME COLUMN v TO price;
+       |SELECT COUNT(*) AS n,
+       |  ${msum("price")} AS total,
+       |  COUNT(note) AS notes
+       |FROM graft_alt_t;""".stripMargin
+
   // RETURNING (round 18): DuckDB/Postgres's affected-rows clause on
   // plain DML, routed by `Engine.runReturning` — DELETE returns the
   // victims' OLD values, UPDATE the matched rows' NEW values, INSERT
@@ -1393,6 +1414,7 @@ object TierCSql {
     "c_sql_read_csv_cols" -> ((s, dir) => Engine.runScript(views(s, dir),
       csvColsScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_temp_table" -> script(tempTableScript),
+    "c_sql_alter_col" -> script(alterColScript),
     "c_sql_macro" -> script(macroScript),
     "c_sql_macro_duck" -> script(macroDuckScript),
     "c_sql_prepare" -> script(prepareScript),
@@ -1462,6 +1484,7 @@ object TierCSql {
     "c_sql_glob" -> globPredicate, // IDENTICAL text — native GLOB
     "c_sql_read_csv_cols" -> csvColsOracle,
     "c_sql_temp_table" -> tempTableScript, // IDENTICAL text — routed TEMP TABLE
+    "c_sql_alter_col" -> alterColScript, // IDENTICAL text — routed ALTER COLUMN
     "c_sql_macro" -> macroOracle,
     "c_sql_macro_duck" -> macroDuckScript, // IDENTICAL text — routed CREATE MACRO
     "c_sql_prepare" -> prepareScript, // IDENTICAL text — routed PREPARE/EXECUTE

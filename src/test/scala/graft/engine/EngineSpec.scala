@@ -1696,6 +1696,39 @@ class EngineSpec extends AnyFunSuite {
         " columns={'k': 'BIGINT'})"))
   }
 
+  test("ALTER TABLE DROP/RENAME COLUMN rewrite files and follow schema") {
+    val t = s"engine_spec_alt_p${ProcessHandle.current.pid}"
+    Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
+    Engine.exec(spark,
+      s"CREATE TABLE $t AS SELECT CAST(id AS BIGINT) AS k," +
+        " CAST(id * 2.0 AS DOUBLE) AS v, 'x' AS tag FROM range(6)")
+    try {
+      Engine.sql(spark, s"ALTER TABLE $t DROP COLUMN tag")
+      assert(spark.table(t).columns.toSeq == Seq("k", "v"))
+      // the DATA survived the rewrite
+      assert(spark.table(t).agg(org.apache.spark.sql.functions
+        .sum("v")).collect()(0).getDouble(0) == 30.0)
+      Engine.sql(spark, s"ALTER TABLE $t RENAME COLUMN v TO val")
+      assert(spark.table(t).columns.toSeq == Seq("k", "val"))
+      assert(spark.table(t).filter("val = 10.0").count() == 1L)
+      // DuckDB's singular ADD COLUMN spelling, null-filled
+      Engine.sql(spark, s"ALTER TABLE $t ADD COLUMN note VARCHAR")
+      assert(spark.table(t).filter("note IS NULL").count() == 6L)
+      // refusals: unknown column, duplicate target, last column, DEFAULT
+      assertThrows[IllegalArgumentException](
+        Engine.sql(spark, s"ALTER TABLE $t DROP COLUMN nope"))
+      assert(Engine.sql(spark,
+        s"ALTER TABLE $t DROP COLUMN IF EXISTS nope").count() == 0L)
+      assertThrows[IllegalArgumentException](
+        Engine.sql(spark, s"ALTER TABLE $t RENAME COLUMN k TO val"))
+      assertThrows[IllegalArgumentException](Engine.sql(spark,
+        s"ALTER TABLE $t ADD COLUMN d2 INTEGER DEFAULT 5"))
+      // Spark's own plural spelling still passes through
+      Engine.exec(spark, s"ALTER TABLE $t ADD COLUMNS (extra INT)")
+      assert(spark.table(t).columns.contains("extra"))
+    } finally Engine.exec(spark, s"DROP TABLE IF EXISTS $t")
+  }
+
   test("ATTACH/DETACH refuse with the working alternative named") {
     val e = intercept[IllegalArgumentException](
       Engine.sql(spark, "ATTACH 'other.db' AS other"))
