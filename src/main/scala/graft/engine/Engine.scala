@@ -27,7 +27,11 @@ object Engine {
     // no SUMMARIZE statement and spells DESCRIBE-a-query `DESCRIBE
     // QUERY`, so both route to the engine's describe/summarize — the
     // target may be a table name, a quoted path table, or a full SELECT.
-    val trimmed = statement.trim.stripSuffix(";").trim
+    // dollar-quoted strings convert FIRST, on the raw text: their
+    // bodies may contain quote characters that would desynchronize
+    // every downstream keyword scan (see rewriteDollarQuotes)
+    val trimmed =
+      rewriteDollarQuotes(statement).trim.stripSuffix(";").trim
     // EVERY routed CREATE of a view/table makes its target a USER
     // relation — release any auto-registration claim on the name here,
     // once, so no individual route (AS-body DDL, CREATE OR REPLACE
@@ -221,6 +225,48 @@ object Engine {
       case pragmaShowTablesRe() =>
         spark.sql("SHOW TABLES")
           .select(org.apache.spark.sql.functions.col("tableName").as("name"))
+      case truncateRe(name) =>
+        // DuckDB spells it without the TABLE keyword; Spark requires it.
+        // Both spellings land here (the engine's TEMP TABLE route makes
+        // truncatable catalog tables); a PARTITION-spec TRUNCATE is
+        // Spark-native surface and passes through the default branch.
+        spark.sql(s"TRUNCATE TABLE $name")
+      case showAllTablesRe() => showAllTables(spark)
+      case useNoopRe(target)
+          if Set("memory", "main", "memory.main")(target.toLowerCase) =>
+        // USE memory / USE main — DuckDB's own default catalog/schema
+        // names, carried by migrating scripts (often right after an
+        // ATTACH): selecting the default is a no-op here. Any other USE
+        // passes through to Spark's USE (real databases exist).
+        spark.emptyDataFrame
+      case sequenceRe(verb) =>
+        throw new IllegalArgumentException(
+          s"$verb SEQUENCE is not supported: a sequence serializes id" +
+            " assignment through a single counter — at this engine's" +
+            " scale generate ids with row_number() OVER (ORDER BY …)," +
+            " monotonically_increasing_id(), or uuid()")
+      case explainAnalyzeRe(rest) =>
+        // DuckDB's EXPLAIN ANALYZE runs the statement and returns the
+        // plan; Spark has no SQL spelling for an EXECUTED plan, so the
+        // route runs the routed query to completion (count — every
+        // operator executes) and returns the formatted physical plan
+        // plus the measured wall time, in DuckDB's two-column shape.
+        // Plan TEXT is engine-specific by nature (like DESCRIBE).
+        val df = sql(spark, rest)
+        val t0 = System.nanoTime()
+        df.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val st = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "explain_key", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(
+            "explain_value", org.apache.spark.sql.types.StringType)))
+        spark.createDataFrame(
+          java.util.Arrays.asList(
+            Row("analyzed_plan", plan),
+            Row("total_time", f"$secs%.3f s")), st)
       case showTableRe(name)
           if !ShowKeywords.contains(name.toLowerCase) &&
             spark.catalog.tableExists(name) =>
@@ -347,12 +393,18 @@ object Engine {
             // + table functions, and the literal constructors LAST so a
             // read_parquet([…]) list is consumed as paths first
             val sub = rewriteSubqueryBodies(spark, other)
+            // the depth-global passes (trailing commas, lambda syntax,
+            // aggregate ORDER BY) run once over the whole text — their
+            // triggers carry absolute paren depth, so subquery bodies
+            // are covered without re-entry (each is idempotent)
+            val pre = rewriteAggOrderBy(rewriteLambdaSyntax(
+              rewriteTrailingCommas(sub)))
             val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
               rewriteStarReplace(spark, rewriteColumnsFn(spark,
                 rewriteDateDiff(rewriteGlob(
-                  rewriteSimilarTo(rewriteStarExclude(sub)))))))))
-            rewriteStructPack(rewriteDuckdbLiterals(
-              Catalog.rewritePathTables(spark, shimmed)._1))
+                  rewriteSimilarTo(rewriteStarExclude(pre)))))))))
+            rewriteStructPack(rewriteDuckdbLiterals(rewriteListComprehension(
+              Catalog.rewritePathTables(spark, shimmed)._1)))
         }
     }
   }
@@ -563,7 +615,10 @@ object Engine {
         "ASOF JOIN subquery relation needs an alias")
       bAlias = bRel
     }
-    require(word("ON"), "ASOF JOIN needs an ON condition")
+    require(word("ON"),
+      "ASOF JOIN needs an ON condition — the USING shorthand is not" +
+        " routed (its merged output columns have no Spark spelling):" +
+        " write ON l.k = r.k AND l.ts >= r.ts and project explicitly")
     val tail = s.substring(p)
     val condEnd = firstTopLevelKeyword(tail,
       Seq("WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY", "ORDER",
@@ -2424,6 +2479,45 @@ object Engine {
     ("(?is)^PRAGMA\\s+table_info\\s*\\(\\s*" +
       "(?:'([^']+)'|([A-Za-z_]\\w*))\\s*\\)\\s*$").r
   private val pragmaShowTablesRe = "(?is)^PRAGMA\\s+show_tables\\s*$".r
+
+  private val truncateRe =
+    "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?([A-Za-z_`][\\w`.]*)\\s*$".r
+  private val showAllTablesRe = "(?is)^SHOW\\s+ALL\\s+TABLES\\s*$".r
+  private val useNoopRe = "(?is)^USE\\s+([\\w.]+)\\s*$".r
+  private val sequenceRe =
+    ("(?is)^(CREATE|DROP)\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?" +
+      "SEQUENCE\\b.*$").r
+  private val explainAnalyzeRe = "(?is)^EXPLAIN\\s+ANALYZE\\s+(.+)$".r
+
+  /** `SHOW ALL TABLES` — DuckDB's catalog-wide listing, in DuckDB's
+    * exact column shape (database, schema, name, column_names,
+    * column_types, temporary). Driver-side metadata over the session
+    * catalog, no job; database/schema carry DuckDB's default names
+    * since this engine runs one session catalog. */
+  private def showAllTables(spark: SparkSession): DataFrame = {
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]
+    spark.sql("SHOW TABLES").collect()
+      .sortBy(_.getAs[String]("tableName")).foreach { r =>
+        val name = r.getAs[String]("tableName")
+        // a catalog entry whose storage is gone (dropped underneath a
+        // long-lived session) still LISTS — DuckDB's listing does not
+        // resolve each relation either; its columns read empty
+        val schema = scala.util.Try(spark.table(name).schema)
+          .getOrElse(org.apache.spark.sql.types.StructType(Nil))
+        rows.add(Row("memory", "main", name,
+          schema.fields.toSeq.map(_.name),
+          schema.fields.toSeq.map(_.dataType.sql),
+          r.getAs[Boolean]("isTemporary")))
+      }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("database", StringType),
+      StructField("schema", StringType),
+      StructField("name", StringType),
+      StructField("column_names", ArrayType(StringType)),
+      StructField("column_types", ArrayType(StringType)),
+      StructField("temporary", BooleanType))))
+  }
   // assignment-shaped settings pragmas only: name=value or name(value)
   private val pragmaSettingRe =
     "(?is)^PRAGMA\\s+[A-Za-z_]\\w*\\s*(?:=\\s*\\S.*|\\(.*\\))\\s*$".r
@@ -3005,6 +3099,362 @@ object Engine {
   def exec(spark: SparkSession, statement: String): Unit = {
     sql(spark, statement)
     ()
+  }
+
+  /** Dollar-quoted strings — `$$…$$` / `$tag$…$tag$` (DuckDB/Postgres) →
+    * standard single-quoted literals with `'` doubled. This runs FIRST,
+    * on the raw statement, because dollar-quoted content may contain
+    * `'` characters that would desynchronize `codeMask` (and with it
+    * every routing keyword scan) if left in place. Disambiguation from
+    * prepared-statement parameters follows both grammars' rule: an
+    * opener is `$` + optional identifier TAG + `$` with nothing between
+    * — `$1` (digit after `$`) and `$name` (no closing `$`) never match.
+    * The closer is the identical tag; `$$` inside a `$tag$` body stays
+    * literal. NOTE the A12 script splitter deliberately does NOT learn
+    * dollar quotes — it is a 1:1 port of the reference's lexer
+    * (App.tsx:69-135), which would split a `;` inside `$$…$$` the same
+    * way; per-statement conversion here matches what the reference
+    * surface can actually carry. */
+  private[engine] def rewriteDollarQuotes(s: String): String = {
+    if (!s.contains("$")) return s
+    val openerRe = "^\\$([A-Za-z_]\\w*)?\\$".r
+    val sb = new StringBuilder
+    var inS, inD, inB, inLine, inBlock = false
+    var i = 0
+    val n = s.length
+    def nx(j: Int): Char = if (j < n) s.charAt(j) else ' '
+    while (i < n) {
+      val ch = s.charAt(i)
+      if (inLine) { if (ch == '\n') inLine = false; sb.append(ch); i += 1 }
+      else if (inBlock) {
+        if (ch == '*' && nx(i + 1) == '/') { inBlock = false; sb.append("*/"); i += 2 }
+        else { sb.append(ch); i += 1 }
+      } else if (inS) {
+        if (ch == '\'' && nx(i + 1) == '\'') { sb.append("''"); i += 2 }
+        else { if (ch == '\'') inS = false; sb.append(ch); i += 1 }
+      } else if (inD) {
+        if (ch == '"' && nx(i + 1) == '"') { sb.append("\"\""); i += 2 }
+        else { if (ch == '"') inD = false; sb.append(ch); i += 1 }
+      } else if (inB) {
+        if (ch == '`' && nx(i + 1) == '`') { sb.append("``"); i += 2 }
+        else { if (ch == '`') inB = false; sb.append(ch); i += 1 }
+      } else if (ch == '-' && nx(i + 1) == '-') { inLine = true; sb.append(ch); i += 1 }
+      else if (ch == '/' && nx(i + 1) == '*') { inBlock = true; sb.append("/*"); i += 2 }
+      else if (ch == '\'') { inS = true; sb.append(ch); i += 1 }
+      else if (ch == '"') { inD = true; sb.append(ch); i += 1 }
+      else if (ch == '`') { inB = true; sb.append(ch); i += 1 }
+      else if (ch == '$') {
+        openerRe.findFirstMatchIn(s.substring(i)) match {
+          case Some(m) =>
+            val tag = m.matched
+            val bodyStart = i + tag.length
+            val close = s.indexOf(tag, bodyStart)
+            require(close >= 0,
+              s"unterminated dollar-quoted string opened with $tag")
+            sb.append(Sql.sqlStringLiteral(s.substring(bodyStart, close)))
+            i = close + tag.length
+          case None => sb.append(ch); i += 1
+        }
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Trailing commas (DuckDB tolerates them in select lists, GROUP BY,
+    * and collection literals) — a comma whose next code token is `)`,
+    * `]`, `}`, end-of-statement, or the FROM keyword is syntax Spark
+    * rejects and no valid Spark statement contains, so dropping it is
+    * semantics-free at every nesting depth. Comments between the comma
+    * and the boundary are preserved. */
+  private[engine] def rewriteTrailingCommas(s: String): String = {
+    if (!s.contains(",")) return s
+    val (codeAt, _) = codeMask(s)
+    val drop = new Array[Boolean](s.length)
+    var i = 0
+    while (i < s.length) {
+      if (codeAt(i) && s.charAt(i) == ',') {
+        var j = i + 1
+        var moved = true
+        while (moved) {
+          moved = false
+          while (j < s.length && s.charAt(j).isWhitespace) { j += 1; moved = true }
+          if (j + 1 < s.length && s.charAt(j) == '-' && s.charAt(j + 1) == '-') {
+            val e = s.indexOf('\n', j); j = if (e < 0) s.length else e + 1; moved = true
+          } else if (j + 1 < s.length && s.charAt(j) == '/' && s.charAt(j + 1) == '*') {
+            val e = s.indexOf("*/", j + 2); j = if (e < 0) s.length else e + 2; moved = true
+          }
+        }
+        val trailing = j >= s.length || s.charAt(j) == ')' ||
+          s.charAt(j) == ']' || s.charAt(j) == '}' ||
+          (s.regionMatches(true, j, "FROM", 0, 4) &&
+            (j + 4 >= s.length ||
+              !(s.charAt(j + 4).isLetterOrDigit || s.charAt(j + 4) == '_')))
+        if (trailing) drop(i) = true
+      }
+      i += 1
+    }
+    if (!drop.contains(true)) s
+    else {
+      val sb = new StringBuilder
+      var k = 0
+      while (k < s.length) { if (!drop(k)) sb.append(s.charAt(k)); k += 1 }
+      sb.toString
+    }
+  }
+
+  /** Python-style lambda syntax (`lambda x: expr`, `lambda a, b: expr`
+    * — DuckDB ≥ 1.3's preferred spelling) → the arrow form both engines'
+    * higher-order functions take (`x -> expr`, `(a, b) -> expr`). The
+    * single following `:` converts; `::` casts never match. */
+  private[engine] def rewriteLambdaSyntax(s: String): String = {
+    if (!"(?is)^.*\\bLAMBDA\\b.*$".r.matches(s)) return s
+    val (codeAt, _) = codeMask(s)
+    val re = "(?is)\\blambda\\s+([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)*)\\s*:(?!:)".r
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- re.findAllMatchIn(s) if codeAt(m.start)) {
+      sb.append(s.substring(last, m.start))
+      val params = m.group(1).split(",").map(_.trim)
+      sb.append(
+        if (params.length == 1) s"${params.head} ->"
+        else params.mkString("(", ", ", ") ->"))
+      last = m.end
+    }
+    sb.append(s.substring(last))
+    sb.toString
+  }
+
+  // Aggregates where DuckDB permits ORDER BY but the result cannot
+  // depend on it — the clause simply drops.
+  private val aggOrderInsensitive = Set(
+    "sum", "count", "avg", "mean", "min", "max", "stddev", "stddev_samp",
+    "stddev_pop", "variance", "var_samp", "var_pop", "bit_and", "bit_or",
+    "bit_xor", "bool_and", "bool_or", "median", "mode", "product",
+    "approx_count_distinct", "kurtosis", "skewness", "entropy", "sem",
+    "corr", "covar_pop", "covar_samp", "geomean", "favg", "fsum", "kahan_sum")
+  private val aggOrderRewritable = Set(
+    "string_agg", "listagg", "group_concat", "first", "any_value",
+    "arbitrary", "last", "array_agg", "list", "collect_list")
+
+  /** DuckDB's inline ORDER BY inside aggregate calls —
+    * `agg(args ORDER BY keys)` — which Spark's grammar rejects. Per
+    * family:
+    *   - order-insensitive aggregates (sum/count/avg/…) drop the clause;
+    *   - string_agg/listagg/group_concat move it to Spark 4's standard
+    *     `WITHIN GROUP (ORDER BY …)` clause verbatim (multi-key, DESC,
+    *     and DISTINCT all supported there — measured);
+    *   - first/any_value/arbitrary → `min_by(arg, key)` (DESC →
+    *     max_by); last is the mirror; multi-key wraps the keys in a
+    *     struct (struct ordering = lexicographic). min_by/max_by skip
+    *     NULL keys, which IS DuckDB's ASC NULLS LAST / DESC NULLS
+    *     FIRST-avoiding default — an explicit non-default NULLS
+    *     ordering refuses;
+    *   - array_agg/list → sorted-collect: collect structs of
+    *     (keys, value), array_sort, project the value back out
+    *     (DESC → reverse); ties break by the VALUE field (deterministic)
+    *     where DuckDB's tie order is input order (nondeterministic
+    *     under parallelism) — callers wanting cross-engine stability
+    *     use keys that determine the value, as anywhere else;
+    *   - mixed ASC/DESC directions on the by-key families and DISTINCT
+    *     outside string_agg refuse loudly rather than silently
+    *     diverging.
+    * Enclosing-call detection is paren-depth-based, so subquery and
+    * window ORDER BYs (enclosing paren has no aggregate name before it
+    * — `OVER (`, `FROM (`, `IN (`) never match, at any nesting. */
+  private[engine] def rewriteAggOrderBy(s: String): String = {
+    if (!"(?is)^.*\\bORDER\\s+BY\\b.*$".r.matches(s)) return s
+    val (codeAt, depth) = codeMask(s)
+    var i = 0
+    while (i < s.length) {
+      val isOrder = codeAt(i) && depth(i) >= 1 &&
+        s.regionMatches(true, i, "ORDER", 0, 5) &&
+        (i == 0 || !(s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_')) && {
+          var k = i + 5
+          (k < s.length && s.charAt(k).isWhitespace) && {
+            while (k < s.length && s.charAt(k).isWhitespace) k += 1
+            s.regionMatches(true, k, "BY", 0, 2) &&
+              (k + 2 >= s.length ||
+                !(s.charAt(k + 2).isLetterOrDigit || s.charAt(k + 2) == '_'))
+          }
+        }
+      if (isOrder) {
+        val d = depth(i)
+        var o = i - 1
+        while (o >= 0 && !(codeAt(o) && s.charAt(o) == '(' && depth(o) == d - 1))
+          o -= 1
+        var p = o - 1
+        while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+        val nameEnd = p + 1
+        while (p >= 0 && (s.charAt(p).isLetterOrDigit || s.charAt(p) == '_'))
+          p -= 1
+        val fn = s.substring(p + 1, nameEnd).toLowerCase
+        if (fn.nonEmpty &&
+            (aggOrderInsensitive(fn) || aggOrderRewritable(fn))) {
+          var c = i
+          while (c < s.length &&
+            !(codeAt(c) && s.charAt(c) == ')' && depth(c) == d)) c += 1
+          require(c < s.length, s"unbalanced parens in $fn(...)")
+          val byIdx = s.toLowerCase.indexOf("by", i + 5)
+          val argsText = s.substring(o + 1, i).trim
+          val keysText = s.substring(byIdx + 2, c).trim
+          val replacement = aggOrderRewrite(fn, argsText, keysText)
+          return rewriteAggOrderBy(
+            s.substring(0, p + 1) + replacement + s.substring(c + 1))
+        }
+      }
+      i += 1
+    }
+    s
+  }
+
+  /** One ordered-aggregate call's rewritten text — see rewriteAggOrderBy. */
+  private def aggOrderRewrite(
+      fn: String, argsText: String, keysText: String): String = {
+    if (aggOrderInsensitive(fn)) return s"$fn($argsText)"
+    if (Set("string_agg", "listagg", "group_concat")(fn))
+      return s"$fn($argsText) WITHIN GROUP (ORDER BY $keysText)"
+    val distinct = argsText.matches("(?is)^DISTINCT\\b.*")
+    require(!distinct,
+      s"$fn(DISTINCT … ORDER BY …) is not routed: DISTINCT changes" +
+        " which row carries each value — deduplicate in a subquery," +
+        " or use string_agg/listagg where DISTINCT routes")
+    // parse key specs: expr [ASC|DESC] [NULLS FIRST|LAST], uniform direction
+    val keySpecRe =
+      "(?is)^(.*?)(?:\\s+(ASC|DESC))?(?:\\s+NULLS\\s+(FIRST|LAST))?\\s*$".r
+    val specs = splitTopLevel(keysText, ',').map(_.trim).map {
+      case keySpecRe(e, dir, nulls) =>
+        val desc = dir != null && dir.equalsIgnoreCase("DESC")
+        val defaultNulls = if (desc) "FIRST" else "LAST"
+        // min_by/max_by skip NULL keys entirely, which matches DuckDB's
+        // DEFAULT null order (nulls sort away from the picked end); an
+        // explicit non-default NULLS cannot be honored there, and the
+        // sorted-collect family makes no promise about null KEYS at all
+        // — both refuse instead of silently diverging
+        require(nulls == null ||
+            (Set("first", "any_value", "arbitrary", "last")(fn) &&
+              nulls.equalsIgnoreCase(defaultNulls)),
+          s"$fn(… ORDER BY … NULLS $nulls) is not routed here — filter" +
+            " NULL keys explicitly or drop the NULLS clause")
+        (e.trim, desc)
+    }
+    val dirs = specs.map(_._2).distinct
+    require(dirs.size == 1,
+      s"$fn(… ORDER BY …) with mixed ASC/DESC keys is not routed —" +
+        " uniform direction only (negate a numeric key to flip one)")
+    val desc = dirs.head
+    val keyExpr =
+      if (specs.size == 1) specs.head._1
+      else specs.map(_._1).mkString("struct(", ", ", ")")
+    fn match {
+      case "first" | "any_value" | "arbitrary" =>
+        if (desc) s"max_by($argsText, $keyExpr)"
+        else s"min_by($argsText, $keyExpr)"
+      case "last" =>
+        if (desc) s"min_by($argsText, $keyExpr)"
+        else s"max_by($argsText, $keyExpr)"
+      case "array_agg" | "list" | "collect_list" =>
+        val pairs = specs.zipWithIndex
+          .map { case ((e, _), ix) => s"'o$ix', $e" }.mkString(", ")
+        val sorted =
+          s"array_sort(collect_list(named_struct($pairs, 'v', $argsText)))"
+        val ordered = if (desc) s"reverse($sorted)" else sorted
+        s"transform($ordered, s -> s.v)"
+      case other =>
+        throw new IllegalArgumentException(
+          s"$other(… ORDER BY …) is not routed: the inline aggregate" +
+            " ORDER BY routes for string_agg/listagg/group_concat," +
+            " first/last/any_value, array_agg/list, and all" +
+            " order-insensitive aggregates")
+    }
+  }
+
+  /** DuckDB list comprehensions — `[expr FOR x IN list [IF cond]]` →
+    * the `list_transform` / `list_filter` composition they are sugar
+    * for. Runs BEFORE the collection-literal pass (which would consume
+    * the brackets as an array constructor); the subscript adjacency
+    * rule is shared with it. Nested comprehensions rewrite via
+    * recursion on the pieces. */
+  private[engine] def rewriteListComprehension(s: String): String = {
+    if (!s.contains("[") || !"(?is)^.*\\bFOR\\b.*$".r.matches(s)) return s
+    val (codeAt, _) = codeMask(s)
+    var i = 0
+    while (i < s.length) {
+      if (codeAt(i) && s.charAt(i) == '[') {
+        val prev = if (i > 0) s.charAt(i - 1) else ' '
+        val isSubscript = prev.isLetterOrDigit || prev == '_' ||
+          prev == ')' || prev == ']' || prev == '`' || prev == '\''
+        if (!isSubscript) {
+          var bd = 0; var j = i; var end = -1
+          while (j < s.length && end < 0) {
+            if (codeAt(j)) {
+              val c = s.charAt(j)
+              if (c == '[') bd += 1
+              else if (c == ']') { bd -= 1; if (bd == 0) end = j }
+            }
+            j += 1
+          }
+          if (end > 0) comprehensionParts(s.substring(i + 1, end)).foreach {
+            case (exprT, v, listT, condT) =>
+              val list = rewriteListComprehension(listT)
+              val expr = rewriteListComprehension(exprT)
+              val body = condT match {
+                case Some(c) =>
+                  s"list_transform(list_filter($list, $v ->" +
+                    s" ${rewriteListComprehension(c)}), $v -> $expr)"
+                case None => s"list_transform($list, $v -> $expr)"
+              }
+              return rewriteListComprehension(
+                s.substring(0, i) + body + s.substring(end + 1))
+          }
+        }
+      }
+      i += 1
+    }
+    s
+  }
+
+  /** Split one bracket's content into comprehension parts:
+    * (expr, var, list, cond?) when it is `expr FOR var IN list [IF
+    * cond]` with FOR/IF at the content's own top level (parens AND
+    * brackets); None for a plain list literal. */
+  private def comprehensionParts(
+      content: String): Option[(String, String, String, Option[String])] = {
+    val (codeAt, _) = codeMask(content)
+    def topKw(kw: String, from: Int): Int = {
+      var pd = 0; var bd = 0
+      var i = from
+      while (i < content.length) {
+        if (codeAt(i)) {
+          val c = content.charAt(i)
+          if (c == '(') pd += 1 else if (c == ')') pd -= 1
+          else if (c == '[') bd += 1 else if (c == ']') bd -= 1
+          else if (pd == 0 && bd == 0 &&
+            content.regionMatches(true, i, kw, 0, kw.length) &&
+            (i == 0 || content.charAt(i - 1).isWhitespace) &&
+            (i + kw.length < content.length &&
+              content.charAt(i + kw.length).isWhitespace)) return i
+        }
+        i += 1
+      }
+      -1
+    }
+    val forIdx = topKw("FOR", 0)
+    if (forIdx < 0) return None
+    val exprT = content.substring(0, forIdx).trim
+    val afterFor = content.substring(forIdx + 3)
+    val inRe = "(?is)^\\s*([A-Za-z_]\\w*)\\s+IN\\s+(.*)$".r
+    afterFor match {
+      case inRe(v, rest) =>
+        val ifIdx = topKw("IF", content.length - rest.length)
+        if (ifIdx < 0) Some((exprT, v, rest.trim, None))
+        else {
+          val listT = content.substring(
+            content.length - rest.length, ifIdx).trim
+          Some((exprT, v, listT,
+            Some(content.substring(ifIdx + 2).trim)))
+        }
+      case _ => None
+    }
   }
 
   /** A8: streaming query — per-partition iterator to the driver (the analog

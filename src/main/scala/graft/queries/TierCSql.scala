@@ -1343,7 +1343,74 @@ object TierCSql {
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
       |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin
 
+  // Dollar-quoted strings + trailing comma (round 18): `$$…$$` /
+  // `$tag$…$tag$` literals (bodies shield quote characters — the
+  // engine converts them FIRST so codeMask-driven routing stays
+  // synchronized) and DuckDB's tolerated trailing comma before FROM.
+  // IDENTICAL text on both engines.
+  val dollarTrailing: String =
+    """SELECT l_returnflag, $$don't panic$$ AS tag, $t$x$$y$t$ AS tag2,
+      |       count(*) AS n,
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // Inline ORDER BY inside aggregate calls (round 18): DuckDB permits
+  // `agg(args ORDER BY keys)` on every aggregate; Spark's grammar has
+  // no such clause. The routes per family: string_agg → the standard
+  // WITHIN GROUP clause, first/last → min_by/max_by (struct-wrapped
+  // multi-key), array_agg → sorted-collect, order-insensitive
+  // aggregates (count here) simply drop the clause. Every ORDER BY
+  // below carries a tie-breaking second key so both engines' picks are
+  // determined (ties in DuckDB resolve by input order, which is not a
+  // cross-engine surface — same discipline as every other witness).
+  val aggOrder: String =
+    """SELECT l_orderkey,
+      |  string_agg(l_returnflag, ',' ORDER BY l_linenumber, l_returnflag)
+      |    AS flags,
+      |  first(l_extendedprice ORDER BY l_linenumber, l_extendedprice)
+      |    AS first_price,
+      |  last(l_linestatus ORDER BY l_linenumber, l_linestatus)
+      |    AS last_status,
+      |  array_agg(l_linenumber ORDER BY l_linenumber DESC) AS lines_desc,
+      |  count(l_returnflag ORDER BY l_linenumber) AS n
+      |FROM lineitem
+      |WHERE l_orderkey <= 2000
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey""".stripMargin
+
+  // List comprehensions (round 18): `[expr FOR x IN list IF cond]` —
+  // DuckDB sugar for list_transform ∘ list_filter, rewritten exactly so
+  // by the engine. IDENTICAL text; the outer ORDER BY covers the
+  // non-list columns and any remaining tie is a fully identical row, so
+  // the LIMIT boundary is order-insensitive.
+  val listComp: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  [x * 2 FOR x IN [l_linenumber, l_linenumber + 1, l_linenumber + 2]
+      |     IF x % 2 = 0] AS evens
+      |FROM lineitem
+      |WHERE l_orderkey <= 200
+      |ORDER BY l_orderkey, l_linenumber
+      |LIMIT 50""".stripMargin
+
+  // TRUNCATE without the TABLE keyword (round 18): DuckDB's spelling,
+  // routed onto Spark's TRUNCATE TABLE over the routed TEMP TABLE.
+  // The INSERT after the truncate proves the table stays writable.
+  val truncateScript: String =
+    s"""DROP TABLE IF EXISTS graft_trunc_tbl;
+       |CREATE TEMP TABLE graft_trunc_tbl AS
+       |  SELECT l_orderkey, l_quantity FROM lineitem WHERE l_orderkey <= 100;
+       |TRUNCATE graft_trunc_tbl;
+       |INSERT INTO graft_trunc_tbl
+       |  SELECT l_orderkey, l_quantity FROM lineitem WHERE l_orderkey <= 40;
+       |SELECT count(*) AS n, ${msum("l_quantity")} AS qty
+       |FROM graft_trunc_tbl;""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "c_sql_dollar_comma" -> q(dollarTrailing),
+    "c_sql_agg_order" -> q(aggOrder),
+    "c_sql_list_comp" -> q(listComp),
+    "c_sql_truncate" -> script(truncateScript),
     "c_sql_qualify" -> q(qualifyOracle), // IDENTICAL text — routed since r16
     "c_sql_from_first" -> q(fromFirst),
     "c_sql_distinct_on" -> q(distinctOnRouted),
@@ -1426,6 +1493,10 @@ object TierCSql {
     "c_lateral_topn" -> q(lateralTopn))
 
   val oracle: Map[String, String] = Map(
+    "c_sql_dollar_comma" -> dollarTrailing, // IDENTICAL text — dollar quotes
+    "c_sql_agg_order" -> aggOrder, // IDENTICAL text — inline agg ORDER BY
+    "c_sql_list_comp" -> listComp, // IDENTICAL text — list comprehension
+    "c_sql_truncate" -> truncateScript, // IDENTICAL text — routed TRUNCATE
     "c_sql_qualify" -> qualifyOracle,
     "c_sql_from_first" -> fromFirst, // IDENTICAL text — DuckDB parses it natively
     "c_sql_distinct_on" -> distinctOnRouted, // IDENTICAL text — native DISTINCT ON

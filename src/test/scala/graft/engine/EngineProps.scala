@@ -42,7 +42,15 @@ object EngineProps extends Properties("EngineRewrites") {
             Engine.rewriteStarExclude(
               Engine.rewriteUsingSample(
                 Engine.rewriteAsofJoin(
-                  Engine.rewriteQualify(s))))))))
+                  Engine.rewriteQualify(
+                    // round-18 passes: dollar quotes, python-style
+                    // lambdas, inline agg ORDER BY, comprehensions
+                    // (trailing commas excluded BY DESIGN — a generated
+                    // `, )` sequence IS its trigger)
+                    Engine.rewriteDollarQuotes(
+                      Engine.rewriteLambdaSyntax(
+                        Engine.rewriteAggOrderBy(
+                          Engine.rewriteListComprehension(s))))))))))))
 
   property("pure-text shims are the identity on trigger-free statements") =
     Prop.forAll(statement) { s => allPureShims(s) == s }

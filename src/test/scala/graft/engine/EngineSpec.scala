@@ -1737,4 +1737,122 @@ class EngineSpec extends AnyFunSuite {
       Engine.sql(spark, "DETACH other"))
     assert(d.getMessage.contains("single"))
   }
+
+  test("dollar-quoted strings convert with quote-safe bodies") {
+    val r = Engine.sql(spark,
+      "SELECT $$abc'def$$ AS a, $q$it's $$ here$q$ AS b").collect()(0)
+    assert(r.getString(0) == "abc'def" && r.getString(1) == "it's $$ here")
+    // a $$ inside a normal literal is shielded text, not an opener
+    assert(Engine.sql(spark, "SELECT '$$x$$' AS a").collect()(0)
+      .getString(0) == "$$x$$")
+    // $1/$name parameters never match the opener grammar
+    assert(Engine.rewriteDollarQuotes("SELECT $1 + 1, $name") ==
+      "SELECT $1 + 1, $name")
+    val e = intercept[IllegalArgumentException](
+      Engine.sql(spark, "SELECT $$never closed AS a"))
+    assert(e.getMessage.contains("unterminated"))
+  }
+
+  test("trailing commas drop before FROM, ), ], and end") {
+    assert(Engine.sql(spark,
+      "SELECT 1 AS a, 2 AS b, FROM (VALUES (0)) t(z)").columns.toSeq ==
+      Seq("a", "b"))
+    assert(Engine.sql(spark, "SELECT named_struct('a', 1,) AS r")
+      .collect()(0).getStruct(0).getInt(0) == 1)
+    // a comma inside a string literal is content, not syntax
+    assert(Engine.sql(spark, "SELECT 'a,' AS r FROM (VALUES (0)) t(z)")
+      .collect()(0).getString(0) == "a,")
+  }
+
+  test("python-style lambdas rewrite to arrow form") {
+    assert(Engine.sql(spark,
+      "SELECT list_transform(array(1,2), lambda x: x + 1) AS r")
+      .collect()(0).getSeq[Int](0) == Seq(2, 3))
+    assert(Engine.sql(spark,
+      "SELECT reduce(array(1,2,3), 0, lambda acc, x: acc + x) AS r")
+      .collect()(0).getInt(0) == 6)
+    // a column legally named lambda is untouched (no ident+colon follows)
+    assert(Engine.rewriteLambdaSyntax("SELECT lambda FROM t") ==
+      "SELECT lambda FROM t")
+  }
+
+  test("inline aggregate ORDER BY routes per family") {
+    val r = Engine.sql(spark,
+      """SELECT string_agg(m, ',' ORDER BY a DESC, m DESC) AS sa,
+        |  first(m ORDER BY a) AS f, last(m ORDER BY a) AS l,
+        |  array_agg(m ORDER BY a DESC) AS arr,
+        |  sum(a ORDER BY a) AS s
+        |FROM (VALUES (1,'x'),(2,'c'),(3,'q')) t(a,m)""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == "q,c,x" && r.getString(1) == "x" &&
+      r.getString(2) == "q" && r.getSeq[String](3) == Seq("q", "c", "x") &&
+      r.getLong(4) == 6L)
+    // refusals: mixed directions, DISTINCT outside string_agg,
+    // non-default NULLS, an order-sensitive aggregate with no route
+    assert(intercept[IllegalArgumentException](Engine.sql(spark,
+      "SELECT array_agg(a ORDER BY a ASC, b DESC) FROM t")).getMessage
+      .contains("mixed"))
+    assert(intercept[IllegalArgumentException](Engine.sql(spark,
+      "SELECT first(DISTINCT a ORDER BY a) FROM t")).getMessage
+      .contains("DISTINCT"))
+    assert(intercept[IllegalArgumentException](Engine.sql(spark,
+      "SELECT first(a ORDER BY b NULLS FIRST) FROM t")).getMessage
+      .contains("NULLS"))
+    // subquery and window ORDER BYs never match the agg route
+    assert(Engine.rewriteAggOrderBy(
+      "SELECT a, rank() OVER (ORDER BY a) FROM (SELECT a FROM t ORDER BY a) q")
+      == "SELECT a, rank() OVER (ORDER BY a) FROM (SELECT a FROM t ORDER BY a) q")
+  }
+
+  test("list comprehensions rewrite to transform/filter; nesting works") {
+    assert(Engine.sql(spark,
+      "SELECT [x + 1 FOR x IN [1,2,3] IF x > 1] AS r")
+      .collect()(0).getSeq[Int](0) == Seq(3, 4))
+    assert(Engine.sql(spark,
+      "SELECT [y * 10 FOR y IN [x + 1 FOR x IN [1,2,3] IF x > 1]] AS r")
+      .collect()(0).getSeq[Int](0) == Seq(30, 40))
+    // subscripts keep the bracket-adjacency rule (native Spark, 0-based)
+    assert(Engine.sql(spark, "SELECT array(7,8)[1] AS r")
+      .collect()(0).getInt(0) == 8)
+  }
+
+  test("TRUNCATE without TABLE routes; table stays writable") {
+    Engine.runScript(spark,
+      """DROP TABLE IF EXISTS engine_trunc_t;
+        |CREATE TEMP TABLE engine_trunc_t AS SELECT 1 AS a;
+        |TRUNCATE engine_trunc_t;
+        |INSERT INTO engine_trunc_t VALUES (7);""".stripMargin)
+    assert(Engine.sql(spark, "SELECT sum(a) AS s FROM engine_trunc_t")
+      .collect()(0).getLong(0) == 7L)
+    Engine.exec(spark, "DROP TABLE IF EXISTS engine_trunc_t")
+  }
+
+  test("SHOW ALL TABLES emits DuckDB's column shape") {
+    Engine.exec(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW show_all_probe AS SELECT 1 AS x")
+    val df = Engine.sql(spark, "SHOW ALL TABLES")
+    assert(df.columns.toSeq == Seq("database", "schema", "name",
+      "column_names", "column_types", "temporary"))
+    val row = df.collect().find(_.getString(2) == "show_all_probe").get
+    assert(row.getSeq[String](3) == Seq("x") && row.getBoolean(5))
+  }
+
+  test("USE memory/main no-op; sequences refuse with the scale answer") {
+    assert(Engine.sql(spark, "USE memory").collect().isEmpty)
+    assert(Engine.sql(spark, "USE main").collect().isEmpty)
+    val e = intercept[IllegalArgumentException](
+      Engine.sql(spark, "CREATE SEQUENCE ids START 1"))
+    assert(e.getMessage.contains("row_number"))
+    assert(intercept[IllegalArgumentException](
+      Engine.sql(spark, "DROP SEQUENCE ids")).getMessage
+      .contains("SEQUENCE"))
+  }
+
+  test("EXPLAIN ANALYZE runs the query and returns the executed plan") {
+    val rows = Engine.sql(spark,
+      "EXPLAIN ANALYZE SELECT count(*) AS n FROM (VALUES (1),(2)) t(a)")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("analyzed_plan", "total_time"))
+    assert(rows(0).getString(1).contains("Physical Plan"))
+  }
 }

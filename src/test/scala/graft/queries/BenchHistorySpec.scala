@@ -67,10 +67,17 @@ class BenchHistorySpec extends AnyFunSuite {
       s"${outliers.size} queries regressed past 3x median + 5s — more than " +
         s"documented host noise ever produces:\n${outliers.mkString("\n")}")
 
-    val medianTotal = median(history.map(_.get("value").asDouble()))
-    val curTotal = current.get("value").asDouble()
-    assert(curTotal <= 1.6 * medianTotal,
-      f"run total $curTotal%.1fs exceeds 1.6x median total $medianTotal%.1fs")
+    // broad-slowdown bar over the COMMON subset only — the raw run
+    // total grows every round with the query inventory (181 → 196 → …),
+    // so comparing it against historical totals would eventually fail
+    // on growth alone (the same inventory-growth-proofing the bench's
+    // own host-load self-check got in r17)
+    val common = cur.keySet.filter(medians.contains)
+    val curSum = common.toSeq.map(cur).sum
+    val medSum = common.toSeq.map(medians).sum
+    assert(curSum <= 1.6 * medSum,
+      f"common-subset total $curSum%.1fs exceeds 1.6x the medians'" +
+        f" $medSum%.1fs — a broad slowdown, not inventory growth")
 
     // `errors` is a JSON ARRAY of failed query names (Bench.scala:75);
     // Jackson's asInt() on an array returns 0 unconditionally, so an
