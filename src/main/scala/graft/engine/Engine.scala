@@ -397,14 +397,16 @@ object Engine {
             // aggregate ORDER BY) run once over the whole text — their
             // triggers carry absolute paren depth, so subquery bodies
             // are covered without re-entry (each is idempotent)
-            val pre = rewriteAggOrderBy(rewriteLambdaSyntax(
-              rewriteTrailingCommas(sub)))
+            val pre = rewriteDowField(rewriteIntDiv(checkCaretPow(
+              rewriteAggOrderBy(rewriteLambdaSyntax(
+                rewriteTrailingCommas(sub))))))
             val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
               rewriteStarReplace(spark, rewriteColumnsFn(spark,
                 rewriteDateDiff(rewriteGlob(
                   rewriteSimilarTo(rewriteStarExclude(pre)))))))))
             rewriteStructPack(rewriteDuckdbLiterals(rewriteListComprehension(
-              Catalog.rewritePathTables(spark, shimmed)._1)))
+              rewriteMapLiteral(rewriteListSlice(
+                Catalog.rewritePathTables(spark, shimmed)._1)))))
         }
     }
   }
@@ -3365,6 +3367,317 @@ object Engine {
             " ORDER BY routes for string_agg/listagg/group_concat," +
             " first/last/any_value, array_agg/list, and all" +
             " order-insensitive aggregates")
+    }
+  }
+
+  /** `//` → Spark's ` DIV ` — DuckDB's integer-division operator.
+    * Both truncate toward zero ((-7)//2 = -7 DIV 2 = -3, measured), so
+    * the operators are the same operation in different spellings. `//`
+    * is never SQL comment syntax, and comment/string occurrences are
+    * shielded by codeMask. */
+  private[engine] def rewriteIntDiv(s: String): String = {
+    if (!s.contains("//")) return s
+    val (codeAt, _) = codeMask(s)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (codeAt(i) && s.charAt(i) == '/' &&
+          i + 1 < s.length && codeAt(i + 1) && s.charAt(i + 1) == '/') {
+        sb.append(" DIV "); i += 2
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The two exponentiation spellings whose Spark reading silently
+    * DIVERGES or fails: `^` is POWER in DuckDB but bitwise XOR in
+    * Spark — the one operator both grammars parse to DIFFERENT
+    * operations — and `**` (DuckDB power) is a Spark parse error. Both
+    * refuse loudly naming power(); an engine that computed xor where a
+    * migrating script meant exponentiation would be silent wrongness
+    * (the regexp-flags precedent). Spark-native bitwise xor remains
+    * expressible as (a | b) & ~(a & b), named in the refusal. */
+  private[engine] def checkCaretPow(s: String): String = {
+    if (!s.contains("^") && !s.contains("**")) return s
+    val (codeAt, _) = codeMask(s)
+    var i = 0
+    while (i < s.length) {
+      if (codeAt(i)) {
+        if (s.charAt(i) == '*' && i + 1 < s.length &&
+            codeAt(i + 1) && s.charAt(i + 1) == '*')
+          throw new IllegalArgumentException(
+            "** (DuckDB exponentiation) has no Spark operator —" +
+              " write power(a, b)")
+        if (s.charAt(i) == '^')
+          throw new IllegalArgumentException(
+            "^ is POWER in DuckDB but bitwise XOR in Spark — the same" +
+              " text computes two different things. Write power(a, b)" +
+              " for exponentiation, or (a | b) & ~(a & b) for xor")
+      }
+      i += 1
+    }
+    s
+  }
+
+  /** Day-of-week field parity — DuckDB's `dow` runs Sunday=0..Saturday=6
+    * while Spark's runs Sunday=1..Saturday=7 (an off-by-one BOTH
+    * grammars accept silently), and DuckDB's `isodow` (Monday=1) is
+    * spelled `dayofweek_iso` in Spark. `EXTRACT(dow FROM x)` →
+    * `(EXTRACT(dayofweek FROM x) - 1)`, `EXTRACT(isodow FROM x)` →
+    * `EXTRACT(dayofweek_iso FROM x)`, and the same two fields through
+    * `date_part('…', x)` / `datepart`. */
+  private[engine] def rewriteDowField(s: String): String = {
+    if (!"(?is)^.*\\b(?:DOW|ISODOW)\\b.*$".r.matches(s)) return s
+    val (codeAt, depth) = codeMask(s)
+    val extractRe =
+      "(?is)\\bEXTRACT\\s*\\(\\s*(DOW|ISODOW)\\s+FROM\\b".r
+    val datePartRe =
+      "(?is)\\b(?:DATE_PART|DATEPART)\\s*\\(\\s*'(dow|isodow)'\\s*,".r
+    def closeOf(openIdx: Int): Int = {
+      // depth() records the PRE-char depth: the matching ')' of a '('
+      // at depth d carries depth d+1
+      val d = depth(openIdx) + 1
+      var c = openIdx + 1
+      while (c < s.length &&
+        !(codeAt(c) && s.charAt(c) == ')' && depth(c) == d)) c += 1
+      require(c < s.length, "unbalanced parens in extract/date_part")
+      c
+    }
+    val hit = extractRe.findAllMatchIn(s).find(m => codeAt(m.start))
+      .map(m => (m, m.group(1).toLowerCase, "extract"))
+      .orElse(datePartRe.findAllMatchIn(s).find(m => codeAt(m.start))
+        .map(m => (m, m.group(1).toLowerCase, "date_part")))
+    hit match {
+      case None => s
+      case Some((m, field, kind)) =>
+        val open = s.indexOf('(', m.start)
+        val close = closeOf(open)
+        val call = s.substring(m.start, close + 1)
+        // replaceFirst targets the FIELD token — it precedes any column
+        // legally named dow/isodow inside the FROM-expression
+        val fixedCall =
+          if (kind == "extract") {
+            if (field == "dow")
+              call.replaceFirst("(?is)\\bDOW\\b", "dayofweek")
+            else call.replaceFirst("(?is)\\bISODOW\\b", "dayofweek_iso")
+          } else call.replaceFirst("(?is)'(dow|isodow)'",
+            if (field == "dow") "'dayofweek'" else "'dayofweek_iso'")
+        val replaced =
+          if (field == "dow") s"($fixedCall - 1)" else fixedCall
+        rewriteDowField(
+          s.substring(0, m.start) + replaced + s.substring(close + 1))
+    }
+  }
+
+  /** DuckDB list slicing — `base[a:b]`, `base[a:]`, `base[:b]`,
+    * `base[:]` — syntax Spark lacks entirely, so it carries DuckDB's
+    * semantics exactly (1-based, inclusive both ends, out-of-range
+    * clamped — Spark's `slice` clamps identically, measured):
+    *   base[a:b] → slice(base, a, greatest(0, (b) - (a) + 1))
+    *   base[a:]  → slice(base, a, greatest(0, size(base) - (a) + 1))
+    *   base[:b]  → slice(base, 1, b)
+    *   base[:]   → base
+    * The base expression walks left over identifier chains, subscript
+    * and call groups, and quoted identifiers (adjacency — the same
+    * rule that separates subscripts from literals). Negative (from-end)
+    * literal bounds and step slices refuse loudly; plain subscripts
+    * (no top-level `:`) stay native-Spark per the documented base
+    * divergence. NOTE `base` may appear twice in the open-ended form —
+    * Catalyst's subexpression elimination dedupes the evaluation. */
+  private[engine] def rewriteListSlice(s: String): String = {
+    if (!s.contains("[") || !s.contains(":")) return s
+    val (codeAt, _) = codeMask(s)
+    var i = 0
+    while (i < s.length) {
+      if (codeAt(i) && s.charAt(i) == '[') {
+        val prev = if (i > 0) s.charAt(i - 1) else ' '
+        val isSubscript = prev.isLetterOrDigit || prev == '_' ||
+          prev == ')' || prev == ']' || prev == '`' || prev == '\''
+        if (isSubscript) {
+          // matching ']' via bracket depth at code positions
+          var bd = 0; var j = i; var end = -1
+          while (j < s.length && end < 0) {
+            if (codeAt(j)) {
+              val c = s.charAt(j)
+              if (c == '[') bd += 1
+              else if (c == ']') { bd -= 1; if (bd == 0) end = j }
+            }
+            j += 1
+          }
+          if (end > 0) {
+            val content = s.substring(i + 1, end)
+            sliceParts(content).foreach { case (loT, hiT) =>
+              val baseStart = exprStartLeft(s, codeAt, i)
+              val base = s.substring(baseStart, i)
+              require(base.nonEmpty, s"cannot locate the slice base in: $s")
+              def nonNeg(t: String, which: String): String = {
+                require(!t.trim.startsWith("-"),
+                  s"negative (from-end) slice $which is not routed —" +
+                    " spell it with size(): base[size(base)+n : …]" +
+                    " has no silent Spark reading to preserve")
+                t.trim
+              }
+              val repl = (loT.map(nonNeg(_, "lower bound")),
+                  hiT.map(nonNeg(_, "upper bound"))) match {
+                case (Some(a), Some(b)) =>
+                  s"slice($base, $a, greatest(0, ($b) - ($a) + 1))"
+                case (Some(a), None) =>
+                  s"slice($base, $a, greatest(0, size($base) - ($a) + 1))"
+                case (None, Some(b)) => s"slice($base, 1, $b)"
+                case (None, None) => base
+              }
+              return rewriteListSlice(
+                s.substring(0, baseStart) + repl + s.substring(end + 1))
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    s
+  }
+
+  /** Split subscript content at its ONE top-level `:` (w.r.t. parens
+    * and brackets; `::` casts never split) → (lower?, upper?); None
+    * when the content is a plain subscript. Step slices (two colons)
+    * refuse. */
+  private def sliceParts(
+      content: String): Option[(Option[String], Option[String])] = {
+    val (codeAt, _) = codeMask(content)
+    var pd = 0; var bd = 0
+    val colons = scala.collection.mutable.Buffer.empty[Int]
+    var i = 0
+    while (i < content.length) {
+      if (codeAt(i)) {
+        val c = content.charAt(i)
+        if (c == '(') pd += 1 else if (c == ')') pd -= 1
+        else if (c == '[') bd += 1 else if (c == ']') bd -= 1
+        else if (c == ':' && pd == 0 && bd == 0) {
+          if (i + 1 < content.length && content.charAt(i + 1) == ':' &&
+              codeAt(i + 1)) i += 1 // '::' cast — skip the pair
+          else colons += i
+        }
+      }
+      i += 1
+    }
+    colons.toSeq match {
+      case Seq() => None
+      case Seq(k) =>
+        val lo = content.substring(0, k).trim
+        val hi = content.substring(k + 1).trim
+        Some((Option(lo).filter(_.nonEmpty), Option(hi).filter(_.nonEmpty)))
+      case _ => throw new IllegalArgumentException(
+        s"step slices ([a:b:s]) are not routed — compose slice() with" +
+          s" filter() over element indexes instead: [$content]")
+    }
+  }
+
+  /** Start index of the expression that ENDS (exclusive) at `end` — the
+    * subscript/slice base: walks left over identifier chains (`a.b.c`),
+    * balanced call/subscript groups (`f(…)`, `m['k']`), quoted
+    * identifiers, and one string literal. */
+  private def exprStartLeft(
+      s: String, codeAt: Array[Boolean], end: Int): Int = {
+    var j = end
+    var done = false
+    while (!done && j > 0) {
+      val c = s.charAt(j - 1)
+      if (c == ')' || c == ']') {
+        val open = if (c == ')') '(' else '['
+        var bal = 0; var k = j - 1; var found = -1
+        while (k >= 0 && found < 0) {
+          if (codeAt(k)) {
+            if (s.charAt(k) == c) bal += 1
+            else if (s.charAt(k) == open) { bal -= 1; if (bal == 0) found = k }
+          }
+          k -= 1
+        }
+        if (found < 0) done = true else j = found
+      } else if (c == '`') {
+        var k = j - 2
+        while (k >= 0 && s.charAt(k) != '`') k -= 1
+        if (k < 0) done = true else j = k
+      } else if (c == '\'') {
+        // a string-literal base ('abc'[…]); backward scan to its opener
+        var k = j - 2
+        while (k >= 0 && !(s.charAt(k) == '\'' &&
+          (k == 0 || s.charAt(k - 1) != '\''))) k -= 1
+        if (k < 0) done = true else { j = k; done = true }
+      } else if (c.isLetterOrDigit || c == '_') {
+        var k = j - 1
+        while (k > 0 && (s.charAt(k - 1).isLetterOrDigit ||
+          s.charAt(k - 1) == '_')) k -= 1
+        j = k
+      } else if (c == '.') {
+        j -= 1
+      } else done = true
+    }
+    j
+  }
+
+  /** DuckDB's `MAP {'k': v, …}` literal → Spark's `map(k, v, …)`
+    * constructor. Runs BEFORE the collection-literal pass (which would
+    * turn the braces into named_struct). Subscript ACCESS semantics
+    * are documented-divergent (DuckDB map[k] yields a LIST, Spark the
+    * value) — portable access goes through map_keys/map_values or
+    * element_at, as noted in SURVEY §7. */
+  private[engine] def rewriteMapLiteral(s: String): String = {
+    if (!"(?is)^.*\\bMAP\\s*\\{.*$".r.matches(s)) return s
+    val (codeAt, _) = codeMask(s)
+    val re = "(?is)\\bMAP\\s*\\{".r
+    re.findAllMatchIn(s).find(m => codeAt(m.start)) match {
+      case None => s
+      case Some(m) =>
+        val openBrace = m.end - 1
+        var bd = 0; var j = openBrace; var close = -1
+        while (j < s.length && close < 0) {
+          if (codeAt(j)) {
+            val c = s.charAt(j)
+            if (c == '{') bd += 1
+            else if (c == '}') { bd -= 1; if (bd == 0) close = j }
+          }
+          j += 1
+        }
+        require(close > 0, "unbalanced braces in MAP {…}")
+        val content = s.substring(openBrace + 1, close).trim
+        // split entries at commas that are top-level w.r.t. parens AND
+        // brackets/braces (list values carry commas; splitTopLevel only
+        // tracks parens)
+        def splitEntries(t: String): Seq[String] = {
+          val (pc, _) = codeMask(t)
+          val out = scala.collection.mutable.Buffer.empty[String]
+          var pd = 0; var bd = 0; var last = 0; var x = 0
+          while (x < t.length) {
+            if (pc(x)) {
+              val c = t.charAt(x)
+              if (c == '(') pd += 1 else if (c == ')') pd -= 1
+              else if (c == '[' || c == '{') bd += 1
+              else if (c == ']' || c == '}') bd -= 1
+              else if (c == ',' && pd == 0 && bd == 0) {
+                out += t.substring(last, x); last = x + 1
+              }
+            }
+            x += 1
+          }
+          out += t.substring(last)
+          out.toSeq
+        }
+        val args =
+          if (content.isEmpty) ""
+          else splitEntries(content).map { pair =>
+            val (pc, _) = codeMask(pair)
+            var k = -1; var x = 0
+            while (k < 0 && x < pair.length) {
+              if (pc(x) && pair.charAt(x) == ':' &&
+                  !(x + 1 < pair.length && pair.charAt(x + 1) == ':') &&
+                  !(x > 0 && pair.charAt(x - 1) == ':')) k = x
+              x += 1
+            }
+            require(k > 0, s"MAP literal entries must be key: value — got: $pair")
+            s"${pair.substring(0, k).trim}, ${pair.substring(k + 1).trim}"
+          }.mkString(", ")
+        rewriteMapLiteral(
+          s.substring(0, m.start) + s"map($args)" + s.substring(close + 1))
     }
   }
 

@@ -1406,7 +1406,28 @@ object TierCSql {
        |SELECT count(*) AS n, ${msum("l_quantity")} AS qty
        |FROM graft_trunc_tbl;""".stripMargin
 
+  // Operator/field parity pack (round 18): `//` → DIV (same
+  // truncate-toward-zero division, measured), DuckDB list SLICING
+  // (1-based inclusive, clamped — syntax Spark lacks, so it carries
+  // DuckDB's semantics via slice()), and the day-of-week field
+  // off-by-one (`dow`: DuckDB Sunday=0 vs Spark Sunday=1; `isodow` →
+  // Spark's dayofweek_iso spelling). IDENTICAL text on both engines.
+  // (`^` and `**` REFUSE instead: ^ parses on both engines as two
+  // DIFFERENT operations — power vs xor — the one case where routing
+  // either way silently corrupts someone.)
+  val opsParity: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_orderkey // 7 AS bucket,
+      |  [l_linenumber, l_linenumber + 1, l_linenumber + 2][2:3] AS mid,
+      |  EXTRACT(dow FROM l_shipdate) AS dw,
+      |  EXTRACT(isodow FROM l_shipdate) AS iso
+      |FROM lineitem
+      |WHERE l_orderkey <= 300
+      |ORDER BY l_orderkey, l_linenumber, dw, iso
+      |LIMIT 60""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "c_sql_ops" -> q(opsParity),
     "c_sql_dollar_comma" -> q(dollarTrailing),
     "c_sql_agg_order" -> q(aggOrder),
     "c_sql_list_comp" -> q(listComp),
@@ -1493,6 +1514,7 @@ object TierCSql {
     "c_lateral_topn" -> q(lateralTopn))
 
   val oracle: Map[String, String] = Map(
+    "c_sql_ops" -> opsParity, // IDENTICAL text — // , slicing, dow/isodow
     "c_sql_dollar_comma" -> dollarTrailing, // IDENTICAL text — dollar quotes
     "c_sql_agg_order" -> aggOrder, // IDENTICAL text — inline agg ORDER BY
     "c_sql_list_comp" -> listComp, // IDENTICAL text — list comprehension

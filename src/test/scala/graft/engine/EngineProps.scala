@@ -50,7 +50,13 @@ object EngineProps extends Properties("EngineRewrites") {
                     Engine.rewriteDollarQuotes(
                       Engine.rewriteLambdaSyntax(
                         Engine.rewriteAggOrderBy(
-                          Engine.rewriteListComprehension(s))))))))))))
+                          Engine.rewriteListComprehension(
+                            Engine.rewriteIntDiv(
+                              Engine.checkCaretPow(
+                                Engine.rewriteDowField(
+                                  Engine.rewriteListSlice(
+                                    Engine.rewriteMapLiteral(s)
+                                  ))))))))))))))))
 
   property("pure-text shims are the identity on trigger-free statements") =
     Prop.forAll(statement) { s => allPureShims(s) == s }

@@ -1848,6 +1848,70 @@ class EngineSpec extends AnyFunSuite {
       .contains("SEQUENCE"))
   }
 
+  test("// routes to DIV; ^ and ** refuse naming power()") {
+    val r = Engine.sql(spark, "SELECT 7 // 2 AS a, (-7) // 2 AS b")
+      .collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == -3L)
+    assert(intercept[IllegalArgumentException](
+      Engine.sql(spark, "SELECT 2 ^ 10")).getMessage.contains("power"))
+    assert(intercept[IllegalArgumentException](
+      Engine.sql(spark, "SELECT 2 ** 3")).getMessage.contains("power"))
+    // shielded occurrences never trigger
+    assert(Engine.sql(spark, "SELECT '2 ^ 3 ** 4 // 5' AS s")
+      .collect()(0).getString(0) == "2 ^ 3 ** 4 // 5")
+  }
+
+  test("dow/isodow fields match DuckDB's numbering") {
+    val r = Engine.sql(spark,
+      """SELECT EXTRACT(dow FROM DATE '2024-01-15') AS m,
+        |  EXTRACT(dow FROM DATE '2024-01-14') AS s,
+        |  EXTRACT(isodow FROM DATE '2024-01-15') AS mi,
+        |  EXTRACT(isodow FROM DATE '2024-01-14') AS si,
+        |  date_part('dow', DATE '2024-01-15') AS dp,
+        |  date_part('isodow', DATE '2024-01-14') AS dpi""".stripMargin)
+      .collect()(0)
+    // DuckDB (measured): dow Sunday=0, Monday=1; isodow Monday=1, Sunday=7
+    assert(r.getInt(0) == 1 && r.getInt(1) == 0 &&
+      r.getInt(2) == 1 && r.getInt(3) == 7 &&
+      r.getInt(4) == 1 && r.getInt(5) == 7)
+    // a column legally named dow inside the FROM-expression is untouched
+    assert(Engine.sql(spark,
+      "SELECT EXTRACT(isodow FROM dow) AS r FROM" +
+        " (SELECT DATE '2024-01-15' AS dow) t").collect()(0).getInt(0) == 1)
+  }
+
+  test("list slicing carries DuckDB's 1-based inclusive semantics") {
+    val r = Engine.sql(spark,
+      """SELECT [10,20,30,40][2:3] AS a, [10,20,30][2:] AS b,
+        |  [10,20,30][:2] AS c, [10,20,30][:] AS d,
+        |  [10,20,30][2:9] AS e, [10,20,30][2:1] AS f,
+        |  split('a b c d', ' ')[2:3] AS g""".stripMargin).collect()(0)
+    assert(r.getSeq[Int](0) == Seq(20, 30) && r.getSeq[Int](1) == Seq(20, 30))
+    assert(r.getSeq[Int](2) == Seq(10, 20) &&
+      r.getSeq[Int](3) == Seq(10, 20, 30))
+    assert(r.getSeq[Int](4) == Seq(20, 30) && r.getSeq[Int](5).isEmpty)
+    assert(r.getSeq[String](6) == Seq("b", "c"))
+    // plain subscripts keep native-Spark semantics (documented base
+    // divergence); :: casts inside a subscript never read as a slice
+    assert(Engine.sql(spark, "SELECT array(1,2)['1'::INT] AS r")
+      .collect()(0).getInt(0) == 2)
+    assert(intercept[IllegalArgumentException](Engine.sql(spark,
+      "SELECT [1,2,3][-2:-1]")).getMessage.contains("size()"))
+    assert(intercept[IllegalArgumentException](Engine.sql(spark,
+      "SELECT [1,2,3][1:3:2]")).getMessage.contains("step"))
+  }
+
+  test("MAP literals route to the map constructor") {
+    val r = Engine.sql(spark,
+      "SELECT map_keys(MAP {'a': 1, 'b': 2}) AS k," +
+        " map_values(MAP {'x': [1,2], 'y': [3]}) AS v, MAP {} AS e")
+      .collect()(0)
+    assert(r.getSeq[String](0) == Seq("a", "b"))
+    assert(r.getSeq[scala.collection.Seq[Int]](1).toSeq
+      .map(_.toSeq) == Seq(Seq(1, 2), Seq(3)))
+    assert(r.getMap[String, Int](2).isEmpty)
+  }
+
   test("EXPLAIN ANALYZE runs the query and returns the executed plan") {
     val rows = Engine.sql(spark,
       "EXPLAIN ANALYZE SELECT count(*) AS n FROM (VALUES (1),(2)) t(a)")
