@@ -202,7 +202,17 @@ object Dml {
   private[engine] def applyAssignments(
       df: DataFrame, rowPred: Column,
       assignments: Seq[(String, Column)]): DataFrame = {
-    val m = assignments.toMap
+    // an assignment to a name the schema lacks must REFUSE: matching by
+    // map lookup would silently drop it (a typo'd SET column updating
+    // nothing is the worst kind of DML no-op)
+    val unknown = assignments.map(_._1)
+      .filterNot(n => df.columns.exists(_.equalsIgnoreCase(n)))
+    require(unknown.isEmpty,
+      s"UPDATE SET targets column(s) not in the table:" +
+        s" ${unknown.mkString(", ")}")
+    val m = assignments.map { case (n, v) =>
+      df.columns.find(_.equalsIgnoreCase(n)).get -> v
+    }.toMap
     df.select(df.columns.map { c =>
       m.get(c)
         .map(v => when(rowPred, v).otherwise(col(c)).as(c))

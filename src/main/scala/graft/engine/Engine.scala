@@ -337,6 +337,16 @@ object Engine {
                 s" new data is intact under $tmp", e)
         }
         spark.emptyDataFrame
+      case ddl if splitCreateCols(ddl).isDefined =>
+        // plain column-list CREATE TABLE: DuckDB type names map to
+        // Spark's (TEXT/bare VARCHAR → STRING, TIMESTAMPTZ → TIMESTAMP,
+        // TYPE[] → ARRAY<TYPE>, …); NOT NULL / DEFAULT ride through;
+        // enforcement constraints (PRIMARY KEY / UNIQUE / CHECK /
+        // REFERENCES) REFUSE — the CREATE UNIQUE INDEX precedent:
+        // silently dropping a constraint the engine cannot enforce
+        // would let duplicate keys land without a sound
+        val (prefix, cols, suffix) = splitCreateCols(ddl).get
+        spark.sql(s"$prefix(${cols.map(mapColumnDef).mkString(", ")})$suffix")
       case ddl if splitDdlAs(ddl).isDefined =>
         // CREATE …VIEW/TABLE … AS <query>: the dialect rewrites apply to
         // the query BODY (a saved view definition legitimately carries
@@ -397,17 +407,74 @@ object Engine {
             // aggregate ORDER BY) run once over the whole text — their
             // triggers carry absolute paren depth, so subquery bodies
             // are covered without re-entry (each is idempotent)
-            val pre = rewriteDowField(rewriteIntDiv(checkCaretPow(
-              rewriteAggOrderBy(rewriteLambdaSyntax(
-                rewriteTrailingCommas(sub))))))
+            val pre = rewriteMaterializedCte(rewriteDuckCastTypes(
+              rewriteDowField(rewriteIntDiv(checkCaretPow(
+                rewriteAggOrderBy(rewriteLambdaSyntax(
+                  rewriteTrailingCommas(sub))))))))
             val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
               rewriteStarReplace(spark, rewriteColumnsFn(spark,
                 rewriteDateDiff(rewriteGlob(
                   rewriteSimilarTo(rewriteStarExclude(pre)))))))))
             rewriteStructPack(rewriteDuckdbLiterals(rewriteListComprehension(
-              rewriteMapLiteral(rewriteListSlice(
-                Catalog.rewritePathTables(spark, shimmed)._1)))))
+              rewriteMapLiteral(rewriteListSlice(rewriteArrayKw(
+                Catalog.rewritePathTables(spark, shimmed)._1))))))
         }
+    }
+  }
+
+  /** Split a plain column-list `CREATE TABLE name (cols…) suffix` into
+    * (prefix incl. nothing after the name, column pieces, suffix after
+    * the close paren) — None for CTAS (no column list) and everything
+    * else. */
+  private def splitCreateCols(
+      s: String): Option[(String, Seq[String], String)] = {
+    val headRe = ("(?is)^(CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+" +
+      "(?:IF\\s+NOT\\s+EXISTS\\s+)?(?:`[^`]+`|[A-Za-z_][\\w.]*)\\s*)\\(.*$").r
+    s match {
+      case headRe(prefix) =>
+        val open = prefix.length
+        val (codeAt, depth) = codeMask(s)
+        val d = depth(open) + 1
+        var close = open + 1
+        while (close < s.length &&
+          !(codeAt(close) && s.charAt(close) == ')' && depth(close) == d))
+          close += 1
+        if (close >= s.length) None
+        else Some((prefix, splitTopLevel(
+          s.substring(open + 1, close), ',').map(_.trim).filter(_.nonEmpty),
+          s.substring(close + 1)))
+      case _ => None
+    }
+  }
+
+  /** One column definition of a routed CREATE TABLE — type mapped via
+    * mapTypeText, NOT NULL / DEFAULT kept, enforcement constraints
+    * refused. Table-level constraint entries refuse whole. */
+  private def mapColumnDef(piece: String): String = {
+    val p = piece.trim
+    require(!p.matches(
+      "(?is)^(PRIMARY|UNIQUE|CHECK|FOREIGN|CONSTRAINT)\\b.*"),
+      s"table constraint '${p.take(40)}' is not enforced by this engine" +
+        " — drop it; name upsert keys in ON CONFLICT (…) explicitly and" +
+        " validate uniqueness with COUNT(*) vs COUNT(DISTINCT key)")
+    val colRe = "(?s)^(`[^`]+`|[A-Za-z_]\\w*)\\s+(.*)$".r
+    p match {
+      case colRe(name, rest) =>
+        val typeRe = ("(?s)^([A-Za-z_]\\w*(?:\\s*\\([^)]*\\))?" +
+          "(?:\\s*\\[\\s*\\])*)\\s*(.*)$").r
+        rest match {
+          case typeRe(typeText, constraints) =>
+            require(!constraints.matches(
+              "(?is).*\\b(PRIMARY\\s+KEY|UNIQUE|CHECK|REFERENCES)\\b.*"),
+              s"column $name declares a constraint this engine cannot" +
+                " enforce — drop it (ON CONFLICT names its keys" +
+                " explicitly; validate uniqueness with COUNT(*) vs" +
+                " COUNT(DISTINCT key))")
+            (Seq(name, mapTypeText(typeText)) ++
+              Option(constraints.trim).filter(_.nonEmpty)).mkString(" ")
+          case _ => p
+        }
+      case _ => p
     }
   }
 
@@ -2864,11 +2931,27 @@ object Engine {
   private def parseAssignments(
       sets: String): Seq[(String, org.apache.spark.sql.Column)] = {
     import org.apache.spark.sql.functions.expr
-    splitTopLevel(sets, ',').map { a =>
-      val eq = a.indexOf('=')
-      require(eq > 0, s"malformed SET assignment: $a")
-      (a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`"),
-        expr(a.substring(eq + 1).trim))
+    // `SET (a, b) = (x, y)` — DuckDB/Postgres tuple assignment: zip the
+    // two lists pairwise (same one-projection semantics as the comma
+    // form). The names side is a plain identifier list; the values side
+    // splits at ITS top level.
+    val tupleRe = "(?s)^\\s*\\(([^()]*)\\)\\s*=\\s*\\((.*)\\)\\s*$".r
+    sets.trim match {
+      case tupleRe(names, values) =>
+        val ns = names.split(',').map(_.trim
+          .stripPrefix("`").stripSuffix("`")).toSeq
+        val vs = splitTopLevel(values, ',').map(_.trim)
+        require(ns.size == vs.size && ns.forall(_.nonEmpty),
+          s"tuple SET assigns ${ns.size} column(s) from ${vs.size}" +
+            " value(s) — the lists must pair up")
+        ns.zip(vs.map(expr))
+      case _ =>
+        splitTopLevel(sets, ',').map { a =>
+          val eq = a.indexOf('=')
+          require(eq > 0, s"malformed SET assignment: $a")
+          (a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`"),
+            expr(a.substring(eq + 1).trim))
+        }
     }
   }
 
@@ -3368,6 +3451,140 @@ object Engine {
             " first/last/any_value, array_agg/list, and all" +
             " order-insensitive aggregates")
     }
+  }
+
+  // DuckDB-only type names Spark's parser rejects (or reads as another
+  // type), mapped for CAST/`::` sites and CREATE TABLE column lists.
+  // Names both grammars share (INTEGER, BIGINT, DOUBLE, DATE, DECIMAL,
+  // VARCHAR(n), …) pass through untouched.
+  private val duckOnlyTypes = Map(
+    "VARCHAR" -> "STRING", "TEXT" -> "STRING", "BPCHAR" -> "STRING",
+    "TIMESTAMPTZ" -> "TIMESTAMP", "DATETIME" -> "TIMESTAMP",
+    "INT1" -> "TINYINT", "INT2" -> "SMALLINT", "INT4" -> "INT",
+    "INT8" -> "BIGINT", "SIGNED" -> "INT",
+    "UTINYINT" -> "SMALLINT", "USMALLINT" -> "INT",
+    "UINTEGER" -> "BIGINT", "UBIGINT" -> "DECIMAL(20,0)",
+    "HUGEINT" -> "DECIMAL(38,0)",
+    "FLOAT4" -> "FLOAT", "REAL" -> "FLOAT", "FLOAT8" -> "DOUBLE",
+    "LOGICAL" -> "BOOLEAN", "BYTEA" -> "BINARY", "BLOB" -> "BINARY")
+
+  /** Map one type text (name, optional `(args)`, optional `[]` list
+    * suffixes) through `duckOnlyTypes`; `TYPE[]` becomes
+    * `ARRAY<TYPE>` (a DuckDB-only spelling at any base type). Unknown
+    * names pass through for Spark's parser to judge. */
+  private[engine] def mapTypeText(t0: String): String = {
+    val t = t0.trim
+    val m = "(?s)^([A-Za-z_]\\w*)\\s*(\\([^)]*\\))?\\s*((?:\\[\\s*\\])*)\\s*$".r
+    t match {
+      case m(name, args, brackets) =>
+        // a parenthesized-args form (VARCHAR(10), DECIMAL(p,s)) is
+        // Spark-valid spelling — only the BARE DuckDB-only names map
+        val base =
+          if (args == null && duckOnlyTypes.contains(name.toUpperCase))
+            duckOnlyTypes(name.toUpperCase)
+          else name + Option(args).getOrElse("")
+        val dims = if (brackets == null) 0 else brackets.count(_ == '[')
+        (1 to dims).foldLeft(base)((acc, _) => s"ARRAY<$acc>")
+      case _ => t
+    }
+  }
+
+  /** DuckDB type names at the two unambiguous type sites — after `::`
+    * and as the AS-operand of CAST/TRY_CAST — mapped via
+    * `duckOnlyTypes` (`x::VARCHAR` is THE DuckDB to-string idiom and a
+    * Spark parse error bare). Aliases legally named text/varchar
+    * elsewhere never match: only these two grammar positions are
+    * types. */
+  private[engine] def rewriteDuckCastTypes(s: String): String = {
+    if (!s.contains("::") && !"(?is)^.*\\bCAST\\s*\\(.*$".r.matches(s))
+      return s
+    val (codeAt, depth) = codeMask(s)
+    // pass 1: `:: TYPE [()] [[]...]`
+    val colonRe =
+      "::\\s*([A-Za-z_]\\w*)(\\s*\\([^)]*\\))?((?:\\s*\\[\\s*\\])*)".r
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- colonRe.findAllMatchIn(s) if codeAt(m.start)) {
+      val whole = m.matched.substring(2)
+      val mapped = mapTypeText(whole)
+      if (mapped != whole.trim) {
+        sb.append(s.substring(last, m.start)).append("::").append(mapped)
+        last = m.end
+      }
+    }
+    sb.append(s.substring(last))
+    val s1 = sb.toString
+    // pass 2: CAST(expr AS TYPE) / TRY_CAST — the LAST top-level AS
+    // inside the call's parens delimits the type
+    val (code1, depth1) = codeMask(s1)
+    val castRe = "(?i)\\b(?:TRY_)?CAST\\s*\\(".r
+    castRe.findAllMatchIn(s1).find(m => code1(m.start)) match {
+      case None => s1
+      case Some(m) =>
+        val open = s1.indexOf('(', m.start)
+        val d = depth1(open) + 1
+        var close = open + 1
+        while (close < s1.length &&
+          !(code1(close) && s1.charAt(close) == ')' && depth1(close) == d))
+          close += 1
+        if (close >= s1.length) s1 // unbalanced mid-edit text — leave it
+        else {
+          val content = s1.substring(open + 1, close)
+          // last top-level AS within the call
+          val asRe = "(?i)\\bAS\\b".r
+          val (cc, cd) = codeMask(content)
+          val asIdx = asRe.findAllMatchIn(content)
+            .filter(x => cc(x.start) && cd(x.start) == 0)
+            .map(_.start).toSeq.lastOption
+          val newContent = asIdx match {
+            case Some(i0) =>
+              val typeText = content.substring(i0 + 2)
+              val mapped = mapTypeText(typeText)
+              // the expr side may itself carry casts — recurse
+              rewriteDuckCastTypes(content.substring(0, i0)) +
+                "AS " + mapped
+            case None => rewriteDuckCastTypes(content)
+          }
+          s1.substring(0, open + 1) + newContent +
+            rewriteDuckCastTypes(s1.substring(close))
+        }
+    }
+  }
+
+  /** Strip DuckDB's CTE materialization hints — `WITH x AS [NOT]
+    * MATERIALIZED (…)` → `AS (…)`. A pure planner hint: Spark decides
+    * CTE reuse itself (and the engine's explicit materialization tool
+    * is CREATE TEMP TABLE). */
+  private[engine] def rewriteMaterializedCte(s: String): String = {
+    if (!"(?is)^.*\\bMATERIALIZED\\b.*$".r.matches(s)) return s
+    val (codeAt, _) = codeMask(s)
+    val re = "(?is)\\bAS\\s+(?:NOT\\s+)?MATERIALIZED\\s*\\(".r
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- re.findAllMatchIn(s) if codeAt(m.start)) {
+      sb.append(s.substring(last, m.start)).append("AS (")
+      last = m.end
+    }
+    sb.append(s.substring(last))
+    sb.toString
+  }
+
+  /** `ARRAY[…]` — the PostgreSQL-style constructor DuckDB also
+    * accepts: drop the keyword so the bracket takes the collection-
+    * literal route (DuckDB's own grammar reads ARRAY[ as a constructor
+    * even where `array` could name a column — same choice here). */
+  private[engine] def rewriteArrayKw(s: String): String = {
+    if (!"(?is)^.*\\bARRAY\\s*\\[.*$".r.matches(s)) return s
+    val (codeAt, _) = codeMask(s)
+    val re = "(?is)\\bARRAY\\s*\\[".r
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- re.findAllMatchIn(s) if codeAt(m.start)) {
+      sb.append(s.substring(last, m.start)).append(" [")
+      last = m.end
+    }
+    sb.append(s.substring(last))
+    sb.toString
   }
 
   /** `//` → Spark's ` DIV ` — DuckDB's integer-division operator.

@@ -439,6 +439,48 @@ object DuckdbCompat {
     "histogram" -> { args0 =>
       val args = arity("histogram", 1)(args0)
       Histogram(args(0))
+    },
+
+    // --- round-18 battery-3 additions ---------------------------------
+    // row(a, b, …) — DuckDB's anonymous struct constructor (fields v1,
+    // v2, … there; Spark's CreateStruct names them col1, col2 — both
+    // positional, accessed positionally)
+    "row" -> { args0 => CreateStruct(args0) },
+    // epoch(ts) — seconds since the epoch as DOUBLE (fractional part
+    // kept), which is exactly Spark's timestamp→double cast
+    "epoch" -> { args0 =>
+      Cast(arity("epoch", 1)(args0).head,
+        org.apache.spark.sql.types.DoubleType)
+    },
+    // today() — DuckDB's current_date spelling
+    "today" -> { args0 =>
+      arity("today", 0)(args0); CurrentDate()
+    },
+    // struct_extract(s, 'name') — field access as a function call;
+    // UnresolvedExtractValue is the same node `s.name` parses to
+    "struct_extract" -> { args0 =>
+      val args = arity("struct_extract", 2)(args0)
+      org.apache.spark.sql.catalyst.analysis
+        .UnresolvedExtractValue(args(0), args(1))
+    },
+    // week(d) — ISO week number in both engines (measured: 2024-01-15
+    // → 3 on each); weekofyear is Spark's name for the same field
+    "week" -> { args0 =>
+      WeekOfYear(Cast(arity("week", 1)(args0).head,
+        org.apache.spark.sql.types.DateType))
+    },
+    // dayname/monthname — DuckDB returns FULL names ('Monday',
+    // 'January'); Spark's builtins abbreviate ('Mon', 'Jan'), so these
+    // SHADOW the builtins with the full-name date_format (the len /
+    // regexp_replace precedent: where a shared name silently diverges,
+    // the engine's surface follows DuckDB)
+    "dayname" -> { args0 =>
+      DateFormatClass(Cast(arity("dayname", 1)(args0).head,
+        org.apache.spark.sql.types.TimestampType), Literal("EEEE"))
+    },
+    "monthname" -> { args0 =>
+      DateFormatClass(Cast(arity("monthname", 1)(args0).head,
+        org.apache.spark.sql.types.TimestampType), Literal("MMMM"))
     })
 
   /** The literal flag characters of a regexp function's flags argument

@@ -1426,7 +1426,34 @@ object TierCSql {
       |ORDER BY l_orderkey, l_linenumber, dw, iso
       |LIMIT 60""".stripMargin
 
+  // Type-spelling + function-name parity (round 18): DuckDB-only type
+  // names at cast sites (::VARCHAR — THE DuckDB to-string idiom —
+  // ::HUGEINT mapped to DECIMAL(38,0), cast back for a comparable
+  // rendering), MATERIALIZED CTE hints (stripped — a planner hint),
+  // ARRAY[…] constructors, and the battery-3 compat functions (week /
+  // dayname / monthname full names / epoch / struct_extract).
+  // IDENTICAL text on both engines. NOTE double→int casts are AVOIDED
+  // by design: DuckDB rounds, Spark truncates (documented divergence —
+  // write round() explicitly for portable text).
+  val typesParity: String =
+    """WITH src AS MATERIALIZED (
+      |  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey <= 500
+      |)
+      |SELECT o_orderkey,
+      |  o_orderkey::VARCHAR AS okey_s,
+      |  o_orderkey::HUGEINT::BIGINT + 1 AS big,
+      |  week(o_orderdate) AS wk,
+      |  dayname(o_orderdate) AS dn,
+      |  monthname(o_orderdate) AS mn,
+      |  epoch(o_orderdate::TIMESTAMP) AS ep,
+      |  ARRAY[1, o_orderkey // 3] AS arr,
+      |  struct_extract({'k': o_orderkey}, 'k') AS sk
+      |FROM src
+      |ORDER BY o_orderkey
+      |LIMIT 80""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "c_sql_types" -> q(typesParity),
     "c_sql_ops" -> q(opsParity),
     "c_sql_dollar_comma" -> q(dollarTrailing),
     "c_sql_agg_order" -> q(aggOrder),
@@ -1514,6 +1541,7 @@ object TierCSql {
     "c_lateral_topn" -> q(lateralTopn))
 
   val oracle: Map[String, String] = Map(
+    "c_sql_types" -> typesParity, // IDENTICAL text — type/function parity
     "c_sql_ops" -> opsParity, // IDENTICAL text — // , slicing, dow/isodow
     "c_sql_dollar_comma" -> dollarTrailing, // IDENTICAL text — dollar quotes
     "c_sql_agg_order" -> aggOrder, // IDENTICAL text — inline agg ORDER BY

@@ -35,28 +35,21 @@ object EngineProps extends Properties("EngineRewrites") {
   } yield "SELECT " + ts.mkString(" ")
 
   private def allPureShims(s: String): String =
-    Engine.rewriteGlob(
-      Engine.rewriteDateDiff(
-        Engine.rewriteSimilarTo(
-          Engine.rewriteDuckdbLiterals(
-            Engine.rewriteStarExclude(
-              Engine.rewriteUsingSample(
-                Engine.rewriteAsofJoin(
-                  Engine.rewriteQualify(
-                    // round-18 passes: dollar quotes, python-style
-                    // lambdas, inline agg ORDER BY, comprehensions
-                    // (trailing commas excluded BY DESIGN — a generated
-                    // `, )` sequence IS its trigger)
-                    Engine.rewriteDollarQuotes(
-                      Engine.rewriteLambdaSyntax(
-                        Engine.rewriteAggOrderBy(
-                          Engine.rewriteListComprehension(
-                            Engine.rewriteIntDiv(
-                              Engine.checkCaretPow(
-                                Engine.rewriteDowField(
-                                  Engine.rewriteListSlice(
-                                    Engine.rewriteMapLiteral(s)
-                                  ))))))))))))))))
+    // every pure-text shim, applied in sequence (order is irrelevant
+    // for the identity property). Trailing commas are excluded BY
+    // DESIGN — a generated `, )` sequence IS that pass's trigger.
+    Seq[String => String](
+      Engine.rewriteGlob, Engine.rewriteDateDiff, Engine.rewriteSimilarTo,
+      Engine.rewriteDuckdbLiterals, Engine.rewriteStarExclude,
+      Engine.rewriteUsingSample, Engine.rewriteAsofJoin,
+      Engine.rewriteQualify, Engine.rewriteDollarQuotes,
+      Engine.rewriteLambdaSyntax, Engine.rewriteAggOrderBy,
+      Engine.rewriteListComprehension, Engine.rewriteIntDiv,
+      Engine.checkCaretPow, Engine.rewriteDowField,
+      Engine.rewriteListSlice, Engine.rewriteMapLiteral,
+      Engine.rewriteDuckCastTypes, Engine.rewriteMaterializedCte,
+      Engine.rewriteArrayKw
+    ).foldLeft(s)((acc, f) => f(acc))
 
   property("pure-text shims are the identity on trigger-free statements") =
     Prop.forAll(statement) { s => allPureShims(s) == s }

@@ -1912,6 +1912,83 @@ class EngineSpec extends AnyFunSuite {
     assert(r.getMap[String, Int](2).isEmpty)
   }
 
+  test("DuckDB type names map at cast sites; Spark spellings untouched") {
+    val r = Engine.sql(spark,
+      "SELECT 42::TEXT AS a, 42::VARCHAR AS b, '1.5'::FLOAT8 AS c," +
+        " CAST(7 AS TEXT) AS d, CAST(array(1,2) AS BIGINT[]) AS e," +
+        " CAST(CAST(7 AS TEXT) AS INTEGER) AS f").collect()(0)
+    assert(r.getString(0) == "42" && r.getString(1) == "42" &&
+      r.getDouble(2) == 1.5 && r.getString(3) == "7" &&
+      r.getSeq[Long](4) == Seq(1L, 2L) && r.getInt(5) == 7)
+    // VARCHAR(n) / DECIMAL(p,s) are Spark-valid and pass through
+    // (Spark's cast treats varchar(n) as string — no truncation)
+    assert(Engine.sql(spark,
+      "SELECT CAST('xyz' AS VARCHAR(2)) AS a").collect()(0)
+      .getString(0) == "xyz")
+    // :: inside a string literal is content
+    assert(Engine.sql(spark, "SELECT '[1]::TEXT' AS s").collect()(0)
+      .getString(0) == "[1]::TEXT")
+  }
+
+  test("CREATE TABLE column lists map types; constraints refuse") {
+    Engine.runScript(spark,
+      """DROP TABLE IF EXISTS engine_ct;
+        |CREATE TABLE engine_ct (a INTEGER, b TEXT, d TIMESTAMPTZ,
+        |  e INTEGER[], f DOUBLE NOT NULL);
+        |INSERT INTO engine_ct VALUES
+        |  (1, 'x', TIMESTAMP '2024-01-01 00:00:00', array(1,2), 1.5);"""
+        .stripMargin)
+    val sch = spark.table("engine_ct").schema
+    assert(sch.fields.map(_.dataType.sql).toSeq ==
+      Seq("INT", "STRING", "TIMESTAMP", "ARRAY<INT>", "DOUBLE"))
+    Engine.exec(spark, "DROP TABLE IF EXISTS engine_ct")
+    assert(intercept[IllegalArgumentException](Engine.sql(spark,
+      "CREATE TABLE pk1 (a INTEGER PRIMARY KEY, b TEXT)")).getMessage
+      .contains("ON CONFLICT"))
+    assert(intercept[IllegalArgumentException](Engine.sql(spark,
+      "CREATE TABLE pk2 (a INTEGER, PRIMARY KEY (a))")).getMessage
+      .contains("constraint"))
+  }
+
+  test("MATERIALIZED CTE hints strip; ARRAY[...] constructs") {
+    assert(Engine.sql(spark,
+      "WITH x AS MATERIALIZED (SELECT 1 AS a)," +
+        " y AS NOT MATERIALIZED (SELECT 2 AS b)" +
+        " SELECT a + b AS r FROM x, y").collect()(0).getInt(0) == 3)
+    assert(Engine.sql(spark, "SELECT ARRAY[1,2,3] AS r").collect()(0)
+      .getSeq[Int](0) == Seq(1, 2, 3))
+  }
+
+  test("battery-3 compat functions: row/epoch/today/struct_extract/week") {
+    val r = Engine.sql(spark,
+      "SELECT row(1, 'x') AS r, epoch(TIMESTAMP '2024-01-01 00:00:00') AS e," +
+        " today() = current_date AS t," +
+        " struct_extract(named_struct('a', 7), 'a') AS s," +
+        " week(DATE '2024-01-15') AS w," +
+        " dayname(DATE '2024-01-15') AS dn," +
+        " monthname(DATE '2024-01-15') AS mn").collect()(0)
+    assert(r.getStruct(0).getInt(0) == 1 && r.getBoolean(2) &&
+      r.getInt(3) == 7 && r.getInt(4) == 3)
+    // DuckDB's FULL names (the builtins abbreviate — shadowed on purpose)
+    assert(r.getString(5) == "Monday" && r.getString(6) == "January")
+  }
+
+  test("tuple SET assigns pairwise; unknown SET targets refuse") {
+    Engine.runScript(spark,
+      """DROP TABLE IF EXISTS engine_ut;
+        |CREATE TEMP TABLE engine_ut AS SELECT 1 AS a, 2 AS b;
+        |UPDATE engine_ut SET (a, b) = (b + 10, a + 20);""".stripMargin)
+    val row = spark.table("engine_ut").collect()(0)
+    // one-projection semantics: both right-hand sides read the OLD row
+    assert(row.getInt(0) == 12 && row.getInt(1) == 21)
+    assert(intercept[IllegalArgumentException](Engine.sql(spark,
+      "UPDATE engine_ut SET zz = 9")).getMessage.contains("zz"))
+    assert(intercept[IllegalArgumentException](Engine.sql(spark,
+      "UPDATE engine_ut SET (a, b) = (1, 2, 3)")).getMessage
+      .contains("pair"))
+    Engine.exec(spark, "DROP TABLE IF EXISTS engine_ut")
+  }
+
   test("EXPLAIN ANALYZE runs the query and returns the executed plan") {
     val rows = Engine.sql(spark,
       "EXPLAIN ANALYZE SELECT count(*) AS n FROM (VALUES (1),(2)) t(a)")
