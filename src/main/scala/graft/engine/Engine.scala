@@ -409,8 +409,8 @@ object Engine {
             // are covered without re-entry (each is idempotent)
             val pre = rewriteMaterializedCte(rewriteDuckCastTypes(
               rewriteDowField(rewriteIntDiv(checkCaretPow(
-                rewriteAggOrderBy(rewriteLambdaSyntax(
-                  rewriteTrailingCommas(sub))))))))
+                checkPositionalJoin(rewriteAggOrderBy(rewriteLambdaSyntax(
+                  rewriteTrailingCommas(sub)))))))))
             val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
               rewriteStarReplace(spark, rewriteColumnsFn(spark,
                 rewriteDateDiff(rewriteGlob(
@@ -3633,6 +3633,23 @@ object Engine {
       }
       i += 1
     }
+    s
+  }
+
+  /** POSITIONAL JOIN refuses: DuckDB zips two relations by ROW ORDER,
+    * and row order is not a distributed invariant this engine can
+    * promise (a parallel scan's order varies run to run) — silently
+    * zipping would pair arbitrary rows. The refusal names the explicit
+    * spelling that is order-sound. */
+  private[engine] def checkPositionalJoin(s: String): String = {
+    if (!"(?is)^.*\\bPOSITIONAL\\s+JOIN\\b.*$".r.matches(s)) return s
+    val (codeAt, _) = codeMask(s)
+    if ("(?is)\\bPOSITIONAL\\s+JOIN\\b".r.findAllMatchIn(s)
+        .exists(m => codeAt(m.start)))
+      throw new IllegalArgumentException(
+        "POSITIONAL JOIN is not routed: row order is not a distributed" +
+          " invariant — number each side explicitly with row_number()" +
+          " OVER (ORDER BY <stable key>) and join on it")
     s
   }
 

@@ -42,6 +42,42 @@ object DuckdbCompat {
     args
   }
 
+  /** Adapt a two-parameter HOF lambda's INDEX base: DuckDB's `(x, i)`
+    * index is 1-based, Spark's 0-based (measured divergence, SURVEY
+    * §7 #17) — the `list_*` names promise DuckDB semantics, so body
+    * references to the index variable read `i + 1`. Parse-time bodies
+    * reference lambda variables as UnresolvedNamedLambdaVariable nodes
+    * (same class as the parameter declarations); the analyzer binds
+    * the wrapped reference exactly as it would the bare one.
+    * One-parameter lambdas pass through untouched. */
+  private def oneBasedIndexLambda(f: Expression): Expression = f match {
+    case LambdaFunction(body, args, hidden) if args.size == 2 =>
+      args(1) match {
+        case v: UnresolvedNamedLambdaVariable if v.nameParts.size == 1 =>
+          val idx = v.nameParts.head
+          def shadows(lf: LambdaFunction): Boolean =
+            lf.arguments.exists {
+              case a: UnresolvedNamedLambdaVariable =>
+                a.nameParts.size == 1 &&
+                  a.nameParts.head.equalsIgnoreCase(idx)
+              case _ => false
+            }
+          // manual recursion so a NESTED lambda that rebinds the index
+          // name keeps its own variable untouched
+          def wrap(e: Expression): Expression = e match {
+            case lf: LambdaFunction if shadows(lf) => lf
+            case r: UnresolvedNamedLambdaVariable
+                if r.nameParts.size == 1 &&
+                  r.nameParts.head.equalsIgnoreCase(idx) =>
+              Add(r, Literal(1))
+            case other => other.mapChildren(wrap)
+          }
+          LambdaFunction(wrap(body), args, hidden)
+        case _ => f
+      }
+    case _ => f
+  }
+
   /** Translate a DuckDB strftime %-format to a java.time pattern. */
   private[functions] def cFormatToJava(fmt: String): String = {
     val codes = Map(
@@ -93,11 +129,11 @@ object DuckdbCompat {
     },
     "list_transform" -> { args0 =>
       val args = arity("list_transform", 2)(args0)
-      ArrayTransform(args(0), args(1))
+      ArrayTransform(args(0), oneBasedIndexLambda(args(1)))
     },
     "list_filter" -> { args0 =>
       val args = arity("list_filter", 2)(args0)
-      ArrayFilter(args(0), args(1))
+      ArrayFilter(args(0), oneBasedIndexLambda(args(1)))
     },
     "list_contains" -> { args0 =>
       val args = arity("list_contains", 2)(args0)

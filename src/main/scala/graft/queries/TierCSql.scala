@@ -1447,7 +1447,9 @@ object TierCSql {
       |  monthname(o_orderdate) AS mn,
       |  epoch(o_orderdate::TIMESTAMP) AS ep,
       |  ARRAY[1, o_orderkey // 3] AS arr,
-      |  struct_extract({'k': o_orderkey}, 'k') AS sk
+      |  struct_extract({'k': o_orderkey}, 'k') AS sk,
+      |  list_filter([10, 20, 30], (x, i) -> i % 2 = 1) AS odds,
+      |  list_transform([10, 20, 30], (x, i) -> x + i) AS xi
       |FROM src
       |ORDER BY o_orderkey
       |LIMIT 80""".stripMargin

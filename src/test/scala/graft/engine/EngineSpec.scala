@@ -1989,6 +1989,24 @@ class EngineSpec extends AnyFunSuite {
     Engine.exec(spark, "DROP TABLE IF EXISTS engine_ut")
   }
 
+  test("list_* two-arg lambdas see DuckDB's 1-based index") {
+    val r = Engine.sql(spark,
+      "SELECT list_filter(array(10,20,30), (x, i) -> i % 2 = 1) AS f," +
+        " list_transform(array(10,20,30), (x, i) -> x + i) AS t," +
+        " filter(array(10,20,30), (x, i) -> i = 1) AS nf").collect()(0)
+    // measured DuckDB: [10,30] and [11,22,33]
+    assert(r.getSeq[Int](0) == Seq(10, 30))
+    assert(r.getSeq[Int](1) == Seq(11, 22, 33))
+    // Spark's NATIVE filter keeps its 0-based index (no shadowing)
+    assert(r.getSeq[Int](2) == Seq(20))
+  }
+
+  test("POSITIONAL JOIN refuses naming the row_number spelling") {
+    val e = intercept[IllegalArgumentException](Engine.sql(spark,
+      "SELECT * FROM a POSITIONAL JOIN b"))
+    assert(e.getMessage.contains("row_number"))
+  }
+
   test("EXPLAIN ANALYZE runs the query and returns the executed plan") {
     val rows = Engine.sql(spark,
       "EXPLAIN ANALYZE SELECT count(*) AS n FROM (VALUES (1),(2)) t(a)")
