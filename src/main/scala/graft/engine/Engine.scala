@@ -407,10 +407,14 @@ object Engine {
             // aggregate ORDER BY) run once over the whole text — their
             // triggers carry absolute paren depth, so subquery bodies
             // are covered without re-entry (each is idempotent)
-            val pre = rewriteMaterializedCte(rewriteDuckCastTypes(
-              rewriteDowField(rewriteIntDiv(checkCaretPow(
-                checkPositionalJoin(rewriteAggOrderBy(rewriteLambdaSyntax(
-                  rewriteTrailingCommas(sub)))))))))
+            // rewriteOrderByNulls runs AFTER rewriteAggOrderBy: inline
+            // aggregate ORDER BYs are consumed into WITHIN GROUP /
+            // min_by first, and the null-order default then applies to
+            // every remaining (and generated WITHIN GROUP) sort key
+            val pre = rewriteOrderByNulls(rewriteMaterializedCte(
+              rewriteDuckCastTypes(rewriteDowField(rewriteIntDiv(
+                checkCaretPow(checkPositionalJoin(rewriteAggOrderBy(
+                  rewriteLambdaSyntax(rewriteTrailingCommas(sub))))))))))
             val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
               rewriteStarReplace(spark, rewriteColumnsFn(spark,
                 rewriteDateDiff(rewriteGlob(
@@ -3630,6 +3634,87 @@ object Engine {
             "^ is POWER in DuckDB but bitwise XOR in Spark — the same" +
               " text computes two different things. Write power(a, b)" +
               " for exponentiation, or (a | b) & ~(a & b) for xor")
+      }
+      i += 1
+    }
+    s
+  }
+
+  /** Default null ORDER parity — DuckDB sorts NULLS LAST by default in
+    * BOTH directions (default_null_order='nulls_last', measured);
+    * Spark's ASC default is NULLS FIRST. An `ORDER BY x` over a
+    * nullable key therefore puts NULLs at OPPOSITE ends — silently.
+    * The pass appends `NULLS LAST` to every sort key that carries no
+    * explicit NULLS clause and is not DESC (Spark's DESC default IS
+    * NULLS LAST — already DuckDB's), in every ORDER BY at every depth:
+    * statement-level, subqueries, and window specifications (window
+    * default null order is the same setting in DuckDB). `ORDER BY ALL`
+    * keeps Spark's expansion untouched. Keys already explicit are
+    * untouched, so the pass is idempotent. */
+  private[engine] def rewriteOrderByNulls(s: String): String = {
+    if (!"(?is)^.*\\bORDER\\s+BY\\b.*$".r.matches(s)) return s
+    val (codeAt, depth) = codeMask(s)
+    val terminators = Seq("LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE",
+      "GROUPS", "WINDOW", "UNION", "INTERSECT", "EXCEPT")
+    var i = 0
+    while (i < s.length) {
+      val isOrder = codeAt(i) &&
+        s.regionMatches(true, i, "ORDER", 0, 5) &&
+        (i == 0 || !(s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_')) && {
+          var k = i + 5
+          (k < s.length && s.charAt(k).isWhitespace) && {
+            while (k < s.length && s.charAt(k).isWhitespace) k += 1
+            s.regionMatches(true, k, "BY", 0, 2) &&
+              (k + 2 >= s.length ||
+                !(s.charAt(k + 2).isLetterOrDigit || s.charAt(k + 2) == '_'))
+          }
+        }
+      if (isOrder) {
+        val d = depth(i)
+        val byIdx = s.toLowerCase.indexOf("by", i + 5)
+        val keysStart = byIdx + 2
+        // clause end: a ')' closing our depth, a same-depth terminator
+        // keyword, or end of text
+        var e = keysStart
+        var end = -1
+        while (end < 0 && e < s.length) {
+          if (codeAt(e)) {
+            val c = s.charAt(e)
+            if (c == ')' && depth(e) == d) end = e
+            else if (depth(e) == d &&
+              (e == 0 || !(s.charAt(e - 1).isLetterOrDigit ||
+                s.charAt(e - 1) == '_')) &&
+              terminators.exists(t =>
+                s.regionMatches(true, e, t, 0, t.length) &&
+                  (e + t.length >= s.length ||
+                    !(s.charAt(e + t.length).isLetterOrDigit ||
+                      s.charAt(e + t.length) == '_')))) end = e
+          }
+          e += 1
+        }
+        if (end < 0) end = s.length
+        val span = s.substring(keysStart, end)
+        // split keys at same-depth commas (relative depth 0 within span)
+        val pieces = splitTopLevel(span, ',')
+        val explicitRe = "(?is).*\\bNULLS\\s+(FIRST|LAST)\\s*$"
+        val descRe = "(?is).*\\bDESC\\s*$"
+        val allRe = "(?is)^\\s*ALL\\s*$"
+        val needsWork = pieces.exists(p => p.trim.nonEmpty &&
+          !p.matches(explicitRe) && !p.matches(descRe) && !p.matches(allRe))
+        if (needsWork) {
+          val fixed = pieces.map { p =>
+            if (p.trim.isEmpty || p.matches(explicitRe) ||
+              p.matches(descRe) || p.matches(allRe)) p
+            else {
+              // preserve trailing whitespace/newlines outside the key
+              val t = p.replaceAll("\\s+$", "")
+              val tail = p.substring(t.length)
+              s"$t NULLS LAST$tail"
+            }
+          }.mkString(",")
+          return rewriteOrderByNulls(
+            s.substring(0, keysStart) + fixed + s.substring(end))
+        }
       }
       i += 1
     }

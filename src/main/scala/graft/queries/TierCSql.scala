@@ -1454,7 +1454,25 @@ object TierCSql {
       |ORDER BY o_orderkey
       |LIMIT 80""".stripMargin
 
+  // Default null-order parity (round 18): DuckDB sorts NULLS LAST by
+  // default in BOTH directions; Spark's ASC default is NULLS FIRST —
+  // so a bare `ORDER BY k` over a nullable key silently puts NULLs at
+  // OPPOSITE ends. The engine appends NULLS LAST to every non-DESC
+  // sort key lacking an explicit NULLS clause, at every depth —
+  // statement-level AND window specifications (this witness exercises
+  // both; nullif() manufactures the NULL keys the testdata lacks).
+  // IDENTICAL text on both engines.
+  val nullOrder: String =
+    """SELECT l_orderkey, l_linenumber, nullif(l_linenumber, 3) AS k,
+      |  rank() OVER (PARTITION BY l_orderkey
+      |               ORDER BY nullif(l_linenumber, 3)) AS rk
+      |FROM lineitem
+      |WHERE l_orderkey <= 120
+      |ORDER BY k, l_orderkey, l_linenumber, rk
+      |LIMIT 60""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "c_sql_null_order" -> q(nullOrder),
     "c_sql_types" -> q(typesParity),
     "c_sql_ops" -> q(opsParity),
     "c_sql_dollar_comma" -> q(dollarTrailing),
@@ -1543,6 +1561,7 @@ object TierCSql {
     "c_lateral_topn" -> q(lateralTopn))
 
   val oracle: Map[String, String] = Map(
+    "c_sql_null_order" -> nullOrder, // IDENTICAL text — NULLS LAST default
     "c_sql_types" -> typesParity, // IDENTICAL text — type/function parity
     "c_sql_ops" -> opsParity, // IDENTICAL text — // , slicing, dow/isodow
     "c_sql_dollar_comma" -> dollarTrailing, // IDENTICAL text — dollar quotes

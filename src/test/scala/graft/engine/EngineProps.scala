@@ -48,7 +48,8 @@ object EngineProps extends Properties("EngineRewrites") {
       Engine.checkCaretPow, Engine.rewriteDowField,
       Engine.rewriteListSlice, Engine.rewriteMapLiteral,
       Engine.rewriteDuckCastTypes, Engine.rewriteMaterializedCte,
-      Engine.rewriteArrayKw
+      Engine.rewriteArrayKw, Engine.rewriteOrderByNulls,
+      Engine.checkPositionalJoin
     ).foldLeft(s)((acc, f) => f(acc))
 
   property("pure-text shims are the identity on trigger-free statements") =

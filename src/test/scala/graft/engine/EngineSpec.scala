@@ -2001,6 +2001,28 @@ class EngineSpec extends AnyFunSuite {
     assert(r.getSeq[Int](2) == Seq(20))
   }
 
+  test("bare ORDER BY sorts NULLS LAST (DuckDB's default) at every depth") {
+    val vals = "(VALUES (1),(CAST(NULL AS INT)),(2)) t(a)"
+    assert(Engine.sql(spark, s"SELECT a FROM $vals ORDER BY a")
+      .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq ==
+      Seq(1, 2, -1))
+    // DESC already defaults NULLS LAST in Spark — untouched and right
+    assert(Engine.sql(spark, s"SELECT a FROM $vals ORDER BY a DESC")
+      .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq ==
+      Seq(2, 1, -1))
+    // an explicit NULLS FIRST stays the user's choice
+    assert(Engine.sql(spark, s"SELECT a FROM $vals ORDER BY a NULLS FIRST")
+      .collect()(0).isNullAt(0))
+    // window specs get the same default (measured DuckDB: null ranks last)
+    assert(Engine.sql(spark,
+      s"SELECT a, row_number() OVER (ORDER BY a) rn FROM $vals ORDER BY rn")
+      .collect().last.isNullAt(0))
+    // a subquery's ORDER BY + LIMIT picks the same rows as DuckDB
+    assert(Engine.sql(spark,
+      "SELECT * FROM (SELECT a FROM (VALUES (CAST(NULL AS INT)),(1)) t(a)" +
+        " ORDER BY a LIMIT 1) q").collect()(0).getInt(0) == 1)
+  }
+
   test("POSITIONAL JOIN refuses naming the row_number spelling") {
     val e = intercept[IllegalArgumentException](Engine.sql(spark,
       "SELECT * FROM a POSITIONAL JOIN b"))
