@@ -414,7 +414,8 @@ object Engine {
             val pre = rewriteOrderByNulls(rewriteMaterializedCte(
               rewriteDuckCastTypes(rewriteDowField(rewriteIntDiv(
                 checkCaretPow(checkPositionalJoin(rewriteAggOrderBy(
-                  rewriteLambdaSyntax(rewriteTrailingCommas(sub))))))))))
+                  rewriteLambdaSyntax(rewriteTrailingCommas(
+                    rewriteTildeMatch(sub)))))))))))
             val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
               rewriteStarReplace(spark, rewriteColumnsFn(spark,
                 rewriteDateDiff(rewriteGlob(
@@ -3631,9 +3632,13 @@ object Engine {
               " write power(a, b)")
         if (s.charAt(i) == '^')
           throw new IllegalArgumentException(
-            "^ is POWER in DuckDB but bitwise XOR in Spark — the same" +
-              " text computes two different things. Write power(a, b)" +
-              " for exponentiation, or (a | b) & ~(a & b) for xor")
+            if (i + 1 < s.length && s.charAt(i + 1) == '@')
+              "^@ (DuckDB starts-with) has no Spark operator — write" +
+                " starts_with(string, prefix)"
+            else
+              "^ is POWER in DuckDB but bitwise XOR in Spark — the same" +
+                " text computes two different things. Write power(a, b)" +
+                " for exponentiation, or (a | b) & ~(a & b) for xor")
       }
       i += 1
     }
@@ -3719,6 +3724,80 @@ object Engine {
       i += 1
     }
     s
+  }
+
+  /** DuckDB/Postgres regex-match operators: `a ~ 'p'` is a FULL match
+    * (regexp_full_match — 'abc' ~ 'b' is false, measured), `!~` its
+    * negation, and `~~`/`!~~` are LIKE/NOT LIKE. The LIKE pair swaps
+    * operator-for-operator (any pattern expression); the regex pair
+    * anchors a LITERAL pattern into the RLIKE it means (`'^(?:p)$'`,
+    * the SIMILAR TO discipline) and refuses a computed pattern — a
+    * partial-match RLIKE would silently differ. A `~` whose right-hand
+    * side is not a string literal, or whose left neighbor is not an
+    * operand end, stays untouched (Spark's prefix bitwise NOT). */
+  private[engine] def rewriteTildeMatch(s: String): String = {
+    if (!s.contains("~")) return s
+    val (codeAt, _) = codeMask(s)
+    val sb = new StringBuilder
+    var i = 0
+    def operandEndBefore(p0: Int): Boolean = {
+      var p = p0 - 1
+      while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+      p >= 0 && (s.charAt(p).isLetterOrDigit || s.charAt(p) == '_' ||
+        s.charAt(p) == '\'' || s.charAt(p) == '`' ||
+        s.charAt(p) == ')' || s.charAt(p) == ']')
+    }
+    def literalAfter(p0: Int): Option[(String, Int)] = {
+      var p = p0
+      while (p < s.length && s.charAt(p).isWhitespace) p += 1
+      if (p >= s.length || s.charAt(p) != '\'') None
+      else {
+        val start = p
+        p += 1
+        var open = true
+        while (p < s.length && open) {
+          if (s.charAt(p) == '\'' && p + 1 < s.length &&
+            s.charAt(p + 1) == '\'') p += 2
+          else if (s.charAt(p) == '\'') { open = false; p += 1 }
+          else p += 1
+        }
+        if (open) None else Some((s.substring(start + 1, p - 1), p))
+      }
+    }
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (codeAt(i) && (ch == '~' || (ch == '!' && i + 1 < s.length &&
+          codeAt(i + 1) && s.charAt(i + 1) == '~'))) {
+        val neg = ch == '!'
+        val tildes = {
+          var k = if (neg) i + 1 else i
+          var n = 0
+          while (k < s.length && codeAt(k) && s.charAt(k) == '~') {
+            n += 1; k += 1
+          }
+          n
+        }
+        val opEnd = i + (if (neg) 1 else 0) + tildes
+        if (tildes == 2) {
+          // ~~ / !~~ — LIKE in operator clothes, any pattern expression
+          sb.append(if (neg) " NOT LIKE " else " LIKE ")
+          i = opEnd
+        } else if (tildes == 1 && operandEndBefore(i)) {
+          literalAfter(opEnd) match {
+            case Some((pat, after)) =>
+              sb.append(if (neg) " NOT RLIKE " else " RLIKE ")
+                .append("'^(?:").append(pat).append(")$'")
+              i = after
+            case None =>
+              if (neg) throw new IllegalArgumentException(
+                "!~ with a computed pattern is not routed — write NOT" +
+                  " regexp_like(s, concat('^(?:', p, ')$'))")
+              else { sb.append(ch); i += 1 } // prefix bitwise NOT
+          }
+        } else { sb.append(ch); i += 1 }
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
   }
 
   /** POSITIONAL JOIN refuses: DuckDB zips two relations by ROW ORDER,

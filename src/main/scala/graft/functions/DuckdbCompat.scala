@@ -517,7 +517,64 @@ object DuckdbCompat {
     "monthname" -> { args0 =>
       DateFormatClass(Cast(arity("monthname", 1)(args0).head,
         org.apache.spark.sql.types.TimestampType), Literal("MMMM"))
+    },
+    // ord(c) — DuckDB's codepoint function; Spark spells it ascii
+    "ord" -> { args0 => Ascii(arity("ord", 1)(args0).head) },
+    // prefix/suffix — DuckDB's boolean affix tests
+    "prefix" -> { args0 =>
+      val a = arity("prefix", 2)(args0); StartsWith(a(0), a(1))
+    },
+    "suffix" -> { args0 =>
+      val a = arity("suffix", 2)(args0); EndsWith(a(0), a(1))
+    },
+    // format('{} {1}', …) — DuckDB's fmt-style braces translated to the
+    // printf spelling format_string takes; literal formats only (the
+    // translation is chosen at plan time). Auto {} and manual {n}
+    // indexing must not mix — DuckDB's own rule, measured.
+    "format" -> { args0 =>
+      require(args0.nonEmpty, "format expects a format string")
+      val fmt = args0.head match {
+        case Literal(s, org.apache.spark.sql.types.StringType)
+            if s != null => s.toString
+        case _ => throw new IllegalArgumentException(
+          "format requires a literal format string")
+      }
+      FormatString((Literal(bracesToPercent(fmt)) +: args0.tail): _*)
     })
+
+  /** Translate a DuckDB fmt-style format ({} auto, {n} manual, {{ }}
+    * escapes) to java.util.Formatter syntax. */
+  private[functions] def bracesToPercent(fmt: String): String = {
+    val out = new StringBuilder
+    var auto = false
+    var manual = false
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '{' && i + 1 < fmt.length && fmt.charAt(i + 1) == '{') {
+        out.append('{'); i += 2
+      } else if (ch == '}' && i + 1 < fmt.length &&
+          fmt.charAt(i + 1) == '}') {
+        out.append('}'); i += 2
+      } else if (ch == '{') {
+        val close = fmt.indexOf('}', i)
+        require(close > 0, s"format: unterminated {} in '$fmt'")
+        val body = fmt.substring(i + 1, close).trim
+        if (body.isEmpty) { auto = true; out.append("%s") }
+        else {
+          require(body.forall(_.isDigit),
+            s"format: only {} and {n} placeholders route — got {$body}")
+          manual = true
+          out.append("%").append(body.toInt + 1).append("$s")
+        }
+        require(!(auto && manual),
+          "format: cannot mix automatic {} and manual {n} indexing")
+        i = close + 1
+      } else if (ch == '%') { out.append("%%"); i += 1 }
+      else { out.append(ch); i += 1 }
+    }
+    out.toString
+  }
 
   /** The literal flag characters of a regexp function's flags argument
     * — validated against the supported set (g global, i insensitive,

@@ -1471,7 +1471,21 @@ object TierCSql {
       |ORDER BY k, l_orderkey, l_linenumber, rk
       |LIMIT 60""".stripMargin
 
+  // Regex-match operators (round 18): `~` is DuckDB's FULL regex match
+  // (anchored into the RLIKE it means — the SIMILAR TO discipline),
+  // `!~` its negation via NOT RLIKE, `~~` the LIKE operator. IDENTICAL
+  // text on both engines.
+  val tildeOps: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_returnflag ~ '[AR]' AS is_ar,
+      |  l_linestatus !~ 'O' AS not_o,
+      |  l_returnflag ~~ 'A%' AS like_a
+      |FROM lineitem WHERE l_orderkey <= 100
+      |ORDER BY l_orderkey, l_linenumber, is_ar, not_o, like_a
+      |LIMIT 40""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "c_sql_tilde" -> q(tildeOps),
     "c_sql_null_order" -> q(nullOrder),
     "c_sql_types" -> q(typesParity),
     "c_sql_ops" -> q(opsParity),
@@ -1561,6 +1575,7 @@ object TierCSql {
     "c_lateral_topn" -> q(lateralTopn))
 
   val oracle: Map[String, String] = Map(
+    "c_sql_tilde" -> tildeOps, // IDENTICAL text — ~ / !~ / ~~ operators
     "c_sql_null_order" -> nullOrder, // IDENTICAL text — NULLS LAST default
     "c_sql_types" -> typesParity, // IDENTICAL text — type/function parity
     "c_sql_ops" -> opsParity, // IDENTICAL text — // , slicing, dow/isodow

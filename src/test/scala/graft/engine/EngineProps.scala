@@ -49,7 +49,7 @@ object EngineProps extends Properties("EngineRewrites") {
       Engine.rewriteListSlice, Engine.rewriteMapLiteral,
       Engine.rewriteDuckCastTypes, Engine.rewriteMaterializedCte,
       Engine.rewriteArrayKw, Engine.rewriteOrderByNulls,
-      Engine.checkPositionalJoin
+      Engine.checkPositionalJoin, Engine.rewriteTildeMatch
     ).foldLeft(s)((acc, f) => f(acc))
 
   property("pure-text shims are the identity on trigger-free statements") =

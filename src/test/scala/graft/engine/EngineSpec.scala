@@ -2023,6 +2023,33 @@ class EngineSpec extends AnyFunSuite {
         " ORDER BY a LIMIT 1) q").collect()(0).getInt(0) == 1)
   }
 
+  test("~ / !~ / ~~ operators route; prefix bitwise NOT survives") {
+    val r = Engine.sql(spark,
+      "SELECT 'abc' ~ 'a.c' AS a, 'abc' ~ 'b' AS b, 'abc' !~ 'x' AS c," +
+        " 'abc' ~~ 'ab%' AS d, 'abc' !~~ 'x%' AS e, ~5 AS f").collect()(0)
+    // full-match semantics: 'abc' ~ 'b' is FALSE (measured DuckDB)
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2) &&
+      r.getBoolean(3) && r.getBoolean(4) && r.getInt(5) == -6)
+    assert(intercept[IllegalArgumentException](Engine.sql(spark,
+      "SELECT a !~ b FROM t")).getMessage.contains("regexp_like"))
+    assert(intercept[IllegalArgumentException](Engine.sql(spark,
+      "SELECT 'ab' ^@ 'a'")).getMessage.contains("starts_with"))
+  }
+
+  test("battery-4 compat: ord/prefix/suffix/format") {
+    val r = Engine.sql(spark,
+      "SELECT ord('A') AS o, prefix('abc', 'ab') AS p," +
+        " suffix('abc', 'bc') AS s, format('{} = {}', 'k', 7) AS f," +
+        " format('{0}{0}!', 'x') AS g, format('100%: {}', 1) AS h")
+      .collect()(0)
+    assert(r.getInt(0) == 65 && r.getBoolean(1) && r.getBoolean(2))
+    assert(r.getString(3) == "k = 7" && r.getString(4) == "xx!" &&
+      r.getString(5) == "100%: 1")
+    assert(intercept[Exception](Engine.sql(spark,
+      "SELECT format('{} {0}', 1, 2)").collect()).getMessage
+      .contains("mix"))
+  }
+
   test("POSITIONAL JOIN refuses naming the row_number spelling") {
     val e = intercept[IllegalArgumentException](Engine.sql(spark,
       "SELECT * FROM a POSITIONAL JOIN b"))
