@@ -358,8 +358,11 @@ object Catalog {
       case "SMALLINT" | "INT2" | "SHORT" => "SMALLINT"
       case "TINYINT" | "INT1" => "TINYINT"
       case "HUGEINT" => "DECIMAL(38,0)" // the values int128 can hold
-      case "DOUBLE" | "FLOAT8" | "REAL" => "DOUBLE"
-      case "FLOAT" | "FLOAT4" => "FLOAT"
+      case "DOUBLE" | "FLOAT8" => "DOUBLE"
+      // DuckDB's REAL is the 4-byte float (FLOAT4's alias), not DOUBLE:
+      // mapping it wider would parse float64 where DuckDB parses float32
+      // — a silent value divergence, exactly what this map refuses.
+      case "FLOAT" | "FLOAT4" | "REAL" => "FLOAT"
       case "BOOLEAN" | "BOOL" | "LOGICAL" => "BOOLEAN"
       case "DATE" => "DATE"
       case "TIMESTAMP" | "DATETIME" => "TIMESTAMP"

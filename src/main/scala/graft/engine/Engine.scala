@@ -107,9 +107,12 @@ object Engine {
         val c = colName.stripPrefix("`").stripSuffix("`")
         if (ifNot != null && spark.table(table).schema.fields
             .exists(_.name.equalsIgnoreCase(c))) spark.emptyDataFrame
+        // mapTypeText (not Catalog.duckTypeToSpark): the routed CREATE
+        // TABLE path accepts parameterized and array spellings
+        // (VARCHAR(20), TEXT[], ARRAY<INT>) via mapTypeText — the same
+        // column must be addable as it is creatable.
         else spark.sql(s"ALTER TABLE $table ADD COLUMNS" +
-          s" (${Sql.sqlIdentifier(c)} ${
-            Catalog.duckTypeToSpark(typeText.trim)})")
+          s" (${Sql.sqlIdentifier(c)} ${mapTypeText(typeText.trim)})")
       case alterDropColRe(table, ifExists, colName) =>
         runAlterDropColumn(spark, table, ifExists != null, colName)
       case alterRenameColRe(table, oldName, newName) =>
@@ -248,13 +251,15 @@ object Engine {
       case explainAnalyzeRe(rest) =>
         // DuckDB's EXPLAIN ANALYZE runs the statement and returns the
         // plan; Spark has no SQL spelling for an EXECUTED plan, so the
-        // route runs the routed query to completion (count — every
-        // operator executes) and returns the formatted physical plan
-        // plus the measured wall time, in DuckDB's two-column shape.
-        // Plan TEXT is engine-specific by nature (like DESCRIBE).
+        // route runs the routed query to completion through the noop
+        // sink (as Bench does — count() lets Catalyst prune final
+        // projections/sorts, so the timed execution would not match the
+        // displayed plan) and returns the formatted physical plan plus
+        // the measured wall time, in DuckDB's two-column shape. Plan
+        // TEXT is engine-specific by nature (like DESCRIBE).
         val df = sql(spark, rest)
         val t0 = System.nanoTime()
-        df.count()
+        df.write.format("noop").mode("overwrite").save()
         val secs = (System.nanoTime() - t0) / 1e9
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -2832,6 +2837,30 @@ object Engine {
     require(items.nonEmpty, "RETURNING needs at least one expression")
     def snap(rows: DataFrame): DataFrame =
       rows.selectExpr(items: _*).localCheckpoint(true)
+    // RETURNING's contract is "the values that actually land/are
+    // removed". For UPDATE/DELETE the copy-on-write rewrite re-evaluates
+    // the SET and WHERE expressions (the table has no row identity to
+    // join the snapshot back by), so a non-deterministic (rand, uuid)
+    // or per-query-time (current_timestamp — evaluated per query in
+    // Spark) expression would return values that differ from what the
+    // rewrite lands. Refuse that combination loudly instead of lying.
+    def requireStable(df: DataFrame, what: String): Unit = {
+      import org.apache.spark.sql.catalyst.expressions.{
+        CurrentDate, CurrentTimestamp, LocalTimestamp, Now}
+      val unstable = df.queryExecution.analyzed.exists(p =>
+        p.expressions.exists(e => e.exists {
+          case x if !x.deterministic => true
+          case _: CurrentTimestamp | _: CurrentDate | _: Now |
+              _: LocalTimestamp => true
+          case _ => false
+        }))
+      require(!unstable,
+        s"RETURNING is not routed for $what with non-deterministic or" +
+          " current-time expressions: the rewrite re-evaluates them, so" +
+          " the returned values would differ from the landed ones —" +
+          " compute the value first (e.g. into a temp table), then" +
+          " UPDATE/DELETE with the materialized value")
+    }
     stmt match {
       case deleteUsingRe(_, _, _) => throw new IllegalArgumentException(
         "RETURNING is not routed for DELETE ... USING — run the join" +
@@ -2839,7 +2868,9 @@ object Engine {
       case deleteRe(table, where) =>
         val pred =
           coalesce(expr(Option(where).getOrElse("TRUE")), lit(false))
-        val out = snap(spark.table(table).filter(pred))
+        val victims = spark.table(table).filter(pred)
+        requireStable(victims, "DELETE")
+        val out = snap(victims)
         runDelete(spark, table, Option(where))
         out
       case updateRe(table, blob) =>
@@ -2853,6 +2884,7 @@ object Engine {
         val updated = Dml.applyAssignments(
           spark.table(table).filter(pred), lit(true),
           parseAssignments(sets))
+        requireStable(updated, "UPDATE")
         val out = snap(updated)
         runUpdate(spark, table, sets, where)
         out
@@ -3212,7 +3244,7 @@ object Engine {
     var inS, inD, inB, inLine, inBlock = false
     var i = 0
     val n = s.length
-    def nx(j: Int): Char = if (j < n) s.charAt(j) else ' '
+    def nx(j: Int): Char = if (j < n) s.charAt(j) else '\u0000'
     while (i < n) {
       val ch = s.charAt(i)
       if (inLine) { if (ch == '\n') inLine = false; sb.append(ch); i += 1 }
@@ -3704,17 +3736,39 @@ object Engine {
         val explicitRe = "(?is).*\\bNULLS\\s+(FIRST|LAST)\\s*$"
         val descRe = "(?is).*\\bDESC\\s*$"
         val allRe = "(?is)^\\s*ALL\\s*$"
-        val needsWork = pieces.exists(p => p.trim.nonEmpty &&
-          !p.matches(explicitRe) && !p.matches(descRe) && !p.matches(allRe))
+        // the DESC/NULLS/ALL checks and the insertion point look only
+        // at CODE characters: a trailing `-- comment` on a sort key
+        // must neither hide an explicit DESC nor swallow the appended
+        // clause into the comment (where it would silently parse away)
+        var pieceOff = 0
+        val masked = pieces.map { p =>
+          val base = keysStart + pieceOff
+          pieceOff += p.length + 1
+          val chars = p.toCharArray
+          var j = 0
+          while (j < chars.length) {
+            if (!codeAt(base + j)) chars(j) = ' '
+            j += 1
+          }
+          (p, new String(chars), base)
+        }
+        val needsWork = masked.exists { case (_, m, _) =>
+          m.trim.nonEmpty && !m.matches(explicitRe) &&
+            !m.matches(descRe) && !m.matches(allRe)
+        }
         if (needsWork) {
-          val fixed = pieces.map { p =>
-            if (p.trim.isEmpty || p.matches(explicitRe) ||
-              p.matches(descRe) || p.matches(allRe)) p
+          val fixed = masked.map { case (p, m, base) =>
+            if (m.trim.isEmpty || m.matches(explicitRe) ||
+              m.matches(descRe) || m.matches(allRe)) p
             else {
-              // preserve trailing whitespace/newlines outside the key
-              val t = p.replaceAll("\\s+$", "")
-              val tail = p.substring(t.length)
-              s"$t NULLS LAST$tail"
+              // insert after the LAST code character of the piece, so
+              // trailing comments/whitespace stay after the clause
+              var last = p.length - 1
+              while (last >= 0 &&
+                (!codeAt(base + last) || p.charAt(last).isWhitespace))
+                last -= 1
+              p.substring(0, last + 1) + " NULLS LAST" +
+                p.substring(last + 1)
             }
           }.mkString(",")
           return rewriteOrderByNulls(

@@ -1372,7 +1372,9 @@ object TierCSql {
       |    AS first_price,
       |  last(l_linestatus ORDER BY l_linenumber, l_linestatus)
       |    AS last_status,
-      |  array_agg(l_linenumber ORDER BY l_linenumber DESC) AS lines_desc,
+      |  array_to_string(
+      |    array_agg(l_linenumber ORDER BY l_linenumber DESC), ',')
+      |    AS lines_desc,
       |  count(l_returnflag ORDER BY l_linenumber) AS n
       |FROM lineitem
       |WHERE l_orderkey <= 2000
@@ -1386,8 +1388,9 @@ object TierCSql {
   // the LIMIT boundary is order-insensitive.
   val listComp: String =
     """SELECT l_orderkey, l_linenumber,
-      |  [x * 2 FOR x IN [l_linenumber, l_linenumber + 1, l_linenumber + 2]
-      |     IF x % 2 = 0] AS evens
+      |  array_to_string(
+      |    [x * 2 FOR x IN [l_linenumber, l_linenumber + 1, l_linenumber + 2]
+      |       IF x % 2 = 0], ',') AS evens
       |FROM lineitem
       |WHERE l_orderkey <= 200
       |ORDER BY l_orderkey, l_linenumber
@@ -1418,7 +1421,9 @@ object TierCSql {
   val opsParity: String =
     """SELECT l_orderkey, l_linenumber,
       |  l_orderkey // 7 AS bucket,
-      |  [l_linenumber, l_linenumber + 1, l_linenumber + 2][2:3] AS mid,
+      |  array_to_string(
+      |    [l_linenumber, l_linenumber + 1, l_linenumber + 2][2:3], ',')
+      |    AS mid,
       |  EXTRACT(dow FROM l_shipdate) AS dw,
       |  EXTRACT(isodow FROM l_shipdate) AS iso
       |FROM lineitem
@@ -1446,10 +1451,12 @@ object TierCSql {
       |  dayname(o_orderdate) AS dn,
       |  monthname(o_orderdate) AS mn,
       |  epoch(o_orderdate::TIMESTAMP) AS ep,
-      |  ARRAY[1, o_orderkey // 3] AS arr,
+      |  array_to_string(ARRAY[1, o_orderkey // 3], ',') AS arr,
       |  struct_extract({'k': o_orderkey}, 'k') AS sk,
-      |  list_filter([10, 20, 30], (x, i) -> i % 2 = 1) AS odds,
-      |  list_transform([10, 20, 30], (x, i) -> x + i) AS xi
+      |  array_to_string(
+      |    list_filter([10, 20, 30], (x, i) -> i % 2 = 1), ',') AS odds,
+      |  array_to_string(
+      |    list_transform([10, 20, 30], (x, i) -> x + i), ',') AS xi
       |FROM src
       |ORDER BY o_orderkey
       |LIMIT 80""".stripMargin
