@@ -493,11 +493,22 @@ object DuckdbCompat {
       arity("today", 0)(args0); CurrentDate()
     },
     // struct_extract(s, 'name') — field access as a function call;
-    // UnresolvedExtractValue is the same node `s.name` parses to
+    // UnresolvedExtractValue is the same node `s.name` parses to. The
+    // numeric form struct_extract(s, k) is DuckDB's 1-BASED positional
+    // access (its only way into an unnamed struct, e.g. list_zip's
+    // elements on the oracle engine) → GetStructField by ordinal, which
+    // works on any struct and resolves its type lazily from the child.
     "struct_extract" -> { args0 =>
       val args = arity("struct_extract", 2)(args0)
-      org.apache.spark.sql.catalyst.analysis
-        .UnresolvedExtractValue(args(0), args(1))
+      args(1) match {
+        case Literal(k: Int, org.apache.spark.sql.types.IntegerType) =>
+          GetStructField(args(0), k - 1)
+        case Literal(k: Long, org.apache.spark.sql.types.LongType) =>
+          GetStructField(args(0), k.toInt - 1)
+        case _ =>
+          org.apache.spark.sql.catalyst.analysis
+            .UnresolvedExtractValue(args(0), args(1))
+      }
     },
     // week(d) — ISO week number in both engines (measured: 2024-01-15
     // → 3 on each); weekofyear is Spark's name for the same field
@@ -540,7 +551,147 @@ object DuckdbCompat {
           "format requires a literal format string")
       }
       FormatString((Literal(bracesToPercent(fmt)) +: args0.tail): _*)
+    },
+    // --- round-19 battery-5 additions ---------------------------------
+    // strpos(haystack, needle) — 1-based first position, 0 when absent,
+    // 1 for the empty needle (measured); Spark's instr is the same
+    // function with the same argument order
+    "strpos" -> { args0 =>
+      val a = arity("strpos", 2)(args0)
+      StringInstr(a(0), a(1))
+    },
+    // list_extract / list_element — 1-based element access, NULL out of
+    // bounds AND at index 0, negative indexes count from the end
+    // (measured). element_at with failOnError=false covers all but the
+    // 0 case (Spark refuses 0 even non-ANSI), so 0 remaps to an
+    // always-out-of-bounds index, which is NULL.
+    "list_extract" -> { args0 => listExtract("list_extract", args0) },
+    "list_element" -> { args0 => listExtract("list_element", args0) },
+    // list_zip(l1, …, ln) — element-wise zip padded to the LONGEST list
+    // with NULLs (measured), struct fields named list_1…list_n (DuckDB's
+    // documented naming; the container's 1.0 oracle leaves them unnamed,
+    // so cross-engine witnesses access fields POSITIONALLY via
+    // struct_extract's numeric form below). Spark's arrays_zip pads
+    // identically — only the field names need pinning.
+    "list_zip" -> { args0 =>
+      require(args0.nonEmpty, "list_zip expects at least one list")
+      new ArraysZip(args0,
+        args0.indices.map(i => Literal(s"list_${i + 1}")))
+    },
+    // age(t1[, t2]) — Postgres-family calendar-component subtraction,
+    // algorithm MEASURED against the oracle engine (it differs from
+    // Postgres in the day-borrow month: DuckDB borrows days_in_month of
+    // t2's month, Postgres of the month before t1's): with t1 >= t2,
+    // borrow a day when time-of-day(t1) < time-of-day(t2), then borrow
+    // a month when the adjusted day(t1) < day(t2) adding
+    // days_in_month(t2); t1 < t2 mirrors to -(age(t2, t1)). One-arg
+    // form anchors t1 at today midnight (DuckDB: current_date).
+    "age" -> { args0 =>
+      require(args0.length == 1 || args0.length == 2,
+        s"age expects 1 or 2 arguments, got ${args0.length}")
+      val t1 = if (args0.length == 2) args0.head
+        else Cast(CurrentDate(), org.apache.spark.sql.types.TimestampType)
+      ageInterval(t1, args0.last)
+    },
+    // jaccard(s1, s2) — similarity of the two strings' CHARACTER sets
+    // (case-sensitive, measured: 'Aa' vs 'aA' → 1.0, 'ABC' vs 'abc' →
+    // 0.0); empty input refuses as DuckDB does ("argument too short")
+    "jaccard" -> { args0 =>
+      val a = arity("jaccard", 2)(args0)
+      def chars(e: Expression): Expression =
+        ArrayRemove(ArrayDistinct(
+          StringSplit(e, Literal(""), Literal(-1))), Literal(""))
+      val sim = Divide(
+        Cast(Size(ArrayIntersect(chars(a(0)), chars(a(1)))),
+          org.apache.spark.sql.types.DoubleType),
+        Cast(Size(ArrayUnion(chars(a(0)), chars(a(1)))),
+          org.apache.spark.sql.types.DoubleType))
+      If(Or(LessThan(Length(a(0)), Literal(1)),
+          LessThan(Length(a(1)), Literal(1))),
+        Cast(new RaiseError(Literal(
+          "jaccard: an argument is too short (both strings must be" +
+            " non-empty, as in DuckDB)")),
+          org.apache.spark.sql.types.DoubleType),
+        sim)
+    },
+    // hamming(s1, s2) — count of positions whose characters differ;
+    // refuses unequal lengths as DuckDB does. BIGINT like the oracle.
+    "hamming" -> { args0 =>
+      val a = arity("hamming", 2)(args0)
+      def chars(e: Expression): Expression =
+        ArrayRemove(StringSplit(e, Literal(""), Literal(-1)), Literal(""))
+      val x = UnresolvedNamedLambdaVariable(Seq("graft_h_x"))
+      val y = UnresolvedNamedLambdaVariable(Seq("graft_h_y"))
+      val b = UnresolvedNamedLambdaVariable(Seq("graft_h_b"))
+      val diffs = ZipWith(chars(a(0)), chars(a(1)),
+        LambdaFunction(Not(EqualTo(x, y)), Seq(x, y)))
+      val count = Cast(Size(ArrayFilter(diffs, LambdaFunction(b, Seq(b)))),
+        org.apache.spark.sql.types.LongType)
+      If(Not(EqualTo(Length(a(0)), Length(a(1)))),
+        Cast(new RaiseError(Literal(
+          "hamming: strings must be of equal length (as in DuckDB)")),
+          org.apache.spark.sql.types.LongType),
+        count)
     })
+
+  private def listExtract(
+      name: String, args0: Seq[Expression]): Expression = {
+    val a = arity(name, 2)(args0)
+    val idx = If(EqualTo(a(1), Literal(0)), Literal(Int.MaxValue), a(1))
+    new ElementAt(a(0), idx, None, false)
+  }
+
+  /** DuckDB's age(t1, t2) as a composed tree of codegen'd builtins.
+    * Component-wise calendar subtraction for t1 >= t2 (mirrored via
+    * interval negation otherwise): borrow a day when t1's time-of-day
+    * is earlier than t2's, then borrow a month when the adjusted day is
+    * smaller than t2's, adding days_in_month of T2'S month (measured —
+    * age('2024-07-04','1994-03-15') is 30y 3m 20d in DuckDB where the
+    * Postgres borrow rule would give 19d). */
+  private def ageInterval(t1e: Expression, t2e: Expression): Expression = {
+    import org.apache.spark.sql.types.{
+      DateType, DecimalType, IntegerType, LongType, TimestampType}
+    def pos(a0: Expression, b0: Expression): Expression = {
+      val a = Cast(a0, TimestampType)
+      val b = Cast(b0, TimestampType)
+      def micOfDay(t: Expression): Expression =
+        Subtract(UnixMicros(t),
+          UnixMicros(Cast(Cast(t, DateType), TimestampType)))
+      val (da, db) = (Cast(a, DateType), Cast(b, DateType))
+      val moDiff = Add(
+        Multiply(Subtract(Year(da), Year(db)), Literal(12)),
+        Subtract(Month(da), Month(db)))
+      val (soda, sodb) = (micOfDay(a), micOfDay(b))
+      val timeBorrow = LessThan(soda, sodb)
+      val d1 = Subtract(DayOfMonth(da),
+        If(timeBorrow, Literal(1), Literal(0)))
+      val sodDiff = Add(Subtract(soda, sodb),
+        If(timeBorrow, Literal(86400000000L), Literal(0L)))
+      val dayBorrow = LessThan(d1, DayOfMonth(db))
+      val dimB = DayOfMonth(LastDay(db))
+      val days = Add(Subtract(d1, DayOfMonth(db)),
+        If(dayBorrow, dimB, Literal(0)))
+      val months = Subtract(moDiff, If(dayBorrow, Literal(1), Literal(0)))
+      // integral div/rem on the microsecond remainder
+      val hours = Cast(IntegralDivide(sodDiff, Literal(3600000000L)),
+        IntegerType)
+      val hourMicros = Multiply(Cast(hours, LongType), Literal(3600000000L))
+      val afterH = Subtract(sodDiff, hourMicros)
+      val mins = Cast(IntegralDivide(afterH, Literal(60000000L)), IntegerType)
+      val secMicros = Subtract(afterH,
+        Multiply(Cast(mins, LongType), Literal(60000000L)))
+      val secs = Cast(
+        Divide(Cast(secMicros, DecimalType(20, 6)),
+          Literal(org.apache.spark.sql.types.Decimal(1000000L),
+            DecimalType(7, 0))),
+        DecimalType(8, 6))
+      new MakeInterval(Literal(0), months, Literal(0), days,
+        hours, mins, secs)
+    }
+    val geq = GreaterThanOrEqual(
+      Cast(t1e, TimestampType), Cast(t2e, TimestampType))
+    If(geq, pos(t1e, t2e), UnaryMinus(pos(t2e, t1e)))
+  }
 
   /** Translate a DuckDB fmt-style format ({} auto, {n} manual, {{ }}
     * escapes) to java.util.Formatter syntax. */

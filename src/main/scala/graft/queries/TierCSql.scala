@@ -1491,7 +1491,42 @@ object TierCSql {
       |ORDER BY l_orderkey, l_linenumber, is_ar, not_o, like_a
       |LIMIT 40""".stripMargin
 
+  // Compat battery 5 (round 19, `DuckdbCompat` additions): strpos
+  // (1-based, 0 when absent), list_zip (pad-to-longest with NULLs;
+  // fields accessed POSITIONALLY via struct_extract's numeric 1-based
+  // form — the only access the oracle's unnamed structs allow),
+  // list_extract (1-based, NULL out of bounds), age() with DuckDB's
+  // measured borrow rule (day borrow adds days_in_month of t2's month
+  // — differs from Postgres; rendered through date_part since raw
+  // INTERVAL values render differently per engine), and the jaccard /
+  // hamming string-similarity pair (character-set / positional,
+  // case-sensitive — measured). IDENTICAL text on both engines;
+  // BIGINT casts align Spark's INT-typed parts with the oracle's.
+  val compat5: String =
+    """SELECT o_orderkey,
+      |  CAST(strpos(o_orderpriority, '-') AS BIGINT) AS sp,
+      |  CAST(strpos(o_orderpriority, 'xyzzy') AS BIGINT) AS sp0,
+      |  struct_extract(list_extract(
+      |    list_zip([o_orderkey, 1], [2, o_orderkey + 1, 5]), 2), 2)
+      |    AS z22,
+      |  struct_extract(list_extract(
+      |    list_zip([o_orderkey, 1], [2, o_orderkey + 1, 5]), 3), 1)
+      |    AS z31,
+      |  CAST(date_part('year',
+      |    age(o_orderdate, DATE '1994-03-15')) AS BIGINT) AS ay,
+      |  CAST(date_part('month',
+      |    age(o_orderdate, DATE '1994-03-15')) AS BIGINT) AS am,
+      |  CAST(date_part('day',
+      |    age(o_orderdate, DATE '1994-03-15')) AS BIGINT) AS ad,
+      |  jaccard(o_orderpriority, o_orderstatus) AS jac,
+      |  CAST(hamming(substr(o_orderpriority, 1, 3),
+      |    substr(o_orderstatus || 'xx', 1, 3)) AS BIGINT) AS ham
+      |FROM orders
+      |WHERE o_orderkey <= 800
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "c_sql_compat5" -> q(compat5),
     "c_sql_tilde" -> q(tildeOps),
     "c_sql_null_order" -> q(nullOrder),
     "c_sql_types" -> q(typesParity),
@@ -1583,6 +1618,7 @@ object TierCSql {
 
   val oracle: Map[String, String] = Map(
     "c_sql_tilde" -> tildeOps, // IDENTICAL text — ~ / !~ / ~~ operators
+    "c_sql_compat5" -> compat5, // IDENTICAL text — battery-5 compat fns
     "c_sql_null_order" -> nullOrder, // IDENTICAL text — NULLS LAST default
     "c_sql_types" -> typesParity, // IDENTICAL text — type/function parity
     "c_sql_ops" -> opsParity, // IDENTICAL text — // , slicing, dow/isodow

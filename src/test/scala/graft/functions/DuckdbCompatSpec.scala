@@ -252,6 +252,75 @@ class DuckdbCompatSpec extends AnyFunSuite {
       "SELECT regexp_matches('x', 'x', 'q')").collect())
   }
 
+  test("battery 5: strpos/list_zip/list_extract/struct_extract ordinal") {
+    assert(one("SELECT strpos('hello world', 'o')") == 5)
+    assert(one("SELECT strpos('abc', 'zz')") == 0)
+    assert(one("SELECT strpos('abc', '')") == 1) // measured DuckDB
+    // zip pads to the LONGEST list with NULLs; fields list_1..list_n
+    val z = spark.sql("SELECT list_zip(array(1, 2), array(10, 20, 30))")
+    assert(z.schema.fields(0).dataType.simpleString ==
+      "array<struct<list_1:int,list_2:int>>")
+    assert(one(
+      "SELECT struct_extract(list_extract(" +
+        "list_zip(array(1, 2), array(10, 20, 30)), 3), 2)") == 30)
+    assert(one(
+      "SELECT struct_extract(list_extract(" +
+        "list_zip(array(1, 2), array(10, 20, 30)), 3), 1)") == null)
+    // out-of-bounds and index-0 access are NULL (DuckDB), not errors;
+    // negative indexes count from the end
+    assert(one("SELECT list_extract(array(1, 2), 9)") == null)
+    assert(one("SELECT list_extract(array(1, 2), 0)") == null)
+    assert(one("SELECT list_extract(array(1, 2, 3), -1)") == 3)
+    assert(one("SELECT list_element(array(7), 1)") == 7)
+    // named access still works through the string form
+    assert(one("SELECT struct_extract(named_struct('k', 42), 'k')") == 42)
+  }
+
+  test("battery 5: age follows DuckDB's measured borrow rule") {
+    def parts(e: String): (Any, Any, Any) = {
+      val r = spark.sql(
+        s"SELECT date_part('year', $e), date_part('month', $e)," +
+          s" date_part('day', $e)").collect()(0)
+      (r.get(0), r.get(1), r.get(2))
+    }
+    // the case separating DuckDB from Postgres: borrow uses t2's month
+    assert(parts("age(DATE '2024-07-04', DATE '1994-03-15')") ==
+      ((30, 3, 20)))
+    // both-last-day-of-month must NOT collapse to a whole month
+    assert(parts("age(DATE '2020-04-30', DATE '2020-03-31')") ==
+      ((0, 0, 30)))
+    assert(parts("age(DATE '2020-03-01', DATE '2020-01-31')") ==
+      ((0, 1, 1)))
+    // leap vs non-leap February in the borrowed month
+    assert(parts("age(DATE '2020-03-10', DATE '2020-02-20')") ==
+      ((0, 0, 19)))
+    assert(parts("age(DATE '2021-03-10', DATE '2021-02-20')") ==
+      ((0, 0, 18)))
+    // t1 < t2 mirrors with every component negated
+    assert(parts("age(DATE '2020-01-10', DATE '2021-03-20')") ==
+      ((-1, -2, -10)))
+    // time-of-day borrow pulls a day before the month borrow
+    val h = spark.sql(
+      "SELECT date_part('day', age(TIMESTAMP '2020-03-20 05:00:00'," +
+        " TIMESTAMP '2020-02-20 20:00:00')), date_part('hour'," +
+        " age(TIMESTAMP '2020-03-20 05:00:00'," +
+        " TIMESTAMP '2020-02-20 20:00:00'))").collect()(0)
+    assert((h.get(0), h.get(1)) == ((28, 9)))
+  }
+
+  test("battery 5: jaccard/hamming match DuckDB's measured semantics") {
+    assert(one("SELECT jaccard('duck', 'luck')") == 0.6)
+    assert(one("SELECT jaccard('ABC', 'abc')") == 0.0) // case-sensitive
+    assert(one("SELECT jaccard('aab', 'ab')") == 1.0) // char SETS
+    assert(one("SELECT hamming('duck', 'luck')") == 1L)
+    assert(one("SELECT hamming('ABC', 'abc')") == 3L)
+    // refusal rails, as the oracle engine refuses
+    assertThrows[Exception](
+      spark.sql("SELECT jaccard('', 'x')").collect())
+    assertThrows[Exception](
+      spark.sql("SELECT hamming('ab', 'abc')").collect())
+  }
+
   test("cFormatToJava translation table and refusals") {
     assert(DuckdbCompat.cFormatToJava("%Y-%m-%d") == "yyyy-MM-dd")
     assert(DuckdbCompat.cFormatToJava("%H:%M:%S.%f") == "HH:mm:ss.SSSSSS")
