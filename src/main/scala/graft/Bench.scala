@@ -32,8 +32,13 @@ object Bench {
       run(fn); run(fn)
     }
 
+    // local-iteration subset: comma-separated name prefixes (the driver
+    // never sets this — full inventory times by default)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
     val timed = SparkEntry.queries.toSeq
       .filterNot(_._1.startsWith("probe_"))
+      .filter(kv => only.forall(_.exists(kv._1.startsWith)))
       .sortBy(_._1)
 
     // Per-query codegen warmup at the smallest scale factor: identical plan

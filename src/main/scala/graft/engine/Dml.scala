@@ -372,14 +372,6 @@ object Dml {
       }
     val srcKeys = resolve(srcKeysIn, source.columns.toSeq, "key")
     val setCols = resolve(setColsIn, source.columns.toSeq, "SET")
-    // SQL MERGE raises on multiple source matches per target row; the
-    // equivalent guard here is source-key uniqueness (cheap: one agg over
-    // the small upsert side, found-one-stop via limit(1))
-    require(source.groupBy(srcKeys.map(col).toSeq: _*)
-      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
-      .limit(1).count() == 0,
-      s"$label source has duplicate keys on (${srcKeys.mkString(", ")}) —" +
-        " each target row must match at most one source row")
     // prefix non-key source columns + add a hit marker, so the left join
     // never collides with target names and NULL source VALUES still
     // register as a match
@@ -399,17 +391,32 @@ object Dml {
           s"$label key column $n not found in the target layout"))
     val keyField = targetField(srcKeys.head)
     val keyCol = keyField.name
-    // the source's head-key span (one agg over the broadcast-sized
-    // source); (1, 0) encodes an EMPTY source — no file can match it
-    val spanOpt: Option[(Long, Long)] = keyField.dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        val span = source.agg(
-          min(col(srcKeys.head)).cast("long"),
-          max(col(srcKeys.head)).cast("long")).head()
-        if (span.isNullAt(0)) Some((1L, 0L))
-        else Some((span.getLong(0), span.getLong(1)))
-      case _ => None
-    }
+    // ONE aggregation over the checkpointed broadcast-sized source
+    // covers both preconditions (was two driver-blocking jobs; at
+    // script granularity the per-job overhead dominates tiny upserts):
+    // 1. SQL MERGE raises on multiple source matches per target row —
+    //    the guard is source-key uniqueness, total count vs distinct
+    //    key-tuple count (a struct of NULL keys is non-NULL, so NULL
+    //    key rows count like the groupBy guard it replaces);
+    // 2. the source's head-key span for the footer prunes, when the
+    //    head key is INT64; (1, 0) encodes an EMPTY source.
+    val keyTuple = org.apache.spark.sql.functions
+      .struct(srcKeys.map(col).toSeq: _*)
+    val longKey =
+      keyField.dataType == org.apache.spark.sql.types.LongType
+    val guardCols = Seq(count(lit(1)).as("__n"),
+      org.apache.spark.sql.functions.countDistinct(keyTuple).as("__d")) ++
+      (if (longKey) Seq(min(col(srcKeys.head)).cast("long").as("__lo"),
+        max(col(srcKeys.head)).cast("long").as("__hi"))
+      else Seq.empty)
+    val guard = source.agg(guardCols.head, guardCols.tail: _*).head()
+    require(guard.getLong(0) == guard.getLong(1),
+      s"$label source has duplicate keys on (${srcKeys.mkString(", ")}) —" +
+        " each target row must match at most one source row")
+    val spanOpt: Option[(Long, Long)] =
+      if (!longKey) None
+      else if (guard.isNullAt(2)) Some((1L, 0L))
+      else Some((guard.getLong(2), guard.getLong(3)))
     def spanPrune(fs: Seq[Path]): Option[Seq[Path]] = spanOpt.map {
       case (lo, hi) =>
         if (lo > hi) Seq.empty else insertCheckFiles(fs, keyCol, lo, hi)
@@ -463,12 +470,35 @@ object Dml {
           case None => lit(null).cast(targetField(c).dataType).as(c)
         }
       }.toSeq: _*)
-    // append ONLY when there is something to append: a fully-matched (or
+    // append ONLY files that actually carry rows: a fully-matched (or
     // empty) source must not grow the layout by an empty, statless part
-    // file per merge — those files defeat every future footer prune
-    val pinnedInserts = inserts.localCheckpoint()
-    if (pinnedInserts.head(1).nonEmpty)
-      pinnedInserts.write.mode("append").parquet(path)
+    // file per merge — those files defeat every future footer prune.
+    // ONE job: write to a pid-scoped scratch dir, read each part's
+    // footer record count (driver-side metadata, no scan), and move only
+    // non-empty parts in — replacing the former checkpoint-then-append
+    // pair of jobs (at script granularity per-job overhead dominates a
+    // tiny upsert batch).
+    val insTmp = Paths.get(s"${path}_ins_p${ProcessHandle.current.pid}")
+    inserts.write.mode("overwrite").parquet(insTmp.toString)
+    val dir = Paths.get(path)
+    dataFiles(insTmp).zipWithIndex.foreach { case (f, i) =>
+      if (fileRowCount(f) > 0)
+        Files.move(f,
+          dir.resolve(s"part-ins-${System.nanoTime()}-$i.parquet"))
+    }
+    Files.walk(insTmp).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
     stats
+  }
+
+  /** Total record count from the footer block metadata — no data pages
+    * are read. */
+  private def fileRowCount(file: Path): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file.toString), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
   }
 }
