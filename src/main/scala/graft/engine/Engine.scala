@@ -13,7 +13,9 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * `stream`, which pulls one partition at a time (the analog of the
   * reference's Arrow record-batch iterator, used only for export).
   */
-object Engine {
+object Engine
+    extends EngineLex with EngineDialect with EngineDml
+    with EngineIntrospect {
 
   /** A6: materializing query — one statement, full result. Lazy DataFrame;
     * the caller decides how to materialize (collect page / iterator).
@@ -389,7 +391,7 @@ object Engine {
     * table-function rewrites. Text in, text out — routes that produce a
     * DataFrame directly (SUMMARIZE, PIVOT statements, DML) stay
     * top-level-only. */
-  private def rewriteQueryText(spark: SparkSession, q0: String): String = {
+  private[engine] def rewriteQueryText(spark: SparkSession, q0: String): String = {
     val t = q0.trim.stripSuffix(";").trim
     t match {
       case fromFirstRe(rest) => rewriteQueryText(spark, fromFirstToSelect(rest))
@@ -436,7 +438,7 @@ object Engine {
     * (prefix incl. nothing after the name, column pieces, suffix after
     * the close paren) — None for CTAS (no column list) and everything
     * else. */
-  private def splitCreateCols(
+  private[engine] def splitCreateCols(
       s: String): Option[(String, Seq[String], String)] = {
     val headRe = ("(?is)^(CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+" +
       "(?:IF\\s+NOT\\s+EXISTS\\s+)?(?:`[^`]+`|[A-Za-z_][\\w.]*)\\s*)\\(.*$").r
@@ -460,7 +462,7 @@ object Engine {
   /** One column definition of a routed CREATE TABLE — type mapped via
     * mapTypeText, NOT NULL / DEFAULT kept, enforcement constraints
     * refused. Table-level constraint entries refuse whole. */
-  private def mapColumnDef(piece: String): String = {
+  private[engine] def mapColumnDef(piece: String): String = {
     val p = piece.trim
     require(!p.matches(
       "(?is)^(PRIMARY|UNIQUE|CHECK|FOREIGN|CONSTRAINT)\\b.*"),
@@ -493,7 +495,7 @@ object Engine {
     * not an AS-DDL (plain CREATE TABLE with a column list, other
     * statements). The body must open like a query; anything else stays
     * whole for Spark's parser. */
-  private def splitDdlAs(s: String): Option[(String, String)] =
+  private[engine] def splitDdlAs(s: String): Option[(String, String)] =
     if (!s.matches("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?(GLOBAL\\s+)?" +
         "(TEMP(ORARY)?\\s+)?(VIEW|TABLE)\\b.*")) None
     else firstTopLevelKeyword(s, Seq("AS")).flatMap { i =>
@@ -503,3723 +505,11 @@ object Engine {
       else None
     }
 
-  /** `USING SAMPLE n% | n PERCENT [(method)]` → Spark
-    * `TABLESAMPLE (n PERCENT)` — DuckDB's sampling clause, recognized by
-    * the two-word `USING SAMPLE` anchor (a join's USING is always
-    * followed by a paren, never SAMPLE). The method name in parens drops
-    * — both engines then sample probabilistically — but two shapes
-    * REFUSE rather than silently diverge: a SEED (DuckDB's seed promises
-    * reproducibility and Spark's TABLESAMPLE SQL has nowhere to honor
-    * it; the sample values can never match across engines anyway —
-    * `c_sample_hash` documents the portable hash-sampling discipline),
-    * and a ROWS count, including DuckDB's bare `USING SAMPLE 10`
-    * default-unit form (Spark's `TABLESAMPLE (n ROWS)` is a
-    * DETERMINISTIC head-LIMIT — a user's 'sample 1000 rows for stats'
-    * would silently become 'first 1000 rows', a bias worse than any
-    * value mismatch; `ORDER BY rand() LIMIT n` is the faithful
-    * spelling, suggested in the refusal). PERCENT-only passthrough is
-    * the documented contract. */
-  private[engine] def rewriteUsingSample(s: String): String = {
-    val (codeAt, _) = codeMask(s)
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val ch = s.charAt(i)
-      if (codeAt(i) && s.regionMatches(true, i, "USING", 0, 5) &&
-          (i == 0 || s.charAt(i - 1).isWhitespace)) {
-        var j = i + 5
-        while (j < s.length && s.charAt(j).isWhitespace) j += 1
-        if (s.regionMatches(true, j, "SAMPLE", 0, 6)) {
-          var k = j + 6
-          while (k < s.length && s.charAt(k).isWhitespace) k += 1
-          val numStart = k
-          while (k < s.length &&
-            (s.charAt(k).isDigit || s.charAt(k) == '.')) k += 1
-          require(k > numStart, s"USING SAMPLE needs a sample size")
-          val num = s.substring(numStart, k)
-          def refuseRows(): Nothing = throw new IllegalArgumentException(
-            s"USING SAMPLE $num ROWS is not routed: Spark's TABLESAMPLE" +
-              s" ($num ROWS) is a deterministic head-LIMIT, not a random" +
-              s" sample — use USING SAMPLE p PERCENT, or ORDER BY rand()" +
-              s" LIMIT $num for a random row count")
-          var unit: String = null
-          if (k < s.length && s.charAt(k) == '%') { unit = "PERCENT"; k += 1 }
-          else {
-            while (k < s.length && s.charAt(k).isWhitespace) k += 1
-            if (s.regionMatches(true, k, "PERCENT", 0, 7)) {
-              unit = "PERCENT"; k += 7
-            } else refuseRows() // explicit ROWS or DuckDB's bare
-              // default-unit form (`USING SAMPLE 10` means 10 rows)
-          }
-          var m = k
-          while (m < s.length && s.charAt(m).isWhitespace) m += 1
-          if (m < s.length && s.charAt(m) == '(') {
-            val close = s.indexOf(')', m)
-            require(close > m, "unbalanced sample-method parens")
-            require(!s.substring(m, close).contains(","),
-              "USING SAMPLE with a seed is not routed (Spark's" +
-                " TABLESAMPLE cannot honor the reproducibility promise)")
-            k = close + 1
-          }
-          sb.append(s"TABLESAMPLE ($num $unit)")
-          i = k
-        } else { sb.append(ch); i += 1 }
-      } else { sb.append(ch); i += 1 }
-    }
-    sb.toString
-  }
-
-  /** `* EXCLUDE (cols)` → `* EXCEPT (cols)`: DuckDB and Spark spell the
-    * same star modifier with different keywords, so the shim is a
-    * keyword swap — anchored to a preceding `*` (outside string
-    * literals), which is exactly the one position where EXCLUDE is the
-    * modifier and not an identifier. Applies inside subqueries too (the
-    * anchor makes it position-safe, unlike the statement-level routes).
-    * `* REPLACE (…)` routes separately (`rewriteStarReplace` below —
-    * schema-aware, statement-level); this shim runs first so a combined
-    * `* EXCLUDE (…) REPLACE (…)` reaches it in EXCEPT spelling. */
-  private[engine] def rewriteStarExclude(s: String): String = {
-    val (codeAt, _) = codeMask(s)
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val ch = s.charAt(i)
-      if (codeAt(i) && ch == '*') {
-        sb.append(ch)
-        var j = i + 1
-        while (j < s.length && s.charAt(j).isWhitespace) j += 1
-        // the swap needs the full modifier shape `* EXCLUDE (` — a bare
-        // `* exclude` or `* exclude_fee` is multiplication by a column
-        // (underscore continues an identifier; '(' is what separates the
-        // modifier from arithmetic on a column named exclude)
-        val isModifier = j + 7 <= s.length &&
-          s.regionMatches(true, j, "EXCLUDE", 0, 7) && {
-            var k = j + 7
-            val boundary = k == s.length ||
-              (!s.charAt(k).isLetterOrDigit && s.charAt(k) != '_')
-            while (k < s.length && s.charAt(k).isWhitespace) k += 1
-            boundary && k < s.length && s.charAt(k) == '('
-          }
-        if (isModifier) {
-          sb.append(s.substring(i + 1, j)).append("EXCEPT")
-          i = j + 7
-        } else i += 1
-      } else {
-        sb.append(ch)
-        i += 1
-      }
-    }
-    sb.toString
-  }
-
-  /** ASOF [LEFT] JOIN — DuckDB's time-series join statement: for each
-    * left row, match the right row with equal keys and the greatest
-    * right-timestamp at-or-before the left's (for `>=`; the other three
-    * inequality directions mirror). Spark has no ASOF JOIN, so the
-    * rewrite is the INTERVAL-JOIN formulation — the scalable translation:
-    * the right relation gains each row's validity interval end
-    * (`lead(ts) OVER (PARTITION BY keys ORDER BY ts)` — `lag` for
-    * forward joins), and ASOF becomes an ordinary equi-join on the keys
-    * with the inequality plus the interval bound as join filters; Spark
-    * plans the hash/sort-merge join the equi-keys admit, with no
-    * window over the left side and no nested loop. Exactly one
-    * inequality conjunct is required; every ON reference must be
-    * qualified (the canonical typed form); the right relation is a table
-    * name or a parenthesized subquery with an alias. A bare `SELECT *`
-    * list swaps to `* EXCEPT` of the helper column. Ties among right
-    * rows on (keys, ts) leave one arbitrary winner — DuckDB's pick is
-    * likewise unspecified. Statement-level, first ASOF only (a second
-    * fails loudly in Spark's parser). */
-  private[engine] def rewriteAsofJoin(s: String): String = {
-    if (!s.matches("(?is)^(SELECT|WITH)\\b.*")) return s
-    // find the first top-level ASOF actually followed by [LEFT] JOIN —
-    // a column or alias legally NAMED asof (`SELECT ts AS asof …`) is
-    // not a join and must leave the statement untouched
-    var ai = -1
-    var leftJoin = false
-    var p = 0
-    def skipWs(): Unit =
-      while (p < s.length && s.charAt(p).isWhitespace) p += 1
-    def word(kw: String): Boolean =
-      s.regionMatches(true, p, kw, 0, kw.length) &&
-        (p + kw.length == s.length ||
-          !s.charAt(p + kw.length).isLetterOrDigit) && {
-          p += kw.length; skipWs(); true
-        }
-    var searchFrom = 0
-    while (ai < 0) {
-      val rel = firstTopLevelKeyword(s.substring(searchFrom), Seq("ASOF"))
-        .getOrElse(return s)
-      val cand = searchFrom + rel
-      p = cand + 4
-      skipWs()
-      val l = word("LEFT")
-      if (word("JOIN")) { ai = cand; leftJoin = l }
-      else searchFrom = cand + 4
-    }
-    // right relation: identifier or balanced parenthesized subquery
-    val bStart = p
-    if (p < s.length && s.charAt(p) == '(') {
-      var depth = 0
-      var inStr = false
-      var done = false
-      while (p < s.length && !done) {
-        val ch = s.charAt(p)
-        if (inStr) { if (ch == '\'') inStr = false }
-        else if (ch == '\'') inStr = true
-        else if (ch == '(') depth += 1
-        else if (ch == ')') { depth -= 1; if (depth == 0) done = true }
-        p += 1
-      }
-      require(done, "unbalanced parens in ASOF JOIN right relation")
-    } else {
-      while (p < s.length && (s.charAt(p).isLetterOrDigit ||
-        s.charAt(p) == '_' || s.charAt(p) == '.')) p += 1
-      require(p > bStart, "ASOF JOIN needs a right relation")
-    }
-    val bRel = s.substring(bStart, p)
-    skipWs()
-    word("AS") // optional
-    var bAlias: String = null
-    if (!s.regionMatches(true, p, "ON", 0, 2) ||
-        (p + 2 < s.length && s.charAt(p + 2).isLetterOrDigit)) {
-      val aStart = p
-      while (p < s.length && (s.charAt(p).isLetterOrDigit ||
-        s.charAt(p) == '_')) p += 1
-      bAlias = s.substring(aStart, p)
-      skipWs()
-    }
-    if (bAlias == null) {
-      require(!bRel.startsWith("("),
-        "ASOF JOIN subquery relation needs an alias")
-      bAlias = bRel
-    }
-    require(word("ON"),
-      "ASOF JOIN needs an ON condition — the USING shorthand is not" +
-        " routed (its merged output columns have no Spark spelling):" +
-        " write ON l.k = r.k AND l.ts >= r.ts and project explicitly")
-    val tail = s.substring(p)
-    val condEnd = firstTopLevelKeyword(tail,
-      Seq("WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY", "ORDER",
-        "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT"))
-      .getOrElse(tail.length)
-    val cond = tail.substring(0, condEnd).trim
-    val rest = tail.substring(condEnd)
-    // classify conjuncts: qualified equi-keys + exactly one inequality
-    def stripQ(r: String): (String, String) = {
-      val t0 = r.trim
-      t0.split('.') match {
-        case Array(q, c) =>
-          (q.trim.stripPrefix("`").stripSuffix("`"),
-            c.trim.stripPrefix("`").stripSuffix("`"))
-        case _ => throw new IllegalArgumentException(
-          s"routed ASOF JOIN needs qualified ON references: $r")
-      }
-    }
-    def findOp(c: String): (String, Int) = {
-      var depth = 0
-      var inStr = false
-      var i = 0
-      while (i < c.length) {
-        val ch = c.charAt(i)
-        if (inStr) { if (ch == '\'') inStr = false }
-        else ch match {
-          case '\'' => inStr = true
-          case '(' => depth += 1
-          case ')' => depth -= 1
-          case '<' | '>' if depth == 0 =>
-            return if (i + 1 < c.length && c.charAt(i + 1) == '=')
-              (c.charAt(i) + "=", i) else (c.charAt(i).toString, i)
-          case '=' if depth == 0 => return ("=", i)
-          case _ => ()
-        }
-        i += 1
-      }
-      throw new IllegalArgumentException(
-        s"ASOF ON conjunct has no comparison: $c")
-    }
-    val bKeys = Seq.newBuilder[String]
-    var ineq: Option[(String, String, String)] = None // (bTs, aTsText, dirOp)
-    splitOnKeyword(cond, "AND").map(_.trim).filter(_.nonEmpty).foreach {
-      conj =>
-        val (op, idx) = findOp(conj)
-        val lhs = conj.substring(0, idx)
-        val rhs = conj.substring(idx + op.length)
-        if (op == "=") {
-          val (lq, lc) = stripQ(lhs); val (rq, rc) = stripQ(rhs)
-          val bSide =
-            if (lq.equalsIgnoreCase(bAlias)) lc
-            else if (rq.equalsIgnoreCase(bAlias)) rc
-            else throw new IllegalArgumentException(
-              s"ASOF ON equi conjunct must involve $bAlias: $conj")
-          bKeys += bSide
-        } else {
-          require(ineq.isEmpty,
-            s"routed ASOF JOIN supports exactly one inequality: $cond")
-          val (lq, lc) = stripQ(lhs); val (rq0, _) = stripQ(rhs)
-          // normalize so the LEFT side of dirOp is the A expression
-          val (bTs, aTs, dirOp) =
-            if (rq0.equalsIgnoreCase(bAlias)) (stripQ(rhs)._2, lhs.trim, op)
-            else if (lq.equalsIgnoreCase(bAlias))
-              (lc, rhs.trim, op match {
-                case ">" => "<"
-                case "<" => ">"
-                case ">=" => "<="
-                case "<=" => ">="
-              })
-            else throw new IllegalArgumentException(
-              s"ASOF inequality must involve $bAlias: $conj")
-          ineq = Some((bTs, aTs, dirOp))
-        }
-    }
-    val (bTs, aTs, dirOp) = ineq.getOrElse(
-      throw new IllegalArgumentException(
-        "ASOF JOIN needs an inequality conjunct"))
-    val backward = dirOp == ">=" || dirOp == ">"
-    val adjFn = if (backward) "lead" else "lag"
-    val part =
-      if (bKeys.result().isEmpty) ""
-      else s"PARTITION BY ${bKeys.result().mkString(", ")} "
-    val newB =
-      s"""(SELECT __graft_b.*, $adjFn($bTs) OVER (
-         |    ${part}ORDER BY $bTs) AS __graft_adj
-         |  FROM $bRel __graft_b) $bAlias"""
-        .stripMargin
-    // the interval bound closes the match to the single nearest row
-    val bound = dirOp match {
-      case ">=" => s"($bAlias.__graft_adj IS NULL OR" +
-        s" $aTs < $bAlias.__graft_adj)"
-      case ">" => s"($bAlias.__graft_adj IS NULL OR" +
-        s" $aTs <= $bAlias.__graft_adj)"
-      case "<=" => s"($bAlias.__graft_adj IS NULL OR" +
-        s" $aTs > $bAlias.__graft_adj)"
-      case "<" => s"($bAlias.__graft_adj IS NULL OR" +
-        s" $aTs >= $bAlias.__graft_adj)"
-    }
-    val joinKw = if (leftJoin) "LEFT JOIN" else "JOIN"
-    val head0 = s.substring(0, ai)
-    // a star in the select list would leak the helper column: scrub a
-    // bare `*` (also mid-list: `*, extra`) and the b-side qualified
-    // `bAlias.*` with the matching EXCEPT form; other items (a-side
-    // stars, explicit columns) cannot reference the helper
-    val head = {
-      val si = firstTopLevelKeyword(head0, Seq("SELECT"))
-      val fi = firstTopLevelKeyword(head0, Seq("FROM"))
-      (si, fi) match {
-        case (Some(x), Some(y)) =>
-          val afterSel = head0.substring(x + "SELECT".length, y)
-          val (distinctKw, list) =
-            if (afterSel.trim.matches("(?is)^DISTINCT\\b.*"))
-              (" DISTINCT", afterSel.trim.substring("DISTINCT".length))
-            else ("", afterSel)
-          // bare or bAlias-qualified stars hide the helper (modifier
-          // items included); a-side-qualified stars cannot reference it
-          // and must NOT gain an EXCEPT for a column they don't have
-          val items = weaveStarHelper(
-            splitTopLevel(list, ','), "__graft_adj",
-            q => q.isEmpty || q.equalsIgnoreCase(bAlias))
-          head0.substring(0, x) + "SELECT" + distinctKw + " " +
-            items.mkString(", ") + " " + head0.substring(y)
-        case _ => head0
-      }
-    }
-    s"$head$joinKw $newB ON $cond AND $bound$rest"
-  }
-
-  /** `* [EXCEPT (cols)] REPLACE (expr AS col, …)` — DuckDB's REPLACE
-    * star modifier (EXCLUDE has already shimmed to EXCEPT by the time
-    * this runs). Spark has no REPLACE spelling, so the modifier desugars
-    * to what it is DEFINED as: the source relation's columns in
-    * declaration order, minus the EXCEPT list, with each REPLACE
-    * expression substituted in place under its original name. The
-    * column order comes from the FROM relation's ANALYZED schema —
-    * obtained by analyzing `SELECT * FROM <from-part>` (with the
-    * statement's WITH prefix, so CTE sources resolve), which plans
-    * nothing and reads nothing. Statement-level, first star-REPLACE
-    * item only; a REPLACE target absent from the schema refuses. */
-  /** Weave a helper column into each star item's hidden set: an
-    * existing `* EXCLUDE/EXCEPT (…)` list gains it as one more member,
-    * a bare star gains ` EXCEPT (helper)` right after the star (the
-    * position the downstream star-modifier parsers expect — so a bare
-    * `* REPLACE (…)` becomes `* EXCEPT (helper) REPLACE (…)`, the
-    * grammar rewriteStarReplace consumes). Only items whose star
-    * QUALIFIER satisfies `qualifierOk` ("" = unqualified) are touched —
-    * an other-qualified star must not gain an EXCEPT for a column its
-    * relation doesn't have. The one weaving implementation behind both
-    * the DISTINCT ON and ASOF helper scrubs. */
-  private def weaveStarHelper(items: Seq[String], helper: String,
-      qualifierOk: String => Boolean): Seq[String] = {
-    val modRe =
-      "(?is)^(?:([A-Za-z_]\\w*)\\s*\\.\\s*)?(\\*\\s*(?:EXCLUDE|EXCEPT)\\s*\\()(.*)$".r
-    val starRe = "(?s)^(?:([A-Za-z_]\\w*)\\s*\\.\\s*)?\\*(.*)$".r
-    items.map(_.trim).map {
-      case modRe(q, starPre, rest) if qualifierOk(Option(q).getOrElse("")) =>
-        Option(q).map(_ + ".").getOrElse("") + starPre + helper + ", " + rest
-      case starRe(q, rest) if qualifierOk(Option(q).getOrElse("")) =>
-        Option(q).map(_ + ".").getOrElse("") + s"* EXCEPT ($helper)" + rest
-      case item => item
-    }
-  }
-
-  /** (selectIdx, fromIdx, distinctKw, select items) of a SELECT…FROM
-    * statement, when both keywords sit at top level in order — the
-    * shared front half of the select-list rewrites (REPLACE, COLUMNS). */
-  private def selectListParts(
-      s: String): Option[(Int, Int, String, Seq[String])] =
-    for {
-      si <- firstTopLevelKeyword(s, Seq("SELECT"))
-      fi <- firstTopLevelKeyword(s, Seq("FROM")) if fi > si
-    } yield {
-      val afterSel = s.substring(si + "SELECT".length, fi)
-      val (distinctKw, list) =
-        if (afterSel.trim.matches("(?is)^DISTINCT\\b.*"))
-          (" DISTINCT", afterSel.trim.substring("DISTINCT".length))
-        else ("", afterSel)
-      (si, fi, distinctKw, splitTopLevel(list, ',').map(_.trim))
-    }
-
-  /** ANALYZED schema of `SELECT * FROM <the statement's FROM part>` —
-    * pure analysis, no job runs; the statement's WITH prefix rides
-    * along so CTE sources resolve. The shared schema probe behind the
-    * REPLACE and COLUMNS desugars. */
-  private def fromPartSchema(spark: SparkSession, s: String, si: Int,
-      fi: Int): org.apache.spark.sql.types.StructType = {
-    val tailFromFrom = s.substring(fi + "FROM".length)
-    val cut = firstTopLevelKeyword(tailFromFrom,
-      Seq("WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY", "ORDER",
-        "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT"))
-      .getOrElse(tailFromFrom.length)
-    val probe = s.substring(0, si) + "SELECT * FROM " +
-      tailFromFrom.substring(0, cut)
-    sql(spark, probe).schema
-  }
-
-  private[engine] def rewriteStarReplace(
-      spark: SparkSession, s: String): String = {
-    if (!s.matches("(?is)^(SELECT|WITH)\\b.*")) return s
-    if (!"(?is)^.*\\*.*\\bREPLACE\\s*\\(.*$".r.matches(s)) return s
-    val (si, fi, distinctKw, items) =
-      selectListParts(s).getOrElse(return s)
-    val idx = items.indexWhere(it => it.startsWith("*") &&
-      "(?is)^.*\\bREPLACE\\s*\\(.*$".r.matches(it))
-    if (idx < 0) return s
-    val item = items(idx)
-    // parse the item: '*' [EXCEPT (cols)] REPLACE (assignments)
-    var p = 1
-    def skipWs(): Unit =
-      while (p < item.length && item.charAt(p).isWhitespace) p += 1
-    def balanced(): String = {
-      require(p < item.length && item.charAt(p) == '(',
-        s"malformed star modifier: $item")
-      val start = p
-      var depth = 0
-      var inStr = false
-      var done = false
-      while (p < item.length && !done) {
-        val ch = item.charAt(p)
-        if (inStr) { if (ch == '\'') inStr = false }
-        else if (ch == '\'') inStr = true
-        else if (ch == '(') depth += 1
-        else if (ch == ')') { depth -= 1; if (depth == 0) done = true }
-        p += 1
-      }
-      require(done, s"unbalanced parens in star modifier: $item")
-      item.substring(start + 1, p - 1)
-    }
-    skipWs()
-    val excluded: Set[String] =
-      if (item.regionMatches(true, p, "EXCEPT", 0, 6)) {
-        p += 6; skipWs()
-        val cols = balanced()
-        skipWs()
-        splitTopLevel(cols, ',').map(_.trim
-          .stripPrefix("`").stripSuffix("`").toLowerCase).toSet
-      } else Set.empty
-    require(item.regionMatches(true, p, "REPLACE", 0, 7),
-      s"malformed star modifier: $item")
-    p += 7; skipWs()
-    val assignments = splitTopLevel(balanced(), ',').map { a =>
-      val parts = splitOnKeyword(a, "AS")
-      require(parts.size >= 2,
-        s"REPLACE item must be <expr> AS <col>: $a")
-      val name = parts.last.trim.stripPrefix("`").stripSuffix("`")
-      // a cast's AS is parenthesized, so the LAST top-level AS is the
-      // alias separator; the text before it (minus the 2-char keyword)
-      // is the expression
-      val exprText =
-        a.substring(0, a.length - parts.last.length - "AS".length).trim
-      (name.toLowerCase, (name, exprText))
-    }.toMap
-    skipWs()
-    require(p >= item.length,
-      s"unexpected trailing text in star modifier: $item")
-    val schema = fromPartSchema(spark, s, si, fi)
-    assignments.keys.foreach { n =>
-      require(schema.fields.exists(_.name.equalsIgnoreCase(n)),
-        s"REPLACE target $n is not a column of the source relation")
-    }
-    val expanded = schema.fields.toSeq
-      .filterNot(f => excluded.contains(f.name.toLowerCase))
-      .map { f =>
-        assignments.get(f.name.toLowerCase) match {
-          case Some((_, e)) => s"$e AS ${Sql.sqlIdentifier(f.name)}"
-          case None => Sql.sqlIdentifier(f.name)
-        }
-      }
-    val newItems = items.updated(idx, expanded.mkString(", "))
-    s.substring(0, si) + "SELECT" + distinctKw + " " +
-      newItems.mkString(", ") + " " + s.substring(fi)
-  }
-
-  /** `expr [NOT] SIMILAR TO 'pattern'` → `expr [NOT] RLIKE
-    * '^(?:pattern)$'` — the SQL-standard regex predicate (DuckDB/
-    * Postgres surface). SIMILAR TO matches the ENTIRE string, RLIKE
-    * searches, so the pattern anchors inside a non-capturing group.
-    * Only the literal-pattern form routes (the anchoring happens in
-    * text); a computed pattern stays for Spark's parser to refuse
-    * loudly. Comment/quote-aware via the shared scanner. */
-  private[engine] def rewriteSimilarTo(s: String): String = {
-    if (!"(?is)^.*\\bSIMILAR\\s+TO\\b.*$".r.matches(s)) return s
-    val (codeAt, _) = codeMask(s)
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val matched =
-        codeAt(i) && s.regionMatches(true, i, "SIMILAR", 0, 7) &&
-          (i == 0 || s.charAt(i - 1).isWhitespace) && {
-            var j = i + 7
-            val boundary = j >= s.length || s.charAt(j).isWhitespace
-            while (j < s.length && s.charAt(j).isWhitespace) j += 1
-            boundary && s.regionMatches(true, j, "TO", 0, 2) && {
-              var k = j + 2
-              while (k < s.length && s.charAt(k).isWhitespace) k += 1
-              if (k < s.length && s.charAt(k) == '\'') {
-                // consume the literal (with '' escapes)
-                val litStart = k
-                k += 1
-                var open = true
-                while (k < s.length && open) {
-                  if (s.charAt(k) == '\'' &&
-                    k + 1 < s.length && s.charAt(k + 1) == '\'') k += 2
-                  else if (s.charAt(k) == '\'') { open = false; k += 1 }
-                  else k += 1
-                }
-                val body = s.substring(litStart + 1, k - 1)
-                sb.append("RLIKE '^(?:").append(body).append(")$'")
-                i = k
-                true
-              } else false
-            }
-          }
-      if (!matched) { sb.append(s.charAt(i)); i += 1 }
-    }
-    sb.toString
-  }
-
-  /** `<q1> UNION [ALL] BY NAME <q2> …` — DuckDB's column-name union
-    * (missing columns NULL-fill; output columns in first-appearance
-    * order). Spark SQL has no BY NAME set operator (only the DataFrame
-    * `unionByName`), so the statement desugars against the branches'
-    * ANALYZED schemas — the same no-job probe REPLACE/COLUMNS use: each
-    * branch becomes a positional SELECT over the union of names, with
-    * `CAST(NULL AS <type>)` for columns the branch lacks (the type
-    * taken from the first branch that has the column, matching DuckDB's
-    * left-to-right binding). Chains of the SAME operator are supported;
-    * mixing ALL and DISTINCT by-name steps in one chain refuses (the
-    * rewrite would have to invent an association DuckDB resolves by
-    * precedence). The trailing ORDER BY/LIMIT of the last branch
-    * applies to the whole union, as in plain SQL. */
-  private def rewriteUnionByName(
-      spark: SparkSession, s: String): Option[String] = {
-    if (!"(?is)^.*\\bBY\\s+NAME\\b.*$".r.matches(s)) return None
-    if (!s.trim.matches("(?is)^(SELECT|FROM|VALUES|WITH)\\b.*")) return None
-    // top-level UNION tokens whose following tokens read
-    // [ALL|DISTINCT] BY NAME — collect (start, endExclusive, isAll)
-    case class Hit(start: Int, end: Int, all: Boolean)
-    val hits = allTopLevelKeyword(s, "UNION").flatMap { i =>
-      var j = i + "UNION".length
-      def skipWs(): Unit =
-        while (j < s.length && s.charAt(j).isWhitespace) j += 1
-      def take(kw: String): Boolean = {
-        skipWs()
-        val ok = s.regionMatches(true, j, kw, 0, kw.length) &&
-          (j + kw.length == s.length ||
-            !s.charAt(j + kw.length).isLetterOrDigit)
-        if (ok) j += kw.length
-        ok
-      }
-      val all = take("ALL")
-      if (!all) take("DISTINCT") // explicit DISTINCT reads as not-ALL
-      if (take("BY") && take("NAME")) Some(Hit(i, j, all)) else None
-    }
-    if (hits.isEmpty) return None
-    require(hits.map(_.all).distinct.length == 1,
-      "UNION BY NAME chains mixing ALL and DISTINCT are not routed —" +
-        " parenthesize the sub-unions")
-    val all = hits.head.all
-    // branch texts between the operators
-    val cuts = hits.map(h => (h.start, h.end))
-    val branches0 = (Seq(0) ++ cuts.map(_._2))
-      .zip(cuts.map(_._1) ++ Seq(s.length))
-      .map { case (from, to) => s.substring(from, to).trim }
-    // the final branch's ORDER BY/LIMIT tail belongs to the whole union
-    val (lastBody, tail) = {
-      val last = branches0.last
-      firstTopLevelKeyword(last, Seq("ORDER", "LIMIT", "OFFSET")) match {
-        case Some(c) => (last.substring(0, c).trim, " " + last.substring(c))
-        case None => (last, "")
-      }
-    }
-    val branches = branches0.init :+ lastBody
-    branches.foreach { b =>
-      require(b.matches("(?is)^(SELECT|FROM|VALUES|WITH)\\b.*"),
-        s"UNION BY NAME branch must be a query — got: ${b.take(40)}")
-    }
-    // analyzed schemas (no job); sql() applies the full router to each
-    // branch, so path tables / dialect spellings inside them resolve
-    val schemas = branches.map(b => sql(spark, b).schema)
-    val unionCols = scala.collection.mutable.LinkedHashMap
-      .empty[String, (String, String)] // lower -> (first spelling, type)
-    schemas.foreach(_.fields.foreach { f =>
-      if (!unionCols.contains(f.name.toLowerCase))
-        unionCols(f.name.toLowerCase) = (f.name, f.dataType.sql)
-    })
-    val op = if (all) " UNION ALL " else " UNION "
-    val rewritten = branches.zip(schemas).zipWithIndex.map {
-      case ((b, schema), idx) =>
-        val items = unionCols.values.map { case (name, tpe) =>
-          schema.fields.find(_.name.equalsIgnoreCase(name)) match {
-            case Some(f) =>
-              s"${Sql.sqlIdentifier(f.name)} AS ${Sql.sqlIdentifier(name)}"
-            case None =>
-              s"CAST(NULL AS $tpe) AS ${Sql.sqlIdentifier(name)}"
-          }
-        }.mkString(", ")
-        s"SELECT $items FROM (\n$b\n) __graft_ubn$idx"
-    }.mkString(op)
-    Some(rewritten + tail)
-  }
-
-  /** `date_diff('part', …)` / `datediff('part', …)` →
-    * `graft_date_diff('part', …)` — DuckDB's boundary-counting
-    * date_diff takes its part as a STRING, but Spark's grammar owns
-    * `date_diff(unit, a, b)` (the timestampdiff rule rejects a quoted
-    * unit before any function-registry lookup), so the compat builder
-    * (`DuckdbCompat`, `graft_date_diff`) is reachable only by renaming
-    * the call in text. ONLY calls whose first argument opens with a
-    * string literal rename — Spark's own `date_diff(DAY, a, b)` and
-    * 2-arg `datediff(end, start)` pass through untouched, so no Spark
-    * spelling changes meaning. Comment/quote-aware via the shared
-    * scanner. */
-  private[engine] def rewriteDateDiff(s: String): String = {
-    if (!"(?is)^.*\\bDATE_?DIFF\\s*\\(.*$".r.matches(s)) return s
-    val (codeAt, _) = codeMask(s)
-    val out = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val nameLen =
-        if (codeAt(i) && s.regionMatches(true, i, "DATE_DIFF", 0, 9)) 9
-        else if (codeAt(i) && s.regionMatches(true, i, "DATEDIFF", 0, 8)) 8
-        else 0
-      val isCall = nameLen > 0 &&
-        (i == 0 || (!s.charAt(i - 1).isLetterOrDigit &&
-          s.charAt(i - 1) != '_' && s.charAt(i - 1) != '.')) && {
-          var j = i + nameLen
-          while (j < s.length && s.charAt(j).isWhitespace) j += 1
-          j < s.length && s.charAt(j) == '(' && {
-            var k = j + 1
-            while (k < s.length && s.charAt(k).isWhitespace) k += 1
-            k < s.length && s.charAt(k) == '\''
-          }
-        }
-      if (isCall) {
-        out.append("graft_date_diff")
-        i += nameLen
-      } else { out.append(s.charAt(i)); i += 1 }
-    }
-    out.toString
-  }
-
-  /** Translate a glob pattern to the regex it means: `*` → `.*`, `?`
-    * → `.`, `[...]` passes as a class with leading `!` as negation,
-    * every other regex metacharacter escaped. */
-  private[engine] def globToRegex(g: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < g.length) {
-      g.charAt(i) match {
-        case '*' => sb.append(".*")
-        case '?' => sb.append('.')
-        case '[' =>
-          val j = g.indexOf(']', i + 1)
-          if (j < 0) sb.append("\\[") // unclosed class: literal bracket
-          else {
-            val body0 = g.substring(i + 1, j)
-            val body =
-              if (body0.startsWith("!")) "^" + body0.substring(1) else body0
-            sb.append('[').append(body).append(']')
-            i = j
-          }
-        case c if "\\.^$+{}()|".indexOf(c) >= 0 =>
-          sb.append('\\').append(c)
-        case c => sb.append(c)
-      }
-      i += 1
-    }
-    sb.toString
-  }
-
-  /** `expr [NOT] GLOB 'pattern'` → `expr [NOT] RLIKE '^(?:regex)$'` —
-    * DuckDB's (SQLite-lineage) glob predicate: case-sensitive
-    * whole-string match. Literal patterns only (the translation is
-    * textual); a computed pattern stays for Spark's parser to refuse
-    * loudly. Same scanner discipline as SIMILAR TO. */
-  private[engine] def rewriteGlob(s: String): String = {
-    if (!"(?is)^.*\\bGLOB\\b.*$".r.matches(s)) return s
-    val (codeAt, _) = codeMask(s)
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val matched =
-        codeAt(i) && s.regionMatches(true, i, "GLOB", 0, 4) &&
-          (i == 0 || s.charAt(i - 1).isWhitespace) && {
-            var k = i + 4
-            val boundary = k >= s.length || s.charAt(k).isWhitespace
-            while (k < s.length && s.charAt(k).isWhitespace) k += 1
-            boundary && k < s.length && s.charAt(k) == '\'' && {
-              val litStart = k
-              k += 1
-              var open = true
-              while (k < s.length && open) {
-                if (s.charAt(k) == '\'' &&
-                  k + 1 < s.length && s.charAt(k + 1) == '\'') k += 2
-                else if (s.charAt(k) == '\'') { open = false; k += 1 }
-                else k += 1
-              }
-              val body = s.substring(litStart + 1, k - 1)
-              sb.append("RLIKE '^(?:").append(globToRegex(body))
-                .append(")$'")
-              i = k
-              true
-            }
-          }
-      if (!matched) { sb.append(s.charAt(i)); i += 1 }
-    }
-    sb.toString
-  }
-
-  /** `struct_pack(k := v, …)` → `named_struct('k', v, …)` — DuckDB's
-    * functional struct constructor (the call-form twin of the `{…}`
-    * literal). The `:=` named-argument syntax has no Spark analog, so
-    * the shim rewrites each top-level `name := expr` argument into the
-    * quoted-name/value pair named_struct takes. Nested calls rewrite
-    * innermost-first via recursion on the argument text. A non-`:=`
-    * argument refuses — silently positional-packing would mis-name
-    * every field. */
-  private[engine] def rewriteStructPack(s: String): String = {
-    if (!"(?is)^.*\\bSTRUCT_PACK\\s*\\(.*$".r.matches(s)) return s
-    val (codeAt, _) = codeMask(s)
-    val out = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val isCall = codeAt(i) &&
-        s.regionMatches(true, i, "STRUCT_PACK", 0, 11) &&
-        (i == 0 || !s.charAt(i - 1).isLetterOrDigit &&
-          s.charAt(i - 1) != '_') && {
-          var j = i + 11
-          while (j < s.length && s.charAt(j).isWhitespace) j += 1
-          j < s.length && s.charAt(j) == '('
-        }
-      if (isCall) {
-        var j = s.indexOf('(', i + 11)
-        // balanced span of the argument list (quote-aware via codeMask)
-        var depth = 0
-        var end = -1
-        var k = j
-        while (k < s.length && end < 0) {
-          if (codeAt(k) && s.charAt(k) == '(') depth += 1
-          else if (codeAt(k) && s.charAt(k) == ')') {
-            depth -= 1; if (depth == 0) end = k
-          }
-          k += 1
-        }
-        require(end > 0, "unbalanced parens in struct_pack(...)")
-        val args = rewriteStructPack(s.substring(j + 1, end)) // nested
-        val pairs = splitTopLevel(args, ',').map { a =>
-          val idx = a.indexOf(":=")
-          require(idx > 0,
-            s"struct_pack arguments must be name := value — got: $a")
-          val name = a.substring(0, idx).trim
-            .stripPrefix("`").stripSuffix("`")
-          s"${Sql.sqlStringLiteral(name)}, ${a.substring(idx + 2).trim}"
-        }
-        out.append("named_struct(").append(pairs.mkString(", ")).append(")")
-        i = end + 1
-      } else { out.append(s.charAt(i)); i += 1 }
-    }
-    out.toString
-  }
-
-  /** DuckDB's collection LITERAL syntax → Spark's constructor functions:
-    * `[e1, e2, …]` → `array(e1, e2, …)` and `{'k': v, …}` →
-    * `named_struct('k', v, …)`. A `[` that IMMEDIATELY follows an
-    * identifier character, `)`, `]`, a backtick identifier, or a string
-    * literal is a SUBSCRIPT and stays untouched (DuckDB's own grammar
-    * needs the same adjacency to disambiguate; note the engines'
-    * subscript BASE differs — DuckDB is 1-based, Spark 0-based — so
-    * subscripts are native-Spark surface, while the `list_*` compat
-    * functions carry DuckDB's 1-based access semantics). Struct-literal
-    * colons swap to argument commas only at the struct's own nesting
-    * level; `::` cast syntax (valid in both engines) passes through.
-    * Pure text rewrite, idempotent (the output contains no `[`/`{` in
-    * literal position), applied AFTER the table-function route so a
-    * `read_parquet([…])` list is consumed as paths, not expressions. */
-  private[engine] def rewriteDuckdbLiterals(s: String): String = {
-    if (!s.exists(c => c == '[' || c == '{')) return s
-    val (codeAt, _) = codeMask(s)
-    val sb = new StringBuilder
-    // stack of open constructs: 'L' converted list, 'S' struct,
-    // 'X' subscript bracket (untouched), 'P' paren
-    val stack = scala.collection.mutable.Stack.empty[Char]
-    var i = 0
-    while (i < s.length) {
-      val ch = s.charAt(i)
-      if (!codeAt(i)) { sb.append(ch); i += 1 }
-      else ch match {
-        case '(' => stack.push('P'); sb.append(ch); i += 1
-        case ')' =>
-          if (stack.headOption.contains('P')) stack.pop()
-          sb.append(ch); i += 1
-        case '[' =>
-          val prev = if (i > 0) s.charAt(i - 1) else ' '
-          val isSubscript = prev.isLetterOrDigit || prev == '_' ||
-            prev == ')' || prev == ']' || prev == '`' || prev == '\''
-          if (isSubscript) { stack.push('X'); sb.append(ch) }
-          else { stack.push('L'); sb.append("array(") }
-          i += 1
-        case ']' =>
-          val top = if (stack.nonEmpty) stack.pop() else 'X'
-          sb.append(if (top == 'L') ")" else "]")
-          i += 1
-        case '{' => stack.push('S'); sb.append("named_struct("); i += 1
-        case '}' =>
-          if (stack.headOption.contains('S')) stack.pop()
-          sb.append(')'); i += 1
-        case ':' if i + 1 < s.length && s.charAt(i + 1) == ':' =>
-          sb.append("::"); i += 2 // cast syntax, both engines
-        case ':' if stack.headOption.contains('S') =>
-          sb.append(','); i += 1
-        case c => sb.append(c); i += 1
-      }
-    }
-    sb.toString
-  }
-
-  /** Apply the dialect rewrites to parenthesized SUBQUERY bodies — CTE
-    * definitions, derived tables, IN/EXISTS/scalar subqueries: any
-    * depth-1 paren group whose content opens like a query re-enters the
-    * text pipeline (`rewriteQueryText`), innermost groups first via
-    * recursion. This is what lets a QUALIFY / DISTINCT ON / FROM-first /
-    * ASOF sit inside `WITH c AS (…)` or a derived table, not only at
-    * statement level. Groups that do not open like a query (function
-    * arguments, column lists) are descended for nested groups but
-    * otherwise untouched. */
-  private def rewriteSubqueryBodies(
-      spark: SparkSession, s: String): String = {
-    if (!s.exists(_ == '(')) return s
-    val (codeAt, depth) = codeMask(s)
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      if (codeAt(i) && s.charAt(i) == '(' && depth(i) == 0) {
-        var j = i + 1
-        while (j < s.length &&
-          !(codeAt(j) && s.charAt(j) == ')' && depth(j) == 1)) j += 1
-        if (j >= s.length) { // unbalanced — leave for Spark's parser
-          sb.append(s.substring(i)); i = s.length
-        } else {
-          val content = s.substring(i + 1, j)
-          val pivotRe = "(?is)^PIVOT\\s+(.+)$".r
-          val unpivotRe = "(?is)^UNPIVOT\\s+(.+)$".r
-          val inner = content.trim match {
-            case pivotRe(rest) =>
-              // DuckDB allows the PIVOT STATEMENT as a table expression
-              // — substitute the SQL it desugars to in place
-              rewriteQueryText(spark, pivotStatementSql(spark, rest))
-            case unpivotRe(rest) =>
-              rewriteQueryText(spark, unpivotStatementSql(rest))
-            case q if q.matches("(?is)^(SELECT|WITH|VALUES|FROM)\\b.*") =>
-              rewriteQueryText(spark, content)
-            case _ => rewriteSubqueryBodies(spark, content)
-          }
-          sb.append('(').append(inner).append(')')
-          i = j + 1
-        }
-      } else { sb.append(s.charAt(i)); i += 1 }
-    }
-    sb.toString
-  }
-
-  /** `COLUMNS('regex')` — DuckDB's regex column selector (its signature
-    * star-expression sugar). Spark has no analog, so the call desugars
-    * against the FROM relation's ANALYZED schema — the same no-job probe
-    * REPLACE uses: each select-list item containing exactly one
-    * COLUMNS('re') call expands to one item per matching column in
-    * declaration order (unanchored regex search, DuckDB's semantics),
-    * with the call text replaced by the column identifier — so a
-    * wrapped form like `max(COLUMNS('re'))` expands to one aggregate
-    * per column, as DuckDB defines it. A regex matching nothing
-    * refuses (DuckDB errors too). Statement-level, select-list items
-    * only (the lambda/EXCLUDE variants of COLUMNS are not routed). */
-  private[engine] def rewriteColumnsFn(
-      spark: SparkSession, s: String): String = {
-    if (!s.matches("(?is)^(SELECT|WITH)\\b.*")) return s
-    if (!"(?is)^.*\\bCOLUMNS\\s*\\(.*$".r.matches(s)) return s
-    val (si, fi, distinctKw, items) =
-      selectListParts(s).getOrElse(return s)
-    val colRe = "(?is)^(.*?)\\bCOLUMNS\\s*\\(\\s*'([^']*)'\\s*\\)(.*)$".r
-    if (!items.exists(colRe.matches(_))) return s
-    lazy val schema = fromPartSchema(spark, s, si, fi)
-    val newItems = items.flatMap {
-      case item @ colRe(pre, re, post) =>
-        require(!"(?is)^.*\\bCOLUMNS\\s*\\(.*$".r.matches(pre + post),
-          s"one COLUMNS(...) call per select item: $item")
-        val rx = re.r
-        val matched = schema.fields.toSeq
-          .filter(f => rx.findFirstIn(f.name).isDefined)
-        require(matched.nonEmpty,
-          s"COLUMNS('$re') matches no column of the source relation")
-        matched.map(f => pre + Sql.sqlIdentifier(f.name) + post)
-      case item => Seq(item)
-    }
-    s.substring(0, si) + "SELECT" + distinctKw + " " +
-      newItems.mkString(", ") + " " + s.substring(fi)
-  }
-
-  /** QUALIFY — the filter-on-window-results clause (DuckDB/Snowflake).
-    * Spark has no QUALIFY, so a statement carrying one at top level
-    * rewrites to the form it is sugar for: the predicate joins the
-    * select list as a boolean item (window functions are legal there,
-    * and Spark's lateral column aliases let it reference rank aliases
-    * from the same list), the whole head becomes a subquery filtered on
-    * that item, and the helper column drops via `* EXCEPT`. The ORDER
-    * BY/LIMIT tail stays outside, after the filter — QUALIFY's clause
-    * order. DISTINCT heads route too: DuckDB's clause order is window →
-    * QUALIFY → DISTINCT, so the DISTINCT moves to the OUTER projection
-    * (filter inside, dedup outside — `c_sql_qualify_distinct`); a
-    * WITH-headed DISTINCT ON shape refuses loudly (stripping only the
-    * DISTINCT keyword would corrupt it). A set-op head fails loudly at
-    * analysis (the helper column unbalances the branches) — never
-    * silently mis-filters. */
-  private[engine] def rewriteQualify(s: String): String =
-    // query statements only: a QUALIFY inside CREATE VIEW … AS SELECT
-    // would wrap the DDL in a SELECT — leave non-queries to Spark's
-    // parser (its error names the unexpected clause)
-    if (!s.matches("(?is)^(SELECT|WITH)\\b.*")) s
-    else firstTopLevelKeyword(s, Seq("QUALIFY")) match {
-      case None => s
-      case Some(qi) =>
-        val head = s.substring(0, qi).trim
-        val after = s.substring(qi + "QUALIFY".length)
-        val cut = firstTopLevelKeyword(after, Seq("ORDER", "LIMIT", "OFFSET"))
-          .getOrElse(after.length)
-        val pred = after.substring(0, cut).trim
-        val trailing = after.substring(cut).trim
-        val si = firstTopLevelKeyword(head, Seq("SELECT")).getOrElse(
-          throw new IllegalArgumentException(
-            s"QUALIFY without a SELECT head: $head"))
-        val fi = firstTopLevelKeyword(head, Seq("FROM")).getOrElse(
-          throw new IllegalArgumentException(
-            s"QUALIFY without a FROM clause: $head"))
-        require(fi > si, "malformed QUALIFY statement")
-        // a DISTINCT head: DuckDB's clause order is window → QUALIFY →
-        // DISTINCT, so the dedup moves OUTSIDE the filter — the inner
-        // query computes the list + predicate per source row, the
-        // filtered result deduplicates at the outer level
-        val afterSel = head.substring(si + "SELECT".length, fi)
-        val isDistinct = afterSel.trim.matches("(?is)^DISTINCT\\b.*")
-        require(!afterSel.trim.matches("(?is)^DISTINCT\\s+ON\\b.*"),
-          "QUALIFY over a WITH-headed DISTINCT ON is not routed —" +
-            " move the DISTINCT ON into its own CTE")
-        val innerHead =
-          if (!isDistinct) head.substring(0, fi)
-          else head.substring(0, si) + "SELECT " +
-            afterSel.trim.substring("DISTINCT".length).trim + " "
-        val innerText =
-          innerHead + s", ($pred) AS __graft_q " + head.substring(fi)
-        val outerSel = if (isDistinct) "SELECT DISTINCT" else "SELECT"
-        s"""$outerSel * EXCEPT (__graft_q) FROM (
-           |$innerText
-           |) __graft_qual WHERE __graft_q $trailing""".stripMargin
-    }
-
-  private val corTableRe =
-    ("(?is)^CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+" +
-      "([A-Za-z_][A-Za-z0-9_]*)(.*)$").r
-
-  // CREATE [OR REPLACE] TEMP[ORARY] TABLE [IF NOT EXISTS] <rest> —
-  // captured with their trailing whitespace so the re-spelled
-  // statement preserves the original spacing
-  private val tempTableRe =
-    ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?TEMP(?:ORARY)?\\s+TABLE\\s+" +
-      "(IF\\s+NOT\\s+EXISTS\\s+)?(.+)$").r
-
-  private val insertOrRe =
-    "(?is)^INSERT\\s+OR\\s+(REPLACE|IGNORE)\\s+INTO\\b.*$".r
-
-  /** Target name of any CREATE VIEW/TABLE statement — the one shared
-    * extraction behind the auto-claim release in `sql`. */
-  private val ddlCreateNameRe =
-    ("(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:GLOBAL\\s+)?" +
-      "(?:TEMP(?:ORARY)?\\s+)?(?:EXTERNAL\\s+)?(?:VIEW|TABLE)\\s+" +
-      "(?:IF\\s+NOT\\s+EXISTS\\s+)?(`[^`]+`|[\\w.]+)").r
-
-  // ALTER TABLE column surgery (r18): Spark's v1 session-catalog
-  // parquet tables support ADD COLUMNS natively but reject DROP/RENAME
-  // COLUMN outright ("does not support DROP COLUMN" — verified), so
-  // those route through the SAME copy-on-write machinery as the DML
-  // statements: one distributed rewrite of the data files with the
-  // column dropped/renamed, then the catalog's stored schema follows
-  // (`alterTableDataSchema`). A full rewrite is the honest cost of a
-  // physical schema change at any scale — DuckDB pays its storage-level
-  // equivalent. Only the explicit COLUMN-keyword spellings route;
-  // Spark's own ALTER TABLE forms (ADD COLUMNS (...), RENAME TO) pass
-  // through untouched.
-  private val alterAddColRe =
-    ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_]\\w*)\\s+ADD\\s+COLUMN\\s+" +
-      "(IF\\s+NOT\\s+EXISTS\\s+)?(`[^`]+`|[A-Za-z_]\\w*)\\s+(.+)$").r
-  private val alterDropColRe =
-    ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_]\\w*)\\s+DROP\\s+COLUMN\\s+" +
-      "(IF\\s+EXISTS\\s+)?(`[^`]+`|[A-Za-z_]\\w*)\\s*$").r
-  private val alterRenameColRe =
-    ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_]\\w*)\\s+RENAME\\s+COLUMN\\s+" +
-      "(`[^`]+`|[A-Za-z_]\\w*)\\s+TO\\s+(`[^`]+`|[A-Za-z_]\\w*)\\s*$").r
-
-  private def runAlterDropColumn(
-      spark: SparkSession, table: String, ifExists: Boolean,
-      col0: String): DataFrame = {
-    val colName = col0.stripPrefix("`").stripSuffix("`")
-    val target = spark.table(table)
-    target.schema.fields.find(_.name.equalsIgnoreCase(colName)) match {
-      case None if ifExists => spark.emptyDataFrame
-      case None => throw new IllegalArgumentException(
-        s"ALTER TABLE $table DROP COLUMN $colName: no such column")
-      case Some(f) =>
-        require(target.schema.fields.length > 1,
-          s"ALTER TABLE $table: cannot drop the only column")
-        val out = withTablePath(spark, table) { path =>
-          Dml.rewriteAllFiles(spark, path)(_.drop(f.name))
-        }
-        forceDataSchema(spark, table, org.apache.spark.sql.types
-          .StructType(target.schema.fields.filterNot(
-            _.name.equalsIgnoreCase(colName))))
-        out
-    }
-  }
-
-  /** Point the catalog's stored data schema at what the rewritten files
-    * now hold. Goes through the EXTERNAL catalog directly:
-    * `SessionCatalog.alterTableDataSchema` refuses any change that
-    * removes a field ("We don't support dropping columns yet") — the
-    * guard exists because the FILES would disagree, which is exactly
-    * what the copy-on-write rewrite has already fixed by the time this
-    * runs. */
-  private def forceDataSchema(
-      spark: SparkSession, table: String,
-      newSchema: org.apache.spark.sql.types.StructType): Unit = {
-    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
-    val meta = spark.sessionState.catalog.getTableMetadata(ident)
-    spark.sessionState.catalog.externalCatalog.alterTableDataSchema(
-      meta.database, meta.identifier.table, newSchema)
-    spark.sessionState.catalog.refreshTable(ident)
-    spark.catalog.refreshTable(table)
-  }
-
-  private def runAlterRenameColumn(
-      spark: SparkSession, table: String, old0: String,
-      new0: String): DataFrame = {
-    val oldC = old0.stripPrefix("`").stripSuffix("`")
-    val newC = new0.stripPrefix("`").stripSuffix("`")
-    val target = spark.table(table)
-    val f = target.schema.fields.find(_.name.equalsIgnoreCase(oldC))
-      .getOrElse(throw new IllegalArgumentException(
-        s"ALTER TABLE $table RENAME COLUMN $oldC: no such column"))
-    require(!target.schema.fields.exists(_.name.equalsIgnoreCase(newC)),
-      s"ALTER TABLE $table RENAME COLUMN: $newC already exists")
-    val out = withTablePath(spark, table) { path =>
-      Dml.rewriteAllFiles(spark, path)(_.withColumnRenamed(f.name, newC))
-    }
-    forceDataSchema(spark, table, org.apache.spark.sql.types.StructType(
-      target.schema.fields.map(x =>
-        if (x.name.equalsIgnoreCase(oldC)) x.copy(name = newC) else x)))
-    out
-  }
-
-  // transaction brackets and index DDL — migrating-script surface
-  private val txnNoopRe =
-    "(?is)^(?:BEGIN(?:\\s+TRANSACTION)?|COMMIT|END(?:\\s+TRANSACTION)?)\\s*$".r
-  private val rollbackRe = "(?is)^(?:ROLLBACK|ABORT)\\b.*$".r
-  private val createIndexRe =
-    ("(?is)^CREATE\\s+(UNIQUE\\s+)?INDEX\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
-      "([A-Za-z_]\\w*)\\s+ON\\b.*$").r
-  private val dropIndexRe =
-    "(?is)^DROP\\s+INDEX\\s+(?:IF\\s+EXISTS\\s+)?[A-Za-z_]\\w*\\s*$".r
-
-  // --- CREATE MACRO: DuckDB's SQL abstraction tool ------------------------
-  //
-  // `CREATE [OR REPLACE] MACRO f(a, b) AS <expr>` is how a DuckDB user
-  // names a reusable expression in exactly the saved-script workflow the
-  // reference serves (delegated surface, /root/reference/src/duckdb.ts:
-  // 46-49). DuckDB macros are UNTYPED templates — parameter types bind at
-  // the call site — so the faithful Spark analog is not the typed
-  // TEMPORARY FUNCTION DDL (which demands parameter types the statement
-  // doesn't carry) but plan-time expansion: the body parses ONCE at
-  // CREATE (loud errors at definition, like DuckDB's binder), and a
-  // session-registered function builder substitutes each call's argument
-  // EXPRESSIONS for the named parameters. The expanded tree inlines into
-  // codegen like hand-written SQL — zero invocation cost at any scale,
-  // the same property the `c_sql_macro` TEMPORARY FUNCTION twin has.
-  // Scalar macros route; `AS TABLE …` refuses naming CREATE VIEW.
-  private val macroStmtRe =
-    ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?" +
-      "MACRO\\s+(.+)$").r
-  private val dropMacroRe =
-    "(?is)^DROP\\s+MACRO\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_]\\w*)\\s*$".r
-
-  private def runCreateMacro(
-      spark: SparkSession, orReplace: Boolean, rest: String): Unit = {
-    import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-    val headRe = "(?s)^([A-Za-z_]\\w*)\\s*\\((.*)$".r
-    val (name, afterParen) = rest.trim match {
-      case headRe(n, t) => (n, t)
-      case other => throw new IllegalArgumentException(
-        s"CREATE MACRO needs <name>(<params>) AS <expr> — got: $other")
-    }
-    // balanced close of the parameter list (quote-aware)
-    val (codeAt, depth) = codeMask(afterParen)
-    // the OPENING paren was consumed by headRe, so the list's close is
-    // the first top-level `)` of the remaining text
-    val close = (0 until afterParen.length).find(i =>
-      codeAt(i) && afterParen.charAt(i) == ')' && depth(i) == 0)
-      .getOrElse(throw new IllegalArgumentException(
-        s"CREATE MACRO $name: unbalanced parameter list"))
-    val params = splitTopLevel(afterParen.substring(0, close), ',')
-      .map(_.trim).filter(_.nonEmpty)
-    params.foreach { p =>
-      require(p.matches("[A-Za-z_]\\w*"),
-        if (p.contains(":="))
-          s"CREATE MACRO $name: parameter defaults ($p) are not routed —" +
-            " pass the argument explicitly at each call"
-        else s"CREATE MACRO $name: parameters must be bare names — got: $p")
-    }
-    require(params.map(_.toLowerCase).distinct.length == params.length,
-      s"CREATE MACRO $name: duplicate parameter names")
-    val asBodyRe = "(?is)^\\s*AS\\s+(.+)$".r
-    val body = afterParen.substring(close + 1) match {
-      case asBodyRe(b) => b.trim
-      case other => throw new IllegalArgumentException(
-        s"CREATE MACRO $name: expected AS <expr> after the parameter" +
-          s" list — got: ${other.trim}")
-    }
-    if (body.matches("(?is)^TABLE\\b.*"))
-      throw new IllegalArgumentException(
-        s"CREATE MACRO $name AS TABLE is not routed — a parameterless" +
-          " table macro is CREATE [TEMP] VIEW; a parameterized one has" +
-          " no engine analog (inline the query or use a CTE)")
-    val registry = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier(name)
-    if (!orReplace && registry.functionExists(ident))
-      throw new IllegalArgumentException(
-        s"CREATE MACRO $name: a function with this name already exists —" +
-          " use CREATE OR REPLACE MACRO")
-    // parse once at definition time, with the scalar-expression dialect
-    // shims applied to the body text (struct_pack, collection literals,
-    // SIMILAR TO — the same surface a select-list expression gets)
-    val parsed = spark.sessionState.sqlParser.parseExpression(
-      rewriteStructPack(rewriteDuckdbLiterals(
-        rewriteDateDiff(rewriteSimilarTo(body)))))
-    val lowerParams = params.map(_.toLowerCase)
-    val builder = (args: Seq[Expression]) => {
-      require(args.length == params.length,
-        s"macro $name expects ${params.length} arguments," +
-          s" got ${args.length}")
-      val bind = lowerParams.zip(args).toMap
-      parsed.transformUp {
-        case a: UnresolvedAttribute if a.nameParts.length == 1 &&
-            bind.contains(a.nameParts.head.toLowerCase) =>
-          bind(a.nameParts.head.toLowerCase)
-      }
-    }
-    registry.registerFunction(ident,
-      new ExpressionInfo(getClass.getCanonicalName, name), builder)
-  }
-
-  private def runDropMacro(
-      spark: SparkSession, ifExists: Boolean, name: String): Unit = {
-    import org.apache.spark.sql.catalyst.FunctionIdentifier
-    val registry = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier(name)
-    if (registry.functionExists(ident)) registry.dropFunction(ident)
-    else if (!ifExists) throw new IllegalArgumentException(
-      s"DROP MACRO $name: no such function — DROP MACRO IF EXISTS to" +
-        " ignore")
-    ()
-  }
-
-  // --- PREPARE / EXECUTE / DEALLOCATE -------------------------------------
-  //
-  // DuckDB-WASM supports prepared statements; an editor user's
-  // parameterized snippets (`PREPARE q AS SELECT … WHERE x > $1;
-  // EXECUTE q(5)`) route as driver-side template binding: the statement
-  // TEXT is stored per session, EXECUTE substitutes `$n`/`?` parameters
-  // (quote/comment-aware via the shared codeMask) with the call's
-  // argument expressions, and the bound text runs through the normal
-  // router — so prepared statements compose with every dialect shim.
-  // An honest analog of DuckDB's plan-once-bind-later only in API shape:
-  // this engine re-plans per EXECUTE (Catalyst planning is not the
-  // bottleneck at any data scale this engine targets).
-  private val prepareRe =
-    "(?is)^PREPARE\\s+([A-Za-z_]\\w*)\\s+AS\\s+(.+)$".r
-  private val executeRe =
-    "(?is)^EXECUTE\\s+([A-Za-z_]\\w*)\\s*(?:\\((.*)\\))?\\s*$".r
-  private val deallocRe =
-    "(?is)^DEALLOCATE\\s+(?:PREPARE\\s+)?([A-Za-z_]\\w*)\\s*$".r
-  private val attachRe = "(?is)^(ATTACH|DETACH)\\b.*$".r
-
-  /** Per-session prepared-statement store (name → raw statement text).
-    * Weak keys: a closed session's entries vanish with the session. */
-  private val preparedStatements =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, String]]()
-  private def prepared(
-      spark: SparkSession): scala.collection.mutable.Map[String, String] =
-    preparedStatements.synchronized {
-      preparedStatements.computeIfAbsent(spark,
-        _ => scala.collection.mutable.Map.empty)
-    }
-
-  /** Substitute `$n` (1-based), `?` (positional), or `$name` (named —
-    * bound by EXECUTE's `name := expr` arguments) parameters in a
-    * prepared statement's text with the argument expressions, outside
-    * strings/comments/quoted identifiers. Each substitution is
-    * parenthesized so an argument expression never re-associates with
-    * surrounding operators. Mixed styles, out-of-range indexes,
-    * unbound names, and unused arguments refuse — a silently-ignored
-    * parameter is a wrong query. */
-  private[engine] def bindPrepared(
-      text: String, args: Seq[String],
-      named: Map[String, String] = Map.empty): String = {
-    val (codeAt, _) = codeMask(text)
-    val sb = new StringBuilder
-    var i = 0
-    var qIdx = 0
-    var used = Set.empty[Int]
-    var usedNames = Set.empty[String]
-    var sawDollar = false
-    var sawQ = false
-    var sawNamed = false
-    while (i < text.length) {
-      val ch = text.charAt(i)
-      if (codeAt(i) && ch == '$' && i + 1 < text.length &&
-          text.charAt(i + 1).isDigit) {
-        var j = i + 1
-        while (j < text.length && text.charAt(j).isDigit) j += 1
-        val n = text.substring(i + 1, j).toInt
-        require(n >= 1 && n <= args.length,
-          s"prepared statement references $$$n but EXECUTE passed" +
-            s" ${args.length} argument(s)")
-        sawDollar = true
-        used += n
-        sb.append('(').append(args(n - 1)).append(')')
-        i = j
-      } else if (codeAt(i) && ch == '$' && i + 1 < text.length &&
-          (text.charAt(i + 1).isLetter || text.charAt(i + 1) == '_')) {
-        var j = i + 1
-        while (j < text.length && (text.charAt(j).isLetterOrDigit ||
-          text.charAt(j) == '_')) j += 1
-        val pname = text.substring(i + 1, j).toLowerCase
-        require(named.contains(pname),
-          s"prepared statement references $$$pname but EXECUTE bound" +
-            s" [${named.keys.toSeq.sorted.mkString(", ")}] — bind it" +
-            s" with EXECUTE q($pname := ...)")
-        sawNamed = true
-        usedNames += pname
-        sb.append('(').append(named(pname)).append(')')
-        i = j
-      } else if (codeAt(i) && ch == '?') {
-        require(qIdx < args.length,
-          s"prepared statement has more ? parameters than the" +
-            s" ${args.length} argument(s) EXECUTE passed")
-        sawQ = true
-        used += qIdx + 1
-        sb.append('(').append(args(qIdx)).append(')')
-        qIdx += 1
-        i += 1
-      } else { sb.append(ch); i += 1 }
-    }
-    require(Seq(sawDollar, sawQ, sawNamed).count(identity) <= 1,
-      "prepared statement mixes $n / ? / $name parameter styles")
-    require(used.size == args.length,
-      s"EXECUTE passed ${args.length} argument(s) but the statement" +
-        s" uses ${used.size} parameter(s)")
-    require(usedNames == named.keySet,
-      s"EXECUTE bound [${named.keySet.toSeq.sorted.mkString(", ")}]" +
-        s" but the statement uses" +
-        s" [${usedNames.toSeq.sorted.mkString(", ")}]")
-    sb.toString
-  }
-
-  // PIVOT <table> ON <col> USING <agg>(<operand>) [GROUP BY <cols>]
-  // [ORDER BY …] [LIMIT …] — DuckDB's dynamic-pivot STATEMENT (delegated
-  // surface; `c_pivot_dynamic` witnesses the DataFrame-side mechanism).
-  // The route discovers the pivot-key domain with one DISTINCT pass —
-  // the honest, documented cost of DYNAMIC pivot (output SCHEMA depends
-  // on data; same bounded collect as `pivotDynamic`) — then emits
-  // Spark's native PIVOT clause over the discovered IN list. Null keys
-  // drop (DuckDB would emit a "NULL" column); key columns come out
-  // value-sorted, as DuckDB orders them. One USING aggregate is
-  // supported; without a GROUP BY, DuckDB's primary documented form
-  // groups by every column NOT referenced in ON/USING — derived here
-  // from the FROM relation's ANALYZED schema (pure analysis, no job —
-  // the same probe rewriteStarReplace uses), matching by identifier
-  // mention so an expression over a column excludes it from the
-  // implicit keys exactly as DuckDB does.
-  private val pivotStmtRe = "(?is)^PIVOT\\s+(.+)$".r
-
-  private def runPivotStatement(
-      spark: SparkSession, rest: String): DataFrame =
-    sql(spark, pivotStatementSql(spark, rest))
-
-  /** The routed PIVOT statement as the Spark SQL text it desugars to —
-    * separated from execution so a parenthesized `(PIVOT …)` SUBQUERY
-    * (DuckDB allows the statement as a table expression) can substitute
-    * the text in place via `rewriteSubqueryBodies`. Key-domain
-    * discovery runs HERE (one DISTINCT pass at rewrite time — dynamic
-    * pivot's documented cost; the output schema depends on data either
-    * way). */
-  private def pivotStatementSql(
-      spark: SparkSession, rest: String): String = {
-    def cutAt(s: String, kw: String): (String, String) =
-      firstTopLevelKeyword(s, Seq(kw)) match {
-        case Some(i) =>
-          (s.substring(0, i).trim, s.substring(i + kw.length).trim)
-        case None => throw new IllegalArgumentException(
-          s"routed PIVOT needs an $kw clause: PIVOT <table> ON <col>" +
-            " USING <agg>(<expr>) [GROUP BY <cols>]")
-      }
-    val (table, afterOn) = cutAt(rest, "ON")
-    val (onExpr, afterUsing) = cutAt(afterOn, "USING")
-    val src =
-      if (table.startsWith("(")) s"$table __graft_piv_src" else table
-    // the aggregate text runs to GROUP BY if present, else to the
-    // ORDER/LIMIT tail, else to the end
-    val aggCut = firstTopLevelKeyword(afterUsing,
-      Seq("GROUP", "ORDER", "LIMIT", "OFFSET")).getOrElse(afterUsing.length)
-    val aggText = afterUsing.substring(0, aggCut).trim
-    val afterAgg = afterUsing.substring(aggCut)
-    val (groupCols, trailing) =
-      firstTopLevelKeyword(afterAgg, Seq("GROUP")) match {
-        case Some(0) =>
-          val byStripped = afterAgg.replaceFirst("(?is)^GROUP\\s+BY\\s+", "")
-          val cut = firstTopLevelKeyword(byStripped,
-            Seq("ORDER", "LIMIT", "OFFSET")).getOrElse(byStripped.length)
-          (byStripped.substring(0, cut).trim,
-            byStripped.substring(cut).trim)
-        case _ =>
-          // implicit GROUP BY: every source column not mentioned in the
-          // ON or USING text (identifier match, case-insensitive). An
-          // identifier immediately followed by '(' is a FUNCTION name,
-          // not a column mention — a column legally named `count` must
-          // stay an implicit key under USING COUNT(v), as DuckDB keeps
-          // it
-          // an `AS alias` names an OUTPUT column, not a source-column
-          // reference — strip alias clauses before the scan so an
-          // incidental alias word (`USING COUNT(*) AS total` over a
-          // table with a `total` column) never drops a column from the
-          // implicit keys; likewise common expression KEYWORDS are not
-          // column mentions (an unquoted keyword could not reference a
-          // column anyway)
-          val scanText = s"$onExpr $aggText"
-            .replaceAll("(?is)\\bAS\\s+[A-Za-z_]\\w*", " ")
-          val kw = Set("as", "and", "or", "not", "case", "when", "then",
-            "else", "end", "null", "true", "false", "is", "in", "like",
-            "between", "distinct", "interval")
-          val mentioned = "([A-Za-z_][A-Za-z0-9_]*)\\s*(\\()?".r
-            .findAllMatchIn(scanText)
-            .filter(_.group(2) == null)
-            .map(_.group(1).toLowerCase).toSet -- kw
-          val schema = sql(spark, s"SELECT * FROM $src").schema
-          val implicitCols = schema.fields.toSeq
-            .filterNot(f => mentioned.contains(f.name.toLowerCase))
-            .map(f => Sql.sqlIdentifier(f.name))
-          require(implicitCols.nonEmpty,
-            "routed PIVOT without GROUP BY: every source column is" +
-              " referenced in ON/USING, leaving no implicit group keys")
-          (implicitCols.mkString(", "), afterAgg.trim)
-      }
-    require(splitTopLevel(aggText, ',').size == 1,
-      s"routed PIVOT supports a single USING aggregate — got: $aggText")
-    val aggRe = "(?s)^(\\w+)\\s*\\((.*)\\)$".r
-    val (fn, operand) = aggText.trim match {
-      case aggRe(f, arg) => (f, arg.trim)
-      case other => throw new IllegalArgumentException(
-        s"routed PIVOT USING must be <agg>(<expr>): $other")
-    }
-    require(!operand.matches("(?is)^DISTINCT\\b.*"),
-      "routed PIVOT does not support DISTINCT aggregates")
-    // COUNT(*) has no operand expression; count a constant instead
-    val valExpr = if (operand == "*") "1" else operand
-    // domain discovery: one DISTINCT pass, bounded by the pivot-key
-    // cardinality (the documented dynamic-pivot collect)
-    val rawKeys = sql(spark,
-      s"SELECT DISTINCT ($onExpr) AS __graft_pk FROM $src")
-      .collect().map(_.get(0)).filter(_ != null).toSeq
-    // DuckDB orders the generated columns by key VALUE — numerically for
-    // numeric keys (1, 2, …, 10), not by their string form (1, 10, 2).
-    // Exact decimal comparison (not doubleValue, which ties distinct
-    // BIGINTs past 2^53); a non-decimal numeric rendering (NaN/Infinity)
-    // falls back to string order.
-    val sortedKeys =
-      if (rawKeys.forall(_.isInstanceOf[java.lang.Number]))
-        try rawKeys.sortBy(v => BigDecimal(v.toString))
-        catch { case _: NumberFormatException => rawKeys.sortBy(_.toString) }
-      else rawKeys.sortBy(_.toString)
-    val keys = sortedKeys.map {
-      case s: String => (s, Sql.sqlStringLiteral(s))
-      case n: java.lang.Number => (n.toString, n.toString)
-      case other => (other.toString, Sql.sqlStringLiteral(other.toString))
-    }
-    require(keys.nonEmpty, "PIVOT key domain is empty (all-null keys?)")
-    val inList = keys.map { case (name, lit) =>
-      s"$lit AS ${Sql.sqlIdentifier(name)}"
-    }.mkString(", ")
-    val pivoted =
-      s"""(SELECT $groupCols, ($onExpr) AS __graft_pk,
-         |    ($valExpr) AS __graft_val
-         |  FROM $src
-         |) PIVOT ($fn(__graft_val) FOR __graft_pk IN ($inList))"""
-        .stripMargin
-    // COUNT parity: DuckDB backfills a missing (group, key) combination
-    // with 0 — a count over no rows — while Spark's pivot leaves the
-    // absent cell NULL. Coalesce the key columns for COUNT aggregates;
-    // the outer projection re-references the group columns by name, so
-    // this repair needs them to BE names (expressions would re-compute).
-    val outer =
-      if (fn.equalsIgnoreCase("COUNT")) {
-        val gcols = splitTopLevel(groupCols, ',').map(_.trim)
-        require(gcols.forall(
-          _.matches("[A-Za-z_][A-Za-z0-9_]*|`[^`]+`")),
-          "routed PIVOT with COUNT needs plain-column GROUP BY names" +
-            s" (the 0-backfill re-references them): $groupCols")
-        val keyCols = keys.map { case (name, _) =>
-          val id = Sql.sqlIdentifier(name)
-          s"coalesce($id, CAST(0 AS BIGINT)) AS $id"
-        }
-        s"SELECT ${(gcols ++ keyCols).mkString(", ")} FROM $pivoted"
-      } else s"SELECT * FROM $pivoted"
-    s"$outer\n$trailing"
-  }
-
-  // UNPIVOT <table|(subq)> ON <cols> INTO NAME <n> VALUE <v> — DuckDB's
-  // wide-to-long STATEMENT. Spark has the same operator as a
-  // table-expression clause, so the route is a pure text re-spelling:
-  // `SELECT * FROM <src> UNPIVOT (<v> FOR <n> IN (<cols>))`. Both
-  // engines exclude NULL cells by default, so semantics align without
-  // adaptation. Statement-level and (like PIVOT) as a parenthesized
-  // subquery via `rewriteSubqueryBodies`.
-  private val unpivotStmtRe = "(?is)^UNPIVOT\\s+(.+)$".r
-
-  private def unpivotStatementSql(rest: String): String = {
-    val oi = firstTopLevelKeyword(rest, Seq("ON")).getOrElse(
-      throw new IllegalArgumentException(
-        "routed UNPIVOT needs ON: UNPIVOT <table> ON <cols>" +
-          " INTO NAME <col> VALUE <col>"))
-    val table = rest.substring(0, oi).trim
-    val afterOn = rest.substring(oi + "ON".length)
-    val ii = firstTopLevelKeyword(afterOn, Seq("INTO")).getOrElse(
-      throw new IllegalArgumentException(
-        "routed UNPIVOT needs INTO NAME <col> VALUE <col>"))
-    val onCols = afterOn.substring(0, ii).trim
-    val nv = "(?is)^NAME\\s+(`[^`]+`|\\w+)\\s+VALUE\\s+(`[^`]+`|\\w+)(.*)$".r
-    afterOn.substring(ii + "INTO".length).trim match {
-      case nv(n, v, trailing) =>
-        // only clause keywords may follow — anything else (DuckDB's
-        // multi-value `VALUE v1, v2` form included) must refuse, not
-        // splice into the generated SQL as a phantom relation
-        require(trailing.trim.isEmpty ||
-          trailing.trim.matches("(?is)^(ORDER|LIMIT|OFFSET)\\b.*"),
-          "routed UNPIVOT supports a single NAME/VALUE pair and an" +
-            s" ORDER BY/LIMIT tail — unexpected: $trailing")
-        val src =
-          if (table.startsWith("(")) s"$table __graft_unp_src" else table
-        s"SELECT * FROM $src UNPIVOT ($v FOR $n IN ($onCols))$trailing"
-      case other => throw new IllegalArgumentException(
-        s"routed UNPIVOT INTO must be NAME <col> VALUE <col>: $other")
-    }
-  }
-
-  // SELECT DISTINCT ON (keys) list FROM … — the DuckDB/Postgres
-  // pick-one-row-per-key idiom (delegated surface; `c_distinct_on`
-  // already witnesses the DataFrame-side translation, this routes the
-  // STATEMENT). Spark has no DISTINCT ON, so the statement rewrites to
-  // the rewrite it is sugar for: a row_number window partitioned by the
-  // keys, ordered by the statement's ORDER BY (which in DISTINCT ON
-  // decides WHICH row survives per key), filtered to rn = 1 — with the
-  // ORDER BY/LIMIT tail re-applied outside for the final ordering.
-  // Without an ORDER BY the surviving row is undefined in DuckDB too;
-  // the rewrite falls back to ordering by the keys (every partition row
-  // ties — an arbitrary-but-explicit pick, matching the undefinedness).
-  // GROUP BY / HAVING / set-op tails are out of the supported shape and
-  // refuse loudly.
-  private val donRe = "(?is)^SELECT\\s+DISTINCT\\s+ON\\s*\\((.*)$".r
-
-  private[engine] def distinctOnToWindow(afterParen: String): String = {
-    // keys: scan to the balancing close paren (quote-aware)
-    var depth = 1
-    var inStr = false
-    var i = 0
-    while (i < afterParen.length && depth > 0) {
-      val ch = afterParen.charAt(i)
-      if (inStr) { if (ch == '\'') inStr = false }
-      else ch match {
-        case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ => ()
-      }
-      i += 1
-    }
-    require(depth == 0, "unbalanced parens in DISTINCT ON key list")
-    val keys = afterParen.substring(0, i - 1).trim
-    val rest = afterParen.substring(i)
-    val fromIdx = firstTopLevelKeyword(rest, Seq("FROM")).getOrElse(
-      throw new IllegalArgumentException(
-        "DISTINCT ON statement needs a FROM clause"))
-    val list = rest.substring(0, fromIdx).trim
-    val tail = rest.substring(fromIdx + "FROM".length).trim
-    firstTopLevelKeyword(tail,
-      Seq("GROUP", "HAVING", "QUALIFY", "WINDOW", "UNION", "INTERSECT",
-        "EXCEPT")).foreach { _ =>
-      throw new IllegalArgumentException(
-        "routed DISTINCT ON supports SELECT … FROM … [WHERE …]" +
-          " [ORDER BY …] [LIMIT …] — aggregates/set-ops are not routed")
-    }
-    // inner relation text vs the ORDER BY/LIMIT tail
-    val cut = firstTopLevelKeyword(tail, Seq("ORDER", "LIMIT", "OFFSET"))
-      .getOrElse(tail.length)
-    val inner = tail.substring(0, cut).trim
-    val trailing = tail.substring(cut).trim
-    // the window order decides which row survives per key: the
-    // statement's ORDER BY items if present, else the keys
-    val ord = firstTopLevelKeyword(trailing, Seq("ORDER")) match {
-      case Some(0) =>
-        val afterBy = trailing.replaceFirst("(?is)^ORDER\\s+BY\\s+", "")
-        val lim = firstTopLevelKeyword(afterBy, Seq("LIMIT", "OFFSET"))
-          .getOrElse(afterBy.length)
-        afterBy.substring(0, lim).trim
-      case _ => keys
-    }
-    // scrub the helper column from EVERY star item, not only a bare-`*`
-    // list: `*, expr`, qualified `alias.*`, and star items carrying
-    // EXCLUDE/EXCEPT/REPLACE modifiers all expand the inner SELECT *
-    // and would otherwise leak __graft_rn into the output schema
-    val outList = weaveStarHelper(
-      splitTopLevel(list, ','), "__graft_rn", _ => true).mkString(", ")
-    s"""SELECT $outList FROM (
-       |  SELECT *, row_number() OVER (
-       |    PARTITION BY $keys ORDER BY $ord) AS __graft_rn
-       |  FROM $inner) __graft_don
-       |WHERE __graft_rn = 1 $trailing""".stripMargin
-  }
-
-  // DuckDB FROM-first statement syntax (delegated surface,
-  // /root/reference/src/duckdb.ts:46-49): `FROM t` and
-  // `FROM t WHERE … LIMIT …` read as implicit SELECT *, and
-  // `FROM t SELECT cols …` carries an explicit select list (trailing
-  // clauses — WHERE/GROUP BY/ORDER BY/… — follow the list, as DuckDB
-  // accepts). Spark rejects a leading FROM, so the statement rewrites to
-  // SELECT-first form and re-enters `sql` (the rewritten text starts
-  // with SELECT, so it lands in the default branch: path-table rewrite
-  // and the rest of the routing still apply). Statement-level only, like
-  // every routed shim — a FROM-first SUBQUERY inside a larger statement
-  // is not rewritten.
-  private val fromFirstRe = "(?is)^FROM\\s+(.+)$".r
-
-  /** Keywords that can follow a FROM-first select list; the rewrite
-    * re-inserts FROM before the first of them. */
-  private val clauseKeywords = Seq("WHERE", "GROUP", "HAVING", "QUALIFY",
-    "WINDOW", "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT")
-
-  private[engine] def fromFirstToSelect(rest: String): String =
-    firstTopLevelKeyword(rest, Seq("SELECT")) match {
-      case None => s"SELECT * FROM ${rest.trim}"
-      case Some(i) =>
-        val src = rest.substring(0, i).trim
-        val sel = rest.substring(i + "SELECT".length).trim
-        firstTopLevelKeyword(sel, clauseKeywords) match {
-          case None => s"SELECT $sel FROM $src"
-          case Some(j) =>
-            s"SELECT ${sel.substring(0, j).trim} FROM $src" +
-              s" ${sel.substring(j)}"
-        }
-    }
-
-  /** Per-character top-level map of a statement: `code(i)` is true when
-    * char i sits outside string literals, double-quoted/backtick
-    * identifiers, and both comment styles; `depth(i)` is the paren depth
-    * BEFORE char i. This is the ONE state machine behind every keyword
-    * scanner and splitter in the router — the same quote/comment rules
-    * the A12 lexer (`Sql.segments`) applies — so a QUALIFY/ASOF/WHERE
-    * sitting inside a `--` comment, a block comment, or a quoted
-    * identifier never triggers a route. */
-  private def codeMask(s: String): (Array[Boolean], Array[Int]) = {
-    val n = s.length
-    val code = new Array[Boolean](n)
-    val depth = new Array[Int](n)
-    var inS, inD, inB, inLine, inBlock = false
-    var skip = 0 // chars already consumed by a two-char token
-    var d = 0
-    var i = 0
-    while (i < n) {
-      depth(i) = d
-      val ch = s.charAt(i)
-      val nx = if (i + 1 < n) s.charAt(i + 1) else ' '
-      if (skip > 0) skip -= 1
-      else if (inLine) { if (ch == '\n') inLine = false }
-      else if (inBlock) {
-        if (ch == '*' && nx == '/') { inBlock = false; skip = 1 }
-      } else if (inS) {
-        if (ch == '\'' && nx == '\'') skip = 1
-        else if (ch == '\'') inS = false
-      } else if (inD) {
-        if (ch == '"' && nx == '"') skip = 1
-        else if (ch == '"') inD = false
-      } else if (inB) {
-        if (ch == '`' && nx == '`') skip = 1
-        else if (ch == '`') inB = false
-      } else if (ch == '-' && nx == '-') inLine = true
-      else if (ch == '/' && nx == '*') { inBlock = true; skip = 1 }
-      else if (ch == '\'') inS = true
-      else if (ch == '"') inD = true
-      else if (ch == '`') inB = true
-      else {
-        code(i) = true
-        if (ch == '(') d += 1
-        else if (ch == ')') d = math.max(0, d - 1)
-      }
-      i += 1
-    }
-    (code, depth)
-  }
-
-  /** Index of the first top-level (outside string literals, quoted
-    * identifiers, comments, and parens) whitespace-delimited occurrence
-    * of any of `kws`, if one exists. `parenBoundary` additionally
-    * accepts `(` as the trailing boundary — for keywords a user types
-    * flush against a paren, like `ON CONFLICT(k)`. */
-  private def firstTopLevelKeyword(
-      s: String, kws: Seq[String],
-      parenBoundary: Boolean = false): Option[Int] = {
-    val (code, depth) = codeMask(s)
-    var i = 0
-    while (i < s.length) {
-      if (code(i) && depth(i) == 0) {
-        val hit = kws.exists(kw =>
-          i + kw.length <= s.length &&
-            s.regionMatches(true, i, kw, 0, kw.length) &&
-            (i == 0 || s.charAt(i - 1).isWhitespace) &&
-            (i + kw.length == s.length ||
-              s.charAt(i + kw.length).isWhitespace ||
-              (parenBoundary && s.charAt(i + kw.length) == '(')))
-        if (hit) return Some(i)
-      }
-      i += 1
-    }
-    None
-  }
-
-  // --- user-typed DML: routed to the copy-on-write rewriter ---------------
-  //
-  // The reference's delegation point executes any DuckDB SQL, so a user
-  // can type `UPDATE`/`DELETE`/`MERGE` against a table they created (CTAS
-  // is already supported through this path). Spark's session-catalog
-  // parquet tables reject DML outright ("does not support
-  // DELETE/MERGE/UPDATE" — row-level ops need a DSv2 table format), so
-  // the engine closes the gap itself: the statement's WHERE/SET text
-  // parses through `expr` (full Catalyst expression syntax) and executes
-  // as the copy-on-write file rewrite in `engine/Dml.scala`, then the
-  // table's file listing is refreshed. When the WHERE's top-level
-  // conjunction bounds a long/timestamp column by literals, the rewrite
-  // takes the footer-stats-PRUNED path (`pruneRange` below) — a narrow
-  // typed DELETE on a range-clustered layout touches a handful of files;
-  // any predicate shape the extractor doesn't recognize falls back to the
-  // full rewrite, never to wrong pruning. Targets must be catalog TABLES:
-  // temp views over registered (read-only) files refuse with a clear
-  // message instead of mutating inputs.
-  private val deleteRe =
-    "(?is)^DELETE\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s+WHERE\\s+(.+))?$".r
-
-  // DELETE FROM t USING s WHERE <cond> — the DuckDB/Postgres join
-  // delete: remove target rows for which SOME source row satisfies the
-  // condition. The copy-on-write transform is a LEFT ANTI join against
-  // the broadcast source under the raw condition — anti-join keeps
-  // exactly the rows with NO qualifying match, which IS the statement's
-  // semantics (EXISTS-delete), with NULL conditions keeping the row
-  // like any SQL predicate. The source is an upsert-batch-sized
-  // relation by the same contract as MERGE, so the rewrite stays one
-  // map-shaped job with no target shuffle. Condition references qualify
-  // by the TABLE NAMES (aliases are not routed).
-  private val deleteUsingRe =
-    ("(?is)^DELETE\\s+FROM\\s+([A-Za-z_]\\w*)\\s+USING\\s+" +
-      "([A-Za-z_]\\w*)\\s+WHERE\\s+(.+)$").r
-
-  private def runDeleteUsing(
-      spark: SparkSession, table: String, src: String,
-      cond: String): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, expr}
-    val source = spark.table(src)
-    // the equi-key shape takes the key-span-PRUNED delete (a file whose
-    // head-key footer range misses the source's key span is never
-    // opened — the sibling MERGE/UPDATE FROM scale shape); any richer
-    // condition falls back to the full anti-join rewrite
-    val equiKeys =
-      try Some(parseEquiKeys(cond, Set(table.toLowerCase),
-        Set(src.toLowerCase), "DELETE USING"))
-      catch { case _: IllegalArgumentException => None }
-    withTablePath(spark, table) { path =>
-      equiKeys match {
-        case Some(keys) => Dml.deleteUsingKeys(spark, path, source, keys)
-        case None =>
-          Dml.rewriteAllFiles(spark, path)(df =>
-            df.alias(table)
-              .join(broadcast(source.alias(src)), expr(cond), "left_anti"))
-      }
-    }
-  }
-  private val updateRe =
-    "(?is)^UPDATE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+SET\\s+(.+)$".r
-
-  /** Split `SET-list [WHERE predicate]` at the first WHERE keyword that
-    * sits outside string literals and parens (subqueries) — expressed
-    * through the shared top-level keyword scanner so the boundary and
-    * quote rules live in ONE place. */
-  private def splitOnWhere(s: String): (String, Option[String]) =
-    firstTopLevelKeyword(s, Seq("WHERE")) match {
-      case Some(i) =>
-        (s.substring(0, i).trim, Some(s.substring(i + "WHERE".length).trim))
-      case None => (s.trim, None)
-    }
-
-  // MERGE INTO target [[AS] t] USING source [[AS] s] ON <equi-keys>
-  //   WHEN MATCHED THEN UPDATE SET <assignments>
-  //   WHEN NOT MATCHED THEN INSERT <* | (cols) VALUES (vals)>
-  // — the canonical upsert statement the reference's delegation point
-  // accepts (/root/reference/src/duckdb.ts:46-49), routed to the engine's
-  // copy-on-write merge (`Dml.mergeIntoAll`). The alias captures use a
-  // lookahead so a missing alias never swallows the next keyword.
-  private val mergeRe =
-    ("(?is)^MERGE\\s+INTO\\s+([A-Za-z_]\\w*)" +
-      "(?:\\s+(?:AS\\s+)?(?!USING\\b)([A-Za-z_]\\w*))?" +
-      "\\s+USING\\s+([A-Za-z_]\\w*)" +
-      "(?:\\s+(?:AS\\s+)?(?!ON\\b)([A-Za-z_]\\w*))?" +
-      "\\s+ON\\s+(.+?)" +
-      "\\s+WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+(.+?)" +
-      "\\s+WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+(.+)$").r
-
-  /** Parse the routed MERGE's clauses down to `Dml.mergeIntoAll`'s
-    * (srcKeys, setCols) contract and execute it. The supported shape is
-    * the same-named upsert MERGE translates to: ON conjoins
-    * `t.k = s.k` equi-keys, each SET assignment copies the same-named
-    * source column, and INSERT is the full source row (`*`, or an
-    * explicit column list covering the source columns with identity
-    * values). Anything richer refuses with a clear message — never a
-    * silently-different merge. */
-  /** Parse `q.c` / `c` / backticked forms — (qualifier?, column). */
-  private def parseQualRef(raw: String): (Option[String], String) = {
-    val r = raw.trim.stripPrefix("`").stripSuffix("`")
-    r.split('.') match {
-      case Array(q, c) => (Some(q.toLowerCase), c)
-      case Array(c) => (None, c)
-      case _ =>
-        throw new IllegalArgumentException(s"unsupported column ref: $raw")
-    }
-  }
-
-  /** Same-named equi-key columns from a top-level AND of
-    * `t.k = s.k` conjuncts — the join shape both MERGE and
-    * UPDATE … FROM route (richer conditions refuse loudly). */
-  private def parseEquiKeys(cond: String, tQuals: Set[String],
-      sQuals: Set[String], what: String): Seq[String] =
-    splitOnKeyword(cond, "AND").map { conj =>
-      val eq = splitTopLevel(conj, '=')
-      require(eq.size == 2, s"$what supports equi-key conjuncts: $conj")
-      val (q1, c1) = parseQualRef(eq(0)); val (q2, c2) = parseQualRef(eq(1))
-      require(c1.equalsIgnoreCase(c2),
-        s"$what keys must pair the same-named column: $conj")
-      val quals = (Set(q1) ++ Set(q2)).flatten
-      require(quals.exists(tQuals) && quals.exists(sQuals),
-        s"$what conjunct must join target to source: $conj")
-      c1
-    }
-
-  /** Same-named source-column assignments from a SET list — the
-    * `col = source.col` shape MERGE and UPDATE … FROM route. */
-  private def parseSameNameSets(sets: String, tQuals: Set[String],
-      sQuals: Set[String], what: String): Seq[String] =
-    splitTopLevel(sets, ',').map { a =>
-      val eq = splitTopLevel(a, '=')
-      require(eq.size == 2, s"malformed $what SET assignment: $a")
-      val (lq, lc) = parseQualRef(eq(0)); val (rq, rc) = parseQualRef(eq(1))
-      require(lq.forall(tQuals) && rq.forall(sQuals) &&
-        lc.equalsIgnoreCase(rc),
-        s"routed $what supports SET col = source.col of the same name" +
-          s" — got: $a")
-      lc
-    }
-
-  /** Split an UPDATE's post-SET blob into the join-update parts
-    * (set list, source relation, join condition) when a top-level FROM
-    * is present — None for the plain predicate UPDATE. */
-  private def splitUpdateFrom(
-      blob: String): Option[(String, String, String)] = {
-    val (beforeWhere, whereOpt) = splitOnWhere(blob)
-    firstTopLevelKeyword(beforeWhere, Seq("FROM")).map { fi =>
-      val sets = beforeWhere.substring(0, fi).trim
-      val src = beforeWhere.substring(fi + "FROM".length).trim
-      require(src.matches("[A-Za-z_]\\w*"),
-        s"routed UPDATE … FROM needs a plain source relation: $src")
-      val cond = whereOpt.getOrElse(throw new IllegalArgumentException(
-        "UPDATE … FROM needs a WHERE joining target to source"))
-      (sets, src, cond)
-    }
-  }
-
-  /** The routed `UPDATE t SET … FROM s WHERE …` executor — the
-    * UPDATE-only merge (`Dml.updateFromAll`). */
-  private def runUpdateFrom(
-      spark: SparkSession, table: String, sets: String, src: String,
-      cond: String): DataFrame = {
-    val tQuals = Set(table.toLowerCase)
-    val sQuals = Set(src.toLowerCase)
-    val keys = parseEquiKeys(cond, tQuals, sQuals, "UPDATE … FROM")
-    val setCols = parseSameNameSets(sets, tQuals, sQuals, "UPDATE … FROM")
-    val sourceDf = spark.table(src)
-    withTablePath(spark, table)(path =>
-      Dml.updateFromAll(spark, path, sourceDf, keys, setCols))
-  }
-
-  private def runMerge(
-      spark: SparkSession, table: String, tAlias: Option[String],
-      src: String, sAlias: Option[String], onCond: String, sets: String,
-      insert: String): DataFrame = {
-    val tQuals = (Set(table) ++ tAlias).map(_.toLowerCase)
-    val sQuals = (Set(src) ++ sAlias).map(_.toLowerCase)
-    // ON: top-level AND of target-key = source-key, same column name
-    val srcKeys = parseEquiKeys(onCond, tQuals, sQuals, "MERGE ON")
-    // SET: same-named source column per assignment
-    val setCols = parseSameNameSets(sets, tQuals, sQuals, "MERGE")
-    val sourceDf = spark.table(src)
-    // INSERT: `*`, or an explicit (cols) VALUES (vals) spelling of the
-    // identical full-row insert
-    val ins = insert.trim.stripSuffix(";").trim
-    if (ins != "*") {
-      val cv = "(?is)^\\(([^)]*)\\)\\s*VALUES\\s*\\(([^)]*)\\)$".r
-      ins match {
-        case cv(cols, vals) =>
-          val cs = cols.split(',').map(parseQualRef(_)._2.toLowerCase).toSeq
-          val vs = vals.split(',').map(parseQualRef(_)._2.toLowerCase).toSeq
-          require(cs == vs,
-            "routed MERGE INSERT values must be the same-named source" +
-              s" columns: ($cols) VALUES ($vals)")
-          val full = sourceDf.columns.map(_.toLowerCase).toSet
-          require(cs.toSet == full,
-            "routed MERGE INSERT must cover the full source row — got" +
-              s" ${cs.mkString(", ")} of ${full.mkString(", ")}")
-        case _ =>
-          throw new IllegalArgumentException(
-            s"routed MERGE supports INSERT * or (cols) VALUES (cols): $ins")
-      }
-    }
-    withTablePath(spark, table)(path =>
-      Dml.mergeIntoAll(spark, path, sourceDf, srcKeys, setCols))
-  }
-
-  // INSERT INTO t [(cols)] <SELECT…|VALUES…> ON CONFLICT (keys)
-  //   DO UPDATE SET col = EXCLUDED.col, … | DO NOTHING
-  // — DuckDB's native upsert spelling (far more typed by its users than
-  // MERGE INTO), routed onto the same copy-on-write merge the MERGE
-  // statement uses: DO UPDATE maps to `Dml.mergeIntoAll` (matched keys
-  // take the proposed row's columns via a broadcast join inside the file
-  // rewrite; fresh keys append), DO NOTHING to `Dml.insertOnlyAll`
-  // (insert-branch only — no file is ever rewritten). Source columns
-  // bind to the target POSITIONALLY (or to the explicit column list),
-  // with the target's types — DuckDB's INSERT semantics. The supported
-  // assignment shape is `col = EXCLUDED.col` of the same name (EXCLUDED
-  // being DuckDB/Postgres's name for the proposed row); anything richer
-  // refuses loudly. DuckDB enforces a unique index on the conflict
-  // target at table-creation time; this engine has no index metadata, so
-  // the equivalent runtime guard is mergeCore's source-key uniqueness
-  // check (duplicate conflict keys in one INSERT refuse there, exactly
-  // as DuckDB errors on them).
-  private def insertConflictSplit(
-      s: String): Option[(String, String, Seq[String], Option[String])] = {
-    // \s* after the table name: the no-space column-list spelling
-    // `INSERT INTO t(a,b) …` is the common one
-    val head = "(?is)^INSERT\\s+INTO\\s+([A-Za-z_]\\w*)\\s*(.+)$".r
-    s match {
-      case head(table, rest) =>
-        // scan ALL top-level CONFLICT tokens, not just the first: an
-        // INSERT body whose join condition references a column literally
-        // named `conflict` (… JOIN b ON conflict = 1 …) must not hijack
-        // the route. A hit routes only when preceded by ON AND its tail
-        // parses as a conflict action; the LAST parseable hit wins (the
-        // real clause closes the statement).
-        val onTail = "(?is)^(.*\\S)\\s+ON\\s*$".r
-        val act = ("(?is)^\\(([^)]*)\\)\\s*DO\\s+" +
-          "(?:(NOTHING)|UPDATE\\s+SET\\s+(.+))\\s*$").r
-        val candidates = allTopLevelKeyword(rest, "CONFLICT").reverse
-          .flatMap { ci =>
-            rest.substring(0, ci) match {
-              case onTail(body) =>
-                Some((body, rest.substring(ci + "CONFLICT".length).trim))
-              case _ => None // a top-level CONFLICT not preceded by ON
-            }
-          }
-        val parsed = candidates.collectFirst {
-          case (body, act(keysText, nothing, sets)) =>
-            val keys = keysText.split(',').toSeq
-              .map(_.trim.stripPrefix("`").stripSuffix("`"))
-              .filter(_.nonEmpty)
-            (body, keys, Option(nothing), sets)
-        }
-        parsed match {
-          case Some((body, keys, nothing, sets)) if keys.nonEmpty =>
-            Some((table, body.trim, keys,
-              if (nothing.isDefined) None else Some(sets)))
-          case Some(_) => None
-          case None =>
-            // an ON CONFLICT( that parses as NO action is a botched
-            // conflict clause — keep the targeted refusal instead of
-            // Spark's generic parse error
-            candidates.find(_._2.startsWith("(")).foreach { case (_, t) =>
-              throw new IllegalArgumentException(
-                "INSERT … ON CONFLICT supports (keys) DO NOTHING |" +
-                  s" DO UPDATE SET …: ON CONFLICT $t")
-            }
-            None
-        }
-      case _ => None
-    }
-  }
-
-  /** Every top-level index of `kw` in `s` — the all-occurrences variant
-    * of `firstTopLevelKeyword` (one codeMask pass), with the same
-    * whitespace/paren boundary rules. */
-  private def allTopLevelKeyword(s: String, kw: String): Seq[Int] = {
-    val (code, depth) = codeMask(s)
-    (0 until s.length).filter { i =>
-      code(i) && depth(i) == 0 && i + kw.length <= s.length &&
-        s.regionMatches(true, i, kw, 0, kw.length) &&
-        (i == 0 || s.charAt(i - 1).isWhitespace) &&
-        (i + kw.length == s.length ||
-          s.charAt(i + kw.length).isWhitespace ||
-          s.charAt(i + kw.length) == '(')
-    }
-  }
-
-  private def runUpsert(
-      spark: SparkSession, table: String, body: String,
-      keys: Seq[String], doUpdate: Option[String]): DataFrame = {
-    val target = spark.table(table)
-    def targetField(n: String) =
-      target.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
-        throw new IllegalArgumentException(
-          s"INSERT … ON CONFLICT: column $n not in table $table"))
-    // the proposed rows: shared positional binding (boundInsertSource)
-    val source = boundInsertSource(spark, table, body)
-    keys.foreach { k =>
-      require(source.columns.exists(_.equalsIgnoreCase(k)),
-        s"ON CONFLICT key $k is not among the inserted columns")
-    }
-    val setCols = doUpdate.map { sets =>
-      splitTopLevel(sets, ',').map { a =>
-        val eq = splitTopLevel(a, '=')
-        require(eq.size == 2, s"malformed DO UPDATE assignment: $a")
-        val lhs = eq(0).trim.stripPrefix("`").stripSuffix("`")
-        val rhs = eq(1).trim
-        val exc = "(?is)^EXCLUDED\\s*\\.\\s*`?([A-Za-z_]\\w*)`?$".r
-        rhs match {
-          case exc(rcol) =>
-            require(lhs.equalsIgnoreCase(rcol),
-              "routed ON CONFLICT supports SET col = EXCLUDED.col of the" +
-                s" same name — got: $a")
-          case _ => throw new IllegalArgumentException(
-            "routed ON CONFLICT assignments must read EXCLUDED.<col>:" +
-              s" $a")
-        }
-        require(!keys.exists(_.equalsIgnoreCase(lhs)),
-          s"DO UPDATE must not reassign the conflict key $lhs")
-        targetField(lhs).name
-      }
-    }
-    withTablePath(spark, table) { path =>
-      setCols match {
-        case Some(cols) => Dml.mergeIntoAll(spark, path, source, keys, cols)
-        case None => Dml.insertOnlyAll(spark, path, source, keys)
-      }
-    }
-  }
-
-  // COPY (SELECT …)|table TO 'path' [(FORMAT fmt[, HEADER])] — DuckDB's
-  // result-export statement (delegated surface,
-  // /root/reference/src/duckdb.ts:46-49), routed to the engine's
-  // distributed writers (`Export.writeCsv/writeParquet/writeJson`): the
-  // export runs as executor tasks, the driver never holds the result.
-  // The source backtracks greedily so subquery parens inside the SELECT
-  // never truncate it.
-  private val copyRe =
-    ("(?is)^COPY\\s+(\\(.+\\)|[A-Za-z_]\\w*)\\s+TO\\s+'([^']+)'" +
-      "(?:\\s*\\((.*)\\))?\\s*$").r
-
-  // COPY <table> FROM 'path' [(FORMAT fmt[, HEADER])] — DuckDB's import
-  // statement, the symmetric half of COPY TO: load a file (or a
-  // directory of part files, which is what the engine's own COPY TO
-  // writes) into an EXISTING table, matching columns by POSITION with
-  // the table's types (DuckDB semantics). The read applies the target
-  // table's schema, so csv/json typing is the table's, not an inference.
-  private val copyFromRe =
-    ("(?is)^COPY\\s+([A-Za-z_]\\w*)\\s+FROM\\s+'([^']+)'" +
-      "(?:\\s*\\((.*)\\))?\\s*$").r
-
-  // EXPORT DATABASE 'dir' [(FORMAT parquet|csv)] / IMPORT DATABASE 'dir'
-  // — DuckDB's whole-catalog persistence pair. The Spark analog: every
-  // session relation (catalog tables AND the registered temp views)
-  // exports its DATA as one distributed write per relation, plus a
-  // `load.sql` of engine-runnable DDL that recreates each relation as a
-  // view over the exported files — through this engine's OWN routed
-  // read_parquet/read_csv table functions in glob form, so the export
-  // is consumable by this engine (IMPORT DATABASE) and, for bare
-  // relation names, by DuckDB too (globs resolve in both; quoted
-  // identifiers differ — backticks here, double quotes there).
-  // Relations re-enter as SESSION VIEWS
-  // over the exported files (zero-copy on import; DuckDB rebuilds
-  // mutable tables instead — a user needing mutability re-materializes
-  // with CREATE TABLE AS). Export into a directory a current relation
-  // is READING from is the one unsupported shape (the overwrite would
-  // race the scan) — export to a fresh directory.
-  private val exportDbRe =
-    "(?is)^EXPORT\\s+DATABASE\\s+'([^']+)'(?:\\s*\\((.*)\\))?\\s*$".r
-  private val importDbRe = "(?is)^IMPORT\\s+DATABASE\\s+'([^']+)'\\s*$".r
-
-  private def runExportDatabase(
-      spark: SparkSession, dir: String, opts: Option[String]): DataFrame = {
-    val (fmt0, _) = parseCopyOptions(opts, "EXPORT")
-    val format = fmt0.getOrElse("parquet")
-    require(format == "parquet" || format == "csv",
-      s"EXPORT DATABASE supports parquet/csv — got $format")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    val readFn = if (format == "parquet") "read_parquet" else "read_csv"
-    // bounded driver-side metadata: one row per catalog relation. The
-    // engine's auto-registered path-table views are skipped — DuckDB's
-    // catalog never holds them (a quoted-path scan leaves no entry),
-    // and their data already lives in the original files.
-    val names = spark.catalog.listTables().collect().toSeq
-      .filter(t => t.isTemporary || Option(t.database).forall(_ == "default"))
-      .map(_.name).distinct.sorted
-      .filterNot(Catalog.isAutoRegisteredView(spark, _))
-    val exported = names.flatMap { name =>
-      val df = spark.table(Sql.sqlIdentifier(name))
-      if (df.isStreaming) None // streaming views have no batch snapshot
-      else {
-        val path = s"$dir/$name.$format"
-        if (format == "parquet") Export.writeParquet(df, path)
-        else Export.writeCsv(df, path)
-        Some((name, path))
-      }
-    }
-    val load = exported.map { case (name, path) =>
-      // glob form: the export is a DIRECTORY of part files, and the
-      // glob resolves in both this engine and DuckDB (a bare directory
-      // path would not in DuckDB). Identifier quoting is this engine's
-      // (backticks) — bare relation names read identically in both.
-      s"CREATE OR REPLACE VIEW ${Sql.sqlIdentifier(name)} AS " +
-        s"SELECT * FROM $readFn([${
-          Sql.sqlStringLiteral(s"$path/*.$format")}]);"
-    }.mkString("\n")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "load.sql"), load + "\n")
-    import spark.implicits._
-    exported.toDF("name", "path")
-  }
-
-  private val pragmaTableInfoRe =
-    ("(?is)^PRAGMA\\s+table_info\\s*\\(\\s*" +
-      "(?:'([^']+)'|([A-Za-z_]\\w*))\\s*\\)\\s*$").r
-  private val pragmaShowTablesRe = "(?is)^PRAGMA\\s+show_tables\\s*$".r
-
-  private val truncateRe =
-    "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?([A-Za-z_`][\\w`.]*)\\s*$".r
-  private val showAllTablesRe = "(?is)^SHOW\\s+ALL\\s+TABLES\\s*$".r
-  private val useNoopRe = "(?is)^USE\\s+([\\w.]+)\\s*$".r
-  private val sequenceRe =
-    ("(?is)^(CREATE|DROP)\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?" +
-      "SEQUENCE\\b.*$").r
-  private val explainAnalyzeRe = "(?is)^EXPLAIN\\s+ANALYZE\\s+(.+)$".r
-
-  /** `SHOW ALL TABLES` — DuckDB's catalog-wide listing, in DuckDB's
-    * exact column shape (database, schema, name, column_names,
-    * column_types, temporary). Driver-side metadata over the session
-    * catalog, no job; database/schema carry DuckDB's default names
-    * since this engine runs one session catalog. */
-  private def showAllTables(spark: SparkSession): DataFrame = {
-    val rows: java.util.List[Row] = new java.util.ArrayList[Row]
-    spark.sql("SHOW TABLES").collect()
-      .sortBy(_.getAs[String]("tableName")).foreach { r =>
-        val name = r.getAs[String]("tableName")
-        // a catalog entry whose storage is gone (dropped underneath a
-        // long-lived session) still LISTS — DuckDB's listing does not
-        // resolve each relation either; its columns read empty
-        val schema = scala.util.Try(spark.table(name).schema)
-          .getOrElse(org.apache.spark.sql.types.StructType(Nil))
-        rows.add(Row("memory", "main", name,
-          schema.fields.toSeq.map(_.name),
-          schema.fields.toSeq.map(_.dataType.sql),
-          r.getAs[Boolean]("isTemporary")))
-      }
-    import org.apache.spark.sql.types._
-    spark.createDataFrame(rows, StructType(Seq(
-      StructField("database", StringType),
-      StructField("schema", StringType),
-      StructField("name", StringType),
-      StructField("column_names", ArrayType(StringType)),
-      StructField("column_types", ArrayType(StringType)),
-      StructField("temporary", BooleanType))))
-  }
-  // assignment-shaped settings pragmas only: name=value or name(value)
-  private val pragmaSettingRe =
-    "(?is)^PRAGMA\\s+[A-Za-z_]\\w*\\s*(?:=\\s*\\S.*|\\(.*\\))\\s*$".r
-  private val maintenanceNoopRe =
-    "(?is)^(VACUUM|ANALYZE|CHECKPOINT)\\s*;?\\s*$".r
-  private val showTableRe = "(?is)^SHOW\\s+([A-Za-z_]\\w*)\\s*$".r
-  private val ShowKeywords = Set("tables", "databases", "schemas", "views",
-    "functions", "columns", "partitions", "create", "all", "namespaces",
-    "catalogs", "tblproperties")
-
-  /** Shared FORMAT/HEADER parser for both COPY directions: returns
-    * (explicit format, explicit header value). Unknown options refuse —
-    * silently ignoring one would read/write a file the user didn't ask
-    * for. The CALLER interprets header semantics (the csv writer always
-    * emits one, so COPY TO refuses HEADER false; the reader honors
-    * DuckDB's HEADER-false default). */
-  private def parseCopyOptions(
-      opts: Option[String], direction: String): (Option[String], Option[Boolean]) = {
-    val (fmt, header, partitionBy, compression) =
-      parseCopyOptionsFull(opts, direction)
-    require(partitionBy.isEmpty || direction == "TO",
-      s"COPY $direction does not take PARTITION_BY (a partitioned" +
-        " directory read auto-discovers its partition columns)")
-    require(compression.isEmpty || direction == "TO",
-      s"COPY $direction does not take COMPRESSION (reads auto-detect" +
-        " the codec from the files)")
-    (fmt, header)
-  }
-
-  private def parseCopyOptionsFull(
-      opts: Option[String], direction: String)
-      : (Option[String], Option[Boolean], Seq[String], Option[String]) = {
-    var fmt: Option[String] = None
-    var header: Option[Boolean] = None
-    var partitionBy: Seq[String] = Nil
-    var compression: Option[String] = None
-    opts.toSeq.flatMap(o => splitTopLevel(o, ','))
-      .map(_.trim).filter(_.nonEmpty).foreach { o =>
-        val parts = o.split("\\s+")
-        parts(0).toUpperCase match {
-          case "FORMAT" if parts.length == 2 =>
-            fmt = Some(parts(1).stripPrefix("'").stripSuffix("'").toLowerCase)
-          case "HEADER" if parts.length == 1 => header = Some(true)
-          case "HEADER" if parts.length == 2 &&
-              (parts(1).equalsIgnoreCase("true") || parts(1) == "1") =>
-            header = Some(true)
-          case "HEADER" if parts.length == 2 &&
-              (parts(1).equalsIgnoreCase("false") || parts(1) == "0") =>
-            header = Some(false)
-          case "PARTITION_BY" =>
-            // PARTITION_BY (a, b) | PARTITION_BY a — DuckDB's
-            // hive-partitioned write option
-            val cols = o.substring("PARTITION_BY".length).trim
-              .stripPrefix("(").stripSuffix(")")
-            partitionBy = cols.split(',').toSeq.map(_.trim
-              .stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-            require(partitionBy.nonEmpty,
-              s"COPY $direction PARTITION_BY needs at least one column")
-          case "OVERWRITE_OR_IGNORE"
-              if parts.length == 1 || parts.length == 2 &&
-                (parts(1).equalsIgnoreCase("true") || parts(1) == "1") =>
-            // DuckDB's allow-existing-directory flag for partitioned
-            // writes; this engine's writes are mode(overwrite) — a
-            // strictly stronger guarantee — so the flag is a no-op and
-            // migrating scripts carrying it run unchanged
-          case "COMPRESSION" if parts.length == 2 =>
-            // passed to the Spark writer verbatim — an unknown codec
-            // fails loudly there, never writes an unasked-for file
-            compression =
-              Some(parts(1).stripPrefix("'").stripSuffix("'").toLowerCase)
-          case _ => throw new IllegalArgumentException(
-            s"COPY $direction option not supported: $o")
-        }
-      }
-    (fmt, header, partitionBy, compression)
-  }
-
-  private def runCopyFrom(
-      spark: SparkSession, table: String, path: String,
-      opts: Option[String]): DataFrame = {
-    val (fmt, headerOpt) = parseCopyOptions(opts, "FROM")
-    // DuckDB's COPY FROM defaults HEADER to FALSE — honoring that
-    // matters: reading a headerless file with header=true would consume
-    // the first DATA row as a header and silently lose it
-    val header = headerOpt.getOrElse(false)
-    val format = fmt.getOrElse {
-      val lower = path.toLowerCase
-      if (lower.endsWith(".parquet")) "parquet"
-      else if (lower.endsWith(".json") || lower.endsWith(".ndjson")) "json"
-      else if (lower.endsWith(".orc")) "orc"
-      else "csv"
-    }
-    val schema = spark.table(table).schema
-    import org.apache.spark.sql.functions.col
-    val read = format match {
-      case "csv" =>
-        // with an explicit schema Spark pads a narrow file with NULLs, so
-        // probe the file's own width first — a width mismatch must refuse
-        // (DuckDB errors too), never silently null-fill or drop columns
-        val fileWidth = spark.read
-          .option("header", header.toString).csv(path).columns.length
-        require(fileWidth == schema.length,
-          s"COPY FROM: file has $fileWidth columns," +
-            s" table $table has ${schema.length}")
-        spark.read.option("header", header.toString).schema(schema).csv(path)
-      // json fields are named, not positional: absent fields read NULL —
-      // the format's own semantics, not a width error
-      case "json" | "ndjson" => spark.read.schema(schema).json(path)
-      case "parquet" => spark.read.parquet(path)
-      case "orc" => spark.read.orc(path)
-      case other => throw new IllegalArgumentException(
-        s"COPY FROM supports csv/parquet/json/orc formats — got $other")
-    }
-    require(read.columns.length == schema.length,
-      s"COPY FROM: file has ${read.columns.length} columns," +
-        s" table $table has ${schema.length}")
-    // positional alignment with the table's types, then positional insert
-    val aligned = read.toDF(schema.fieldNames.toSeq: _*)
-      .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
-    aligned.write.insertInto(table)
-    import spark.implicits._
-    Seq((path, format)).toDF("path", "format")
-  }
-
-  private def runCopy(
-      spark: SparkSession, source: String, path: String,
-      opts: Option[String]): DataFrame = {
-    // options via the shared parser; the csv writer always emits
-    // headers, so an explicit HEADER false refuses — silently writing
-    // one anyway is exactly the "file the user didn't ask for" case
-    val (fmt, headerOpt, partitionBy, compression) =
-      parseCopyOptionsFull(opts, "TO")
-    if (headerOpt.contains(false))
-      throw new IllegalArgumentException(
-        "COPY ... (HEADER false) is not supported: the csv writer" +
-          " always emits a header row")
-    val s = source.trim
-    val df =
-      if (s.startsWith("(")) sql(spark, s.stripPrefix("(").stripSuffix(")"))
-      else sql(spark, s"SELECT * FROM $s")
-    // no explicit FORMAT: infer from the path extension, else DuckDB's
-    // csv default
-    val format = fmt.getOrElse {
-      val lower = path.toLowerCase
-      if (lower.endsWith(".parquet")) "parquet"
-      else if (lower.endsWith(".json") || lower.endsWith(".ndjson")) "json"
-      else if (lower.endsWith(".orc")) "orc"
-      else "csv"
-    }
-    if (partitionBy.nonEmpty || compression.isDefined) {
-      // DuckDB's PARTITION_BY write maps exactly onto Spark's
-      // hive-style partitionBy: one col=value directory level per key,
-      // partition columns dropped from the data files in BOTH engines.
-      // This is the scale-relevant export shape — a downstream reader
-      // partition-prunes on the directory keys. COMPRESSION passes to
-      // the writer verbatim (zstd/gzip/snappy/… — codec validity is the
-      // writer's loud check).
-      partitionBy.foreach { c =>
-        require(df.columns.exists(_.equalsIgnoreCase(c)),
-          s"COPY TO PARTITION_BY column $c is not in the result")
-      }
-      val w0 = df.write.mode("overwrite")
-      val w1 =
-        if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
-      val writer = compression.fold(w1)(c => w1.option("compression", c))
-      format match {
-        case "csv" =>
-          writer.option("header", "true").option("escape", "\"").csv(path)
-        case "parquet" => writer.parquet(path)
-        case "json" | "ndjson" => writer.json(path)
-        case "orc" => writer.orc(path)
-        case other => throw new IllegalArgumentException(
-          s"COPY TO supports csv/parquet/json/orc formats — got $other")
-      }
-    } else format match {
-      case "csv" => Export.writeCsv(df, path)
-      case "parquet" => Export.writeParquet(df, path)
-      case "json" | "ndjson" => Export.writeJson(df, path)
-      case "orc" => Export.writeOrc(df, path)
-      case other => throw new IllegalArgumentException(
-        s"COPY TO supports csv/parquet/json/orc formats — got $other")
-    }
-    // a repeated COPY to the same path replaces the part files; drop any
-    // cached listing so a registered path-table view re-reads fresh
-    spark.catalog.refreshByPath(path)
-    import spark.implicits._
-    Seq((path, format)).toDF("path", "format")
-  }
-
-  /** Split on a keyword at paren/quote/comment top level
-    * (case-insensitive, word boundaries) — the AND-splitter for MERGE ON
-    * conjunctions. */
-  private def splitOnKeyword(s: String, kw: String): Seq[String] = {
-    val out = scala.collection.mutable.Buffer.empty[String]
-    val (code, depth) = codeMask(s)
-    var last = 0
-    var i = 0
-    while (i < s.length) {
-      if (code(i) && depth(i) == 0 && i + kw.length <= s.length &&
-          s.regionMatches(true, i, kw, 0, kw.length) &&
-          (i == 0 || s.charAt(i - 1).isWhitespace) &&
-          (i + kw.length == s.length ||
-            s.charAt(i + kw.length).isWhitespace)) {
-        out += s.substring(last, i)
-        last = i + kw.length
-        i += kw.length
-      } else i += 1
-    }
-    out += s.substring(last)
-    out.toSeq
-  }
-
-  /** Split a trailing top-level RETURNING clause off a DML statement —
-    * None when absent or when the statement isn't DML-shaped. */
-  private def splitReturning(s: String): (String, Option[String]) =
-    if (!s.matches("(?is)^(INSERT|UPDATE|DELETE)\\b.*")) (s, None)
-    else firstTopLevelKeyword(s, Seq("RETURNING")) match {
-      case Some(i) => (s.substring(0, i).trim,
-        Some(s.substring(i + "RETURNING".length).trim))
-      case None => (s, None)
-    }
-
-  /** DuckDB/Postgres RETURNING over the routed DML: the result is the
-    * AFFECTED rows projected through the clause's expressions —
-    * snapshotted eagerly (localCheckpoint) BEFORE the copy-on-write
-    * rewrite replaces the files the snapshot would otherwise re-read.
-    * DELETE returns the victims' OLD values, UPDATE the matched rows'
-    * NEW values, INSERT the landed rows (bound positionally with the
-    * target's types, DuckDB's binding). Join-DML and ON CONFLICT forms
-    * refuse loudly — their affected-row sets are not cleanly separable
-    * from the rewrite. Materializing the affected rows is RETURNING's
-    * own semantics (the client receives them), so the checkpoint is
-    * bounded by what the statement already promises to produce. */
-  private def runReturning(
-      spark: SparkSession, stmt: String, retExprs: String): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit}
-    val items = splitTopLevel(retExprs, ',').map(_.trim).filter(_.nonEmpty)
-    require(items.nonEmpty, "RETURNING needs at least one expression")
-    def snap(rows: DataFrame): DataFrame =
-      rows.selectExpr(items: _*).localCheckpoint(true)
-    // RETURNING's contract is "the values that actually land/are
-    // removed". For UPDATE/DELETE the copy-on-write rewrite re-evaluates
-    // the SET and WHERE expressions (the table has no row identity to
-    // join the snapshot back by), so a non-deterministic (rand, uuid)
-    // or per-query-time (current_timestamp — evaluated per query in
-    // Spark) expression would return values that differ from what the
-    // rewrite lands. Refuse that combination loudly instead of lying.
-    def requireStable(df: DataFrame, what: String): Unit = {
-      import org.apache.spark.sql.catalyst.expressions.{
-        CurrentDate, CurrentTimestamp, LocalTimestamp, Now}
-      val unstable = df.queryExecution.analyzed.exists(p =>
-        p.expressions.exists(e => e.exists {
-          case x if !x.deterministic => true
-          case _: CurrentTimestamp | _: CurrentDate | _: Now |
-              _: LocalTimestamp => true
-          case _ => false
-        }))
-      require(!unstable,
-        s"RETURNING is not routed for $what with non-deterministic or" +
-          " current-time expressions: the rewrite re-evaluates them, so" +
-          " the returned values would differ from the landed ones —" +
-          " compute the value first (e.g. into a temp table), then" +
-          " UPDATE/DELETE with the materialized value")
-    }
-    stmt match {
-      case deleteUsingRe(_, _, _) => throw new IllegalArgumentException(
-        "RETURNING is not routed for DELETE ... USING — run the join" +
-          " SELECT first, then the DELETE")
-      case deleteRe(table, where) =>
-        val pred =
-          coalesce(expr(Option(where).getOrElse("TRUE")), lit(false))
-        val victims = spark.table(table).filter(pred)
-        requireStable(victims, "DELETE")
-        val out = snap(victims)
-        runDelete(spark, table, Option(where))
-        out
-      case updateRe(table, blob) =>
-        require(splitUpdateFrom(blob).isEmpty,
-          "RETURNING is not routed for UPDATE ... FROM — run the join" +
-            " SELECT first, then the UPDATE")
-        val (sets, where) = splitOnWhere(blob)
-        val pred = coalesce(expr(where.getOrElse("TRUE")), lit(false))
-        // the NEW values of exactly the matched rows: the same
-        // assignment projection the update itself applies
-        val updated = Dml.applyAssignments(
-          spark.table(table).filter(pred), lit(true),
-          parseAssignments(sets))
-        requireStable(updated, "UPDATE")
-        val out = snap(updated)
-        runUpdate(spark, table, sets, where)
-        out
-      case ins if insertConflictSplit(ins).isDefined =>
-        throw new IllegalArgumentException(
-          "RETURNING is not routed for INSERT ... ON CONFLICT (the" +
-            " landed rows depend on the conflict action) — read the" +
-            " keys back after the upsert")
-      case insertHeadRe(table, body) =>
-        // the landed rows INSERT FROM THE SNAPSHOT itself (never by
-        // re-running the statement: a nondeterministic source would
-        // land different rows than it returned), with columns absent
-        // from an explicit column list NULL-filled to the target's
-        // schema — DuckDB's subset-insert behavior, and RETURNING *
-        // sees the full landed row
-        import org.apache.spark.sql.functions.{col, lit}
-        val target = spark.table(table)
-        val landed =
-          boundInsertSource(spark, table, body).localCheckpoint(true)
-        val full = target.schema.fields.toSeq.map { f =>
-          if (landed.columns.exists(_.equalsIgnoreCase(f.name)))
-            col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        }
-        val fullRows = landed.select(full: _*)
-        fullRows.write.mode("append").insertInto(table)
-        fullRows.selectExpr(items: _*)
-      case other => throw new IllegalArgumentException(
-        "RETURNING is routed for plain INSERT INTO / UPDATE / DELETE" +
-          s" statements — got: ${other.take(40)}")
-    }
-  }
-
-  private val insertHeadRe =
-    "(?is)^INSERT\\s+INTO\\s+([A-Za-z_]\\w*)\\s*(.+)$".r
-
-  /** The rows a plain `INSERT INTO t [(cols)] <query|VALUES>` lands:
-    * the body run through the router, bound POSITIONALLY to the target
-    * columns (or the explicit column list) with the target's types —
-    * DuckDB's INSERT binding. Shared by the routed upsert and
-    * RETURNING. */
-  private def boundInsertSource(
-      spark: SparkSession, table: String, body: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val target = spark.table(table)
-    val (explicitCols, srcText) =
-      if (body.startsWith("(")) {
-        var depth = 0
-        var i = 0
-        var end = -1
-        while (i < body.length && end < 0) {
-          body.charAt(i) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1; if (depth == 0) end = i
-            case _ => ()
-          }
-          i += 1
-        }
-        require(end > 0, "unbalanced column list in INSERT")
-        val cols = body.substring(1, end).split(',').toSeq
-          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-        (Some(cols), body.substring(end + 1).trim)
-      } else (None, body)
-    def targetField(n: String) =
-      target.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
-        throw new IllegalArgumentException(
-          s"INSERT: column $n not in table $table"))
-    val insertCols = explicitCols.getOrElse(target.columns.toSeq)
-      .map(n => targetField(n).name)
-    val src0 = sql(spark, srcText)
-    require(src0.columns.length == insertCols.length,
-      s"INSERT provides ${src0.columns.length} columns for" +
-        s" ${insertCols.length} target columns")
-    src0.toDF(insertCols: _*)
-      .select(insertCols.map(n =>
-        col(n).cast(targetField(n).dataType).as(n)).toSeq: _*)
-  }
-
-  /** Parse a SET list into (column, expression) assignments — shared by
-    * the routed UPDATE and its RETURNING projection. */
-  private def parseAssignments(
-      sets: String): Seq[(String, org.apache.spark.sql.Column)] = {
-    import org.apache.spark.sql.functions.expr
-    // `SET (a, b) = (x, y)` — DuckDB/Postgres tuple assignment: zip the
-    // two lists pairwise (same one-projection semantics as the comma
-    // form). The names side is a plain identifier list; the values side
-    // splits at ITS top level.
-    val tupleRe = "(?s)^\\s*\\(([^()]*)\\)\\s*=\\s*\\((.*)\\)\\s*$".r
-    sets.trim match {
-      case tupleRe(names, values) =>
-        val ns = names.split(',').map(_.trim
-          .stripPrefix("`").stripSuffix("`")).toSeq
-        val vs = splitTopLevel(values, ',').map(_.trim)
-        require(ns.size == vs.size && ns.forall(_.nonEmpty),
-          s"tuple SET assigns ${ns.size} column(s) from ${vs.size}" +
-            " value(s) — the lists must pair up")
-        ns.zip(vs.map(expr))
-      case _ =>
-        splitTopLevel(sets, ',').map { a =>
-          val eq = a.indexOf('=')
-          require(eq > 0, s"malformed SET assignment: $a")
-          (a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`"),
-            expr(a.substring(eq + 1).trim))
-        }
-    }
-  }
-
-  private def runDelete(
-      spark: SparkSession, table: String, where: Option[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-    // SQL DELETE removes rows where the predicate is TRUE; NULL keeps
-    val pred = coalesce(expr(where.getOrElse("TRUE")), lit(false))
-    withTablePath(spark, table)(path =>
-      rewriteRouted(spark, path, where)(_.filter(not(pred))))
-  }
-
-  private def runUpdate(
-      spark: SparkSession, table: String, sets: String,
-      where: Option[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit}
-    val assignments = parseAssignments(sets)
-    val pred = coalesce(expr(where.getOrElse("TRUE")), lit(false))
-    withTablePath(spark, table)(path =>
-      rewriteRouted(spark, path, where)(
-        Dml.applyAssignments(_, pred, assignments)))
-  }
-
-  /** Execute a routed mutation with footer-stats pruning when the WHERE
-    * yields a provable range, else as the full rewrite. */
-  private def rewriteRouted(
-      spark: SparkSession, path: String, where: Option[String])(
-      transform: DataFrame => DataFrame): Dml.Stats =
-    where.flatMap(w => pruneRange(spark, path, w)) match {
-      case Some((c, lo, hi)) =>
-        Dml.copyOnWrite(spark, path, c, lo, hi)(transform)
-      case None => Dml.rewriteAllFiles(spark, path)(transform)
-    }
-
-  /** Extract a SOUND prune range from a routed WHERE clause: if any
-    * top-level conjunct compares one unqualified long/timestamp/date
-    * column against exact literals, every mutated row is confined to [lo, hi)
-    * on that column (pred TRUE ⇒ each conjunct TRUE ⇒ col in range), so
-    * the copy-on-write may skip files whose footer stats prove
-    * disjointness. Conservative by construction: literal forms whose
-    * physical-unit conversion isn't exact (doubles, unparsable strings),
-    * ORs, functions over the column, other columns' conjuncts — all
-    * simply don't narrow the range, and an empty extraction means the
-    * full rewrite, never wrong pruning. */
-  private def pruneRange(
-      spark: SparkSession, path: String,
-      where: String): Option[(String, Long, Long)] = {
-    import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.types._
-    val parsed =
-      try spark.sessionState.sqlParser.parseExpression(where)
-      catch { case _: Exception => return None }
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    // the layout's physical schema (footer read, no scan) — the prune
-    // column must be INT64-backed for Dml's statistics fold
-    val schema = spark.read.parquet(path).schema
-    def colOf(e: Expression): Option[StructField] = e match {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-          if a.nameParts.size == 1 =>
-        schema.fields.find(_.name.equalsIgnoreCase(a.nameParts.head))
-      case _ => None
-    }
-    // literal → the column's physical INT64 unit + a SLACK, or None:
-    // integral literals for long columns (slack 0); date/timestamp/
-    // string literals (micros, via Catalyst's own cast to the column's
-    // timestamp FLAVOR — the testdata's parquet reads as TIMESTAMP_NTZ
-    // under Spark 4's inferTimestampNTZ default, while typed
-    // TIMESTAMP '…' literals are LTZ, so the cast also absorbs the zone
-    // conversion) for timestamp columns. A cast CROSSING the LTZ↔NTZ
-    // flavor boundary under a session zone with DST transitions is not
-    // monotonic (wall-clock vs instant order disagree by the transition
-    // delta around a fall-back), and Spark's runtime coercion may apply
-    // the row-dependent conversion — so crossing casts under a
-    // non-fixed-offset zone carry a 1-day slack that WIDENS the bound on
-    // whichever side it lands (sound: prune less, never wrong). Under a
-    // fixed-offset zone (this engine pins UTC) slack is 0 and bounds
-    // stay exact. Fractional/other literal forms don't prune.
-    def unit(l: Literal, t: DataType): Option[(Long, Long)] =
-      (l.dataType, t) match {
-        case (ByteType | ShortType | IntegerType | LongType, LongType) =>
-          Some((l.value.toString.toLong, 0L))
-        // DATE columns are INT32 days in the footer stats — calendar
-        // arithmetic, no zone flavor to cross, so slack is always 0
-        case (DateType | StringType, DateType) =>
-          val zone = spark.sessionState.conf.sessionLocalTimeZone
-          try Option(Cast(l, DateType, Some(zone)).eval(null))
-            .map(v => (v.asInstanceOf[Int].toLong, 0L))
-          catch { case _: Exception => None }
-        case (DateType | TimestampType | TimestampNTZType | StringType,
-            TimestampType | TimestampNTZType) =>
-          val crossing = (l.dataType, t) match {
-            case (TimestampType, TimestampNTZType) |
-                (TimestampNTZType, TimestampType) => true
-            case _ => false
-          }
-          val zone = spark.sessionState.conf.sessionLocalTimeZone
-          val slack =
-            if (crossing &&
-              !java.time.ZoneId.of(zone).getRules.isFixedOffset)
-              86400L * 1000000L
-            else 0L
-          try Option(Cast(l, t, Some(zone)).eval(null))
-            .map(v => (v.asInstanceOf[Long], slack))
-          catch { case _: Exception => None }
-        case _ => None
-      }
-    def incr(v: Long): Long = if (v == Long.MaxValue) v else v + 1
-    // slack-widened bound helpers (micros values sit far from Long's
-    // edges, but keep the MaxValue sentinel intact)
-    def loosenLo(v: Long, slack: Long): Long =
-      if (v == Long.MinValue) v else v - slack
-    def loosenHi(v: Long, slack: Long): Long =
-      if (v >= Long.MaxValue - slack) Long.MaxValue else v + slack
-    // fold bounds per column over the conjuncts, both operand orders
-    val bounds =
-      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
-    def narrow(f: StructField, lo: Option[Long], hi: Option[Long]): Unit = {
-      val (l0, h0) =
-        bounds.getOrElse(f.name, (Long.MinValue, Long.MaxValue))
-      bounds(f.name) =
-        (math.max(l0, lo.getOrElse(Long.MinValue)),
-          math.min(h0, hi.getOrElse(Long.MaxValue)))
-    }
-    conjuncts(parsed).foreach {
-      case GreaterThanOrEqual(a, l: Literal) =>
-        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
-          narrow(f, Some(loosenLo(v, s)), None)
-      case GreaterThan(a, l: Literal) =>
-        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
-          narrow(f, Some(loosenLo(incr(v), s)), None)
-      case LessThan(a, l: Literal) =>
-        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
-          narrow(f, None, Some(loosenHi(v, s)))
-      case LessThanOrEqual(a, l: Literal) =>
-        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
-          narrow(f, None, Some(loosenHi(incr(v), s)))
-      case EqualTo(a, l: Literal) =>
-        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
-          narrow(f, Some(loosenLo(v, s)), Some(loosenHi(incr(v), s)))
-      // literal-first spellings mirror with flipped comparison
-      case GreaterThanOrEqual(l: Literal, a) =>
-        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
-          narrow(f, None, Some(loosenHi(incr(v), s)))
-      case GreaterThan(l: Literal, a) =>
-        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
-          narrow(f, None, Some(loosenHi(v, s)))
-      case LessThan(l: Literal, a) =>
-        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
-          narrow(f, Some(loosenLo(incr(v), s)), None)
-      case LessThanOrEqual(l: Literal, a) =>
-        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
-          narrow(f, Some(loosenLo(v, s)), None)
-      case EqualTo(l: Literal, a) =>
-        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
-          narrow(f, Some(loosenLo(v, s)), Some(loosenHi(incr(v), s)))
-      case _ => () // unrecognized conjunct: doesn't narrow, stays sound
-    }
-    // prefer a two-sided range; else any one-sided bound still prunes
-    val useful = bounds.filter { case (_, (lo, hi)) =>
-      lo != Long.MinValue || hi != Long.MaxValue }
-    useful.find { case (_, (lo, hi)) =>
-      lo != Long.MinValue && hi != Long.MaxValue }
-      .orElse(useful.headOption)
-      .map { case (c, (lo, hi)) => (c, lo, hi) }
-  }
-
-  /** Resolve a DML target to its storage path, run the rewrite, refresh
-    * the catalog's file listing, and report (n_files, n_rewritten). */
-  private def withTablePath(spark: SparkSession, table: String)(
-      op: String => Dml.Stats): DataFrame = {
-    val catalog = spark.sessionState.catalog
-    require(catalog.getTempView(table).isEmpty &&
-      catalog.getGlobalTempView(table).isEmpty,
-      s"DML target '$table' is a view over registered files — only catalog" +
-        " tables are mutable")
-    val meta = catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table))
-    // the rewriter reads/writes parquet part files; a csv/json/orc table
-    // would silently no-op (no .parquet files to rewrite) — refuse loudly
-    require(meta.provider.exists(_.equalsIgnoreCase("parquet")),
-      s"DML target '$table' uses provider ${meta.provider.getOrElse("?")} —" +
-        " the copy-on-write rewriter supports parquet tables")
-    // a PARTITIONED BY table keeps its data in partition subdirectories;
-    // Dml.dataFiles lists only the top level, so the rewrite would find 0
-    // files and report success while mutating nothing — refuse loudly
-    // (same silent-no-op class as the provider guard above)
-    require(meta.partitionColumnNames.isEmpty,
-      s"DML target '$table' is partitioned by " +
-        s"${meta.partitionColumnNames.mkString(", ")} — the copy-on-write" +
-        " rewriter supports unpartitioned parquet tables")
-    val path = java.nio.file.Paths.get(meta.location).toString
-    val stats = op(path)
-    spark.catalog.refreshTable(table)
-    import spark.implicits._
-    Seq((stats.nFiles.toLong, stats.nRewritten.toLong))
-      .toDF("n_files", "n_rewritten")
-  }
-
-  /** Split on a separator at paren/quote/comment top level only (SET
-    * lists carry commas inside function calls and string literals). */
-  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
-    val out = scala.collection.mutable.Buffer.empty[String]
-    val (code, depth) = codeMask(s)
-    var last = 0
-    var i = 0
-    while (i < s.length) {
-      if (code(i) && depth(i) == 0 && s.charAt(i) == sep) {
-        out += s.substring(last, i); last = i + 1
-      }
-      i += 1
-    }
-    out += s.substring(last)
-    out.toSeq
-  }
-
-  /** A SUMMARIZE/DESCRIBE target: a full SELECT runs as-is; anything else
-    * (table name, quoted path) wraps in SELECT * FROM so the path-table
-    * rewrite applies uniformly. */
-  private def sqlTarget(spark: SparkSession, target: String): DataFrame =
-    // \b word boundary (mirroring describeSelRe): a table NAMED
-    // `selected_docs` is a table, not a SELECT statement
-    if (target.trim.matches("(?is)^SELECT\\b.*")) sql(spark, target)
-    else sql(spark, s"SELECT * FROM ${target.trim}")
-
   /** A7: fire-and-forget exec (DDL) — run, discard result. Spark DDL
     * statements execute eagerly inside `spark.sql`. */
   def exec(spark: SparkSession, statement: String): Unit = {
     sql(spark, statement)
     ()
-  }
-
-  /** Dollar-quoted strings — `$$…$$` / `$tag$…$tag$` (DuckDB/Postgres) →
-    * standard single-quoted literals with `'` doubled. This runs FIRST,
-    * on the raw statement, because dollar-quoted content may contain
-    * `'` characters that would desynchronize `codeMask` (and with it
-    * every routing keyword scan) if left in place. Disambiguation from
-    * prepared-statement parameters follows both grammars' rule: an
-    * opener is `$` + optional identifier TAG + `$` with nothing between
-    * — `$1` (digit after `$`) and `$name` (no closing `$`) never match.
-    * The closer is the identical tag; `$$` inside a `$tag$` body stays
-    * literal. NOTE the A12 script splitter deliberately does NOT learn
-    * dollar quotes — it is a 1:1 port of the reference's lexer
-    * (App.tsx:69-135), which would split a `;` inside `$$…$$` the same
-    * way; per-statement conversion here matches what the reference
-    * surface can actually carry. */
-  private[engine] def rewriteDollarQuotes(s: String): String = {
-    if (!s.contains("$")) return s
-    val openerRe = "^\\$([A-Za-z_]\\w*)?\\$".r
-    val sb = new StringBuilder
-    var inS, inD, inB, inLine, inBlock = false
-    var i = 0
-    val n = s.length
-    def nx(j: Int): Char = if (j < n) s.charAt(j) else '\u0000'
-    while (i < n) {
-      val ch = s.charAt(i)
-      if (inLine) { if (ch == '\n') inLine = false; sb.append(ch); i += 1 }
-      else if (inBlock) {
-        if (ch == '*' && nx(i + 1) == '/') { inBlock = false; sb.append("*/"); i += 2 }
-        else { sb.append(ch); i += 1 }
-      } else if (inS) {
-        if (ch == '\'' && nx(i + 1) == '\'') { sb.append("''"); i += 2 }
-        else { if (ch == '\'') inS = false; sb.append(ch); i += 1 }
-      } else if (inD) {
-        if (ch == '"' && nx(i + 1) == '"') { sb.append("\"\""); i += 2 }
-        else { if (ch == '"') inD = false; sb.append(ch); i += 1 }
-      } else if (inB) {
-        if (ch == '`' && nx(i + 1) == '`') { sb.append("``"); i += 2 }
-        else { if (ch == '`') inB = false; sb.append(ch); i += 1 }
-      } else if (ch == '-' && nx(i + 1) == '-') { inLine = true; sb.append(ch); i += 1 }
-      else if (ch == '/' && nx(i + 1) == '*') { inBlock = true; sb.append("/*"); i += 2 }
-      else if (ch == '\'') { inS = true; sb.append(ch); i += 1 }
-      else if (ch == '"') { inD = true; sb.append(ch); i += 1 }
-      else if (ch == '`') { inB = true; sb.append(ch); i += 1 }
-      else if (ch == '$') {
-        openerRe.findFirstMatchIn(s.substring(i)) match {
-          case Some(m) =>
-            val tag = m.matched
-            val bodyStart = i + tag.length
-            val close = s.indexOf(tag, bodyStart)
-            require(close >= 0,
-              s"unterminated dollar-quoted string opened with $tag")
-            sb.append(Sql.sqlStringLiteral(s.substring(bodyStart, close)))
-            i = close + tag.length
-          case None => sb.append(ch); i += 1
-        }
-      } else { sb.append(ch); i += 1 }
-    }
-    sb.toString
-  }
-
-  /** Trailing commas (DuckDB tolerates them in select lists, GROUP BY,
-    * and collection literals) — a comma whose next code token is `)`,
-    * `]`, `}`, end-of-statement, or the FROM keyword is syntax Spark
-    * rejects and no valid Spark statement contains, so dropping it is
-    * semantics-free at every nesting depth. Comments between the comma
-    * and the boundary are preserved. */
-  private[engine] def rewriteTrailingCommas(s: String): String = {
-    if (!s.contains(",")) return s
-    val (codeAt, _) = codeMask(s)
-    val drop = new Array[Boolean](s.length)
-    var i = 0
-    while (i < s.length) {
-      if (codeAt(i) && s.charAt(i) == ',') {
-        var j = i + 1
-        var moved = true
-        while (moved) {
-          moved = false
-          while (j < s.length && s.charAt(j).isWhitespace) { j += 1; moved = true }
-          if (j + 1 < s.length && s.charAt(j) == '-' && s.charAt(j + 1) == '-') {
-            val e = s.indexOf('\n', j); j = if (e < 0) s.length else e + 1; moved = true
-          } else if (j + 1 < s.length && s.charAt(j) == '/' && s.charAt(j + 1) == '*') {
-            val e = s.indexOf("*/", j + 2); j = if (e < 0) s.length else e + 2; moved = true
-          }
-        }
-        val trailing = j >= s.length || s.charAt(j) == ')' ||
-          s.charAt(j) == ']' || s.charAt(j) == '}' ||
-          (s.regionMatches(true, j, "FROM", 0, 4) &&
-            (j + 4 >= s.length ||
-              !(s.charAt(j + 4).isLetterOrDigit || s.charAt(j + 4) == '_')))
-        if (trailing) drop(i) = true
-      }
-      i += 1
-    }
-    if (!drop.contains(true)) s
-    else {
-      val sb = new StringBuilder
-      var k = 0
-      while (k < s.length) { if (!drop(k)) sb.append(s.charAt(k)); k += 1 }
-      sb.toString
-    }
-  }
-
-  /** Python-style lambda syntax (`lambda x: expr`, `lambda a, b: expr`
-    * — DuckDB ≥ 1.3's preferred spelling) → the arrow form both engines'
-    * higher-order functions take (`x -> expr`, `(a, b) -> expr`). The
-    * single following `:` converts; `::` casts never match. */
-  private[engine] def rewriteLambdaSyntax(s: String): String = {
-    if (!"(?is)^.*\\bLAMBDA\\b.*$".r.matches(s)) return s
-    val (codeAt, _) = codeMask(s)
-    val re = "(?is)\\blambda\\s+([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)*)\\s*:(?!:)".r
-    val sb = new StringBuilder
-    var last = 0
-    for (m <- re.findAllMatchIn(s) if codeAt(m.start)) {
-      sb.append(s.substring(last, m.start))
-      val params = m.group(1).split(",").map(_.trim)
-      sb.append(
-        if (params.length == 1) s"${params.head} ->"
-        else params.mkString("(", ", ", ") ->"))
-      last = m.end
-    }
-    sb.append(s.substring(last))
-    sb.toString
-  }
-
-  // Aggregates where DuckDB permits ORDER BY but the result cannot
-  // depend on it — the clause simply drops.
-  private val aggOrderInsensitive = Set(
-    "sum", "count", "avg", "mean", "min", "max", "stddev", "stddev_samp",
-    "stddev_pop", "variance", "var_samp", "var_pop", "bit_and", "bit_or",
-    "bit_xor", "bool_and", "bool_or", "median", "mode", "product",
-    "approx_count_distinct", "kurtosis", "skewness", "entropy", "sem",
-    "corr", "covar_pop", "covar_samp", "geomean", "favg", "fsum", "kahan_sum")
-  private val aggOrderRewritable = Set(
-    "string_agg", "listagg", "group_concat", "first", "any_value",
-    "arbitrary", "last", "array_agg", "list", "collect_list")
-
-  /** DuckDB's inline ORDER BY inside aggregate calls —
-    * `agg(args ORDER BY keys)` — which Spark's grammar rejects. Per
-    * family:
-    *   - order-insensitive aggregates (sum/count/avg/…) drop the clause;
-    *   - string_agg/listagg/group_concat move it to Spark 4's standard
-    *     `WITHIN GROUP (ORDER BY …)` clause verbatim (multi-key, DESC,
-    *     and DISTINCT all supported there — measured);
-    *   - first/any_value/arbitrary → `min_by(arg, key)` (DESC →
-    *     max_by); last is the mirror; multi-key wraps the keys in a
-    *     struct (struct ordering = lexicographic). min_by/max_by skip
-    *     NULL keys, which IS DuckDB's ASC NULLS LAST / DESC NULLS
-    *     FIRST-avoiding default — an explicit non-default NULLS
-    *     ordering refuses;
-    *   - array_agg/list → sorted-collect: collect structs of
-    *     (keys, value), array_sort, project the value back out
-    *     (DESC → reverse); ties break by the VALUE field (deterministic)
-    *     where DuckDB's tie order is input order (nondeterministic
-    *     under parallelism) — callers wanting cross-engine stability
-    *     use keys that determine the value, as anywhere else;
-    *   - mixed ASC/DESC directions on the by-key families and DISTINCT
-    *     outside string_agg refuse loudly rather than silently
-    *     diverging.
-    * Enclosing-call detection is paren-depth-based, so subquery and
-    * window ORDER BYs (enclosing paren has no aggregate name before it
-    * — `OVER (`, `FROM (`, `IN (`) never match, at any nesting. */
-  private[engine] def rewriteAggOrderBy(s: String): String = {
-    if (!"(?is)^.*\\bORDER\\s+BY\\b.*$".r.matches(s)) return s
-    val (codeAt, depth) = codeMask(s)
-    var i = 0
-    while (i < s.length) {
-      val isOrder = codeAt(i) && depth(i) >= 1 &&
-        s.regionMatches(true, i, "ORDER", 0, 5) &&
-        (i == 0 || !(s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_')) && {
-          var k = i + 5
-          (k < s.length && s.charAt(k).isWhitespace) && {
-            while (k < s.length && s.charAt(k).isWhitespace) k += 1
-            s.regionMatches(true, k, "BY", 0, 2) &&
-              (k + 2 >= s.length ||
-                !(s.charAt(k + 2).isLetterOrDigit || s.charAt(k + 2) == '_'))
-          }
-        }
-      if (isOrder) {
-        val d = depth(i)
-        var o = i - 1
-        while (o >= 0 && !(codeAt(o) && s.charAt(o) == '(' && depth(o) == d - 1))
-          o -= 1
-        var p = o - 1
-        while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
-        val nameEnd = p + 1
-        while (p >= 0 && (s.charAt(p).isLetterOrDigit || s.charAt(p) == '_'))
-          p -= 1
-        val fn = s.substring(p + 1, nameEnd).toLowerCase
-        if (fn.nonEmpty &&
-            (aggOrderInsensitive(fn) || aggOrderRewritable(fn))) {
-          var c = i
-          while (c < s.length &&
-            !(codeAt(c) && s.charAt(c) == ')' && depth(c) == d)) c += 1
-          require(c < s.length, s"unbalanced parens in $fn(...)")
-          val byIdx = s.toLowerCase.indexOf("by", i + 5)
-          val argsText = s.substring(o + 1, i).trim
-          val keysText = s.substring(byIdx + 2, c).trim
-          val replacement = aggOrderRewrite(fn, argsText, keysText)
-          return rewriteAggOrderBy(
-            s.substring(0, p + 1) + replacement + s.substring(c + 1))
-        }
-      }
-      i += 1
-    }
-    s
-  }
-
-  /** One ordered-aggregate call's rewritten text — see rewriteAggOrderBy. */
-  private def aggOrderRewrite(
-      fn: String, argsText: String, keysText: String): String = {
-    if (aggOrderInsensitive(fn)) return s"$fn($argsText)"
-    if (Set("string_agg", "listagg", "group_concat")(fn))
-      return s"$fn($argsText) WITHIN GROUP (ORDER BY $keysText)"
-    val distinct = argsText.matches("(?is)^DISTINCT\\b.*")
-    require(!distinct,
-      s"$fn(DISTINCT … ORDER BY …) is not routed: DISTINCT changes" +
-        " which row carries each value — deduplicate in a subquery," +
-        " or use string_agg/listagg where DISTINCT routes")
-    // parse key specs: expr [ASC|DESC] [NULLS FIRST|LAST], uniform direction
-    val keySpecRe =
-      "(?is)^(.*?)(?:\\s+(ASC|DESC))?(?:\\s+NULLS\\s+(FIRST|LAST))?\\s*$".r
-    val specs = splitTopLevel(keysText, ',').map(_.trim).map {
-      case keySpecRe(e, dir, nulls) =>
-        val desc = dir != null && dir.equalsIgnoreCase("DESC")
-        val defaultNulls = if (desc) "FIRST" else "LAST"
-        // min_by/max_by skip NULL keys entirely, which matches DuckDB's
-        // DEFAULT null order (nulls sort away from the picked end); an
-        // explicit non-default NULLS cannot be honored there, and the
-        // sorted-collect family makes no promise about null KEYS at all
-        // — both refuse instead of silently diverging
-        require(nulls == null ||
-            (Set("first", "any_value", "arbitrary", "last")(fn) &&
-              nulls.equalsIgnoreCase(defaultNulls)),
-          s"$fn(… ORDER BY … NULLS $nulls) is not routed here — filter" +
-            " NULL keys explicitly or drop the NULLS clause")
-        (e.trim, desc)
-    }
-    val dirs = specs.map(_._2).distinct
-    require(dirs.size == 1,
-      s"$fn(… ORDER BY …) with mixed ASC/DESC keys is not routed —" +
-        " uniform direction only (negate a numeric key to flip one)")
-    val desc = dirs.head
-    val keyExpr =
-      if (specs.size == 1) specs.head._1
-      else specs.map(_._1).mkString("struct(", ", ", ")")
-    fn match {
-      case "first" | "any_value" | "arbitrary" =>
-        if (desc) s"max_by($argsText, $keyExpr)"
-        else s"min_by($argsText, $keyExpr)"
-      case "last" =>
-        if (desc) s"min_by($argsText, $keyExpr)"
-        else s"max_by($argsText, $keyExpr)"
-      case "array_agg" | "list" | "collect_list" =>
-        val pairs = specs.zipWithIndex
-          .map { case ((e, _), ix) => s"'o$ix', $e" }.mkString(", ")
-        val sorted =
-          s"array_sort(collect_list(named_struct($pairs, 'v', $argsText)))"
-        val ordered = if (desc) s"reverse($sorted)" else sorted
-        s"transform($ordered, s -> s.v)"
-      case other =>
-        throw new IllegalArgumentException(
-          s"$other(… ORDER BY …) is not routed: the inline aggregate" +
-            " ORDER BY routes for string_agg/listagg/group_concat," +
-            " first/last/any_value, array_agg/list, and all" +
-            " order-insensitive aggregates")
-    }
-  }
-
-  // DuckDB-only type names Spark's parser rejects (or reads as another
-  // type), mapped for CAST/`::` sites and CREATE TABLE column lists.
-  // Names both grammars share (INTEGER, BIGINT, DOUBLE, DATE, DECIMAL,
-  // VARCHAR(n), …) pass through untouched.
-  private val duckOnlyTypes = Map(
-    "VARCHAR" -> "STRING", "TEXT" -> "STRING", "BPCHAR" -> "STRING",
-    "TIMESTAMPTZ" -> "TIMESTAMP", "DATETIME" -> "TIMESTAMP",
-    "INT1" -> "TINYINT", "INT2" -> "SMALLINT", "INT4" -> "INT",
-    "INT8" -> "BIGINT", "SIGNED" -> "INT",
-    "UTINYINT" -> "SMALLINT", "USMALLINT" -> "INT",
-    "UINTEGER" -> "BIGINT", "UBIGINT" -> "DECIMAL(20,0)",
-    "HUGEINT" -> "DECIMAL(38,0)",
-    "FLOAT4" -> "FLOAT", "REAL" -> "FLOAT", "FLOAT8" -> "DOUBLE",
-    "LOGICAL" -> "BOOLEAN", "BYTEA" -> "BINARY", "BLOB" -> "BINARY")
-
-  /** Map one type text (name, optional `(args)`, optional `[]` list
-    * suffixes) through `duckOnlyTypes`; `TYPE[]` becomes
-    * `ARRAY<TYPE>` (a DuckDB-only spelling at any base type). Unknown
-    * names pass through for Spark's parser to judge. */
-  private[engine] def mapTypeText(t0: String): String = {
-    val t = t0.trim
-    val m = "(?s)^([A-Za-z_]\\w*)\\s*(\\([^)]*\\))?\\s*((?:\\[\\s*\\])*)\\s*$".r
-    t match {
-      case m(name, args, brackets) =>
-        // a parenthesized-args form (VARCHAR(10), DECIMAL(p,s)) is
-        // Spark-valid spelling — only the BARE DuckDB-only names map
-        val base =
-          if (args == null && duckOnlyTypes.contains(name.toUpperCase))
-            duckOnlyTypes(name.toUpperCase)
-          else name + Option(args).getOrElse("")
-        val dims = if (brackets == null) 0 else brackets.count(_ == '[')
-        (1 to dims).foldLeft(base)((acc, _) => s"ARRAY<$acc>")
-      case _ => t
-    }
-  }
-
-  /** DuckDB type names at the two unambiguous type sites — after `::`
-    * and as the AS-operand of CAST/TRY_CAST — mapped via
-    * `duckOnlyTypes` (`x::VARCHAR` is THE DuckDB to-string idiom and a
-    * Spark parse error bare). Aliases legally named text/varchar
-    * elsewhere never match: only these two grammar positions are
-    * types. */
-  private[engine] def rewriteDuckCastTypes(s: String): String = {
-    if (!s.contains("::") && !"(?is)^.*\\bCAST\\s*\\(.*$".r.matches(s))
-      return s
-    val (codeAt, depth) = codeMask(s)
-    // pass 1: `:: TYPE [()] [[]...]`
-    val colonRe =
-      "::\\s*([A-Za-z_]\\w*)(\\s*\\([^)]*\\))?((?:\\s*\\[\\s*\\])*)".r
-    val sb = new StringBuilder
-    var last = 0
-    for (m <- colonRe.findAllMatchIn(s) if codeAt(m.start)) {
-      val whole = m.matched.substring(2)
-      val mapped = mapTypeText(whole)
-      if (mapped != whole.trim) {
-        sb.append(s.substring(last, m.start)).append("::").append(mapped)
-        last = m.end
-      }
-    }
-    sb.append(s.substring(last))
-    val s1 = sb.toString
-    // pass 2: CAST(expr AS TYPE) / TRY_CAST — the LAST top-level AS
-    // inside the call's parens delimits the type
-    val (code1, depth1) = codeMask(s1)
-    val castRe = "(?i)\\b(?:TRY_)?CAST\\s*\\(".r
-    castRe.findAllMatchIn(s1).find(m => code1(m.start)) match {
-      case None => s1
-      case Some(m) =>
-        val open = s1.indexOf('(', m.start)
-        val d = depth1(open) + 1
-        var close = open + 1
-        while (close < s1.length &&
-          !(code1(close) && s1.charAt(close) == ')' && depth1(close) == d))
-          close += 1
-        if (close >= s1.length) s1 // unbalanced mid-edit text — leave it
-        else {
-          val content = s1.substring(open + 1, close)
-          // last top-level AS within the call
-          val asRe = "(?i)\\bAS\\b".r
-          val (cc, cd) = codeMask(content)
-          val asIdx = asRe.findAllMatchIn(content)
-            .filter(x => cc(x.start) && cd(x.start) == 0)
-            .map(_.start).toSeq.lastOption
-          val newContent = asIdx match {
-            case Some(i0) =>
-              val typeText = content.substring(i0 + 2)
-              val mapped = mapTypeText(typeText)
-              // the expr side may itself carry casts — recurse
-              rewriteDuckCastTypes(content.substring(0, i0)) +
-                "AS " + mapped
-            case None => rewriteDuckCastTypes(content)
-          }
-          s1.substring(0, open + 1) + newContent +
-            rewriteDuckCastTypes(s1.substring(close))
-        }
-    }
-  }
-
-  /** Strip DuckDB's CTE materialization hints — `WITH x AS [NOT]
-    * MATERIALIZED (…)` → `AS (…)`. A pure planner hint: Spark decides
-    * CTE reuse itself (and the engine's explicit materialization tool
-    * is CREATE TEMP TABLE). */
-  private[engine] def rewriteMaterializedCte(s: String): String = {
-    if (!"(?is)^.*\\bMATERIALIZED\\b.*$".r.matches(s)) return s
-    val (codeAt, _) = codeMask(s)
-    val re = "(?is)\\bAS\\s+(?:NOT\\s+)?MATERIALIZED\\s*\\(".r
-    val sb = new StringBuilder
-    var last = 0
-    for (m <- re.findAllMatchIn(s) if codeAt(m.start)) {
-      sb.append(s.substring(last, m.start)).append("AS (")
-      last = m.end
-    }
-    sb.append(s.substring(last))
-    sb.toString
-  }
-
-  /** `ARRAY[…]` — the PostgreSQL-style constructor DuckDB also
-    * accepts: drop the keyword so the bracket takes the collection-
-    * literal route (DuckDB's own grammar reads ARRAY[ as a constructor
-    * even where `array` could name a column — same choice here). */
-  private[engine] def rewriteArrayKw(s: String): String = {
-    if (!"(?is)^.*\\bARRAY\\s*\\[.*$".r.matches(s)) return s
-    val (codeAt, _) = codeMask(s)
-    val re = "(?is)\\bARRAY\\s*\\[".r
-    val sb = new StringBuilder
-    var last = 0
-    for (m <- re.findAllMatchIn(s) if codeAt(m.start)) {
-      sb.append(s.substring(last, m.start)).append(" [")
-      last = m.end
-    }
-    sb.append(s.substring(last))
-    sb.toString
-  }
-
-  /** `//` → Spark's ` DIV ` — DuckDB's integer-division operator.
-    * Both truncate toward zero ((-7)//2 = -7 DIV 2 = -3, measured), so
-    * the operators are the same operation in different spellings. `//`
-    * is never SQL comment syntax, and comment/string occurrences are
-    * shielded by codeMask. */
-  private[engine] def rewriteIntDiv(s: String): String = {
-    if (!s.contains("//")) return s
-    val (codeAt, _) = codeMask(s)
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      if (codeAt(i) && s.charAt(i) == '/' &&
-          i + 1 < s.length && codeAt(i + 1) && s.charAt(i + 1) == '/') {
-        sb.append(" DIV "); i += 2
-      } else { sb.append(s.charAt(i)); i += 1 }
-    }
-    sb.toString
-  }
-
-  /** The two exponentiation spellings whose Spark reading silently
-    * DIVERGES or fails: `^` is POWER in DuckDB but bitwise XOR in
-    * Spark — the one operator both grammars parse to DIFFERENT
-    * operations — and `**` (DuckDB power) is a Spark parse error. Both
-    * refuse loudly naming power(); an engine that computed xor where a
-    * migrating script meant exponentiation would be silent wrongness
-    * (the regexp-flags precedent). Spark-native bitwise xor remains
-    * expressible as (a | b) & ~(a & b), named in the refusal. */
-  private[engine] def checkCaretPow(s: String): String = {
-    if (!s.contains("^") && !s.contains("**")) return s
-    val (codeAt, _) = codeMask(s)
-    var i = 0
-    while (i < s.length) {
-      if (codeAt(i)) {
-        if (s.charAt(i) == '*' && i + 1 < s.length &&
-            codeAt(i + 1) && s.charAt(i + 1) == '*')
-          throw new IllegalArgumentException(
-            "** (DuckDB exponentiation) has no Spark operator —" +
-              " write power(a, b)")
-        if (s.charAt(i) == '^')
-          throw new IllegalArgumentException(
-            if (i + 1 < s.length && s.charAt(i + 1) == '@')
-              "^@ (DuckDB starts-with) has no Spark operator — write" +
-                " starts_with(string, prefix)"
-            else
-              "^ is POWER in DuckDB but bitwise XOR in Spark — the same" +
-                " text computes two different things. Write power(a, b)" +
-                " for exponentiation, or (a | b) & ~(a & b) for xor")
-      }
-      i += 1
-    }
-    s
-  }
-
-  /** Default null ORDER parity — DuckDB sorts NULLS LAST by default in
-    * BOTH directions (default_null_order='nulls_last', measured);
-    * Spark's ASC default is NULLS FIRST. An `ORDER BY x` over a
-    * nullable key therefore puts NULLs at OPPOSITE ends — silently.
-    * The pass appends `NULLS LAST` to every sort key that carries no
-    * explicit NULLS clause and is not DESC (Spark's DESC default IS
-    * NULLS LAST — already DuckDB's), in every ORDER BY at every depth:
-    * statement-level, subqueries, and window specifications (window
-    * default null order is the same setting in DuckDB). `ORDER BY ALL`
-    * keeps Spark's expansion untouched. Keys already explicit are
-    * untouched, so the pass is idempotent. */
-  private[engine] def rewriteOrderByNulls(s: String): String = {
-    if (!"(?is)^.*\\bORDER\\s+BY\\b.*$".r.matches(s)) return s
-    val (codeAt, depth) = codeMask(s)
-    val terminators = Seq("LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE",
-      "GROUPS", "WINDOW", "UNION", "INTERSECT", "EXCEPT")
-    var i = 0
-    while (i < s.length) {
-      val isOrder = codeAt(i) &&
-        s.regionMatches(true, i, "ORDER", 0, 5) &&
-        (i == 0 || !(s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_')) && {
-          var k = i + 5
-          (k < s.length && s.charAt(k).isWhitespace) && {
-            while (k < s.length && s.charAt(k).isWhitespace) k += 1
-            s.regionMatches(true, k, "BY", 0, 2) &&
-              (k + 2 >= s.length ||
-                !(s.charAt(k + 2).isLetterOrDigit || s.charAt(k + 2) == '_'))
-          }
-        }
-      if (isOrder) {
-        val d = depth(i)
-        val byIdx = s.toLowerCase.indexOf("by", i + 5)
-        val keysStart = byIdx + 2
-        // clause end: a ')' closing our depth, a same-depth terminator
-        // keyword, or end of text
-        var e = keysStart
-        var end = -1
-        while (end < 0 && e < s.length) {
-          if (codeAt(e)) {
-            val c = s.charAt(e)
-            if (c == ')' && depth(e) == d) end = e
-            else if (depth(e) == d &&
-              (e == 0 || !(s.charAt(e - 1).isLetterOrDigit ||
-                s.charAt(e - 1) == '_')) &&
-              terminators.exists(t =>
-                s.regionMatches(true, e, t, 0, t.length) &&
-                  (e + t.length >= s.length ||
-                    !(s.charAt(e + t.length).isLetterOrDigit ||
-                      s.charAt(e + t.length) == '_')))) end = e
-          }
-          e += 1
-        }
-        if (end < 0) end = s.length
-        val span = s.substring(keysStart, end)
-        // split keys at same-depth commas (relative depth 0 within span)
-        val pieces = splitTopLevel(span, ',')
-        val explicitRe = "(?is).*\\bNULLS\\s+(FIRST|LAST)\\s*$"
-        val descRe = "(?is).*\\bDESC\\s*$"
-        val allRe = "(?is)^\\s*ALL\\s*$"
-        // the DESC/NULLS/ALL checks and the insertion point look only
-        // at CODE characters: a trailing `-- comment` on a sort key
-        // must neither hide an explicit DESC nor swallow the appended
-        // clause into the comment (where it would silently parse away)
-        var pieceOff = 0
-        val masked = pieces.map { p =>
-          val base = keysStart + pieceOff
-          pieceOff += p.length + 1
-          val chars = p.toCharArray
-          var j = 0
-          while (j < chars.length) {
-            if (!codeAt(base + j)) chars(j) = ' '
-            j += 1
-          }
-          (p, new String(chars), base)
-        }
-        val needsWork = masked.exists { case (_, m, _) =>
-          m.trim.nonEmpty && !m.matches(explicitRe) &&
-            !m.matches(descRe) && !m.matches(allRe)
-        }
-        if (needsWork) {
-          val fixed = masked.map { case (p, m, base) =>
-            if (m.trim.isEmpty || m.matches(explicitRe) ||
-              m.matches(descRe) || m.matches(allRe)) p
-            else {
-              // insert after the LAST code character of the piece, so
-              // trailing comments/whitespace stay after the clause
-              var last = p.length - 1
-              while (last >= 0 &&
-                (!codeAt(base + last) || p.charAt(last).isWhitespace))
-                last -= 1
-              p.substring(0, last + 1) + " NULLS LAST" +
-                p.substring(last + 1)
-            }
-          }.mkString(",")
-          return rewriteOrderByNulls(
-            s.substring(0, keysStart) + fixed + s.substring(end))
-        }
-      }
-      i += 1
-    }
-    s
-  }
-
-  /** DuckDB/Postgres regex-match operators: `a ~ 'p'` is a FULL match
-    * (regexp_full_match — 'abc' ~ 'b' is false, measured), `!~` its
-    * negation, and `~~`/`!~~` are LIKE/NOT LIKE. The LIKE pair swaps
-    * operator-for-operator (any pattern expression); the regex pair
-    * anchors a LITERAL pattern into the RLIKE it means (`'^(?:p)$'`,
-    * the SIMILAR TO discipline) and refuses a computed pattern — a
-    * partial-match RLIKE would silently differ. A `~` whose right-hand
-    * side is not a string literal, or whose left neighbor is not an
-    * operand end, stays untouched (Spark's prefix bitwise NOT). */
-  private[engine] def rewriteTildeMatch(s: String): String = {
-    if (!s.contains("~")) return s
-    val (codeAt, _) = codeMask(s)
-    val sb = new StringBuilder
-    var i = 0
-    def operandEndBefore(p0: Int): Boolean = {
-      var p = p0 - 1
-      while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
-      p >= 0 && (s.charAt(p).isLetterOrDigit || s.charAt(p) == '_' ||
-        s.charAt(p) == '\'' || s.charAt(p) == '`' ||
-        s.charAt(p) == ')' || s.charAt(p) == ']')
-    }
-    def literalAfter(p0: Int): Option[(String, Int)] = {
-      var p = p0
-      while (p < s.length && s.charAt(p).isWhitespace) p += 1
-      if (p >= s.length || s.charAt(p) != '\'') None
-      else {
-        val start = p
-        p += 1
-        var open = true
-        while (p < s.length && open) {
-          if (s.charAt(p) == '\'' && p + 1 < s.length &&
-            s.charAt(p + 1) == '\'') p += 2
-          else if (s.charAt(p) == '\'') { open = false; p += 1 }
-          else p += 1
-        }
-        if (open) None else Some((s.substring(start + 1, p - 1), p))
-      }
-    }
-    while (i < s.length) {
-      val ch = s.charAt(i)
-      if (codeAt(i) && (ch == '~' || (ch == '!' && i + 1 < s.length &&
-          codeAt(i + 1) && s.charAt(i + 1) == '~'))) {
-        val neg = ch == '!'
-        val tildes = {
-          var k = if (neg) i + 1 else i
-          var n = 0
-          while (k < s.length && codeAt(k) && s.charAt(k) == '~') {
-            n += 1; k += 1
-          }
-          n
-        }
-        val opEnd = i + (if (neg) 1 else 0) + tildes
-        if (tildes == 2) {
-          // ~~ / !~~ — LIKE in operator clothes, any pattern expression
-          sb.append(if (neg) " NOT LIKE " else " LIKE ")
-          i = opEnd
-        } else if (tildes == 1 && operandEndBefore(i)) {
-          literalAfter(opEnd) match {
-            case Some((pat, after)) =>
-              sb.append(if (neg) " NOT RLIKE " else " RLIKE ")
-                .append("'^(?:").append(pat).append(")$'")
-              i = after
-            case None =>
-              if (neg) throw new IllegalArgumentException(
-                "!~ with a computed pattern is not routed — write NOT" +
-                  " regexp_like(s, concat('^(?:', p, ')$'))")
-              else { sb.append(ch); i += 1 } // prefix bitwise NOT
-          }
-        } else { sb.append(ch); i += 1 }
-      } else { sb.append(ch); i += 1 }
-    }
-    sb.toString
-  }
-
-  /** POSITIONAL JOIN refuses: DuckDB zips two relations by ROW ORDER,
-    * and row order is not a distributed invariant this engine can
-    * promise (a parallel scan's order varies run to run) — silently
-    * zipping would pair arbitrary rows. The refusal names the explicit
-    * spelling that is order-sound. */
-  private[engine] def checkPositionalJoin(s: String): String = {
-    if (!"(?is)^.*\\bPOSITIONAL\\s+JOIN\\b.*$".r.matches(s)) return s
-    val (codeAt, _) = codeMask(s)
-    if ("(?is)\\bPOSITIONAL\\s+JOIN\\b".r.findAllMatchIn(s)
-        .exists(m => codeAt(m.start)))
-      throw new IllegalArgumentException(
-        "POSITIONAL JOIN is not routed: row order is not a distributed" +
-          " invariant — number each side explicitly with row_number()" +
-          " OVER (ORDER BY <stable key>) and join on it")
-    s
-  }
-
-  /** Day-of-week field parity — DuckDB's `dow` runs Sunday=0..Saturday=6
-    * while Spark's runs Sunday=1..Saturday=7 (an off-by-one BOTH
-    * grammars accept silently), and DuckDB's `isodow` (Monday=1) is
-    * spelled `dayofweek_iso` in Spark. `EXTRACT(dow FROM x)` →
-    * `(EXTRACT(dayofweek FROM x) - 1)`, `EXTRACT(isodow FROM x)` →
-    * `EXTRACT(dayofweek_iso FROM x)`, and the same two fields through
-    * `date_part('…', x)` / `datepart`. */
-  private[engine] def rewriteDowField(s: String): String = {
-    if (!"(?is)^.*\\b(?:DOW|ISODOW)\\b.*$".r.matches(s)) return s
-    val (codeAt, depth) = codeMask(s)
-    val extractRe =
-      "(?is)\\bEXTRACT\\s*\\(\\s*(DOW|ISODOW)\\s+FROM\\b".r
-    val datePartRe =
-      "(?is)\\b(?:DATE_PART|DATEPART)\\s*\\(\\s*'(dow|isodow)'\\s*,".r
-    def closeOf(openIdx: Int): Int = {
-      // depth() records the PRE-char depth: the matching ')' of a '('
-      // at depth d carries depth d+1
-      val d = depth(openIdx) + 1
-      var c = openIdx + 1
-      while (c < s.length &&
-        !(codeAt(c) && s.charAt(c) == ')' && depth(c) == d)) c += 1
-      require(c < s.length, "unbalanced parens in extract/date_part")
-      c
-    }
-    val hit = extractRe.findAllMatchIn(s).find(m => codeAt(m.start))
-      .map(m => (m, m.group(1).toLowerCase, "extract"))
-      .orElse(datePartRe.findAllMatchIn(s).find(m => codeAt(m.start))
-        .map(m => (m, m.group(1).toLowerCase, "date_part")))
-    hit match {
-      case None => s
-      case Some((m, field, kind)) =>
-        val open = s.indexOf('(', m.start)
-        val close = closeOf(open)
-        val call = s.substring(m.start, close + 1)
-        // replaceFirst targets the FIELD token — it precedes any column
-        // legally named dow/isodow inside the FROM-expression
-        val fixedCall =
-          if (kind == "extract") {
-            if (field == "dow")
-              call.replaceFirst("(?is)\\bDOW\\b", "dayofweek")
-            else call.replaceFirst("(?is)\\bISODOW\\b", "dayofweek_iso")
-          } else call.replaceFirst("(?is)'(dow|isodow)'",
-            if (field == "dow") "'dayofweek'" else "'dayofweek_iso'")
-        val replaced =
-          if (field == "dow") s"($fixedCall - 1)" else fixedCall
-        rewriteDowField(
-          s.substring(0, m.start) + replaced + s.substring(close + 1))
-    }
-  }
-
-  /** DuckDB list slicing — `base[a:b]`, `base[a:]`, `base[:b]`,
-    * `base[:]` — syntax Spark lacks entirely, so it carries DuckDB's
-    * semantics exactly (1-based, inclusive both ends, out-of-range
-    * clamped — Spark's `slice` clamps identically, measured):
-    *   base[a:b] → slice(base, a, greatest(0, (b) - (a) + 1))
-    *   base[a:]  → slice(base, a, greatest(0, size(base) - (a) + 1))
-    *   base[:b]  → slice(base, 1, b)
-    *   base[:]   → base
-    * The base expression walks left over identifier chains, subscript
-    * and call groups, and quoted identifiers (adjacency — the same
-    * rule that separates subscripts from literals). Negative (from-end)
-    * literal bounds and step slices refuse loudly; plain subscripts
-    * (no top-level `:`) stay native-Spark per the documented base
-    * divergence. NOTE `base` may appear twice in the open-ended form —
-    * Catalyst's subexpression elimination dedupes the evaluation. */
-  private[engine] def rewriteListSlice(s: String): String = {
-    if (!s.contains("[") || !s.contains(":")) return s
-    val (codeAt, _) = codeMask(s)
-    var i = 0
-    while (i < s.length) {
-      if (codeAt(i) && s.charAt(i) == '[') {
-        val prev = if (i > 0) s.charAt(i - 1) else ' '
-        val isSubscript = prev.isLetterOrDigit || prev == '_' ||
-          prev == ')' || prev == ']' || prev == '`' || prev == '\''
-        if (isSubscript) {
-          // matching ']' via bracket depth at code positions
-          var bd = 0; var j = i; var end = -1
-          while (j < s.length && end < 0) {
-            if (codeAt(j)) {
-              val c = s.charAt(j)
-              if (c == '[') bd += 1
-              else if (c == ']') { bd -= 1; if (bd == 0) end = j }
-            }
-            j += 1
-          }
-          if (end > 0) {
-            val content = s.substring(i + 1, end)
-            sliceParts(content).foreach { case (loT, hiT) =>
-              val baseStart = exprStartLeft(s, codeAt, i)
-              val base = s.substring(baseStart, i)
-              require(base.nonEmpty, s"cannot locate the slice base in: $s")
-              def nonNeg(t: String, which: String): String = {
-                require(!t.trim.startsWith("-"),
-                  s"negative (from-end) slice $which is not routed —" +
-                    " spell it with size(): base[size(base)+n : …]" +
-                    " has no silent Spark reading to preserve")
-                t.trim
-              }
-              val repl = (loT.map(nonNeg(_, "lower bound")),
-                  hiT.map(nonNeg(_, "upper bound"))) match {
-                case (Some(a), Some(b)) =>
-                  s"slice($base, $a, greatest(0, ($b) - ($a) + 1))"
-                case (Some(a), None) =>
-                  s"slice($base, $a, greatest(0, size($base) - ($a) + 1))"
-                case (None, Some(b)) => s"slice($base, 1, $b)"
-                case (None, None) => base
-              }
-              return rewriteListSlice(
-                s.substring(0, baseStart) + repl + s.substring(end + 1))
-            }
-          }
-        }
-      }
-      i += 1
-    }
-    s
-  }
-
-  /** Split subscript content at its ONE top-level `:` (w.r.t. parens
-    * and brackets; `::` casts never split) → (lower?, upper?); None
-    * when the content is a plain subscript. Step slices (two colons)
-    * refuse. */
-  private def sliceParts(
-      content: String): Option[(Option[String], Option[String])] = {
-    val (codeAt, _) = codeMask(content)
-    var pd = 0; var bd = 0
-    val colons = scala.collection.mutable.Buffer.empty[Int]
-    var i = 0
-    while (i < content.length) {
-      if (codeAt(i)) {
-        val c = content.charAt(i)
-        if (c == '(') pd += 1 else if (c == ')') pd -= 1
-        else if (c == '[') bd += 1 else if (c == ']') bd -= 1
-        else if (c == ':' && pd == 0 && bd == 0) {
-          if (i + 1 < content.length && content.charAt(i + 1) == ':' &&
-              codeAt(i + 1)) i += 1 // '::' cast — skip the pair
-          else colons += i
-        }
-      }
-      i += 1
-    }
-    colons.toSeq match {
-      case Seq() => None
-      case Seq(k) =>
-        val lo = content.substring(0, k).trim
-        val hi = content.substring(k + 1).trim
-        Some((Option(lo).filter(_.nonEmpty), Option(hi).filter(_.nonEmpty)))
-      case _ => throw new IllegalArgumentException(
-        s"step slices ([a:b:s]) are not routed — compose slice() with" +
-          s" filter() over element indexes instead: [$content]")
-    }
-  }
-
-  /** Start index of the expression that ENDS (exclusive) at `end` — the
-    * subscript/slice base: walks left over identifier chains (`a.b.c`),
-    * balanced call/subscript groups (`f(…)`, `m['k']`), quoted
-    * identifiers, and one string literal. */
-  private def exprStartLeft(
-      s: String, codeAt: Array[Boolean], end: Int): Int = {
-    var j = end
-    var done = false
-    while (!done && j > 0) {
-      val c = s.charAt(j - 1)
-      if (c == ')' || c == ']') {
-        val open = if (c == ')') '(' else '['
-        var bal = 0; var k = j - 1; var found = -1
-        while (k >= 0 && found < 0) {
-          if (codeAt(k)) {
-            if (s.charAt(k) == c) bal += 1
-            else if (s.charAt(k) == open) { bal -= 1; if (bal == 0) found = k }
-          }
-          k -= 1
-        }
-        if (found < 0) done = true else j = found
-      } else if (c == '`') {
-        var k = j - 2
-        while (k >= 0 && s.charAt(k) != '`') k -= 1
-        if (k < 0) done = true else j = k
-      } else if (c == '\'') {
-        // a string-literal base ('abc'[…]); backward scan to its opener
-        var k = j - 2
-        while (k >= 0 && !(s.charAt(k) == '\'' &&
-          (k == 0 || s.charAt(k - 1) != '\''))) k -= 1
-        if (k < 0) done = true else { j = k; done = true }
-      } else if (c.isLetterOrDigit || c == '_') {
-        var k = j - 1
-        while (k > 0 && (s.charAt(k - 1).isLetterOrDigit ||
-          s.charAt(k - 1) == '_')) k -= 1
-        j = k
-      } else if (c == '.') {
-        j -= 1
-      } else done = true
-    }
-    j
-  }
-
-  /** DuckDB's `MAP {'k': v, …}` literal → Spark's `map(k, v, …)`
-    * constructor. Runs BEFORE the collection-literal pass (which would
-    * turn the braces into named_struct). Subscript ACCESS semantics
-    * are documented-divergent (DuckDB map[k] yields a LIST, Spark the
-    * value) — portable access goes through map_keys/map_values or
-    * element_at, as noted in SURVEY §7. */
-  private[engine] def rewriteMapLiteral(s: String): String = {
-    if (!"(?is)^.*\\bMAP\\s*\\{.*$".r.matches(s)) return s
-    val (codeAt, _) = codeMask(s)
-    val re = "(?is)\\bMAP\\s*\\{".r
-    re.findAllMatchIn(s).find(m => codeAt(m.start)) match {
-      case None => s
-      case Some(m) =>
-        val openBrace = m.end - 1
-        var bd = 0; var j = openBrace; var close = -1
-        while (j < s.length && close < 0) {
-          if (codeAt(j)) {
-            val c = s.charAt(j)
-            if (c == '{') bd += 1
-            else if (c == '}') { bd -= 1; if (bd == 0) close = j }
-          }
-          j += 1
-        }
-        require(close > 0, "unbalanced braces in MAP {…}")
-        val content = s.substring(openBrace + 1, close).trim
-        // split entries at commas that are top-level w.r.t. parens AND
-        // brackets/braces (list values carry commas; splitTopLevel only
-        // tracks parens)
-        def splitEntries(t: String): Seq[String] = {
-          val (pc, _) = codeMask(t)
-          val out = scala.collection.mutable.Buffer.empty[String]
-          var pd = 0; var bd = 0; var last = 0; var x = 0
-          while (x < t.length) {
-            if (pc(x)) {
-              val c = t.charAt(x)
-              if (c == '(') pd += 1 else if (c == ')') pd -= 1
-              else if (c == '[' || c == '{') bd += 1
-              else if (c == ']' || c == '}') bd -= 1
-              else if (c == ',' && pd == 0 && bd == 0) {
-                out += t.substring(last, x); last = x + 1
-              }
-            }
-            x += 1
-          }
-          out += t.substring(last)
-          out.toSeq
-        }
-        val args =
-          if (content.isEmpty) ""
-          else splitEntries(content).map { pair =>
-            val (pc, _) = codeMask(pair)
-            var k = -1; var x = 0
-            while (k < 0 && x < pair.length) {
-              if (pc(x) && pair.charAt(x) == ':' &&
-                  !(x + 1 < pair.length && pair.charAt(x + 1) == ':') &&
-                  !(x > 0 && pair.charAt(x - 1) == ':')) k = x
-              x += 1
-            }
-            require(k > 0, s"MAP literal entries must be key: value — got: $pair")
-            s"${pair.substring(0, k).trim}, ${pair.substring(k + 1).trim}"
-          }.mkString(", ")
-        rewriteMapLiteral(
-          s.substring(0, m.start) + s"map($args)" + s.substring(close + 1))
-    }
-  }
-
-  /** DuckDB list comprehensions — `[expr FOR x IN list [IF cond]]` →
-    * the `list_transform` / `list_filter` composition they are sugar
-    * for. Runs BEFORE the collection-literal pass (which would consume
-    * the brackets as an array constructor); the subscript adjacency
-    * rule is shared with it. Nested comprehensions rewrite via
-    * recursion on the pieces. */
-  private[engine] def rewriteListComprehension(s: String): String = {
-    if (!s.contains("[") || !"(?is)^.*\\bFOR\\b.*$".r.matches(s)) return s
-    val (codeAt, _) = codeMask(s)
-    var i = 0
-    while (i < s.length) {
-      if (codeAt(i) && s.charAt(i) == '[') {
-        val prev = if (i > 0) s.charAt(i - 1) else ' '
-        val isSubscript = prev.isLetterOrDigit || prev == '_' ||
-          prev == ')' || prev == ']' || prev == '`' || prev == '\''
-        if (!isSubscript) {
-          var bd = 0; var j = i; var end = -1
-          while (j < s.length && end < 0) {
-            if (codeAt(j)) {
-              val c = s.charAt(j)
-              if (c == '[') bd += 1
-              else if (c == ']') { bd -= 1; if (bd == 0) end = j }
-            }
-            j += 1
-          }
-          if (end > 0) comprehensionParts(s.substring(i + 1, end)).foreach {
-            case (exprT, v, listT, condT) =>
-              val list = rewriteListComprehension(listT)
-              val expr = rewriteListComprehension(exprT)
-              val body = condT match {
-                case Some(c) =>
-                  s"list_transform(list_filter($list, $v ->" +
-                    s" ${rewriteListComprehension(c)}), $v -> $expr)"
-                case None => s"list_transform($list, $v -> $expr)"
-              }
-              return rewriteListComprehension(
-                s.substring(0, i) + body + s.substring(end + 1))
-          }
-        }
-      }
-      i += 1
-    }
-    s
-  }
-
-  /** Split one bracket's content into comprehension parts:
-    * (expr, var, list, cond?) when it is `expr FOR var IN list [IF
-    * cond]` with FOR/IF at the content's own top level (parens AND
-    * brackets); None for a plain list literal. */
-  private def comprehensionParts(
-      content: String): Option[(String, String, String, Option[String])] = {
-    val (codeAt, _) = codeMask(content)
-    def topKw(kw: String, from: Int): Int = {
-      var pd = 0; var bd = 0
-      var i = from
-      while (i < content.length) {
-        if (codeAt(i)) {
-          val c = content.charAt(i)
-          if (c == '(') pd += 1 else if (c == ')') pd -= 1
-          else if (c == '[') bd += 1 else if (c == ']') bd -= 1
-          else if (pd == 0 && bd == 0 &&
-            content.regionMatches(true, i, kw, 0, kw.length) &&
-            (i == 0 || content.charAt(i - 1).isWhitespace) &&
-            (i + kw.length < content.length &&
-              content.charAt(i + kw.length).isWhitespace)) return i
-        }
-        i += 1
-      }
-      -1
-    }
-    val forIdx = topKw("FOR", 0)
-    if (forIdx < 0) return None
-    val exprT = content.substring(0, forIdx).trim
-    val afterFor = content.substring(forIdx + 3)
-    val inRe = "(?is)^\\s*([A-Za-z_]\\w*)\\s+IN\\s+(.*)$".r
-    afterFor match {
-      case inRe(v, rest) =>
-        val ifIdx = topKw("IF", content.length - rest.length)
-        if (ifIdx < 0) Some((exprT, v, rest.trim, None))
-        else {
-          val listT = content.substring(
-            content.length - rest.length, ifIdx).trim
-          Some((exprT, v, listT,
-            Some(content.substring(ifIdx + 2).trim)))
-        }
-      case _ => None
-    }
   }
 
   /** A8: streaming query — per-partition iterator to the driver (the analog
@@ -4243,120 +533,6 @@ object Engine {
     Sql.splitStatements(script).foldLeft(Option.empty[DataFrame]) {
       (_, stmt) => Some(sql(spark, stmt))
     }
-
-  /** DESCRIBE convenience (Tier C introspection — the DuckDB `DESCRIBE
-    * <table/query>` one-liner a UI user leans on, delegated surface via
-    * /root/reference/src/duckdb.ts:46-49): the result's schema as rows of
-    * (column_name, column_type, null). Built from `df.schema` — pure
-    * driver-side metadata, NO job runs (DuckDB's DESCRIBE is likewise a
-    * binder-only operation), which is the property that matters at 100 TB:
-    * describing a petabyte table costs the same as describing 10 rows.
-    * Type names render in Spark's SQL dialect (engine-specific by nature,
-    * so spec-checked rather than oracle-hashed). */
-  def describe(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    // DuckDB's exact column set (r18 shape parity): key/default/extra
-    // are always NULL here — this engine keeps no constraint metadata —
-    // but a migrating user's tooling indexes the columns by name
-    df.schema.fields.toSeq
-      .map(f => (f.name, f.dataType.sql,
-        if (f.nullable) "YES" else "NO",
-        Option.empty[String], Option.empty[String], Option.empty[String]))
-      .toDF("column_name", "column_type", "null", "key", "default", "extra")
-  }
-
-  /** DuckDB's `PRAGMA table_info` output shape (cid, name, type,
-    * notnull, dflt_value, pk): notnull is real schema metadata;
-    * dflt_value and pk are always NULL/false — this engine keeps no
-    * constraint metadata. Pure driver-side metadata, no job. */
-  private def tableInfo(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
-      (i, f.name, f.dataType.sql, !f.nullable, Option.empty[String], false)
-    }.toDF("cid", "name", "type", "notnull", "dflt_value", "pk")
-  }
-
-  /** SUMMARIZE convenience (DuckDB's per-column profile one-liner): the
-    * full DuckDB column set — min / max / approx_unique / avg / std /
-    * q25 / q50 / q75 / count / null_percentage per column, in DuckDB's
-    * EXACT column names and order (r18: a migrating user's tooling
-    * reads these names) — computed in ONE distributed aggregate pass
-    * (one job, map-side partials — not a per-column scan loop: at
-    * 100 TB the difference between 1 scan and N_cols scans is the
-    * whole cost). Spark's own `df.summary()` skips non-numeric columns
-    * and runs no distinct counts; this wrapper profiles EVERY column:
-    * approx_count_distinct and approx_percentile (the only sane
-    * distinct/quantiles at scale — DuckDB's own approx_unique/q* are
-    * approximate too), min/max rendered through the A14 formatter so
-    * timestamps/decimals read naturally, avg/std/quantiles only where
-    * numeric. Stat VALUES are engine-specific (approx sketches differ)
-    * → shape spec-checked, not oracle-hashed. */
-  def summarize(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.RowOrdering
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.NumericType
-    val spark = df.sparkSession
-    import spark.implicits._
-    // non-orderable types (maps) support neither min/max nor the hash
-    // inside approx_count_distinct — their profile is count-only, nulls
-    // elsewhere, rather than an AnalysisException for the whole frame
-    def orderable(f: org.apache.spark.sql.types.StructField): Boolean =
-      RowOrdering.isOrderable(f.dataType)
-    // Columns are addressed by INDEX, not name: duplicate column names
-    // (routine after joins) make name lookups ambiguous, and embedded
-    // backticks break quoting — a positional rename to __c$i sidesteps
-    // both, and the output still reports the ORIGINAL names.
-    val positional = df.toDF(df.columns.indices.map(i => s"__c$i"): _*)
-    val aggs = df.schema.fields.zipWithIndex.flatMap { case (f, i) =>
-      val c = col(s"__c$i")
-      Seq(count(c).as(s"cnt_$i")) ++
-        (if (orderable(f)) Seq(
-          approx_count_distinct(c).as(s"dst_$i"),
-          min(c).as(s"min_$i"),
-          max(c).as(s"max_$i"))
-        else Nil) ++
-        (f.dataType match {
-          case _: NumericType => Seq(
-            avg(c).cast("double").as(s"avg_$i"),
-            stddev_samp(c.cast("double")).as(s"std_$i"),
-            percentile_approx(c.cast("double"),
-              array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
-              .as(s"q_$i"))
-          case _ => Nil
-        })
-    }
-    val total = count(lit(1)).as("__total")
-    val row = positional.agg(total, aggs.toSeq: _*).collect()(0)
-    val n = row.getAs[Long]("__total")
-    df.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
-      def s(prefix: String): String =
-        if (!orderable(f)) null
-        else {
-          val v = row.getAs[Any](s"${prefix}_$i")
-          if (v == null) null else Render.formatCell(v)
-        }
-      def numStat(prefix: String): String =
-        if (!f.dataType.isInstanceOf[NumericType]) null
-        else Option(row.getAs[Any](s"${prefix}_$i"))
-          .map(v => Render.formatCell(v)).orNull
-      val qs: Seq[String] =
-        if (!f.dataType.isInstanceOf[NumericType]) Seq(null, null, null)
-        else Option(row.getAs[scala.collection.Seq[Double]](s"q_$i"))
-          .map(_.map(v => Render.formatCell(v)).toSeq)
-          .getOrElse(Seq(null, null, null))
-      val cnt = row.getAs[Long](s"cnt_$i")
-      val dst: Option[Long] =
-        if (orderable(f)) Some(row.getAs[Long](s"dst_$i")) else None
-      // DuckDB's column ORDER and NAMES exactly; null_percentage is a
-      // percent (DuckDB renders DECIMAL(5,2) — the value is 0..100)
-      (f.name, f.dataType.sql, s("min"), s("max"), dst,
-        numStat("avg"), numStat("std"), qs(0), qs(1), qs(2), cnt,
-        if (n == 0) 0.0 else (n - cnt).toDouble * 100.0 / n.toDouble)
-    }.toDF("column_name", "column_type", "min", "max", "approx_unique",
-      "avg", "std", "q25", "q50", "q75", "count", "null_percentage")
-  }
 
   /** Error surface: the reference catches engine failures and shows
     * `err.message` (`/root/reference/src/App.tsx:382-383,441-444`). The

@@ -1,0 +1,1062 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** The user-typed DML statement routes (A6): DELETE/UPDATE/MERGE/
+  * upsert/RETURNING via the copy-on-write rewriter in [[Dml]], plus
+  * COPY TO/FROM and the insert-source binding shared by all insert
+  * shapes. Mixed into [[Engine]]; split out by file only. */
+private[engine] trait EngineDml {
+  this: Engine.type =>
+
+  // --- user-typed DML: routed to the copy-on-write rewriter ---------------
+  //
+  // The reference's delegation point executes any DuckDB SQL, so a user
+  // can type `UPDATE`/`DELETE`/`MERGE` against a table they created (CTAS
+  // is already supported through this path). Spark's session-catalog
+  // parquet tables reject DML outright ("does not support
+  // DELETE/MERGE/UPDATE" — row-level ops need a DSv2 table format), so
+  // the engine closes the gap itself: the statement's WHERE/SET text
+  // parses through `expr` (full Catalyst expression syntax) and executes
+  // as the copy-on-write file rewrite in `engine/Dml.scala`, then the
+  // table's file listing is refreshed. When the WHERE's top-level
+  // conjunction bounds a long/timestamp column by literals, the rewrite
+  // takes the footer-stats-PRUNED path (`pruneRange` below) — a narrow
+  // typed DELETE on a range-clustered layout touches a handful of files;
+  // any predicate shape the extractor doesn't recognize falls back to the
+  // full rewrite, never to wrong pruning. Targets must be catalog TABLES:
+  // temp views over registered (read-only) files refuse with a clear
+  // message instead of mutating inputs.
+  private[engine] val deleteRe =
+    "(?is)^DELETE\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s+WHERE\\s+(.+))?$".r
+
+  // DELETE FROM t USING s WHERE <cond> — the DuckDB/Postgres join
+  // delete: remove target rows for which SOME source row satisfies the
+  // condition. The copy-on-write transform is a LEFT ANTI join against
+  // the broadcast source under the raw condition — anti-join keeps
+  // exactly the rows with NO qualifying match, which IS the statement's
+  // semantics (EXISTS-delete), with NULL conditions keeping the row
+  // like any SQL predicate. The source is an upsert-batch-sized
+  // relation by the same contract as MERGE, so the rewrite stays one
+  // map-shaped job with no target shuffle. Condition references qualify
+  // by the TABLE NAMES (aliases are not routed).
+  private[engine] val deleteUsingRe =
+    ("(?is)^DELETE\\s+FROM\\s+([A-Za-z_]\\w*)\\s+USING\\s+" +
+      "([A-Za-z_]\\w*)\\s+WHERE\\s+(.+)$").r
+
+  private[engine] def runDeleteUsing(
+      spark: SparkSession, table: String, src: String,
+      cond: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, expr}
+    val source = spark.table(src)
+    // the equi-key shape takes the key-span-PRUNED delete (a file whose
+    // head-key footer range misses the source's key span is never
+    // opened — the sibling MERGE/UPDATE FROM scale shape); any richer
+    // condition falls back to the full anti-join rewrite
+    val equiKeys =
+      try Some(parseEquiKeys(cond, Set(table.toLowerCase),
+        Set(src.toLowerCase), "DELETE USING"))
+      catch { case _: IllegalArgumentException => None }
+    withTablePath(spark, table) { path =>
+      equiKeys match {
+        case Some(keys) => Dml.deleteUsingKeys(spark, path, source, keys)
+        case None =>
+          Dml.rewriteAllFiles(spark, path)(df =>
+            df.alias(table)
+              .join(broadcast(source.alias(src)), expr(cond), "left_anti"))
+      }
+    }
+  }
+  private[engine] val updateRe =
+    "(?is)^UPDATE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+SET\\s+(.+)$".r
+
+  /** Split `SET-list [WHERE predicate]` at the first WHERE keyword that
+    * sits outside string literals and parens (subqueries) — expressed
+    * through the shared top-level keyword scanner so the boundary and
+    * quote rules live in ONE place. */
+  private[engine] def splitOnWhere(s: String): (String, Option[String]) =
+    firstTopLevelKeyword(s, Seq("WHERE")) match {
+      case Some(i) =>
+        (s.substring(0, i).trim, Some(s.substring(i + "WHERE".length).trim))
+      case None => (s.trim, None)
+    }
+
+  // MERGE INTO target [[AS] t] USING source [[AS] s] ON <equi-keys>
+  //   WHEN MATCHED THEN UPDATE SET <assignments>
+  //   WHEN NOT MATCHED THEN INSERT <* | (cols) VALUES (vals)>
+  // — the canonical upsert statement the reference's delegation point
+  // accepts (/root/reference/src/duckdb.ts:46-49), routed to the engine's
+  // copy-on-write merge (`Dml.mergeIntoAll`). The alias captures use a
+  // lookahead so a missing alias never swallows the next keyword.
+  private[engine] val mergeRe =
+    ("(?is)^MERGE\\s+INTO\\s+([A-Za-z_]\\w*)" +
+      "(?:\\s+(?:AS\\s+)?(?!USING\\b)([A-Za-z_]\\w*))?" +
+      "\\s+USING\\s+([A-Za-z_]\\w*)" +
+      "(?:\\s+(?:AS\\s+)?(?!ON\\b)([A-Za-z_]\\w*))?" +
+      "\\s+ON\\s+(.+?)" +
+      "\\s+WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+(.+?)" +
+      "\\s+WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+(.+)$").r
+
+  /** Parse the routed MERGE's clauses down to `Dml.mergeIntoAll`'s
+    * (srcKeys, setCols) contract and execute it. The supported shape is
+    * the same-named upsert MERGE translates to: ON conjoins
+    * `t.k = s.k` equi-keys, each SET assignment copies the same-named
+    * source column, and INSERT is the full source row (`*`, or an
+    * explicit column list covering the source columns with identity
+    * values). Anything richer refuses with a clear message — never a
+    * silently-different merge. */
+  /** Parse `q.c` / `c` / backticked forms — (qualifier?, column). */
+  private[engine] def parseQualRef(raw: String): (Option[String], String) = {
+    val r = raw.trim.stripPrefix("`").stripSuffix("`")
+    r.split('.') match {
+      case Array(q, c) => (Some(q.toLowerCase), c)
+      case Array(c) => (None, c)
+      case _ =>
+        throw new IllegalArgumentException(s"unsupported column ref: $raw")
+    }
+  }
+
+  /** Same-named equi-key columns from a top-level AND of
+    * `t.k = s.k` conjuncts — the join shape both MERGE and
+    * UPDATE … FROM route (richer conditions refuse loudly). */
+  private[engine] def parseEquiKeys(cond: String, tQuals: Set[String],
+      sQuals: Set[String], what: String): Seq[String] =
+    splitOnKeyword(cond, "AND").map { conj =>
+      val eq = splitTopLevel(conj, '=')
+      require(eq.size == 2, s"$what supports equi-key conjuncts: $conj")
+      val (q1, c1) = parseQualRef(eq(0)); val (q2, c2) = parseQualRef(eq(1))
+      require(c1.equalsIgnoreCase(c2),
+        s"$what keys must pair the same-named column: $conj")
+      val quals = (Set(q1) ++ Set(q2)).flatten
+      require(quals.exists(tQuals) && quals.exists(sQuals),
+        s"$what conjunct must join target to source: $conj")
+      c1
+    }
+
+  /** Same-named source-column assignments from a SET list — the
+    * `col = source.col` shape MERGE and UPDATE … FROM route. */
+  private[engine] def parseSameNameSets(sets: String, tQuals: Set[String],
+      sQuals: Set[String], what: String): Seq[String] =
+    splitTopLevel(sets, ',').map { a =>
+      val eq = splitTopLevel(a, '=')
+      require(eq.size == 2, s"malformed $what SET assignment: $a")
+      val (lq, lc) = parseQualRef(eq(0)); val (rq, rc) = parseQualRef(eq(1))
+      require(lq.forall(tQuals) && rq.forall(sQuals) &&
+        lc.equalsIgnoreCase(rc),
+        s"routed $what supports SET col = source.col of the same name" +
+          s" — got: $a")
+      lc
+    }
+
+  /** Split an UPDATE's post-SET blob into the join-update parts
+    * (set list, source relation, join condition) when a top-level FROM
+    * is present — None for the plain predicate UPDATE. */
+  private[engine] def splitUpdateFrom(
+      blob: String): Option[(String, String, String)] = {
+    val (beforeWhere, whereOpt) = splitOnWhere(blob)
+    firstTopLevelKeyword(beforeWhere, Seq("FROM")).map { fi =>
+      val sets = beforeWhere.substring(0, fi).trim
+      val src = beforeWhere.substring(fi + "FROM".length).trim
+      require(src.matches("[A-Za-z_]\\w*"),
+        s"routed UPDATE … FROM needs a plain source relation: $src")
+      val cond = whereOpt.getOrElse(throw new IllegalArgumentException(
+        "UPDATE … FROM needs a WHERE joining target to source"))
+      (sets, src, cond)
+    }
+  }
+
+  /** The routed `UPDATE t SET … FROM s WHERE …` executor — the
+    * UPDATE-only merge (`Dml.updateFromAll`). */
+  private[engine] def runUpdateFrom(
+      spark: SparkSession, table: String, sets: String, src: String,
+      cond: String): DataFrame = {
+    val tQuals = Set(table.toLowerCase)
+    val sQuals = Set(src.toLowerCase)
+    val keys = parseEquiKeys(cond, tQuals, sQuals, "UPDATE … FROM")
+    val setCols = parseSameNameSets(sets, tQuals, sQuals, "UPDATE … FROM")
+    val sourceDf = spark.table(src)
+    withTablePath(spark, table)(path =>
+      Dml.updateFromAll(spark, path, sourceDf, keys, setCols))
+  }
+
+  private[engine] def runMerge(
+      spark: SparkSession, table: String, tAlias: Option[String],
+      src: String, sAlias: Option[String], onCond: String, sets: String,
+      insert: String): DataFrame = {
+    val tQuals = (Set(table) ++ tAlias).map(_.toLowerCase)
+    val sQuals = (Set(src) ++ sAlias).map(_.toLowerCase)
+    // ON: top-level AND of target-key = source-key, same column name
+    val srcKeys = parseEquiKeys(onCond, tQuals, sQuals, "MERGE ON")
+    // SET: same-named source column per assignment
+    val setCols = parseSameNameSets(sets, tQuals, sQuals, "MERGE")
+    val sourceDf = spark.table(src)
+    // INSERT: `*`, or an explicit (cols) VALUES (vals) spelling of the
+    // identical full-row insert
+    val ins = insert.trim.stripSuffix(";").trim
+    if (ins != "*") {
+      val cv = "(?is)^\\(([^)]*)\\)\\s*VALUES\\s*\\(([^)]*)\\)$".r
+      ins match {
+        case cv(cols, vals) =>
+          val cs = cols.split(',').map(parseQualRef(_)._2.toLowerCase).toSeq
+          val vs = vals.split(',').map(parseQualRef(_)._2.toLowerCase).toSeq
+          require(cs == vs,
+            "routed MERGE INSERT values must be the same-named source" +
+              s" columns: ($cols) VALUES ($vals)")
+          val full = sourceDf.columns.map(_.toLowerCase).toSet
+          require(cs.toSet == full,
+            "routed MERGE INSERT must cover the full source row — got" +
+              s" ${cs.mkString(", ")} of ${full.mkString(", ")}")
+        case _ =>
+          throw new IllegalArgumentException(
+            s"routed MERGE supports INSERT * or (cols) VALUES (cols): $ins")
+      }
+    }
+    withTablePath(spark, table)(path =>
+      Dml.mergeIntoAll(spark, path, sourceDf, srcKeys, setCols))
+  }
+
+  // INSERT INTO t [(cols)] <SELECT…|VALUES…> ON CONFLICT (keys)
+  //   DO UPDATE SET col = EXCLUDED.col, … | DO NOTHING
+  // — DuckDB's native upsert spelling (far more typed by its users than
+  // MERGE INTO), routed onto the same copy-on-write merge the MERGE
+  // statement uses: DO UPDATE maps to `Dml.mergeIntoAll` (matched keys
+  // take the proposed row's columns via a broadcast join inside the file
+  // rewrite; fresh keys append), DO NOTHING to `Dml.insertOnlyAll`
+  // (insert-branch only — no file is ever rewritten). Source columns
+  // bind to the target POSITIONALLY (or to the explicit column list),
+  // with the target's types — DuckDB's INSERT semantics. The supported
+  // assignment shape is `col = EXCLUDED.col` of the same name (EXCLUDED
+  // being DuckDB/Postgres's name for the proposed row); anything richer
+  // refuses loudly. DuckDB enforces a unique index on the conflict
+  // target at table-creation time; this engine has no index metadata, so
+  // the equivalent runtime guard is mergeCore's source-key uniqueness
+  // check (duplicate conflict keys in one INSERT refuse there, exactly
+  // as DuckDB errors on them).
+  private[engine] def insertConflictSplit(
+      s: String): Option[(String, String, Seq[String], Option[String])] = {
+    // \s* after the table name: the no-space column-list spelling
+    // `INSERT INTO t(a,b) …` is the common one
+    val head = "(?is)^INSERT\\s+INTO\\s+([A-Za-z_]\\w*)\\s*(.+)$".r
+    s match {
+      case head(table, rest) =>
+        // scan ALL top-level CONFLICT tokens, not just the first: an
+        // INSERT body whose join condition references a column literally
+        // named `conflict` (… JOIN b ON conflict = 1 …) must not hijack
+        // the route. A hit routes only when preceded by ON AND its tail
+        // parses as a conflict action; the LAST parseable hit wins (the
+        // real clause closes the statement).
+        val onTail = "(?is)^(.*\\S)\\s+ON\\s*$".r
+        val act = ("(?is)^\\(([^)]*)\\)\\s*DO\\s+" +
+          "(?:(NOTHING)|UPDATE\\s+SET\\s+(.+))\\s*$").r
+        val candidates = allTopLevelKeyword(rest, "CONFLICT").reverse
+          .flatMap { ci =>
+            rest.substring(0, ci) match {
+              case onTail(body) =>
+                Some((body, rest.substring(ci + "CONFLICT".length).trim))
+              case _ => None // a top-level CONFLICT not preceded by ON
+            }
+          }
+        val parsed = candidates.collectFirst {
+          case (body, act(keysText, nothing, sets)) =>
+            val keys = keysText.split(',').toSeq
+              .map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .filter(_.nonEmpty)
+            (body, keys, Option(nothing), sets)
+        }
+        parsed match {
+          case Some((body, keys, nothing, sets)) if keys.nonEmpty =>
+            Some((table, body.trim, keys,
+              if (nothing.isDefined) None else Some(sets)))
+          case Some(_) => None
+          case None =>
+            // an ON CONFLICT( that parses as NO action is a botched
+            // conflict clause — keep the targeted refusal instead of
+            // Spark's generic parse error
+            candidates.find(_._2.startsWith("(")).foreach { case (_, t) =>
+              throw new IllegalArgumentException(
+                "INSERT … ON CONFLICT supports (keys) DO NOTHING |" +
+                  s" DO UPDATE SET …: ON CONFLICT $t")
+            }
+            None
+        }
+      case _ => None
+    }
+  }
+
+  /** Every top-level index of `kw` in `s` — the all-occurrences variant
+    * of `firstTopLevelKeyword` (one codeMask pass), with the same
+    * whitespace/paren boundary rules. */
+  private[engine] def allTopLevelKeyword(s: String, kw: String): Seq[Int] = {
+    val (code, depth) = codeMask(s)
+    (0 until s.length).filter { i =>
+      code(i) && depth(i) == 0 && i + kw.length <= s.length &&
+        s.regionMatches(true, i, kw, 0, kw.length) &&
+        (i == 0 || s.charAt(i - 1).isWhitespace) &&
+        (i + kw.length == s.length ||
+          s.charAt(i + kw.length).isWhitespace ||
+          s.charAt(i + kw.length) == '(')
+    }
+  }
+
+  private[engine] def runUpsert(
+      spark: SparkSession, table: String, body: String,
+      keys: Seq[String], doUpdate: Option[String]): DataFrame = {
+    val target = spark.table(table)
+    def targetField(n: String) =
+      target.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"INSERT … ON CONFLICT: column $n not in table $table"))
+    // the proposed rows: shared positional binding (boundInsertSource)
+    val source = boundInsertSource(spark, table, body)
+    keys.foreach { k =>
+      require(source.columns.exists(_.equalsIgnoreCase(k)),
+        s"ON CONFLICT key $k is not among the inserted columns")
+    }
+    val setCols = doUpdate.map { sets =>
+      splitTopLevel(sets, ',').map { a =>
+        val eq = splitTopLevel(a, '=')
+        require(eq.size == 2, s"malformed DO UPDATE assignment: $a")
+        val lhs = eq(0).trim.stripPrefix("`").stripSuffix("`")
+        val rhs = eq(1).trim
+        val exc = "(?is)^EXCLUDED\\s*\\.\\s*`?([A-Za-z_]\\w*)`?$".r
+        rhs match {
+          case exc(rcol) =>
+            require(lhs.equalsIgnoreCase(rcol),
+              "routed ON CONFLICT supports SET col = EXCLUDED.col of the" +
+                s" same name — got: $a")
+          case _ => throw new IllegalArgumentException(
+            "routed ON CONFLICT assignments must read EXCLUDED.<col>:" +
+              s" $a")
+        }
+        require(!keys.exists(_.equalsIgnoreCase(lhs)),
+          s"DO UPDATE must not reassign the conflict key $lhs")
+        targetField(lhs).name
+      }
+    }
+    withTablePath(spark, table) { path =>
+      setCols match {
+        case Some(cols) => Dml.mergeIntoAll(spark, path, source, keys, cols)
+        case None => Dml.insertOnlyAll(spark, path, source, keys)
+      }
+    }
+  }
+
+  // COPY (SELECT …)|table TO 'path' [(FORMAT fmt[, HEADER])] — DuckDB's
+  // result-export statement (delegated surface,
+  // /root/reference/src/duckdb.ts:46-49), routed to the engine's
+  // distributed writers (`Export.writeCsv/writeParquet/writeJson`): the
+  // export runs as executor tasks, the driver never holds the result.
+  // The source backtracks greedily so subquery parens inside the SELECT
+  // never truncate it.
+  private[engine] val copyRe =
+    ("(?is)^COPY\\s+(\\(.+\\)|[A-Za-z_]\\w*)\\s+TO\\s+'([^']+)'" +
+      "(?:\\s*\\((.*)\\))?\\s*$").r
+
+  // COPY <table> FROM 'path' [(FORMAT fmt[, HEADER])] — DuckDB's import
+  // statement, the symmetric half of COPY TO: load a file (or a
+  // directory of part files, which is what the engine's own COPY TO
+  // writes) into an EXISTING table, matching columns by POSITION with
+  // the table's types (DuckDB semantics). The read applies the target
+  // table's schema, so csv/json typing is the table's, not an inference.
+  private[engine] val copyFromRe =
+    ("(?is)^COPY\\s+([A-Za-z_]\\w*)\\s+FROM\\s+'([^']+)'" +
+      "(?:\\s*\\((.*)\\))?\\s*$").r
+
+  // EXPORT DATABASE 'dir' [(FORMAT parquet|csv)] / IMPORT DATABASE 'dir'
+  // — DuckDB's whole-catalog persistence pair. The Spark analog: every
+  // session relation (catalog tables AND the registered temp views)
+  // exports its DATA as one distributed write per relation, plus a
+  // `load.sql` of engine-runnable DDL that recreates each relation as a
+  // view over the exported files — through this engine's OWN routed
+  // read_parquet/read_csv table functions in glob form, so the export
+  // is consumable by this engine (IMPORT DATABASE) and, for bare
+  // relation names, by DuckDB too (globs resolve in both; quoted
+  // identifiers differ — backticks here, double quotes there).
+  // Relations re-enter as SESSION VIEWS
+  // over the exported files (zero-copy on import; DuckDB rebuilds
+  // mutable tables instead — a user needing mutability re-materializes
+  // with CREATE TABLE AS). Export into a directory a current relation
+  // is READING from is the one unsupported shape (the overwrite would
+  // race the scan) — export to a fresh directory.
+  private[engine] val exportDbRe =
+    "(?is)^EXPORT\\s+DATABASE\\s+'([^']+)'(?:\\s*\\((.*)\\))?\\s*$".r
+  private[engine] val importDbRe = "(?is)^IMPORT\\s+DATABASE\\s+'([^']+)'\\s*$".r
+
+  private[engine] def runExportDatabase(
+      spark: SparkSession, dir: String, opts: Option[String]): DataFrame = {
+    val (fmt0, _) = parseCopyOptions(opts, "EXPORT")
+    val format = fmt0.getOrElse("parquet")
+    require(format == "parquet" || format == "csv",
+      s"EXPORT DATABASE supports parquet/csv — got $format")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val readFn = if (format == "parquet") "read_parquet" else "read_csv"
+    // bounded driver-side metadata: one row per catalog relation. The
+    // engine's auto-registered path-table views are skipped — DuckDB's
+    // catalog never holds them (a quoted-path scan leaves no entry),
+    // and their data already lives in the original files.
+    val names = spark.catalog.listTables().collect().toSeq
+      .filter(t => t.isTemporary || Option(t.database).forall(_ == "default"))
+      .map(_.name).distinct.sorted
+      .filterNot(Catalog.isAutoRegisteredView(spark, _))
+    val exported = names.flatMap { name =>
+      val df = spark.table(Sql.sqlIdentifier(name))
+      if (df.isStreaming) None // streaming views have no batch snapshot
+      else {
+        val path = s"$dir/$name.$format"
+        if (format == "parquet") Export.writeParquet(df, path)
+        else Export.writeCsv(df, path)
+        Some((name, path))
+      }
+    }
+    val load = exported.map { case (name, path) =>
+      // glob form: the export is a DIRECTORY of part files, and the
+      // glob resolves in both this engine and DuckDB (a bare directory
+      // path would not in DuckDB). Identifier quoting is this engine's
+      // (backticks) — bare relation names read identically in both.
+      s"CREATE OR REPLACE VIEW ${Sql.sqlIdentifier(name)} AS " +
+        s"SELECT * FROM $readFn([${
+          Sql.sqlStringLiteral(s"$path/*.$format")}]);"
+    }.mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "load.sql"), load + "\n")
+    import spark.implicits._
+    exported.toDF("name", "path")
+  }
+
+  private[engine] val pragmaTableInfoRe =
+    ("(?is)^PRAGMA\\s+table_info\\s*\\(\\s*" +
+      "(?:'([^']+)'|([A-Za-z_]\\w*))\\s*\\)\\s*$").r
+  private[engine] val pragmaShowTablesRe = "(?is)^PRAGMA\\s+show_tables\\s*$".r
+
+  private[engine] val truncateRe =
+    "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?([A-Za-z_`][\\w`.]*)\\s*$".r
+  private[engine] val showAllTablesRe = "(?is)^SHOW\\s+ALL\\s+TABLES\\s*$".r
+  private[engine] val useNoopRe = "(?is)^USE\\s+([\\w.]+)\\s*$".r
+  private[engine] val sequenceRe =
+    ("(?is)^(CREATE|DROP)\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?" +
+      "SEQUENCE\\b.*$").r
+  private[engine] val explainAnalyzeRe = "(?is)^EXPLAIN\\s+ANALYZE\\s+(.+)$".r
+
+  /** `SHOW ALL TABLES` — DuckDB's catalog-wide listing, in DuckDB's
+    * exact column shape (database, schema, name, column_names,
+    * column_types, temporary). Driver-side metadata over the session
+    * catalog, no job; database/schema carry DuckDB's default names
+    * since this engine runs one session catalog. */
+  private[engine] def showAllTables(spark: SparkSession): DataFrame = {
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]
+    spark.sql("SHOW TABLES").collect()
+      .sortBy(_.getAs[String]("tableName")).foreach { r =>
+        val name = r.getAs[String]("tableName")
+        // a catalog entry whose storage is gone (dropped underneath a
+        // long-lived session) still LISTS — DuckDB's listing does not
+        // resolve each relation either; its columns read empty
+        val schema = scala.util.Try(spark.table(name).schema)
+          .getOrElse(org.apache.spark.sql.types.StructType(Nil))
+        rows.add(Row("memory", "main", name,
+          schema.fields.toSeq.map(_.name),
+          schema.fields.toSeq.map(_.dataType.sql),
+          r.getAs[Boolean]("isTemporary")))
+      }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("database", StringType),
+      StructField("schema", StringType),
+      StructField("name", StringType),
+      StructField("column_names", ArrayType(StringType)),
+      StructField("column_types", ArrayType(StringType)),
+      StructField("temporary", BooleanType))))
+  }
+  // assignment-shaped settings pragmas only: name=value or name(value)
+  private[engine] val pragmaSettingRe =
+    "(?is)^PRAGMA\\s+[A-Za-z_]\\w*\\s*(?:=\\s*\\S.*|\\(.*\\))\\s*$".r
+  private[engine] val maintenanceNoopRe =
+    "(?is)^(VACUUM|ANALYZE|CHECKPOINT)\\s*;?\\s*$".r
+  private[engine] val showTableRe = "(?is)^SHOW\\s+([A-Za-z_]\\w*)\\s*$".r
+  private[engine] val ShowKeywords = Set("tables", "databases", "schemas", "views",
+    "functions", "columns", "partitions", "create", "all", "namespaces",
+    "catalogs", "tblproperties")
+
+  /** Shared FORMAT/HEADER parser for both COPY directions: returns
+    * (explicit format, explicit header value). Unknown options refuse —
+    * silently ignoring one would read/write a file the user didn't ask
+    * for. The CALLER interprets header semantics (the csv writer always
+    * emits one, so COPY TO refuses HEADER false; the reader honors
+    * DuckDB's HEADER-false default). */
+  private[engine] def parseCopyOptions(
+      opts: Option[String], direction: String): (Option[String], Option[Boolean]) = {
+    val (fmt, header, partitionBy, compression) =
+      parseCopyOptionsFull(opts, direction)
+    require(partitionBy.isEmpty || direction == "TO",
+      s"COPY $direction does not take PARTITION_BY (a partitioned" +
+        " directory read auto-discovers its partition columns)")
+    require(compression.isEmpty || direction == "TO",
+      s"COPY $direction does not take COMPRESSION (reads auto-detect" +
+        " the codec from the files)")
+    (fmt, header)
+  }
+
+  private[engine] def parseCopyOptionsFull(
+      opts: Option[String], direction: String)
+      : (Option[String], Option[Boolean], Seq[String], Option[String]) = {
+    var fmt: Option[String] = None
+    var header: Option[Boolean] = None
+    var partitionBy: Seq[String] = Nil
+    var compression: Option[String] = None
+    opts.toSeq.flatMap(o => splitTopLevel(o, ','))
+      .map(_.trim).filter(_.nonEmpty).foreach { o =>
+        val parts = o.split("\\s+")
+        parts(0).toUpperCase match {
+          case "FORMAT" if parts.length == 2 =>
+            fmt = Some(parts(1).stripPrefix("'").stripSuffix("'").toLowerCase)
+          case "HEADER" if parts.length == 1 => header = Some(true)
+          case "HEADER" if parts.length == 2 &&
+              (parts(1).equalsIgnoreCase("true") || parts(1) == "1") =>
+            header = Some(true)
+          case "HEADER" if parts.length == 2 &&
+              (parts(1).equalsIgnoreCase("false") || parts(1) == "0") =>
+            header = Some(false)
+          case "PARTITION_BY" =>
+            // PARTITION_BY (a, b) | PARTITION_BY a — DuckDB's
+            // hive-partitioned write option
+            val cols = o.substring("PARTITION_BY".length).trim
+              .stripPrefix("(").stripSuffix(")")
+            partitionBy = cols.split(',').toSeq.map(_.trim
+              .stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+            require(partitionBy.nonEmpty,
+              s"COPY $direction PARTITION_BY needs at least one column")
+          case "OVERWRITE_OR_IGNORE"
+              if parts.length == 1 || parts.length == 2 &&
+                (parts(1).equalsIgnoreCase("true") || parts(1) == "1") =>
+            // DuckDB's allow-existing-directory flag for partitioned
+            // writes; this engine's writes are mode(overwrite) — a
+            // strictly stronger guarantee — so the flag is a no-op and
+            // migrating scripts carrying it run unchanged
+          case "COMPRESSION" if parts.length == 2 =>
+            // passed to the Spark writer verbatim — an unknown codec
+            // fails loudly there, never writes an unasked-for file
+            compression =
+              Some(parts(1).stripPrefix("'").stripSuffix("'").toLowerCase)
+          case _ => throw new IllegalArgumentException(
+            s"COPY $direction option not supported: $o")
+        }
+      }
+    (fmt, header, partitionBy, compression)
+  }
+
+  private[engine] def runCopyFrom(
+      spark: SparkSession, table: String, path: String,
+      opts: Option[String]): DataFrame = {
+    val (fmt, headerOpt) = parseCopyOptions(opts, "FROM")
+    // DuckDB's COPY FROM defaults HEADER to FALSE — honoring that
+    // matters: reading a headerless file with header=true would consume
+    // the first DATA row as a header and silently lose it
+    val header = headerOpt.getOrElse(false)
+    val format = fmt.getOrElse {
+      val lower = path.toLowerCase
+      if (lower.endsWith(".parquet")) "parquet"
+      else if (lower.endsWith(".json") || lower.endsWith(".ndjson")) "json"
+      else if (lower.endsWith(".orc")) "orc"
+      else "csv"
+    }
+    val schema = spark.table(table).schema
+    import org.apache.spark.sql.functions.col
+    val read = format match {
+      case "csv" =>
+        // with an explicit schema Spark pads a narrow file with NULLs, so
+        // probe the file's own width first — a width mismatch must refuse
+        // (DuckDB errors too), never silently null-fill or drop columns
+        val fileWidth = spark.read
+          .option("header", header.toString).csv(path).columns.length
+        require(fileWidth == schema.length,
+          s"COPY FROM: file has $fileWidth columns," +
+            s" table $table has ${schema.length}")
+        spark.read.option("header", header.toString).schema(schema).csv(path)
+      // json fields are named, not positional: absent fields read NULL —
+      // the format's own semantics, not a width error
+      case "json" | "ndjson" => spark.read.schema(schema).json(path)
+      case "parquet" => spark.read.parquet(path)
+      case "orc" => spark.read.orc(path)
+      case other => throw new IllegalArgumentException(
+        s"COPY FROM supports csv/parquet/json/orc formats — got $other")
+    }
+    require(read.columns.length == schema.length,
+      s"COPY FROM: file has ${read.columns.length} columns," +
+        s" table $table has ${schema.length}")
+    // positional alignment with the table's types, then positional insert
+    val aligned = read.toDF(schema.fieldNames.toSeq: _*)
+      .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    aligned.write.insertInto(table)
+    import spark.implicits._
+    Seq((path, format)).toDF("path", "format")
+  }
+
+  private[engine] def runCopy(
+      spark: SparkSession, source: String, path: String,
+      opts: Option[String]): DataFrame = {
+    // options via the shared parser; the csv writer always emits
+    // headers, so an explicit HEADER false refuses — silently writing
+    // one anyway is exactly the "file the user didn't ask for" case
+    val (fmt, headerOpt, partitionBy, compression) =
+      parseCopyOptionsFull(opts, "TO")
+    if (headerOpt.contains(false))
+      throw new IllegalArgumentException(
+        "COPY ... (HEADER false) is not supported: the csv writer" +
+          " always emits a header row")
+    val s = source.trim
+    val df =
+      if (s.startsWith("(")) sql(spark, s.stripPrefix("(").stripSuffix(")"))
+      else sql(spark, s"SELECT * FROM $s")
+    // no explicit FORMAT: infer from the path extension, else DuckDB's
+    // csv default
+    val format = fmt.getOrElse {
+      val lower = path.toLowerCase
+      if (lower.endsWith(".parquet")) "parquet"
+      else if (lower.endsWith(".json") || lower.endsWith(".ndjson")) "json"
+      else if (lower.endsWith(".orc")) "orc"
+      else "csv"
+    }
+    if (partitionBy.nonEmpty || compression.isDefined) {
+      // DuckDB's PARTITION_BY write maps exactly onto Spark's
+      // hive-style partitionBy: one col=value directory level per key,
+      // partition columns dropped from the data files in BOTH engines.
+      // This is the scale-relevant export shape — a downstream reader
+      // partition-prunes on the directory keys. COMPRESSION passes to
+      // the writer verbatim (zstd/gzip/snappy/… — codec validity is the
+      // writer's loud check).
+      partitionBy.foreach { c =>
+        require(df.columns.exists(_.equalsIgnoreCase(c)),
+          s"COPY TO PARTITION_BY column $c is not in the result")
+      }
+      val w0 = df.write.mode("overwrite")
+      val w1 =
+        if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+      val writer = compression.fold(w1)(c => w1.option("compression", c))
+      format match {
+        case "csv" =>
+          writer.option("header", "true").option("escape", "\"").csv(path)
+        case "parquet" => writer.parquet(path)
+        case "json" | "ndjson" => writer.json(path)
+        case "orc" => writer.orc(path)
+        case other => throw new IllegalArgumentException(
+          s"COPY TO supports csv/parquet/json/orc formats — got $other")
+      }
+    } else format match {
+      case "csv" => Export.writeCsv(df, path)
+      case "parquet" => Export.writeParquet(df, path)
+      case "json" | "ndjson" => Export.writeJson(df, path)
+      case "orc" => Export.writeOrc(df, path)
+      case other => throw new IllegalArgumentException(
+        s"COPY TO supports csv/parquet/json/orc formats — got $other")
+    }
+    // a repeated COPY to the same path replaces the part files; drop any
+    // cached listing so a registered path-table view re-reads fresh
+    spark.catalog.refreshByPath(path)
+    import spark.implicits._
+    Seq((path, format)).toDF("path", "format")
+  }
+
+  /** Split on a keyword at paren/quote/comment top level
+    * (case-insensitive, word boundaries) — the AND-splitter for MERGE ON
+    * conjunctions. */
+  private[engine] def splitOnKeyword(s: String, kw: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val (code, depth) = codeMask(s)
+    var last = 0
+    var i = 0
+    while (i < s.length) {
+      if (code(i) && depth(i) == 0 && i + kw.length <= s.length &&
+          s.regionMatches(true, i, kw, 0, kw.length) &&
+          (i == 0 || s.charAt(i - 1).isWhitespace) &&
+          (i + kw.length == s.length ||
+            s.charAt(i + kw.length).isWhitespace)) {
+        out += s.substring(last, i)
+        last = i + kw.length
+        i += kw.length
+      } else i += 1
+    }
+    out += s.substring(last)
+    out.toSeq
+  }
+
+  /** Split a trailing top-level RETURNING clause off a DML statement —
+    * None when absent or when the statement isn't DML-shaped. */
+  private[engine] def splitReturning(s: String): (String, Option[String]) =
+    if (!s.matches("(?is)^(INSERT|UPDATE|DELETE)\\b.*")) (s, None)
+    else firstTopLevelKeyword(s, Seq("RETURNING")) match {
+      case Some(i) => (s.substring(0, i).trim,
+        Some(s.substring(i + "RETURNING".length).trim))
+      case None => (s, None)
+    }
+
+  /** DuckDB/Postgres RETURNING over the routed DML: the result is the
+    * AFFECTED rows projected through the clause's expressions —
+    * snapshotted eagerly (localCheckpoint) BEFORE the copy-on-write
+    * rewrite replaces the files the snapshot would otherwise re-read.
+    * DELETE returns the victims' OLD values, UPDATE the matched rows'
+    * NEW values, INSERT the landed rows (bound positionally with the
+    * target's types, DuckDB's binding). Join-DML and ON CONFLICT forms
+    * refuse loudly — their affected-row sets are not cleanly separable
+    * from the rewrite. Materializing the affected rows is RETURNING's
+    * own semantics (the client receives them), so the checkpoint is
+    * bounded by what the statement already promises to produce. */
+  private[engine] def runReturning(
+      spark: SparkSession, stmt: String, retExprs: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val items = splitTopLevel(retExprs, ',').map(_.trim).filter(_.nonEmpty)
+    require(items.nonEmpty, "RETURNING needs at least one expression")
+    def snap(rows: DataFrame): DataFrame =
+      rows.selectExpr(items: _*).localCheckpoint(true)
+    // RETURNING's contract is "the values that actually land/are
+    // removed". For UPDATE/DELETE the copy-on-write rewrite re-evaluates
+    // the SET and WHERE expressions (the table has no row identity to
+    // join the snapshot back by), so a non-deterministic (rand, uuid)
+    // or per-query-time (current_timestamp — evaluated per query in
+    // Spark) expression would return values that differ from what the
+    // rewrite lands. Refuse that combination loudly instead of lying.
+    def requireStable(df: DataFrame, what: String): Unit = {
+      import org.apache.spark.sql.catalyst.expressions.{
+        CurrentDate, CurrentTimestamp, LocalTimestamp, Now}
+      val unstable = df.queryExecution.analyzed.exists(p =>
+        p.expressions.exists(e => e.exists {
+          case x if !x.deterministic => true
+          case _: CurrentTimestamp | _: CurrentDate | _: Now |
+              _: LocalTimestamp => true
+          case _ => false
+        }))
+      require(!unstable,
+        s"RETURNING is not routed for $what with non-deterministic or" +
+          " current-time expressions: the rewrite re-evaluates them, so" +
+          " the returned values would differ from the landed ones —" +
+          " compute the value first (e.g. into a temp table), then" +
+          " UPDATE/DELETE with the materialized value")
+    }
+    stmt match {
+      case deleteUsingRe(_, _, _) => throw new IllegalArgumentException(
+        "RETURNING is not routed for DELETE ... USING — run the join" +
+          " SELECT first, then the DELETE")
+      case deleteRe(table, where) =>
+        val pred =
+          coalesce(expr(Option(where).getOrElse("TRUE")), lit(false))
+        val victims = spark.table(table).filter(pred)
+        requireStable(victims, "DELETE")
+        val out = snap(victims)
+        runDelete(spark, table, Option(where))
+        out
+      case updateRe(table, blob) =>
+        require(splitUpdateFrom(blob).isEmpty,
+          "RETURNING is not routed for UPDATE ... FROM — run the join" +
+            " SELECT first, then the UPDATE")
+        val (sets, where) = splitOnWhere(blob)
+        val pred = coalesce(expr(where.getOrElse("TRUE")), lit(false))
+        // the NEW values of exactly the matched rows: the same
+        // assignment projection the update itself applies
+        val updated = Dml.applyAssignments(
+          spark.table(table).filter(pred), lit(true),
+          parseAssignments(sets))
+        requireStable(updated, "UPDATE")
+        val out = snap(updated)
+        runUpdate(spark, table, sets, where)
+        out
+      case ins if insertConflictSplit(ins).isDefined =>
+        throw new IllegalArgumentException(
+          "RETURNING is not routed for INSERT ... ON CONFLICT (the" +
+            " landed rows depend on the conflict action) — read the" +
+            " keys back after the upsert")
+      case insertHeadRe(table, body) =>
+        // the landed rows INSERT FROM THE SNAPSHOT itself (never by
+        // re-running the statement: a nondeterministic source would
+        // land different rows than it returned), with columns absent
+        // from an explicit column list NULL-filled to the target's
+        // schema — DuckDB's subset-insert behavior, and RETURNING *
+        // sees the full landed row
+        import org.apache.spark.sql.functions.{col, lit}
+        val target = spark.table(table)
+        val landed =
+          boundInsertSource(spark, table, body).localCheckpoint(true)
+        val full = target.schema.fields.toSeq.map { f =>
+          if (landed.columns.exists(_.equalsIgnoreCase(f.name)))
+            col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }
+        val fullRows = landed.select(full: _*)
+        fullRows.write.mode("append").insertInto(table)
+        fullRows.selectExpr(items: _*)
+      case other => throw new IllegalArgumentException(
+        "RETURNING is routed for plain INSERT INTO / UPDATE / DELETE" +
+          s" statements — got: ${other.take(40)}")
+    }
+  }
+
+  private[engine] val insertHeadRe =
+    "(?is)^INSERT\\s+INTO\\s+([A-Za-z_]\\w*)\\s*(.+)$".r
+
+  /** The rows a plain `INSERT INTO t [(cols)] <query|VALUES>` lands:
+    * the body run through the router, bound POSITIONALLY to the target
+    * columns (or the explicit column list) with the target's types —
+    * DuckDB's INSERT binding. Shared by the routed upsert and
+    * RETURNING. */
+  private[engine] def boundInsertSource(
+      spark: SparkSession, table: String, body: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val target = spark.table(table)
+    val (explicitCols, srcText) =
+      if (body.startsWith("(")) {
+        var depth = 0
+        var i = 0
+        var end = -1
+        while (i < body.length && end < 0) {
+          body.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) end = i
+            case _ => ()
+          }
+          i += 1
+        }
+        require(end > 0, "unbalanced column list in INSERT")
+        val cols = body.substring(1, end).split(',').toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+        (Some(cols), body.substring(end + 1).trim)
+      } else (None, body)
+    def targetField(n: String) =
+      target.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"INSERT: column $n not in table $table"))
+    val insertCols = explicitCols.getOrElse(target.columns.toSeq)
+      .map(n => targetField(n).name)
+    val src0 = sql(spark, srcText)
+    require(src0.columns.length == insertCols.length,
+      s"INSERT provides ${src0.columns.length} columns for" +
+        s" ${insertCols.length} target columns")
+    src0.toDF(insertCols: _*)
+      .select(insertCols.map(n =>
+        col(n).cast(targetField(n).dataType).as(n)).toSeq: _*)
+  }
+
+  /** Parse a SET list into (column, expression) assignments — shared by
+    * the routed UPDATE and its RETURNING projection. */
+  private[engine] def parseAssignments(
+      sets: String): Seq[(String, org.apache.spark.sql.Column)] = {
+    import org.apache.spark.sql.functions.expr
+    // `SET (a, b) = (x, y)` — DuckDB/Postgres tuple assignment: zip the
+    // two lists pairwise (same one-projection semantics as the comma
+    // form). The names side is a plain identifier list; the values side
+    // splits at ITS top level.
+    val tupleRe = "(?s)^\\s*\\(([^()]*)\\)\\s*=\\s*\\((.*)\\)\\s*$".r
+    sets.trim match {
+      case tupleRe(names, values) =>
+        val ns = names.split(',').map(_.trim
+          .stripPrefix("`").stripSuffix("`")).toSeq
+        val vs = splitTopLevel(values, ',').map(_.trim)
+        require(ns.size == vs.size && ns.forall(_.nonEmpty),
+          s"tuple SET assigns ${ns.size} column(s) from ${vs.size}" +
+            " value(s) — the lists must pair up")
+        ns.zip(vs.map(expr))
+      case _ =>
+        splitTopLevel(sets, ',').map { a =>
+          val eq = a.indexOf('=')
+          require(eq > 0, s"malformed SET assignment: $a")
+          (a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`"),
+            expr(a.substring(eq + 1).trim))
+        }
+    }
+  }
+
+  private[engine] def runDelete(
+      spark: SparkSession, table: String, where: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    // SQL DELETE removes rows where the predicate is TRUE; NULL keeps
+    val pred = coalesce(expr(where.getOrElse("TRUE")), lit(false))
+    withTablePath(spark, table)(path =>
+      rewriteRouted(spark, path, where)(_.filter(not(pred))))
+  }
+
+  private[engine] def runUpdate(
+      spark: SparkSession, table: String, sets: String,
+      where: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val assignments = parseAssignments(sets)
+    val pred = coalesce(expr(where.getOrElse("TRUE")), lit(false))
+    withTablePath(spark, table)(path =>
+      rewriteRouted(spark, path, where)(
+        Dml.applyAssignments(_, pred, assignments)))
+  }
+
+  /** Execute a routed mutation with footer-stats pruning when the WHERE
+    * yields a provable range, else as the full rewrite. */
+  private[engine] def rewriteRouted(
+      spark: SparkSession, path: String, where: Option[String])(
+      transform: DataFrame => DataFrame): Dml.Stats =
+    where.flatMap(w => pruneRange(spark, path, w)) match {
+      case Some((c, lo, hi)) =>
+        Dml.copyOnWrite(spark, path, c, lo, hi)(transform)
+      case None => Dml.rewriteAllFiles(spark, path)(transform)
+    }
+
+  /** Extract a SOUND prune range from a routed WHERE clause: if any
+    * top-level conjunct compares one unqualified long/timestamp/date
+    * column against exact literals, every mutated row is confined to [lo, hi)
+    * on that column (pred TRUE ⇒ each conjunct TRUE ⇒ col in range), so
+    * the copy-on-write may skip files whose footer stats prove
+    * disjointness. Conservative by construction: literal forms whose
+    * physical-unit conversion isn't exact (doubles, unparsable strings),
+    * ORs, functions over the column, other columns' conjuncts — all
+    * simply don't narrow the range, and an empty extraction means the
+    * full rewrite, never wrong pruning. */
+  private[engine] def pruneRange(
+      spark: SparkSession, path: String,
+      where: String): Option[(String, Long, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(where)
+      catch { case _: Exception => return None }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // the layout's physical schema (footer read, no scan) — the prune
+    // column must be INT64-backed for Dml's statistics fold
+    val schema = spark.read.parquet(path).schema
+    def colOf(e: Expression): Option[StructField] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.size == 1 =>
+        schema.fields.find(_.name.equalsIgnoreCase(a.nameParts.head))
+      case _ => None
+    }
+    // literal → the column's physical INT64 unit + a SLACK, or None:
+    // integral literals for long columns (slack 0); date/timestamp/
+    // string literals (micros, via Catalyst's own cast to the column's
+    // timestamp FLAVOR — the testdata's parquet reads as TIMESTAMP_NTZ
+    // under Spark 4's inferTimestampNTZ default, while typed
+    // TIMESTAMP '…' literals are LTZ, so the cast also absorbs the zone
+    // conversion) for timestamp columns. A cast CROSSING the LTZ↔NTZ
+    // flavor boundary under a session zone with DST transitions is not
+    // monotonic (wall-clock vs instant order disagree by the transition
+    // delta around a fall-back), and Spark's runtime coercion may apply
+    // the row-dependent conversion — so crossing casts under a
+    // non-fixed-offset zone carry a 1-day slack that WIDENS the bound on
+    // whichever side it lands (sound: prune less, never wrong). Under a
+    // fixed-offset zone (this engine pins UTC) slack is 0 and bounds
+    // stay exact. Fractional/other literal forms don't prune.
+    def unit(l: Literal, t: DataType): Option[(Long, Long)] =
+      (l.dataType, t) match {
+        case (ByteType | ShortType | IntegerType | LongType, LongType) =>
+          Some((l.value.toString.toLong, 0L))
+        // DATE columns are INT32 days in the footer stats — calendar
+        // arithmetic, no zone flavor to cross, so slack is always 0
+        case (DateType | StringType, DateType) =>
+          val zone = spark.sessionState.conf.sessionLocalTimeZone
+          try Option(Cast(l, DateType, Some(zone)).eval(null))
+            .map(v => (v.asInstanceOf[Int].toLong, 0L))
+          catch { case _: Exception => None }
+        case (DateType | TimestampType | TimestampNTZType | StringType,
+            TimestampType | TimestampNTZType) =>
+          val crossing = (l.dataType, t) match {
+            case (TimestampType, TimestampNTZType) |
+                (TimestampNTZType, TimestampType) => true
+            case _ => false
+          }
+          val zone = spark.sessionState.conf.sessionLocalTimeZone
+          val slack =
+            if (crossing &&
+              !java.time.ZoneId.of(zone).getRules.isFixedOffset)
+              86400L * 1000000L
+            else 0L
+          try Option(Cast(l, t, Some(zone)).eval(null))
+            .map(v => (v.asInstanceOf[Long], slack))
+          catch { case _: Exception => None }
+        case _ => None
+      }
+    def incr(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+    // slack-widened bound helpers (micros values sit far from Long's
+    // edges, but keep the MaxValue sentinel intact)
+    def loosenLo(v: Long, slack: Long): Long =
+      if (v == Long.MinValue) v else v - slack
+    def loosenHi(v: Long, slack: Long): Long =
+      if (v >= Long.MaxValue - slack) Long.MaxValue else v + slack
+    // fold bounds per column over the conjuncts, both operand orders
+    val bounds =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    def narrow(f: StructField, lo: Option[Long], hi: Option[Long]): Unit = {
+      val (l0, h0) =
+        bounds.getOrElse(f.name, (Long.MinValue, Long.MaxValue))
+      bounds(f.name) =
+        (math.max(l0, lo.getOrElse(Long.MinValue)),
+          math.min(h0, hi.getOrElse(Long.MaxValue)))
+    }
+    conjuncts(parsed).foreach {
+      case GreaterThanOrEqual(a, l: Literal) =>
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, Some(loosenLo(v, s)), None)
+      case GreaterThan(a, l: Literal) =>
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, Some(loosenLo(incr(v), s)), None)
+      case LessThan(a, l: Literal) =>
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, None, Some(loosenHi(v, s)))
+      case LessThanOrEqual(a, l: Literal) =>
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, None, Some(loosenHi(incr(v), s)))
+      case EqualTo(a, l: Literal) =>
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, Some(loosenLo(v, s)), Some(loosenHi(incr(v), s)))
+      // literal-first spellings mirror with flipped comparison
+      case GreaterThanOrEqual(l: Literal, a) =>
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, None, Some(loosenHi(incr(v), s)))
+      case GreaterThan(l: Literal, a) =>
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, None, Some(loosenHi(v, s)))
+      case LessThan(l: Literal, a) =>
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, Some(loosenLo(incr(v), s)), None)
+      case LessThanOrEqual(l: Literal, a) =>
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, Some(loosenLo(v, s)), None)
+      case EqualTo(l: Literal, a) =>
+        for (f <- colOf(a); (v, s) <- unit(l, f.dataType))
+          narrow(f, Some(loosenLo(v, s)), Some(loosenHi(incr(v), s)))
+      case _ => () // unrecognized conjunct: doesn't narrow, stays sound
+    }
+    // prefer a two-sided range; else any one-sided bound still prunes
+    val useful = bounds.filter { case (_, (lo, hi)) =>
+      lo != Long.MinValue || hi != Long.MaxValue }
+    useful.find { case (_, (lo, hi)) =>
+      lo != Long.MinValue && hi != Long.MaxValue }
+      .orElse(useful.headOption)
+      .map { case (c, (lo, hi)) => (c, lo, hi) }
+  }
+
+  /** Resolve a DML target to its storage path, run the rewrite, refresh
+    * the catalog's file listing, and report (n_files, n_rewritten). */
+  private[engine] def withTablePath(spark: SparkSession, table: String)(
+      op: String => Dml.Stats): DataFrame = {
+    val catalog = spark.sessionState.catalog
+    require(catalog.getTempView(table).isEmpty &&
+      catalog.getGlobalTempView(table).isEmpty,
+      s"DML target '$table' is a view over registered files — only catalog" +
+        " tables are mutable")
+    val meta = catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    // the rewriter reads/writes parquet part files; a csv/json/orc table
+    // would silently no-op (no .parquet files to rewrite) — refuse loudly
+    require(meta.provider.exists(_.equalsIgnoreCase("parquet")),
+      s"DML target '$table' uses provider ${meta.provider.getOrElse("?")} —" +
+        " the copy-on-write rewriter supports parquet tables")
+    // a PARTITIONED BY table keeps its data in partition subdirectories;
+    // Dml.dataFiles lists only the top level, so the rewrite would find 0
+    // files and report success while mutating nothing — refuse loudly
+    // (same silent-no-op class as the provider guard above)
+    require(meta.partitionColumnNames.isEmpty,
+      s"DML target '$table' is partitioned by " +
+        s"${meta.partitionColumnNames.mkString(", ")} — the copy-on-write" +
+        " rewriter supports unpartitioned parquet tables")
+    val path = java.nio.file.Paths.get(meta.location).toString
+    val stats = op(path)
+    spark.catalog.refreshTable(table)
+    import spark.implicits._
+    Seq((stats.nFiles.toLong, stats.nRewritten.toLong))
+      .toDF("n_files", "n_rewritten")
+  }
+
+}

@@ -34,9 +34,13 @@ class BenchHistorySpec extends AnyFunSuite {
   private val historyPath = Paths.get("tools/bench_history.jsonl")
   private val mapper = new ObjectMapper()
 
+  // a history entry may be summary-only (the r18 driver artifact lost
+  // its per-query map to tail truncation) — contribute nothing, like
+  // Bench.historyMedians' own null guard
   private def queryMap(run: JsonNode): Map[String, Double] =
-    run.get("queries").properties().asScala
-      .map(e => e.getKey -> e.getValue.asDouble()).toMap
+    Option(run.get("queries")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asDouble()).toMap)
+      .getOrElse(Map.empty)
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
