@@ -3,6 +3,9 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types.{
+  ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType}
 
 /** DuckDB function-name compatibility pack (round 16): the reference
   * delegates arbitrary SQL to DuckDB (`/root/reference/src/duckdb.ts:
@@ -529,8 +532,11 @@ object DuckdbCompat {
       DateFormatClass(Cast(arity("monthname", 1)(args0).head,
         org.apache.spark.sql.types.TimestampType), Literal("MMMM"))
     },
-    // ord(c) — DuckDB's codepoint function; Spark spells it ascii
-    "ord" -> { args0 => Ascii(arity("ord", 1)(args0).head) },
+    // ord(c) — DuckDB's codepoint function (alias of unicode): the
+    // code point of the FIRST character, -1 for the empty string
+    // (measured — Spark's ascii returns 0 there, so the round-19
+    // battery re-pointed this from Ascii to the shared helper)
+    "ord" -> unicodeBuilder("ord"),
     // prefix/suffix — DuckDB's boolean affix tests
     "prefix" -> { args0 =>
       val a = arity("prefix", 2)(args0); StartsWith(a(0), a(1))
@@ -616,23 +622,170 @@ object DuckdbCompat {
     },
     // hamming(s1, s2) — count of positions whose characters differ;
     // refuses unequal lengths as DuckDB does. BIGINT like the oracle.
-    "hamming" -> { args0 =>
-      val a = arity("hamming", 2)(args0)
-      def chars(e: Expression): Expression =
-        ArrayRemove(StringSplit(e, Literal(""), Literal(-1)), Literal(""))
-      val x = UnresolvedNamedLambdaVariable(Seq("graft_h_x"))
-      val y = UnresolvedNamedLambdaVariable(Seq("graft_h_y"))
-      val b = UnresolvedNamedLambdaVariable(Seq("graft_h_b"))
-      val diffs = ZipWith(chars(a(0)), chars(a(1)),
-        LambdaFunction(Not(EqualTo(x, y)), Seq(x, y)))
-      val count = Cast(Size(ArrayFilter(diffs, LambdaFunction(b, Seq(b)))),
-        org.apache.spark.sql.types.LongType)
-      If(Not(EqualTo(Length(a(0)), Length(a(1)))),
-        Cast(new RaiseError(Literal(
-          "hamming: strings must be of equal length (as in DuckDB)")),
-          org.apache.spark.sql.types.LongType),
-        count)
-    })
+    // `mismatches` is DuckDB's alias for the same function.
+    "hamming" -> hammingBuilder("hamming"),
+    "mismatches" -> hammingBuilder("mismatches"),
+    // --- round-19 battery-6 additions ---------------------------------
+    // Scalar tail registered as codegen'd statics on [[CompatRuntime]]
+    // via StaticInvoke (null-propagating, whole-stage-codegen inlined;
+    // each method's Scaladoc records the MEASURED oracle semantics);
+    // pre-Casts pin the JVM signatures. Pure JDK statics (isinf /
+    // isfinite / nextafter) invoke java.lang directly.
+    "gcd" -> longPairBuilder("gcd", "gcd"),
+    "greatest_common_divisor" ->
+      longPairBuilder("greatest_common_divisor", "gcd"),
+    "lcm" -> longPairBuilder("lcm", "lcm"),
+    "least_common_multiple" ->
+      longPairBuilder("least_common_multiple", "lcm"),
+    // even — round to the next even integer AWAY from zero (DOUBLE)
+    "even" -> { args0 =>
+      val a = arity("even", 1)(args0)
+      StaticInvoke(CompatRuntime.getClass, DoubleType, "even",
+        Seq(Cast(a.head, DoubleType)))
+    },
+    // signbit — the IEEE sign BIT (true for -0.0 and -inf, false for
+    // NaN), not `x < 0`
+    "signbit" -> { args0 =>
+      val a = arity("signbit", 1)(args0)
+      StaticInvoke(CompatRuntime.getClass, BooleanType, "signbit",
+        Seq(Cast(a.head, DoubleType)))
+    },
+    // isinf / isfinite — Spark has only isnan; java.lang.Double's
+    // statics are the exact predicates (NaN is neither)
+    "isinf" -> { args0 =>
+      val a = arity("isinf", 1)(args0)
+      StaticInvoke(classOf[java.lang.Double], BooleanType, "isInfinite",
+        Seq(Cast(a.head, DoubleType)))
+    },
+    "isfinite" -> { args0 =>
+      val a = arity("isfinite", 1)(args0)
+      StaticInvoke(classOf[java.lang.Double], BooleanType, "isFinite",
+        Seq(Cast(a.head, DoubleType)))
+    },
+    // nextafter(a, b) — IEEE next representable double toward b
+    "nextafter" -> { args0 =>
+      val a = arity("nextafter", 2)(args0)
+      StaticInvoke(classOf[java.lang.Math], DoubleType, "nextAfter",
+        Seq(Cast(a(0), DoubleType), Cast(a(1), DoubleType)))
+    },
+    // unicode(s) — code point of the FIRST character, -1 for ''
+    // (measured; Spark's ascii diverges on the empty string)
+    "unicode" -> unicodeBuilder("unicode"),
+    // strip_accents — NFD-decompose, drop combining marks
+    "strip_accents" -> { args0 =>
+      val a = arity("strip_accents", 1)(args0)
+      StaticInvoke(CompatRuntime.getClass, StringType, "stripAccents",
+        Seq(a.head))
+    },
+    // damerau_levenshtein — TRUE Damerau (transposed substrings may be
+    // edited again: ('CA','ABC') = 2, where the OSA restriction says 3)
+    "damerau_levenshtein" -> { args0 =>
+      val a = arity("damerau_levenshtein", 2)(args0)
+      StaticInvoke(CompatRuntime.getClass, LongType, "damerauLevenshtein",
+        Seq(a(0), a(1)))
+    },
+    // editdist3 — DuckDB's alias for plain Levenshtein (measured:
+    // editdist3('duck','dcuk') = 2 = levenshtein); BIGINT like the
+    // oracle (Spark's builtin returns INT)
+    "editdist3" -> { args0 =>
+      val a = arity("editdist3", 2)(args0)
+      Cast(Levenshtein(a(0), a(1)), LongType)
+    },
+    // format_bytes — binary units, ONE decimal digit TRUNCATED,
+    // singular '1 byte', sign preserved, capped at PiB (all measured)
+    "format_bytes" -> { args0 =>
+      val a = arity("format_bytes", 1)(args0)
+      StaticInvoke(CompatRuntime.getClass, StringType, "formatBytes",
+        Seq(Cast(a.head, LongType)))
+    },
+    // bar(x, min, max[, width=80]) — block-glyph bar chart padded with
+    // spaces to `width` UTF-8 BYTES (measured quirk: each block glyph
+    // counts 3)
+    "bar" -> { args0 =>
+      require(args0.length == 3 || args0.length == 4,
+        s"bar expects 3 or 4 arguments, got ${args0.length}")
+      val widened = (args0 :+ Literal(80.0d)).take(4)
+        .map(e => Cast(e, DoubleType))
+      StaticInvoke(CompatRuntime.getClass, StringType, "bar", widened)
+    },
+    // to_base(n, radix[, min_length]) — uppercase digits via Spark's
+    // conv; min_length zero-PADS only (measured: never truncates);
+    // negative input refuses as DuckDB does
+    "to_base" -> { args0 =>
+      require(args0.length == 2 || args0.length == 3,
+        s"to_base expects 2 or 3 arguments, got ${args0.length}")
+      val n = Cast(args0.head, LongType)
+      val conv = Conv(Cast(n, StringType), Literal(10),
+        Cast(args0(1), IntegerType))
+      val padded =
+        if (args0.length == 3) {
+          val len = Cast(args0(2), IntegerType)
+          If(GreaterThanOrEqual(Length(conv), len), conv,
+            StringLPad(conv, len, Literal("0")))
+        } else conv
+      If(LessThan(n, Literal(0L)),
+        Cast(new RaiseError(Literal("to_base: number must be greater" +
+          " than or equal to 0 (as in DuckDB)")), StringType),
+        padded)
+    },
+    // to_hex / from_hex — Spark's hex/unhex are the same functions
+    // under other names (uppercase digits, two's-complement negatives,
+    // BLOB round-trip — measured identical)
+    "to_hex" -> { args0 => Hex(arity("to_hex", 1)(args0).head) },
+    "from_hex" -> { args0 => Unhex(arity("from_hex", 1)(args0).head) },
+    // list_inner_product / list_distance / list_cosine_similarity —
+    // sequential left folds over double lists, bit-identical to the
+    // oracle (the cosine DENOMINATOR ASSOCIATION was measured on
+    // distinguishing inputs); length mismatch and NULL elements refuse
+    // as DuckDB does. list_dot_product is DuckDB's alias.
+    "list_inner_product" -> vectorBuilder("list_inner_product",
+      "listInner"),
+    "list_dot_product" -> vectorBuilder("list_dot_product", "listInner"),
+    "list_distance" -> vectorBuilder("list_distance", "listDistance"),
+    "list_cosine_similarity" -> vectorBuilder("list_cosine_similarity",
+      "listCosine"))
+
+  private def hammingBuilder(name: String): Builder = { args0 =>
+    val a = arity(name, 2)(args0)
+    def chars(e: Expression): Expression =
+      ArrayRemove(StringSplit(e, Literal(""), Literal(-1)), Literal(""))
+    val x = UnresolvedNamedLambdaVariable(Seq("graft_h_x"))
+    val y = UnresolvedNamedLambdaVariable(Seq("graft_h_y"))
+    val b = UnresolvedNamedLambdaVariable(Seq("graft_h_b"))
+    val diffs = ZipWith(chars(a(0)), chars(a(1)),
+      LambdaFunction(Not(EqualTo(x, y)), Seq(x, y)))
+    val count = Cast(Size(ArrayFilter(diffs, LambdaFunction(b, Seq(b)))),
+      LongType)
+    If(Not(EqualTo(Length(a(0)), Length(a(1)))),
+      Cast(new RaiseError(Literal(
+        s"$name: strings must be of equal length (as in DuckDB)")),
+        LongType),
+      count)
+  }
+
+  /** BIGINT-pair static on [[CompatRuntime]] (gcd / lcm). */
+  private def longPairBuilder(name: String, fn: String): Builder =
+    { args0 =>
+      val a = arity(name, 2)(args0)
+      StaticInvoke(CompatRuntime.getClass, LongType, fn,
+        Seq(Cast(a(0), LongType), Cast(a(1), LongType)))
+    }
+
+  private def unicodeBuilder(name: String): Builder = { args0 =>
+    val a = arity(name, 1)(args0)
+    StaticInvoke(CompatRuntime.getClass, IntegerType, "unicode",
+      Seq(a.head))
+  }
+
+  /** Double-list-pair static on [[CompatRuntime]]; casts both sides to
+    * array<double> so integer literals inside list constructors work
+    * exactly as DuckDB coerces them. */
+  private def vectorBuilder(name: String, fn: String): Builder =
+    { args0 =>
+      val a = arity(name, 2)(args0)
+      StaticInvoke(CompatRuntime.getClass, DoubleType, fn,
+        a.map(e => Cast(e, ArrayType(DoubleType))))
+    }
 
   private def listExtract(
       name: String, args0: Seq[Expression]): Expression = {

@@ -1525,8 +1525,50 @@ object TierCSql {
       |WHERE o_orderkey <= 800
       |ORDER BY o_orderkey""".stripMargin
 
+  // Compat battery 6 (round 19, `DuckdbCompat` + `CompatRuntime`):
+  // the math/format/metric tail — gcd/lcm (non-negative, zero-safe),
+  // even (away-from-zero), signbit (IEEE bit), isinf/isfinite,
+  // unicode (-1 on ''), strip_accents, TRUE damerau_levenshtein,
+  // editdist3/mismatches aliases, format_bytes (truncated decimal,
+  // singular '1 byte'), bar (byte-width padding quirk), to_base
+  // (pad-only min_length), to_hex/from_hex, the list metric trio
+  // (sequential folds, measured denominator association), and
+  // nextafter. IDENTICAL text on both engines; every numeric output
+  // is already BIGINT/DOUBLE on both sides.
+  val compat6: String =
+    """SELECT o_orderkey,
+      |  gcd(o_orderkey, 24) AS g,
+      |  lcm(o_orderkey % 7 + 1, 6) AS lc6,
+      |  even(CAST(o_totalprice AS DOUBLE) / 1000.0) AS ev,
+      |  signbit(CAST(o_totalprice AS DOUBLE) - 150000.0) AS sb,
+      |  isfinite(CAST(o_totalprice AS DOUBLE)) AS fin,
+      |  isinf(CAST('Infinity' AS DOUBLE) * o_totalprice) AS inf,
+      |  unicode(o_orderpriority) AS uc,
+      |  unicode('') AS uc0,
+      |  strip_accents(o_orderpriority || 'é-ü') AS sa,
+      |  damerau_levenshtein(o_orderpriority, o_orderstatus || 'CA') AS dl,
+      |  editdist3(o_orderpriority, 'URGENT') AS ed,
+      |  mismatches(substr(o_orderpriority, 1, 4), 'MEDI') AS mm,
+      |  format_bytes(o_orderkey * 100000) AS fb,
+      |  bar(o_orderkey % 10, 0, 10, 10) AS br,
+      |  to_base(o_orderkey, 16) AS tb,
+      |  to_base(o_orderkey, 2, 12) AS tb2,
+      |  to_hex(o_orderkey * 7) AS th,
+      |  to_hex(from_hex('4a4b')) AS fh,
+      |  list_inner_product([CAST(o_totalprice AS DOUBLE), 2.5],
+      |    [1.5, CAST(o_totalprice AS DOUBLE)]) AS lip,
+      |  list_distance([CAST(o_totalprice AS DOUBLE), 0.0],
+      |    [0.0, CAST(o_totalprice AS DOUBLE)]) AS ld,
+      |  list_cosine_similarity([CAST(o_totalprice AS DOUBLE), 1.0],
+      |    [1.0, CAST(o_totalprice AS DOUBLE)]) AS lcs,
+      |  nextafter(CAST(o_totalprice AS DOUBLE), 0.0) AS na
+      |FROM orders
+      |WHERE o_orderkey <= 800
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "c_sql_compat5" -> q(compat5),
+    "c_sql_compat6" -> q(compat6),
     "c_sql_tilde" -> q(tildeOps),
     "c_sql_null_order" -> q(nullOrder),
     "c_sql_types" -> q(typesParity),
@@ -1619,6 +1661,7 @@ object TierCSql {
   val oracle: Map[String, String] = Map(
     "c_sql_tilde" -> tildeOps, // IDENTICAL text — ~ / !~ / ~~ operators
     "c_sql_compat5" -> compat5, // IDENTICAL text — battery-5 compat fns
+    "c_sql_compat6" -> compat6, // IDENTICAL text — battery-6 compat fns
     "c_sql_null_order" -> nullOrder, // IDENTICAL text — NULLS LAST default
     "c_sql_types" -> typesParity, // IDENTICAL text — type/function parity
     "c_sql_ops" -> opsParity, // IDENTICAL text — // , slicing, dow/isodow

@@ -321,6 +321,122 @@ class DuckdbCompatSpec extends AnyFunSuite {
       spark.sql("SELECT hamming('ab', 'abc')").collect())
   }
 
+  test("battery 6: gcd/lcm/even/signbit/isinf/isfinite/nextafter") {
+    assert(one("SELECT gcd(12, 18)") == 6L)
+    assert(one("SELECT gcd(-12, 18)") == 6L) // non-negative (measured)
+    assert(one("SELECT gcd(0, 0)") == 0L)
+    assert(one("SELECT greatest_common_divisor(12, 8)") == 4L)
+    assert(one("SELECT lcm(4, 6)") == 12L)
+    assert(one("SELECT lcm(-4, 6)") == 12L)
+    assert(one("SELECT lcm(0, 5)") == 0L) // measured, no div-by-zero
+    assert(one("SELECT least_common_multiple(3, 5)") == 15L)
+    assert(one("SELECT gcd(NULL, 2)") == null) // null propagates
+    // even: next even integer AWAY from zero; even ints fixed
+    assert(one("SELECT even(2.1)") == 4.0)
+    assert(one("SELECT even(2.0)") == 2.0)
+    assert(one("SELECT even(3.0)") == 4.0)
+    assert(one("SELECT even(-0.5)") == -2.0)
+    assert(one("SELECT even(0.0)") == 0.0)
+    // signbit is the IEEE BIT: -0.0 true, NaN false (measured)
+    assert(one("SELECT signbit(-1.5)") == true)
+    // the -0.0 must survive as a DOUBLE: a bare -0.0 literal is
+    // DECIMAL in both engines, and decimals have no signed zero
+    assert(one("SELECT signbit(CAST('-0.0' AS DOUBLE))") == true)
+    assert(one("SELECT signbit(CAST('NaN' AS DOUBLE))") == false)
+    assert(one("SELECT isinf(CAST('Infinity' AS DOUBLE))") == true)
+    assert(one("SELECT isinf(1.0)") == false)
+    assert(one("SELECT isfinite(1.0)") == true)
+    assert(one("SELECT isfinite(CAST('NaN' AS DOUBLE))") == false)
+    assert(one("SELECT isinf(CAST('NaN' AS DOUBLE))") == false)
+    assert(one("SELECT isinf(NULL)") == null)
+    assert(one("SELECT nextafter(1.0, 2.0)") == 1.0000000000000002)
+    assert(one("SELECT nextafter(1.0, 1.0)") == 1.0)
+  }
+
+  test("battery 6: unicode/ord/strip_accents/edit distances") {
+    assert(one("SELECT unicode('über')") == 252)
+    assert(one("SELECT unicode('')") == -1) // measured; ascii says 0
+    assert(one("SELECT ord('')") == -1) // ord re-pointed to the same
+    assert(one("SELECT unicode('😀')") == 128512) // supplementary plane
+    assert(one("SELECT strip_accents('mühleisen àéîõü')") ==
+      "muhleisen aeiou")
+    // no decomposition → pass-through (measured: 'ßæøñç' → 'ßæønc')
+    assert(one("SELECT strip_accents('ßæøñç')") == "ßæønc")
+    assert(one("SELECT damerau_levenshtein('duck', 'dcuk')") == 1L)
+    // TRUE Damerau, not OSA: ('CA','ABC') is 2 (OSA would say 3)
+    assert(one("SELECT damerau_levenshtein('CA', 'ABC')") == 2L)
+    assert(one("SELECT damerau_levenshtein('kitten', 'sitting')") == 3L)
+    assert(one("SELECT damerau_levenshtein('', 'ab')") == 2L)
+    assert(one("SELECT editdist3('duck', 'dcuk')") == 2L) // levenshtein
+    assert(one("SELECT mismatches('ABC', 'abc')") == 3L) // hamming alias
+  }
+
+  test("battery 6: format_bytes/bar/to_base/to_hex round-trip") {
+    assert(one("SELECT format_bytes(1)") == "1 byte") // singular
+    assert(one("SELECT format_bytes(0)") == "0 bytes")
+    assert(one("SELECT format_bytes(1023)") == "1023 bytes")
+    // truncation, not rounding: 1126 B = 1.0996 KiB
+    assert(one("SELECT format_bytes(1126)") == "1.0 KiB")
+    assert(one("SELECT format_bytes(1048570)") == "1023.9 KiB")
+    assert(one("SELECT format_bytes(-2048)") == "-2.0 KiB")
+    // the cascade's LOSSY decimal: 25 900 000 B is 24.70 MiB exactly,
+    // but the digit comes from the KiB-level remainder (716 KiB →
+    // 7160/1024 = 6) — measured against the oracle
+    assert(one("SELECT format_bytes(25900000)") == "24.6 MiB")
+    assert(one("SELECT format_bytes(1073741824)") == "1.0 GiB")
+    // unit cap at PiB (measured)
+    assert(one("SELECT format_bytes(9223372036854775807)") ==
+      "8191.9 PiB")
+    // bar: block glyphs, space-padded to width in UTF-8 BYTES
+    assert(one("SELECT bar(1, 0, 8, 8)") == "█     ")
+    assert(one("SELECT bar(4, 0, 8, 8)") == "████")
+    assert(one("SELECT bar(0.5, 0, 10, 10)") == "▌       ")
+    assert(one("SELECT bar(2.5, 0, 8, 8)") == "██▌")
+    assert(one("SELECT bar(12, 0, 10, 10)") == "██████████") // clamped
+    assert(one("SELECT bar(-1, 0, 10, 10)") == "          ")
+    assert(one("SELECT length(bar(1, 0, 80))") == 78) // default width 80
+    assert(one("SELECT to_base(255, 16)") == "FF")
+    assert(one("SELECT to_base(255, 2)") == "11111111")
+    assert(one("SELECT to_base(255, 16, 6)") == "0000FF") // pads
+    assert(one("SELECT to_base(255, 16, 1)") == "FF") // never truncates
+    assert(one("SELECT to_base(0, 2)") == "0")
+    assertThrows[Exception]( // negative refuses, as the oracle does
+      spark.sql("SELECT to_base(-255, 16)").collect())
+    assert(one("SELECT to_hex(255)") == "FF")
+    assert(one("SELECT to_hex(-1)") == "FFFFFFFFFFFFFFFF")
+    assert(one("SELECT to_hex(from_hex('4a4b'))") == "4A4B")
+  }
+
+  test("battery 6: list metric functions match the measured folds") {
+    assert(one(
+      "SELECT list_inner_product(array(1.0, 2, 3), array(4.0, 5, 6))")
+      == 32.0)
+    assert(one(
+      "SELECT list_dot_product(array(1.0), array(2.0))") == 2.0)
+    // 0.1*0.3 + 0.2*0.7 as a sequential fold (bit-pinned vs oracle)
+    assert(one(
+      "SELECT list_inner_product(array(0.1, 0.2), array(0.3, 0.7))")
+      == 0.16999999999999998)
+    assert(one(
+      "SELECT list_distance(array(1.0, 2), array(4.0, 6))") == 5.0)
+    assert(one(
+      "SELECT list_cosine_similarity(array(3.0, 4.0), array(4.0, 3.0))")
+      == 0.96)
+    // the measured denominator association dot/(sqrt(na)*sqrt(nb))
+    assert(one(
+      "SELECT list_cosine_similarity(array(1.0, 2, 3), array(4.0, 5, 6))")
+      == 0.9746318461970762)
+    // integer lists coerce to double lists, as in DuckDB
+    assert(one(
+      "SELECT list_inner_product(array(1, 2), array(3, 4))") == 11.0)
+    assertThrows[Exception]( // length mismatch refuses
+      spark.sql("SELECT list_inner_product(array(1.0), array(1.0, 2.0))")
+        .collect())
+    assertThrows[Exception]( // NULL element refuses
+      spark.sql("SELECT list_inner_product(array(1.0, CAST(NULL AS" +
+        " DOUBLE)), array(1.0, 2.0))").collect())
+  }
+
   test("cFormatToJava translation table and refusals") {
     assert(DuckdbCompat.cFormatToJava("%Y-%m-%d") == "yyyy-MM-dd")
     assert(DuckdbCompat.cFormatToJava("%H:%M:%S.%f") == "HH:mm:ss.SSSSSS")
