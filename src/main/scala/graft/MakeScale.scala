@@ -74,10 +74,13 @@ object MakeScale {
       shift(shift(df, "event_id", r), "user_id", r)
     })
     write("documents")(reps(read("documents")) { (df, r) =>
+      // the tag stays INSIDE the corpus alphabet (lowercase letters) —
+      // the BPE trainer's alphabet guard rejects '_'-style separators
+      val tag = "q" + ('a' + r).toChar
       val tagged =
         if (r == 0) df
         else df.withColumn("text",
-          regexp_replace(col("text"), "(\\S+)", s"$$1_$r"))
+          regexp_replace(col("text"), "(\\S+)", s"$$1$tag"))
       shift(tagged, "doc_id", r)
         .withColumn("n_chars", length(col("text")))
     })
