@@ -205,7 +205,11 @@ object Bench {
     // what BenchHistorySpec compares against the medians in
     // tools/bench_history.jsonl. Relative default so it lands in the
     // invoking cwd (ADVICE r8); SPARK_GRAFT_BENCH_OUT overrides.
-    try {
+    // A SUBSET run (SPARK_GRAFT_BENCH_ONLY — local iteration / soaks)
+    // must NOT overwrite the full-run artifact: BenchHistorySpec's
+    // inventory gate reads it as "the latest full run" and a 2-query
+    // file reads as 200 queries silently dropped (measured, round 19).
+    if (only.isEmpty) try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
       java.nio.file.Files.write(out,

@@ -48,7 +48,7 @@ object MakeScale {
     val spans = scala.collection.mutable.Map.empty[String, Long]
     def shift(df: DataFrame, colName: String, r: Int): DataFrame = {
       val span = spans.getOrElseUpdate(colName,
-        df.agg(max(colName)).head.getLong(0) + 1L)
+        df.agg(max(colName)).head().getLong(0) + 1L)
       df.withColumn(colName, col(colName) + lit(r * span))
     }
 

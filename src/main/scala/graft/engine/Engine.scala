@@ -42,6 +42,18 @@ object Engine
       Catalog.releaseAutoClaim(spark,
         m.group(1).stripPrefix("`").stripSuffix("`"))
     }
+    // a routed CREATE of a name retires any PRIMARY KEY registered for
+    // it (the column-list route re-registers when it declares one) and
+    // DROP TABLE retires too — the registry never outlives its table
+    (ddlCreateNameRe.findFirstMatchIn(trimmed) orElse
+      dropTableNameRe.findFirstMatchIn(trimmed)).foreach { m =>
+      val store = primaryKeys(spark)
+      store.synchronized {
+        store.remove(
+          m.group(1).stripPrefix("`").stripSuffix("`").toLowerCase)
+      }
+      ()
+    }
     // RETURNING (DuckDB/Postgres): a trailing clause on plain
     // INSERT/UPDATE/DELETE that yields the affected rows — split off
     // here so every DML route below stays RETURNING-free
@@ -116,9 +128,31 @@ object Engine
         else spark.sql(s"ALTER TABLE $table ADD COLUMNS" +
           s" (${Sql.sqlIdentifier(c)} ${mapTypeText(typeText.trim)})")
       case alterDropColRe(table, ifExists, colName) =>
+        // a PRIMARY KEY column cannot be dropped (DuckDB refuses
+        // dropping an indexed column too); non-key columns drop freely
+        val dropped = colName.stripPrefix("`").stripSuffix("`")
+        pkOf(spark, table).foreach { keys =>
+          require(!keys.exists(_.equalsIgnoreCase(dropped)),
+            s"ALTER TABLE $table DROP COLUMN $dropped: the column is" +
+              " part of the PRIMARY KEY (as in DuckDB) — re-create the" +
+              " table to change its key")
+        }
         runAlterDropColumn(spark, table, ifExists != null, colName)
       case alterRenameColRe(table, oldName, newName) =>
-        runAlterRenameColumn(spark, table, oldName, newName)
+        val out = runAlterRenameColumn(spark, table, oldName, newName)
+        // a renamed key column follows in the PK registry
+        locally {
+          val store = primaryKeys(spark)
+          store.synchronized {
+            store.get(table.toLowerCase).foreach { keys =>
+              val o = oldName.stripPrefix("`").stripSuffix("`")
+              val n = newName.stripPrefix("`").stripSuffix("`")
+              store.update(table.toLowerCase,
+                keys.map(k => if (k.equalsIgnoreCase(o)) n else k))
+            }
+          }
+        }
+        out
       case prepareRe(name, text) =>
         // PREPARE stores the RAW statement text; binding and the full
         // router (every dialect shim included) apply at EXECUTE time, so
@@ -182,17 +216,18 @@ object Engine
       case ins if insertConflictSplit(ins).isDefined =>
         val (table, body, keys, doUpdate) = insertConflictSplit(ins).get
         runUpsert(spark, table, body, keys, doUpdate)
-      case insertOrRe(kind) =>
+      case insertOrRe(kind, table, body) =>
         // DuckDB's INSERT OR REPLACE/IGNORE shorthand resolves the key
-        // from the table's unique index — metadata this engine doesn't
-        // keep, so guessing a key would silently upsert on the wrong
-        // one; the refusal names the explicit spelling that does route
-        throw new IllegalArgumentException(
-          s"INSERT OR ${kind.toUpperCase} needs index metadata this" +
-            " engine does not keep — name the key explicitly:" +
-            " INSERT ... ON CONFLICT (keys) DO " +
-            (if (kind.equalsIgnoreCase("REPLACE")) "UPDATE SET col =" +
-              " EXCLUDED.col, ..." else "NOTHING"))
+        // from the table's PRIMARY KEY — registered by the routed
+        // column-list CREATE TABLE since round 19 (a PK-less target
+        // still refuses, naming the explicit ON CONFLICT spelling)
+        runInsertOrShorthand(spark, kind, table, body)
+      case insertHeadRe(table, body) if pkOf(spark, table).isDefined =>
+        // plain INSERT into a PRIMARY-KEY'd table takes the ENFORCED
+        // route (NULL/batch/table uniqueness checked before any write,
+        // as DuckDB's constraint does); PK-less inserts fall through to
+        // Spark's native path below, unchanged
+        runCheckedInsert(spark, table, body, pkOf(spark, table).get)
       case copyFromRe(table, path, opts) =>
         runCopyFrom(spark, table, path, Option(opts))
       case exportDbRe(dir, opts) =>
@@ -347,13 +382,30 @@ object Engine
       case ddl if splitCreateCols(ddl).isDefined =>
         // plain column-list CREATE TABLE: DuckDB type names map to
         // Spark's (TEXT/bare VARCHAR → STRING, TIMESTAMPTZ → TIMESTAMP,
-        // TYPE[] → ARRAY<TYPE>, …); NOT NULL / DEFAULT ride through;
-        // enforcement constraints (PRIMARY KEY / UNIQUE / CHECK /
-        // REFERENCES) REFUSE — the CREATE UNIQUE INDEX precedent:
-        // silently dropping a constraint the engine cannot enforce
-        // would let duplicate keys land without a sound
+        // TYPE[] → ARRAY<TYPE>, …); NOT NULL / DEFAULT ride through.
+        // PRIMARY KEY (inline or table-level) is ACCEPTED since round
+        // 19: it registers in the session PK registry and every routed
+        // write path ENFORCES it (see EngineDml's PK block) — accepted
+        // *because* it is enforced. The remaining enforcement
+        // constraints (UNIQUE / CHECK / REFERENCES) still REFUSE — the
+        // CREATE UNIQUE INDEX precedent: silently dropping a constraint
+        // the engine cannot enforce would let violations land without
+        // a sound.
         val (prefix, cols, suffix) = splitCreateCols(ddl).get
-        spark.sql(s"$prefix(${cols.map(mapColumnDef).mkString(", ")})$suffix")
+        val (defs, pk) = extractPrimaryKey(cols)
+        val out =
+          spark.sql(s"$prefix(${defs.map(mapColumnDef).mkString(", ")})$suffix")
+        ddlCreateNameRe.findFirstMatchIn(ddl).foreach { m =>
+          val name = m.group(1).stripPrefix("`").stripSuffix("`")
+          val store = primaryKeys(spark)
+          store.synchronized {
+            pk match {
+              case Some(keys) => store.update(name.toLowerCase, keys)
+              case None => store.remove(name.toLowerCase)
+            }
+          }
+        }
+        out
       case ddl if splitDdlAs(ddl).isDefined =>
         // CREATE …VIEW/TABLE … AS <query>: the dialect rewrites apply to
         // the query BODY (a saved view definition legitimately carries
@@ -457,6 +509,50 @@ object Engine
           s.substring(close + 1)))
       case _ => None
     }
+  }
+
+  /** Pull a PRIMARY KEY declaration out of the column pieces — inline
+    * (`col TYPE PRIMARY KEY …`) or table-level (`PRIMARY KEY (a, b)`),
+    * at most one; the stripped pieces flow on to mapColumnDef (which
+    * still refuses the constraints the engine does NOT enforce). A
+    * "PRIMARY KEY" inside a quoted literal (e.g. a DEFAULT string)
+    * never matches — the keyword must precede the piece's first quote. */
+  private[engine] def extractPrimaryKey(
+      cols: Seq[String]): (Seq[String], Option[Seq[String]]) = {
+    val tableRe = "(?is)^PRIMARY\\s+KEY\\s*\\((.+)\\)\\s*$".r
+    val pkWord = "(?is)\\bPRIMARY\\s+KEY\\b".r
+    var pk: Option[Seq[String]] = None
+    def set(keys: Seq[String]): Unit = {
+      require(pk.isEmpty,
+        "CREATE TABLE declares more than one PRIMARY KEY")
+      require(keys.nonEmpty && keys.forall(_.nonEmpty),
+        "empty PRIMARY KEY column list")
+      pk = Some(keys)
+    }
+    val defs = cols.flatMap { piece0 =>
+      val piece = piece0.trim
+      val quoteAt = piece.indexOf('\'')
+      val hit = pkWord.findFirstMatchIn(piece)
+        .filter(m => quoteAt < 0 || m.start < quoteAt)
+      piece match {
+        case tableRe(list) if hit.isDefined =>
+          set(splitTopLevel(list, ',')
+            .map(_.trim.stripPrefix("`").stripSuffix("`")))
+          None
+        case _ if hit.isDefined =>
+          val nameRe = "(?s)^(`[^`]+`|[A-Za-z_]\\w*)\\s+.*$".r
+          piece match {
+            case nameRe(name) =>
+              set(Seq(name.stripPrefix("`").stripSuffix("`")))
+              val m = hit.get
+              Some((piece.substring(0, m.start).trim + " " +
+                piece.substring(m.end).trim).trim)
+            case _ => Some(piece)
+          }
+        case _ => Some(piece)
+      }
+    }
+    (defs, pk)
   }
 
   /** One column definition of a routed CREATE TABLE — type mapped via

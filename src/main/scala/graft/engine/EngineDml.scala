@@ -585,6 +585,13 @@ private[engine] trait EngineDml {
     // positional alignment with the table's types, then positional insert
     val aligned = read.toDF(schema.fieldNames.toSeq: _*)
       .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    // PRIMARY KEY enforcement (file reads are deterministic — no
+    // checkpoint needed before checking what will land)
+    pkOf(spark, table).foreach { keys =>
+      requireNoNullKeys(aligned, keys, s"COPY $table FROM")
+      requireBatchUnique(aligned, keys, s"COPY $table FROM")
+      requireNoExistingKey(spark, table, aligned, keys, s"COPY $table FROM")
+    }
     aligned.write.insertInto(table)
     import spark.implicits._
     Seq((path, format)).toDF("path", "format")
@@ -768,17 +775,19 @@ private[engine] trait EngineDml {
         // land different rows than it returned), with columns absent
         // from an explicit column list NULL-filled to the target's
         // schema — DuckDB's subset-insert behavior, and RETURNING *
-        // sees the full landed row
-        import org.apache.spark.sql.functions.{col, lit}
-        val target = spark.table(table)
+        // sees the full landed row. A registered PRIMARY KEY enforces
+        // here exactly as on the plain insert route (the snapshot is
+        // what gets checked AND what lands).
         val landed =
           boundInsertSource(spark, table, body).localCheckpoint(true)
-        val full = target.schema.fields.toSeq.map { f =>
-          if (landed.columns.exists(_.equalsIgnoreCase(f.name)))
-            col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+        pkOf(spark, table).foreach { keys =>
+          requireKeysBound(landed, keys, s"INSERT INTO $table")
+          requireNoNullKeys(landed, keys, s"INSERT INTO $table")
+          requireBatchUnique(landed, keys, s"INSERT INTO $table")
+          requireNoExistingKey(spark, table, landed, keys,
+            s"INSERT INTO $table")
         }
-        val fullRows = landed.select(full: _*)
+        val fullRows = paddedToTarget(spark, table, landed)
         fullRows.write.mode("append").insertInto(table)
         fullRows.selectExpr(items: _*)
       case other => throw new IllegalArgumentException(
@@ -876,6 +885,17 @@ private[engine] trait EngineDml {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
     val assignments = parseAssignments(sets)
     val pred = coalesce(expr(where.getOrElse("TRUE")), lit(false))
+    // PRIMARY KEY enforcement: an UPDATE that assigns a key column can
+    // mint a duplicate or a NULL key (DuckDB refuses both) — pre-check
+    // the PROJECTED post-state, one bounded aggregate BEFORE the
+    // rewrite, only when a key column is actually assigned
+    pkOf(spark, table).filter(keys => assignments.exists { case (c, _) =>
+      keys.exists(_.equalsIgnoreCase(c))
+    }).foreach { keys =>
+      val post = Dml.applyAssignments(spark.table(table), pred, assignments)
+      requireNoNullKeys(post, keys, s"UPDATE $table")
+      requireBatchUnique(post, keys, s"UPDATE $table")
+    }
     withTablePath(spark, table)(path =>
       rewriteRouted(spark, path, where)(
         Dml.applyAssignments(_, pred, assignments)))
@@ -1057,6 +1077,183 @@ private[engine] trait EngineDml {
     import spark.implicits._
     Seq((stats.nFiles.toLong, stats.nRewritten.toLong))
       .toDF("n_files", "n_rewritten")
+  }
+
+  // --- PRIMARY KEY metadata + enforcement (round 19) ----------------------
+  //
+  // DuckDB's INSERT OR REPLACE/IGNORE shorthand resolves its conflict
+  // key from the table's PRIMARY KEY — metadata this engine previously
+  // refused to accept (and with it, the shorthand). The round-19 deal:
+  // the routed column-list CREATE TABLE records a declared PRIMARY KEY
+  // in a session registry, and every ROUTED write path then ENFORCES it
+  // (plain INSERT, COPY FROM, key-assigning UPDATE) exactly as DuckDB
+  // does — measured: every insert flavor refuses a key repeated within
+  // the batch; plain INSERT/COPY refuse collisions with existing rows;
+  // UPDATE refuses an assignment that duplicates a key; NULL keys
+  // refuse. Accepting the constraint WITHOUT the checks would be the
+  // silent-wrongness this file refuses elsewhere (the old rationale for
+  // rejecting PRIMARY KEY outright); with them, the shorthand routes.
+  // Known non-enforcing path: MERGE INTO — Spark-native surface DuckDB
+  // 1.x does not parse, so no migrating DuckDB script reaches it; its
+  // route documents the gap.
+
+  /** Per-session PRIMARY KEY registry (lowercase table name → key
+    * columns in the declared spelling). Weak keys: a closed session's
+    * entries vanish with it. Every routed CREATE of a name clears the
+    * old entry (the column-list route re-registers when it declares a
+    * key); DROP TABLE clears; ALTER RENAME COLUMN follows the rename;
+    * ALTER DROP COLUMN of a key column refuses (as DuckDB refuses
+    * dropping an indexed column). */
+  private[engine] val primaryKeyStore =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, Seq[String]]]()
+  private[engine] def primaryKeys(
+      spark: SparkSession): scala.collection.mutable.Map[String, Seq[String]] =
+    primaryKeyStore.synchronized {
+      primaryKeyStore.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Map.empty)
+    }
+
+  /** The registered key of `table`, validated against its CURRENT
+    * schema — a table re-created or renamed outside the routed paths
+    * drops its stale entry instead of enforcing a phantom constraint. */
+  private[engine] def pkOf(
+      spark: SparkSession, table: String): Option[Seq[String]] = {
+    val store = primaryKeys(spark)
+    store.synchronized {
+      store.get(table.toLowerCase).flatMap { keys =>
+        val ok = spark.catalog.tableExists(table) && {
+          val fields = spark.table(table).schema.fieldNames
+          keys.forall(k => fields.exists(_.equalsIgnoreCase(k)))
+        }
+        if (ok) Some(keys)
+        else { store.remove(table.toLowerCase); None }
+      }
+    }
+  }
+
+  /** Refuse a key repeated WITHIN the written batch — DuckDB refuses
+    * this for every insert flavor (measured: plain INSERT and OR IGNORE
+    * raise 'duplicate key', OR REPLACE raises 'can not update the same
+    * row twice in the same command'). One bounded aggregate; the
+    * example key in the message is a 1-row collect. */
+  private[engine] def requireBatchUnique(
+      source: DataFrame, keys: Seq[String], what: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("graft_pk_n"))
+      .filter(col("graft_pk_n") > 1).limit(1).collect().headOption
+      .foreach { r =>
+        val key = keys.zipWithIndex
+          .map { case (k, i) => s"$k: ${r.get(i)}" }.mkString(", ")
+        throw new IllegalArgumentException(
+          s"""$what: duplicate key "$key" violates the PRIMARY KEY""" +
+            " constraint (repeated within the written rows, as in DuckDB)")
+      }
+  }
+
+  /** Refuse a NULL in any key column (the NOT NULL half of PRIMARY
+    * KEY, as in DuckDB). */
+  private[engine] def requireNoNullKeys(
+      source: DataFrame, keys: Seq[String], what: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (!source.filter(keys.map(col(_).isNull).reduce(_ || _)).isEmpty)
+      throw new IllegalArgumentException(
+        s"$what: NULL in PRIMARY KEY column(s) ${keys.mkString(", ")}" +
+          " violates the constraint (as in DuckDB)")
+  }
+
+  /** Refuse a batch that collides with rows already in the table —
+    * runs BEFORE any write, so a refused statement lands nothing
+    * (DuckDB's statement atomicity, measured). Join shape for scale:
+    * the TABLE probes a BROADCAST of the batch's keys (map-side
+    * semi-join, one scan, no table shuffle) — the batch is the small
+    * side by construction; the reversed shape would shuffle the whole
+    * table per insert. */
+  private[engine] def requireNoExistingKey(
+      spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], what: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    spark.table(table)
+      .join(broadcast(source.select(keys.map(col): _*)), keys, "left_semi")
+      .limit(1).collect().headOption.foreach { r =>
+        val key = keys.map(k => s"$k: ${r.getAs[Any](k)}").mkString(", ")
+        throw new IllegalArgumentException(
+          s"""$what: duplicate key "$key" violates the PRIMARY KEY""" +
+            s" constraint on $table (as in DuckDB) — INSERT OR REPLACE /" +
+            " INSERT OR IGNORE / ON CONFLICT spell the upsert intents")
+      }
+  }
+
+  /** NULL-pad a bound subset-insert to the target's full schema —
+    * DuckDB's subset-insert behavior; shared by RETURNING and the
+    * PK-enforced insert routes. */
+  private[engine] def paddedToTarget(
+      spark: SparkSession, table: String, landed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val full = spark.table(table).schema.fields.toSeq.map { f =>
+      if (landed.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    landed.select(full: _*)
+  }
+
+  private[engine] def requireKeysBound(
+      landed: DataFrame, keys: Seq[String], what: String): Unit =
+    keys.foreach(k =>
+      require(landed.columns.exists(_.equalsIgnoreCase(k)),
+        s"$what must provide PRIMARY KEY column $k — an omitted key" +
+          " would land NULL and violate the constraint (as in DuckDB)"))
+
+  /** Plain INSERT INTO a table with a registered PRIMARY KEY: bind the
+    * source ONCE (checkpointed — a nondeterministic source must land
+    * exactly the rows that were checked), enforce NULL / batch / table
+    * uniqueness, then append. PK-less tables never reach this route —
+    * their inserts stay on Spark's native path. */
+  private[engine] def runCheckedInsert(
+      spark: SparkSession, table: String, body: String,
+      keys: Seq[String]): DataFrame = {
+    val landed = boundInsertSource(spark, table, body).localCheckpoint(true)
+    requireKeysBound(landed, keys, s"INSERT INTO $table")
+    requireNoNullKeys(landed, keys, s"INSERT INTO $table")
+    requireBatchUnique(landed, keys, s"INSERT INTO $table")
+    requireNoExistingKey(spark, table, landed, keys, s"INSERT INTO $table")
+    paddedToTarget(spark, table, landed)
+      .write.mode("append").insertInto(table)
+    spark.emptyDataFrame
+  }
+
+  /** INSERT OR REPLACE / OR IGNORE — the shorthand whose conflict key
+    * IS the table's PRIMARY KEY. REPLACE is delete+insert per
+    * conflicting key (missing subset columns land NULL — measured),
+    * mapped onto the key-span-pruned merge; IGNORE drops conflicting
+    * incoming rows (insert-if-absent). Both refuse in-batch duplicate
+    * keys and NULL keys, as DuckDB does. */
+  private[engine] def runInsertOrShorthand(
+      spark: SparkSession, kind: String, table: String,
+      body: String): DataFrame = {
+    val verb = s"INSERT OR ${kind.toUpperCase}"
+    val keys = pkOf(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$verb INTO $table resolves its conflict key from the table's" +
+          " PRIMARY KEY, and this table has none registered — declare" +
+          " one in the routed CREATE TABLE (col TYPE PRIMARY KEY /" +
+          " PRIMARY KEY (cols)), or name the key explicitly: INSERT ..." +
+          " ON CONFLICT (keys) DO " +
+          (if (kind.equalsIgnoreCase("REPLACE"))
+            "UPDATE SET col = EXCLUDED.col, ..." else "NOTHING")))
+    val landed = boundInsertSource(spark, table, body).localCheckpoint(true)
+    requireKeysBound(landed, keys, s"$verb INTO $table")
+    requireNoNullKeys(landed, keys, verb)
+    requireBatchUnique(landed, keys, verb)
+    val padded = paddedToTarget(spark, table, landed)
+    val nonKeys = spark.table(table).schema.fieldNames.toSeq
+      .filterNot(f => keys.exists(_.equalsIgnoreCase(f)))
+    withTablePath(spark, table) { path =>
+      if (kind.equalsIgnoreCase("REPLACE"))
+        Dml.mergeIntoAll(spark, path, padded, keys, nonKeys)
+      else Dml.insertOnlyAll(spark, path, padded, keys)
+    }
   }
 
 }

@@ -22,7 +22,12 @@ private[engine] trait EngineIntrospect {
       "(IF\\s+NOT\\s+EXISTS\\s+)?(.+)$").r
 
   private[engine] val insertOrRe =
-    "(?is)^INSERT\\s+OR\\s+(REPLACE|IGNORE)\\s+INTO\\b.*$".r
+    "(?is)^INSERT\\s+OR\\s+(REPLACE|IGNORE)\\s+INTO\\s+([A-Za-z_]\\w*)\\s*(.+)$".r
+
+  /** Target name of a DROP TABLE — behind the PK-registry retirement
+    * in `sql`. */
+  private[engine] val dropTableNameRe =
+    "(?is)^DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?(`[^`]+`|[\\w.]+)".r
 
   /** Target name of any CREATE VIEW/TABLE statement — the one shared
     * extraction behind the auto-claim release in `sql`. */

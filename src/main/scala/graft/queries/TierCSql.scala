@@ -1108,6 +1108,33 @@ object TierCSql {
   // not session end). IDENTICAL script text on both engines, DROPped
   // first so re-runs are idempotent; the INSERT proves the temp table
   // is writable through the same text.
+  // PRIMARY KEY + INSERT OR REPLACE / OR IGNORE (round 19): the routed
+  // column-list CREATE TABLE registers the declared key, the shorthand
+  // upserts resolve their conflict target from it, and the plain INSERT
+  // takes the enforced route (NULL/batch/table uniqueness checked
+  // before any write — the refusal rails are EngineSpec's). IDENTICAL
+  // text on both engines; the oracle runs its native constraint. The
+  // final aggregate partitions rows by which statement last touched
+  // them: n=0 untouched initial rows, n=1 REPLACEd-or-inserted by the
+  // OR REPLACE wave, n=2 fresh keys landed by the OR IGNORE wave
+  // (whose overlap with existing keys must be ignored, not error).
+  val pkUpsertScript: String =
+    s"""DROP TABLE IF EXISTS graft_pk_tbl;
+       |CREATE TEMP TABLE graft_pk_tbl (
+       |  k BIGINT PRIMARY KEY, s VARCHAR, n BIGINT);
+       |INSERT INTO graft_pk_tbl
+       |  SELECT o_orderkey, o_orderstatus, 0 FROM orders
+       |  WHERE o_orderkey <= 300;
+       |INSERT OR REPLACE INTO graft_pk_tbl
+       |  SELECT o_orderkey, o_orderpriority, 1 FROM orders
+       |  WHERE o_orderkey BETWEEN 200 AND 400;
+       |INSERT OR IGNORE INTO graft_pk_tbl
+       |  SELECT o_orderkey, 'ignored', 2 FROM orders
+       |  WHERE o_orderkey BETWEEN 350 AND 500;
+       |SELECT n, COUNT(*) AS cnt, MIN(k) AS kmin, MAX(k) AS kmax,
+       |  COUNT(DISTINCT s) AS ds
+       |FROM graft_pk_tbl GROUP BY n ORDER BY n;""".stripMargin
+
   val tempTableScript: String =
     s"""DROP TABLE IF EXISTS graft_temp_tbl;
        |CREATE TEMP TABLE graft_temp_tbl AS
@@ -1647,6 +1674,7 @@ object TierCSql {
     "c_sql_read_csv_cols" -> ((s, dir) => Engine.runScript(views(s, dir),
       csvColsScript(dir)).getOrElse(sys.error("script produced no result"))),
     "c_sql_temp_table" -> script(tempTableScript),
+    "c_sql_pk_upsert" -> script(pkUpsertScript),
     "c_sql_alter_col" -> script(alterColScript),
     "c_sql_macro" -> script(macroScript),
     "c_sql_macro_duck" -> script(macroDuckScript),
@@ -1727,6 +1755,7 @@ object TierCSql {
     "c_sql_glob" -> globPredicate, // IDENTICAL text — native GLOB
     "c_sql_read_csv_cols" -> csvColsOracle,
     "c_sql_temp_table" -> tempTableScript, // IDENTICAL text — routed TEMP TABLE
+    "c_sql_pk_upsert" -> pkUpsertScript, // IDENTICAL text — PK + OR REPLACE/IGNORE
     "c_sql_alter_col" -> alterColScript, // IDENTICAL text — routed ALTER COLUMN
     "c_sql_macro" -> macroOracle,
     "c_sql_macro_duck" -> macroDuckScript, // IDENTICAL text — routed CREATE MACRO

@@ -1942,12 +1942,77 @@ class EngineSpec extends AnyFunSuite {
     assert(sch.fields.map(_.dataType.sql).toSeq ==
       Seq("INT", "STRING", "TIMESTAMP", "ARRAY<INT>", "DOUBLE"))
     Engine.exec(spark, "DROP TABLE IF EXISTS engine_ct")
+    // PRIMARY KEY is ACCEPTED since round 19 (registered + enforced —
+    // see the dedicated PK tests); the unenforced constraints refuse
     assert(intercept[IllegalArgumentException](Engine.sql(spark,
-      "CREATE TABLE pk1 (a INTEGER PRIMARY KEY, b TEXT)")).getMessage
-      .contains("ON CONFLICT"))
-    assert(intercept[IllegalArgumentException](Engine.sql(spark,
-      "CREATE TABLE pk2 (a INTEGER, PRIMARY KEY (a))")).getMessage
+      "CREATE TABLE pk2 (a INTEGER, b TEXT UNIQUE)")).getMessage
       .contains("constraint"))
+    assert(intercept[IllegalArgumentException](Engine.sql(spark,
+      "CREATE TABLE pk3 (a INTEGER, CHECK (a > 0))")).getMessage
+      .contains("constraint"))
+  }
+
+  test("PRIMARY KEY registers, enforces, and routes OR REPLACE/IGNORE") {
+    Engine.runScript(spark,
+      """DROP TABLE IF EXISTS engine_pk;
+        |CREATE TABLE engine_pk (k BIGINT PRIMARY KEY, v TEXT);
+        |INSERT INTO engine_pk VALUES (1, 'a'), (2, 'b');"""
+        .stripMargin)
+    // plain INSERT: existing-key, in-batch-dup, and NULL-key refusals
+    // (all measured DuckDB behaviors), each BEFORE any write
+    assert(intercept[Exception](Engine.sql(spark,
+      "INSERT INTO engine_pk VALUES (1, 'x')")).getMessage
+      .contains("PRIMARY KEY"))
+    assert(intercept[Exception](Engine.sql(spark,
+      "INSERT INTO engine_pk VALUES (3, 'c'), (3, 'd')")).getMessage
+      .contains("PRIMARY KEY"))
+    assert(intercept[Exception](Engine.sql(spark,
+      "INSERT INTO engine_pk VALUES (NULL, 'n')")).getMessage
+      .contains("NULL"))
+    assert(Engine.sql(spark,
+      "SELECT count(*) FROM engine_pk").head().getLong(0) == 2,
+      "a refused statement must land nothing")
+    // OR REPLACE upserts on the registered key; OR IGNORE drops
+    // conflicting incoming rows; both refuse in-batch duplicates
+    Engine.sql(spark,
+      "INSERT OR REPLACE INTO engine_pk VALUES (1, 'A'), (3, 'c')")
+    Engine.sql(spark,
+      "INSERT OR IGNORE INTO engine_pk VALUES (2, 'zz'), (4, 'd')")
+    assert(Engine.sql(spark,
+      "SELECT k, v FROM engine_pk ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "A"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(intercept[Exception](Engine.sql(spark,
+      "INSERT OR REPLACE INTO engine_pk VALUES (5, 'e'), (5, 'f')"))
+      .getMessage.contains("PRIMARY KEY"))
+    // UPDATE minting a duplicate key refuses; a clean key move works
+    assert(intercept[Exception](Engine.sql(spark,
+      "UPDATE engine_pk SET k = 1 WHERE k = 4")).getMessage
+      .contains("PRIMARY KEY"))
+    Engine.sql(spark, "UPDATE engine_pk SET k = 40 WHERE k = 4")
+    assert(Engine.sql(spark,
+      "SELECT max(k) FROM engine_pk").head().getLong(0) == 40L)
+    // ALTER guards: a key column cannot drop; a rename follows
+    assert(intercept[Exception](Engine.sql(spark,
+      "ALTER TABLE engine_pk DROP COLUMN k")).getMessage
+      .contains("PRIMARY KEY"))
+    Engine.sql(spark, "ALTER TABLE engine_pk RENAME COLUMN k TO kk")
+    assert(intercept[Exception](Engine.sql(spark,
+      "INSERT INTO engine_pk VALUES (1, 'dup')")).getMessage
+      .contains("PRIMARY KEY"), "the registry follows the rename")
+    // re-creating the table WITHOUT a key retires the registry entry:
+    // the duplicate now lands (Spark-native path, no phantom constraint)
+    Engine.runScript(spark,
+      """DROP TABLE IF EXISTS engine_pk;
+        |CREATE TABLE engine_pk (k BIGINT, v TEXT);
+        |INSERT INTO engine_pk VALUES (1, 'a'), (1, 'b');""".stripMargin)
+    assert(Engine.sql(spark,
+      "SELECT count(*) FROM engine_pk").head().getLong(0) == 2)
+    // a PK-less table still refuses the shorthand, naming ON CONFLICT
+    assert(intercept[Exception](Engine.sql(spark,
+      "INSERT OR REPLACE INTO engine_pk VALUES (1, 'x')")).getMessage
+      .contains("ON CONFLICT"))
+    Engine.exec(spark, "DROP TABLE IF EXISTS engine_pk")
   }
 
   test("MATERIALIZED CTE hints strip; ARRAY[...] constructs") {
