@@ -588,8 +588,7 @@ private[engine] trait EngineDml {
     // PRIMARY KEY enforcement (file reads are deterministic — no
     // checkpoint needed before checking what will land)
     pkOf(spark, table).foreach { keys =>
-      requireNoNullKeys(aligned, keys, s"COPY $table FROM")
-      requireBatchUnique(aligned, keys, s"COPY $table FROM")
+      requireKeysSound(aligned, keys, s"COPY $table FROM")
       requireNoExistingKey(spark, table, aligned, keys, s"COPY $table FROM")
     }
     aligned.write.insertInto(table)
@@ -782,8 +781,7 @@ private[engine] trait EngineDml {
           boundInsertSource(spark, table, body).localCheckpoint(true)
         pkOf(spark, table).foreach { keys =>
           requireKeysBound(landed, keys, s"INSERT INTO $table")
-          requireNoNullKeys(landed, keys, s"INSERT INTO $table")
-          requireBatchUnique(landed, keys, s"INSERT INTO $table")
+          requireKeysSound(landed, keys, s"INSERT INTO $table")
           requireNoExistingKey(spark, table, landed, keys,
             s"INSERT INTO $table")
         }
@@ -893,8 +891,7 @@ private[engine] trait EngineDml {
       keys.exists(_.equalsIgnoreCase(c))
     }).foreach { keys =>
       val post = Dml.applyAssignments(spark.table(table), pred, assignments)
-      requireNoNullKeys(post, keys, s"UPDATE $table")
-      requireBatchUnique(post, keys, s"UPDATE $table")
+      requireKeysSound(post, keys, s"UPDATE $table")
     }
     withTablePath(spark, table)(path =>
       rewriteRouted(spark, path, where)(
@@ -1132,18 +1129,27 @@ private[engine] trait EngineDml {
     }
   }
 
-  /** Refuse a key repeated WITHIN the written batch — DuckDB refuses
-    * this for every insert flavor (measured: plain INSERT and OR IGNORE
-    * raise 'duplicate key', OR REPLACE raises 'can not update the same
-    * row twice in the same command'). One bounded aggregate; the
+  /** Refuse a key repeated WITHIN the written batch or a NULL in any
+    * key column — both halves of the PRIMARY KEY contract DuckDB
+    * enforces on every insert flavor (measured: plain INSERT and OR
+    * IGNORE raise 'duplicate key', OR REPLACE raises 'can not update
+    * the same row twice in the same command'; NULL keys violate the
+    * implied NOT NULL). ONE bounded aggregate certifies both — NULL
+    * keys group together, so the same grouped pass surfaces them; the
     * example key in the message is a 1-row collect. */
-  private[engine] def requireBatchUnique(
+  private[engine] def requireKeysSound(
       source: DataFrame, keys: Seq[String], what: String): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit}
     source.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("graft_pk_n"))
-      .filter(col("graft_pk_n") > 1).limit(1).collect().headOption
+      .filter(col("graft_pk_n") > 1 ||
+        keys.map(col(_).isNull).reduce(_ || _))
+      .limit(1).collect().headOption
       .foreach { r =>
+        val nulls = keys.zipWithIndex.exists { case (_, i) => r.isNullAt(i) }
+        if (nulls) throw new IllegalArgumentException(
+          s"$what: NULL in PRIMARY KEY column(s) ${keys.mkString(", ")}" +
+            " violates the constraint (as in DuckDB)")
         val key = keys.zipWithIndex
           .map { case (k, i) => s"$k: ${r.get(i)}" }.mkString(", ")
         throw new IllegalArgumentException(
@@ -1152,15 +1158,23 @@ private[engine] trait EngineDml {
       }
   }
 
-  /** Refuse a NULL in any key column (the NOT NULL half of PRIMARY
-    * KEY, as in DuckDB). */
-  private[engine] def requireNoNullKeys(
-      source: DataFrame, keys: Seq[String], what: String): Unit = {
-    import org.apache.spark.sql.functions.col
-    if (!source.filter(keys.map(col(_).isNull).reduce(_ || _)).isEmpty)
-      throw new IllegalArgumentException(
-        s"$what: NULL in PRIMARY KEY column(s) ${keys.mkString(", ")}" +
-          " violates the constraint (as in DuckDB)")
+  /** Snapshot a source only when it actually needs it: a
+    * non-deterministic or current-time expression would make the
+    * checked rows differ from the landed ones (each action re-plans,
+    * so even current_timestamp moves between jobs); a stable source
+    * skips the checkpoint job and its materialization. Same expression
+    * classes as RETURNING's requireStable. */
+  private[engine] def stableSnapshot(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      CurrentDate, CurrentTimestamp, LocalTimestamp, Now}
+    val unstable = df.queryExecution.analyzed.exists(p =>
+      p.expressions.exists(e => e.exists {
+        case x if !x.deterministic => true
+        case _: CurrentTimestamp | _: CurrentDate | _: Now |
+            _: LocalTimestamp => true
+        case _ => false
+      }))
+    if (unstable) df.localCheckpoint(true) else df
   }
 
   /** Refuse a batch that collides with rows already in the table —
@@ -1206,17 +1220,16 @@ private[engine] trait EngineDml {
           " would land NULL and violate the constraint (as in DuckDB)"))
 
   /** Plain INSERT INTO a table with a registered PRIMARY KEY: bind the
-    * source ONCE (checkpointed — a nondeterministic source must land
-    * exactly the rows that were checked), enforce NULL / batch / table
-    * uniqueness, then append. PK-less tables never reach this route —
-    * their inserts stay on Spark's native path. */
+    * source once (snapshotted only when unstable — see stableSnapshot),
+    * enforce NULL / batch / table uniqueness, then append. PK-less
+    * tables never reach this route — their inserts stay on Spark's
+    * native path. */
   private[engine] def runCheckedInsert(
       spark: SparkSession, table: String, body: String,
       keys: Seq[String]): DataFrame = {
-    val landed = boundInsertSource(spark, table, body).localCheckpoint(true)
+    val landed = stableSnapshot(boundInsertSource(spark, table, body))
     requireKeysBound(landed, keys, s"INSERT INTO $table")
-    requireNoNullKeys(landed, keys, s"INSERT INTO $table")
-    requireBatchUnique(landed, keys, s"INSERT INTO $table")
+    requireKeysSound(landed, keys, s"INSERT INTO $table")
     requireNoExistingKey(spark, table, landed, keys, s"INSERT INTO $table")
     paddedToTarget(spark, table, landed)
       .write.mode("append").insertInto(table)
@@ -1242,10 +1255,9 @@ private[engine] trait EngineDml {
           " ON CONFLICT (keys) DO " +
           (if (kind.equalsIgnoreCase("REPLACE"))
             "UPDATE SET col = EXCLUDED.col, ..." else "NOTHING")))
-    val landed = boundInsertSource(spark, table, body).localCheckpoint(true)
+    val landed = stableSnapshot(boundInsertSource(spark, table, body))
     requireKeysBound(landed, keys, s"$verb INTO $table")
-    requireNoNullKeys(landed, keys, verb)
-    requireBatchUnique(landed, keys, verb)
+    requireKeysSound(landed, keys, verb)
     val padded = paddedToTarget(spark, table, landed)
     val nonKeys = spark.table(table).schema.fieldNames.toSeq
       .filterNot(f => keys.exists(_.equalsIgnoreCase(f)))
