@@ -474,7 +474,7 @@ object Engine
               rewriteDuckCastTypes(rewriteDowField(rewriteIntDiv(
                 checkCaretPow(checkPositionalJoin(rewriteAggOrderBy(
                   rewriteLambdaSyntax(rewriteTrailingCommas(
-                    rewriteTildeMatch(sub)))))))))))
+                    rewriteAtTimeZone(rewriteTildeMatch(sub))))))))))))
             val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
               rewriteStarReplace(spark, rewriteColumnsFn(spark,
                 rewriteDateDiff(rewriteGlob(

@@ -743,7 +743,20 @@ object DuckdbCompat {
     "list_dot_product" -> vectorBuilder("list_dot_product", "listInner"),
     "list_distance" -> vectorBuilder("list_distance", "listDistance"),
     "list_cosine_similarity" -> vectorBuilder("list_cosine_similarity",
-      "listCosine"))
+      "listCosine"),
+    // --- round-19 battery-7 additions ---------------------------------
+    // jaro / jaro-winkler string similarity — byte-based with DuckDB's
+    // measured edges and float association (see CompatRuntime)
+    "jaro_similarity" -> { args0 =>
+      val a = arity("jaro_similarity", 2)(args0)
+      StaticInvoke(CompatRuntime.getClass, DoubleType, "jaro",
+        Seq(a(0), a(1)))
+    },
+    "jaro_winkler_similarity" -> { args0 =>
+      val a = arity("jaro_winkler_similarity", 2)(args0)
+      StaticInvoke(CompatRuntime.getClass, DoubleType, "jaroWinkler",
+        Seq(a(0), a(1)))
+    })
 
   private def hammingBuilder(name: String): Builder = { args0 =>
     val a = arity(name, 2)(args0)

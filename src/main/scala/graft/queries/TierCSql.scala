@@ -1135,6 +1135,35 @@ object TierCSql {
        |  COUNT(DISTINCT s) AS ds
        |FROM graft_pk_tbl GROUP BY n ORDER BY n;""".stripMargin
 
+  // Compat battery 7 (round 19): jaro_similarity /
+  // jaro_winkler_similarity (BYTE-based with DuckDB's measured edge
+  // order and the 0.7 boost threshold — both float associations pinned
+  // bitwise on 3000/3000 fuzzed pairs each) and the AT TIME ZONE
+  // operator (Spark's grammar lacks it; the shim maps naive→instant to
+  // to_utc_timestamp and instant→naive to from_utc_timestamp, chains
+  // rewriting left-to-right — both engines read the same IANA rules).
+  // IDENTICAL text; the chained form ends at a naive wall time and the
+  // output renders through strftime — Spark's converted timestamp is
+  // LTZ-typed (parquet-annotated UTC-adjusted, which pandas reads
+  // tz-aware) while DuckDB's cast is naive, so the string render is
+  // the type-free hash surface.
+  val compat7: String =
+    """SELECT o_orderkey,
+      |  jaro_similarity(o_orderpriority, 'URGENT') AS js,
+      |  jaro_similarity(o_orderpriority, o_orderstatus) AS js2,
+      |  jaro_winkler_similarity(o_orderpriority, '1-URGENT') AS jw,
+      |  jaro_winkler_similarity(o_orderstatus || 'xyz',
+      |    o_orderstatus || 'xzy') AS jw2,
+      |  strftime(CAST(o_orderdate AT TIME ZONE 'America/New_York'
+      |    AT TIME ZONE 'UTC' AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+      |    AS ny_utc,
+      |  strftime(CAST(o_orderdate AT TIME ZONE 'Asia/Tokyo'
+      |    AT TIME ZONE 'Europe/Paris' AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+      |    AS tok_par
+      |FROM orders
+      |WHERE o_orderkey <= 800
+      |ORDER BY o_orderkey""".stripMargin
+
   val tempTableScript: String =
     s"""DROP TABLE IF EXISTS graft_temp_tbl;
        |CREATE TEMP TABLE graft_temp_tbl AS
@@ -1596,6 +1625,7 @@ object TierCSql {
   val queries: Map[String, Q] = Map(
     "c_sql_compat5" -> q(compat5),
     "c_sql_compat6" -> q(compat6),
+    "c_sql_compat7" -> q(compat7),
     "c_sql_tilde" -> q(tildeOps),
     "c_sql_null_order" -> q(nullOrder),
     "c_sql_types" -> q(typesParity),
@@ -1690,6 +1720,7 @@ object TierCSql {
     "c_sql_tilde" -> tildeOps, // IDENTICAL text — ~ / !~ / ~~ operators
     "c_sql_compat5" -> compat5, // IDENTICAL text — battery-5 compat fns
     "c_sql_compat6" -> compat6, // IDENTICAL text — battery-6 compat fns
+    "c_sql_compat7" -> compat7, // IDENTICAL text — jaro pair + AT TIME ZONE
     "c_sql_null_order" -> nullOrder, // IDENTICAL text — NULLS LAST default
     "c_sql_types" -> typesParity, // IDENTICAL text — type/function parity
     "c_sql_ops" -> opsParity, // IDENTICAL text — // , slicing, dow/isodow

@@ -49,7 +49,8 @@ object EngineProps extends Properties("EngineRewrites") {
       Engine.rewriteListSlice, Engine.rewriteMapLiteral,
       Engine.rewriteDuckCastTypes, Engine.rewriteMaterializedCte,
       Engine.rewriteArrayKw, Engine.rewriteOrderByNulls,
-      Engine.checkPositionalJoin, Engine.rewriteTildeMatch
+      Engine.checkPositionalJoin, Engine.rewriteTildeMatch,
+      Engine.rewriteAtTimeZone
     ).foldLeft(s)((acc, f) => f(acc))
 
   property("pure-text shims are the identity on trigger-free statements") =

@@ -2121,6 +2121,38 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("row_number"))
   }
 
+  test("AT TIME ZONE routes: naive→to_utc, chains alternate, literals only") {
+    // a naive wall time interpreted in New York, rendered back in UTC:
+    // 12:00 EDT (June — daylight) is 16:00 UTC
+    assert(Engine.sql(spark,
+      "SELECT CAST(TIMESTAMP '2024-06-01 12:00:00'" +
+        " AT TIME ZONE 'America/New_York' AT TIME ZONE 'UTC'" +
+        " AS TIMESTAMP) AS t").head().get(0).toString
+      .startsWith("2024-06-01 16:00"))
+    // January (standard time): 12:00 EST is 17:00 UTC
+    assert(Engine.sql(spark,
+      "SELECT CAST(TIMESTAMP '2024-01-01 12:00:00'" +
+        " AT TIME ZONE 'America/New_York' AT TIME ZONE 'UTC'" +
+        " AS TIMESTAMP) AS t").head().get(0).toString
+      .startsWith("2024-01-01 17:00"))
+    // rewrite shape: first application → to_utc, second → from_utc
+    val rw = Engine.rewriteAtTimeZone(
+      "SELECT ts AT TIME ZONE 'Asia/Tokyo' AT TIME ZONE 'UTC' FROM t")
+    assert(rw.contains(
+      "from_utc_timestamp(to_utc_timestamp(ts, 'Asia/Tokyo'), 'UTC')"), rw)
+    // an instant base (current_timestamp / now()) renders, not re-reads
+    assert(Engine.rewriteAtTimeZone(
+      "SELECT current_timestamp AT TIME ZONE 'Asia/Tokyo'")
+      .contains("from_utc_timestamp(current_timestamp, 'Asia/Tokyo')"))
+    // the keyword inside a string literal never triggers
+    val shielded = "SELECT 'AT TIME ZONE ''x''' AS s"
+    assert(Engine.rewriteAtTimeZone(shielded) == shielded)
+    // a computed zone refuses loudly rather than guessing
+    assert(intercept[IllegalArgumentException](Engine.sql(spark,
+      "SELECT TIMESTAMP '2024-01-01 00:00:00' AT TIME ZONE upper('utc')"))
+      .getMessage.contains("literal zone"))
+  }
+
   test("EXPLAIN ANALYZE runs the query and returns the executed plan") {
     val rows = Engine.sql(spark,
       "EXPLAIN ANALYZE SELECT count(*) AS n FROM (VALUES (1),(2)) t(a)")

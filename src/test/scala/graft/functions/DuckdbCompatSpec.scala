@@ -437,6 +437,28 @@ class DuckdbCompatSpec extends AnyFunSuite {
         " DOUBLE)), array(1.0, 2.0))").collect())
   }
 
+  test("battery 7: jaro pair matches the fuzz-pinned semantics") {
+    assert(one("SELECT jaro_similarity('duckdb', 'duckdb')") == 1.0)
+    assert(one("SELECT jaro_similarity('martha', 'marhta')") ==
+      0.9444444444444445)
+    assert(one("SELECT jaro_winkler_similarity('martha', 'marhta')") ==
+      0.9611111111111111)
+    assert(one("SELECT jaro_winkler_similarity('dixon', 'dicksonx')") ==
+      0.8133333333333332)
+    // either side empty is 0.0 — even BOTH empty (measured)
+    assert(one("SELECT jaro_similarity('abc', '')") == 0.0)
+    assert(one("SELECT jaro_similarity('', '')") == 0.0)
+    // BYTE-based, not code points: 'über' counts 5 (measured)
+    assert(one("SELECT jaro_similarity('über', 'uber')") ==
+      0.7833333333333333)
+    // the 0.7 threshold: a common prefix below it must NOT boost
+    // (measured: both sides 0.5666666666666667 despite the 'a' prefix)
+    assert(one("SELECT jaro_winkler_similarity('ab', 'axyzw')") ==
+      0.5666666666666667)
+    assert(one("SELECT jaro_winkler_similarity('ab', 'axyzw')") ==
+      one("SELECT jaro_similarity('ab', 'axyzw')"))
+  }
+
   test("cFormatToJava translation table and refusals") {
     assert(DuckdbCompat.cFormatToJava("%Y-%m-%d") == "yyyy-MM-dd")
     assert(DuckdbCompat.cFormatToJava("%H:%M:%S.%f") == "HH:mm:ss.SSSSSS")
