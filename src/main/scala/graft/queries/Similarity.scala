@@ -673,6 +673,83 @@ object Similarity {
        |    (${oNorm("a.embedding")} * ${oNorm("b.embedding")}) >= 0.35
        |ORDER BY d1, d2""".stripMargin
 
+  // --- Semantic dedup (SemDeDup): cluster, then dedup WITHIN clusters ----
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): embed →
+    * k-means-cluster → remove near-duplicates WITHIN each cluster only.
+    * The clustering bounds the candidate space to O(Σ cluster²) — the
+    * paper's own scale trick, and the same never-all-pairs discipline
+    * as the LSH dedup family — while the TRAINED persisted codebook
+    * (the same two-Lloyd-iteration artifact the IVF suite loads)
+    * provides the assignment map-side: an argmax over 16 inlined
+    * centroid cosines, zero joins or shuffles before the per-cluster
+    * self-join on cent_id (the shuffle key). Drop policy is the
+    * deterministic dominance rule: a vector drops when ANY lower-id
+    * vector in its cluster sits at cosine ≥ τ — the keep-one-
+    * representative semantics of the paper without an iterative
+    * connected-components pass (transitively-linked sets keep exactly
+    * their minimum id: every other member sees a lower-id neighbor).
+    * Output: per-cluster sizes, drops, and survivors — the dedup-rate
+    * report a curation pipeline tracks per shard. */
+  val semanticDedup: Q = (s, dir) => {
+    graft.functions.CosineSimilarity.register(s)
+    val emb = t(s, dir, "embeddings")
+    val cents = trainedCodebook(s, dir)
+    if (cents.isEmpty)
+      emb.select(col("vec_id").as("cent_id"), lit(0L).as("n"),
+        lit(0L).as("n_dropped"), lit(0L).as("n_survivors"))
+        .filter(lit(false))
+    else {
+      val assigned = emb
+        .withColumn("cos_arr", expr(centCosArrD("embedding", cents)))
+        .withColumn("cent_id", expr(centArgmaxD("cos_arr", cents)))
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      val a = assigned.toDF("d1", "e1", "c1")
+      val b = assigned.toDF("d2", "e2", "c2")
+      val dropped = a
+        .join(b, col("c1") === col("c2") && col("d1") < col("d2"))
+        .filter(expr("cosine_sim(e1, e2)") >= 0.35)
+        .select(col("d2").as("vec_id"), col("c2").as("cent_id"))
+        .distinct()
+      assigned.groupBy("cent_id").agg(count(lit(1)).as("n"))
+        .join(dropped.groupBy("cent_id")
+          .agg(count(lit(1)).as("nd")), Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          col("n"),
+          coalesce(col("nd"), lit(0L)).as("n_dropped"),
+          (col("n") - coalesce(col("nd"), lit(0L))).as("n_survivors"))
+        .orderBy(col("cent_id"))
+    }
+  }
+
+  /** Oracle: the SAME trained codebook re-derived in SQL
+    * (`trainedCentsCte`), window-argmax assignment, within-cluster
+    * dominance drop — identical τ and cosine fold. Lazy: the CTE text
+    * is declared further down the file (object vals initialize in
+    * declaration order — eager interpolation here would read null). */
+  lazy val semanticDedupSql: String =
+    s"""WITH $trainedCentsCte,
+       |assigned AS (
+       |  SELECT vec_id, embedding, cent_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${oCosOf("e.embedding", "c.cent")} DESC, c.cent_id)
+       |        AS rn
+       |    FROM embeddings e, cents c) WHERE rn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id, b.cent_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |  WHERE ${oCosOf("a.embedding", "b.embedding")} >= 0.35)
+       |SELECT s.cent_id, COUNT(*) AS n,
+       |  COALESCE(d.nd, 0) AS n_dropped,
+       |  COUNT(*) - COALESCE(d.nd, 0) AS n_survivors
+       |FROM assigned s
+       |LEFT JOIN (SELECT cent_id, COUNT(*) AS nd FROM dropped
+       |  GROUP BY cent_id) d ON s.cent_id = d.cent_id
+       |GROUP BY s.cent_id, d.nd
+       |ORDER BY s.cent_id""".stripMargin
+
   // --- IVF-flat ANN (coarse quantizer + probed partitions) ----------------
 
   /** IVF-flat: assign every vector to its nearest of 16 fixed centroids
@@ -2141,6 +2218,7 @@ object Similarity {
     "p_sim_recall" -> recallAt10,
     "p_sim_recall_clustered" -> recallClustered,
     "p_dedup_embedding" -> embeddingNearDup,
+    "p_dedup_semantic" -> semanticDedup,
     "p_embed_quantize" -> quantize,
     "p_embed_pq" -> pqCodes,
     "p_sim_pq_search" -> pqSearch,
@@ -2161,6 +2239,7 @@ object Similarity {
     "p_sim_recall" -> recallAt10Sql,
     "p_sim_recall_clustered" -> recallClusteredSql,
     "p_dedup_embedding" -> embeddingNearDupSql,
+    "p_dedup_semantic" -> semanticDedupSql,
     "p_embed_quantize" -> quantizeSql,
     "p_embed_pq" -> pqCodesSql,
     "p_sim_pq_search" -> pqSearchSql,
