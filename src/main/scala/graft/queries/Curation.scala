@@ -253,6 +253,78 @@ object Curation {
       |FROM w JOIN th ON lang = t_lang WHERE n_words > thr
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --- Model-based quality filter (the classifier stage) -------------------
+
+  /** The CLASSIFIER quality-filter stage (the CCNet/GPT-3 pipeline
+    * shape: train a cheap linear model on seed labels, score every
+    * document, keep the positives) in fully relational, oracle-exact
+    * form. Seed labels come from the heuristic gate the pipeline
+    * already has (p_text_quality's `ok` rule); training is one grouped
+    * pass over the exploded tokens — each vocabulary token (≥ 5
+    * occurrences) gets a SIGN weight (+1 when it appears more in good
+    * seed text, −1 when in bad, 0 on ties) — and scoring is the
+    * majority vote of a document's token weights. Sign weights keep
+    * every aggregate an exact INTEGER sum (the tfidf rational-form
+    * discipline: a double-weight sum would be partition-order-
+    * dependent and unhashable), while remaining a real linear
+    * classifier. At 100 TB the vocabulary relation is bounded by
+    * language, a broadcastable model artifact; the token-level join
+    * shuffles on the word key exactly like tf-idf. */
+  val qualityModel: Q = (s, dir) => {
+    val labeled = t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("ok", size(col("ws")).cast(LongType) >= 10 &&
+        col("n_chars").cast("double") / size(col("ws")) < 12)
+      .select(col("doc_id"), col("ws"), col("ok"))
+    val toks = labeled
+      .select(col("doc_id"), col("ok"), explode(col("ws")).as("word"))
+      .filter(col("word") =!= "")
+    val votes = toks.groupBy("word")
+      .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("cg"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("cb"))
+      .filter(col("cg") + col("cb") >= 5)
+      .select(col("word"),
+        when(col("cg") > col("cb"), 1L)
+          .when(col("cb") > col("cg"), -1L)
+          .otherwise(0L).as("vote"))
+    toks.join(votes, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("vote"), lit(0L))).as("score"))
+      .join(labeled.select(col("doc_id"), col("ok")), Seq("doc_id"))
+      .select(col("doc_id"), col("score"),
+        (col("score") > 0).as("keep"), col("ok").as("seed_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityModelSql: String =
+    """WITH labeled AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    (CAST(len(string_split(text, ' ')) AS BIGINT) >= 10 AND
+      |     CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) < 12)
+      |      AS ok
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, ok, word FROM (
+      |    SELECT doc_id, ok, unnest(ws) AS word FROM labeled)
+      |  WHERE word <> ''),
+      |votes AS (
+      |  SELECT word,
+      |    CASE
+      |      WHEN SUM(CASE WHEN ok THEN 1 ELSE 0 END) >
+      |           SUM(CASE WHEN ok THEN 0 ELSE 1 END) THEN 1
+      |      WHEN SUM(CASE WHEN ok THEN 0 ELSE 1 END) >
+      |           SUM(CASE WHEN ok THEN 1 ELSE 0 END) THEN -1
+      |      ELSE 0 END AS vote
+      |  FROM toks GROUP BY word HAVING COUNT(*) >= 5),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    CAST(SUM(COALESCE(v.vote, 0)) AS BIGINT) AS score
+      |  FROM toks t LEFT JOIN votes v ON t.word = v.word
+      |  GROUP BY t.doc_id)
+      |SELECT s.doc_id, s.score, s.score > 0 AS keep, l.ok AS seed_ok
+      |FROM scored s JOIN labeled l ON s.doc_id = l.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   /** URL canonicalization + URL-level dedup — the cheap dedup that runs
     * BEFORE any content dedup in a web pipeline: the same page crawled as
     * http/https, with/without www., mixed case, trailing slash, query
@@ -464,7 +536,8 @@ object Curation {
     "p_filter_blocklist" -> blocklist,
     "p_sample_stratified" -> sampleStratified,
     "p_filter_quality" -> qualityFilter,
-    "p_filter_quality_approx" -> qualityFilterApprox)
+    "p_filter_quality_approx" -> qualityFilterApprox,
+    "p_filter_quality_model" -> qualityModel)
 
   val oracle: Map[String, String] = Map(
     "p_dedup_url" -> urlDedupSql,
@@ -472,5 +545,6 @@ object Curation {
     "p_text_pii" -> piiScrubSql,
     "p_filter_blocklist" -> blocklistSql,
     "p_sample_stratified" -> sampleStratifiedSql,
-    "p_filter_quality" -> qualityFilterSql)
+    "p_filter_quality" -> qualityFilterSql,
+    "p_filter_quality_model" -> qualityModelSql)
 }
