@@ -474,7 +474,8 @@ object Engine
               rewriteDuckCastTypes(rewriteDowField(rewriteIntDiv(
                 checkCaretPow(checkPositionalJoin(rewriteAggOrderBy(
                   rewriteLambdaSyntax(rewriteTrailingCommas(
-                    rewriteAtTimeZone(rewriteTildeMatch(sub))))))))))))
+                    rewriteIgnoreNulls(rewriteAtTimeZone(
+                      rewriteTildeMatch(sub)))))))))))))
             val shimmed = rewriteQualify(rewriteAsofJoin(rewriteUsingSample(
               rewriteStarReplace(spark, rewriteColumnsFn(spark,
                 rewriteDateDiff(rewriteGlob(

@@ -1586,6 +1586,33 @@ private[engine] trait EngineDialect {
     s
   }
 
+  /** DuckDB spells null-skipping window modifiers INSIDE the call —
+    * `lag(x, 1 IGNORE NULLS)`, `first_value(x IGNORE NULLS)` — where
+    * Spark's grammar wants them between the call and OVER:
+    * `lag(x, 1) IGNORE NULLS OVER (…)`. The shim moves an
+    * IGNORE/RESPECT NULLS whose next code token is the closing paren
+    * to just after it — a pure local swap, so nesting and every other
+    * argument shape pass through; a modifier NOT at argument-list tail
+    * is not DuckDB grammar and stays for Spark's parser to refuse. */
+  private[engine] def rewriteIgnoreNulls(s: String): String = {
+    if (!"(?is)^.*\\b(IGNORE|RESPECT)\\s+NULLS\\b.*$".r.matches(s)) return s
+    val (codeAt, _) = codeMask(s)
+    val re = "(?is)\\b(IGNORE|RESPECT)\\s+NULLS\\b".r
+    re.findAllMatchIn(s).foreach { m =>
+      if (codeAt(m.start)) {
+        var j = m.end
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        if (j < s.length && codeAt(j) && s.charAt(j) == ')') {
+          var e = m.start
+          while (e > 0 && s.charAt(e - 1).isWhitespace) e -= 1
+          return rewriteIgnoreNulls(
+            s.substring(0, e) + ") " + m.matched + s.substring(j + 1))
+        }
+      }
+    }
+    s
+  }
+
   private[engine] def rewriteTildeMatch(s: String): String = {
     if (!s.contains("~")) return s
     val (codeAt, _) = codeMask(s)

@@ -1164,6 +1164,31 @@ object TierCSql {
       |WHERE o_orderkey <= 800
       |ORDER BY o_orderkey""".stripMargin
 
+  // IGNORE NULLS / RESPECT NULLS window modifiers (round 19): DuckDB
+  // spells them INSIDE the call parens (`lag(x, 1 IGNORE NULLS)`),
+  // Spark between the call and OVER — the engine's shim moves the
+  // modifier across the closing paren. IDENTICAL text (DuckDB's
+  // spelling); nulls manufactured deterministically from the key.
+  val ignoreNulls: String =
+    """SELECT o_orderkey,
+      |  first_value(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      |      ELSE o_orderstatus END IGNORE NULLS)
+      |    OVER (ORDER BY o_orderkey
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS fv,
+      |  last_value(CASE WHEN o_orderkey % 4 = 0 THEN NULL
+      |      ELSE o_totalprice END IGNORE NULLS)
+      |    OVER (ORDER BY o_orderkey
+      |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS lv,
+      |  lag(CASE WHEN o_orderkey % 2 = 0 THEN NULL
+      |      ELSE o_orderkey END, 1 IGNORE NULLS)
+      |    OVER (ORDER BY o_orderkey) AS lg,
+      |  lead(CASE WHEN o_orderkey % 5 = 0 THEN NULL
+      |      ELSE o_orderkey END, 1 RESPECT NULLS)
+      |    OVER (ORDER BY o_orderkey) AS ld
+      |FROM orders
+      |WHERE o_orderkey <= 600
+      |ORDER BY o_orderkey""".stripMargin
+
   val tempTableScript: String =
     s"""DROP TABLE IF EXISTS graft_temp_tbl;
        |CREATE TEMP TABLE graft_temp_tbl AS
@@ -1626,6 +1651,7 @@ object TierCSql {
     "c_sql_compat5" -> q(compat5),
     "c_sql_compat6" -> q(compat6),
     "c_sql_compat7" -> q(compat7),
+    "c_sql_ignore_nulls" -> q(ignoreNulls),
     "c_sql_tilde" -> q(tildeOps),
     "c_sql_null_order" -> q(nullOrder),
     "c_sql_types" -> q(typesParity),
@@ -1721,6 +1747,7 @@ object TierCSql {
     "c_sql_compat5" -> compat5, // IDENTICAL text — battery-5 compat fns
     "c_sql_compat6" -> compat6, // IDENTICAL text — battery-6 compat fns
     "c_sql_compat7" -> compat7, // IDENTICAL text — jaro pair + AT TIME ZONE
+    "c_sql_ignore_nulls" -> ignoreNulls, // IDENTICAL text — window modifiers
     "c_sql_null_order" -> nullOrder, // IDENTICAL text — NULLS LAST default
     "c_sql_types" -> typesParity, // IDENTICAL text — type/function parity
     "c_sql_ops" -> opsParity, // IDENTICAL text — // , slicing, dow/isodow

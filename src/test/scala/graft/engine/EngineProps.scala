@@ -50,7 +50,7 @@ object EngineProps extends Properties("EngineRewrites") {
       Engine.rewriteDuckCastTypes, Engine.rewriteMaterializedCte,
       Engine.rewriteArrayKw, Engine.rewriteOrderByNulls,
       Engine.checkPositionalJoin, Engine.rewriteTildeMatch,
-      Engine.rewriteAtTimeZone
+      Engine.rewriteAtTimeZone, Engine.rewriteIgnoreNulls
     ).foldLeft(s)((acc, f) => f(acc))
 
   property("pure-text shims are the identity on trigger-free statements") =
