@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * reference's Arrow record-batch iterator, used only for export).
   */
 object Engine
-    extends EngineLex with EngineDialect with EngineDml
+    extends EngineLex with EngineDialect with EngineDialectTail with EngineDml
     with EngineIntrospect {
 
   /** A6: materializing query — one statement, full result. Lazy DataFrame;

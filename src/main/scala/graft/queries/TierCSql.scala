@@ -1189,6 +1189,24 @@ object TierCSql {
       |WHERE o_orderkey <= 600
       |ORDER BY o_orderkey""".stripMargin
 
+  // Compat battery 8 (round 19): quantile_disc / quantile (the exact
+  // discrete quantile — an order statistic; the 1-based ceil(q·n) index
+  // rule pinned on 500/500 fuzzed draws) and the star forms of
+  // COLUMNS — COLUMNS(* EXCLUDE (…)) expands against the analyzed
+  // schema inside a SUBQUERY body (the re-entrant pipeline). Bare
+  // expansion keeps column names identical on both engines. IDENTICAL
+  // text; quantile_disc returns an existing value, hash-exact.
+  val compat8: String =
+    """SELECT o_orderstatus,
+      |  quantile_disc(o_totalprice, 0.5) AS q50,
+      |  quantile_disc(o_totalprice, 0.9) AS q90,
+      |  quantile(o_orderkey, 0.25) AS qk25,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (SELECT COLUMNS(* EXCLUDE (o_orderdate, o_orderpriority,
+      |        o_custkey))
+      |      FROM orders)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val tempTableScript: String =
     s"""DROP TABLE IF EXISTS graft_temp_tbl;
        |CREATE TEMP TABLE graft_temp_tbl AS
@@ -1652,6 +1670,7 @@ object TierCSql {
     "c_sql_compat6" -> q(compat6),
     "c_sql_compat7" -> q(compat7),
     "c_sql_ignore_nulls" -> q(ignoreNulls),
+    "c_sql_compat8" -> q(compat8),
     "c_sql_tilde" -> q(tildeOps),
     "c_sql_null_order" -> q(nullOrder),
     "c_sql_types" -> q(typesParity),
@@ -1748,6 +1767,7 @@ object TierCSql {
     "c_sql_compat6" -> compat6, // IDENTICAL text — battery-6 compat fns
     "c_sql_compat7" -> compat7, // IDENTICAL text — jaro pair + AT TIME ZONE
     "c_sql_ignore_nulls" -> ignoreNulls, // IDENTICAL text — window modifiers
+    "c_sql_compat8" -> compat8, // IDENTICAL text — quantile_disc + COLUMNS(*)
     "c_sql_null_order" -> nullOrder, // IDENTICAL text — NULLS LAST default
     "c_sql_types" -> typesParity, // IDENTICAL text — type/function parity
     "c_sql_ops" -> opsParity, // IDENTICAL text — // , slicing, dow/isodow

@@ -459,6 +459,23 @@ class DuckdbCompatSpec extends AnyFunSuite {
       one("SELECT jaro_similarity('ab', 'axyzw')"))
   }
 
+  test("battery 8: quantile_disc is the exact order statistic") {
+    // the 1-based ceil(q*n) index rule (fuzz-pinned, 500/500)
+    assert(one("SELECT quantile_disc(x, 0.5) FROM VALUES (1),(2),(3),(4)" +
+      " t(x)") == 2)
+    assert(one("SELECT quantile_disc(x, 0.9) FROM VALUES (1),(2),(3),(4)" +
+      " t(x)") == 4)
+    assert(one("SELECT quantile(x, 0.25) FROM VALUES (10),(20),(30),(40)" +
+      " t(x)") == 10) // alias; ceil(1) = 1st element
+    assert(one("SELECT quantile_disc(x, 0.0) FROM VALUES (7),(8) t(x)")
+      == 7) // q = 0 clamps to the first element
+    // NULLs are skipped like every aggregate; all-NULL group is NULL
+    assert(one("SELECT quantile_disc(x, 0.5) FROM VALUES (1)," +
+      "(CAST(NULL AS INT)),(3) t(x)") == 1)
+    assert(one("SELECT quantile_disc(x, 0.5) FROM (SELECT CAST(NULL AS" +
+      " INT) AS x WHERE false) t") == null)
+  }
+
   test("cFormatToJava translation table and refusals") {
     assert(DuckdbCompat.cFormatToJava("%Y-%m-%d") == "yyyy-MM-dd")
     assert(DuckdbCompat.cFormatToJava("%H:%M:%S.%f") == "HH:mm:ss.SSSSSS")
