@@ -768,7 +768,27 @@ object DuckdbCompat {
     // bounded group sizes, the documented exact-vs-sketch trade
     // (c_approx_quantile carries the sketch path).
     "quantile_disc" -> quantileDiscBuilder("quantile_disc"),
-    "quantile" -> quantileDiscBuilder("quantile"))
+    "quantile" -> quantileDiscBuilder("quantile"),
+    // list_any_value — the FIRST non-NULL element (measured:
+    // list_any_value([NULL, 7, 8]) = 7; NULL when none)
+    "list_any_value" -> { args0 =>
+      val a = arity("list_any_value", 1)(args0)
+      val v = UnresolvedNamedLambdaVariable(Seq("graft_lav"))
+      new ElementAt(ArrayFilter(a.head,
+        LambdaFunction(IsNotNull(v), Seq(v))), Literal(1), None, false)
+    })
+
+  /** DuckDB's synonym surface for already-registered builders — each
+    * injects the CANONICAL builder under the alternate spelling, so
+    * semantics (and refusal messages, which name the canonical
+    * function) are defined exactly once. */
+  private val synonyms: Seq[(String, String)] = Seq(
+    "list_aggr" -> "list_aggregate",
+    "array_aggregate" -> "list_aggregate",
+    "array_aggr" -> "list_aggregate",
+    "array_slice" -> "list_slice",
+    "list_pack" -> "list_value",
+    "array_reverse" -> "list_reverse")
 
   private def quantileDiscBuilder(name: String): Builder = { args0 =>
     val a = arity(name, 2)(args0)
@@ -1011,6 +1031,14 @@ object DuckdbCompat {
     aliases.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(getClass.getCanonicalName, name), builder))
+    }
+    locally {
+      val byName = aliases.toMap
+      synonyms.foreach { case (syn, canon) =>
+        ext.injectFunction((FunctionIdentifier(syn),
+          new ExpressionInfo(getClass.getCanonicalName, syn),
+          byName(canon)))
+      }
     }
     // unnest in SELECT position — DuckDB's row-expander, Spark's explode
     // (same single-generator-per-select rule applies; a second unnest

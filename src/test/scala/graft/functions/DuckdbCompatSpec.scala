@@ -476,6 +476,21 @@ class DuckdbCompatSpec extends AnyFunSuite {
       " INT) AS x WHERE false) t") == null)
   }
 
+  test("battery 8: synonym surface + list_any_value") {
+    assert(one("SELECT list_aggr(array(1, 2, 3), 'sum')") == 6)
+    assert(one("SELECT array_aggregate(array(1, 2), 'max')") == 2)
+    assert(one("SELECT array_aggr(array(1, 2), 'min')") == 1)
+    // array_slice keeps list_slice's 1-based INCLUSIVE-end semantics
+    assert(one("SELECT array_slice(array(1, 2, 3, 4), 2, 3)") ==
+      Seq(2, 3))
+    assert(one("SELECT list_pack(1, 2)") == Seq(1, 2))
+    assert(one("SELECT array_reverse(array(1, 2, 3))") == Seq(3, 2, 1))
+    // first NON-NULL element, NULL when none (measured)
+    assert(one("SELECT list_any_value(array(CAST(NULL AS INT), 7, 8))")
+      == 7)
+    assert(one("SELECT list_any_value(array(CAST(NULL AS INT)))") == null)
+  }
+
   test("cFormatToJava translation table and refusals") {
     assert(DuckdbCompat.cFormatToJava("%Y-%m-%d") == "yyyy-MM-dd")
     assert(DuckdbCompat.cFormatToJava("%H:%M:%S.%f") == "HH:mm:ss.SSSSSS")

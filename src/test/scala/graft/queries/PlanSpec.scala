@@ -481,6 +481,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), s"expected the index equi-joins:\n$p")
   }
 
+  test("p_dedup_semantic: map-side assignment, cluster-bucketed pairs") {
+    // the SemDeDup shape at 100 TB: centroid assignment is an inlined
+    // argmax (no Window, no assignment join/exchange), and candidate
+    // pairs come ONLY from the cent_id equi-self-join — a cartesian or
+    // nested-loop would mean the clustering degenerated to all-pairs
+    val p = planOf(Similarity.semanticDedup(spark, dir))
+    assert(!p.contains("Window"),
+      s"centroid assignment must be the map-side argmax, not a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairs must come from the cent_id equi-join:\n$p")
+  }
+
   test("p_chunk_docs: map-only until the output ordering") {
     // chunking is per-row explode+slice work; the only exchanges allowed
     // are the top-k on doc_id (limit 200) and the final sort — no
