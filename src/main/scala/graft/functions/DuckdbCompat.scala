@@ -776,7 +776,51 @@ object DuckdbCompat {
       val v = UnresolvedNamedLambdaVariable(Seq("graft_lav"))
       new ElementAt(ArrayFilter(a.head,
         LambdaFunction(IsNotNull(v), Seq(v))), Literal(1), None, false)
-    })
+    },
+    // scalar generate_series / range (see seriesBuilder; the
+    // FROM-position forms stay on the injected table functions)
+    "generate_series" -> seriesBuilder("generate_series",
+      inclusive = true),
+    "range" -> seriesBuilder("range", inclusive = false))
+
+  /** Scalar (SELECT-position) generate_series / range — DuckDB returns
+    * a BIGINT LIST there, distinct from the FROM-position table forms
+    * (which stay on the injected TABLE functions): generate_series is
+    * END-INCLUSIVE, range END-EXCLUSIVE, the one-arg forms anchor at 0
+    * (series 0..n, range 0..n−1), and a wrong-direction span is the
+    * EMPTY list (measured: generate_series(4,1) = [], range(4,1) = [])
+    * where Spark's sequence would either flip direction or refuse. The
+    * step must be a literal — its SIGN picks the guard and the
+    * exclusive-end adjustment; bounds may be columns. The typed empty
+    * list spells as filter(sequence(a,a), false). */
+  private def seriesBuilder(
+      name: String, inclusive: Boolean): Builder = { args0 =>
+    require(args0.nonEmpty && args0.length <= 3,
+      s"$name takes 1-3 arguments, got ${args0.length}")
+    val (a0, b0, stepE) = args0 match {
+      case Seq(b) => (Literal(0L), b, Literal(1L))
+      case Seq(a, b) => (a, b, Literal(1L))
+      case Seq(a, b, st) => (a, b, st)
+    }
+    require(stepE.foldable,
+      s"$name needs a literal step (its sign shapes the bounds)")
+    val step = stepE.eval(null) match {
+      case n: Number => n.longValue
+      case other => throw new IllegalArgumentException(
+        s"$name step must be integral, got $other")
+    }
+    require(step != 0L, s"$name step must not be 0 (as in DuckDB)")
+    val a = Cast(a0, org.apache.spark.sql.types.LongType)
+    val bIncl0 = Cast(b0, org.apache.spark.sql.types.LongType)
+    // exclusive end pulls one unit toward the start
+    val bIncl = if (inclusive) bIncl0
+      else Subtract(bIncl0, Literal(if (step > 0) 1L else -1L))
+    val x = UnresolvedNamedLambdaVariable(Seq("graft_gs"))
+    val empty = ArrayFilter(new Sequence(a, a),
+      LambdaFunction(Literal(false), Seq(x)))
+    val wrongWay = if (step > 0) LessThan(bIncl, a) else GreaterThan(bIncl, a)
+    If(wrongWay, empty, new Sequence(a, bIncl, Some(Literal(step))))
+  }
 
   /** DuckDB's synonym surface for already-registered builders — each
     * injects the CANONICAL builder under the alternate spelling, so

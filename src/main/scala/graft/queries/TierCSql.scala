@@ -1207,6 +1207,24 @@ object TierCSql {
       |      FROM orders)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // Scalar generate_series / range (round 19): SELECT-position list
+  // forms with COLUMN bounds — end-inclusive vs end-exclusive, the
+  // empty wrong-direction span, and a negative step. IDENTICAL text;
+  // lists render through the NULLIF(array_to_string(…), '') discipline
+  // (DuckDB renders an empty list as NULL, Spark as '' — same rows
+  // either way after the wrap).
+  val seriesScalar: String =
+    """SELECT o_orderkey,
+      |  NULLIF(array_to_string(
+      |    generate_series(1, o_orderkey % 4), ','), '') AS gs,
+      |  NULLIF(array_to_string(
+      |    range(o_orderkey % 3, 4), ','), '') AS rg,
+      |  NULLIF(array_to_string(
+      |    generate_series(o_orderkey % 5, 1, -2), ','), '') AS gd
+      |FROM orders
+      |WHERE o_orderkey <= 500
+      |ORDER BY o_orderkey""".stripMargin
+
   val tempTableScript: String =
     s"""DROP TABLE IF EXISTS graft_temp_tbl;
        |CREATE TEMP TABLE graft_temp_tbl AS
@@ -1671,6 +1689,7 @@ object TierCSql {
     "c_sql_compat7" -> q(compat7),
     "c_sql_ignore_nulls" -> q(ignoreNulls),
     "c_sql_compat8" -> q(compat8),
+    "c_sql_series_scalar" -> q(seriesScalar),
     "c_sql_tilde" -> q(tildeOps),
     "c_sql_null_order" -> q(nullOrder),
     "c_sql_types" -> q(typesParity),
@@ -1768,6 +1787,7 @@ object TierCSql {
     "c_sql_compat7" -> compat7, // IDENTICAL text — jaro pair + AT TIME ZONE
     "c_sql_ignore_nulls" -> ignoreNulls, // IDENTICAL text — window modifiers
     "c_sql_compat8" -> compat8, // IDENTICAL text — quantile_disc + COLUMNS(*)
+    "c_sql_series_scalar" -> seriesScalar, // IDENTICAL text — scalar series
     "c_sql_null_order" -> nullOrder, // IDENTICAL text — NULLS LAST default
     "c_sql_types" -> typesParity, // IDENTICAL text — type/function parity
     "c_sql_ops" -> opsParity, // IDENTICAL text — // , slicing, dow/isodow

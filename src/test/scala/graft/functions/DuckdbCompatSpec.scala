@@ -491,6 +491,26 @@ class DuckdbCompatSpec extends AnyFunSuite {
     assert(one("SELECT list_any_value(array(CAST(NULL AS INT)))") == null)
   }
 
+  test("scalar generate_series/range: inclusive vs exclusive, empty spans") {
+    assert(one("SELECT generate_series(1, 4)") == Seq(1L, 2L, 3L, 4L))
+    assert(one("SELECT generate_series(4, 1)") == Seq()) // measured: []
+    assert(one("SELECT generate_series(1, 7, 2)") == Seq(1L, 3L, 5L, 7L))
+    assert(one("SELECT generate_series(5, 1, -2)") == Seq(5L, 3L, 1L))
+    assert(one("SELECT generate_series(3)") == Seq(0L, 1L, 2L, 3L))
+    assert(one("SELECT range(1, 4)") == Seq(1L, 2L, 3L)) // exclusive end
+    assert(one("SELECT range(4, 4)") == Seq())
+    assert(one("SELECT range(4, 1)") == Seq())
+    assert(one("SELECT range(1, 8, 3)") == Seq(1L, 4L, 7L))
+    assert(one("SELECT range(5, 1, -2)") == Seq(5L, 3L))
+    assert(one("SELECT range(3)") == Seq(0L, 1L, 2L))
+    // FROM-position table form still resolves independently
+    assert(spark.sql("SELECT count(*) FROM range(5)").head().getLong(0)
+      == 5L)
+    assertThrows[Exception]( // non-literal step refuses
+      spark.sql("SELECT generate_series(1, 5, CAST(rand()*2 AS INT) + 1)")
+        .collect())
+  }
+
   test("cFormatToJava translation table and refusals") {
     assert(DuckdbCompat.cFormatToJava("%Y-%m-%d") == "yyyy-MM-dd")
     assert(DuckdbCompat.cFormatToJava("%H:%M:%S.%f") == "HH:mm:ss.SSSSSS")
