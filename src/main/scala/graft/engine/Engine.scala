@@ -520,7 +520,10 @@ object Engine
     * never matches — the keyword must precede the piece's first quote. */
   private[engine] def extractPrimaryKey(
       cols: Seq[String]): (Seq[String], Option[Seq[String]]) = {
-    val tableRe = "(?is)^PRIMARY\\s+KEY\\s*\\((.+)\\)\\s*$".r
+    // the named-constraint spelling (CONSTRAINT nm PRIMARY KEY (…)) is
+    // the same declaration; the name has nothing to attach to here
+    val tableRe = ("(?is)^(?:CONSTRAINT\\s+(?:`[^`]+`|[A-Za-z_]\\w*)\\s+)?" +
+      "PRIMARY\\s+KEY\\s*\\((.+)\\)\\s*$").r
     val pkWord = "(?is)\\bPRIMARY\\s+KEY\\b".r
     var pk: Option[Seq[String]] = None
     def set(keys: Seq[String]): Unit = {

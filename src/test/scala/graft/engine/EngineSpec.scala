@@ -2013,6 +2013,21 @@ class EngineSpec extends AnyFunSuite {
       "INSERT OR REPLACE INTO engine_pk VALUES (1, 'x')")).getMessage
       .contains("ON CONFLICT"))
     Engine.exec(spark, "DROP TABLE IF EXISTS engine_pk")
+    // the named-constraint and composite table-level spellings register
+    Engine.runScript(spark,
+      """DROP TABLE IF EXISTS engine_pk2;
+        |CREATE TABLE engine_pk2 (a BIGINT, b TEXT, v DOUBLE,
+        |  CONSTRAINT pk2 PRIMARY KEY (a, b));
+        |INSERT INTO engine_pk2 VALUES (1, 'x', 0.5), (1, 'y', 0.5);"""
+        .stripMargin)
+    assert(intercept[Exception](Engine.sql(spark,
+      "INSERT INTO engine_pk2 VALUES (1, 'x', 9.9)")).getMessage
+      .contains("PRIMARY KEY"), "composite key must enforce")
+    Engine.sql(spark,
+      "INSERT OR IGNORE INTO engine_pk2 VALUES (1, 'x', 9.9), (2, 'z', 1.0)")
+    assert(Engine.sql(spark,
+      "SELECT count(*) FROM engine_pk2").head().getLong(0) == 3)
+    Engine.exec(spark, "DROP TABLE IF EXISTS engine_pk2")
   }
 
   test("MATERIALIZED CTE hints strip; ARRAY[...] constructs") {
