@@ -43,11 +43,19 @@ object MakeScale {
     def reps(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until k).map(r => f(base, r)).reduce(_ union _)
 
-    /** Key spans are computed ONCE per (table, key) — one small agg job
-      * against the base table, not one per replica. */
+    /** Key spans are computed ONCE per key DOMAIN — one small agg job
+      * against the first table that touches the domain, not one per
+      * replica. `o_orderkey` and `l_orderkey` share the "orderkey"
+      * domain (lineitem's keys are a subset of orders'): independent
+      * per-table maxima would decorrelate the orders↔lineitem join for
+      * every replica r >= 1 whenever trailing orders have no lineitems
+      * (max(l_orderkey) < max(o_orderkey)). */
     val spans = scala.collection.mutable.Map.empty[String, Long]
+    val domainOf = Map(
+      "o_orderkey" -> "orderkey", "l_orderkey" -> "orderkey")
     def shift(df: DataFrame, colName: String, r: Int): DataFrame = {
-      val span = spans.getOrElseUpdate(colName,
+      val span = spans.getOrElseUpdate(
+        domainOf.getOrElse(colName, colName),
         df.agg(max(colName)).head().getLong(0) + 1L)
       df.withColumn(colName, col(colName) + lit(r * span))
     }

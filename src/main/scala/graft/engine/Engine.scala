@@ -42,18 +42,36 @@ object Engine
       Catalog.releaseAutoClaim(spark,
         m.group(1).stripPrefix("`").stripSuffix("`"))
     }
-    // a routed CREATE of a name retires any PRIMARY KEY registered for
-    // it (the column-list route re-registers when it declares one) and
-    // DROP TABLE retires too — the registry never outlives its table
-    (ddlCreateNameRe.findFirstMatchIn(trimmed) orElse
-      dropTableNameRe.findFirstMatchIn(trimmed)).foreach { m =>
-      val store = primaryKeys(spark)
-      store.synchronized {
-        store.remove(
-          m.group(1).stripPrefix("`").stripSuffix("`").toLowerCase)
+    // a routed CREATE TABLE (never VIEW) or DROP TABLE retires any
+    // PRIMARY KEY registered for the name — but only AFTER the
+    // statement SUCCEEDS (a failed CREATE must not disarm the
+    // surviving table's constraint), and not for an IF NOT EXISTS
+    // no-op on an existing table (nothing was replaced). The plan is
+    // computed here, pre-execution, because the IF NOT EXISTS decision
+    // needs the BEFORE-state of the catalog; it applies below, after
+    // the dispatch returns without throwing. The pkEpoch guard keeps a
+    // statement that itself registered a key (column-list CREATE with
+    // a PK clause, including via the TEMP TABLE / OR REPLACE
+    // recursions) from erasing its own registration.
+    val pkRetirePlan: Option[String] =
+      ddlCreateTableNameRe.findFirstMatchIn(trimmed) match {
+        case Some(m) =>
+          val name = pkName(m.group(2))
+          if (m.group(1) != null && spark.catalog.tableExists(
+              m.group(2).stripPrefix("`").stripSuffix("`"))) None
+          else Some(name)
+        case None =>
+          dropTableNameRe.findFirstMatchIn(trimmed).map(m => pkName(m.group(1)))
       }
-      ()
-    }
+    val pkEpochBefore = pkEpoch(spark).get()
+    def retirePkAfterSuccess(): Unit =
+      pkRetirePlan.foreach { name =>
+        if (pkEpoch(spark).get() == pkEpochBefore) {
+          val store = primaryKeys(spark)
+          store.synchronized { store.remove(name) }
+          ()
+        }
+      }
     // RETURNING (DuckDB/Postgres): a trailing clause on plain
     // INSERT/UPDATE/DELETE that yields the affected rows — split off
     // here so every DML route below stays RETURNING-free
@@ -65,7 +83,7 @@ object Engine
     val describeSelRe = "(?is)^DESCRIBE\\s+(SELECT\\b.+)$".r
     val describePathRe = "(?is)^DESCRIBE\\s+'([^']+)'$".r
     val describeFnRe = "(?is)^DESCRIBE\\s+(read_\\w+\\s*\\(.+\\))\\s*$".r
-    trimmed match {
+    val routed = trimmed match {
       case summarizeRe(target) => summarize(sqlTarget(spark, target))
       case describeSelRe(sel) => describe(sql(spark, sel))
       case describePathRe(path) =>
@@ -144,10 +162,10 @@ object Engine
         locally {
           val store = primaryKeys(spark)
           store.synchronized {
-            store.get(table.toLowerCase).foreach { keys =>
+            store.get(pkName(table)).foreach { keys =>
               val o = oldName.stripPrefix("`").stripSuffix("`")
               val n = newName.stripPrefix("`").stripSuffix("`")
-              store.update(table.toLowerCase,
+              store.update(pkName(table),
                 keys.map(k => if (k.equalsIgnoreCase(o)) n else k))
             }
           }
@@ -221,13 +239,15 @@ object Engine
         // from the table's PRIMARY KEY — registered by the routed
         // column-list CREATE TABLE since round 19 (a PK-less target
         // still refuses, naming the explicit ON CONFLICT spelling)
-        runInsertOrShorthand(spark, kind, table, body)
+        runInsertOrShorthand(spark, kind, tableRef(spark, table), body)
       case insertHeadRe(table, body) if pkOf(spark, table).isDefined =>
         // plain INSERT into a PRIMARY-KEY'd table takes the ENFORCED
         // route (NULL/batch/table uniqueness checked before any write,
         // as DuckDB's constraint does); PK-less inserts fall through to
-        // Spark's native path below, unchanged
-        runCheckedInsert(spark, table, body, pkOf(spark, table).get)
+        // Spark's native path below, unchanged — the table may be
+        // spelled bare, backquoted, or current-db-qualified
+        runCheckedInsert(spark, tableRef(spark, table), body,
+          pkOf(spark, table).get)
       case copyFromRe(table, path, opts) =>
         runCopyFrom(spark, table, path, Option(opts))
       case exportDbRe(dir, opts) =>
@@ -378,6 +398,24 @@ object Engine
               s"CREATE OR REPLACE TABLE $name: swap failed after build —" +
                 s" new data is intact under $tmp", e)
         }
+        // a PRIMARY KEY declared in the replacement's column list was
+        // registered under the BUILD name by the recursive CREATE —
+        // follow the rename, so `CREATE OR REPLACE TABLE t (k …
+        // PRIMARY KEY)` enforces on t, not on a ghost. No key in the
+        // new definition → drop the replaced table's old entry (the
+        // registry never outlives the definition that declared it).
+        locally {
+          val store = primaryKeys(spark)
+          store.synchronized {
+            store.remove(pkName(tmp)) match {
+              case Some(keys) =>
+                store.update(pkName(name), keys)
+                pkEpoch(spark).incrementAndGet()
+              case None => store.remove(pkName(name))
+            }
+          }
+          ()
+        }
         spark.emptyDataFrame
       case ddl if splitCreateCols(ddl).isDefined =>
         // plain column-list CREATE TABLE: DuckDB type names map to
@@ -393,17 +431,24 @@ object Engine
         // a sound.
         val (prefix, cols, suffix) = splitCreateCols(ddl).get
         val (defs, pk) = extractPrimaryKey(cols)
+        // IF NOT EXISTS on an existing table is a catalog no-op — the
+        // surviving table's registration must not move either way
+        val ineNoop = ddlCreateTableNameRe.findFirstMatchIn(ddl).exists(m =>
+          m.group(1) != null && spark.catalog.tableExists(
+            m.group(2).stripPrefix("`").stripSuffix("`")))
         val out =
           spark.sql(s"$prefix(${defs.map(mapColumnDef).mkString(", ")})$suffix")
-        ddlCreateNameRe.findFirstMatchIn(ddl).foreach { m =>
-          val name = m.group(1).stripPrefix("`").stripSuffix("`")
+        if (!ineNoop) ddlCreateNameRe.findFirstMatchIn(ddl).foreach { m =>
           val store = primaryKeys(spark)
           store.synchronized {
             pk match {
-              case Some(keys) => store.update(name.toLowerCase, keys)
-              case None => store.remove(name.toLowerCase)
+              case Some(keys) =>
+                store.update(pkName(m.group(1)), keys)
+                pkEpoch(spark).incrementAndGet()
+              case None => store.remove(pkName(m.group(1)))
             }
           }
+          ()
         }
         out
       case ddl if splitDdlAs(ddl).isDefined =>
@@ -433,6 +478,8 @@ object Engine
       case _ =>
         spark.sql(rewriteQueryText(spark, trimmed))
     }
+    retirePkAfterSuccess()
+    routed
   }
 
   /** The full dialect-rewrite pipeline over ONE query's text — what the

@@ -794,8 +794,11 @@ private[engine] trait EngineDml {
     }
   }
 
+  // the table may be spelled bare, backquoted, or dot-qualified — a
+  // narrower pattern would let `INSERT INTO \`t\`` fall through to the
+  // native append and silently bypass a registered PRIMARY KEY
   private[engine] val insertHeadRe =
-    "(?is)^INSERT\\s+INTO\\s+([A-Za-z_]\\w*)\\s*(.+)$".r
+    "(?is)^INSERT\\s+INTO\\s+(`[^`]+`|[A-Za-z_][\\w.]*)\\s*(.+)$".r
 
   /** The rows a plain `INSERT INTO t [(cols)] <query|VALUES>` lands:
     * the body run through the router, bound POSITIONALLY to the target
@@ -1111,20 +1114,68 @@ private[engine] trait EngineDml {
         _ => scala.collection.mutable.Map.empty)
     }
 
+  /** Registry key for a table spelling: backquotes stripped, qualifier
+    * dropped (one session catalog), lowercased — a qualified or quoted
+    * CREATE and a bare INSERT must meet in the SAME entry, or the
+    * constraint silently stops enforcing for one of the spellings. */
+  private[engine] def pkName(raw: String): String = {
+    val unq = raw.trim.stripPrefix("`").stripSuffix("`")
+    val bare =
+      if (unq.contains('.')) unq.substring(unq.lastIndexOf('.') + 1) else unq
+    bare.toLowerCase
+  }
+
+  /** Resolve an INSERT target's written spelling to the identifier the
+    * catalog APIs expect: surrounding backquotes around a plain word
+    * drop (TableIdentifier would re-quote them into a ghost name), and
+    * a current-database qualifier drops (the DML paths are
+    * single-part). Spellings that genuinely need quoting pass through
+    * untouched. */
+  private[engine] def tableRef(spark: SparkSession, raw: String): String = {
+    val t = raw.trim
+    val unq =
+      if (t.startsWith("`") && t.endsWith("`") &&
+          t.substring(1, t.length - 1).matches("[A-Za-z_]\\w*"))
+        t.substring(1, t.length - 1)
+      else t
+    val i = unq.lastIndexOf('.')
+    if (i > 0 && unq.substring(0, i).equalsIgnoreCase(
+        spark.catalog.currentDatabase)) unq.substring(i + 1)
+    else unq
+  }
+
+  /** Registration epoch, bumped by every PK registration (including a
+    * registry move on CREATE OR REPLACE's rename). The router's
+    * post-success retirement compares it across a statement's
+    * execution: unchanged means no route registered a key, so a
+    * CREATE TABLE may retire the name's stale entry — changed means
+    * the statement itself just registered, and retiring would erase
+    * its own work. */
+  private[engine] val pkEpochStore =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.atomic.AtomicLong]()
+  private[engine] def pkEpoch(
+      spark: SparkSession): java.util.concurrent.atomic.AtomicLong =
+    pkEpochStore.synchronized {
+      pkEpochStore.computeIfAbsent(spark,
+        _ => new java.util.concurrent.atomic.AtomicLong())
+    }
+
   /** The registered key of `table`, validated against its CURRENT
     * schema — a table re-created or renamed outside the routed paths
     * drops its stale entry instead of enforcing a phantom constraint. */
   private[engine] def pkOf(
       spark: SparkSession, table: String): Option[Seq[String]] = {
     val store = primaryKeys(spark)
+    val ident = table.trim.stripPrefix("`").stripSuffix("`")
     store.synchronized {
-      store.get(table.toLowerCase).flatMap { keys =>
-        val ok = spark.catalog.tableExists(table) && {
-          val fields = spark.table(table).schema.fieldNames
+      store.get(pkName(table)).flatMap { keys =>
+        val ok = spark.catalog.tableExists(ident) && {
+          val fields = spark.table(ident).schema.fieldNames
           keys.forall(k => fields.exists(_.equalsIgnoreCase(k)))
         }
         if (ok) Some(keys)
-        else { store.remove(table.toLowerCase); None }
+        else { store.remove(pkName(table)); None }
       }
     }
   }

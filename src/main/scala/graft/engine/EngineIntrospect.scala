@@ -21,8 +21,11 @@ private[engine] trait EngineIntrospect {
     ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?TEMP(?:ORARY)?\\s+TABLE\\s+" +
       "(IF\\s+NOT\\s+EXISTS\\s+)?(.+)$").r
 
+  // same name alternatives as insertHeadRe: bare, backquoted, or
+  // dot-qualified — the PK registry lookup normalizes all three
   private[engine] val insertOrRe =
-    "(?is)^INSERT\\s+OR\\s+(REPLACE|IGNORE)\\s+INTO\\s+([A-Za-z_]\\w*)\\s*(.+)$".r
+    ("(?is)^INSERT\\s+OR\\s+(REPLACE|IGNORE)\\s+INTO\\s+" +
+      "(`[^`]+`|[A-Za-z_][\\w.]*)\\s*(.+)$").r
 
   /** Target name of a DROP TABLE — behind the PK-registry retirement
     * in `sql`. */
@@ -35,6 +38,16 @@ private[engine] trait EngineIntrospect {
     ("(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:GLOBAL\\s+)?" +
       "(?:TEMP(?:ORARY)?\\s+)?(?:EXTERNAL\\s+)?(?:VIEW|TABLE)\\s+" +
       "(?:IF\\s+NOT\\s+EXISTS\\s+)?(`[^`]+`|[\\w.]+)").r
+
+  /** CREATE TABLE only (never VIEW), with the IF NOT EXISTS marker
+    * captured — behind the PK-registry retirement in `sql`: a CREATE
+    * VIEW whose name matches a keyed table must NOT erase that table's
+    * constraint, and an IF NOT EXISTS no-op on an existing table must
+    * leave its registration untouched. */
+  private[engine] val ddlCreateTableNameRe =
+    ("(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:GLOBAL\\s+)?" +
+      "(?:TEMP(?:ORARY)?\\s+)?(?:EXTERNAL\\s+)?TABLE\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?(`[^`]+`|[\\w.]+)").r
 
   // ALTER TABLE column surgery (r18): Spark's v1 session-catalog
   // parquet tables support ADD COLUMNS natively but reject DROP/RENAME

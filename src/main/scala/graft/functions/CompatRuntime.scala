@@ -54,13 +54,14 @@ object CompatRuntime {
   def stripAccents(s: UTF8String): UTF8String = {
     import java.text.Normalizer
     val str = s.toString
-    val out =
-      if (!Normalizer.isNormalized(str, Normalizer.Form.NFD))
-        Normalizer.normalize(str, Normalizer.Form.NFD)
-          .filterNot(c => Character.getType(c) ==
-            Character.NON_SPACING_MARK)
-      else str
-    UTF8String.fromString(out)
+    // only the normalize call is guarded by isNormalized — the mark
+    // filter must ALWAYS run, or combining marks that arrive already
+    // NFD-decomposed ('a' + U+0301) would pass through unstripped
+    val decomposed =
+      if (Normalizer.isNormalized(str, Normalizer.Form.NFD)) str
+      else Normalizer.normalize(str, Normalizer.Form.NFD)
+    UTF8String.fromString(decomposed.filterNot(c =>
+      Character.getType(c) == Character.NON_SPACING_MARK))
   }
 
   /** TRUE Damerau-Levenshtein (transposed substrings may be edited

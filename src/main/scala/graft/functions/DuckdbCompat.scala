@@ -839,9 +839,22 @@ object DuckdbCompat {
     val sorted = new SortArray(
       aggregate.CollectList(a(0)).toAggregateExpression(), Literal(true))
     val n = aggregate.Count(Seq(a(0))).toAggregateExpression()
-    val idx = Greatest(Seq(Literal(1L),
-      Ceil(Multiply(Cast(a(1), DoubleType), Cast(n, DoubleType)))))
-    new ElementAt(sorted, Cast(idx, IntegerType), None, false)
+    val q = Cast(a(1), DoubleType)
+    val nD = Cast(n, DoubleType)
+    // measured: q ranges over [-1, 1]; a NEGATIVE q is the quantile of
+    // the DESCENDING order (quantile_disc(x, -0.25) on (1,2,3,4) = 4),
+    // which maps onto the ascending list as index n - k + 1; outside
+    // the range DuckDB raises a binder error, not NULL/clamp
+    val kPos = Greatest(Seq(Literal(1L), Ceil(Multiply(q, nD))))
+    val kNeg = Add(Subtract(Cast(n, LongType), Greatest(Seq(Literal(1L),
+      Ceil(Multiply(UnaryMinus(q), nD))))), Literal(1L))
+    val idx = If(LessThan(q, Literal(0.0)), kNeg, kPos)
+    val guarded = If(
+      Or(LessThan(q, Literal(-1.0)), GreaterThan(q, Literal(1.0))),
+      Cast(new RaiseError(Literal(s"$name can only take parameters in" +
+        " the range [-1, 1] (as in DuckDB)")), LongType),
+      idx)
+    new ElementAt(sorted, Cast(guarded, IntegerType), None, false)
   }
 
   private def hammingBuilder(name: String): Builder = { args0 =>

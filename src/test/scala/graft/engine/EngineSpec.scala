@@ -2030,6 +2030,63 @@ class EngineSpec extends AnyFunSuite {
     Engine.exec(spark, "DROP TABLE IF EXISTS engine_pk2")
   }
 
+  test("PK registry survives failed/no-op DDL; quoted + qualified inserts enforce") {
+    Engine.runScript(spark,
+      """DROP TABLE IF EXISTS engine_pk3;
+        |CREATE TABLE engine_pk3 (k BIGINT PRIMARY KEY, v TEXT);
+        |INSERT INTO engine_pk3 VALUES (1, 'a');""".stripMargin)
+    // a FAILED CREATE TABLE (name exists, no OR REPLACE) must not
+    // disarm the surviving table's constraint
+    intercept[Exception](Engine.sql(spark,
+      "CREATE TABLE engine_pk3 (x INT)"))
+    assert(intercept[Exception](Engine.sql(spark,
+      "INSERT INTO engine_pk3 VALUES (1, 'dup')")).getMessage
+      .contains("PRIMARY KEY"), "failed CREATE must not retire the key")
+    // CREATE TABLE IF NOT EXISTS on the existing table is a catalog
+    // no-op — the registration stays put
+    Engine.sql(spark, "CREATE TABLE IF NOT EXISTS engine_pk3 (x INT)")
+    assert(intercept[Exception](Engine.sql(spark,
+      "INSERT INTO engine_pk3 VALUES (1, 'dup')")).getMessage
+      .contains("PRIMARY KEY"), "IF NOT EXISTS no-op must not retire")
+    // a CREATE VIEW colliding with the keyed table's name (refused by
+    // the catalog) must not touch the TABLE's registration either
+    intercept[Exception](Engine.sql(spark,
+      "CREATE VIEW engine_pk3 AS SELECT 1 AS x"))
+    assert(intercept[Exception](Engine.sql(spark,
+      "INSERT INTO engine_pk3 VALUES (1, 'dup')")).getMessage
+      .contains("PRIMARY KEY"), "CREATE VIEW must never retire a table key")
+    // backquoted and db-qualified spellings reach the SAME enforcement
+    // (a miss here would silently append via the native path)
+    assert(intercept[Exception](Engine.sql(spark,
+      "INSERT INTO `engine_pk3` VALUES (1, 'dup')")).getMessage
+      .contains("PRIMARY KEY"))
+    assert(intercept[Exception](Engine.sql(spark,
+      "INSERT INTO default.engine_pk3 VALUES (1, 'dup')")).getMessage
+      .contains("PRIMARY KEY"))
+    Engine.sql(spark,
+      "INSERT OR IGNORE INTO `engine_pk3` VALUES (1, 'x'), (2, 'b')")
+    assert(Engine.sql(spark,
+      "SELECT count(*) FROM engine_pk3").head().getLong(0) == 2)
+    // CREATE OR REPLACE TABLE with a NEW key: the constraint follows
+    // the swap-rename onto the real name (not the build name)
+    Engine.sql(spark,
+      "CREATE OR REPLACE TABLE engine_pk3 (id BIGINT PRIMARY KEY, w TEXT)")
+    Engine.sql(spark, "INSERT INTO engine_pk3 VALUES (7, 'a')")
+    assert(intercept[Exception](Engine.sql(spark,
+      "INSERT INTO engine_pk3 VALUES (7, 'b')")).getMessage
+      .contains("PRIMARY KEY"), "the key must follow OR REPLACE's rename")
+    // CREATE OR REPLACE TABLE withOUT a key retires the old entry
+    Engine.sql(spark,
+      "CREATE OR REPLACE TABLE engine_pk3 (id BIGINT, w TEXT)")
+    Engine.runScript(spark,
+      "INSERT INTO engine_pk3 VALUES (7, 'a');" +
+        "INSERT INTO engine_pk3 VALUES (7, 'b');")
+    assert(Engine.sql(spark,
+      "SELECT count(*) FROM engine_pk3").head().getLong(0) == 2,
+      "a keyless replacement must stop enforcing")
+    Engine.exec(spark, "DROP TABLE IF EXISTS engine_pk3")
+  }
+
   test("MATERIALIZED CTE hints strip; ARRAY[...] constructs") {
     assert(Engine.sql(spark,
       "WITH x AS MATERIALIZED (SELECT 1 AS a)," +

@@ -362,6 +362,10 @@ class DuckdbCompatSpec extends AnyFunSuite {
       "muhleisen aeiou")
     // no decomposition → pass-through (measured: 'ßæøñç' → 'ßæønc')
     assert(one("SELECT strip_accents('ßæøñç')") == "ßæønc")
+    // input ARRIVING decomposed ('a' + combining acute) still strips —
+    // the isNormalized fast path guards only the normalize call
+    // (measured: strip_accents('a' || chr(769)) = 'a')
+    assert(one("SELECT strip_accents('á')") == "a")
     assert(one("SELECT damerau_levenshtein('duck', 'dcuk')") == 1L)
     // TRUE Damerau, not OSA: ('CA','ABC') is 2 (OSA would say 3)
     assert(one("SELECT damerau_levenshtein('CA', 'ABC')") == 2L)
@@ -474,6 +478,21 @@ class DuckdbCompatSpec extends AnyFunSuite {
       "(CAST(NULL AS INT)),(3) t(x)") == 1)
     assert(one("SELECT quantile_disc(x, 0.5) FROM (SELECT CAST(NULL AS" +
       " INT) AS x WHERE false) t") == null)
+    // NEGATIVE q is the quantile of the DESCENDING order (measured:
+    // quantile_disc(x, -0.25) on (1,2,3,4) = 4, -1.0 = 1); outside
+    // [-1, 1] DuckDB raises a binder error, not NULL/clamp
+    assert(one("SELECT quantile_disc(x, -0.25) FROM VALUES (1),(2),(3)," +
+      "(4) t(x)") == 4)
+    assert(one("SELECT quantile_disc(x, -0.5) FROM VALUES (1),(2),(3)," +
+      "(4) t(x)") == 3)
+    assert(one("SELECT quantile_disc(x, -1.0) FROM VALUES (1),(2),(3)," +
+      "(4) t(x)") == 1)
+    assert(intercept[Exception](one(
+      "SELECT quantile_disc(x, 1.5) FROM VALUES (1),(2) t(x)"))
+      .getMessage.contains("[-1, 1]"))
+    assert(intercept[Exception](one(
+      "SELECT quantile(x, -2.0) FROM VALUES (1),(2) t(x)"))
+      .getMessage.contains("[-1, 1]"))
   }
 
   test("battery 8: synonym surface + list_any_value") {
