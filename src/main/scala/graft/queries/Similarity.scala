@@ -691,6 +691,52 @@ object Similarity {
     * their minimum id: every other member sees a lower-id neighbor).
     * Output: per-cluster sizes, drops, and survivors — the dedup-rate
     * report a curation pipeline tracks per shard. */
+  /** Per-cluster membership cap on the SemDeDup pair stage — the LSH
+    * family's `DfCap` bucket discipline applied to the `cent_id`
+    * self-join: clusters wider than this contribute NO candidate pairs
+    * (their members all survive), exactly as an over-cap LSH bucket
+    * emits none. Why: within-cluster pair count grows with
+    * (cluster size)², and a degenerate codebook — one fat cluster
+    * swallowing the corpus — would otherwise go quadratic SILENTLY at
+    * 100 TB. 200 clears the real corpus at every gate scale (measured
+    * max cluster: 38 at sf0.01, 139 at sf0.1) while bounding any one
+    * cluster's fan-out at C(200,2) ≈ 20k pairs per cluster. The
+    * under-cap cluster list is ≤ k rows — a broadcastable model-sized
+    * artifact, like the codebook itself. */
+  val SemClusterCap = 200
+
+  /** Within-cluster dominance report over an assignment
+    * `(vec_id, embedding, cent_id)`: capped pair generation (see
+    * SemClusterCap), cosine-τ drop rule, per-cluster survivor counts.
+    * Shared by the production `semanticDedup` and the planted
+    * `semanticCapFixture` so the capped branch's cross-engine parity
+    * is exercised by data, not only argued (the `capFixture`
+    * precedent in Dedup.scala). */
+  private def semanticReport(assigned: DataFrame, tau: Double): DataFrame = {
+    val sizes = assigned.groupBy("cent_id").agg(count(lit(1)).as("n"))
+    val underCap =
+      sizes.filter(col("n") <= SemClusterCap).select(col("cent_id"))
+    val paired = assigned
+      .join(broadcast(underCap), Seq("cent_id"), "left_semi")
+    val a = paired.select(col("cent_id").as("c1"), col("vec_id").as("d1"),
+      col("embedding").as("e1"))
+    val b = paired.select(col("cent_id").as("c2"), col("vec_id").as("d2"),
+      col("embedding").as("e2"))
+    val dropped = a
+      .join(b, col("c1") === col("c2") && col("d1") < col("d2"))
+      .filter(expr("cosine_sim(e1, e2)") >= tau)
+      .select(col("d2").as("vec_id"), col("c2").as("cent_id"))
+      .distinct()
+    sizes
+      .join(dropped.groupBy("cent_id")
+        .agg(count(lit(1)).as("nd")), Seq("cent_id"), "left")
+      .select(col("cent_id"),
+        col("n"),
+        coalesce(col("nd"), lit(0L)).as("n_dropped"),
+        (col("n") - coalesce(col("nd"), lit(0L))).as("n_survivors"))
+      .orderBy(col("cent_id"))
+  }
+
   val semanticDedup: Q = (s, dir) => {
     graft.functions.CosineSimilarity.register(s)
     val emb = t(s, dir, "embeddings")
@@ -704,23 +750,60 @@ object Similarity {
         .withColumn("cos_arr", expr(centCosArrD("embedding", cents)))
         .withColumn("cent_id", expr(centArgmaxD("cos_arr", cents)))
         .select(col("vec_id"), col("embedding"), col("cent_id"))
-      val a = assigned.toDF("d1", "e1", "c1")
-      val b = assigned.toDF("d2", "e2", "c2")
-      val dropped = a
-        .join(b, col("c1") === col("c2") && col("d1") < col("d2"))
-        .filter(expr("cosine_sim(e1, e2)") >= 0.35)
-        .select(col("d2").as("vec_id"), col("c2").as("cent_id"))
-        .distinct()
-      assigned.groupBy("cent_id").agg(count(lit(1)).as("n"))
-        .join(dropped.groupBy("cent_id")
-          .agg(count(lit(1)).as("nd")), Seq("cent_id"), "left")
-        .select(col("cent_id"),
-          col("n"),
-          coalesce(col("nd"), lit(0L)).as("n_dropped"),
-          (col("n") - coalesce(col("nd"), lit(0L))).as("n_survivors"))
-        .orderBy(col("cent_id"))
+      semanticReport(assigned, 0.35)
     }
   }
+
+  /** Planted fixture that makes the SemClusterCap branch FIRE (the
+    * real corpus's clusters sit far under the cap, so the green runs
+    * would otherwise design-verify the cap without data-exercising
+    * it — the r6 DfCap lesson): the first 2·cap+1 embeddings by
+    * vec_id form two synthetic clusters — cluster 0 at cap+1 members
+    * (OVER the bound: contributes no pairs, all survive) and cluster 1
+    * at cap exactly (AT the inclusive bound: pairs generate). τ = -2
+    * makes every generated pair qualify regardless of the cosine's
+    * float value, so the witness pins EXACTLY the cap boundary:
+    * n_dropped = 0 for the over-cap cluster and cap-1 for the at-cap
+    * cluster (all but the minimum id drop). An off-by-one on either
+    * engine's bound flips a whole output row. */
+  val semanticCapFixture: Q = (s, dir) => {
+    graft.functions.CosineSimilarity.register(s)
+    val assigned = t(s, dir, "embeddings")
+      .orderBy(col("vec_id")).limit(2 * SemClusterCap + 1)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("vec_id"))))
+      .withColumn("cent_id",
+        when(col("rn") <= SemClusterCap + 1, 0L).otherwise(1L))
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    semanticReport(assigned, -2.0)
+  }
+
+  val semanticCapFixtureSql: String =
+    s"""WITH lim AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  ORDER BY vec_id LIMIT ${2 * SemClusterCap + 1}),
+       |assigned AS (
+       |  SELECT vec_id, embedding,
+       |    CASE WHEN ROW_NUMBER() OVER (ORDER BY vec_id)
+       |      <= ${SemClusterCap + 1} THEN 0 ELSE 1 END AS cent_id
+       |  FROM lim),
+       |sizes AS (SELECT cent_id, COUNT(*) AS n FROM assigned
+       |          GROUP BY cent_id),
+       |undercap AS (SELECT cent_id FROM sizes
+       |             WHERE n <= $SemClusterCap),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id, b.cent_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |  WHERE a.cent_id IN (SELECT cent_id FROM undercap)
+       |    AND ${oCosOf("a.embedding", "b.embedding")} >= -2)
+       |SELECT CAST(s.cent_id AS BIGINT) AS cent_id, s.n,
+       |  COALESCE(d.nd, 0) AS n_dropped,
+       |  s.n - COALESCE(d.nd, 0) AS n_survivors
+       |FROM sizes s
+       |LEFT JOIN (SELECT cent_id, COUNT(*) AS nd FROM dropped
+       |  GROUP BY cent_id) d ON s.cent_id = d.cent_id
+       |ORDER BY cent_id""".stripMargin
 
   /** Oracle: the SAME trained codebook re-derived in SQL
     * (`trainedCentsCte`), window-argmax assignment, within-cluster
@@ -736,11 +819,16 @@ object Similarity {
        |        ORDER BY ${oCosOf("e.embedding", "c.cent")} DESC, c.cent_id)
        |        AS rn
        |    FROM embeddings e, cents c) WHERE rn = 1),
+       |sizes AS (SELECT cent_id, COUNT(*) AS n FROM assigned
+       |          GROUP BY cent_id),
+       |undercap AS (SELECT cent_id FROM sizes
+       |             WHERE n <= $SemClusterCap),
        |dropped AS (
        |  SELECT DISTINCT b.vec_id, b.cent_id
        |  FROM assigned a JOIN assigned b
        |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-       |  WHERE ${oCosOf("a.embedding", "b.embedding")} >= 0.35)
+       |  WHERE a.cent_id IN (SELECT cent_id FROM undercap)
+       |    AND ${oCosOf("a.embedding", "b.embedding")} >= 0.35)
        |SELECT s.cent_id, COUNT(*) AS n,
        |  COALESCE(d.nd, 0) AS n_dropped,
        |  COUNT(*) - COALESCE(d.nd, 0) AS n_survivors
@@ -2219,6 +2307,7 @@ object Similarity {
     "p_sim_recall_clustered" -> recallClustered,
     "p_dedup_embedding" -> embeddingNearDup,
     "p_dedup_semantic" -> semanticDedup,
+    "p_dedup_semantic_cap" -> semanticCapFixture,
     "p_embed_quantize" -> quantize,
     "p_embed_pq" -> pqCodes,
     "p_sim_pq_search" -> pqSearch,
@@ -2240,6 +2329,7 @@ object Similarity {
     "p_sim_recall_clustered" -> recallClusteredSql,
     "p_dedup_embedding" -> embeddingNearDupSql,
     "p_dedup_semantic" -> semanticDedupSql,
+    "p_dedup_semantic_cap" -> semanticCapFixtureSql,
     "p_embed_quantize" -> quantizeSql,
     "p_embed_pq" -> pqCodesSql,
     "p_sim_pq_search" -> pqSearchSql,
