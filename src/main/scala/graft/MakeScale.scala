@@ -43,20 +43,32 @@ object MakeScale {
     def reps(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until k).map(r => f(base, r)).reduce(_ union _)
 
-    /** Key spans are computed ONCE per key DOMAIN — one small agg job
-      * against the first table that touches the domain, not one per
-      * replica. `o_orderkey` and `l_orderkey` share the "orderkey"
-      * domain (lineitem's keys are a subset of orders'): independent
-      * per-table maxima would decorrelate the orders↔lineitem join for
-      * every replica r >= 1 whenever trailing orders have no lineitems
-      * (max(l_orderkey) < max(o_orderkey)). */
+    def read(name: String): DataFrame =
+      spark.read.parquet(s"$inDir/$name.parquet")
+
+    /** Key spans are computed ONCE per key DOMAIN — one small agg job,
+      * not one per replica. `o_orderkey` and `l_orderkey` share the
+      * "orderkey" domain (lineitem's keys are a subset of orders'):
+      * independent per-table maxima would decorrelate the
+      * orders↔lineitem join for every replica r >= 1 whenever trailing
+      * orders have no lineitems (max(l_orderkey) < max(o_orderkey)).
+      * The span's SOURCE is pinned per domain (ADVICE r20): "orderkey"
+      * always measures orders, regardless of which table shifts first —
+      * the previous first-caller-wins memo silently depended on the
+      * orders write preceding lineitem's, and a swapped write order
+      * would have collided shifted keys across replicas. */
     val spans = scala.collection.mutable.Map.empty[String, Long]
     val domainOf = Map(
       "o_orderkey" -> "orderkey", "l_orderkey" -> "orderkey")
+    val domainSource = Map("orderkey" -> ("orders", "o_orderkey"))
     def shift(df: DataFrame, colName: String, r: Int): DataFrame = {
-      val span = spans.getOrElseUpdate(
-        domainOf.getOrElse(colName, colName),
-        df.agg(max(colName)).head().getLong(0) + 1L)
+      val domain = domainOf.getOrElse(colName, colName)
+      val span = spans.getOrElseUpdate(domain, {
+        val (src, srcCol) = domainSource.get(domain)
+          .map { case (t, c) => (read(t), c) }
+          .getOrElse((df, colName))
+        src.agg(max(srcCol)).head().getLong(0) + 1L
+      })
       df.withColumn(colName, col(colName) + lit(r * span))
     }
 
@@ -64,9 +76,6 @@ object MakeScale {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[make-scale] $name x$k -> $outDir")
     }
-
-    def read(name: String): DataFrame =
-      spark.read.parquet(s"$inDir/$name.parquet")
 
     // dims: base size, copied through (see scaladoc)
     Seq("region", "nation", "supplier", "part", "customer")

@@ -1,0 +1,45 @@
+package graft
+
+/** Host/stage overhead probe (optimization rounds only, guide §1): times
+  * primitive plan shapes — empty job, scan-only, scan+exchange, window —
+  * to establish the per-job and per-shuffle floor the declared queries sit
+  * on. Not part of the driver contract.
+  */
+object MicroProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.engine.Session.forHarness()
+    import org.apache.spark.sql.functions._
+
+    def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val samples = (1 to 5).map { _ =>
+        val t = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t) / 1e9
+      }
+      println(f"[probe] $name%-34s " +
+        samples.map(s => f"$s%6.3f").mkString(" "))
+    }
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    println(s"[probe] lineitem rows=${li.count()} parts=${li.rdd.getNumPartitions}")
+
+    time("range1")(spark.range(1).toDF())
+    time("range_1m_sum")(spark.range(1000000).agg(sum("id")))
+    time("scan_count")(li.groupBy().count())
+    time("scan_sum_double")(li.agg(sum("l_extendedprice")))
+    time("scan_sum_decimal")(
+      li.agg(sum(col("l_extendedprice").cast("decimal(18,2)"))))
+    time("scan_groupby2")(
+      li.groupBy("l_returnflag", "l_linestatus").count())
+    time("scan_md5_groupby")(
+      li.select(expr("conv(substring(md5(cast(cast(l_orderkey as string) as binary)),1,12),16,10)").as("h"))
+        .groupBy("h").count().groupBy().count())
+    time("scan_window_topk")(
+      li.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy(desc("l_extendedprice"))))
+        .filter(col("rn") <= 5))
+    spark.stop()
+  }
+}

@@ -49,24 +49,27 @@ object Engine
     // no-op on an existing table (nothing was replaced). The plan is
     // computed here, pre-execution, because the IF NOT EXISTS decision
     // needs the BEFORE-state of the catalog; it applies below, after
-    // the dispatch returns without throwing. The pkEpoch guard keeps a
+    // the dispatch returns without throwing. The per-name pkGen guard keeps a
     // statement that itself registered a key (column-list CREATE with
     // a PK clause, including via the TEMP TABLE / OR REPLACE
     // recursions) from erasing its own registration.
     val pkRetirePlan: Option[String] =
       ddlCreateTableNameRe.findFirstMatchIn(trimmed) match {
         case Some(m) =>
-          val name = pkName(m.group(2))
+          val name = pkName(spark, m.group(2))
           if (m.group(1) != null && spark.catalog.tableExists(
               m.group(2).stripPrefix("`").stripSuffix("`"))) None
           else Some(name)
         case None =>
-          dropTableNameRe.findFirstMatchIn(trimmed).map(m => pkName(m.group(1)))
+          dropTableNameRe.findFirstMatchIn(trimmed).map(m => pkName(spark, m.group(1)))
       }
-    val pkEpochBefore = pkEpoch(spark).get()
+    // per-name generation snapshot (ADVICE r20): retirement is vetoed
+    // only by a registration OF THIS NAME during the statement, never by
+    // a concurrent registration of an unrelated name
+    val pkGenBefore = pkRetirePlan.map(n => pkGenOf(spark, n))
     def retirePkAfterSuccess(): Unit =
       pkRetirePlan.foreach { name =>
-        if (pkEpoch(spark).get() == pkEpochBefore) {
+        if (pkGenBefore.contains(pkGenOf(spark, name))) {
           val store = primaryKeys(spark)
           store.synchronized { store.remove(name) }
           ()
@@ -162,10 +165,10 @@ object Engine
         locally {
           val store = primaryKeys(spark)
           store.synchronized {
-            store.get(pkName(table)).foreach { keys =>
+            store.get(pkName(spark, table)).foreach { keys =>
               val o = oldName.stripPrefix("`").stripSuffix("`")
               val n = newName.stripPrefix("`").stripSuffix("`")
-              store.update(pkName(table),
+              store.update(pkName(spark, table),
                 keys.map(k => if (k.equalsIgnoreCase(o)) n else k))
             }
           }
@@ -407,11 +410,11 @@ object Engine
         locally {
           val store = primaryKeys(spark)
           store.synchronized {
-            store.remove(pkName(tmp)) match {
+            store.remove(pkName(spark, tmp)) match {
               case Some(keys) =>
-                store.update(pkName(name), keys)
-                pkEpoch(spark).incrementAndGet()
-              case None => store.remove(pkName(name))
+                store.update(pkName(spark, name), keys)
+                bumpPkGen(spark, pkName(spark, name))
+              case None => store.remove(pkName(spark, name))
             }
           }
           ()
@@ -443,9 +446,9 @@ object Engine
           store.synchronized {
             pk match {
               case Some(keys) =>
-                store.update(pkName(m.group(1)), keys)
-                pkEpoch(spark).incrementAndGet()
-              case None => store.remove(pkName(m.group(1)))
+                store.update(pkName(spark, m.group(1)), keys)
+                bumpPkGen(spark, pkName(spark, m.group(1)))
+              case None => store.remove(pkName(spark, m.group(1)))
             }
           }
           ()

@@ -36,6 +36,9 @@ object Session {
       // list_transform, epoch_us, strftime %-codes, …)
       .withExtensions(graft.plans.NullifPushdown.install)
       .withExtensions(graft.functions.DuckdbCompat.install)
+      // native vector folds (graft_dot / graft_l2_slice, r21) — consumed
+      // by the LSH bucket and PQ distance expression strings
+      .withExtensions(graft.functions.VectorOps.install)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

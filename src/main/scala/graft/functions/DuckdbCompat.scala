@@ -846,8 +846,14 @@ object DuckdbCompat {
     // which maps onto the ascending list as index n - k + 1; outside
     // the range DuckDB raises a binder error, not NULL/clamp
     val kPos = Greatest(Seq(Literal(1L), Ceil(Multiply(q, nD))))
-    val kNeg = Add(Subtract(Cast(n, LongType), Greatest(Seq(Literal(1L),
-      Ceil(Multiply(UnaryMinus(q), nD))))), Literal(1L))
+    // outer clamp (ADVICE r20): for n ≥ 1 and q ∈ [-1,0) the index is
+    // already in [1,n] — unchanged; for an empty/all-NULL group (n = 0)
+    // it would be 0, and ElementAt raises INVALID_INDEX_OF_ZERO even
+    // with failOnError=false, where DuckDB returns NULL (measured).
+    // Clamped to 1, ElementAt(empty, 1, failOnError=false) yields NULL.
+    val kNeg = Greatest(Seq(Literal(1L),
+      Add(Subtract(Cast(n, LongType), Greatest(Seq(Literal(1L),
+        Ceil(Multiply(UnaryMinus(q), nD))))), Literal(1L))))
     val idx = If(LessThan(q, Literal(0.0)), kNeg, kPos)
     val guarded = If(
       Or(LessThan(q, Literal(-1.0)), GreaterThan(q, Literal(1.0))),

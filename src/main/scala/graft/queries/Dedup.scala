@@ -214,14 +214,15 @@ object Dedup {
     * Docs with fewer than 3 words have no shingles and drop out, exactly
     * as they fall out of the batch index. */
   private[graft] def withMinhashSig(docs: DataFrame): DataFrame = {
+    // graft_md5_long ≡ CAST(conv(substring(md5(sh),1,7),16,10) AS BIGINT)
+    // (one digest-fold expression; the lambda body is interpreted, so the
+    // hex/substring/conv round trips dominated this map stage — r21)
+    graft.functions.Md5PrefixLong.register(docs.sparkSession)
     val keep = docs.columns.map(col).toSeq
     docs.withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
       .withColumn("shs", expr(s"array_distinct($shinglesExpr)"))
-      .withColumn("xs", expr(
-        """transform(shs, sh ->
-          |  CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT))"""
-          .stripMargin))
+      .withColumn("xs", expr("transform(shs, sh -> graft_md5_long(sh, 7))"))
       .select(keep ++ (0 until 16).map(i =>
         expr(s"array_min(transform(xs, x -> (${As(i)} * x + ${Bs(i)}) % $P))")
           .as(s"mh$i")): _*)
@@ -361,11 +362,12 @@ object Dedup {
   /** (doc_id, simhash) fingerprints — shared by the fingerprint dump and
     * the banded candidate-pair query. */
   private def simhashFp(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Md5PrefixLong.register(s)
     val words = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .distinct()
-      .withColumn("x",
-        conv(substring(md5(col("word")), 1, 8), 16, 10).cast(LongType))
+      // ≡ conv(substring(md5(word),1,8),16,10) cast long (digest fold, r21)
+      .withColumn("x", expr("graft_md5_long(word, 8)"))
     val sums = words
       .groupBy(col("doc_id"))
       .agg(sum(expr("IF((shiftright(x, 0) & 1) = 1, 1, -1)")).as("sc0"),
@@ -928,15 +930,15 @@ object Dedup {
     memoPersist(s, dir, selKey) {
       val key = maxDoc.fold("winnow_base_full")(m => s"winnow_base_$m")
       val base = memoPersist(s, dir, key) {
+        graft.functions.Md5PrefixLong.register(s)
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         maxDoc.fold(docs)(m => docs.filter(col("doc_id") < m))
           .withColumn("ws", split(col("text"), " "))
           .filter(size(col("ws")) >= WinnowW + 2)
           .withColumn("tgs", expr(shinglesExpr))
-          .withColumn("hs", expr(
-            """transform(tgs, t ->
-              |  CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"""
-              .stripMargin))
+          // ≡ conv(substring(md5(t),1,8),16,10) cast long (digest fold, r21)
+          .withColumn("hs",
+            expr("transform(tgs, t -> graft_md5_long(t, 8))"))
           .select(col("doc_id"), col("tgs"), col("hs"))
           .localCheckpoint()
       }

@@ -92,12 +92,17 @@ object Similarity {
       (0 until 64).map(d => weight(prefix, j, d)).mkString("array(", ", ", ")")
     }.mkString("array(", ", ", ")")
 
+  // graft_dot ≡ aggregate(zip_with(embedding, w, (x, w) -> CAST(x AS
+  // DOUBLE) * CAST(w AS DOUBLE)), 0d, +) — same IEEE fold, native
+  // instead of interpreted-per-lambda-element (r21, guide §1.2); the
+  // 8-plane projection ran per row in every LSH/bucket query. The int
+  // weight matrix constant-folds to ARRAY<ARRAY<DOUBLE>> once at plan
+  // time (exact: |w| ≤ 3), replacing the old per-element CAST.
   private def bitsExprP(prefix: String, k: Int = 8): String =
     s"""transform(sequence(0, ${k - 1}), j ->
-       |  CASE WHEN aggregate(zip_with(embedding,
-       |    element_at(${weightMatrixP(prefix, k)}, j + 1),
-       |    (x, w) -> CAST(x AS DOUBLE) * CAST(w AS DOUBLE)),
-       |    CAST(0 AS DOUBLE), (acc, p) -> acc + p) > 0
+       |  CASE WHEN graft_dot(embedding,
+       |    element_at(CAST(${weightMatrixP(prefix, k)}
+       |      AS ARRAY<ARRAY<DOUBLE>>), j + 1)) > 0
        |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
 
   private def bucketExprP(prefix: String, k: Int = 8): String =
@@ -391,18 +396,23 @@ object Similarity {
     val mat = (0 until 16).map { c =>
       (0 until 64).map(d => weight("cc_", c, d)).mkString("array(", ", ", ")")
     }.mkString("array(", ", ", ")")
+    // graft_md5_long ≡ CAST(conv(substr(md5(..),1,4),16,10) AS BIGINT)
+    // (digest fold — the per-(row,dim) hex/conv round trips dominated
+    // this 64-dim noise synthesis, r21)
     s"""CAST(transform(sequence(0, 63), d ->
        |  CAST(element_at(element_at($mat,
        |    CAST(vec_id % 16 + 1 AS INT)), d + 1) AS DOUBLE)
-       |  + (CAST(conv(substr(md5(concat('nz_', CAST(vec_id AS STRING),
-       |      '_', CAST(d AS STRING))), 1, 4), 16, 10) AS BIGINT)
+       |  + (graft_md5_long(concat('nz_', CAST(vec_id AS STRING),
+       |      '_', CAST(d AS STRING)), 4)
        |     % 2001 - 1000) / 2000.0
        |) AS ARRAY<FLOAT>)""".stripMargin
   }
 
-  private[graft] def clusteredCorpus(s: SparkSession, dir: String): DataFrame =
+  private[graft] def clusteredCorpus(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Md5PrefixLong.register(s)
     t(s, dir, "embeddings")
       .select(col("vec_id"), expr(clusteredEmbExpr).as("embedding"))
+  }
 
   private val clusteredCorpusSql: String =
     """SELECT vec_id,
@@ -1122,12 +1132,16 @@ object Similarity {
         }.mkString("array(", ", ", ")")
       def codeExpr(j: Int): String =
         s"""(array_position(dist$j, array_min(dist$j)) - 1)"""
+      // graft_l2_slice ≡ the aggregate(zip_with(slice(embedding, …)))
+      // squared-distance fold — native, same IEEE sequence; the bare-
+      // decimal codebook literal constant-folds to ARRAY<ARRAY<DOUBLE>>
+      // once at plan time (same rounding as the fold's per-element
+      // coercion: both round the exact decimal to nearest double) — r21
       def distExpr(j: Int): String =
         s"""transform(sequence(0, ${cents.size - 1}), k ->
-           |  aggregate(zip_with(slice(embedding, ${j * 8 + 1}, 8),
-           |    element_at(${cbLit(j)}, k + 1),
-           |    (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
-           |    CAST(0 AS DOUBLE), (acc, p) -> acc + p))""".stripMargin
+           |  graft_l2_slice(embedding, element_at(
+           |    CAST(${cbLit(j)} AS ARRAY<ARRAY<DOUBLE>>), k + 1),
+           |    ${j * 8 + 1}))""".stripMargin
       // top-k BEFORE the 8x16 distance folds: the sort key (vec_id) is
       // independent of the computed codes, so the per-row subspace
       // argmins run on 500 rows, not the corpus — the features-after-
@@ -1223,12 +1237,16 @@ object Similarity {
           c.slice(j * 8, j * 8 + 8).map(_.toDouble)
             .mkString("array(", ", ", ")")
         }.mkString("array(", ", ", ")")
+      // graft_l2_slice ≡ the aggregate(zip_with(slice(embedding, …)))
+      // squared-distance fold — native, same IEEE sequence; the bare-
+      // decimal codebook literal constant-folds to ARRAY<ARRAY<DOUBLE>>
+      // once at plan time (same rounding as the fold's per-element
+      // coercion: both round the exact decimal to nearest double) — r21
       def distExpr(j: Int): String =
         s"""transform(sequence(0, ${cents.size - 1}), k ->
-           |  aggregate(zip_with(slice(embedding, ${j * 8 + 1}, 8),
-           |    element_at(${cbLit(j)}, k + 1),
-           |    (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
-           |    CAST(0 AS DOUBLE), (acc, p) -> acc + p))""".stripMargin
+           |  graft_l2_slice(embedding, element_at(
+           |    CAST(${cbLit(j)} AS ARRAY<ARRAY<DOUBLE>>), k + 1),
+           |    ${j * 8 + 1}))""".stripMargin
       // Double.toString round-trips exactly and a quoted CAST parses it
       // back bit-identically; a BARE decimal literal would type the
       // lookup (and the output) as DECIMAL, not DOUBLE (the centLit
@@ -1501,8 +1519,12 @@ object Similarity {
 
   private def centCosArrD(
       embCol: String, cents: Seq[(Long, Array[Double])]): String =
+    // cosine_sim now accepts a double-array side (r21): same IEEE fold
+    // sequence as cosExprD's three aggregate(zip_with(...)) folds, native
+    // instead of interpreted-per-lambda-element — the 16-centroid argmax
+    // was the dominant map cost of the semantic/trained-IVF legs (§1.2).
     s"""transform(sequence(0, ${cents.size - 1}),
-       |  j -> ${cosExprD(embCol, s"element_at(${centsLitDOf(cents)}, j + 1)")})"""
+       |  j -> cosine_sim($embCol, element_at(${centsLitDOf(cents)}, j + 1)))"""
       .stripMargin
 
   private def centArgmaxD(
@@ -1544,6 +1566,7 @@ object Similarity {
   private def ivfTrainedPartitioned(s: SparkSession, dir: String,
       cents: Seq[(Long, Array[Double])]): String =
     Layout.written.getOrElseUpdate((s, dir, "ivf_trained_emb"), {
+      graft.functions.CosineSimilarity.register(s)
       val path = Layout.tmpRoot("ivf_trained_emb", dir)
       val assigned = t(s, dir, "embeddings")
         .withColumn("cos_arr", expr(centCosArrD("embedding", cents)))
@@ -1687,8 +1710,7 @@ object Similarity {
       .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
     val distArr =
       s"""transform(element_at($cwLit, CAST(j + 1 AS INT)), c ->
-         |  aggregate(zip_with(rv, c, (x, y) -> (x - y) * (x - y)),
-         |    CAST(0 AS DOUBLE), (acc, p) -> acc + p))""".stripMargin
+         |  graft_l2_slice(rv, c, 1))""".stripMargin
     val skExpr =
       s"""element_at(element_at($skLit, CAST(j + 1 AS INT)),
          |  CAST(array_position(d_arr, array_min(d_arr)) AS INT))""".stripMargin
@@ -1718,6 +1740,7 @@ object Similarity {
     * parquet rows; every encode/search leg LOADS this artifact. */
   private[graft] def pqCodebookPath(s: SparkSession, dir: String): String =
     Layout.written.getOrElseUpdate((s, dir, "pq_codebook"), {
+      graft.functions.CosineSimilarity.register(s)
       val path = Layout.tmpRoot("pq_codebook", dir)
       val cents = trainedCodebook(s, dir)
       import s.implicits._
@@ -1772,11 +1795,11 @@ object Similarity {
   private def subDistResid(
       j: Int, cb: Seq[(Long, Array[Double])]): String = {
     val cbLit = cb.map(c => centLitD(c._2)).mkString("array(", ", ", ")")
+    // graft_l2_slice ≡ the aggregate(zip_with(slice(resid, …), cw, …))
+    // squared-distance fold — native, same IEEE sequence (r21)
     s"""transform(sequence(0, ${cb.size - 1}), k ->
-       |  aggregate(zip_with(slice(resid, ${j * 8 + 1}, 8),
-       |    element_at($cbLit, k + 1),
-       |    (x, y) -> (x - y) * (x - y)),
-       |    CAST(0 AS DOUBLE), (acc, p) -> acc + p))""".stripMargin
+       |  graft_l2_slice(resid, element_at($cbLit, k + 1), ${j * 8 + 1}))"""
+      .stripMargin
   }
 
   /** The production ANN index at rest: `embeddings` PARTITIONED BY the
@@ -1792,6 +1815,7 @@ object Similarity {
       cents: Seq[(Long, Array[Double])],
       cbs: Seq[Seq[(Long, Array[Double])]]): String =
     Layout.written.getOrElseUpdate((s, dir, "ivfpq_emb"), {
+      graft.functions.CosineSimilarity.register(s)
       val path = Layout.tmpRoot("ivfpq_emb", dir)
       val assigned = t(s, dir, "embeddings")
         .withColumn("cos_arr", expr(centCosArrD("embedding", cents)))
@@ -2080,10 +2104,13 @@ object Similarity {
   /** Spark-side 64-dim squared-L2 sequential fold (dims left to right —
     * the IEEE twin of the oracle's list_reduce). */
   private def l2Expr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
-       |  CAST(0 AS DOUBLE), (acc, p) -> acc + p)""".stripMargin
+    // ≡ aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0d, +): same
+    // IEEE fold, native (graft_l2_slice with start=1 covers the whole
+    // vector; both sides are equal-length double arrays here) — r21
+    s"graft_l2_slice($a, $b, 1)"
 
   val pqRecall: Q = (s, dir) => {
+    graft.functions.CosineSimilarity.register(s)
     val cents = trainedCodebook(s, dir)
     val cbs = pqCodebooks(s, dir)
     val centsLit = centsLitDOf(cents)
@@ -2117,10 +2144,8 @@ object Similarity {
         .mkString("array(", ", ", ")")
       df.withColumn(s"sdist$j", expr(
         s"""transform(sequence(0, ${cents.size - 1}), k ->
-           |  aggregate(zip_with(slice(xd, ${j * 8 + 1}, 8),
-           |    element_at($sliceLit, k + 1),
-           |    (x, y) -> (x - y) * (x - y)),
-           |    CAST(0 AS DOUBLE), (acc, p) -> acc + p))""".stripMargin))
+           |  graft_l2_slice(xd, element_at($sliceLit, k + 1),
+           |    ${j * 8 + 1}))""".stripMargin))
         .withColumn(s"srec$j", expr(
           s"""element_at($sliceLit,
              |  CAST(array_position(sdist$j, array_min(sdist$j)) AS INT))"""

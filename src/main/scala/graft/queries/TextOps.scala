@@ -323,15 +323,18 @@ object TextOps {
     * md5(doc_id) alone, so it is reproducible run-to-run, engine-to-engine,
     * and stable under repartitioning — the property random()-based splits
     * lack. Map-side expression; scales with zero extra shuffles. */
-  val splitHash: Q = (s, dir) =>
+  val splitHash: Q = (s, dir) => {
+    graft.functions.Md5PrefixLong.register(s)
     t(s, dir, "documents")
       .groupBy(when(
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4)," +
-          " 16, 10) AS BIGINT) % 100") < 90, "train").otherwise("test")
+        // ≡ conv(substring(md5(..),1,4),16,10) cast long (digest fold, r21)
+        expr("graft_md5_long(CAST(doc_id AS STRING), 4) % 100") < 90,
+        "train").otherwise("test")
         .as("split"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("lang")).as("n_langs"))
       .orderBy(col("split"))
+  }
 
   val splitHashSql: String =
     """SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
@@ -399,10 +402,11 @@ object TextOps {
   val corpusMix: Q = (s, dir) => {
     val rateExpr = mixRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
       .mkString("CASE lang ", " ", " ELSE 100 END")
+    graft.functions.Md5PrefixLong.register(s)
     t(s, dir, "documents")
+      // ≡ conv(substring(md5(..),5,4),16,10) cast long (digest fold, r21)
       .withColumn("h",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 5, 4)," +
-          " 16, 10) AS BIGINT) % 100"))
+        expr("graft_md5_long(CAST(doc_id AS STRING), 5, 4) % 100"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(expr(s"h < $rateExpr"), 1L).otherwise(0L)).as("n_kept"))

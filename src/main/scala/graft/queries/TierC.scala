@@ -1442,10 +1442,11 @@ object TierC {
     * and KMV sketches merge by unioning and re-taking k — the same
     * mergeability HLL offers, with cross-engine reproducibility. */
   val kmvDistinct: Q = (s, dir) => {
+    graft.functions.Md5PrefixLong.register(s)
     val k = 256
     val h = t(s, dir, "lineitem")
-      .select(conv(substring(md5(col("l_orderkey").cast("string")), 1, 12),
-        16, 10).cast(LongType).as("h"))
+      // ≡ conv(substring(md5(..),1,12),16,10) cast long (digest fold, r21)
+      .select(expr("graft_md5_long(CAST(l_orderkey AS STRING), 12)").as("h"))
       .distinct()
       .orderBy(col("h")).limit(k)
     h.agg(count(lit(1)).as("k"), max(col("h")).as("kth"),

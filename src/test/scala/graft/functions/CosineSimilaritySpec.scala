@@ -34,6 +34,35 @@ class CosineSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("float×double side (trained codebook shape) bit-identical to fold") {
+    import spark.implicits._
+    CosineSimilarity.register(spark)
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    // d×d twin: the same fold text with the double array on both sides
+    val foldBB =
+      """aggregate(zip_with(b, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |  CAST(0 AS DOUBLE), (acc, p) -> acc + p) /
+        |(SQRT(aggregate(zip_with(b, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |  CAST(0 AS DOUBLE), (acc, p) -> acc + p)) *
+        | SQRT(aggregate(zip_with(b, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |  CAST(0 AS DOUBLE), (acc, p) -> acc + p)))""".stripMargin
+    val out = df.selectExpr("cosine_sim(a, b) AS c", s"($foldSql) AS f",
+      "cosine_sim(b, b) AS db", s"($foldBB) AS fb")
+      .collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"f×d: ${r.getDouble(0)} != ${r.getDouble(1)}")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        s"d×d: ${r.getDouble(2)} != ${r.getDouble(3)}")
+    }
+  }
+
   test("interpreted path matches eval contract (null on mismatch/empty)") {
     val mk = (xs: Seq[Float]) =>
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(xs.toArray)

@@ -487,6 +487,13 @@ class DuckdbCompatSpec extends AnyFunSuite {
       "(4) t(x)") == 3)
     assert(one("SELECT quantile_disc(x, -1.0) FROM VALUES (1),(2),(3)," +
       "(4) t(x)") == 1)
+    // negative q over an EMPTY / all-NULL group is NULL, as in DuckDB
+    // (ADVICE r20: the unclamped n-k+1 index was 0 and ElementAt raises
+    // INVALID_INDEX_OF_ZERO regardless of failOnError)
+    assert(one("SELECT quantile_disc(x, -0.5) FROM (SELECT CAST(NULL AS" +
+      " INT) AS x WHERE false) t") == null)
+    assert(one("SELECT quantile(x, -0.25) FROM VALUES (CAST(NULL AS" +
+      " INT)) t(x)") == null)
     assert(intercept[Exception](one(
       "SELECT quantile_disc(x, 1.5) FROM VALUES (1),(2) t(x)"))
       .getMessage.contains("[-1, 1]"))
