@@ -68,6 +68,27 @@ object Bench {
           -1.0
       }
     }
+    // Host-speed calibration probe (VERDICT r14 #4): a fixed
+    // single-thread integer workload whose time depends ONLY on host
+    // speed — never on this repo's code — so adjudications can separate
+    // host drift from code drift mechanically. ~0.75 s on a healthy
+    // host; a uniformly loaded host inflates this the same factor it
+    // inflates every untouched query.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 400000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      if (x == 0L) System.err.print("") // keep the loop observable
+      (System.nanoTime() - t0) / 1e9
+    }
+    // one calibration reading BEFORE the timed loop: the self-heal and
+    // suspect-flag comparisons below are against CALIB-NORMALIZED
+    // history medians (VERDICT r20 #6), so the current run's host speed
+    // must be known at decision time, not only at the end
+    val calibPre = calibOnce()
     val firstPass = timed.map { case (name, fn) =>
       val a = sampleOf(name, fn)
       // re-sample only when the first reading is slow enough to matter:
@@ -89,8 +110,13 @@ object Bench {
     // regression reproduces and still ships (and still trips the
     // BenchHistorySpec gate). Decision logic is pure (`retryPlan`) and
     // unit-tested.
+    // medians are normalized to the 0.75 s reference host; scale them to
+    // THIS host's speed so the 1.25x retry trigger measures code drift,
+    // not host drift (a 1.17x-slow host inflated every query ~1.17x in
+    // r19/r20 and the raw compare read that as regression)
     val medians =
       historyMedians(java.nio.file.Paths.get("tools/bench_history.jsonl"))
+        .view.mapValues(_ * (calibPre / CalibAnchor)).toMap
     val (firstRatio, toRetry) =
       retryPlan(firstPass.map(r => (r._1, r._2, r._3)), medians)
     val results: Seq[(String, Double, Boolean, Int)] =
@@ -146,24 +172,9 @@ object Bench {
     val buildsJson = builds.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val buildsTotal = builds.collect { case (_, v) if v >= 0 => v }.sum
-    // Host-speed calibration probe (VERDICT r14 #4): a fixed
-    // single-thread integer workload whose time depends ONLY on host
-    // speed — never on this repo's code — so adjudications can separate
-    // host drift from code drift mechanically. min of 2 runs (same
-    // spike-rejection rationale as the queries). ~0.5 s on a healthy
-    // host; a uniformly loaded host inflates this the same factor it
-    // inflates every untouched query.
-    def calibOnce(): Double = {
-      val t0 = System.nanoTime()
-      var x = 0x9E3779B97F4A7C15L
-      var i = 0
-      while (i < 400000000) {
-        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
-      }
-      if (x == 0L) System.err.print("") // keep the loop observable
-      (System.nanoTime() - t0) / 1e9
-    }
-    val calibSec = math.min(calibOnce(), calibOnce())
+    // reported calibration: min of 3 readings (pre-run + 2 here — same
+    // spike-rejection rationale as the queries' best-of-2)
+    val calibSec = math.min(calibPre, math.min(calibOnce(), calibOnce()))
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val samples = results.map { case (k, _, _, n) => "\"" + k + "\":" + n }
@@ -225,10 +236,22 @@ object Bench {
     spark.stop()
   }
 
+  /** The healthy-host single-thread calibration anchor (BASELINE.md:
+    * round 15 recorded calib_sec = 0.75 s on a clean host). History
+    * medians and gate comparisons normalize to this value so a run
+    * measured on a ~1.2x-slow host (rounds 19-20, adjudicated drift)
+    * neither ratchets the anchor upward nor masks a real regression
+    * (VERDICT r20 #6). */
+  private[graft] val CalibAnchor = 0.75
+
   /** Per-query medians over the recorded history
-    * (`tools/bench_history.jsonl`) — empty when no history exists.
-    * Shared by the self-heal retry and the suspect flag so both compare
-    * against the same anchor (the BenchHistorySpec gate's). */
+    * (`tools/bench_history.jsonl`), CALIB-NORMALIZED: each line's query
+    * seconds scale by (CalibAnchor / that line's calib_sec), so every
+    * contribution reads as "seconds on the reference host". Lines
+    * without a calib probe (rounds ≤ 14 — measured on 0.75-era hosts)
+    * contribute unscaled. Empty when no history exists. Shared by the
+    * self-heal retry and the suspect flag so both compare against the
+    * same anchor (the BenchHistorySpec gate's). */
   private[graft] def historyMedians(
       hist: java.nio.file.Path): Map[String, Double] = try {
     if (!java.nio.file.Files.exists(hist)) Map.empty
@@ -238,11 +261,17 @@ object Bench {
         scala.collection.mutable.Map.empty[String, List[Double]]
       java.nio.file.Files.readAllLines(hist).forEach { l =>
         if (l.trim.nonEmpty) {
-          val qsNode = mapper.readTree(l).get("queries")
+          val line = mapper.readTree(l)
+          val calibNode = line.get("calib_sec")
+          val scale =
+            if (calibNode != null && calibNode.asDouble() > 0)
+              CalibAnchor / calibNode.asDouble()
+            else 1.0
+          val qsNode = line.get("queries")
           if (qsNode != null) qsNode.properties().forEach { e =>
             val v = e.getValue.asDouble()
             if (v > 0) perQuery(e.getKey) =
-              v :: perQuery.getOrElse(e.getKey, Nil)
+              v * scale :: perQuery.getOrElse(e.getKey, Nil)
           }
         }
       }

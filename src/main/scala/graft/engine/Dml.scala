@@ -128,6 +128,49 @@ object Dml {
   private[graft] def layoutFiles(path: String): Seq[Path] =
     dataFiles(Paths.get(path))
 
+  /** True when every leaf of `df`'s analyzed plan is provably
+    * independent of the layout at `path`: literal rows, ranges, or file
+    * scans whose roots don't overlap the target directory. Unknown leaf
+    * shapes (cached plans, catalog formats this engine doesn't route)
+    * count as dependent — the caller pins. */
+  private def independentOfPath(df: DataFrame, path: String): Boolean = {
+    val target = Paths.get(path).toAbsolutePath.normalize.toString
+    df.queryExecution.analyzed.collectLeaves().forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation |
+          _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation |
+          _: org.apache.spark.sql.catalyst.plans.logical.Range => true
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation =>
+            fs.location.rootPaths.forall { p =>
+              val lp = p.toUri.getPath
+              lp != target && !lp.startsWith(target + "/") &&
+                !target.startsWith(lp + "/")
+            }
+          case _ => false
+        }
+      case _ => false
+    }
+  }
+
+  /** Pin a DML source to a snapshot ONLY when it needs one (r21): the
+    * eager localCheckpoint exists because (a) a non-deterministic /
+    * current-time source would land different rows than it checked
+    * across the merge's several evaluations, and (b) a source reading
+    * FROM the target would hit files the rewrite replaces mid-merge. A
+    * deterministic source that provably never touches the target needs
+    * neither — skipping its materialization job removes the dominant
+    * fixed cost of a small upsert (per-statement overhead, guide §1.2);
+    * re-evaluating a pushdown-filtered scan 3× is cheaper than one
+    * checkpoint at every scale where the source is broadcast-sized. */
+  private[engine] def pinSource(sourceIn: DataFrame, path: String): DataFrame = {
+    val stable = Engine.stableSnapshot(sourceIn)
+    if (!(stable eq sourceIn)) stable // unstable → already pinned eagerly
+    else if (independentOfPath(sourceIn, path)) sourceIn
+    else sourceIn.localCheckpoint()
+  }
+
   def copyOnWrite(
       spark: SparkSession, path: String, pruneCol: String,
       loMicros: Long, hiMicros: Long)(
@@ -297,7 +340,7 @@ object Dml {
   def deleteUsingKeys(
       spark: SparkSession, path: String, sourceIn: DataFrame,
       srcKeysIn: Seq[String]): Stats = {
-    val source = sourceIn.localCheckpoint()
+    val source = pinSource(sourceIn, path)
     val srcKeys = srcKeysIn.map { n =>
       source.columns.find(_.equalsIgnoreCase(n)).getOrElse(
         throw new IllegalArgumentException(
@@ -356,8 +399,10 @@ object Dml {
     // deleted part files or, worse, observe post-update rows and insert
     // a different set than the statement's pre-merge snapshot. The
     // source is broadcast-sized by contract, so the eager checkpoint is
-    // O(upsert batch), not O(table).
-    val source = sourceIn.localCheckpoint()
+    // O(upsert batch), not O(table) — and `pinSource` (r21) skips it
+    // entirely when the source is deterministic and provably
+    // target-independent.
+    val source = pinSource(sourceIn, path)
     // resolve key/SET names against the actual column case: Spark
     // resolves identifiers case-insensitively by default, so `ON t.ID =
     // s.ID` over lowercase columns is legal SQL — exact-case string ops

@@ -1310,11 +1310,12 @@ private[engine] trait EngineDml {
             .agg(min(col(keys.head)).cast("long"),
               max(col(keys.head)).cast("long")).head()
           val dir = java.nio.file.Paths.get(meta.location)
+          // listing failure (missing dir, foreign FS) throws → the
+          // catch falls back to the full scan; an EMPTY listing of an
+          // existing local layout genuinely means an empty table — the
+          // first INSERT after CREATE collides with nothing
           val files = Dml.layoutFiles(dir.toString)
-          // an empty listing against a non-empty batch can't prove
-          // anything (moved/foreign layout) — fall back to the full scan
-          if (files.isEmpty && !span.isNullAt(0)) None
-          else {
+          locally {
             val candidates =
               if (span.isNullAt(0)) Seq.empty // empty batch: no collision
               else Dml.insertCheckFiles(files,

@@ -251,13 +251,13 @@ object Dedup {
     * filter + both join sides) and again by the cap-stats diagnostic, and
     * without the cache each consumer re-runs the whole
     * shingle→hash→16-min signature pipeline. */
-  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    val withKeys = withBandKeys(minhashSig(s, dir))
+  private def minhashBands(s: SparkSession, dir: String): DataFrame =
+    // banding construction INSIDE the memo thunk (r21): built eagerly,
+    // a post-memo invocation still re-analyzed the signature projection
     memoPersist(s, dir, "minhash_bands") {
-      withKeys.select(col("doc_id"),
+      withBandKeys(minhashSig(s, dir)).select(col("doc_id"),
         expr("stack(4, 0, k0, 1, k1, 2, k2, 3, k3)").as(Seq("band", "key")))
     }
-  }
 
   val minhashLsh: Q = (s, dir) => {
     val unpivoted = minhashBands(s, dir)

@@ -436,34 +436,40 @@ object Similarity {
     // qc2 masks the FIRST argmax position (by position, not value) so
     // duplicate cosines still select the same second centroid as the
     // oracle's ROW_NUMBER ... rn = 2.
-    val cents = codebook(corpus)
-    val secondArgmax =
-      s"""element_at(${idsLitOf(cents)}, CAST(array_position(qarr2,
-         |  array_max(qarr2)) AS INT))""".stripMargin
-    val bk = tunedBucketExprs.zipWithIndex
-      .foldLeft(corpus
-        .withColumn("b0", expr(bucketExpr))
-        .withColumn("b1", expr(bucketExpr2))) { case (df, (e, i)) =>
-        df.withColumn(s"tb$i", expr(e))
-      }
-      .withColumn("cent_arr", expr(centCosArr("embedding", cents)))
-      .withColumn("cent_id", expr(centArgmax("cent_arr", cents)))
-      .select(col("vec_id") +: col("embedding") +: col("b0") +: col("b1") +:
-        col("cent_id") +: tunedPrefixes.indices.map(i => col(s"tb$i")): _*)
-    val q = bk.filter(col("vec_id") < 20)
-      .withColumn("qarr", expr(centCosArr("embedding", cents)))
-      .withColumn("qc1", expr(centArgmax("qarr", cents)))
-      .withColumn("qarr2", expr(
-        s"""transform(sequence(0, ${cents.size - 1}), j ->
-           |  CASE WHEN j + 1 = array_position(qarr, array_max(qarr))
-           |  THEN CAST('-Infinity' AS DOUBLE)
-           |  ELSE element_at(qarr, j + 1) END)""".stripMargin))
-      .withColumn("qc2", expr(secondArgmax))
-      .select(col("vec_id").as("qid") +: col("embedding").as("q_emb") +:
-        col("b0").as("qb0") +: col("b1").as("qb1") +:
-        col("qc1") +: col("qc2") +:
-        tunedPrefixes.indices.map(i => col(s"tb$i").as(s"qtb$i")): _*)
+    // EVERYTHING feeding `pairs` is constructed INSIDE the memo thunk
+    // (r21): bk/q carry the inlined hyperplane matrices (~1,500 literal
+    // nodes) and their withColumn chains re-analyze per call — built
+    // eagerly, every post-memo invocation still paid the full plan
+    // construction for frames it never used (measured: 0.9–2.4 s of the
+    // recall legs' per-sample time was DataFrame construction).
     val pairs = memoPersist(s, dir, pairsKey) {
+      val cents = codebook(corpus)
+      val secondArgmax =
+        s"""element_at(${idsLitOf(cents)}, CAST(array_position(qarr2,
+           |  array_max(qarr2)) AS INT))""".stripMargin
+      val bk = tunedBucketExprs.zipWithIndex
+        .foldLeft(corpus
+          .withColumn("b0", expr(bucketExpr))
+          .withColumn("b1", expr(bucketExpr2))) { case (df, (e, i)) =>
+          df.withColumn(s"tb$i", expr(e))
+        }
+        .withColumn("cent_arr", expr(centCosArr("embedding", cents)))
+        .withColumn("cent_id", expr(centArgmax("cent_arr", cents)))
+        .select(col("vec_id") +: col("embedding") +: col("b0") +: col("b1") +:
+          col("cent_id") +: tunedPrefixes.indices.map(i => col(s"tb$i")): _*)
+      val q = bk.filter(col("vec_id") < 20)
+        .withColumn("qarr", expr(centCosArr("embedding", cents)))
+        .withColumn("qc1", expr(centArgmax("qarr", cents)))
+        .withColumn("qarr2", expr(
+          s"""transform(sequence(0, ${cents.size - 1}), j ->
+             |  CASE WHEN j + 1 = array_position(qarr, array_max(qarr))
+             |  THEN CAST('-Infinity' AS DOUBLE)
+             |  ELSE element_at(qarr, j + 1) END)""".stripMargin))
+        .withColumn("qc2", expr(secondArgmax))
+        .select(col("vec_id").as("qid") +: col("embedding").as("q_emb") +:
+          col("b0").as("qb0") +: col("b1").as("qb1") +:
+          col("qc1") +: col("qc2") +:
+          tunedPrefixes.indices.map(i => col(s"tb$i").as(s"qtb$i")): _*)
       bk.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("cosine", expr("cosine_sim(embedding, q_emb)"))
@@ -2111,52 +2117,52 @@ object Similarity {
 
   val pqRecall: Q = (s, dir) => {
     graft.functions.CosineSimilarity.register(s)
-    val cents = trainedCodebook(s, dir)
-    val cbs = pqCodebooks(s, dir)
-    val centsLit = centsLitDOf(cents)
-    // per-row: coarse assignment, residual, raw doubles, both recons
-    val base = t(s, dir, "embeddings")
-      .withColumn("cos_arr", expr(centCosArrD("embedding", cents)))
-      .withColumn("cent", expr(s"""element_at($centsLit,
-        |  CAST(array_position(cos_arr, array_max(cos_arr)) AS INT))"""
-        .stripMargin))
-      .withColumn("resid", expr(residExpr(cents)))
-      .withColumn("xd",
-        expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
-    // each distance array is computed ONCE as a column (an argmin that
-    // re-inlined the fold would double the expression tree), and the
-    // reconstruction frame is memoPersisted: the hit/count/distortion
-    // aggregates below are ~8 separate jobs, and without the cache every
-    // one would re-run (and re-codegen) the 16 large fold projections
-    val withR = (0 until 8).foldLeft(base) { (df, j) =>
-      val cbLit = cbs(j).map(c => centLitD(c._2))
-        .mkString("array(", ", ", ")")
-      df.withColumn(s"rdist$j", expr(subDistResid(j, cbs(j))))
-        .withColumn(s"rrec$j", expr(
-          s"""zip_with(slice(cent, ${j * 8 + 1}, 8),
-             |  element_at($cbLit, CAST(array_position(
-             |    rdist$j, array_min(rdist$j)) AS INT)),
-             |  (c, w) -> c + w)""".stripMargin))
-    }
-    val withS = (0 until 8).foldLeft(withR) { (df, j) =>
-      val sliceLit = cents
-        .map(c => centLitD(c._2.slice(j * 8, j * 8 + 8)))
-        .mkString("array(", ", ", ")")
-      df.withColumn(s"sdist$j", expr(
-        s"""transform(sequence(0, ${cents.size - 1}), k ->
-           |  graft_l2_slice(xd, element_at($sliceLit, k + 1),
-           |    ${j * 8 + 1}))""".stripMargin))
-        .withColumn(s"srec$j", expr(
-          s"""element_at($sliceLit,
-             |  CAST(array_position(sdist$j, array_min(sdist$j)) AS INT))"""
-            .stripMargin))
-    }
     // localCheckpoint (eager), not just persist: the recon plan carries
     // 16 fold projections with ~2k inlined codebook literals, and every
     // downstream action would re-ANALYZE that tree even with the data
     // cached — checkpointing truncates the lineage to a LogicalRDD, so
-    // the ~10 aggregate/window jobs below plan over a 4-column leaf
+    // the ~10 aggregate/window jobs below plan over a 4-column leaf.
+    // The WHOLE recon construction lives inside the memo thunk (r21):
+    // built eagerly, a post-memo invocation still paid the 16-fold
+    // withColumn chain's plan construction for a frame it never used.
     val recon = memoPersist(s, dir, "pq_recall_recon") {
+      val cents = trainedCodebook(s, dir)
+      val cbs = pqCodebooks(s, dir)
+      val centsLit = centsLitDOf(cents)
+      // per-row: coarse assignment, residual, raw doubles, both recons
+      val base = t(s, dir, "embeddings")
+        .withColumn("cos_arr", expr(centCosArrD("embedding", cents)))
+        .withColumn("cent", expr(s"""element_at($centsLit,
+          |  CAST(array_position(cos_arr, array_max(cos_arr)) AS INT))"""
+          .stripMargin))
+        .withColumn("resid", expr(residExpr(cents)))
+        .withColumn("xd",
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+      // each distance array is computed ONCE as a column (an argmin that
+      // re-inlined the fold would double the expression tree)
+      val withR = (0 until 8).foldLeft(base) { (df, j) =>
+        val cbLit = cbs(j).map(c => centLitD(c._2))
+          .mkString("array(", ", ", ")")
+        df.withColumn(s"rdist$j", expr(subDistResid(j, cbs(j))))
+          .withColumn(s"rrec$j", expr(
+            s"""zip_with(slice(cent, ${j * 8 + 1}, 8),
+               |  element_at($cbLit, CAST(array_position(
+               |    rdist$j, array_min(rdist$j)) AS INT)),
+               |  (c, w) -> c + w)""".stripMargin))
+      }
+      val withS = (0 until 8).foldLeft(withR) { (df, j) =>
+        val sliceLit = cents
+          .map(c => centLitD(c._2.slice(j * 8, j * 8 + 8)))
+          .mkString("array(", ", ", ")")
+        df.withColumn(s"sdist$j", expr(
+          s"""transform(sequence(0, ${cents.size - 1}), k ->
+             |  graft_l2_slice(xd, element_at($sliceLit, k + 1),
+             |    ${j * 8 + 1}))""".stripMargin))
+          .withColumn(s"srec$j", expr(
+            s"""element_at($sliceLit,
+               |  CAST(array_position(sdist$j, array_min(sdist$j)) AS INT))"""
+              .stripMargin))
+      }
       withS
         .withColumn("recon_r", expr(
           (0 until 8).map(j => s"rrec$j").mkString("concat(", ", ", ")")))

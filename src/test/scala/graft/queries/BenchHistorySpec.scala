@@ -42,6 +42,20 @@ class BenchHistorySpec extends AnyFunSuite {
       .map(e => e.getKey -> e.getValue.asDouble()).toMap)
       .getOrElse(Map.empty)
 
+  // calib normalization (VERDICT r20 #6, mirrors Bench.historyMedians):
+  // scale a run's seconds to the 0.75 s reference host so rounds
+  // measured on a slow host neither ratchet the anchor nor read as
+  // regressions; runs without a calib probe contribute unscaled
+  private def calibScale(run: JsonNode): Double = {
+    val c = Option(run.get("calib_sec")).map(_.asDouble()).getOrElse(0.0)
+    if (c > 0) graft.Bench.CalibAnchor / c else 1.0
+  }
+
+  private def normalizedQueryMap(run: JsonNode): Map[String, Double] = {
+    val s = calibScale(run)
+    queryMap(run).view.mapValues(_ * s).toMap
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -56,8 +70,10 @@ class BenchHistorySpec extends AnyFunSuite {
       .map(_.trim).filter(_.nonEmpty).map(mapper.readTree).toSeq
     assert(history.nonEmpty, "history file exists but has no runs")
 
-    val cur = queryMap(current)
-    val histMaps = history.map(queryMap)
+    // both sides calib-normalized: the gate measures code drift on the
+    // reference host, not whatever this round's container happened to be
+    val cur = normalizedQueryMap(current)
+    val histMaps = history.map(normalizedQueryMap)
     val medians = histMaps.flatMap(_.keys).distinct.map { q =>
       q -> median(histMaps.flatMap(_.get(q)))
     }.toMap
@@ -116,16 +132,35 @@ class BenchHistorySpec extends AnyFunSuite {
     assert(graft.Bench.retryPlan(hot, Map.empty) == ((0.0, Set.empty)))
   }
 
-  test("historyMedians reads the recorded per-query history") {
+  test("historyMedians reads the recorded history, calib-normalized") {
     val meds = graft.Bench.historyMedians(historyPath)
     assume(Files.exists(historyPath), "no recorded history yet")
     assert(meds.nonEmpty && meds.values.forall(_ > 0))
-    // the medians agree with this spec's own computation
+    // the medians agree with this spec's own normalized computation
     val history = Files.readAllLines(historyPath).asScala
       .map(_.trim).filter(_.nonEmpty).map(mapper.readTree).toSeq
-    val histMaps = history.map(queryMap)
+    val histMaps = history.map(normalizedQueryMap)
     val q = histMaps.head.keys.head
     assert(math.abs(meds(q) - median(histMaps.flatMap(_.get(q)))) < 1e-12)
+    // a calib-carrying line contributes SCALED values: recompute one
+    // query's median from raw maps and check it differs whenever any
+    // contributing line has calib_sec != the anchor (r19/r20 do)
+    val rawMaps = history.map(queryMap)
+    val scales = history.map(calibScale)
+    if (scales.exists(s => math.abs(s - 1.0) > 0.01)) {
+      val affected = history.zipWithIndex.collectFirst {
+        case (run, i) if math.abs(scales(i) - 1.0) > 0.01 &&
+            queryMap(run).nonEmpty =>
+          queryMap(run).keys.head
+      }
+      affected.foreach { aq =>
+        val rawMed = median(rawMaps.flatMap(_.get(aq)))
+        // not asserting inequality (an even run count can median-average
+        // across scaled/unscaled pairs) — assert the normalized median
+        // never exceeds the raw one when every scale is <= 1 (slow hosts)
+        if (scales.forall(_ <= 1.0)) assert(meds(aq) <= rawMed + 1e-12)
+      }
+    }
     // a missing file is an empty anchor, not a throw
     assert(graft.Bench.historyMedians(
       Paths.get("tools/does_not_exist.jsonl")).isEmpty)

@@ -492,6 +492,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"pairs must come from the cent_id equi-join:\n$p")
+    // the SemClusterCap branch itself (VERDICT r20 #4): pair inputs are
+    // gated through the broadcast LEFT-SEMI join against the under-cap
+    // cluster list — a refactor that drops the semi-join silently
+    // un-caps the quadratic pair stage
+    assert(p.contains("LeftSemi"),
+      s"the under-cap cluster gate (broadcast semi-join) must exist:\n$p")
+  }
+
+  test("p_dedup_semantic cap: an over-cap cluster contributes zero pairs") {
+    // stats twin of the plan gate: the planted fixture's cluster 0 sits
+    // at cap+1 members with τ = -2 (every within-cluster pair would
+    // drop) — the ONLY thing keeping its members alive is the cap
+    // branch, so n_dropped == 0 for cluster 0 proves the over-cap
+    // cluster fed NO pairs, and cluster 1 (at cap) proves the pair
+    // stage still fires for under-cap clusters
+    val rows = Similarity.semanticCapFixture(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.length == 2, s"fixture must emit both clusters: ${rows.toSeq}")
+    val (c0, c1) = (rows(0), rows(1))
+    assert(c0._2 == Similarity.SemClusterCap + 1 && c0._3 == 0,
+      s"over-cap cluster must contribute zero pairs/drops: $c0")
+    assert(c1._2 == Similarity.SemClusterCap && c1._3 == c1._2 - 1,
+      s"at-cap cluster must drop all but the minimum id: $c1")
   }
 
   test("p_chunk_docs: map-only until the output ordering") {
