@@ -11,6 +11,23 @@ object MicroProbe {
     val spark = graft.engine.Session.forHarness()
     import org.apache.spark.sql.functions._
 
+    // `semcap <dir>`: SemClusterCap soak statistics — cluster-size
+    // distribution of the trained assignment at <dir>, and how many
+    // clusters the cap excludes from the pair stage (SCALE.md r21 row)
+    if (args.headOption.contains("semcap")) {
+      val dir = args(1)
+      val rows = graft.queries.Similarity.semanticDedup(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val cap = graft.queries.Similarity.SemClusterCap
+      println(s"[semcap] dir=$dir clusters=${rows.length} " +
+        s"maxSize=${rows.map(_._2).max} " +
+        s"overCap=${rows.count(_._2 > cap)} " +
+        s"overCapSizes=${rows.filter(_._2 > cap).map(_._2).sorted.mkString(",")} " +
+        s"pairsStageMembers=${rows.filter(_._2 <= cap).map(_._2).sum}")
+      spark.stop()
+      return
+    }
+
     def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       val samples = (1 to 5).map { _ =>
         val t = System.nanoTime()

@@ -121,17 +121,21 @@ object Dedup {
     * aggregate combines map-side, so the extra pass shuffles only
     * (sh, partial count) rows. */
   private def cappedCommon(sh: DataFrame): DataFrame = {
+    // graft_sorted_pairs ≡ flatten(transform(ds, (a, i) ->
+    //   transform(slice(ds, i + 2, size(ds)),
+    //             d -> named_struct('d1', a, 'd2', d)))) — the same
+    // ordered pairs in the same order, one flat native loop instead of
+    // O(len²) interpreted lambda evaluations + a slice alloc per outer
+    // element (r21; the lists are DfCap-bounded, so this is a constant
+    // factor on an already-capped stage)
+    graft.functions.SortedPairs.register(sh.sparkSession)
     val okSh = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= DfCap)
       .select(col("sh"))
     sh.join(okSh, Seq("sh"), "left_semi")
       .groupBy(col("sh"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .select(explode(expr(
-        """flatten(transform(ds, (a, i) ->
-          |  transform(slice(ds, i + 2, size(ds)),
-          |            d -> named_struct('d1', a, 'd2', d))))""".stripMargin))
-        .as("p"))
+      .select(explode(expr("graft_sorted_pairs(ds)")).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("common"))
