@@ -114,12 +114,18 @@ object Dedup {
     * inverted index — THE code path under the DfCap guard, shared by
     * ngramJaccard and the cap-fixture query (p_dedup_cap_fixture) so the
     * capped branch's cross-engine parity is exercised by data, not only
-    * argued. The cap is applied BEFORE collect_list (count-aggregate +
-    * semi-join), so no aggregation buffer ever materializes an over-cap
-    * posting list — filtering on size(ds) AFTER collecting would still OOM
-    * the one task holding the boilerplate shingle. count's partial
-    * aggregate combines map-side, so the extra pass shuffles only
-    * (sh, partial count) rows. */
+    * argued. The cap guard is FUSED into the collect aggregation (r22,
+    * guide §2.4): ONE groupBy computes the document frequency AND a
+    * buffer-capped posting list (`graft_capped_longs` — its aggregation
+    * buffer stops growing at DfCap elements, so the boilerplate-shingle
+    * OOM guard the former count-preaggregate + semi-join provided is
+    * preserved without them: no buffer ever materializes an over-cap
+    * list). The df filter then drops over-cap groups whole; for every
+    * KEPT group df ≤ DfCap, so its capped list is provably COMPLETE and
+    * array_sort makes it order-canonical — byte-identical pairs to the
+    * former collect_list-after-semi-join. This removes a full pass over
+    * the shingle index plus its count exchange and semi-join broadcast
+    * (plan: 3 exchanges + 1 broadcast → 2 exchanges on this subtree). */
   private def cappedCommon(sh: DataFrame): DataFrame = {
     // graft_sorted_pairs ≡ flatten(transform(ds, (a, i) ->
     //   transform(slice(ds, i + 2, size(ds)),
@@ -129,13 +135,12 @@ object Dedup {
     // element (r21; the lists are DfCap-bounded, so this is a constant
     // factor on an already-capped stage)
     graft.functions.SortedPairs.register(sh.sparkSession)
-    val okSh = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    graft.functions.CappedLongList.register(sh.sparkSession)
+    sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"),
+        expr(s"graft_capped_longs(doc_id, $DfCap)").as("ds0"))
       .filter(col("df") >= 2 && col("df") <= DfCap)
-      .select(col("sh"))
-    sh.join(okSh, Seq("sh"), "left_semi")
-      .groupBy(col("sh"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .select(explode(expr("graft_sorted_pairs(ds)")).as("p"))
+      .select(explode(expr("graft_sorted_pairs(array_sort(ds0))")).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("common"))

@@ -479,10 +479,6 @@ object Similarity {
           tunedPrefixes.indices.flatMap(i =>
             Seq(col(s"tb$i"), col(s"qtb$i"))): _*)
     }
-    val wTruth = Window.partitionBy(col("qid"))
-      .orderBy(desc("cosine"), col("vec_id"))
-    val truth = pairs.withColumn("rn", row_number().over(wTruth))
-      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
     // one-bit-flip probe set (xor 0 = the exact bucket), as in lshMultiProbe
     val probes = Seq(0L, 1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L)
     // tuned candidate rule: within Hamming radius 1 of the query's bucket
@@ -502,50 +498,63 @@ object Similarity {
     // under the 15% bar at production recall). RecallSpec pins recall
     // >= 0.9 AND fraction <= 15% — the harness teaches the TUNING, not
     // just the mismatch.
-    val cand = pairs
-      .withColumn("variant", explode(array(
-        lit("lsh"), lit("multiprobe"), lit("or_tables"), lit("tuned"),
-        lit("tuned_clu"), lit("ivf"))))
-      .filter(
-        (col("variant") === "lsh" && col("b0") === col("qb0")) ||
-        (col("variant") === "multiprobe" &&
-          expr("b0 ^ qb0").isin(probes: _*)) ||
-        (col("variant") === "or_tables" &&
-          (col("b0") === col("qb0") || col("b1") === col("qb1"))) ||
-        (col("variant") === "tuned" && expr(tunedCond)) ||
-        (col("variant") === "tuned_clu" &&
-          (expr("bit_count(b0 ^ qb0) <= 1") ||
-            col("b1") === col("qb1"))) ||
-        (col("variant") === "ivf" &&
-          (col("cent_id") === col("qc1") || col("cent_id") === col("qc2"))))
-    val wVar = Window.partitionBy(col("variant"), col("qid"))
+    //
+    // ONE window pass + ONE global aggregate over the pair frame (r22,
+    // guide §2.3/§2.4 — was: a 6-way variant explode, a second window
+    // over the exploded candidates, a retrieved⋈truth join, and three
+    // more aggregates over pairs/truth/candidates). The collapse is
+    // sound because every variant's retrieved set and the ground truth
+    // rank the SAME total order (cosine DESC, vec_id — strict within a
+    // qid, vec_id is unique): a running conditional count over that
+    // order equals the row_number a variant's filtered candidate
+    // sub-sequence would assign, so "retrieved by v" = admitted ∧
+    // running_count_v ≤ 10, and "hit" needs no join — truth membership
+    // (row_number ≤ 10) is a property of the SAME row. Per-variant
+    // totals then fold in one aggregate; the 6 output rows are a
+    // constant-width reshape of its single row. Values are identical
+    // integer counts and the same two double divisions — hash-equal.
+    val admits: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "ivf" -> (col("cent_id") === col("qc1") ||
+        col("cent_id") === col("qc2")),
+      "lsh" -> (col("b0") === col("qb0")),
+      "multiprobe" -> expr("b0 ^ qb0").isin(probes: _*),
+      "or_tables" -> (col("b0") === col("qb0") || col("b1") === col("qb1")),
+      "tuned" -> expr(tunedCond),
+      "tuned_clu" -> (expr("bit_count(b0 ^ qb0) <= 1") ||
+        col("b1") === col("qb1")))
+    val w = Window.partitionBy(col("qid"))
       .orderBy(desc("cosine"), col("vec_id"))
-    val retr = cand.withColumn("rn", row_number().over(wVar))
-      .filter(col("rn") <= 10)
-      .select(col("variant"), col("qid"), col("vec_id"))
-    val hits = retr.join(truth, Seq("qid", "vec_id"))
-      .groupBy(col("variant")).agg(count(lit(1)).as("hits"))
-    // the COST axis, measured alongside recall: how many (query, corpus)
-    // pairs each variant's candidate rule admits, as a fraction of the
-    // full cross product — the scan share a pruned-at-rest layout reads
-    val cands = cand.groupBy(col("variant")).agg(count(lit(1)).as("cands"))
-    val tot = truth.agg(count(lit(1)).as("n_truth"))
-    val totPairs = pairs.agg(count(lit(1)).as("n_pairs"))
-    val variants =
-      Seq("ivf", "lsh", "multiprobe", "or_tables", "tuned", "tuned_clu")
-        .toDF("variant")
-    variants.join(hits, Seq("variant"), "left")
-      .join(cands, Seq("variant"), "left")
-      .crossJoin(broadcast(tot))
-      .crossJoin(broadcast(totPairs))
-      .select(col("variant"),
-        coalesce(col("hits"), lit(0L)).as("n_hits"),
-        col("n_truth"),
-        (coalesce(col("hits"), lit(0L)).cast("double") /
-          col("n_truth").cast("double")).as("recall_at_10"),
-        coalesce(col("cands"), lit(0L)).as("n_cand"),
-        (coalesce(col("cands"), lit(0L)).cast("double") /
-          col("n_pairs").cast("double")).as("cand_frac"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = pairs.select(
+      row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(desc("cosine"), col("vec_id"))).as("rn") +:
+      admits.map { case (v, adm) =>
+        sum(when(adm, 1L).otherwise(0L)).over(w).as(s"rk_$v")
+      } ++:
+      admits.map { case (v, adm) => adm.as(s"adm_$v") }: _*)
+    val aggCols =
+      sum(when(col("rn") <= 10, 1L).otherwise(0L)).as("n_truth") +:
+      count(lit(1)).as("n_pairs") +:
+      (admits.map { case (v, _) =>
+        sum(when(col(s"adm_$v") && col(s"rk_$v") <= 10 &&
+          col("rn") <= 10, 1L).otherwise(0L)).as(s"hits_$v")
+      } ++
+      admits.map { case (v, _) =>
+        sum(when(col(s"adm_$v"), 1L).otherwise(0L)).as(s"cands_$v")
+      })
+    val agg = ranked.agg(aggCols.head, aggCols.tail: _*)
+    agg.select(explode(array(admits.map { case (v, _) =>
+        struct(lit(v).as("variant"), col(s"hits_$v").as("n_hits"),
+          col("n_truth"), col(s"cands_$v").as("n_cand"), col("n_pairs"))
+      }: _*)).as("r"))
+      .select(col("r.variant").as("variant"),
+        col("r.n_hits").as("n_hits"),
+        col("r.n_truth").as("n_truth"),
+        (col("r.n_hits").cast("double") /
+          col("r.n_truth").cast("double")).as("recall_at_10"),
+        col("r.n_cand").as("n_cand"),
+        (col("r.n_cand").cast("double") /
+          col("r.n_pairs").cast("double")).as("cand_frac"))
       .orderBy(col("variant"))
   }
 
@@ -2181,28 +2190,42 @@ object Similarity {
         .withColumn("d_s", expr(l2Expr("recon_s", "q_emb")))
         .select("qid", "vec_id", "d_true", "d_r", "d_s")
     }
-    def top10(d: String) = pairs
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col(d), col("vec_id"))))
-      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
-    val truth = top10("d_true")
-    def hits(d: String) = top10(d).join(truth, Seq("qid", "vec_id"))
-      .agg(count(lit(1)).as("n_hits"))
-    // mean l2sq(x, recon): order-independent integer sum, two divisions
-    def distortion(rc: String) = recon.agg(
+    // ONE window pass + ONE aggregate over the pair frame (r22, guide
+    // §2.3/§2.4 — was: three top-10 windows, two retrieved⋈truth joins,
+    // and three more aggregates). All three rankings partition by qid,
+    // so the three row_numbers share one exchange (the sorts chain);
+    // truth membership (rn_t ≤ 10) is a property of the SAME row as each
+    // scheme's rank, so a hit needs no join. The two distortion means
+    // fold into one pass over the memoized recon frame. Identical
+    // integer counts, identical divisions — hash-equal.
+    def rn(d: String) = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col(d), col("vec_id")))
+    val ranked = pairs.select(
+      rn("d_true").as("rn_t"), rn("d_r").as("rn_r"), rn("d_s").as("rn_s"))
+    val counts = ranked.agg(
+      sum(when(col("rn_t") <= 10, 1L).otherwise(0L)).as("n_truth"),
+      sum(when(col("rn_r") <= 10 && col("rn_t") <= 10, 1L).otherwise(0L))
+        .as("hits_r"),
+      sum(when(col("rn_s") <= 10 && col("rn_t") <= 10, 1L).otherwise(0L))
+        .as("hits_s"))
+    // mean l2sq(x, recon): order-independent integer sum, two divisions;
+    // both schemes' sums in one aggregate pass over recon
+    def distortion(rc: String) =
       (sum(expr(s"CAST(FLOOR(${l2Expr("xd", rc)} * 1000000.0) AS BIGINT)"))
         .cast("double") / lit(1000000.0) /
-        count(lit(1)).cast("double")).as("distortion"))
-    def row(scheme: String, d: String, rc: String) =
-      hits(d)
-        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
-        .crossJoin(broadcast(distortion(rc)))
-        .select(lit(scheme).as("scheme"), col("n_hits"), col("n_truth"),
-          (col("n_hits").cast("double") / col("n_truth").cast("double"))
-            .as("recall_at_10"),
-          col("distortion"))
-    row("residual", "d_r", "recon_r")
-      .unionByName(row("slice", "d_s", "recon_s"))
+        count(lit(1)).cast("double")).as(s"dist_$rc")
+    val dists = recon.agg(distortion("recon_r"), distortion("recon_s"))
+    counts.crossJoin(broadcast(dists))
+      .select(explode(array(
+        struct(lit("residual").as("scheme"), col("hits_r").as("n_hits"),
+          col("n_truth"), col("dist_recon_r").as("distortion")),
+        struct(lit("slice").as("scheme"), col("hits_s").as("n_hits"),
+          col("n_truth"), col("dist_recon_s").as("distortion")))).as("r"))
+      .select(col("r.scheme").as("scheme"), col("r.n_hits").as("n_hits"),
+        col("r.n_truth").as("n_truth"),
+        (col("r.n_hits").cast("double") / col("r.n_truth").cast("double"))
+          .as("recall_at_10"),
+        col("r.distortion").as("distortion"))
       .orderBy(col("scheme"))
   }
 
