@@ -84,11 +84,15 @@ object Bench {
       if (x == 0L) System.err.print("") // keep the loop observable
       (System.nanoTime() - t0) / 1e9
     }
-    // one calibration reading BEFORE the timed loop: the self-heal and
-    // suspect-flag comparisons below are against CALIB-NORMALIZED
-    // history medians (VERDICT r20 #6), so the current run's host speed
-    // must be known at decision time, not only at the end
-    val calibPre = calibOnce()
+    // calibration BEFORE the timed loop: the self-heal and suspect-flag
+    // comparisons below are against CALIB-NORMALIZED history medians
+    // (VERDICT r20 #6), so the current run's host speed must be known at
+    // decision time, not only at the end. Min of TWO readings (ADVICE
+    // r21): a transient spike during a single probe would proportionally
+    // relax every in-run regression trigger for the whole run; the
+    // recorded calib_sec stays min-of-3 (this pre-run min + one more
+    // post-run reading).
+    val calibPre = math.min(calibOnce(), calibOnce())
     val firstPass = timed.map { case (name, fn) =>
       val a = sampleOf(name, fn)
       // re-sample only when the first reading is slow enough to matter:
@@ -172,9 +176,9 @@ object Bench {
     val buildsJson = builds.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val buildsTotal = builds.collect { case (_, v) if v >= 0 => v }.sum
-    // reported calibration: min of 3 readings (pre-run + 2 here — same
-    // spike-rejection rationale as the queries' best-of-2)
-    val calibSec = math.min(calibPre, math.min(calibOnce(), calibOnce()))
+    // reported calibration: min of 3+ readings (the two pre-run + one
+    // here — same spike-rejection rationale as the queries' best-of-2)
+    val calibSec = math.min(calibPre, calibOnce())
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val samples = results.map { case (k, _, _, n) => "\"" + k + "\":" + n }

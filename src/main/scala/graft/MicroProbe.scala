@@ -28,6 +28,32 @@ object MicroProbe {
       return
     }
 
+    // `dmljobs <query ...>`: jobs-per-query counter (r22, VERDICT r21 #2
+    // evidence) — each named declared query runs under its own job group;
+    // the group's job count is the per-statement job overhead the script
+    // DML routes pay. Listener-bus fed, so a short drain sleep bounds the
+    // undercount on this local probe.
+    if (args.headOption.contains("dmljobs")) {
+      SparkEntry.queries.get("t2_service_summary").foreach { fn =>
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+      args.drop(1).foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val group = s"dmljobs_$name"
+        spark.sparkContext.setJobGroup(group, name)
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.clearJobGroup()
+        Thread.sleep(500)
+        val n = spark.sparkContext.statusTracker
+          .getJobIdsForGroup(group).length
+        println(f"[dmljobs] $name%-24s jobs=$n%3d sec=$sec%7.3f")
+      }
+      spark.stop()
+      return
+    }
+
     def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       val samples = (1 to 5).map { _ =>
         val t = System.nanoTime()

@@ -303,9 +303,10 @@ object Dml {
     * explicit-range API. */
   def mergeIntoAll(
       spark: SparkSession, path: String, source: DataFrame,
-      srcKeys: Seq[String], setCols: Seq[String]): Stats =
+      srcKeys: Seq[String], setCols: Seq[String],
+      preSpan: Option[Option[Engine.BatchSpan]] = None): Stats =
     mergeCore(spark, path, identity, source, srcKeys, setCols,
-      pruneMatchedBySpan = true)
+      pruneMatchedBySpan = true, preSpan = preSpan)
 
   /** INSERT-if-absent (the `ON CONFLICT DO NOTHING` upsert): only the
     * WHEN-NOT-MATCHED branch runs — source rows whose keys exist in the
@@ -316,8 +317,10 @@ object Dml {
     * nothing. */
   def insertOnlyAll(
       spark: SparkSession, path: String, source: DataFrame,
-      srcKeys: Seq[String]): Stats =
-    mergeCore(spark, path, _ => Seq.empty, source, srcKeys, Seq.empty)
+      srcKeys: Seq[String],
+      preSpan: Option[Option[Engine.BatchSpan]] = None): Stats =
+    mergeCore(spark, path, _ => Seq.empty, source, srcKeys, Seq.empty,
+      preSpan = preSpan)
 
   /** UPDATE-only merge (the `UPDATE … FROM` join update): matched keys
     * take the source's columns through the key-span-pruned broadcast
@@ -383,6 +386,13 @@ object Dml {
       }
     }
 
+  /** `preSpan`: Some(spanOpt) when the CALLER already certified source-key
+    * uniqueness over the same pinned source in its own batch job and hands
+    * over the head-key span (r22 — the OR REPLACE/IGNORE route's
+    * requireKeysSoundSpan); the guard aggregate here is then skipped.
+    * spanOpt must be Some(BatchSpan) exactly when the target head key is
+    * INT64 — a mismatch (caller resolved a different schema) falls back
+    * to the guard aggregate. */
   private def mergeCore(
       spark: SparkSession, path: String,
       affectedSel: Seq[Path] => Seq[Path],
@@ -390,7 +400,8 @@ object Dml {
       setColsIn: Seq[String],
       pruneMatchedBySpan: Boolean = false,
       insertBranch: Boolean = true,
-      label: String = "MERGE"): Stats = {
+      label: String = "MERGE",
+      preSpan: Option[Option[Engine.BatchSpan]] = None): Stats = {
     // Pin the SOURCE to a snapshot before any file is touched: the merge
     // evaluates it several times (uniqueness guard, matched-branch
     // broadcast, key span, insert anti-join), and the middle of those
@@ -449,19 +460,27 @@ object Dml {
       .struct(srcKeys.map(col).toSeq: _*)
     val longKey =
       keyField.dataType == org.apache.spark.sql.types.LongType
-    val guardCols = Seq(count(lit(1)).as("__n"),
-      org.apache.spark.sql.functions.countDistinct(keyTuple).as("__d")) ++
-      (if (longKey) Seq(min(col(srcKeys.head)).cast("long").as("__lo"),
-        max(col(srcKeys.head)).cast("long").as("__hi"))
-      else Seq.empty)
-    val guard = source.agg(guardCols.head, guardCols.tail: _*).head()
-    require(guard.getLong(0) == guard.getLong(1),
-      s"$label source has duplicate keys on (${srcKeys.mkString(", ")}) —" +
-        " each target row must match at most one source row")
-    val spanOpt: Option[(Long, Long)] =
-      if (!longKey) None
-      else if (guard.isNullAt(2)) Some((1L, 0L))
-      else Some((guard.getLong(2), guard.getLong(3)))
+    val spanOpt: Option[(Long, Long)] = preSpan match {
+      case Some(s) if s.isDefined == longKey =>
+        // caller-certified batch: uniqueness already enforced (with the
+        // caller's own error message) over the same pinned source; its
+        // span maps onto the guard's empty-source (1, 0) encoding
+        s.map(bs => if (bs.nonEmpty) (bs.lo, bs.hi) else (1L, 0L))
+      case _ =>
+        val guardCols = Seq(count(lit(1)).as("__n"),
+          org.apache.spark.sql.functions.countDistinct(keyTuple)
+            .as("__d")) ++
+          (if (longKey) Seq(min(col(srcKeys.head)).cast("long").as("__lo"),
+            max(col(srcKeys.head)).cast("long").as("__hi"))
+          else Seq.empty)
+        val guard = source.agg(guardCols.head, guardCols.tail: _*).head()
+        require(guard.getLong(0) == guard.getLong(1),
+          s"$label source has duplicate keys on (${srcKeys.mkString(", ")})" +
+            " — each target row must match at most one source row")
+        if (!longKey) None
+        else if (guard.isNullAt(2)) Some((1L, 0L))
+        else Some((guard.getLong(2), guard.getLong(3)))
+    }
     def spanPrune(fs: Seq[Path]): Option[Seq[Path]] = spanOpt.map {
       case (lo, hi) =>
         if (lo > hi) Seq.empty else insertCheckFiles(fs, keyCol, lo, hi)

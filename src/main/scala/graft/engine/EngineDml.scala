@@ -588,8 +588,8 @@ private[engine] trait EngineDml {
     // PRIMARY KEY enforcement (file reads are deterministic — no
     // checkpoint needed before checking what will land)
     pkOf(spark, table).foreach { keys =>
-      requireKeysSound(aligned, keys, s"COPY $table FROM")
-      requireNoExistingKey(spark, table, aligned, keys, s"COPY $table FROM")
+      requireSoundAbsentKeys(spark, table, aligned, keys,
+        s"COPY $table FROM")
     }
     aligned.write.insertInto(table)
     import spark.implicits._
@@ -781,8 +781,7 @@ private[engine] trait EngineDml {
           boundInsertSource(spark, table, body).localCheckpoint(true)
         pkOf(spark, table).foreach { keys =>
           requireKeysBound(landed, keys, s"INSERT INTO $table")
-          requireKeysSound(landed, keys, s"INSERT INTO $table")
-          requireNoExistingKey(spark, table, landed, keys,
+          requireSoundAbsentKeys(spark, table, landed, keys,
             s"INSERT INTO $table")
         }
         val fullRows = paddedToTarget(spark, table, landed)
@@ -1211,23 +1210,61 @@ private[engine] trait EngineDml {
     * example key in the message is a 1-row collect. */
   private[engine] def requireKeysSound(
       source: DataFrame, keys: Seq[String], what: String): Unit = {
-    import org.apache.spark.sql.functions.{col, count, lit}
-    source.groupBy(keys.map(col): _*)
+    requireKeysSoundSpan(source, keys, what, wantSpan = false)
+    ()
+  }
+
+  /** The batch's head-key span when the batch is non-empty — `nonEmpty =
+    * false` encodes an empty batch (nothing can collide, scan nothing). */
+  private[engine] final case class BatchSpan(
+      nonEmpty: Boolean, lo: Long, hi: Long)
+
+  /** ONE job over the (pinned) batch certifies BOTH halves of the
+    * in-batch PRIMARY KEY contract (no duplicate key tuple, no NULL key —
+    * the `requireKeysSound` guard) AND, when `wantSpan`, computes the
+    * head-key [min,max] span the footer prune consumes (r22, VERDICT r21
+    * #2: the soundness groupBy and the span agg were two separate
+    * driver-blocking jobs per statement; at script granularity the
+    * per-job overhead dominates a small INSERT). The span folds over the
+    * grouped keys — min/max over distinct key tuples equal min/max over
+    * the batch's rows — and is only consulted when no violation threw,
+    * so NULL-key groups (which min/max skip) cannot distort a span that
+    * gets used. The violation witness is an arbitrary violating group
+    * (`first` over the final aggregation's input order), exactly as the
+    * former `.limit(1)` picked an arbitrary one. */
+  private[engine] def requireKeysSoundSpan(
+      source: DataFrame, keys: Seq[String], what: String,
+      wantSpan: Boolean): Option[BatchSpan] = {
+    import org.apache.spark.sql.functions.{
+      col, count, first, lit, max, min, struct, when}
+    val grouped = source.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("graft_pk_n"))
-      .filter(col("graft_pk_n") > 1 ||
-        keys.map(col(_).isNull).reduce(_ || _))
-      .limit(1).collect().headOption
-      .foreach { r =>
-        val nulls = keys.zipWithIndex.exists { case (_, i) => r.isNullAt(i) }
-        if (nulls) throw new IllegalArgumentException(
-          s"$what: NULL in PRIMARY KEY column(s) ${keys.mkString(", ")}" +
-            " violates the constraint (as in DuckDB)")
-        val key = keys.zipWithIndex
-          .map { case (k, i) => s"$k: ${r.get(i)}" }.mkString(", ")
-        throw new IllegalArgumentException(
-          s"""$what: duplicate key "$key" violates the PRIMARY KEY""" +
-            " constraint (repeated within the written rows, as in DuckDB)")
-      }
+    val isViol = col("graft_pk_n") > 1 ||
+      keys.map(col(_).isNull).reduce(_ || _)
+    val aggCols = Seq(
+      count(lit(1)).as("graft_pk_groups"),
+      first(when(isViol, struct(keys.map(col): _*)), ignoreNulls = true)
+        .as("graft_pk_viol")) ++
+      (if (wantSpan) Seq(min(col(keys.head)).cast("long").as("graft_pk_lo"),
+        max(col(keys.head)).cast("long").as("graft_pk_hi"))
+      else Seq.empty)
+    val r = grouped.agg(aggCols.head, aggCols.tail: _*).head()
+    if (!r.isNullAt(1)) {
+      val v = r.getStruct(1)
+      val nulls = keys.indices.exists(v.isNullAt)
+      if (nulls) throw new IllegalArgumentException(
+        s"$what: NULL in PRIMARY KEY column(s) ${keys.mkString(", ")}" +
+          " violates the constraint (as in DuckDB)")
+      val key = keys.zipWithIndex
+        .map { case (k, i) => s"$k: ${v.get(i)}" }.mkString(", ")
+      throw new IllegalArgumentException(
+        s"""$what: duplicate key "$key" violates the PRIMARY KEY""" +
+          " constraint (repeated within the written rows, as in DuckDB)")
+    }
+    if (!wantSpan) None
+    else if (r.getLong(0) == 0L || r.isNullAt(2))
+      Some(BatchSpan(nonEmpty = false, 0L, 0L))
+    else Some(BatchSpan(nonEmpty = true, r.getLong(2), r.getLong(3)))
   }
 
   /** Snapshot a source only when it actually needs it: a
@@ -1235,10 +1272,23 @@ private[engine] trait EngineDml {
     * checked rows differ from the landed ones (each action re-plans,
     * so even current_timestamp moves between jobs); a stable source
     * skips the checkpoint job and its materialization. Same expression
-    * classes as RETURNING's requireStable. */
+    * classes as RETURNING's requireStable — PLUS (r22, ADVICE r21) the
+    * plan shapes that are Catalyst-deterministic yet ROW-SET-unstable
+    * across evaluations: LIMIT/OFFSET/TABLESAMPLE without a total
+    * order, dropDuplicates' arbitrary representative, window functions
+    * over a possibly-non-total order, and tie-arbitrary aggregates
+    * (first/last/any_value/max_by/min_by/mode/collect_*). Each
+    * evaluation of such a plan may legally return DIFFERENT rows, so
+    * the uniqueness guard could certify rows the write never lands —
+    * the checkpoint makes every consumer see one snapshot. Conservative
+    * by construction: pinning a stable source costs one small job;
+    * skipping the pin on an unstable one corrupts the check. */
   private[engine] def stableSnapshot(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{
       CurrentDate, CurrentTimestamp, LocalTimestamp, Now}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      AggregateExpression, AnyValue, Collect, First, Last, MaxMinBy, Mode}
+    import org.apache.spark.sql.catalyst.plans.{logical => l}
     val unstable = df.queryExecution.analyzed.exists(p =>
       p.expressions.exists(e => e.exists {
         case x if !x.deterministic => true
@@ -1246,7 +1296,20 @@ private[engine] trait EngineDml {
             _: LocalTimestamp => true
         case _ => false
       }))
-    if (unstable) df.localCheckpoint(true) else df
+    val orderUnstable = df.queryExecution.analyzed.exists {
+      case _: l.GlobalLimit | _: l.LocalLimit | _: l.Offset | _: l.Tail |
+          _: l.Sample | _: l.Deduplicate | _: l.Window => true
+      case a: l.Aggregate => a.aggregateExpressions.exists(_.exists {
+        case ae: AggregateExpression => ae.aggregateFunction match {
+          case _: First | _: Last | _: AnyValue | _: Collect[_] |
+              _: MaxMinBy | _: Mode => true
+          case _ => false
+        }
+        case _ => false
+      })
+      case _ => false
+    }
+    if (unstable || orderUnstable) df.localCheckpoint(true) else df
   }
 
   /** Refuse a batch that collides with rows already in the table —
@@ -1269,10 +1332,20 @@ private[engine] trait EngineDml {
     * key, and a non-empty batch span; any failure falls back. */
   private[engine] def requireNoExistingKey(
       spark: SparkSession, table: String, source: DataFrame,
-      keys: Seq[String], what: String): Unit = {
+      keys: Seq[String], what: String): Unit =
+    requireNoExistingKeyPruned(spark, table, source, keys, what,
+      pkCheckRelation(spark, table, source, keys))
+
+  /** The semi-join probe against a pre-selected slice of the table —
+    * `pruned = None` scans the full table (the prune's preconditions
+    * failed). Split out (r22) so the fused batch check can hand over the
+    * span it already computed instead of this path re-running a span
+    * job. */
+  private[engine] def requireNoExistingKeyPruned(
+      spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], what: String, pruned: Option[DataFrame]): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val scan = pkCheckRelation(spark, table, source, keys)
-      .getOrElse(spark.table(table))
+    val scan = pruned.getOrElse(spark.table(table))
     scan
       .join(broadcast(source.select(keys.map(col): _*)), keys, "left_semi")
       .limit(1).collect().headOption.foreach { r =>
@@ -1284,14 +1357,14 @@ private[engine] trait EngineDml {
       }
   }
 
-  /** The footer-pruned slice of `table` that can possibly collide with
-    * `source` on `keys` — None when the prune's preconditions don't
-    * hold (caller scans the full table). Package-visible so the spec
-    * can certify the file selection itself, not only its effect. */
-  private[engine] def pkCheckRelation(
-      spark: SparkSession, table: String, source: DataFrame,
-      keys: Seq[String]): Option[DataFrame] = try {
-    import org.apache.spark.sql.functions.{col, max, min}
+  /** Metadata-only prune eligibility: the head-key field when `table` is
+    * an unpartitioned parquet catalog table with an INT64 head key —
+    * the shapes whose footer statistics fold to a key range. No job
+    * runs; failures (unroutable name, missing table) yield None. */
+  private[engine] def pkPruneField(
+      spark: SparkSession, table: String,
+      keys: Seq[String]): Option[org.apache.spark.sql.types.StructField] =
+  try {
     val ident = tableRef(spark, table)
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(ident))
@@ -1301,39 +1374,77 @@ private[engine] trait EngineDml {
       meta.partitionColumnNames.isEmpty &&
       meta.provider.exists(_.equalsIgnoreCase("parquet"))
     if (!isPlainParquet) None
-    else {
-      val keyField = spark.table(ident).schema.fields
-        .find(_.name.equalsIgnoreCase(keys.head))
-      keyField.map(_.dataType) match {
-        case Some(org.apache.spark.sql.types.LongType) =>
-          val span = source
-            .agg(min(col(keys.head)).cast("long"),
-              max(col(keys.head)).cast("long")).head()
-          val dir = java.nio.file.Paths.get(meta.location)
-          // listing failure (missing dir, foreign FS) throws → the
-          // catch falls back to the full scan; an EMPTY listing of an
-          // existing local layout genuinely means an empty table — the
-          // first INSERT after CREATE collides with nothing
-          val files = Dml.layoutFiles(dir.toString)
-          locally {
-            val candidates =
-              if (span.isNullAt(0)) Seq.empty // empty batch: no collision
-              else Dml.insertCheckFiles(files,
-                keyField.get.name, span.getLong(0), span.getLong(1))
-            if (candidates.isEmpty)
-              // zero overlapping files ⇒ provably no collision: an empty
-              // relation with the key columns keeps the caller's join shape
-              Some(spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                org.apache.spark.sql.types.StructType(
-                  keys.map(k => spark.table(ident).schema.fields
-                    .find(_.name.equalsIgnoreCase(k)).get))))
-            else Some(spark.read.parquet(candidates.map(_.toString): _*))
-          }
-        case _ => None // non-INT64 head key: stats don't fold to a range
-      }
-    }
+    else spark.table(ident).schema.fields
+      .find(_.name.equalsIgnoreCase(keys.head))
+      .filter(_.dataType == org.apache.spark.sql.types.LongType)
   } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The footer-pruned slice of `table` that can possibly collide with
+    * `source` on `keys` — None when the prune's preconditions don't
+    * hold (caller scans the full table). Package-visible so the spec
+    * can certify the file selection itself, not only its effect. This
+    * signature runs the span agg inline; the fused statement routes use
+    * `pkCheckRelationSpan` with the span their batch check already
+    * computed. */
+  private[engine] def pkCheckRelation(
+      spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String]): Option[DataFrame] =
+    pkPruneField(spark, table, keys).flatMap { field =>
+      import org.apache.spark.sql.functions.{col, max, min}
+      val span = source
+        .agg(min(col(keys.head)).cast("long"),
+          max(col(keys.head)).cast("long")).head()
+      pkCheckRelationSpan(spark, table, keys, field,
+        if (span.isNullAt(0)) BatchSpan(nonEmpty = false, 0L, 0L)
+        else BatchSpan(nonEmpty = true, span.getLong(0), span.getLong(1)))
+    }
+
+  /** File selection given an already-computed batch span. */
+  private[engine] def pkCheckRelationSpan(
+      spark: SparkSession, table: String, keys: Seq[String],
+      keyField: org.apache.spark.sql.types.StructField,
+      span: BatchSpan): Option[DataFrame] = try {
+    val ident = tableRef(spark, table)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(ident))
+    val dir = java.nio.file.Paths.get(meta.location)
+    // listing failure (missing dir, foreign FS) throws → the
+    // catch falls back to the full scan; an EMPTY listing of an
+    // existing local layout genuinely means an empty table — the
+    // first INSERT after CREATE collides with nothing
+    val files = Dml.layoutFiles(dir.toString)
+    val candidates =
+      if (!span.nonEmpty) Seq.empty // empty batch: no collision
+      else Dml.insertCheckFiles(files, keyField.name, span.lo, span.hi)
+    if (candidates.isEmpty)
+      // zero overlapping files ⇒ provably no collision: an empty
+      // relation with the key columns keeps the caller's join shape
+      Some(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          keys.map(k => spark.table(ident).schema.fields
+            .find(_.name.equalsIgnoreCase(k)).get))))
+    else Some(spark.read.parquet(candidates.map(_.toString): _*))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The fused statement-route check: ONE batch job (soundness + span),
+    * then the pruned existence probe — replaces the former
+    * requireKeysSound + requireNoExistingKey pair's three driver-blocking
+    * jobs (soundness groupBy, span agg, semi-join) with two. The span is
+    * sound for the probe because both read the SAME pinned source
+    * (callers pass stableSnapshot-pinned batches). */
+  private[engine] def requireSoundAbsentKeys(
+      spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], what: String): Unit = {
+    val field = pkPruneField(spark, table, keys)
+    val span = requireKeysSoundSpan(source, keys, what, field.isDefined)
+    val pruned = for {
+      f <- field
+      s <- span
+      rel <- pkCheckRelationSpan(spark, table, keys, f, s)
+    } yield rel
+    requireNoExistingKeyPruned(spark, table, source, keys, what, pruned)
+  }
 
   /** NULL-pad a bound subset-insert to the target's full schema —
     * DuckDB's subset-insert behavior; shared by RETURNING and the
@@ -1365,8 +1476,7 @@ private[engine] trait EngineDml {
       keys: Seq[String]): DataFrame = {
     val landed = stableSnapshot(boundInsertSource(spark, table, body))
     requireKeysBound(landed, keys, s"INSERT INTO $table")
-    requireKeysSound(landed, keys, s"INSERT INTO $table")
-    requireNoExistingKey(spark, table, landed, keys, s"INSERT INTO $table")
+    requireSoundAbsentKeys(spark, table, landed, keys, s"INSERT INTO $table")
     paddedToTarget(spark, table, landed)
       .write.mode("append").insertInto(table)
     spark.emptyDataFrame
@@ -1393,14 +1503,23 @@ private[engine] trait EngineDml {
             "UPDATE SET col = EXCLUDED.col, ..." else "NOTHING")))
     val landed = stableSnapshot(boundInsertSource(spark, table, body))
     requireKeysBound(landed, keys, s"$verb INTO $table")
-    requireKeysSound(landed, keys, verb)
+    // ONE batch job certifies in-batch soundness AND yields the head-key
+    // span mergeCore's footer prunes need (r22 — was a soundness groupBy
+    // here plus mergeCore's own guard agg over the same batch): the span
+    // is handed over, so mergeCore skips its guard job. Long-ness is
+    // checked against the TARGET schema, the type mergeCore prunes by.
+    val longKey = spark.table(table).schema.fields
+      .find(_.name.equalsIgnoreCase(keys.head))
+      .exists(_.dataType == org.apache.spark.sql.types.LongType)
+    val span = requireKeysSoundSpan(landed, keys, verb, wantSpan = longKey)
     val padded = paddedToTarget(spark, table, landed)
     val nonKeys = spark.table(table).schema.fieldNames.toSeq
       .filterNot(f => keys.exists(_.equalsIgnoreCase(f)))
     withTablePath(spark, table) { path =>
       if (kind.equalsIgnoreCase("REPLACE"))
-        Dml.mergeIntoAll(spark, path, padded, keys, nonKeys)
-      else Dml.insertOnlyAll(spark, path, padded, keys)
+        Dml.mergeIntoAll(spark, path, padded, keys, nonKeys,
+          preSpan = Some(span))
+      else Dml.insertOnlyAll(spark, path, padded, keys, preSpan = Some(span))
     }
   }
 

@@ -24,9 +24,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
 case class SortedPairs(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    // containsNull arrays are REJECTED (ADVICE r21): `pairs` reads slots
+    // with getLong, which renders a null element as 0 — silently wrong
+    // pairs where the lambda formulation would emit null struct fields.
+    // The one call site feeds array_sort(graft_capped_longs(...)), whose
+    // element type is non-null by construction.
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<bigint>, got ${other.simpleString}")
+      s"$prettyName requires array<bigint> with non-null elements," +
+        s" got ${other.simpleString}")
   }
 
   override def dataType: DataType = ArrayType(

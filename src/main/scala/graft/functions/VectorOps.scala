@@ -103,7 +103,15 @@ case class DotProduct(left: Expression, right: Expression)
   * squared-distance fold (`start` is the 1-based slice offset into `a`;
   * start=1 is the whole-vector L2 of `l2Expr`). NULL when `a` has fewer
   * than size(b) elements from `start` (the short slice would zip-pad
-  * with NULL and poison the sum). */
+  * with NULL and poison the sum). NOTE the asymmetry the SLICE carries
+  * (ADVICE r21): an `a` LONGER than size(b) from `start` folds the
+  * truncated prefix — the sliced formulation's semantics, which the PQ
+  * subspace sites rely on even at start=1 (a 64-dim residual against an
+  * 8-dim codeword) — whereas the UNsliced `zip_with(a, b, …)` two call
+  * sites replaced with start=1 (`l2Expr`, `distArr`) would NULL-poison
+  * on any mismatch. Those two sites pass equal-length arrays by
+  * construction, so the difference is latent there; it is the sliced
+  * fold, not the unsliced one, that this expression implements. */
 case class SquaredL2Slice(left: Expression, right: Expression, start: Int)
     extends VectorFold {
 

@@ -1723,6 +1723,10 @@ object Similarity {
       .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
     val skLit = cbs.map(cb => cb.map(c => s"CAST(${c._1} AS BIGINT)")
       .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+    // rv and each codeword c are BOTH 8-dim here, so the start=1 native
+    // fold ≡ the unsliced zip_with it replaced — equal lengths are
+    // load-bearing (ADVICE r21): a longer rv would TRUNCATE under the
+    // sliced semantics where the zip_with would NULL-poison
     val distArr =
       s"""transform(element_at($cwLit, CAST(j + 1 AS INT)), c ->
          |  graft_l2_slice(rv, c, 1))""".stripMargin
@@ -2121,7 +2125,11 @@ object Similarity {
   private def l2Expr(a: String, b: String): String =
     // ≡ aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0d, +): same
     // IEEE fold, native (graft_l2_slice with start=1 covers the whole
-    // vector; both sides are equal-length double arrays here) — r21
+    // vector; both sides are equal-length double arrays here) — r21.
+    // EQUAL LENGTHS ARE LOAD-BEARING (ADVICE r21): the unsliced
+    // zip_with NULL-poisons on any length mismatch, while the native
+    // sliced fold truncates a LONGER `a` to size(b) — the "≡" holds
+    // only because this site's arrays are same-length by construction.
     s"graft_l2_slice($a, $b, 1)"
 
   val pqRecall: Q = (s, dir) => {

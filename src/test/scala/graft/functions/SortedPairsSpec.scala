@@ -31,9 +31,20 @@ class SortedPairsSpec extends AnyFunSuite {
         .map(p => (p.getLong(0), p.getLong(1)))
       assert(fast == ref)
     }
-    // NULL array propagates
+    // NULL array propagates (typed via IF so the element type stays
+    // non-null — a bare CAST(NULL AS ARRAY<BIGINT>) types containsNull)
     val n = spark.sql(
-      "SELECT graft_sorted_pairs(CAST(NULL AS ARRAY<BIGINT>))").collect()(0)
+      "SELECT graft_sorted_pairs(IF(false, array(CAST(1 AS BIGINT)), NULL))")
+      .collect()(0)
     assert(n.isNullAt(0))
+    // nullable-element arrays are rejected at analysis (ADVICE r21: a
+    // null slot would silently read as 0)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT graft_sorted_pairs(CAST(array(1) AS ARRAY<BIGINT>))")
+        .collect()
+    }
+    assert(e.getMessage.contains("non-null elements") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
   }
 }
