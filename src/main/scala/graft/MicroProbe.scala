@@ -54,6 +54,38 @@ object MicroProbe {
       return
     }
 
+    // `floor <query ...>`: per-query floor attribution (r22, VERDICT r21
+    // #5) — times each named declared query on the harness session (AQE
+    // on, the shipped configuration) and on a cloned session with AQE
+    // off, isolating how much of the ~0.2–0.4 s per-query floor is AQE
+    // stage re-optimization round-trips vs plain scheduling/codegen.
+    // Measurement-only: the shipped session config is NOT changed.
+    if (args.headOption.contains("floor")) {
+      val noAqe = spark.newSession()
+      noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+      Seq(spark -> "warmup", noAqe -> "warmup").foreach { case (s2, _) =>
+        SparkEntry.queries.get("t2_service_summary").foreach { fn =>
+          fn(s2, sfDir).write.format("noop").mode("overwrite").save()
+        }
+      }
+      args.drop(1).foreach { name =>
+        val fn = SparkEntry.queries(name)
+        def sample(s2: org.apache.spark.sql.SparkSession): Seq[Double] =
+          (1 to 5).map { _ =>
+            val t = System.nanoTime()
+            fn(s2, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t) / 1e9
+          }
+        val on = sample(spark)
+        val off = sample(noAqe)
+        def fmt(xs: Seq[Double]) =
+          f"min=${xs.min}%6.3f med=${xs.sorted.apply(xs.size / 2)}%6.3f"
+        println(f"[floor] $name%-22s aqe_on ${fmt(on)}  aqe_off ${fmt(off)}")
+      }
+      spark.stop()
+      return
+    }
+
     def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       val samples = (1 to 5).map { _ =>
         val t = System.nanoTime()

@@ -777,8 +777,30 @@ private[engine] trait EngineDml {
         // sees the full landed row. A registered PRIMARY KEY enforces
         // here exactly as on the plain insert route (the snapshot is
         // what gets checked AND what lands).
-        val landed =
-          boundInsertSource(spark, table, body).localCheckpoint(true)
+        //
+        // The pin is CONDITIONAL for literal-only sources (r22): a
+        // VALUES/inline-table source provably cannot read the target
+        // (so the post-insert re-evaluation the caller's action
+        // triggers sees the same rows) and `stableSnapshot` still pins
+        // it if it smuggles a non-deterministic or row-set-unstable
+        // expression. Any source with a real relation leaf keeps the
+        // eager checkpoint — `INSERT INTO t SELECT ... FROM t
+        // RETURNING *` would otherwise return post-insert rows.
+        val landed = {
+          val bound = boundInsertSource(spark, table, body)
+          val literalOnly = bound.queryExecution.analyzed
+            .collectLeaves().forall {
+              case _: org.apache.spark.sql.catalyst.plans.logical
+                .LocalRelation => true
+              case _: org.apache.spark.sql.catalyst.plans.logical
+                .OneRowRelation => true
+              case _: org.apache.spark.sql.catalyst.plans.logical
+                .Range => true
+              case _ => false
+            }
+          if (literalOnly) stableSnapshot(bound)
+          else bound.localCheckpoint(true)
+        }
         pkOf(spark, table).foreach { keys =>
           requireKeysBound(landed, keys, s"INSERT INTO $table")
           requireSoundAbsentKeys(spark, table, landed, keys,

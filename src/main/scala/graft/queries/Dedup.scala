@@ -729,11 +729,20 @@ object Dedup {
         .select(col("d1"), col("d2"))
     }
     val cand = minhashLsh(s, dir).select(col("d1"), col("d2"))
-    val hits = truth.join(cand, Seq("d1", "d2"))
-      .agg(count(lit(1)).as("n_hits"))
-    val nt = truth.agg(count(lit(1)).as("n_truth"))
-    val nc = cand.agg(count(lit(1)).as("n_cand"))
-    nt.crossJoin(broadcast(nc)).crossJoin(broadcast(hits))
+    // ONE union + membership-flag aggregate (r22, guide §2.3/§2.4 — was
+    // a hits join + three separate count aggregates, each re-evaluating
+    // its subtree): both sides are DISTINCT pair sets (truth by its ≥0.5
+    // filter over the capped pairs, cand by minhashLsh's .distinct()),
+    // so per-pair max-flags make |truth| = Σt, |cand| = Σc and the
+    // intersection = Σ t·c — identical integers, identical divisions.
+    val flags = truth
+      .select(col("d1"), col("d2"), lit(1L).as("t"), lit(0L).as("c"))
+      .unionAll(cand
+        .select(col("d1"), col("d2"), lit(0L).as("t"), lit(1L).as("c")))
+      .groupBy(col("d1"), col("d2"))
+      .agg(max(col("t")).as("t"), max(col("c")).as("c"))
+    flags.agg(sum(col("t")).as("n_truth"), sum(col("c")).as("n_cand"),
+        sum(col("t") * col("c")).as("n_hits"))
       .select(col("n_truth"), col("n_cand"), col("n_hits"),
         (col("n_hits").cast("double") / col("n_truth").cast("double"))
           .as("recall"),
@@ -797,11 +806,17 @@ object Dedup {
         col("band") === col("qband") && col("key") === col("qkey") &&
           col("d") =!= col("qid"))
       .select(col("qid"), col("d").as("doc_id")).distinct()
-    val nt = truth.agg(count(lit(1)).as("n_truth"))
-    val nc = cand.agg(count(lit(1)).as("n_cand"))
-    val h = truth.join(cand, Seq("qid", "doc_id"))
-      .agg(count(lit(1)).as("n_hits"))
-    nt.crossJoin(broadcast(nc)).crossJoin(broadcast(h))
+    // ONE union + membership-flag aggregate, as in minhashRecall (r22):
+    // both sides are distinct (qid, doc_id) sets, so Σt / Σc / Σ t·c are
+    // the three counts the former join + three aggregates computed.
+    val flags = truth
+      .select(col("qid"), col("doc_id"), lit(1L).as("t"), lit(0L).as("c"))
+      .unionAll(cand
+        .select(col("qid"), col("doc_id"), lit(0L).as("t"), lit(1L).as("c")))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(max(col("t")).as("t"), max(col("c")).as("c"))
+    flags.agg(sum(col("t")).as("n_truth"), sum(col("c")).as("n_cand"),
+        sum(col("t") * col("c")).as("n_hits"))
       .select(col("n_truth"), col("n_cand"), col("n_hits"),
         (col("n_hits").cast("double") / col("n_truth").cast("double"))
           .as("recall"))
@@ -970,7 +985,21 @@ object Dedup {
   def buildWinnowIndex(s: SparkSession, dir: String): Long =
     winnowSelected(s, dir, None).count()
 
-  /** Shared pair-detection tail over a selected-fingerprint relation. */
+  /** Shared pair-detection tail over a selected-fingerprint relation.
+    *
+    * SHAPE KEPT after a measured r22 attempt to fuse it (VERDICT r21
+    * #8): collecting each fingerprint's distinct (doc, tg) postings +
+    * frequency in one cap-bounded object aggregate (the cappedCommon
+    * pattern) cut the plan from 5 exchanges + 2 broadcasts to 3
+    * exchanges — and ran ~1.8× SLOWER at sf0.1 (warm 1.07 s → 1.8–2.3 s):
+    * a TypedImperativeAggregate over ~10⁵ fingerprint groups pays
+    * ObjectHashAggregate's 128-key sort-based fallback plus a per-group
+    * set-buffer allocation, which loses to this whole-stage-codegen
+    * countDistinct pre-aggregate + two BROADCAST joins (the index passes
+    * it "saves" are map-side over the memoized in-memory relation).
+    * The ngram fusion won because collect_list was ALREADY object-agg
+    * there; here the fusion would introduce it. Reverted on the §1.6
+    * re-measure. */
   private def winnowPairs(sel: DataFrame): DataFrame = {
     val ok = sel.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))

@@ -211,6 +211,12 @@ object TextOps {
 
   /** (doc_id, source, shingle) distinct triples — corpus-analysis twin of
     * Dedup's inverted index, carrying the source for cross-corpus ops. */
+  // NOT pre-distincted (r22, guide §2.4): both consumers dedup inside
+  // their own aggregates — `boilerplate` counts DISTINCT doc_id per
+  // shingle and `contamination` re-distincts on (source, sh) — so the
+  // former `.distinct()` here was a full extra exchange of the exploded
+  // shingle rows that changed no result (the oracle CTE keeps its
+  // SELECT DISTINCT spelling; equal output either way).
   private def shingleSrc(s: SparkSession, dir: String) =
     t(s, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
@@ -220,7 +226,6 @@ object TextOps {
           """transform(sequence(1, size(ws) - 2),
             |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
             |                 element_at(ws, i + 2)))""".stripMargin)).as("sh"))
-      .distinct()
 
   private val oShingleSrc =
     """w AS (SELECT doc_id, source, string_split(text, ' ') AS ws

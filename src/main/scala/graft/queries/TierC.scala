@@ -1178,15 +1178,35 @@ object TierC {
   // --- Grouping extensions -------------------------------------------------
 
   /** ROLLUP over two dims; NULL grouping keys rendered 'ALL' so the output
-    * is string-typed and unambiguous (the data has no real NULLs here). */
-  val rollup: Q = (s, dir) =>
-    t(s, dir, "lineitem")
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), dsum("l_extendedprice").as("revenue"))
+    * is string-typed and unambiguous (the data has no real NULLs here).
+    *
+    * Pre-aggregated to the FINEST grouping first, then ROLLUP over the
+    * partials (r22, guide §2.3 "aggregate before you shuffle"): Spark's
+    * Expand duplicates every INPUT row once per grouping set, so the
+    * decimal money-sum ran 3× per fact row; summing once per (flag,
+    * status) and re-aggregating the handful of partial rows shuffles and
+    * expands ~10⁵× fewer rows at sf0.1 (and the ratio grows with the
+    * fact table). Exactness: decimal addition re-associates exactly —
+    * sum-of-sums equals the one-level sum (the re-sum widens to
+    * DECIMAL(38,2), MORE overflow headroom, then the same single cast to
+    * DOUBLE); COUNT re-aggregates as SUM of partial counts. Real-NULL
+    * group keys (none in this data) survive identically: the fine
+    * aggregate keeps NULL as a key value and the ROLLUP over partials
+    * emits the same detail/subtotal rows the direct ROLLUP would. */
+  val rollup: Q = (s, dir) => {
+    val fine = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("_rev"))
+    fine.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("_n")).as("n"),
+        sum(col("_rev")).cast("double").as("revenue"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
         col("n"), col("revenue"))
       .orderBy(col("flag"), col("status"))
+  }
 
   val rollupSql: String =
     s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
@@ -1196,11 +1216,16 @@ object TierC {
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY flag, status""".stripMargin
 
-  /** CUBE over two dims (adds the by-status-only slice ROLLUP lacks). */
+  /** CUBE over two dims (adds the by-status-only slice ROLLUP lacks).
+    * Pre-aggregated to the finest grouping like `rollup` above (r22):
+    * the 4-way Expand runs over the handful of partial rows, not every
+    * fact row. */
   val cube_ : Q = (s, dir) =>
     t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("_n"))
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("_n")).as("n"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("n"))
       .orderBy(col("flag"), col("status"))
