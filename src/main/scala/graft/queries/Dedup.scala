@@ -42,10 +42,14 @@ object Dedup {
 
   /** Word-trigram shingles of `text`, as a column expression (docs with
     * fewer than 3 words contribute no shingles on either side). */
-  private val shinglesExpr =
-    """transform(sequence(1, size(ws) - 2),
-      |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
-      |                 element_at(ws, i + 2)))""".stripMargin
+  // ≡ transform(sequence(1, size(ws) - 2),
+  //     i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+  //                    element_at(ws, i + 2)))
+  // — the same trigram strings from one flat native loop instead of an
+  // interpreted lambda + boxed concat_ws per window (r22, guide §1.2;
+  // WordNgramsSpec pins byte-identity on the size(ws) >= 3 inputs every
+  // caller filters to). Callers must register graft.functions.WordNgrams.
+  private val shinglesExpr = "graft_word_ngrams(ws, 3)"
 
   /** (doc_id, shingle) distinct pairs — the inverted-index input. Cached
     * and MEMOIZED per (session, dir): ngram-Jaccard consumes it three times
@@ -57,11 +61,13 @@ object Dedup {
   /** The shingling pipeline over any (doc_id, text) frame — shared by the
     * corpus index below and the cap-fixture corpus, so the fixture
     * exercises the production code path, not a re-implementation. */
-  private def shinglesOf(docs: DataFrame): DataFrame =
+  private def shinglesOf(docs: DataFrame): DataFrame = {
+    graft.functions.WordNgrams.register(docs.sparkSession)
     docs.withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
       .distinct()
+  }
 
   private def shingles(s: SparkSession, dir: String): DataFrame =
     memoPersist(s, dir, "dedup_shingles") {
@@ -227,6 +233,7 @@ object Dedup {
     // (one digest-fold expression; the lambda body is interpreted, so the
     // hex/substring/conv round trips dominated this map stage — r21)
     graft.functions.Md5PrefixLong.register(docs.sparkSession)
+    graft.functions.WordNgrams.register(docs.sparkSession)
     val keep = docs.columns.map(col).toSeq
     docs.withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
@@ -955,6 +962,7 @@ object Dedup {
       val key = maxDoc.fold("winnow_base_full")(m => s"winnow_base_$m")
       val base = memoPersist(s, dir, key) {
         graft.functions.Md5PrefixLong.register(s)
+        graft.functions.WordNgrams.register(s)
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         maxDoc.fold(docs)(m => docs.filter(col("doc_id") < m))
           .withColumn("ws", split(col("text"), " "))
@@ -1089,14 +1097,17 @@ object Dedup {
   // into a broadcast-hash join, and the only corpus exchange is the
   // final per-doc count with map-side partial aggregation. The corpus
   // never shuffles by n-gram.
-  private val ngram5Expr =
-    "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"
+  // ≡ transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))
+  // (native flat loop, no slice alloc per window — r22, see shinglesExpr)
+  private val ngram5Expr = "graft_word_ngrams(ws, 5)"
 
-  private def gram5(docs: DataFrame): DataFrame =
+  private def gram5(docs: DataFrame): DataFrame = {
+    graft.functions.WordNgrams.register(docs.sparkSession)
     docs.withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 5)
       .select(col("doc_id"),
         explode(expr(s"array_distinct($ngram5Expr)")).as("g"))
+  }
 
   /** The eval side's (g, eval_doc) n-gram relation — small by nature
     * (benchmarks are thousands of docs), the broadcast build side. */

@@ -183,20 +183,21 @@ object TextOps {
   /** Document fingerprints: full-content md5 plus a min-3 shingle sketch
     * (the 3 lexicographically smallest distinct word-trigrams, hashed) — a
     * winnowing-style content-defined sketch that survives small edits. */
-  val fingerprint: Q = (s, dir) =>
+  val fingerprint: Q = (s, dir) => {
+    graft.functions.WordNgrams.register(s)
     t(s, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
       .orderBy(col("doc_id")).limit(200)
       .select(col("doc_id"),
         md5(lower(col("text"))).as("fp"),
+        // graft_word_ngrams ≡ the trigram transform (r22, see shingleSrc)
         md5(expr(
           """array_join(slice(array_sort(array_distinct(
-            |  transform(sequence(1, size(ws) - 2),
-            |    i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
-            |                   element_at(ws, i + 2))))), 1, 3), '|')"""
+            |  graft_word_ngrams(ws, 3))), 1, 3), '|')"""
             .stripMargin)).as("sketch"))
       .orderBy(col("doc_id"))
+  }
 
   val fingerprintSql: String =
     """SELECT doc_id, md5(lower(text)) AS fp,
@@ -217,15 +218,17 @@ object TextOps {
   // former `.distinct()` here was a full extra exchange of the exploded
   // shingle rows that changed no result (the oracle CTE keeps its
   // SELECT DISTINCT spelling; equal output either way).
-  private def shingleSrc(s: SparkSession, dir: String) =
+  private def shingleSrc(s: SparkSession, dir: String) = {
+    // graft_word_ngrams(ws, 3) ≡ transform(sequence(1, size(ws) - 2),
+    //   i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) — native flat loop
+    // (r22, WordNgramsSpec pins byte-identity on size >= 3 inputs)
+    graft.functions.WordNgrams.register(s)
     t(s, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), col("source"),
-        explode(expr(
-          """transform(sequence(1, size(ws) - 2),
-            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
-            |                 element_at(ws, i + 2)))""".stripMargin)).as("sh"))
+        explode(expr("graft_word_ngrams(ws, 3)")).as("sh"))
+  }
 
   private val oShingleSrc =
     """w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
